@@ -1,0 +1,304 @@
+"""Collection: the engine's core unit (SURVEY.md §1.1).
+
+Reference layout: ``$LETSEARCH_HOME/collections/<name>/`` holding
+``data.db`` (DuckDB table), ``index/<column>/index.bin`` (usearch HNSW)
+and ``config.json`` (collection_actor.rs:127-159, collection_utils.rs:47-53).
+
+Spark-first layout (all parquet, all distributed):
+
+    <root>/collections/<name>/
+        config.json            -- CollectionConfig (written atomically at
+                                  create; fixes the reference's never-written
+                                  config gap, SURVEY.md §1.3)
+        docs/                  -- the document table, includes dense ``_key``
+        embeddings/            -- (_key long, vector array<float>) partitioned
+                                  by column_name= (K4 multi-column indexes)
+
+Verbs (reference: src/main.rs:38-190): ``create`` (index), ``import_*``
+(S1/S2), ``append_*`` (S3/S4), ``add_chunks`` (S6), ``embed_column`` (E5),
+``search`` (K1+K3+P3/P4, API semantics of serve.rs:148-183).
+
+Scale notes per verb are inline; the headline is that the reference's
+batch/offset/actor machinery (P1 pagination, E5 embed loop, K2 capacity
+management) all collapses into single declarative pipelines.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from letsearch_spark.chunker import ChunkerConfig, MarkdownChunker
+from letsearch_spark.config import CollectionConfig
+from letsearch_spark.embedders import Embedder, get_embedder
+from letsearch_spark.keys import KEY_COL, add_dense_key, next_key_start
+from letsearch_spark.operators.topk import cosine_topk
+
+_IDENT_RE = re.compile(r"^[A-Za-z0-9_]+$")
+
+
+def is_valid_identifier(name: str) -> bool:
+    """Identifier-injection guard (reference: collection_actor.rs:21-28)."""
+    return bool(_IDENT_RE.match(name))
+
+
+class Collection:
+    def __init__(self, spark: SparkSession, root: str, config: CollectionConfig):
+        self.spark = spark
+        self.root = root
+        self.config = config
+
+    # ---- paths ----
+
+    @property
+    def home(self) -> str:
+        return os.path.join(self.root, "collections", self.config.name)
+
+    @property
+    def docs_path(self) -> str:
+        return os.path.join(self.home, "docs")
+
+    @property
+    def embeddings_path(self) -> str:
+        return os.path.join(self.home, "embeddings")
+
+    @property
+    def config_path(self) -> str:
+        return os.path.join(self.home, "config.json")
+
+    # ---- lifecycle ----
+
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        root: str,
+        name: str = "default",
+        index_columns: Sequence[str] = ("text",),
+        model_name: str = "stub://16",
+        model_variant: str = "f32",
+    ) -> "Collection":
+        if not is_valid_identifier(name):
+            raise ValueError(f"invalid collection name: {name!r}")
+        for c in index_columns:
+            if not is_valid_identifier(c):
+                raise ValueError(f"invalid index column: {c!r}")
+        cfg = CollectionConfig(
+            name=name,
+            index_columns=list(index_columns),
+            model_name=model_name,
+            model_variant=model_variant,
+        )
+        coll = cls(spark, root, cfg)
+        os.makedirs(coll.home, exist_ok=True)
+        cfg.save(coll.config_path)
+        return coll
+
+    @classmethod
+    def load(cls, spark: SparkSession, root: str, name: str) -> "Collection":
+        cfg = CollectionConfig.load(
+            os.path.join(root, "collections", name, "config.json")
+        )
+        return cls(spark, root, cfg)
+
+    # ---- document table ----
+
+    def docs(self) -> DataFrame:
+        return self.spark.read.parquet(self.docs_path)
+
+    def count(self) -> int:
+        """Row count (P2). The reference's COUNT('<col>') literal-count quirk
+        (collection_actor.rs:380-389) is deliberately NOT reproduced --
+        this is COUNT(*) (SURVEY.md §2.2 P2 note)."""
+        return self.docs().count()
+
+    def import_df(self, df: DataFrame) -> int:
+        """CTAS-equivalent: write df as the docs table, adding ``_key`` only
+        if absent (S1/S2 key rule, collection_actor.rs:176-188)."""
+        keyed = add_dense_key(df, KEY_COL, start=1)
+        keyed.write.mode("overwrite").parquet(self.docs_path)
+        return self.count()
+
+    def import_parquet(self, path: str) -> int:
+        """S2 (collection_actor.rs:194-220). Globs work natively."""
+        return self.import_df(self.spark.read.parquet(path))
+
+    def import_jsonl(self, path: str) -> int:
+        """S1 (collection_actor.rs:166-192): schema-on-read JSONL scan."""
+        return self.import_df(self.spark.read.json(path))
+
+    def _append_df(self, df: DataFrame) -> int:
+        """S3/S4 core: column-list alignment minus ``_key`` then insert with
+        key continuation (collection_actor.rs:222-291)."""
+        existing = self.docs()
+        cols = [c for c in existing.columns if c != KEY_COL]
+        start = next_key_start(existing, KEY_COL)
+        incoming = df.select(
+            *[
+                (F.col(c) if c in df.columns else F.lit(None)).alias(c)
+                for c in cols
+            ]
+        )
+        keyed = add_dense_key(incoming, KEY_COL, start=start, if_absent=False)
+        keyed.select(existing.columns).write.mode("append").parquet(self.docs_path)
+        return self.count()
+
+    def append_parquet(self, path: str) -> int:
+        return self._append_df(self.spark.read.parquet(path))
+
+    def append_jsonl(self, path: str) -> int:
+        return self._append_df(self.spark.read.json(path))
+
+    def add_chunks(self, chunks: Sequence[str], column: str = "text") -> int:
+        """S6 (collection_actor.rs:293-365): insert pre-chunked strings as
+        rows; creates the table if missing; guards the identifier."""
+        if not is_valid_identifier(column):
+            raise ValueError(f"invalid column identifier: {column!r}")
+        df = self.spark.createDataFrame(
+            [(c,) for c in chunks], T.StructType([T.StructField(column, T.StringType())])
+        )
+        try:
+            existing_cols = self.docs().columns
+        except Exception:
+            existing_cols = None
+        if existing_cols is None:
+            return self.import_df(df)
+        return self._append_df(df)
+
+    def import_pdf(
+        self,
+        path: str,
+        column: str = "text",
+        chunker_config: ChunkerConfig | None = None,
+    ) -> int:
+        """S5 (collection_actor.rs:724-754 + pdf.rs): PDF -> markdown ->
+        chunks -> rows. Uses the sqrt-sampling text heuristic."""
+        from letsearch_spark.sources.pdf import pdf_to_markdown
+
+        markdown = pdf_to_markdown(path)
+        chunker = MarkdownChunker(chunker_config or ChunkerConfig())
+        chunks = chunker.chunk(markdown) or [markdown]
+        return self.add_chunks(chunks, column=column)
+
+    # ---- embedding pipeline (E5, K2, K5) ----
+
+    def _embedder(self) -> Embedder:
+        return get_embedder(self.config.model_name, self.config.model_variant)
+
+    def _has_embeddings(self) -> bool:
+        # local/dbfs-style path check; works for file: URIs the tests use.
+        # On object stores a real deployment would consult the catalog.
+        p = self.embeddings_path
+        return os.path.isdir(p) and any(
+            e for e in os.listdir(p) if not e.startswith(("_", "."))
+        )
+
+    def embeddings(self, column: str | None = None) -> DataFrame:
+        df = self.spark.read.parquet(self.embeddings_path)
+        if column is not None:
+            # partition pruning: column_name is a parquet partition column
+            df = df.filter(F.col("column_name") == column)
+        return df
+
+    def embed_column(self, column: str, incremental: bool = True) -> int:
+        """E5 as one declarative pipeline (vs the reference's batch loop,
+        collection_actor.rs:764-885): select -> mapInPandas(embed) -> write.
+
+        Incremental mode (K5) uses a left-anti join against the existing
+        embeddings -- strictly better than the reference's offset-resume
+        heuristic (collection_actor.rs:808-826), because it is correct
+        under any insertion order.
+
+        Scale: embedding is compute-bound; the anti-join shuffles only the
+        (narrow) key column; output is written partitioned by column_name
+        so per-column searches prune to one partition tree.
+        """
+        if not is_valid_identifier(column):
+            raise ValueError(f"invalid column identifier: {column!r}")
+        docs = self.docs().select(
+            F.col(KEY_COL),
+            F.coalesce(F.col(column).cast("string"), F.lit("")).alias("__text"),
+        )
+        if incremental and self._has_embeddings():
+            done = self.embeddings(column).select(KEY_COL)
+            docs = docs.join(done, KEY_COL, "left_anti")
+
+        embedder = self._embedder()
+        dim = embedder.output_dim()
+        out_schema = T.StructType(
+            [
+                T.StructField(KEY_COL, T.LongType()),
+                T.StructField("vector", T.ArrayType(T.FloatType())),
+            ]
+        )
+
+        def embed_batches(it):
+            import pandas as pd
+
+            emb = embedder  # per-task closure; heavy state built lazily inside
+            for pdf in it:
+                if len(pdf) == 0:
+                    continue
+                vecs = emb.embed(pdf["__text"].tolist())
+                yield pd.DataFrame(
+                    {
+                        KEY_COL: pdf[KEY_COL].values,
+                        "vector": list(vecs),
+                    }
+                )
+
+        result = docs.mapInPandas(embed_batches, schema=out_schema).withColumn(
+            "column_name", F.lit(column)
+        )
+        (
+            result.write.mode("append")
+            .partitionBy("column_name")
+            .parquet(self.embeddings_path)
+        )
+        return self.embeddings(column).count()
+
+    def embed_all(self, incremental: bool = True) -> dict[str, int]:
+        return {
+            c: self.embed_column(c, incremental=incremental)
+            for c in self.config.index_columns
+        }
+
+    # ---- search (K1/K3 + P3/P4, serve.rs API semantics) ----
+
+    def search(self, column: str, query: str, limit: int = 10) -> DataFrame:
+        """Top-k semantic search returning (key, content, score) in score
+        order -- the A4/A5 surface (serve.rs:148-183, main.rs:314-385).
+
+        limit validation 1..=100 mirrors serve.rs:155-161. The fetch-back
+        join replaces the reference's IN-list + HashMap re-order
+        (P3/P4, collection_actor.rs:532-583): hits are tiny (<=100 rows),
+        so the join is a broadcast of the hits against the docs table.
+        """
+        if not 1 <= limit <= 100:
+            raise ValueError(f"limit must be in [1, 100], got {limit}")
+        if column not in self.config.index_columns:
+            raise ValueError(f"column {column!r} is not indexed")
+        qvec = self._embedder().embed([query])[0].tolist()
+        hits = cosine_topk(
+            self.embeddings(column),
+            qvec,
+            k=limit,
+            key_col=KEY_COL,
+            vec_col="vector",
+        )
+        docs = self.docs().select(
+            F.col(KEY_COL).alias("key"), F.col(column).alias("content")
+        )
+        return (
+            F.broadcast(hits)
+            .withColumnRenamed(KEY_COL, "key")
+            .join(docs, "key")
+            .where(F.col("content").isNotNull())  # P6 null-content drop
+            .select("key", "content", "score")
+            .orderBy(F.desc("score"), F.asc("key"))
+        )

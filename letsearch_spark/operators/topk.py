@@ -1,0 +1,139 @@
+"""Exact and approximate top-k cosine search (K1 in SURVEY.md §2.3).
+
+The reference answers top-k with a usearch HNSW graph
+(vector_index.rs:128-152). Spark-first, the *exact* path is simply
+
+    SELECT key, cosine(vec, q) AS score ORDER BY score DESC, key LIMIT k
+
+which Catalyst executes as ``TakeOrderedAndProject``: each partition
+computes its local top-k (map-side), and only k rows per partition travel
+to the driver -- no global sort, no full shuffle. At 100 TB this is a
+single scan with a few KB of network traffic; it parallelizes perfectly
+and is the oracle against which approximate methods are judged.
+
+Tie-breaking is ``key ASC`` (declared semantics -- the reference's usearch
+tie order is unspecified; FIXTURES.md §2).
+
+The approximate path buckets vectors with random hyperplane LSH (signed
+projections), probing only the query's bucket (optionally multi-probe) --
+the scan then touches ~1/2**bits of the data. This is the scale path for
+repeated queries over a static corpus; build once, reuse.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from letsearch_spark.functions.vector import cosine_similarity
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 10,
+    key_col: str = "_key",
+    vec_col: str = "vector",
+    score_col: str = "score",
+) -> DataFrame:
+    """Exact brute-force cosine top-k; score = 1 - cosine_distance
+    (reference convention, vector_index.rs:141-149).
+
+    limit bounds follow the reference API: 1 <= k <= 100 (serve.rs:155-161).
+    """
+    if not 1 <= k <= 100:
+        raise ValueError(f"k must be in [1, 100], got {k}")
+    q = [float(x) for x in query_vec]
+    sim = cosine_similarity(F.col(vec_col), q)
+    return (
+        embeddings.select(F.col(key_col), sim.alias(score_col))
+        .orderBy(F.desc(score_col), F.asc(key_col))
+        .limit(k)
+    )
+
+
+# ---------------- approximate path: sign-LSH bucketing ----------------
+
+
+def _hyperplanes(dim: int, bits: int, seed: int) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    return rng.normal(size=(bits, dim)).astype(np.float64)
+
+
+def lsh_signature_col(vec_col, planes: np.ndarray):
+    """Column: sign-LSH bucket id of an array<float> column.
+
+    Pure Catalyst expression (aggregate over zip_with per plane) -- the
+    signature is computed JVM-side during the scan; at 100 TB the planes
+    (bits x dim doubles) are tiny literals baked into the plan.
+    """
+    bits = []
+    for i, plane in enumerate(planes):
+        dot = F.aggregate(
+            F.zip_with(
+                F.transform(vec_col, lambda x: x.cast("double")),
+                F.array(*[F.lit(float(p)) for p in plane]),
+                lambda x, y: x * y,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bits.append(F.when(dot >= 0, F.lit(1 << i)).otherwise(F.lit(0)))
+    sig = bits[0]
+    for b in bits[1:]:
+        sig = sig + b
+    return sig.cast("int")
+
+
+def build_lsh_index(
+    embeddings: DataFrame,
+    dim: int,
+    bits: int = 8,
+    seed: int = 42,
+    vec_col: str = "vector",
+    bucket_col: str = "_bucket",
+) -> DataFrame:
+    """Materialize an LSH-bucketed copy of the embeddings table.
+
+    Callers persist this partitioned by ``_bucket`` (parquet partition
+    pruning then makes each probe read only the probed buckets).
+    """
+    planes = _hyperplanes(dim, bits, seed)
+    return embeddings.withColumn(bucket_col, lsh_signature_col(F.col(vec_col), planes))
+
+
+def lsh_topk(
+    indexed: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 10,
+    bits: int = 8,
+    seed: int = 42,
+    multiprobe: int = 1,
+    key_col: str = "_key",
+    vec_col: str = "vector",
+    bucket_col: str = "_bucket",
+    score_col: str = "score",
+) -> DataFrame:
+    """Approximate top-k: probe the query's bucket (+ Hamming-1 neighbors
+    when ``multiprobe`` > 0), brute-force only inside the probed buckets.
+
+    With parquet partitioned by bucket this prunes the scan to
+    ~(1+multiprobe*bits)/2**bits of the data.
+    """
+    q = np.asarray(list(query_vec), dtype=np.float64)
+    planes = _hyperplanes(len(q), bits, seed)
+    sig = 0
+    for i, plane in enumerate(planes):
+        if float(plane @ q) >= 0:
+            sig |= 1 << i
+    probes = {sig}
+    if multiprobe >= 1:
+        probes.update(sig ^ (1 << i) for i in range(bits))
+
+    pruned = indexed.filter(F.col(bucket_col).isin(*[int(p) for p in probes]))
+    return cosine_topk(
+        pruned, q, k=k, key_col=key_col, vec_col=vec_col, score_col=score_col
+    )

@@ -1,0 +1,140 @@
+"""End-to-end collection tests: import -> keys -> embed(stub) -> search,
+plus append key-continuation and config round-trip.
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from letsearch_spark.collection import Collection, is_valid_identifier
+from letsearch_spark.config import CollectionConfig
+from letsearch_spark.embedders.stub import StubEmbedder, murmur3_32
+
+
+def test_murmur3_known_values():
+    # public test vectors for murmur3_32 seed 0
+    assert murmur3_32(b"") == 0
+    assert murmur3_32(b"hello") == 0x248BFA47
+    assert murmur3_32(b"hello, world") == 0x149BBB7F
+
+
+def test_stub_embedder_deterministic_and_normalized():
+    e = StubEmbedder(16)
+    v1 = e.embed(["hello world", ""])
+    v2 = StubEmbedder(16).embed(["hello world", ""])
+    assert np.allclose(v1, v2)
+    assert v1.shape == (2, 16)
+    assert abs(np.linalg.norm(v1[0]) - 1.0) < 1e-5
+    assert np.linalg.norm(v1[1]) == 0.0  # empty text -> zero vector
+
+
+def test_config_defaults_roundtrip(tmp_path):
+    # serde-default semantics: {} loads with all defaults
+    p = tmp_path / "config.json"
+    p.write_text("{}")
+    cfg = CollectionConfig.load(str(p))
+    assert cfg.name == "default"
+    assert cfg.index_columns == ["text"]
+    assert cfg.model_name == "hf://mys/minilm"
+    assert cfg.model_variant == "f32"
+    assert cfg.db_path == "data.db"
+    assert cfg.index_dir == "index"
+    assert cfg.serialization_version == 1
+
+    cfg2 = CollectionConfig(name="x", index_columns=["a", "b"])
+    cfg2.save(str(tmp_path / "c2.json"))
+    assert CollectionConfig.load(str(tmp_path / "c2.json")) == cfg2
+    # unknown keys ignored
+    (tmp_path / "c3.json").write_text(json.dumps({"name": "y", "bogus": 1}))
+    assert CollectionConfig.load(str(tmp_path / "c3.json")).name == "y"
+
+
+def test_identifier_guard():
+    assert is_valid_identifier("text_1")
+    assert not is_valid_identifier("te xt")
+    assert not is_valid_identifier("t;drop")
+    assert not is_valid_identifier("")
+
+
+@pytest.fixture(scope="module")
+def coll(spark, sf_dir, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("lsroot"))
+    c = Collection.create(
+        spark, root, name="docs", index_columns=["text"], model_name="stub://16"
+    )
+    c.import_parquet(os.path.join(sf_dir, "documents.parquet"))
+    return c
+
+
+def test_import_assigns_dense_keys(coll):
+    docs = coll.docs()
+    n = docs.count()
+    stats = docs.agg(
+        F.min("_key").alias("lo"),
+        F.max("_key").alias("hi"),
+        F.countDistinct("_key").alias("d"),
+    ).collect()[0]
+    assert (stats["lo"], stats["hi"], stats["d"]) == (1, n, n)
+
+
+def test_config_written(coll):
+    assert os.path.exists(coll.config_path)
+    cfg = CollectionConfig.load(coll.config_path)
+    assert cfg.name == "docs"
+    assert cfg.index_columns == ["text"]
+
+
+def test_append_continues_keys(coll, spark, sf_dir):
+    n_before = coll.count()
+    extra = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).limit(7)
+    coll._append_df(extra.drop("doc_id").withColumn("doc_id", F.lit(None).cast("long")))
+    docs = coll.docs()
+    n_after = docs.count()
+    assert n_after == n_before + 7
+    stats = docs.agg(
+        F.max("_key").alias("hi"), F.countDistinct("_key").alias("d")
+    ).collect()[0]
+    assert stats["hi"] == n_after  # dense continuation
+    assert stats["d"] == n_after
+
+
+def test_embed_and_search(coll):
+    n = coll.embed_column("text")
+    assert n == coll.count()
+    emb = coll.embeddings("text")
+    row = emb.select(F.size("vector").alias("d")).first()
+    assert row["d"] == 16
+
+    # search: query identical to a document's text must rank that doc #1
+    target = coll.docs().select("_key", "text").where(F.col("text").isNotNull()).first()
+    res = coll.search("text", target["text"], limit=10).collect()
+    assert len(res) == 10
+    assert res[0]["key"] == target["_key"]
+    assert res[0]["score"] == pytest.approx(1.0, abs=1e-5)
+    scores = [r["score"] for r in res]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_embed_incremental_anti_join(coll, spark):
+    # appending rows then re-embedding only embeds the new rows (K5)
+    before = coll.embeddings("text").count()
+    import pyspark.sql.types as T
+
+    new = spark.createDataFrame(
+        [("incremental embed target text",)],
+        T.StructType([T.StructField("text", T.StringType())]),
+    )
+    coll._append_df(new)
+    after = coll.embed_column("text", incremental=True)
+    assert after == before + 1
+
+
+def test_search_limit_validation(coll):
+    for bad in (0, 101):
+        with pytest.raises(ValueError):
+            coll.search("text", "q", limit=bad)
+    with pytest.raises(ValueError):
+        coll.search("not_indexed", "q")
