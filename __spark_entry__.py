@@ -1,38 +1,54 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` -- flagship end-to-end semantic search on sf0.001.
+``queries()``    -- every implemented operator from SURVEY.md §2 plus the
+                    north-star dedup/similarity/text-analysis suite.
+``oracle_sql()`` -- DuckDB-equivalent SQL for each hash-checkable query
+                    (non-SQL-expressible pipelines -- chunker, stub embed,
+                    e2e search -- are rows-only by design).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the reference's whole spine (ingest -> dense keys ->
+    stub-embed -> cosine top-k -> fetch-back join) on sf0.001."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from letsearch_spark.collection import Collection
+
+    root = tempfile.mkdtemp(prefix="ls_entry_")
+    coll = Collection.create(
+        spark, root, name="flagship", index_columns=["text"], model_name="stub://16"
+    )
+    coll.import_parquet("/root/testdata/sf0.001/documents.parquet")
+    coll.embed_column("text")
+    res = coll.search("text", "spark join query window batch data", limit=10)
+    return res.select(
+        F.col("key").cast("long").alias("key"),
+        F.col("content").cast("string").alias("content"),
+        F.col("score").cast("double").alias("score"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from letsearch_spark.queries import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from letsearch_spark.queries import ORACLES
+
+    return dict(ORACLES)

@@ -26,6 +26,8 @@ from __future__ import annotations
 import math
 from dataclasses import dataclass
 
+import pandas as pd  # module-level so pandas_udf type hints resolve
+
 __all__ = ["ChunkerConfig", "MarkdownChunker", "chunk_column"]
 
 
@@ -145,32 +147,52 @@ class MarkdownChunker:
 
     def _split_by_paragraphs(self, text: str) -> list[str]:
         """Blank-line split with greedy merge and overlap carry-over
-        (chunker.rs:180-232)."""
+        (chunker.rs:180-232).
+
+        Fast path: in word-approximation mode the token count of
+        ``current + "\\n\\n" + para`` is exactly ``ceil((wc_cur+wc_para)*1.3)``
+        (whitespace joins preserve word counts), so the merged-candidate
+        count is arithmetic instead of a re-join + re-split -- same result,
+        O(n) instead of O(n^2)."""
+        approx = self._tokenizer is None
         chunks: list[str] = []
         current = ""
+        cur_wc = 0  # word count of `current`, maintained in approx mode
 
         for para in text.split("\n\n"):
             para = para.strip()
             if not para:
                 continue
+            para_wc = len(para.split()) if approx else 0
 
-            if self.count_tokens(para) > self.config.max_tokens:
+            para_tokens = (
+                math.ceil(para_wc * 1.3) if approx else self.count_tokens(para)
+            )
+            if para_tokens > self.config.max_tokens:
                 # flush accumulator, token-split the oversized paragraph;
                 # its sub-chunks are complete -- nothing carries into current
                 if current.strip():
                     chunks.append(current)
                     current = ""
+                    cur_wc = 0
                 chunks.extend(self._split_by_tokens(para))
                 continue
 
             candidate = para if not current else f"{current}\n\n{para}"
-            if self.count_tokens(candidate) <= self.config.max_tokens:
+            cand_tokens = (
+                math.ceil((cur_wc + para_wc) * 1.3)
+                if approx
+                else self.count_tokens(candidate)
+            )
+            if cand_tokens <= self.config.max_tokens:
                 current = candidate
+                cur_wc += para_wc
             else:
                 if current.strip():
                     chunks.append(current)
                 overlap = self._tail_overlap(current)
                 current = para if not overlap else f"{overlap}\n\n{para}"
+                cur_wc = (len(overlap.split()) if overlap else 0) + para_wc
 
         if current.strip():
             chunks.append(current)
@@ -182,6 +204,8 @@ class MarkdownChunker:
         words = text.split()
         if not words:
             return []
+        if self._tokenizer is None:
+            return self._split_by_tokens_fast(words)
 
         chunks: list[str] = []
         start = 0
@@ -208,6 +232,31 @@ class MarkdownChunker:
                     overlap_words += 1
                 new_start = max(end - overlap_words, 0)
                 # always advance past a stall (oversized-word guard)
+                start = new_start if new_start > start else end
+        return chunks
+
+    def _split_by_tokens_fast(self, words: list[str]) -> list[str]:
+        """Word-approximation twin of _split_by_tokens: every candidate
+        count is ``ceil(n_words*1.3)`` and every single word counts
+        ``ceil(1.3) == 2`` tokens, so the grow/rewind loops are pure
+        arithmetic. Produces byte-identical output to the slow loop."""
+        max_tokens = self.config.max_tokens
+        overlap_tokens = self.config.overlap_tokens
+        n = len(words)
+        chunks: list[str] = []
+        start = 0
+        while start < n:
+            end = start + 1
+            while end < n and math.ceil((end - start + 1) * 1.3) <= max_tokens:
+                end += 1
+            chunks.append(" ".join(words[start:end]))
+
+            if overlap_tokens == 0 or end >= n:
+                start = end
+            else:
+                # each word costs 2 tokens; rewind while it still fits
+                overlap_words = min(overlap_tokens // 2, end)
+                new_start = max(end - overlap_words, 0)
                 start = new_start if new_start > start else end
         return chunks
 
@@ -239,7 +288,6 @@ def chunk_column(df, column: str, config: ChunkerConfig | None = None, out: str 
     Scale notes: the chunker runs where the data lives (mapPartitions-style
     via Arrow batches); the only shuffle is whatever the caller does next.
     """
-    import pandas as pd
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
     from pyspark.sql.functions import pandas_udf

@@ -1,0 +1,78 @@
+"""Text-analysis scalar functions (north-star operators, BASELINE.json).
+
+All pure Catalyst Column expressions -- no Python in the hot path, so
+they run inside whole-stage codegen during the scan. Each has an exact
+DuckDB-SQL twin in queries.py for the oracle gate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# stopword regexes for the lang-id heuristic; deterministic tie-break
+# priority is en > de > es > fr (see lang_id)
+STOPWORDS = {
+    "en": r"\b(the|a|of|and|is)\b",
+    "de": r"\b(der|die|das|und|ist)\b",
+    "fr": r"\b(le|la|les|et|est)\b",
+    "es": r"\b(el|los|las|y|es)\b",
+}
+
+PUNCT_RE = r"[.,;:!?]"
+
+
+def words(col: Column) -> Column:
+    return F.split(F.trim(F.lower(col)), r"\s+")
+
+
+def word_count(col: Column) -> Column:
+    return F.size(words(col))
+
+
+def token_count_approx(col: Column) -> Column:
+    """ceil(words * 1.3) -- the chunker's T4 fallback (chunker.rs:106-114)."""
+    return F.ceil(word_count(col) * 1.3).cast("long")
+
+
+def stopword_count(col: Column, lang: str = "en") -> Column:
+    return F.size(F.regexp_extract_all(F.lower(col), F.lit(STOPWORDS[lang]), 0))
+
+
+def punct_count(col: Column) -> Column:
+    return F.size(F.regexp_extract_all(col, F.lit(PUNCT_RE), 0))
+
+
+def lang_id(col: Column) -> Column:
+    """Stopword-count argmax language-ID with deterministic tie-break."""
+    s = {k: stopword_count(col, k) for k in STOPWORDS}
+    return (
+        F.when(
+            (s["en"] == 0) & (s["de"] == 0) & (s["fr"] == 0) & (s["es"] == 0),
+            F.lit("und"),
+        )
+        .when(
+            (s["en"] >= s["de"]) & (s["en"] >= s["fr"]) & (s["en"] >= s["es"]),
+            F.lit("en"),
+        )
+        .when((s["de"] >= s["fr"]) & (s["de"] >= s["es"]), F.lit("de"))
+        .when(s["es"] >= s["fr"], F.lit("es"))
+        .otherwise(F.lit("fr"))
+    )
+
+
+def fingerprint(col: Column) -> Column:
+    """md5 of whitespace-normalized lowercase text (doc identity hash)."""
+    return F.md5(F.regexp_replace(F.trim(F.lower(col)), r"\s+", " "))
+
+
+def quality_score(col: Column) -> Column:
+    """Composite [0,1]-ish quality: length, stopword ratio, punctuation."""
+    n_words = word_count(col)
+    n_chars = F.length(col)
+    return F.round(
+        F.least(F.lit(1.0), n_words / 100.0) * 0.4
+        + (stopword_count(col) * 1.0 / n_words) * 0.3
+        + (1.0 - punct_count(col) * 1.0 / n_chars) * 0.3,
+        6,
+    )

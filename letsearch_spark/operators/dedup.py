@@ -1,0 +1,359 @@
+"""Deduplication operator family for large-scale training-data pipelines.
+
+None of these exist in the reference (SURVEY.md §2.7) -- they are the
+north-star operators from BASELINE.json, designed Spark-first for the
+100 TB regime:
+
+* exact_dedup         -- hash-groupBy on normalized text; one shuffle.
+* ngram_jaccard_pairs -- shingle self-join; exact but O(pairs-sharing-a-
+                         shingle); hot-shingle cutoff caps the skew.
+* minhash_lsh_pairs   -- MinHash signatures in ONE shuffle (per-perm
+                         hashes are columns, not rows), LSH banding join
+                         for candidates, optional exact-Jaccard verify.
+                         The scale path for near-dup dedup.
+* simhash / simhash_pairs -- 32/64-bit SimHash; pair generation is
+                         banded (pigeonhole: d <= k pairs must share one
+                         of k+1 bit-bands), so no all-pairs join.
+* embedding_cosine_pairs -- exact all-pairs (small/verification) or
+                         sign-LSH bucketed (scale) cosine near-dup.
+
+All hashing is md5-based (`conv(substr(md5(x),1,15),16,10)`) so results
+are reproducible across engines and sessions -- this is what lets the
+DuckDB oracle in queries.py hash-match these operators exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def md5_60(col):
+    """Deterministic 60-bit integer hash of a string column."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def words_of(col):
+    return F.split(F.trim(F.lower(col)), r"\s+")
+
+
+def normalize_text(col):
+    return F.regexp_replace(F.trim(F.lower(col)), r"\s+", " ")
+
+
+# ---------------------------------------------------------------- exact
+
+
+def exact_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    normalize: bool = True,
+) -> DataFrame:
+    """Keep-list for exact duplicates: (keep_id, n_copies) per distinct
+    (normalized) text. One shuffle, map-side partial aggregation free.
+
+    At scale, group on the 60-bit hash instead of the full text to keep
+    shuffle rows narrow -- collisions at 2^60 are negligible, but the
+    text itself never travels."""
+    key = normalize_text(F.col(text_col)) if normalize else F.col(text_col)
+    return (
+        df.groupBy(md5_60(key).alias("text_hash"))
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+        .select("keep_id", "n_copies")
+    )
+
+
+# ---------------------------------------------------------------- shingles
+
+
+def shingles(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """Distinct word n-gram shingles per document: (id, s).
+
+    explode + distinct = one shuffle on (id, shingle)."""
+    words = words_of(F.col(text_col))
+    mk = (
+        f"transform(sequence(0, size(words)-{n}),"
+        f" i -> concat_ws(' ', slice(words, i + 1, {n})))"
+    )
+    return (
+        df.select(F.col(id_col).alias("id"), words.alias("words"))
+        .where(F.size("words") >= n)
+        .select("id", F.explode(F.expr(mk)).alias("s"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """Exact Jaccard near-dup pairs via shingle self-join.
+
+    ``max_shingle_freq`` drops shingles that occur in more than that many
+    docs before the self-join -- the classic skew guard: a stop-phrase
+    shared by 1M docs would otherwise produce 10^12 join rows. Dropping
+    it biases Jaccard down slightly (documented; near-dup pairs share
+    plenty of rare shingles)."""
+    sh = shingles(df, id_col, text_col, n)
+    if max_shingle_freq is not None:
+        hot = (
+            sh.groupBy("s")
+            .agg(F.count(F.lit(1)).alias("df_"))
+            .where(F.col("df_") > max_shingle_freq)
+            .select("s")
+        )
+        sh = sh.join(F.broadcast(hot), "s", "left_anti")
+    sh = sh.cache()
+    cnt = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("id").alias("id_a"), "s")
+    b = sh.select(F.col("id").alias("id_b"), "s")
+    inter = (
+        a.join(b, "s")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    ca = cnt.select(F.col("id").alias("id_a"), F.col("n").alias("na"))
+    cb = cnt.select(F.col("id").alias("id_b"), F.col("n").alias("nb"))
+    jac = F.col("i") * 1.0 / (F.col("na") + F.col("nb") - F.col("i"))
+    return (
+        inter.join(ca, "id_a")
+        .join(cb, "id_b")
+        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------- minhash
+
+
+def minhash_signatures(
+    sh: DataFrame, num_perms: int = 16
+) -> DataFrame:
+    """(id, mh0..mh{P-1}) from a shingle set -- per-perm hashes are
+    *columns* (map-side), min-aggregated in a single shuffle on id."""
+    h_cols = [
+        F.min(md5_60(F.concat(F.lit(f"{p}:"), F.col("s")))).alias(f"mh{p}")
+        for p in range(num_perms)
+    ]
+    return sh.groupBy("id").agg(*h_cols)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_perms: int = 16,
+    band_rows: int = 2,
+    threshold: float = 0.5,
+    verify: bool = True,
+) -> DataFrame:
+    """MinHash/LSH near-dup pairs; with ``verify`` the candidates are
+    checked against exact Jaccard (output: id_a, id_b, jaccard), else
+    raw candidates (id_a, id_b)."""
+    sh = shingles(df, id_col, text_col, n).cache()
+    sig = minhash_signatures(sh, num_perms)
+    n_bands = num_perms // band_rows
+    band_structs = [
+        F.struct(
+            F.lit(bi).alias("band"),
+            F.concat_ws(
+                ",",
+                *[
+                    F.col(f"mh{p}").cast("string")
+                    for p in range(bi * band_rows, (bi + 1) * band_rows)
+                ],
+            ).alias("sig"),
+        )
+        for bi in range(n_bands)
+    ]
+    bands = sig.select(
+        "id", F.explode(F.array(*band_structs)).alias("bs")
+    ).select("id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+    a = bands.select(F.col("id").alias("id_a"), "band", "sig")
+    b = bands.select(F.col("id").alias("id_b"), "band", "sig")
+    cand = (
+        a.join(b, ["band", "sig"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    if not verify:
+        return cand
+    cnt = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    sa = sh.select(F.col("id").alias("id_a"), "s")
+    sb = sh.select(F.col("id").alias("id_b"), "s")
+    inter = (
+        cand.join(sa, "id_a")
+        .join(sb, ["id_b", "s"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    ca = cnt.select(F.col("id").alias("id_a"), F.col("n").alias("na"))
+    cb = cnt.select(F.col("id").alias("id_b"), F.col("n").alias("nb"))
+    jac = F.col("i") * 1.0 / (F.col("na") + F.col("nb") - F.col("i"))
+    return (
+        cand.join(inter, ["id_a", "id_b"], "left")
+        .join(ca, "id_a")
+        .join(cb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(F.coalesce(jac, F.lit(0.0)), 6).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------- simhash
+
+
+def simhash(
+    df: DataFrame, id_col: str, text_col: str, bits: int = 32
+) -> DataFrame:
+    """(id, simhash): md5-keyed SimHash, +-1 per token occurrence.
+    One explode + one shuffle on id; the 32/64 bit sums are columns."""
+    toks = df.select(
+        F.col(id_col).alias("id"), F.explode(words_of(F.col(text_col))).alias("w")
+    ).where(F.col("w") != "")
+    h = md5_60(F.col("w"))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{j}")
+        for j in range(bits)
+    ]
+    agg = toks.groupBy("id").agg(*bit_sums)
+    sim = None
+    for j in range(bits):
+        term = F.when(F.col(f"b{j}") >= 0, F.lit(1 << j).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        sim = term if sim is None else sim + term
+    return agg.select("id", sim.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bits: int = 32,
+    max_hamming: int = 3,
+    banded: bool = True,
+) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) <= max_hamming.
+
+    Banded (default): split the fingerprint into ``max_hamming + 1``
+    bit-bands; any pair within distance d <= max_hamming agrees exactly
+    on at least one band (pigeonhole), so joining per-band on band
+    equality finds ALL such pairs without an all-pairs product. Results
+    are identical to brute force; only the join geometry changes."""
+    sh = simhash(df, id_col, text_col, bits).cache()
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("long")
+    if not banded:
+        a = sh.select(F.col("id").alias("id_a"), F.col("simhash").alias("ha"))
+        b = sh.select(F.col("id").alias("id_b"), F.col("simhash").alias("hb"))
+        return (
+            a.crossJoin(b)
+            .where(F.col("id_a") < F.col("id_b"))
+            .withColumn("hamming", ham)
+            .where(F.col("hamming") <= max_hamming)
+            .select("id_a", "id_b", "hamming")
+        )
+
+    n_bands = max_hamming + 1
+    width = (bits + n_bands - 1) // n_bands
+    mask = (1 << width) - 1
+    band_structs = [
+        F.struct(
+            F.lit(bi).alias("band"),
+            F.shiftright(F.col("simhash"), bi * width)
+            .bitwiseAND(F.lit(mask))
+            .alias("bkey"),
+        )
+        for bi in range(n_bands)
+    ]
+    bands = sh.select(
+        "id",
+        F.col("simhash"),
+        F.explode(F.array(*band_structs)).alias("bs"),
+    ).select(
+        "id", "simhash", F.col("bs.band").alias("band"), F.col("bs.bkey").alias("bkey")
+    )
+    a = bands.select(
+        F.col("id").alias("id_a"), F.col("simhash").alias("ha"), "band", "bkey"
+    )
+    b = bands.select(
+        F.col("id").alias("id_b"), F.col("simhash").alias("hb"), "band", "bkey"
+    )
+    return (
+        a.join(b, ["band", "bkey"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", ham.alias("hamming"))
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
+# ------------------------------------------------------------ embeddings
+
+
+def embedding_cosine_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.9,
+    method: str = "exact",
+    lsh_bits: int = 8,
+    dim: int | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding near-dup pairs (cosine >= threshold).
+
+    method='exact': all-pairs with precomputed norms (one dot per pair).
+    method='lsh': sign-LSH bucket the vectors first and compare only
+    same-bucket pairs -- approximate (misses cross-bucket pairs, recall
+    rises with multiprobe) but turns O(n^2) into O(sum bucket^2)."""
+    from letsearch_spark.functions.vector import dot_product, l2_norm
+
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        l2_norm(F.col(vec_col)).alias("nrm"),
+    )
+    if method == "lsh":
+        from letsearch_spark.operators.topk import _hyperplanes, lsh_signature_col
+
+        if dim is None:
+            dim = len(df.select(vec_col).first()[0])
+        planes = _hyperplanes(dim, lsh_bits, seed)
+        base = base.withColumn("_bucket", lsh_signature_col(F.col("v"), planes))
+        join_on = [F.col("a._bucket") == F.col("b._bucket")]
+    else:
+        join_on = []
+
+    a = base.alias("a")
+    b = base.alias("b")
+    cond = F.col("a.id") < F.col("b.id")
+    for extra in join_on:
+        cond = cond & extra
+    sim = dot_product(F.col("a.v"), F.col("b.v")) / (
+        F.col("a.nrm") * F.col("b.nrm")
+    )
+    return (
+        a.join(b, cond)
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(sim, 6).alias("sim"),
+        )
+        .where(F.col("sim") >= threshold)
+    )

@@ -1,0 +1,932 @@
+"""The engine's query suite: every operator from SURVEY.md §2 plus the
+north-star LLM-data-pipeline operators, each as a (spark, sf_dir) callable
+with (where SQL-expressible) a DuckDB oracle that hash-matches exactly.
+
+Parity rules that keep the DuckDB comparison bit-stable:
+* money sums go through exact integer cents:
+  ``SUM(CAST(ROUND(x*100) AS BIGINT))/100.0`` -- double rounding of the
+  *same* double value is identical in both engines, integer sums are
+  order-independent, and the final division is one exact double op;
+* float similarity scores are computed with the same formula shape
+  (dot / (sqrt(dot_aa) * sqrt(dot_bb))) in double on both sides and
+  rounded to 6 decimals;
+* hashes are md5-based: Spark ``conv(substr(md5(x),1,15),16,10)`` ==
+  DuckDB ``('0x'||substr(md5(x),1,15))::UBIGINT`` -- a 60-bit integer,
+  comfortably inside signed-64;
+* every computed column is aliased identically in both engines.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------- helpers
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        return _load_events(spark, sf_dir)
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet stores ``ts`` as TIMESTAMP(NANOS) which vanilla Spark
+    rejects; read nanos as long and convert to a microsecond timestamp
+    (integer division keeps the full 64 bits -- a double roundtrip would
+    lose precision above 2^53 ns)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
+
+
+def _cents(col):
+    """Exact integer cents from a double money column (parity-safe sums)."""
+    return F.round(col * 100).cast("long")
+
+
+def _md5_60(col):
+    """60-bit integer hash from md5 hex (parity with DuckDB's 0x-cast)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+_MD5_60_SQL = "CAST(('0x' || substr(md5({x}), 1, 15)) AS UBIGINT)::BIGINT"
+
+
+def _words(col):
+    return F.split(F.trim(F.lower(col)), r"\s+")
+
+
+_WORDS_SQL = "regexp_split_to_array(trim(lower({x})), '\\s+')"
+
+# stopword sets for the lang-id heuristic (deterministic tie-break en>de>es>fr)
+_STOP = {
+    "en": r"\b(the|a|of|and|is)\b",
+    "de": r"\b(der|die|das|und|ist)\b",
+    "fr": r"\b(le|la|les|et|est)\b",
+    "es": r"\b(el|los|las|y|es)\b",
+}
+
+
+# ======================================================================
+# §2.1/§2.2 -- ingest, keys, projection, lookup (reference surface)
+# ======================================================================
+
+
+def q_s2_ingest_dense_key(spark, sf_dir):
+    """S2 + dense ``_key`` assignment (collection_actor.rs:204-216).
+    Deterministic variant (ordered by doc_id) so the oracle can reproduce it."""
+    docs = load(spark, sf_dir, "documents")
+    w = Window.orderBy("doc_id")
+    return docs.select(
+        F.row_number().over(w).cast("long").alias("_key"), "doc_id"
+    )
+
+
+def q_s3_append_key_continuation(spark, sf_dir):
+    """S3/S4 append semantics (collection_actor.rs:222-291): second batch's
+    keys continue densely from the first batch's max."""
+    docs = load(spark, sf_dir, "documents")
+    base = docs.where(F.col("doc_id") < 400)
+    extra = docs.where(F.col("doc_id") >= 400)
+    w = Window.orderBy("doc_id")
+    base_keyed = base.select(F.row_number().over(w).cast("long").alias("_key"), "doc_id")
+    start = base_keyed.agg(F.max("_key")).collect()[0][0] or 0
+    extra_keyed = extra.select(
+        (F.row_number().over(w) + F.lit(start)).cast("long").alias("_key"), "doc_id"
+    )
+    return base_keyed.unionByName(extra_keyed)
+
+
+def q_p1_projection(spark, sf_dir):
+    """P1 batch projection with null->'' coalescing (collection_actor.rs:426-461),
+    sans the OFFSET loop (partitioning replaces pagination)."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        F.col("doc_id").alias("_key"),
+        F.coalesce(F.col("text"), F.lit("")).alias("text"),
+    )
+
+
+def q_p2_rowcount(spark, sf_dir):
+    """P2 row count -- COUNT(*), deliberately not the reference's
+    COUNT('<literal>') quirk (collection_actor.rs:380-389)."""
+    return load(spark, sf_dir, "documents").agg(F.count(F.lit(1)).alias("n"))
+
+
+def q_p3_key_lookup(spark, sf_dir):
+    """P3 key-set semi-join fetch (collection_actor.rs:532-546)."""
+    keys = [3, 17, 42, 99, 123, 256, 404, 499]
+    docs = load(spark, sf_dir, "documents")
+    return docs.where(F.col("doc_id").isin(keys)).select("doc_id", "text")
+
+
+# ======================================================================
+# Relational substrate: aggregation / join / window / set ops / JSON
+# (the reference delegates these to embedded DuckDB; our engine exposes
+# them natively via Spark SQL -- SURVEY.md §2.7)
+# ======================================================================
+
+
+def q_agg_pricing_summary(spark, sf_dir):
+    """TPC-H Q1-shaped aggregation over lineitem with exact-cents sums."""
+    li = load(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+            (F.sum(_cents(F.col("l_extendedprice"))) / 100.0).alias("sum_base_price"),
+            (F.sum(_cents(disc_price)) / 100.0).alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q_join_top_orders(spark, sf_dir):
+    """TPC-H Q3-shaped join: customer x orders x lineitem, top-10 revenue.
+    The two dimension sides are broadcast (small at any SF after the
+    segment filter pushes down)."""
+    cust = load(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    rev = _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("o_orderkey")
+        .agg((F.sum(rev) / 100.0).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+def q_join_nation_volume(spark, sf_dir):
+    """TPC-H Q5-shaped 5-way join; dims broadcast, facts co-shuffled."""
+    region = load(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    nation = load(spark, sf_dir, "nation")
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    rev = _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg((F.sum(rev) / 100.0).alias("revenue"))
+        .orderBy("n_name")
+    )
+
+
+def q_window_top_orders_per_customer(spark, sf_dir):
+    """Window top-N per group (row_number, deterministic tie-break)."""
+    orders = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= 3)
+        .select("o_custkey", "rnk", "o_orderkey")
+    )
+
+
+def q_setop_customers_without_orders(spark, sf_dir):
+    """Anti-join set operation: customers that never ordered."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey")
+    )
+
+
+def q_events_hourly(spark, sf_dir):
+    """Tumbling-window aggregation over the events stream table (batch view
+    of the Structured Streaming rollup in streaming/)."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum(_cents(F.col("value"))) / 100.0).alias("sum_value"),
+        )
+        .orderBy("hour", "event_type")
+    )
+
+
+def q_events_json_extract(spark, sf_dir):
+    """JSON scalar extraction (the reference only parses JSON at ingest,
+    S1; we expose it as a function)."""
+    ev = load(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.sum(k).alias("sum_k"),
+            F.count(k).alias("n_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def q_events_sessionize(spark, sf_dir):
+    """Gap-based sessionization (30 min) -- lag + cumulative flag."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    new_s = F.when(
+        prev.isNull()
+        | ((F.unix_timestamp("ts") - F.unix_timestamp(prev)) > 1800),
+        1,
+    ).otherwise(0)
+    return (
+        ev.withColumn("new_s", new_s)
+        .groupBy("user_id")
+        .agg(F.sum("new_s").alias("n_sessions"))
+        .orderBy("user_id")
+    )
+
+
+# ======================================================================
+# §2.3 -- top-k cosine similarity search (K1) + similarity search family
+# ======================================================================
+
+
+def _cosine_pair(a, b):
+    """Identical formula shape to the DuckDB oracle: dot/(sqrt*sqrt)."""
+    from letsearch_spark.functions.vector import dot_product
+
+    return dot_product(a, b) / (
+        F.sqrt(dot_product(a, a)) * F.sqrt(dot_product(b, b))
+    )
+
+
+def q_k1_cosine_topk(spark, sf_dir):
+    """K1 exact top-k (vector_index.rs:128-152): query = vector of vec_id 0,
+    k=10, score = 1 - cosine_distance, ties by vec_id."""
+    emb = load(spark, sf_dir, "embeddings")
+    qvec = emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    sim = _cosine_pair(F.col("embedding"), F.array(*[F.lit(float(x)) for x in qvec]))
+    return (
+        emb.select("vec_id", F.round(sim, 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+def q_k1_topk_label_filtered(spark, sf_dir):
+    """K4-flavored restricted search: same top-k within label=1 only
+    (predicate pushes down to the scan)."""
+    emb = load(spark, sf_dir, "embeddings")
+    qvec = emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    sim = _cosine_pair(F.col("embedding"), F.array(*[F.lit(float(x)) for x in qvec]))
+    return (
+        emb.where(F.col("label") == 1)
+        .select("vec_id", F.round(sim, 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+def q_knn_join(spark, sf_dir):
+    """Brute-force k-NN join: top-3 neighbors for each of 5 query vectors.
+    Queries are broadcast; candidates never shuffle; per-query top-k via
+    window over the (tiny) query partition."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    sim = _cosine_pair(F.col("embedding"), F.col("qvec"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        emb.crossJoin(F.broadcast(queries))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", sim.alias("sim"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= 3)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "rank")
+    )
+
+
+def q_dedup_embedding_cosine(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (sim >= 0.5, id_a < id_b).
+
+    Norms are precomputed per row *before* the pair join, so each pair
+    evaluates one dot product instead of three (the division by
+    ``norm_a * norm_b`` is bit-identical to the 3-dot formula, which
+    keeps the DuckDB oracle exact). Correctness form is the all-pairs
+    join; the scale path is LSH bucketing (method='lsh') which probes
+    only same-bucket pairs. operators/dedup.py embedding_cosine_pairs."""
+    from letsearch_spark.operators.dedup import embedding_cosine_pairs
+
+    emb = load(spark, sf_dir, "embeddings")
+    return embedding_cosine_pairs(
+        emb, "vec_id", "embedding", threshold=0.5, method="exact"
+    ).orderBy("id_a", "id_b")
+
+
+# ======================================================================
+# North star: deduplication family (exact, n-gram Jaccard, MinHash-LSH,
+# SimHash) over documents
+# ======================================================================
+
+
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup on normalized text: keep min(doc_id) per distinct text.
+    Hash-groupBy; at scale this is one shuffle on a 60-bit text hash
+    (operators/dedup.py exact_dedup)."""
+    from letsearch_spark.operators.dedup import exact_dedup
+
+    docs = load(spark, sf_dir, "documents")
+    return exact_dedup(docs, "doc_id", "text").orderBy("keep_id")
+
+
+_SHINGLES_SQL = f"""
+    SELECT DISTINCT doc_id,
+           unnest(list_transform(range(1, len(words)-1),
+                  i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS s
+    FROM (SELECT doc_id, {_WORDS_SQL.format(x='text')} AS words FROM documents)
+    WHERE len(words) >= 3
+"""
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    """Word-3-gram Jaccard near-dup pairs (j >= 0.5).
+
+    Shuffle profile at scale: explode -> distinct (one shuffle on
+    (doc,shingle)), self-join on shingle (one shuffle on shingle; skewed
+    shingles are capped by max_shingle_freq in the operator), then a
+    count aggregation. operators/dedup.py ngram_jaccard_pairs."""
+    from letsearch_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = load(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5).orderBy(
+        "id_a", "id_b"
+    )
+
+
+_N_PERMS = 16
+_BAND_ROWS = 2  # 8 bands of 2 rows
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    """MinHash + LSH banding near-dup candidates, verified by true Jaccard.
+
+    shingle -> 16 md5-keyed min-hashes -> 8 bands of 2 -> band-bucket join
+    -> candidate pairs -> Jaccard verify (>= 0.5). The banding join is the
+    scale win: candidates are found without the all-pairs shingle join.
+
+    Plan shape (matters at 100 TB): the 16 per-permutation hashes are 16
+    *columns* computed map-side in one projection, min-aggregated in a
+    single shuffle on doc_id -- not a x16 row blowup with a shuffle on
+    (doc_id, perm). operators/dedup.py minhash_lsh_pairs."""
+    from letsearch_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = load(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(
+        docs,
+        "doc_id",
+        "text",
+        n=3,
+        num_perms=_N_PERMS,
+        band_rows=_BAND_ROWS,
+        threshold=0.5,
+    ).orderBy("id_a", "id_b")
+
+
+_SIMHASH_BITS = 32
+
+
+def q_dedup_simhash(spark, sf_dir):
+    """32-bit SimHash fingerprints (md5-keyed, +-1 per token occurrence).
+    operators/dedup.py simhash."""
+    from letsearch_spark.operators.dedup import simhash
+
+    docs = load(spark, sf_dir, "documents")
+    return (
+        simhash(docs, "doc_id", "text", bits=_SIMHASH_BITS)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    )
+
+
+def q_dedup_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs: hamming distance <= 3, via the *banded*
+    join (4 bit-bands; pigeonhole guarantees every d<=3 pair shares a
+    band, so output is identical to the brute-force oracle while the
+    join touches only same-band pairs). operators/dedup.py simhash_pairs."""
+    from letsearch_spark.operators.dedup import simhash_pairs
+
+    docs = load(spark, sf_dir, "documents")
+    return simhash_pairs(
+        docs, "doc_id", "text", bits=_SIMHASH_BITS, max_hamming=3, banded=True
+    ).orderBy("id_a", "id_b")
+
+
+# ======================================================================
+# North star: text analysis (stats, token count, lang-id, fingerprint,
+# quality score) -- §2.5 T4 + BASELINE.json text-analysis operators
+# ======================================================================
+
+
+def q_text_stats(spark, sf_dir):
+    from letsearch_spark.functions import text as TX
+
+    docs = load(spark, sf_dir, "documents")
+    n_words = TX.word_count(F.col("text"))
+    n_chars = F.length("text")
+    return docs.select(
+        "doc_id",
+        n_chars.cast("long").alias("n_chars"),
+        n_words.cast("long").alias("n_words"),
+        F.round(n_chars * 1.0 / n_words, 6).alias("chars_per_word"),
+        F.round(TX.punct_count(F.col("text")) * 1.0 / n_chars, 6).alias("punct_ratio"),
+    ).orderBy("doc_id")
+
+
+def q_text_token_count(spark, sf_dir):
+    """T4 fallback token estimate: ceil(words * 1.3) (chunker.rs:106-114)."""
+    from letsearch_spark.functions import text as TX
+
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", TX.token_count_approx(F.col("text")).alias("n_tokens")
+    ).orderBy("doc_id")
+
+
+def q_text_lang_id(spark, sf_dir):
+    """Stopword-ratio language-ID heuristic with deterministic tie-break
+    (functions/text.py lang_id)."""
+    from letsearch_spark.functions import text as TX
+
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", TX.lang_id(F.col("text")).alias("pred_lang")
+    ).orderBy("doc_id")
+
+
+def q_text_fingerprint(spark, sf_dir):
+    """Document fingerprint: md5 of whitespace-normalized lowercase text."""
+    from letsearch_spark.functions import text as TX
+
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", TX.fingerprint(F.col("text")).alias("fingerprint")
+    ).orderBy("doc_id")
+
+
+def q_text_quality_score(spark, sf_dir):
+    """Composite quality score: length + stopword ratio + punctuation."""
+    from letsearch_spark.functions import text as TX
+
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.where((F.length("text") > 0) & (TX.word_count(F.col("text")) > 0))
+        .select("doc_id", TX.quality_score(F.col("text")).alias("quality"))
+        .orderBy("doc_id")
+    )
+
+
+def q_multimodal_binary_meta(spark, sf_dir):
+    """Opaque-binary column plumbing: byte length + sha256 of the payload
+    (the multimodal pattern -- decode UDFs in sources/multimodal.py)."""
+    docs = load(spark, sf_dir, "documents")
+    bin_col = F.col("text").cast("binary")
+    return docs.select(
+        "doc_id",
+        F.octet_length(F.col("text")).cast("long").alias("n_bytes"),
+        F.sha2(bin_col, 256).alias("sha"),
+    ).orderBy("doc_id")
+
+
+# ======================================================================
+# Pipeline ops that are not SQL-expressible (rows-only driver check):
+# chunker, stub embedding, end-to-end search, streaming increment
+# ======================================================================
+
+
+def q_chunk_documents(spark, sf_dir):
+    """T1-T3 chunker over documents (pandas UDF + posexplode)."""
+    from letsearch_spark.chunker import ChunkerConfig, chunk_column
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    out = chunk_column(docs, "text", ChunkerConfig(max_tokens=32, overlap_tokens=0))
+    return out.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.length("chunk").cast("long").alias("chunk_len"),
+    ).orderBy("doc_id", "chunk_idx")
+
+
+def q_embed_stub(spark, sf_dir):
+    """E5 embedding pipeline with the deterministic stub embedder."""
+    from letsearch_spark.embedders.stub import StubEmbedder
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("dim", T.LongType()),
+            T.StructField("norm_ok", T.BooleanType()),
+        ]
+    )
+
+    def run(it):
+        import numpy as np
+
+        emb = StubEmbedder(16)
+        for pdf in it:
+            vecs = emb.embed(pdf["text"].fillna("").tolist())
+            norms = np.linalg.norm(vecs, axis=1)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "dim": vecs.shape[1],
+                    "norm_ok": np.abs(norms - 1.0) < 1e-5,
+                }
+            )
+
+    return docs.mapInPandas(run, schema=schema).orderBy("doc_id")
+
+
+def q_search_e2e(spark, sf_dir):
+    """The reference's whole spine: ingest -> key -> embed(stub) -> top-k
+    search -> fetch-back join (S2, P1-P4, K1-K3, E5, A4)."""
+    import tempfile
+
+    from letsearch_spark.collection import Collection
+
+    root = tempfile.mkdtemp(prefix="ls_e2e_")
+    coll = Collection.create(
+        spark, root, name="e2e", index_columns=["text"], model_name="stub://16"
+    )
+    coll.import_parquet(os.path.join(sf_dir, "documents.parquet"))
+    coll.embed_column("text")
+    res = coll.search("text", "spark join query window batch data", limit=10)
+    w = Window.orderBy(F.desc("score"), F.asc("key"))
+    return res.select(
+        F.row_number().over(w).cast("long").alias("rank"),
+        F.length("content").cast("long").alias("content_len"),
+    )
+
+
+def q_stream_incremental_count(spark, sf_dir):
+    """Incremental append replay (S3/S4 + K5 semantics, FIXTURES.md §5):
+    events replayed in 5 ts-ordered batches through the append path must
+    equal one bulk ingest. Returns final per-type counts; oracle is the
+    direct aggregate."""
+    import tempfile
+
+    ev = load(spark, sf_dir, "events")
+    qs = ev.approxQuantile("event_id", [0.2, 0.4, 0.6, 0.8], 0.0)
+    bounds = [float("-inf")] + qs + [float("inf")]
+    path = tempfile.mkdtemp(prefix="ls_stream_") + "/events"
+    for lo, hi in zip(bounds[:-1], bounds[1:]):
+        batch = ev.where((F.col("event_id") > lo) & (F.col("event_id") <= hi))
+        batch.write.mode("append").parquet(path)
+    final = spark.read.parquet(path)
+    return (
+        final.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("user_id").alias("sum_uid"))
+        .orderBy("event_type")
+    )
+
+
+# ======================================================================
+# registry + oracles
+# ======================================================================
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "s2_ingest_dense_key": q_s2_ingest_dense_key,
+    "s3_append_key_continuation": q_s3_append_key_continuation,
+    "p1_projection": q_p1_projection,
+    "p2_rowcount": q_p2_rowcount,
+    "p3_key_lookup": q_p3_key_lookup,
+    "agg_pricing_summary": q_agg_pricing_summary,
+    "join_top_orders": q_join_top_orders,
+    "join_nation_volume": q_join_nation_volume,
+    "window_top_orders_per_customer": q_window_top_orders_per_customer,
+    "setop_customers_without_orders": q_setop_customers_without_orders,
+    "events_hourly": q_events_hourly,
+    "events_json_extract": q_events_json_extract,
+    "events_sessionize": q_events_sessionize,
+    "k1_cosine_topk": q_k1_cosine_topk,
+    "k1_topk_label_filtered": q_k1_topk_label_filtered,
+    "knn_join": q_knn_join,
+    "dedup_embedding_cosine": q_dedup_embedding_cosine,
+    "dedup_exact": q_dedup_exact,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_simhash": q_dedup_simhash,
+    "dedup_simhash_pairs": q_dedup_simhash_pairs,
+    "text_stats": q_text_stats,
+    "text_token_count": q_text_token_count,
+    "text_lang_id": q_text_lang_id,
+    "text_fingerprint": q_text_fingerprint,
+    "text_quality_score": q_text_quality_score,
+    "multimodal_binary_meta": q_multimodal_binary_meta,
+    "chunk_documents": q_chunk_documents,
+    "embed_stub": q_embed_stub,
+    "search_e2e": q_search_e2e,
+    "stream_incremental_count": q_stream_incremental_count,
+}
+
+
+def _oracles() -> dict[str, str]:
+    md5_60 = _MD5_60_SQL
+    words = _WORDS_SQL.format(x="text")
+    cents = "CAST(ROUND({x} * 100) AS BIGINT)"
+    # ::DOUBLE[] casts force DuckDB into the same sequential-double dot
+    # product as the Spark fold (FLOAT[] inputs would use float32 kernels)
+    cos = (
+        "list_dot_product(({a})::DOUBLE[], ({b})::DOUBLE[]) / "
+        "(sqrt(list_dot_product(({a})::DOUBLE[], ({a})::DOUBLE[])) * "
+        "sqrt(list_dot_product(({b})::DOUBLE[], ({b})::DOUBLE[])))"
+    )
+
+    o: dict[str, str] = {}
+
+    o["s2_ingest_dense_key"] = """
+        SELECT CAST(row_number() OVER (ORDER BY doc_id) AS BIGINT) AS _key, doc_id
+        FROM documents
+    """
+    o["s3_append_key_continuation"] = """
+        SELECT CAST(row_number() OVER (ORDER BY (doc_id >= 400), doc_id) AS BIGINT) AS _key,
+               doc_id
+        FROM documents
+    """
+    o["p1_projection"] = """
+        SELECT doc_id AS _key, coalesce(text, '') AS text FROM documents
+    """
+    o["p2_rowcount"] = "SELECT count(*) AS n FROM documents"
+    o["p3_key_lookup"] = """
+        SELECT doc_id, text FROM documents
+        WHERE doc_id IN (3, 17, 42, 99, 123, 256, 404, 499)
+    """
+    o["agg_pricing_summary"] = f"""
+        SELECT l_returnflag, l_linestatus,
+               sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
+               sum({cents.format(x='l_extendedprice')}) / 100.0 AS sum_base_price,
+               sum({cents.format(x='l_extendedprice * (1 - l_discount)')}) / 100.0 AS sum_disc_price,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """
+    o["join_top_orders"] = f"""
+        SELECT o_orderkey,
+               sum({cents.format(x='l_extendedprice * (1 - l_discount)')}) / 100.0 AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+        GROUP BY o_orderkey
+        ORDER BY revenue DESC, o_orderkey ASC
+        LIMIT 10
+    """
+    o["join_nation_volume"] = f"""
+        SELECT n_name,
+               sum({cents.format(x='l_extendedprice * (1 - l_discount)')}) / 100.0 AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+        GROUP BY n_name
+        ORDER BY n_name
+    """
+    o["window_top_orders_per_customer"] = """
+        SELECT o_custkey, rnk, o_orderkey FROM (
+            SELECT o_custkey, o_orderkey,
+                   CAST(row_number() OVER (PARTITION BY o_custkey
+                        ORDER BY o_totalprice DESC, o_orderkey ASC) AS BIGINT) AS rnk
+            FROM orders
+        ) WHERE rnk <= 3
+    """
+    o["setop_customers_without_orders"] = """
+        SELECT c_custkey FROM customer
+        WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    """
+    o["events_hourly"] = f"""
+        SELECT date_trunc('hour', ts) AS hour, event_type,
+               count(*) AS n,
+               sum({cents.format(x='value')}) / 100.0 AS sum_value
+        FROM events
+        GROUP BY 1, 2
+        ORDER BY 1, 2
+    """
+    o["events_json_extract"] = """
+        SELECT event_type,
+               sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+               count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_k
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+    """
+    o["events_sessionize"] = """
+        SELECT user_id, sum(new_s) AS n_sessions FROM (
+            SELECT user_id,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR date_diff('second', lag(ts) OVER w, ts) > 1800
+                        THEN 1 ELSE 0 END AS new_s
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ) GROUP BY user_id ORDER BY user_id
+    """
+    qvec = "(SELECT embedding FROM embeddings WHERE vec_id = 0)"
+    o["k1_cosine_topk"] = f"""
+        SELECT vec_id, round({cos.format(a='embedding', b=qvec)}, 6) AS score
+        FROM embeddings
+        ORDER BY score DESC, vec_id ASC
+        LIMIT 10
+    """
+    o["k1_topk_label_filtered"] = f"""
+        SELECT vec_id, round({cos.format(a='embedding', b=qvec)}, 6) AS score
+        FROM embeddings
+        WHERE label = 1
+        ORDER BY score DESC, vec_id ASC
+        LIMIT 10
+    """
+    o["knn_join"] = f"""
+        SELECT query_id, vec_id AS neighbor_id, rank FROM (
+            SELECT q.vec_id AS query_id, e.vec_id,
+                   CAST(row_number() OVER (PARTITION BY q.vec_id
+                        ORDER BY {cos.format(a='e.embedding', b='q.embedding')} DESC,
+                                 e.vec_id ASC) AS BIGINT) AS rank
+            FROM embeddings e
+            CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 5) q
+            WHERE e.vec_id != q.vec_id
+        ) WHERE rank <= 3
+    """
+    o["dedup_embedding_cosine"] = f"""
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round({cos.format(a='a.embedding', b='b.embedding')}, 6) AS sim
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE round({cos.format(a='a.embedding', b='b.embedding')}, 6) >= 0.5
+        ORDER BY id_a, id_b
+    """
+    o["dedup_exact"] = """
+        SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+        FROM (SELECT doc_id,
+                     regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS norm_text
+              FROM documents)
+        GROUP BY norm_text
+        ORDER BY keep_id
+    """
+    o["dedup_ngram_jaccard"] = f"""
+        WITH sh AS ({_SHINGLES_SQL}),
+        cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+            FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT id_a, id_b,
+               round(i * 1.0 / (ca.n + cb.n - i), 6) AS jaccard
+        FROM inter
+        JOIN cnt ca ON ca.doc_id = id_a
+        JOIN cnt cb ON cb.doc_id = id_b
+        WHERE round(i * 1.0 / (ca.n + cb.n - i), 6) >= 0.5
+        ORDER BY id_a, id_b
+    """
+    o["dedup_minhash_lsh"] = f"""
+        WITH sh AS ({_SHINGLES_SQL}),
+        mh AS (
+            SELECT doc_id, CAST(p AS INT) AS p,
+                   min({md5_60.format(x="CAST(p AS VARCHAR) || ':' || s")}) AS mh
+            FROM sh CROSS JOIN range({_N_PERMS}) t(p)
+            GROUP BY doc_id, p
+        ),
+        bands AS (
+            SELECT doc_id, p // {_BAND_ROWS} AS band,
+                   string_agg(CAST(mh AS VARCHAR), ',' ORDER BY p) AS sig
+            FROM mh GROUP BY doc_id, p // {_BAND_ROWS}
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
+                 AND a.doc_id < b.doc_id
+        ),
+        cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT c.id_a, c.id_b, count(*) AS i
+            FROM cand c
+            JOIN sh a ON a.doc_id = c.id_a
+            JOIN sh b ON b.doc_id = c.id_b AND b.s = a.s
+            GROUP BY 1, 2
+        )
+        SELECT c.id_a AS id_a, c.id_b AS id_b,
+               round(coalesce(i.i * 1.0 / (ca.n + cb.n - i.i), 0.0), 6) AS jaccard
+        FROM cand c
+        LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+        JOIN cnt ca ON ca.doc_id = c.id_a
+        JOIN cnt cb ON cb.doc_id = c.id_b
+        WHERE round(coalesce(i.i * 1.0 / (ca.n + cb.n - i.i), 0.0), 6) >= 0.5
+        ORDER BY c.id_a, c.id_b
+    """
+    bit_sums = ", ".join(
+        f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS b{j}"
+        for j in range(_SIMHASH_BITS)
+    )
+    sim_terms = " + ".join(
+        f"(CASE WHEN b{j} >= 0 THEN CAST({1 << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for j in range(_SIMHASH_BITS)
+    )
+    simhash_cte = f"""
+        WITH toks AS (
+            SELECT doc_id, unnest({words}) AS w FROM documents
+        ),
+        th AS (
+            SELECT doc_id, {md5_60.format(x='w')} AS h FROM toks WHERE w != ''
+        ),
+        bits AS (SELECT doc_id, {bit_sums} FROM th GROUP BY doc_id)
+        SELECT doc_id, {sim_terms} AS simhash FROM bits
+    """
+    o["dedup_simhash"] = f"SELECT * FROM ({simhash_cte}) ORDER BY doc_id"
+    o["dedup_simhash_pairs"] = f"""
+        WITH sh AS ({simhash_cte})
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        ORDER BY id_a, id_b
+    """
+    o["text_stats"] = f"""
+        SELECT doc_id,
+               CAST(length(text) AS BIGINT) AS n_chars,
+               CAST(len({words}) AS BIGINT) AS n_words,
+               round(length(text) * 1.0 / len({words}), 6) AS chars_per_word,
+               round(len(regexp_extract_all(text, '[.,;:!?]')) * 1.0 / length(text), 6)
+                   AS punct_ratio
+        FROM documents ORDER BY doc_id
+    """
+    o["text_token_count"] = f"""
+        SELECT doc_id, CAST(ceil(len({words}) * 1.3) AS BIGINT) AS n_tokens
+        FROM documents ORDER BY doc_id
+    """
+    lang_counts = ", ".join(
+        f"len(regexp_extract_all(lower(text), '{pat}')) AS n_{k}"
+        for k, pat in _STOP.items()
+    )
+    o["text_lang_id"] = f"""
+        SELECT doc_id,
+               CASE WHEN n_en = 0 AND n_de = 0 AND n_fr = 0 AND n_es = 0 THEN 'und'
+                    WHEN n_en >= n_de AND n_en >= n_fr AND n_en >= n_es THEN 'en'
+                    WHEN n_de >= n_fr AND n_de >= n_es THEN 'de'
+                    WHEN n_es >= n_fr THEN 'es'
+                    ELSE 'fr' END AS pred_lang
+        FROM (SELECT doc_id, {lang_counts} FROM documents)
+        ORDER BY doc_id
+    """
+    o["text_fingerprint"] = """
+        SELECT doc_id,
+               md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fingerprint
+        FROM documents ORDER BY doc_id
+    """
+    o["text_quality_score"] = f"""
+        SELECT doc_id,
+               round(least(1.0, len({words}) / 100.0) * 0.4
+                     + (len(regexp_extract_all(lower(text), '{_STOP["en"]}')) * 1.0
+                        / len({words})) * 0.3
+                     + (1.0 - len(regexp_extract_all(text, '[.,;:!?]')) * 1.0
+                        / length(text)) * 0.3, 6) AS quality
+        FROM documents
+        WHERE length(text) > 0 AND len({words}) > 0
+        ORDER BY doc_id
+    """
+    o["multimodal_binary_meta"] = """
+        SELECT doc_id,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               sha256(text) AS sha
+        FROM documents ORDER BY doc_id
+    """
+    o["stream_incremental_count"] = """
+        SELECT event_type, count(*) AS n, sum(user_id) AS sum_uid
+        FROM events GROUP BY event_type ORDER BY event_type
+    """
+    return o
+
+
+ORACLES = _oracles()

@@ -105,6 +105,52 @@ def test_empty_header_line_is_header():
     assert MarkdownChunker.header_level("#######") is None
 
 
+def _slow_split_by_tokens(c, text):
+    """Reference-faithful slow loop (chunker.rs:236-279) for equivalence
+    checks against the arithmetic fast path."""
+    words = text.split()
+    if not words:
+        return []
+    chunks, start, n = [], 0, len(words)
+    while start < n:
+        end = start + 1
+        while end < n:
+            candidate = " ".join(words[start : end + 1])
+            if c.count_tokens(candidate) > c.config.max_tokens:
+                break
+            end += 1
+        chunks.append(" ".join(words[start:end]))
+        if c.config.overlap_tokens == 0 or end >= n:
+            start = end
+        else:
+            overlap_words = 0
+            tok_count = 0
+            for w in reversed(words[:end]):
+                w_tokens = c.count_tokens(w)
+                if tok_count + w_tokens > c.config.overlap_tokens:
+                    break
+                tok_count += w_tokens
+                overlap_words += 1
+            new_start = max(end - overlap_words, 0)
+            start = new_start if new_start > start else end
+    return chunks
+
+
+def test_fast_split_matches_slow_split():
+    import random
+
+    rng = random.Random(42)
+    for trial in range(50):
+        n = rng.randint(1, 120)
+        text = " ".join(f"w{rng.randint(0, 30)}" for _ in range(n))
+        max_tokens = rng.randint(1, 40)
+        overlap = rng.choice([0, 1, 2, 3, 5, 10])
+        c = chunker(max_tokens, overlap)
+        assert c._split_by_tokens_fast(text.split()) == _slow_split_by_tokens(c, text), (
+            f"divergence at trial {trial}: max={max_tokens} overlap={overlap}"
+        )
+
+
 def test_token_count_approximation():
     # ceil(words * 1.3), chunker.rs:106-114
     c = chunker(512, 0)
