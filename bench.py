@@ -1,0 +1,150 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {...per-stage sec...}, "sf": ...}
+
+Stage set mirrors BASELINE.md's protocol: the reference's own pipeline
+stages (ingest+key, chunk, stub-embed, top-k search) plus the relational
+and dedup headliners that exercise real data volume (lineitem 600k rows
+at sf0.1). Stage names are stable across rounds so BENCH_r{N}.json is
+comparable.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+N_SEARCHES = int(os.environ.get("BENCH_SEARCHES", "20"))
+# the host shows bursty CPU-steal stalls (a trivial 500-row groupBy was
+# observed at 0.5s and 133s in back-to-back runs); min-of-N per stage
+# reports the machine's actual capability rather than the noise
+REPEATS = int(os.environ.get("BENCH_REPEATS", "2"))
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from letsearch_spark.collection import Collection
+    from letsearch_spark.queries import QUERIES, load
+    from letsearch_spark.session import get_spark
+
+    spark = get_spark(
+        "letsearch-bench", master=f"local[{CPUS}]", shuffle_partitions=int(CPUS)
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    sf = (
+        float(os.path.basename(SF_DIR.rstrip("/")).removeprefix("sf"))
+        if "sf" in os.path.basename(SF_DIR.rstrip("/"))
+        else None
+    )
+    timings: dict[str, float] = {}
+    root = tempfile.mkdtemp(prefix="ls_bench_")
+
+    def run_stage(name, fn, repeats=REPEATS):
+        best = None
+        for _ in range(max(repeats, 1)):
+            t0 = time.time()
+            fn()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
+
+    # -- warmup: JVM + python workers (not timed)
+    load(spark, SF_DIR, "lineitem").limit(1000).count()
+
+    # 1. ingest + dense key assignment + collection write (S2)
+    coll = Collection.create(
+        spark, root, name="bench", index_columns=["text"], model_name="stub://16"
+    )
+    run_stage(
+        "ingest_keys",
+        lambda: coll.import_parquet(os.path.join(SF_DIR, "documents.parquet")),
+    )
+
+    # 2. chunk documents (T1-T3 pandas UDF + explode)
+    run_stage("chunk", lambda: QUERIES["chunk_documents"](spark, SF_DIR).count())
+
+    # 3. stub-embed the collection (E5 pipeline; incremental=False so each
+    # repeat does the full work)
+    run_stage("embed_stub", lambda: coll.embed_column("text", incremental=False))
+
+    # 4. top-k search latency: N individual searches (K1+P3/P4+A4)
+    def searches():
+        for i in range(N_SEARCHES):
+            coll.search("text", f"spark join query window batch {i}", limit=10).collect()
+
+    run_stage("search_topk", searches, repeats=1)
+    timings["searches_per_sec"] = round(N_SEARCHES / timings["search_topk"], 3)
+
+    # 5. batched k-NN join: 100 queries in ONE job (the Spark-idiomatic shape)
+    def knn_batch():
+        from letsearch_spark.functions.vector import dot_product, l2_norm
+
+        emb = load(spark, SF_DIR, "embeddings")
+        q = emb.where(F.col("vec_id") < 100).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qv"),
+            l2_norm(F.col("embedding")).alias("qn"),
+        )
+        base = emb.select(
+            "vec_id", "embedding", l2_norm(F.col("embedding")).alias("nrm")
+        )
+        sim = dot_product(F.col("embedding"), F.col("qv")) / (
+            F.col("nrm") * F.col("qn")
+        )
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+        (
+            base.crossJoin(F.broadcast(q))
+            .select("query_id", "vec_id", sim.alias("sim"))
+            .withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= 10)
+            .count()
+        )
+
+    run_stage("knn_batch100", knn_batch)
+
+    # 6-9. relational volume queries over lineitem/orders/events
+    for name in (
+        "agg_pricing_summary",
+        "join_top_orders",
+        "window_top_orders_per_customer",
+        "events_sessionize",
+    ):
+        run_stage(name, lambda name=name: QUERIES[name](spark, SF_DIR).count())
+
+    # 10-11. dedup headliners over documents
+    for name in ("dedup_minhash_lsh", "dedup_simhash_pairs"):
+        run_stage(name, lambda name=name: QUERIES[name](spark, SF_DIR).count())
+
+    total = round(sum(v for k, v in timings.items() if k != "searches_per_sec"), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "letsearch-spark headline pipeline wall time",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+    shutil.rmtree(root, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

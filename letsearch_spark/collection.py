@@ -52,6 +52,10 @@ class Collection:
         self.spark = spark
         self.root = root
         self.config = config
+        # per-column cached embeddings (the analog of the reference keeping
+        # its usearch index in RAM while serving, collection_actor.rs:143-152);
+        # invalidated on any write
+        self._emb_cache: dict[str, DataFrame] = {}
 
     # ---- paths ----
 
@@ -146,6 +150,7 @@ class Collection:
         )
         keyed = add_dense_key(incoming, KEY_COL, start=start, if_absent=False)
         keyed.select(existing.columns).write.mode("append").parquet(self.docs_path)
+        self._invalidate_cache()
         return self.count()
 
     def append_parquet(self, path: str) -> int:
@@ -255,12 +260,28 @@ class Collection:
         result = docs.mapInPandas(embed_batches, schema=out_schema).withColumn(
             "column_name", F.lit(column)
         )
+        # incremental -> append new keys; full -> replace ONLY this column's
+        # partition (dynamic partition overwrite, so other columns' indexes
+        # survive -- the analog of rebuilding one usearch index, K4)
+        self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        mode = "append" if incremental else "overwrite"
         (
-            result.write.mode("append")
+            result.write.mode(mode)
             .partitionBy("column_name")
             .parquet(self.embeddings_path)
         )
+        self._invalidate_cache(column)
         return self.embeddings(column).count()
+
+    def _invalidate_cache(self, column: str | None = None) -> None:
+        cols = [column, f"__docs_{column}"] if column else list(self._emb_cache)
+        for c in cols:
+            df = self._emb_cache.pop(c, None)
+            if df is not None:
+                try:
+                    df.unpersist()
+                except Exception:
+                    pass
 
     def embed_all(self, incremental: bool = True) -> dict[str, int]:
         return {
@@ -284,15 +305,24 @@ class Collection:
         if column not in self.config.index_columns:
             raise ValueError(f"column {column!r} is not indexed")
         qvec = self._embedder().embed([query])[0].tolist()
+        emb = self._emb_cache.get(column)
+        if emb is None:
+            emb = self.embeddings(column).cache()
+            self._emb_cache[column] = emb
+        docs = self._emb_cache.get(f"__docs_{column}")
+        if docs is None:
+            docs = (
+                self.docs()
+                .select(F.col(KEY_COL).alias("key"), F.col(column).alias("content"))
+                .cache()
+            )
+            self._emb_cache[f"__docs_{column}"] = docs
         hits = cosine_topk(
-            self.embeddings(column),
+            emb,
             qvec,
             k=limit,
             key_col=KEY_COL,
             vec_col="vector",
-        )
-        docs = self.docs().select(
-            F.col(KEY_COL).alias("key"), F.col(column).alias("content")
         )
         return (
             F.broadcast(hits)
