@@ -65,6 +65,8 @@ def add_dense_key(
     counts = (
         tagged.groupBy("__pid").count().orderBy("__pid").collect()
     )
+    if not counts:  # empty input: just type the key column
+        return df.withColumn(key_col, F.lit(start).cast("long"))
     offsets: dict[int, int] = {}
     acc = start
     for row in counts:

@@ -1,0 +1,120 @@
+"""IVF (inverted-file) approximate nearest neighbor index.
+
+The second scale path for similarity search beside sign-LSH
+(operators/topk.py). Classic IVF-Flat, Spark-first:
+
+* **train**: k-means centroids fitted driver-side with numpy on a
+  bounded sample (centroids are tiny: nlist x dim doubles);
+* **assign**: every vector gets its nearest-centroid id via a
+  vectorized pandas UDF (one matmul per Arrow batch -- the bytes never
+  leave the executor); persisted partitioned by ``_list`` so parquet
+  partition pruning turns a probe into a scan of nprobe/nlist of the
+  data;
+* **probe**: exact cosine re-rank inside the probed lists only.
+
+Recall/latency trades off via nlist & nprobe exactly like FAISS IVF.
+At 100 TB: training samples ~1M rows (bounded collect), assignment is
+a single map-side pass, and every query touches nprobe partitions.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import numpy as np
+import pandas as pd  # module-level so pandas_udf type hints resolve
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from letsearch_spark.operators.topk import cosine_topk
+
+
+def train_centroids(
+    embeddings: DataFrame,
+    nlist: int = 16,
+    vec_col: str = "vector",
+    sample_limit: int = 100_000,
+    iters: int = 10,
+    seed: int = 42,
+) -> np.ndarray:
+    """Fit nlist k-means centroids on a bounded sample (driver-side numpy;
+    vectors are L2-normalized first so euclidean k-means ~ spherical)."""
+    rows = (
+        embeddings.select(vec_col).limit(sample_limit).collect()
+    )
+    x = np.array([r[0] for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(x, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    x = x / norms
+    rng = np.random.RandomState(seed)
+    centroids = x[rng.choice(len(x), size=min(nlist, len(x)), replace=False)]
+    for _ in range(iters):
+        sims = x @ centroids.T
+        assign = sims.argmax(axis=1)
+        for c in range(len(centroids)):
+            members = x[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                n = np.linalg.norm(m)
+                if n > 0:
+                    centroids[c] = m / n
+    return centroids
+
+
+def assign_lists(
+    embeddings: DataFrame,
+    centroids: np.ndarray,
+    vec_col: str = "vector",
+    list_col: str = "_list",
+) -> DataFrame:
+    """Nearest-centroid assignment: one numpy matmul per Arrow batch."""
+    from pyspark.sql.functions import pandas_udf
+
+    cent = centroids  # closure-captured; small
+
+    @pandas_udf("int")
+    def _assign(v: pd.Series) -> pd.Series:
+        x = np.array(v.tolist(), dtype=np.float64)
+        norms = np.linalg.norm(x, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        return pd.Series((x / norms @ cent.T).argmax(axis=1).astype("int32"))
+
+    return embeddings.withColumn(list_col, _assign(F.col(vec_col)))
+
+
+def build_ivf(
+    embeddings: DataFrame,
+    path: str,
+    nlist: int = 16,
+    vec_col: str = "vector",
+) -> np.ndarray:
+    """Train + assign + persist partitioned by list id; returns centroids
+    (caller persists them beside the index, e.g. np.save)."""
+    centroids = train_centroids(embeddings, nlist=nlist, vec_col=vec_col)
+    assigned = assign_lists(embeddings, centroids, vec_col=vec_col)
+    assigned.write.mode("overwrite").partitionBy("_list").parquet(path)
+    return centroids
+
+
+def ivf_topk(
+    spark,
+    path: str,
+    centroids: np.ndarray,
+    query_vec: Sequence[float],
+    k: int = 10,
+    nprobe: int = 2,
+    key_col: str = "_key",
+    vec_col: str = "vector",
+) -> DataFrame:
+    """Probe the nprobe nearest lists; exact cosine top-k inside them.
+    The ``_list IN (...)`` filter prunes parquet partitions, so the scan
+    reads ~nprobe/nlist of the index."""
+    q = np.asarray(list(query_vec), dtype=np.float64)
+    qn = np.linalg.norm(q)
+    if qn > 0:
+        q = q / qn
+    order = np.argsort(-(centroids @ q))[:nprobe]
+    df = spark.read.parquet(path).filter(
+        F.col("_list").isin(*[int(i) for i in order])
+    )
+    return cosine_topk(df, query_vec, k=k, key_col=key_col, vec_col=vec_col)

@@ -1,0 +1,159 @@
+"""Operator-level tests: dedup family equivalences, ANN recall, top-k."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog near the river bank"),
+        (2, "the quick brown fox jumps over the lazy dog near the river bank"),  # exact dup
+        (3, "the quick brown fox jumps over the lazy dog near a river bank"),  # near dup
+        (4, "completely different text about spark dataframes and shuffles"),
+        (5, "another unrelated document mentioning parquet and arrow batches"),
+        (6, "THE  Quick   Brown fox JUMPS over the lazy dog near the river bank"),  # normalized dup
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_dedup(docs):
+    from letsearch_spark.operators.dedup import exact_dedup
+
+    res = {r["keep_id"]: r["n_copies"] for r in exact_dedup(docs, "doc_id", "text").collect()}
+    assert res[1] == 3  # 1, 2 and 6 (after normalization) collapse
+    assert res[3] == 1 and res[4] == 1 and res[5] == 1
+
+
+def test_ngram_jaccard_finds_near_dups(docs):
+    from letsearch_spark.operators.dedup import ngram_jaccard_pairs
+
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.4).collect()
+    }
+    assert pairs[(1, 2)] == 1.0
+    assert (1, 3) in pairs and pairs[(1, 3)] < 1.0
+    assert not any({a, b} == {4, 5} for a, b in pairs)
+
+
+def test_minhash_candidates_superset_of_high_jaccard(docs):
+    from letsearch_spark.operators.dedup import minhash_lsh_pairs
+
+    verified = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.4).collect()
+    }
+    assert (1, 2) in verified
+    assert (1, 3) in verified
+
+
+def test_simhash_banded_equals_bruteforce(spark, sf_dir):
+    import os
+
+    from letsearch_spark.operators.dedup import simhash_pairs
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    banded = sorted(
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in simhash_pairs(docs, "doc_id", "text", banded=True).collect()
+    )
+    brute = sorted(
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in simhash_pairs(docs, "doc_id", "text", banded=False).collect()
+    )
+    assert banded == brute
+    assert len(banded) > 0
+
+
+def test_embedding_cosine_lsh_subset_of_exact(spark, sf_dir):
+    import os
+
+    from letsearch_spark.operators.dedup import embedding_cosine_pairs
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_cosine_pairs(
+            emb, "vec_id", "embedding", threshold=0.4, method="exact"
+        ).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_cosine_pairs(
+            emb, "vec_id", "embedding", threshold=0.4, method="lsh", lsh_bits=4
+        ).collect()
+    }
+    assert lsh <= exact  # LSH never invents pairs, only misses them
+
+
+def test_cosine_topk_matches_numpy(spark, sf_dir):
+    import os
+
+    from letsearch_spark.operators.topk import cosine_topk
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    rows = emb.orderBy("vec_id").collect()
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    ids = np.array([r["vec_id"] for r in rows])
+    q = mat[0]
+    sims = (mat @ q) / (np.linalg.norm(mat, axis=1) * np.linalg.norm(q))
+    expected = ids[np.lexsort((ids, -sims))][:10].tolist()
+
+    got = [
+        r["vec_id"]
+        for r in cosine_topk(emb, q.tolist(), k=10, key_col="vec_id", vec_col="embedding").collect()
+    ]
+    assert got == expected
+
+
+def test_topk_k_bounds(spark, sf_dir):
+    import os
+
+    from letsearch_spark.operators.topk import cosine_topk
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    with pytest.raises(ValueError):
+        cosine_topk(emb, [0.0] * 64, k=0, key_col="vec_id", vec_col="embedding")
+    with pytest.raises(ValueError):
+        cosine_topk(emb, [0.0] * 64, k=101, key_col="vec_id", vec_col="embedding")
+
+
+def test_ivf_recall(spark, sf_dir, tmp_path):
+    import os
+
+    from letsearch_spark.operators.ann import build_ivf, ivf_topk
+    from letsearch_spark.operators.topk import cosine_topk
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).select(
+        F.col("vec_id").alias("_key"), F.col("embedding").alias("vector")
+    )
+    path = str(tmp_path / "ivf")
+    centroids = build_ivf(emb, path, nlist=8)
+
+    q = emb.where(F.col("_key") == 3).select("vector").collect()[0][0]
+    exact = [r["_key"] for r in cosine_topk(emb, q, k=10).collect()]
+    approx = [
+        r["_key"]
+        for r in ivf_topk(spark, path, centroids, q, k=10, nprobe=4).collect()
+    ]
+    # probing half the lists must recover most of the true top-10,
+    # and the query's own vector must be found (it's in its probed list)
+    assert approx[0] == 3
+    assert len(set(exact) & set(approx)) >= 6
+
+
+def test_lsh_topk_self_hit(spark, sf_dir):
+    import os
+
+    from letsearch_spark.operators.topk import build_lsh_index, lsh_topk
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).select(
+        F.col("vec_id").alias("_key"), F.col("embedding").alias("vector")
+    )
+    indexed = build_lsh_index(emb, dim=64, bits=6).cache()
+    q = emb.where(F.col("_key") == 7).select("vector").collect()[0][0]
+    hits = lsh_topk(indexed, q, k=5, bits=6, multiprobe=1).collect()
+    assert hits[0]["_key"] == 7
+    assert hits[0]["score"] == pytest.approx(1.0, abs=1e-9)

@@ -1,0 +1,93 @@
+"""Streaming tests: incremental append stream == bulk ingest (FIXTURES
+§5 invariant), and the windowed rollup matches its batch twin.
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_stream_append_equals_bulk(spark, sf_dir, tmp_path):
+    from letsearch_spark.collection import Collection
+    from letsearch_spark.streaming.incremental import stream_append_collection
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    # split the corpus into 4 files in a landing dir
+    landing = str(tmp_path / "landing")
+    docs.withColumn("part", (F.col("doc_id") % 4).cast("int")).write.partitionBy(
+        "part"
+    ).parquet(landing)
+
+    coll = Collection.create(
+        spark,
+        str(tmp_path / "root"),
+        name="streamed",
+        index_columns=["text"],
+        model_name="stub://16",
+    )
+    # seed with an empty slice so the append path has a table to append to
+    coll.import_df(docs.limit(0))
+
+    q = stream_append_collection(
+        spark,
+        coll,
+        landing + "/part=*",
+        schema=docs.drop("part").schema if "part" in docs.columns else docs.schema,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        max_files_per_trigger=2,
+        embed=True,
+    )
+    q.awaitTermination(120)
+
+    n_docs = docs.count()
+    assert coll.count() == n_docs
+    stats = coll.docs().agg(
+        F.countDistinct("_key").alias("d"), F.max("_key").alias("m")
+    ).collect()[0]
+    assert stats["d"] == n_docs and stats["m"] == n_docs  # dense keys
+    assert coll.embeddings("text").count() == n_docs  # K5 embedded exactly once
+    # content equality with bulk ingest (keys aside)
+    bulk_ids = {r["doc_id"] for r in docs.select("doc_id").collect()}
+    stream_ids = {r["doc_id"] for r in coll.docs().select("doc_id").collect()}
+    assert bulk_ids == stream_ids
+
+
+def test_windowed_counts_match_batch_twin(spark, sf_dir, tmp_path):
+    from letsearch_spark.queries import load
+    from letsearch_spark.streaming.incremental import windowed_event_counts
+
+    ev = load(spark, sf_dir, "events")
+    # write to a streaming source dir and re-read as a stream
+    src = str(tmp_path / "events_src")
+    ev.write.parquet(src)
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+
+    out = windowed_event_counts(stream, window="1 hour", watermark="2 hours")
+    sink = str(tmp_path / "sink")
+    q = (
+        out.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # append mode only emits windows closed by the watermark; with
+    # availableNow the final watermark is max(ts) - 2h, so compare
+    # against the batch twin restricted to emitted windows
+    got = spark.read.parquet(sink)
+    batch = (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("window_start"),
+            F.col("event_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    joined = got.alias("g").join(
+        batch.alias("b"), ["window_start", "event_type"], "inner"
+    )
+    mismatches = joined.where(F.col("g.n") != F.col("b.n")).count()
+    assert mismatches == 0
+    assert got.count() > 0
