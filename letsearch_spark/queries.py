@@ -108,6 +108,34 @@ def q_s3_append_key_continuation(spark, sf_dir):
     return base_keyed.unionByName(extra_keyed)
 
 
+def q_s1_jsonl_ingest(spark, sf_dir):
+    """S1 schema-on-read JSONL ingest (collection_actor.rs:166-192):
+    round-trip the documents table through JSONL and read it back with
+    the JSON reader; values must match the parquet original exactly."""
+    import tempfile
+
+    docs = load(spark, sf_dir, "documents")
+    path = tempfile.mkdtemp(prefix="ls_jsonl_") + "/docs"
+    docs.write.mode("overwrite").json(path)
+    back = spark.read.json(path)
+    return back.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "text",
+        "lang",
+        "source",
+        F.col("n_chars").cast("long").alias("n_chars"),
+    )
+
+
+def q_p5_schema_introspection(spark, sf_dir):
+    """P5 schema introspection (information_schema queries,
+    collection_actor.rs:176-181 etc.): sorted column names of the
+    documents table via the catalog/schema API."""
+    docs = load(spark, sf_dir, "documents")
+    names = sorted(docs.schema.fieldNames())
+    return spark.createDataFrame([(n,) for n in names], "column_name string")
+
+
 def q_p1_projection(spark, sf_dir):
     """P1 batch projection with null->'' coalescing (collection_actor.rs:426-461),
     sans the OFFSET loop (partitioning replaces pagination)."""
@@ -617,9 +645,11 @@ def q_stream_incremental_count(spark, sf_dir):
 # ======================================================================
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "s1_jsonl_ingest": q_s1_jsonl_ingest,
     "s2_ingest_dense_key": q_s2_ingest_dense_key,
     "s3_append_key_continuation": q_s3_append_key_continuation,
     "p1_projection": q_p1_projection,
+    "p5_schema_introspection": q_p5_schema_introspection,
     "p2_rowcount": q_p2_rowcount,
     "p3_key_lookup": q_p3_key_lookup,
     "agg_pricing_summary": q_agg_pricing_summary,
@@ -674,6 +704,12 @@ def _oracles() -> dict[str, str]:
         SELECT CAST(row_number() OVER (ORDER BY (doc_id >= 400), doc_id) AS BIGINT) AS _key,
                doc_id
         FROM documents
+    """
+    o["s1_jsonl_ingest"] = """
+        SELECT doc_id, text, lang, source, n_chars FROM documents
+    """
+    o["p5_schema_introspection"] = """
+        SELECT column_name FROM (DESCRIBE documents) ORDER BY column_name
     """
     o["p1_projection"] = """
         SELECT doc_id AS _key, coalesce(text, '') AS text FROM documents
