@@ -220,6 +220,53 @@ def q_join_nation_volume(spark, sf_dir):
     )
 
 
+def q_agg_rollup(spark, sf_dir):
+    """ROLLUP aggregation (orders by status x priority with subtotals);
+    grouping-set machinery the reference has no analog for (§2.7)."""
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum(_cents(F.col("o_totalprice"))) / 100.0).alias("total"),
+        )
+        .select(
+            F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias("status"),
+            F.coalesce(F.col("o_orderpriority"), F.lit("ALL")).alias("priority"),
+            "n",
+            "total",
+        )
+        .orderBy("status", "priority")
+    )
+
+
+def q_scalar_functions(spark, sf_dir):
+    """Scalar-function battery: string/date/math/conditional expressions
+    over orders -- the function library a reference user gets from
+    embedded DuckDB SQL, exposed natively (§2.7)."""
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.where(F.col("o_orderkey") <= 2000)
+        .select(
+            "o_orderkey",
+            F.upper(F.substring("o_orderpriority", 1, 3)).alias("prio3"),
+            F.length("o_orderstatus").alias("status_len"),
+            F.concat_ws("-", "o_orderstatus", "o_orderpriority").alias("tag"),
+            F.year("o_orderdate").alias("yr"),
+            F.month("o_orderdate").alias("mo"),
+            F.dayofmonth("o_orderdate").alias("dom"),
+            F.round(F.sqrt(F.col("o_totalprice")), 6).alias("sqrt_price"),
+            F.round(F.log(F.col("o_totalprice") + 1.0), 6).alias("log_price"),
+            F.abs(F.col("o_totalprice") - 1000.0).alias("abs_diff"),
+            (F.col("o_orderkey") % 7).alias("mod7"),
+            F.when(F.col("o_totalprice") > 1000, "high")
+            .otherwise("low")
+            .alias("bucket"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
 def q_window_top_orders_per_customer(spark, sf_dir):
     """Window top-N per group (row_number, deterministic tie-break)."""
     orders = load(spark, sf_dir, "orders")
@@ -655,6 +702,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "agg_pricing_summary": q_agg_pricing_summary,
     "join_top_orders": q_join_top_orders,
     "join_nation_volume": q_join_nation_volume,
+    "agg_rollup": q_agg_rollup,
+    "scalar_functions": q_scalar_functions,
     "window_top_orders_per_customer": q_window_top_orders_per_customer,
     "setop_customers_without_orders": q_setop_customers_without_orders,
     "events_hourly": q_events_hourly,
@@ -752,6 +801,32 @@ def _oracles() -> dict[str, str]:
         WHERE r_name = 'ASIA'
         GROUP BY n_name
         ORDER BY n_name
+    """
+    o["agg_rollup"] = f"""
+        SELECT coalesce(o_orderstatus, 'ALL') AS status,
+               coalesce(o_orderpriority, 'ALL') AS priority,
+               count(*) AS n,
+               sum({cents.format(x='o_totalprice')}) / 100.0 AS total
+        FROM orders
+        GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        ORDER BY status, priority
+    """
+    o["scalar_functions"] = """
+        SELECT o_orderkey,
+               upper(substr(o_orderpriority, 1, 3)) AS prio3,
+               CAST(length(o_orderstatus) AS INT) AS status_len,
+               concat_ws('-', o_orderstatus, o_orderpriority) AS tag,
+               CAST(year(o_orderdate) AS INT) AS yr,
+               CAST(month(o_orderdate) AS INT) AS mo,
+               CAST(day(o_orderdate) AS INT) AS dom,
+               round(sqrt(o_totalprice), 6) AS sqrt_price,
+               round(ln(o_totalprice + 1.0), 6) AS log_price,
+               abs(o_totalprice - 1000.0) AS abs_diff,
+               o_orderkey % 7 AS mod7,
+               CASE WHEN o_totalprice > 1000 THEN 'high' ELSE 'low' END AS bucket
+        FROM orders
+        WHERE o_orderkey <= 2000
+        ORDER BY o_orderkey
     """
     o["window_top_orders_per_customer"] = """
         SELECT o_custkey, rnk, o_orderkey FROM (
