@@ -1,0 +1,155 @@
+"""CLI: the reference's five verbs (src/main.rs:38-190) on Spark.
+
+    python -m letsearch_spark index --collection c --files d.parquet --index-columns text
+    python -m letsearch_spark add-docs --collection c --files more.jsonl
+    python -m letsearch_spark search --collection c --column text --query "..." [--limit 10]
+    python -m letsearch_spark serve [--port 7898]
+    python -m letsearch_spark list-models
+
+Defaults mirror the reference CLI: collection name "default", index
+column "text", search limit 10 (main.rs:52-75, serve.rs:48-53). The
+collections root is --home / $LETSEARCH_SPARK_HOME (the analog of
+$LETSEARCH_HOME, collection_utils.rs:7-11).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def _home(args) -> str:
+    return args.home or os.environ.get(
+        "LETSEARCH_SPARK_HOME", os.path.expanduser("~/.letsearch_spark")
+    )
+
+
+def _spark(args):
+    from letsearch_spark.session import get_spark
+
+    return get_spark("letsearch-spark-cli", master=args.master)
+
+
+def cmd_index(args) -> int:
+    from letsearch_spark.collection import Collection
+
+    spark = _spark(args)
+    coll = Collection.create(
+        spark,
+        _home(args),
+        name=args.collection,
+        index_columns=args.index_columns.split(","),
+        model_name=args.model,
+        model_variant=args.variant,
+    )
+    for path in args.files:
+        if path.endswith((".jsonl", ".json")):
+            n = coll.import_jsonl(path)
+        elif path.endswith(".pdf"):
+            n = coll.import_pdf(path)
+        else:
+            n = coll.import_parquet(path)
+        print(f"imported {path}: {n} rows total")
+    counts = coll.embed_all()
+    for col, n in counts.items():
+        print(f"embedded column {col!r}: {n} vectors")
+    return 0
+
+
+def cmd_add_docs(args) -> int:
+    from letsearch_spark.collection import Collection
+
+    spark = _spark(args)
+    coll = Collection.load(spark, _home(args), args.collection)
+    for path in args.files:
+        if path.endswith((".jsonl", ".json")):
+            n = coll.append_jsonl(path)
+        elif path.endswith(".pdf"):
+            n = coll.import_pdf(path)
+        else:
+            n = coll.append_parquet(path)
+        print(f"appended {path}: {n} rows total")
+    counts = coll.embed_all(incremental=True)  # K5 anti-join increments
+    for col, n in counts.items():
+        print(f"index for {col!r}: {n} vectors")
+    return 0
+
+
+def cmd_search(args) -> int:
+    from letsearch_spark.collection import Collection
+
+    spark = _spark(args)
+    coll = Collection.load(spark, _home(args), args.collection)
+    rows = coll.search(args.column, args.query, limit=args.limit).collect()
+    # pretty-print rank/score/content like the reference CLI (main.rs:360-380)
+    for i, r in enumerate(rows, 1):
+        content = (r["content"] or "")[:160]
+        print(f"{i:>3}. [{r['score']:.4f}] (key={r['key']}) {content}")
+    return 0
+
+
+def cmd_serve(args) -> int:
+    from letsearch_spark import api
+
+    spark = _spark(args)
+    server = api.make_http_server(spark, _home(args), port=args.port)
+    print(f"serving on http://127.0.0.1:{server.server_address[1]}")
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    return 0
+
+
+def cmd_list_models(args) -> int:
+    from letsearch_spark.sources.hf import list_models
+
+    for m in list_models():
+        print(json.dumps({"id": m.get("id"), "downloads": m.get("downloads")}))
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="letsearch-spark")
+    p.add_argument("--home", default=None, help="collections root")
+    p.add_argument("--master", default=None, help="spark master (default local[$SPARK_GRAFT_CPUS])")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    s = sub.add_parser("index", help="create a collection: import + embed")
+    s.add_argument("--collection", default="default")
+    s.add_argument("--files", nargs="+", required=True)
+    s.add_argument("--index-columns", default="text")
+    s.add_argument("--model", default="stub://16")
+    s.add_argument("--variant", default="f32")
+    s.set_defaults(fn=cmd_index)
+
+    s = sub.add_parser("add-docs", help="append + incrementally embed")
+    s.add_argument("--collection", default="default")
+    s.add_argument("--files", nargs="+", required=True)
+    s.set_defaults(fn=cmd_add_docs)
+
+    s = sub.add_parser("search", help="top-k semantic search")
+    s.add_argument("--collection", default="default")
+    s.add_argument("--column", default="text")
+    s.add_argument("--query", required=True)
+    s.add_argument("--limit", type=int, default=10)
+    s.set_defaults(fn=cmd_search)
+
+    s = sub.add_parser("serve", help="HTTP API (demo shim)")
+    s.add_argument("--port", type=int, default=7898)
+    s.set_defaults(fn=cmd_serve)
+
+    s = sub.add_parser("list-models", help="list letsearch models on HF hub")
+    s.set_defaults(fn=cmd_list_models)
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

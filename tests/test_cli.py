@@ -1,0 +1,59 @@
+"""CLI verb tests (A5/A6 surface) -- in-process (getOrCreate reuses the
+test session), covering index -> search -> add-docs round trip."""
+
+import json
+import os
+
+from letsearch_spark.cli import build_parser, cmd_add_docs, cmd_index, cmd_search
+
+
+def test_parser_defaults():
+    p = build_parser()
+    a = p.parse_args(["search", "--query", "hello"])
+    assert a.collection == "default"
+    assert a.column == "text"
+    assert a.limit == 10
+
+    a = p.parse_args(["index", "--files", "x.parquet"])
+    assert a.index_columns == "text"
+    assert a.model == "stub://16"
+
+
+def test_cli_roundtrip(spark, sf_dir, tmp_path, capsys):
+    home = str(tmp_path / "home")
+    p = build_parser()
+
+    a = p.parse_args(
+        [
+            "--home", home, "--master", "local[4]",
+            "index", "--collection", "c1",
+            "--files", os.path.join(sf_dir, "documents.parquet"),
+        ]
+    )
+    assert cmd_index(a) == 0
+    out = capsys.readouterr().out
+    assert "500 rows total" in out and "500 vectors" in out
+
+    extra = tmp_path / "extra.jsonl"
+    extra.write_text(
+        json.dumps(
+            {"doc_id": 9001, "text": "cli appended doc", "lang": "en",
+             "source": "cli", "n_chars": 16}
+        )
+        + "\n"
+    )
+    a = p.parse_args(
+        ["--home", home, "--master", "local[4]",
+         "add-docs", "--collection", "c1", "--files", str(extra)]
+    )
+    assert cmd_add_docs(a) == 0
+    assert "501" in capsys.readouterr().out
+
+    a = p.parse_args(
+        ["--home", home, "--master", "local[4]",
+         "search", "--collection", "c1", "--query", "cli appended doc",
+         "--limit", "1"]
+    )
+    assert cmd_search(a) == 0
+    line = capsys.readouterr().out.strip()
+    assert "cli appended doc" in line and "[1.0000]" in line
