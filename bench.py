@@ -88,34 +88,25 @@ def main() -> None:
     run_stage("search_topk", searches, repeats=1)
     timings["searches_per_sec"] = round(N_SEARCHES / timings["search_topk"], 3)
 
-    # 5. batched k-NN join: 100 queries in ONE job (the Spark-idiomatic shape)
-    def knn_batch():
-        from letsearch_spark.functions.vector import dot_product, l2_norm
+    # 5. batched k-NN join: 100 queries in ONE job, both scoring paths
+    # (Catalyst expression vs per-partition numpy matmul)
+    from letsearch_spark.operators.topk import knn_join
 
-        emb = load(spark, SF_DIR, "embeddings")
-        q = emb.where(F.col("vec_id") < 100).select(
-            F.col("vec_id").alias("query_id"),
-            F.col("embedding").alias("qv"),
-            l2_norm(F.col("embedding")).alias("qn"),
-        )
-        base = emb.select(
-            "vec_id", "embedding", l2_norm(F.col("embedding")).alias("nrm")
-        )
-        sim = dot_product(F.col("embedding"), F.col("qv")) / (
-            F.col("nrm") * F.col("qn")
-        )
-        from pyspark.sql import Window
-
-        w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
-        (
-            base.crossJoin(F.broadcast(q))
-            .select("query_id", "vec_id", sim.alias("sim"))
-            .withColumn("rk", F.row_number().over(w))
-            .where(F.col("rk") <= 10)
-            .count()
-        )
-
-    run_stage("knn_batch100", knn_batch)
+    emb = load(spark, SF_DIR, "embeddings")
+    knn_base = emb.select(
+        F.col("vec_id").alias("_key"), F.col("embedding").alias("vector")
+    )
+    knn_q = knn_base.where(F.col("_key") < 100).select(
+        F.col("_key").alias("query_id"), F.col("vector").alias("qvec")
+    )
+    run_stage(
+        "knn_batch100",
+        lambda: knn_join(knn_base, knn_q, k=10, method="expr").count(),
+    )
+    run_stage(
+        "knn_batch100_numpy",
+        lambda: knn_join(knn_base, knn_q, k=10, method="numpy").count(),
+    )
 
     # 6-9. relational volume queries over lineitem/orders/events
     for name in (

@@ -111,6 +111,7 @@ def ngram_jaccard_pairs(
         )
         sh = sh.join(F.broadcast(hot), "s", "left_anti")
     sh = sh.cache()
+    sh.count()  # materialize once for the 3 downstream consumers
     cnt = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.select(F.col("id").alias("id_a"), "s")
     b = sh.select(F.col("id").alias("id_b"), "s")
@@ -133,17 +134,37 @@ def ngram_jaccard_pairs(
 
 # ---------------------------------------------------------------- minhash
 
+# Carter-Wegman affine permutations over a single md5 base hash: one md5
+# per shingle (not one per shingle x perm), then h_p = (a_p*h + b_p) mod P.
+# Constants sized so a_p*h fits in int64: h < 2^30, a_p < 2^31.
+MINHASH_BASE_P = 1073741789  # largest prime < 2^30
+MINHASH_PERM_P = 2147483629  # largest prime < 2^31
+
+
+def minhash_perm_params(num_perms: int, seed: int = 42) -> list[tuple[int, int]]:
+    import random
+
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(1, MINHASH_PERM_P), rng.randrange(0, MINHASH_PERM_P))
+        for _ in range(num_perms)
+    ]
+
 
 def minhash_signatures(
-    sh: DataFrame, num_perms: int = 16
+    sh: DataFrame, num_perms: int = 16, seed: int = 42
 ) -> DataFrame:
-    """(id, mh0..mh{P-1}) from a shingle set -- per-perm hashes are
-    *columns* (map-side), min-aggregated in a single shuffle on id."""
+    """(id, mh0..mh{P-1}) from a shingle set -- ONE md5 per shingle plus
+    16 integer affine maps, all map-side columns, min-aggregated in a
+    single shuffle on id."""
+    params = minhash_perm_params(num_perms, seed)
+    h = (md5_60(F.col("s")) % MINHASH_BASE_P).alias("h")
+    base = sh.select("id", h)
     h_cols = [
-        F.min(md5_60(F.concat(F.lit(f"{p}:"), F.col("s")))).alias(f"mh{p}")
-        for p in range(num_perms)
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % MINHASH_PERM_P).alias(f"mh{p}")
+        for p, (a, b) in enumerate(params)
     ]
-    return sh.groupBy("id").agg(*h_cols)
+    return base.groupBy("id").agg(*h_cols)
 
 
 def minhash_lsh_pairs(
@@ -160,6 +181,7 @@ def minhash_lsh_pairs(
     checked against exact Jaccard (output: id_a, id_b, jaccard), else
     raw candidates (id_a, id_b)."""
     sh = shingles(df, id_col, text_col, n).cache()
+    sh.count()  # materialize once; 4 downstream consumers read the cache
     sig = minhash_signatures(sh, num_perms)
     n_bands = num_perms // band_rows
     band_structs = [

@@ -25,7 +25,7 @@ from __future__ import annotations
 from collections.abc import Sequence
 
 import numpy as np
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from letsearch_spark.functions.vector import cosine_similarity
@@ -52,6 +52,98 @@ def cosine_topk(
         embeddings.select(F.col(key_col), sim.alias(score_col))
         .orderBy(F.desc(score_col), F.asc(key_col))
         .limit(k)
+    )
+
+
+def knn_join(
+    base: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    key_col: str = "_key",
+    vec_col: str = "vector",
+    query_key_col: str = "query_id",
+    query_vec_col: str = "qvec",
+    method: str = "expr",
+) -> DataFrame:
+    """Batched k-NN join: top-k neighbors in ``base`` for every query row.
+
+    method='expr' -- broadcast the queries, score each (row, query) pair
+    with the Catalyst dot-product expression, window top-k. Exact and
+    oracle-matchable; cost O(|base| * |queries|) expression evals.
+
+    method='numpy' -- the throughput shape for wide vectors / many
+    queries: queries are collected (they must be the small side),
+    normalized into one matrix, and each base partition scores itself
+    with a single float64 matmul + argpartition, emitting only its
+    LOCAL top-k per query (k rows per partition per query). A final
+    window reduces the (partitions x k) candidates per query. The
+    all-pairs score matrix never materializes and nothing but
+    candidates crosses the network -- the batched analog of
+    TakeOrderedAndProject. Scores differ from the expr path only in
+    float summation order (pairwise vs sequential).
+    """
+    from letsearch_spark.functions.vector import dot_product, l2_norm
+
+    if method == "expr":
+        q = queries.select(
+            F.col(query_key_col),
+            F.col(query_vec_col).alias("__qv"),
+            l2_norm(F.col(query_vec_col)).alias("__qn"),
+        )
+        b = base.select(
+            F.col(key_col), F.col(vec_col), l2_norm(F.col(vec_col)).alias("__n")
+        )
+        sim = dot_product(F.col(vec_col), F.col("__qv")) / (
+            F.col("__n") * F.col("__qn")
+        )
+        w = Window.partitionBy(query_key_col).orderBy(F.desc("score"), F.asc(key_col))
+        return (
+            b.crossJoin(F.broadcast(q))
+            .select(query_key_col, key_col, sim.alias("score"))
+            .withColumn("rank", F.row_number().over(w).cast("long"))
+            .where(F.col("rank") <= k)
+        )
+
+    if method != "numpy":
+        raise ValueError(f"unknown method {method!r}; expected expr|numpy")
+
+    import pandas as pd
+
+    qrows = queries.select(query_key_col, query_vec_col).collect()
+    qids = np.array([r[0] for r in qrows], dtype=np.int64)
+    Q = np.array([r[1] for r in qrows], dtype=np.float64)
+    qn = np.linalg.norm(Q, axis=1, keepdims=True)
+    qn[qn == 0] = 1.0
+    Qn = (Q / qn).T  # dim x n_queries
+
+    schema = f"{query_key_col} long, {key_col} long, score double"
+    kk = k
+
+    def score_partition(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            keys = pdf[key_col].values
+            n = np.linalg.norm(X, axis=1, keepdims=True)
+            n[n == 0] = 1.0
+            S = (X / n) @ Qn  # rows x queries
+            top = min(kk, S.shape[0])
+            idx = np.argpartition(-S, top - 1, axis=0)[:top]  # top x queries
+            out_q, out_k, out_s = [], [], []
+            for j in range(S.shape[1]):
+                rows = idx[:, j]
+                out_q.extend([qids[j]] * len(rows))
+                out_k.extend(keys[rows])
+                out_s.extend(S[rows, j])
+            yield pd.DataFrame(
+                {query_key_col: out_q, key_col: out_k, "score": out_s}
+            )
+
+    local = base.select(key_col, vec_col).mapInPandas(score_partition, schema=schema)
+    w = Window.partitionBy(query_key_col).orderBy(F.desc("score"), F.asc(key_col))
+    return local.withColumn("rank", F.row_number().over(w).cast("long")).where(
+        F.col("rank") <= k
     )
 
 

@@ -922,19 +922,34 @@ def _oracles() -> dict[str, str]:
         WHERE round(i * 1.0 / (ca.n + cb.n - i), 6) >= 0.5
         ORDER BY id_a, id_b
     """
+    from letsearch_spark.operators.dedup import (
+        MINHASH_BASE_P,
+        MINHASH_PERM_P,
+        minhash_perm_params,
+    )
+
+    perm = minhash_perm_params(_N_PERMS)
+    mh_cols = ", ".join(
+        f"min(({a} * h + {b}) % {MINHASH_PERM_P}) AS mh{p}"
+        for p, (a, b) in enumerate(perm)
+    )
+    band_selects = " UNION ALL ".join(
+        "SELECT doc_id, {band} AS band, {sig} AS sig FROM mh".format(
+            band=bi,
+            sig=" || ',' || ".join(
+                f"CAST(mh{p} AS VARCHAR)"
+                for p in range(bi * _BAND_ROWS, (bi + 1) * _BAND_ROWS)
+            ),
+        )
+        for bi in range(_N_PERMS // _BAND_ROWS)
+    )
     o["dedup_minhash_lsh"] = f"""
         WITH sh AS ({_SHINGLES_SQL}),
-        mh AS (
-            SELECT doc_id, CAST(p AS INT) AS p,
-                   min({md5_60.format(x="CAST(p AS VARCHAR) || ':' || s")}) AS mh
-            FROM sh CROSS JOIN range({_N_PERMS}) t(p)
-            GROUP BY doc_id, p
+        base AS (
+            SELECT doc_id, {md5_60.format(x='s')} % {MINHASH_BASE_P} AS h FROM sh
         ),
-        bands AS (
-            SELECT doc_id, p // {_BAND_ROWS} AS band,
-                   string_agg(CAST(mh AS VARCHAR), ',' ORDER BY p) AS sig
-            FROM mh GROUP BY doc_id, p // {_BAND_ROWS}
-        ),
+        mh AS (SELECT doc_id, {mh_cols} FROM base GROUP BY doc_id),
+        bands AS ({band_selects}),
         cand AS (
             SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
             FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig

@@ -144,6 +144,27 @@ def test_ivf_recall(spark, sf_dir, tmp_path):
     assert len(set(exact) & set(approx)) >= 6
 
 
+def test_knn_join_numpy_matches_expr(spark, sf_dir):
+    import os
+
+    from letsearch_spark.operators.topk import knn_join
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).select(
+        F.col("vec_id").alias("_key"), F.col("embedding").alias("vector")
+    )
+    queries = emb.where(F.col("_key") < 5).select(
+        F.col("_key").alias("query_id"), F.col("vector").alias("qvec")
+    )
+    expr = knn_join(emb, queries, k=5, method="expr")
+    npy = knn_join(emb, queries, k=5, method="numpy")
+    e = {(r["query_id"], r["rank"]): r["_key"] for r in expr.collect()}
+    n = {(r["query_id"], r["rank"]): r["_key"] for r in npy.collect()}
+    assert e == n  # identical neighbors and ranks (no near-ties in data)
+
+    with pytest.raises(ValueError):
+        knn_join(emb, queries, k=5, method="bogus")
+
+
 def test_lsh_topk_self_hit(spark, sf_dir):
     import os
 

@@ -1,0 +1,134 @@
+"""Scaling probe: how do the headline operators behave as data grows?
+
+Synthesizes xN copies of the sf0.1 tables (ids offset per copy so keys
+stay unique, text salted per copy so near-dup structure is preserved,
+not multiplied), then times the operators whose shuffle geometry
+matters. Results go to SCALING.md -- the evidence that the plan shapes
+hold as data grows, which no single-SF bench can show.
+
+Usage: python tools/scale_probe.py [--scales 1,4,16]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def scaled_docs(spark, n_copies: int):
+    from pyspark.sql import functions as F
+
+    base = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    if n_copies == 1:
+        return base
+    copies = spark.range(n_copies).select(F.col("id").cast("int").alias("copy"))
+    return (
+        base.crossJoin(copies)
+        .select(
+            (F.col("doc_id") + F.col("copy") * 1_000_000).alias("doc_id"),
+            # suffix EVERY word with the copy id: every shingle/token
+            # differs across copies, so copies are not near-dups of each
+            # other (pair structure stays linear, like real data), while
+            # the near-dup pairs WITHIN each copy are preserved exactly
+            F.expr(
+                "regexp_replace(text, '(\\\\S+)', "
+                "concat('$1_', CAST(copy AS STRING)))"
+            ).alias("text"),
+        )
+    )
+
+
+def scaled_embeddings(spark, n_copies: int):
+    from pyspark.sql import functions as F
+
+    base = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    if n_copies == 1:
+        return base.select(F.col("vec_id").alias("_key"), F.col("embedding").alias("vector"))
+    copies = spark.range(n_copies).select(F.col("id").cast("int").alias("copy"))
+    return (
+        base.crossJoin(copies)
+        .select(
+            (F.col("vec_id") + F.col("copy") * 1_000_000).alias("_key"),
+            # rotate one component per copy to decorrelate duplicates
+            F.expr(
+                "transform(embedding, (x, i) -> CAST(x + (CASE WHEN i = copy % 64 "
+                "THEN 0.01 * copy ELSE 0 END) AS FLOAT))"
+            ).alias("vector"),
+        )
+    )
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from letsearch_spark.operators.dedup import (
+        exact_dedup,
+        minhash_lsh_pairs,
+        simhash_pairs,
+    )
+    from letsearch_spark.operators.topk import knn_join
+    from letsearch_spark.session import get_spark
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scales", default="1,4,16")
+    args = ap.parse_args()
+    scales = [int(s) for s in args.scales.split(",")]
+
+    spark = get_spark(
+        "scale-probe", master=f"local[{CPUS}]", shuffle_partitions=int(CPUS)
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    results = []
+    for n in scales:
+        docs = scaled_docs(spark, n).cache()
+        emb = scaled_embeddings(spark, n).cache()
+        n_docs = docs.count()
+        n_vecs = emb.count()
+        row = {"copies": n, "docs": n_docs, "vectors": n_vecs}
+
+        def timeit(name, fn):
+            t0 = time.time()
+            out = fn()
+            row[name] = round(time.time() - t0, 2)
+            row[f"{name}_rows"] = out
+
+        timeit("exact_dedup", lambda: exact_dedup(docs, "doc_id", "text").count())
+        timeit(
+            "minhash_lsh",
+            lambda: minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.5).count(),
+        )
+        # 60-bit simhash: at 32 bits the 8-bit bands (256 buckets) are too
+        # coarse beyond ~10k docs and the bucket join goes quadratic; 15-bit
+        # bands keep buckets small (the scale lesson this probe exists for)
+        timeit(
+            "simhash_banded",
+            lambda: simhash_pairs(
+                docs, "doc_id", "text", bits=60, max_hamming=3
+            ).count(),
+        )
+        queries = emb.where(F.col("_key") < 100).select(
+            F.col("_key").alias("query_id"), F.col("vector").alias("qvec")
+        )
+        timeit(
+            "knn100_numpy",
+            lambda: knn_join(emb, queries, k=10, method="numpy").count(),
+        )
+        docs.unpersist()
+        emb.unpersist()
+        results.append(row)
+        print(json.dumps(row), flush=True)
+
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
