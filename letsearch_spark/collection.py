@@ -291,19 +291,30 @@ class Collection:
 
     # ---- search (K1/K3 + P3/P4, serve.rs API semantics) ----
 
-    def search(self, column: str, query: str, limit: int = 10) -> DataFrame:
+    def search(
+        self, column: str, query: str, limit: int = 10, strategy: str = "join"
+    ) -> DataFrame:
         """Top-k semantic search returning (key, content, score) in score
         order -- the A4/A5 surface (serve.rs:148-183, main.rs:314-385).
 
-        limit validation 1..=100 mirrors serve.rs:155-161. The fetch-back
-        join replaces the reference's IN-list + HashMap re-order
-        (P3/P4, collection_actor.rs:532-583): hits are tiny (<=100 rows),
-        so the join is a broadcast of the hits against the docs table.
+        limit validation 1..=100 mirrors serve.rs:155-161.
+
+        strategy='join' (default): fetch-back as a broadcast join of the
+        <=100 hits against the docs table -- one declarative plan, the
+        right shape when the result feeds further DataFrame work.
+
+        strategy='inlist': the reference's own P3/P4 shape
+        (collection_actor.rs:532-583) -- collect the top-k keys, fetch
+        content with an IN-list filter (pushed to the parquet scan),
+        re-order driver-side. Two tiny sequential jobs; lower latency
+        for interactive use.
         """
         if not 1 <= limit <= 100:
             raise ValueError(f"limit must be in [1, 100], got {limit}")
         if column not in self.config.index_columns:
             raise ValueError(f"column {column!r} is not indexed")
+        if strategy not in ("join", "inlist"):
+            raise ValueError(f"unknown strategy {strategy!r}")
         qvec = self._embedder().embed([query])[0].tolist()
         emb = self._emb_cache.get(column)
         if emb is None:
@@ -324,6 +335,22 @@ class Collection:
             key_col=KEY_COL,
             vec_col="vector",
         )
+        if strategy == "inlist":
+            hit_rows = hits.collect()
+            scores = {int(r[KEY_COL]): float(r["score"]) for r in hit_rows}
+            fetched = docs.where(
+                F.col("key").isin(*scores.keys())
+            ).collect()
+            content = {int(r["key"]): r["content"] for r in fetched}
+            ordered = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+            rows = [
+                (k, content[k], s)
+                for k, s in ordered
+                if content.get(k) is not None  # P6 null-content drop
+            ]
+            return self.spark.createDataFrame(
+                rows, "key long, content string, score double"
+            )
         return (
             F.broadcast(hits)
             .withColumnRenamed(KEY_COL, "key")

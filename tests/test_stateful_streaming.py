@@ -1,0 +1,76 @@
+"""applyInPandasWithState session windows vs the batch sessionizer.
+
+The stream emits CLOSED sessions only; the batch twin computes every
+session. The check: every emitted session must exactly match a batch
+session (same user, start, end, count), and the stream must emit all
+sessions that closed well before the final watermark.
+"""
+
+import os
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+
+def batch_sessions(ev, gap_seconds=1800):
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    new_s = F.when(
+        prev.isNull()
+        | ((F.unix_timestamp("ts") - F.unix_timestamp(prev)) > gap_seconds),
+        1,
+    ).otherwise(0)
+    sessions = (
+        ev.withColumn("new_s", new_s)
+        .withColumn(
+            "session_id", F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        )
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    return sessions.select("user_id", "session_start", "session_end", "n_events")
+
+
+def test_stateful_sessions_match_batch(spark, sf_dir, tmp_path):
+    from letsearch_spark.queries import load
+    from letsearch_spark.streaming.stateful import session_windows
+
+    ev = load(spark, sf_dir, "events")
+    src = str(tmp_path / "src")
+    ev.write.parquet(src)
+
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    out = session_windows(stream, gap_seconds=1800, watermark="2 hours")
+    sink = str(tmp_path / "sink")
+    q = (
+        out.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in spark.read.parquet(sink).collect()
+    }
+    expected = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in batch_sessions(ev).collect()
+    }
+    assert got, "stream emitted no closed sessions"
+    # soundness: every emitted session is a true batch session
+    assert got <= expected, f"spurious sessions: {list(got - expected)[:3]}"
+    # completeness (modulo watermark): sessions ending >4h before the max
+    # event time must all have been closed and emitted
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    cutoff = max_ts.timestamp() - 4 * 3600
+    must_emit = {s for s in expected if s[2].timestamp() < cutoff}
+    missing = must_emit - got
+    assert not missing, f"missing closed sessions: {list(missing)[:3]}"
