@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import os
 import re
+import shutil
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
@@ -123,9 +124,18 @@ class Collection:
 
     def import_df(self, df: DataFrame) -> int:
         """CTAS-equivalent: write df as the docs table, adding ``_key`` only
-        if absent (S1/S2 key rule, collection_actor.rs:176-188)."""
+        if absent (S1/S2 key rule, collection_actor.rs:176-188).
+
+        A full replace invalidates every derived artifact: existing
+        embeddings belong to the old documents (their keys would
+        otherwise collide with the new dense keys and poison incremental
+        embedding and search), so they are removed along with the
+        serve-path caches."""
         keyed = add_dense_key(df, KEY_COL, start=1)
         keyed.write.mode("overwrite").parquet(self.docs_path)
+        self._invalidate_cache()
+        if os.path.isdir(self.embeddings_path):
+            shutil.rmtree(self.embeddings_path)
         return self.count()
 
     def import_parquet(self, path: str) -> int:
@@ -167,11 +177,9 @@ class Collection:
         df = self.spark.createDataFrame(
             [(c,) for c in chunks], T.StructType([T.StructField(column, T.StringType())])
         )
-        try:
-            existing_cols = self.docs().columns
-        except Exception:
-            existing_cols = None
-        if existing_cols is None:
+        # explicit existence check -- a transient read error must raise,
+        # NOT silently replace the whole table via the create path
+        if not self._docs_exist():
             return self.import_df(df)
         return self._append_df(df)
 
@@ -194,6 +202,12 @@ class Collection:
 
     def _embedder(self) -> Embedder:
         return get_embedder(self.config.model_name, self.config.model_variant)
+
+    def _docs_exist(self) -> bool:
+        p = self.docs_path
+        return os.path.isdir(p) and any(
+            not e.startswith(("_", ".")) for e in os.listdir(p)
+        )
 
     def _has_embeddings(self) -> bool:
         # local/dbfs-style path check; works for file: URIs the tests use.
@@ -234,7 +248,6 @@ class Collection:
             docs = docs.join(done, KEY_COL, "left_anti")
 
         embedder = self._embedder()
-        dim = embedder.output_dim()
         out_schema = T.StructType(
             [
                 T.StructField(KEY_COL, T.LongType()),

@@ -242,7 +242,12 @@ def simhash(
     df: DataFrame, id_col: str, text_col: str, bits: int = 32
 ) -> DataFrame:
     """(id, simhash): md5-keyed SimHash, +-1 per token occurrence.
-    One explode + one shuffle on id; the 32/64 bit sums are columns."""
+    One explode + one shuffle on id; the per-bit sums are columns.
+
+    ``bits`` is capped at 60: the token hash carries 60 bits (md5_60),
+    and bit 63 would overflow a Java long literal anyway."""
+    if not 1 <= bits <= 60:
+        raise ValueError(f"bits must be in [1, 60], got {bits}")
     toks = df.select(
         F.col(id_col).alias("id"), F.explode(words_of(F.col(text_col))).alias("w")
     ).where(F.col("w") != "")

@@ -31,7 +31,14 @@ def salted_join(
 ) -> DataFrame:
     """Join ``big`` (skewed) with ``small`` on column ``on`` using n-way
     salting. ``small`` is replicated n_salts times -- keep it dimension-
-    sized. Output columns = big's + small's minus the duplicate key."""
+    sized. Output columns = big's + small's minus the duplicate key.
+
+    Only inner/left joins are correct under salting (an unmatched
+    small-side row would surface once per salt in right/full joins)."""
+    if how not in ("inner", "left", "leftouter", "left_outer"):
+        raise ValueError(
+            f"salted_join supports inner/left joins only, got {how!r}"
+        )
     salted_big = big.withColumn("__salt", (F.rand(seed=42) * n_salts).cast("int"))
     salts = F.explode(
         F.array(*[F.lit(i) for i in range(n_salts)])

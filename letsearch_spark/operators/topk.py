@@ -129,10 +129,14 @@ def knn_join(
             n[n == 0] = 1.0
             S = (X / n) @ Qn  # rows x queries
             top = min(kk, S.shape[0])
-            idx = np.argpartition(-S, top - 1, axis=0)[:top]  # top x queries
+            part = np.argpartition(-S, top - 1, axis=0)[:top]  # top x queries
             out_q, out_k, out_s = [], [], []
             for j in range(S.shape[1]):
-                rows = idx[:, j]
+                # keep EVERY candidate >= the kth score so boundary ties
+                # are resolved by the final (score desc, key asc) window,
+                # not by argpartition's arbitrary pick
+                thresh = S[part[:, j], j].min()
+                rows = np.nonzero(S[:, j] >= thresh)[0]
                 out_q.extend([qids[j]] * len(rows))
                 out_k.extend(keys[rows])
                 out_s.extend(S[rows, j])
@@ -197,6 +201,21 @@ def build_lsh_index(
     return embeddings.withColumn(bucket_col, lsh_signature_col(F.col(vec_col), planes))
 
 
+def multiprobe_signatures(sig: int, bits: int, radius: int) -> set[int]:
+    """All bucket signatures within Hamming distance <= radius of ``sig``
+    (sum of C(bits, d) for d <= radius buckets -- keep radius small)."""
+    from itertools import combinations
+
+    probes = {sig}
+    for d in range(1, min(radius, bits) + 1):
+        for combo in combinations(range(bits), d):
+            flipped = sig
+            for i in combo:
+                flipped ^= 1 << i
+            probes.add(flipped)
+    return probes
+
+
 def lsh_topk(
     indexed: DataFrame,
     query_vec: Sequence[float],
@@ -209,11 +228,12 @@ def lsh_topk(
     bucket_col: str = "_bucket",
     score_col: str = "score",
 ) -> DataFrame:
-    """Approximate top-k: probe the query's bucket (+ Hamming-1 neighbors
-    when ``multiprobe`` > 0), brute-force only inside the probed buckets.
+    """Approximate top-k: probe every bucket within Hamming distance
+    ``multiprobe`` of the query's signature, brute-force only inside the
+    probed buckets.
 
     With parquet partitioned by bucket this prunes the scan to
-    ~(1+multiprobe*bits)/2**bits of the data.
+    ~(sum_{d<=multiprobe} C(bits,d)) / 2**bits of the data.
     """
     q = np.asarray(list(query_vec), dtype=np.float64)
     planes = _hyperplanes(len(q), bits, seed)
@@ -221,10 +241,7 @@ def lsh_topk(
     for i, plane in enumerate(planes):
         if float(plane @ q) >= 0:
             sig |= 1 << i
-    probes = {sig}
-    if multiprobe >= 1:
-        probes.update(sig ^ (1 << i) for i in range(bits))
-
+    probes = multiprobe_signatures(sig, bits, multiprobe)
     pruned = indexed.filter(F.col(bucket_col).isin(*[int(p) for p in probes]))
     return cosine_topk(
         pruned, q, k=k, key_col=key_col, vec_col=vec_col, score_col=score_col

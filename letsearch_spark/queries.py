@@ -33,6 +33,11 @@ TABLES = [
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name in ("events", "orders", "lineitem"):
+        # tables with timestamp columns: pin the session timezone so the
+        # collected values match the (naive-timestamp) DuckDB oracle even
+        # when the caller's session defaults elsewhere
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         return _load_events(spark, sf_dir)
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))

@@ -58,8 +58,6 @@ def dataset_url(uri: str, revision: str = "main") -> str:
     if not uri.startswith("hf://datasets/"):
         raise ValueError(f"not an hf://datasets/ uri: {uri}")
     rest = uri.removeprefix("hf://datasets/")
-    org_name, _, path = rest.partition("/")
-    org, _, name = org_name.partition("/")
     # org/name/file... -> first two segments are the repo
     parts = rest.split("/")
     if len(parts) < 3:

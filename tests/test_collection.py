@@ -132,6 +132,43 @@ def test_embed_incremental_anti_join(coll, spark):
     assert after == before + 1
 
 
+def test_reimport_resets_embeddings(spark, sf_dir, tmp_path):
+    """Regression: a full re-import must discard the old documents'
+    embeddings and serve-path caches, otherwise incremental embed skips
+    the new documents (their keys collide with the stale vectors) and
+    search scores new queries against old content."""
+    import pyspark.sql.types as T
+
+    root = str(tmp_path / "r")
+    c = Collection.create(
+        spark, root, name="re", index_columns=["text"], model_name="stub://16"
+    )
+    schema = T.StructType([T.StructField("text", T.StringType())])
+    c.import_df(spark.createDataFrame([("alpha bravo old corpus",)] * 4, schema))
+    c.embed_column("text")
+    c.search("text", "warm the caches").collect()
+
+    c.import_df(
+        spark.createDataFrame([("zulu yankee xray new corpus",)] * 4, schema)
+    )
+    n = c.embed_column("text")  # incremental default must re-embed everything
+    assert n == 4
+    hit = c.search("text", "zulu yankee xray new corpus", limit=1).first()
+    assert hit["content"] == "zulu yankee xray new corpus"
+    assert hit["score"] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_search_strategies_equal(coll):
+    a = [(r["key"], round(r["score"], 9)) for r in coll.search("text", "spark q", limit=5).collect()]
+    b = [
+        (r["key"], round(r["score"], 9))
+        for r in coll.search("text", "spark q", limit=5, strategy="inlist").collect()
+    ]
+    assert a == b
+    with pytest.raises(ValueError):
+        coll.search("text", "q", strategy="bogus")
+
+
 def test_search_limit_validation(coll):
     for bad in (0, 101):
         with pytest.raises(ValueError):

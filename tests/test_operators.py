@@ -144,6 +144,48 @@ def test_ivf_recall(spark, sf_dir, tmp_path):
     assert len(set(exact) & set(approx)) >= 6
 
 
+def test_simhash_bits_validation(docs):
+    from letsearch_spark.operators.dedup import simhash
+
+    for bad in (0, 61, 64):
+        with pytest.raises(ValueError):
+            simhash(docs, "doc_id", "text", bits=bad)
+
+
+def test_salted_join_rejects_outer(spark):
+    from letsearch_spark.operators.skew import salted_join
+
+    df = spark.range(2)
+    for bad in ("right", "full", "outer", "left_anti"):
+        with pytest.raises(ValueError):
+            salted_join(df, df, "id", how=bad)
+
+
+def test_multiprobe_signature_counts():
+    import math
+
+    from letsearch_spark.operators.topk import multiprobe_signatures
+
+    for bits, r in ((8, 0), (8, 1), (8, 2), (6, 3)):
+        expected = sum(math.comb(bits, d) for d in range(r + 1))
+        assert len(multiprobe_signatures(0b1010, bits, r)) == expected
+
+
+def test_knn_join_numpy_ties_match_expr(spark):
+    # duplicate vectors straddling the k boundary: the numpy path must
+    # keep all boundary ties and let the window break them by key asc
+    rows = [(i, [1.0, 0.0]) for i in range(6)] + [(6, [0.0, 1.0])]
+    emb = spark.createDataFrame(rows, "_key long, vector array<float>")
+    queries = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "query_id long, qvec array<float>"
+    )
+    from letsearch_spark.operators.topk import knn_join
+
+    e = [(r["rank"], r["_key"]) for r in knn_join(emb, queries, k=3, method="expr").collect()]
+    n = [(r["rank"], r["_key"]) for r in knn_join(emb, queries, k=3, method="numpy").collect()]
+    assert sorted(e) == sorted(n) == [(1, 0), (2, 1), (3, 2)]
+
+
 def test_knn_join_numpy_matches_expr(spark, sf_dir):
     import os
 
