@@ -406,6 +406,48 @@ def q_knn_join(spark, sf_dir):
     )
 
 
+def q_search_fetchback_join(spark, sf_dir):
+    """K1 + P3/P4 with an oracle: top-10 for the vec_id-0 query joined
+    back to the documents table (vec_id keys the docs) -- the fetch-back
+    join of the serve path, hash-checkable because both tables ship in
+    testdata."""
+    emb = load(spark, sf_dir, "embeddings")
+    docs = load(spark, sf_dir, "documents")
+    qvec = emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    sim = _cosine_pair(F.col("embedding"), F.array(*[F.lit(float(x)) for x in qvec]))
+    hits = (
+        emb.select("vec_id", F.round(sim, 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("vec_id"))
+        .limit(10)
+    )
+    return (
+        F.broadcast(hits)
+        .join(docs, hits.vec_id == docs.doc_id)
+        .where(F.col("text").isNotNull())
+        .select(
+            "vec_id",
+            "score",
+            F.length("text").cast("long").alias("content_len"),
+        )
+        .orderBy(F.desc("score"), F.asc("vec_id"))
+    )
+
+
+def q_events_value_percentiles(spark, sf_dir):
+    """Ordered-set aggregate: exact continuous percentiles of event value
+    per type (percentile_cont semantics match DuckDB's interpolation)."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+            F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+            F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def q_dedup_embedding_cosine(spark, sf_dir):
     """Embedding-cosine near-dup pairs (sim >= 0.5, id_a < id_b).
 
@@ -717,6 +759,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "k1_cosine_topk": q_k1_cosine_topk,
     "k1_topk_label_filtered": q_k1_topk_label_filtered,
     "knn_join": q_knn_join,
+    "search_fetchback_join": q_search_fetchback_join,
+    "events_value_percentiles": q_events_value_percentiles,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -895,6 +939,25 @@ def _oracles() -> dict[str, str]:
             CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 5) q
             WHERE e.vec_id != q.vec_id
         ) WHERE rank <= 3
+    """
+    o["search_fetchback_join"] = f"""
+        WITH hits AS (
+            SELECT vec_id, round({cos.format(a='embedding', b=qvec)}, 6) AS score
+            FROM embeddings
+            ORDER BY score DESC, vec_id ASC
+            LIMIT 10
+        )
+        SELECT h.vec_id, h.score, CAST(length(d.text) AS BIGINT) AS content_len
+        FROM hits h JOIN documents d ON h.vec_id = d.doc_id
+        WHERE d.text IS NOT NULL
+        ORDER BY h.score DESC, h.vec_id ASC
+    """
+    o["events_value_percentiles"] = """
+        SELECT event_type,
+               round(percentile_cont(0.5) WITHIN GROUP (ORDER BY value), 6) AS p50,
+               round(percentile_cont(0.9) WITHIN GROUP (ORDER BY value), 6) AS p90,
+               round(percentile_cont(0.99) WITHIN GROUP (ORDER BY value), 6) AS p99
+        FROM events GROUP BY event_type ORDER BY event_type
     """
     o["dedup_embedding_cosine"] = f"""
         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
