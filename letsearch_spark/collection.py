@@ -37,6 +37,7 @@ from pyspark.sql import types as T
 from letsearch_spark.chunker import ChunkerConfig, MarkdownChunker
 from letsearch_spark.config import CollectionConfig
 from letsearch_spark.embedders import Embedder, get_embedder
+from letsearch_spark.functions.vector import cosine_similarity
 from letsearch_spark.keys import KEY_COL, add_dense_key, next_key_start
 from letsearch_spark.operators.topk import cosine_topk
 
@@ -287,7 +288,11 @@ class Collection:
         return self.embeddings(column).count()
 
     def _invalidate_cache(self, column: str | None = None) -> None:
-        cols = [column, f"__docs_{column}"] if column else list(self._emb_cache)
+        cols = (
+            [column, f"__docs_{column}", f"__serve_{column}"]
+            if column
+            else list(self._emb_cache)
+        )
         for c in cols:
             df = self._emb_cache.pop(c, None)
             if df is not None:
@@ -329,30 +334,21 @@ class Collection:
         if strategy not in ("join", "inlist"):
             raise ValueError(f"unknown strategy {strategy!r}")
         qvec = self._embedder().embed([query])[0].tolist()
-        emb = self._emb_cache.get(column)
-        if emb is None:
-            emb = self.embeddings(column).cache()
-            self._emb_cache[column] = emb
-        docs = self._emb_cache.get(f"__docs_{column}")
-        if docs is None:
-            docs = (
-                self.docs()
-                .select(F.col(KEY_COL).alias("key"), F.col(column).alias("content"))
-                .cache()
-            )
-            self._emb_cache[f"__docs_{column}"] = docs
-        hits = cosine_topk(
-            emb,
-            qvec,
-            k=limit,
-            key_col=KEY_COL,
-            vec_col="vector",
-        )
+        serve = self._serve_view(column)
+
         if strategy == "inlist":
-            hit_rows = hits.collect()
-            scores = {int(r[KEY_COL]): float(r["score"]) for r in hit_rows}
-            fetched = docs.where(
-                F.col("key").isin(*scores.keys())
+            # the reference's literal P3/P4 shape: top-k keys first, then
+            # an IN-list fetch + driver-side reorder (two tiny jobs)
+            hits = cosine_topk(
+                serve.select(KEY_COL, "vector"),
+                qvec,
+                k=limit,
+                key_col=KEY_COL,
+                vec_col="vector",
+            ).collect()
+            scores = {int(r[KEY_COL]): float(r["score"]) for r in hits}
+            fetched = serve.where(F.col(KEY_COL).isin(*scores.keys())).select(
+                F.col(KEY_COL).alias("key"), "content"
             ).collect()
             content = {int(r["key"]): r["content"] for r in fetched}
             ordered = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
@@ -364,11 +360,37 @@ class Collection:
             return self.spark.createDataFrame(
                 rows, "key long, content string, score double"
             )
+
+        # single-job path: score + top-k + content projection in ONE
+        # TakeOrderedAndProject over the cached serve view -- the Spark
+        # analog of one usearch lookup + row fetch
+        sim = cosine_similarity(F.col("vector"), [float(x) for x in qvec])
         return (
-            F.broadcast(hits)
-            .withColumnRenamed(KEY_COL, "key")
-            .join(docs, "key")
-            .where(F.col("content").isNotNull())  # P6 null-content drop
-            .select("key", "content", "score")
+            serve.where(F.col("content").isNotNull())  # P6 null-content drop
+            .select(
+                F.col(KEY_COL).alias("key"),
+                F.col("content"),
+                sim.alias("score"),
+            )
             .orderBy(F.desc("score"), F.asc("key"))
+            .limit(limit)
         )
+
+    def _serve_view(self, column: str) -> DataFrame:
+        """Cached denormalized serving view (key, vector, content) -- the
+        analog of the reference holding index + table open while serving
+        (collection_actor.rs:143-159). Built once, invalidated on writes."""
+        view = self._emb_cache.get(f"__serve_{column}")
+        if view is None:
+            docs = self.docs().select(
+                F.col(KEY_COL), F.col(column).alias("content")
+            )
+            view = (
+                self.embeddings(column)
+                .select(KEY_COL, "vector")
+                .join(docs, KEY_COL)
+                .cache()
+            )
+            view.count()  # materialize now; searches then cost one job
+            self._emb_cache[f"__serve_{column}"] = view
+        return view

@@ -93,7 +93,7 @@ def test_scan_in_wholestage_codegen(docs):
     assert "partial_count" in p
 
 
-def test_search_fetchback_is_broadcast(spark, sf_dir, tmp_path):
+def test_search_is_single_takeordered_over_cache(spark, sf_dir, tmp_path):
     from letsearch_spark.collection import Collection
 
     root = str(tmp_path / "r2")
@@ -104,5 +104,12 @@ def test_search_fetchback_is_broadcast(spark, sf_dir, tmp_path):
     c.embed_column("text")
     df = c.search("text", "spark join", limit=5)
     p = plan_of(df, "simple")
-    assert "BroadcastHashJoin" in p
-    assert "SortMergeJoin" not in p
+    # the serve path is ONE TakeOrderedAndProject over the cached
+    # (key, vector, content) view -- no join, no shuffle at query time.
+    # (The text below InMemoryTableScan is the cache's build lineage,
+    # not what executes per query.)
+    assert "TakeOrderedAndProject" in p
+    assert "InMemoryTableScan" in p
+    query_time = p.split("InMemoryTableScan", 1)[0]
+    assert "Join" not in query_time
+    assert "Exchange" not in query_time
