@@ -26,3 +26,13 @@ Layout:
 __version__ = "0.1.0"
 
 from letsearch_spark.session import get_spark  # noqa: F401
+
+
+def __getattr__(name):
+    # lazy convenience export: `from letsearch_spark import Collection`
+    # without importing pyspark-heavy modules at package import time
+    if name == "Collection":
+        from letsearch_spark.collection import Collection
+
+        return Collection
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
