@@ -140,12 +140,20 @@ class Collection:
         return self.count()
 
     def import_parquet(self, path: str) -> int:
-        """S2 (collection_actor.rs:194-220). Globs work natively."""
-        return self.import_df(self.spark.read.parquet(path))
+        """S2 (collection_actor.rs:194-220). Local paths and globs are
+        read natively; ``hf://datasets/...`` resolves through the cache
+        (sources/hf.py)."""
+        return self.import_df(self.spark.read.parquet(self._resolve(path)))
 
     def import_jsonl(self, path: str) -> int:
         """S1 (collection_actor.rs:166-192): schema-on-read JSONL scan."""
-        return self.import_df(self.spark.read.json(path))
+        return self.import_df(self.spark.read.json(self._resolve(path)))
+
+    @staticmethod
+    def _resolve(path: str) -> str:
+        from letsearch_spark.sources.hf import resolve_data_path
+
+        return resolve_data_path(path)
 
     def _append_df(self, df: DataFrame) -> int:
         """S3/S4 core: column-list alignment minus ``_key`` then insert with
@@ -165,10 +173,10 @@ class Collection:
         return self.count()
 
     def append_parquet(self, path: str) -> int:
-        return self._append_df(self.spark.read.parquet(path))
+        return self._append_df(self.spark.read.parquet(self._resolve(path)))
 
     def append_jsonl(self, path: str) -> int:
-        return self._append_df(self.spark.read.json(path))
+        return self._append_df(self.spark.read.json(self._resolve(path)))
 
     def add_chunks(self, chunks: Sequence[str], column: str = "text") -> int:
         """S6 (collection_actor.rs:293-365): insert pre-chunked strings as

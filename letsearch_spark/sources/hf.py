@@ -120,6 +120,24 @@ def download_model(
     return target, os.path.join(target, model_rel)
 
 
+def resolve_data_path(path: str, fetch=None) -> str:
+    """Resolve a data path for ingest (S1/S2): local paths/globs pass
+    through; ``hf://datasets/org/name/file`` is downloaded once into the
+    cache (the reference delegates this to DuckDB httpfs,
+    collection_actor.rs:171-174) and the local path returned."""
+    if not path.startswith("hf://"):
+        return path
+    fetch = fetch or _default_fetch
+    url = dataset_url(path)
+    rel = path.removeprefix("hf://datasets/")
+    dst = os.path.join(cache_root(), "datasets", rel)
+    if not os.path.exists(dst):  # skip-if-exists, like model downloads
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        with open(dst, "wb") as f:
+            f.write(fetch(url))
+    return dst
+
+
 def list_models(token: str | None = None, fetch=None) -> list[dict]:
     """GET /api/models?filter=letsearch, sorted by downloads desc
     (hf_ops.rs:257-289)."""

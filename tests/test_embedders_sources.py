@@ -170,6 +170,46 @@ def test_list_models_sorted_by_downloads():
     assert [m["id"] for m in out] == ["b", "a"]
 
 
+def test_resolve_data_path(tmp_path, monkeypatch):
+    monkeypatch.setenv("LETSEARCH_SPARK_HOME", str(tmp_path))
+    assert hf.resolve_data_path("/local/file.parquet") == "/local/file.parquet"
+    assert hf.resolve_data_path("data/*.parquet") == "data/*.parquet"
+
+    payload = open("/root/testdata/sf0.001/region.parquet", "rb").read()
+    calls = []
+
+    def fetch(url):
+        calls.append(url)
+        assert url == (
+            "https://huggingface.co/datasets/org/name/resolve/main/region.parquet"
+        )
+        return payload
+
+    p = hf.resolve_data_path("hf://datasets/org/name/region.parquet", fetch=fetch)
+    assert open(p, "rb").read() == payload
+    # second resolve: cached, no fetch
+    calls.clear()
+    assert hf.resolve_data_path("hf://datasets/org/name/region.parquet", fetch=fetch) == p
+    assert calls == []
+
+
+def test_hf_dataset_ingest_end_to_end(spark, tmp_path, monkeypatch):
+    """S1/S2 hf:// data path: collection ingest through the resolver."""
+    monkeypatch.setenv("LETSEARCH_SPARK_HOME", str(tmp_path))
+    payload = open("/root/testdata/sf0.001/documents.parquet", "rb").read()
+    monkeypatch.setattr(hf, "_default_fetch", lambda url: payload)
+
+    from letsearch_spark.collection import Collection
+
+    c = Collection.create(
+        spark, str(tmp_path / "root"), name="hfdata",
+        index_columns=["text"], model_name="stub://16",
+    )
+    n = c.import_parquet("hf://datasets/org/name/documents.parquet")
+    assert n == 500
+    assert "_key" in c.docs().columns
+
+
 # ---- multimodal plumbing ----
 
 
