@@ -92,6 +92,20 @@ def main() -> None:
     run_stage("search_topk", searches, repeats=1)
     timings["searches_per_sec"] = round(N_SEARCHES / timings["search_topk"], 3)
 
+    # 4b. driver-local serving (the reference's single-node model): the
+    # serve view collected once to RAM, each query one numpy matmul and
+    # zero Spark jobs (search_rows)
+    coll.search_rows("text", "warmup", limit=10)
+
+    def searches_local():
+        for i in range(50 * N_SEARCHES):
+            coll.search_rows("text", f"local {i}", limit=10)
+
+    run_stage("search_topk_local", searches_local, repeats=1)
+    timings["local_searches_per_sec"] = round(
+        50 * N_SEARCHES / timings["search_topk_local"], 3
+    )
+
     # 5. batched k-NN join: 100 queries in ONE job, both scoring paths
     # (Catalyst expression vs per-partition numpy matmul)
     from letsearch_spark.operators.topk import knn_join
@@ -125,7 +139,9 @@ def main() -> None:
     for name in ("dedup_minhash_lsh", "dedup_simhash_pairs"):
         run_stage(name, lambda name=name: QUERIES[name](spark, SF_DIR).count())
 
-    total = round(sum(v for k, v in timings.items() if k != "searches_per_sec"), 3)
+    total = round(
+        sum(v for k, v in timings.items() if not k.endswith("_per_sec")), 3
+    )
     print(
         json.dumps(
             {

@@ -95,13 +95,12 @@ def search(
             {"error": f"column {column_name!r} is not indexed"}, 404, t0
         )
     try:
-        rows = coll.search(column_name, query, limit=limit).collect()
+        # strategy='local' mirrors the reference's serving model: index +
+        # content held in driver RAM, zero Spark jobs per query
+        # (collection_actor.rs:143-152 keeps usearch + DuckDB open in-process)
+        results = coll.search_rows(column_name, query, limit=limit)
     except Exception as e:  # -> 500 envelope (serve.rs:176-182)
         return _envelope({"error": str(e)}, 500, t0)
-    results = [
-        {"content": r["content"], "key": int(r["key"]), "score": float(r["score"])}
-        for r in rows
-    ]
     return _envelope({"results": results}, 200, t0)
 
 

@@ -58,6 +58,8 @@ class Collection:
         # its usearch index in RAM while serving, collection_actor.rs:143-152);
         # invalidated on any write
         self._emb_cache: dict[str, DataFrame] = {}
+        # driver-local serving bundles for strategy='local'
+        self._local_idx: dict[str, tuple] = {}
 
     # ---- paths ----
 
@@ -308,6 +310,10 @@ class Collection:
                     df.unpersist()
                 except Exception:
                     pass
+        if column is None:
+            self._local_idx.clear()
+        else:
+            self._local_idx.pop(column, None)
 
     def embed_all(self, incremental: bool = True) -> dict[str, int]:
         return {
@@ -334,14 +340,27 @@ class Collection:
         content with an IN-list filter (pushed to the parquet scan),
         re-order driver-side. Two tiny sequential jobs; lower latency
         for interactive use.
+
+        strategy='local': the reference's actual serving model -- the
+        whole (key, vector, content) view collected ONCE into driver
+        RAM (numpy matrix + content list, like usearch's in-memory
+        graph + DuckDB's open table), each query a single matmul with
+        no Spark job at all. Only for collections that fit on the
+        driver; Spark remains the build/scale path.
         """
         if not 1 <= limit <= 100:
             raise ValueError(f"limit must be in [1, 100], got {limit}")
         if column not in self.config.index_columns:
             raise ValueError(f"column {column!r} is not indexed")
-        if strategy not in ("join", "inlist"):
+        if strategy not in ("join", "inlist", "local"):
             raise ValueError(f"unknown strategy {strategy!r}")
         qvec = self._embedder().embed([query])[0].tolist()
+
+        if strategy == "local":
+            rows_out = self._local_topk(self._local_bundle(column), qvec, limit)
+            return self.spark.createDataFrame(
+                rows_out, "key long, content string, score double"
+            )
         serve = self._serve_view(column)
 
         if strategy == "inlist":
@@ -383,6 +402,66 @@ class Collection:
             .orderBy(F.desc("score"), F.asc("key"))
             .limit(limit)
         )
+
+    @staticmethod
+    def _local_topk(bundle, qvec, limit: int) -> list[tuple]:
+        import numpy as np
+
+        keys, mat, contents = bundle
+        q = np.asarray(qvec, dtype=np.float64)
+        qn = np.linalg.norm(q)
+        if qn > 0:
+            q = q / qn
+        sims = mat @ q
+        order = np.lexsort((keys, -sims))
+        rows_out = []
+        for i in order:
+            if contents[i] is None:  # P6 null-content drop
+                continue
+            rows_out.append((int(keys[i]), contents[i], float(sims[i])))
+            if len(rows_out) == limit:
+                break
+        return rows_out
+
+    def _local_bundle(self, column: str):
+        import numpy as np
+
+        bundle = self._local_idx.get(column)
+        if bundle is None:
+            rows = self._serve_view(column).collect()
+            keys = np.array([r[KEY_COL] for r in rows], dtype=np.int64)
+            mat = np.array([r["vector"] for r in rows], dtype=np.float64)
+            norms = np.linalg.norm(mat, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            mat = mat / norms
+            contents = [r["content"] for r in rows]
+            bundle = (keys, mat, contents)
+            self._local_idx[column] = bundle
+        return bundle
+
+    def search_rows(
+        self, column: str, query: str, limit: int = 10, strategy: str = "local"
+    ) -> list[dict]:
+        """Serving-layer search: plain (key, content, score) dicts.
+
+        With strategy='local' no Spark job runs at all once the bundle is
+        built -- this matches the reference's per-query cost model
+        (in-RAM index + table, serve.rs latency class). Other strategies
+        delegate to :meth:`search` and collect."""
+        if strategy == "local":
+            if not 1 <= limit <= 100:
+                raise ValueError(f"limit must be in [1, 100], got {limit}")
+            if column not in self.config.index_columns:
+                raise ValueError(f"column {column!r} is not indexed")
+            qvec = self._embedder().embed([query])[0].tolist()
+            rows = self._local_topk(self._local_bundle(column), qvec, limit)
+            return [
+                {"key": k, "content": c, "score": s} for k, c, s in rows
+            ]
+        return [
+            {"key": r["key"], "content": r["content"], "score": r["score"]}
+            for r in self.search(column, query, limit=limit, strategy=strategy).collect()
+        ]
 
     def _serve_view(self, column: str) -> DataFrame:
         """Cached denormalized serving view (key, vector, content) -- the

@@ -159,12 +159,13 @@ def test_reimport_resets_embeddings(spark, sf_dir, tmp_path):
 
 
 def test_search_strategies_equal(coll):
-    a = [(r["key"], round(r["score"], 9)) for r in coll.search("text", "spark q", limit=5).collect()]
-    b = [
-        (r["key"], round(r["score"], 9))
-        for r in coll.search("text", "spark q", limit=5, strategy="inlist").collect()
-    ]
-    assert a == b
+    a = [(r["key"], round(r["score"], 6)) for r in coll.search("text", "spark q", limit=5).collect()]
+    for strat in ("inlist", "local"):
+        b = [
+            (r["key"], round(r["score"], 6))
+            for r in coll.search("text", "spark q", limit=5, strategy=strat).collect()
+        ]
+        assert a == b, strat
     with pytest.raises(ValueError):
         coll.search("text", "q", strategy="bogus")
 
