@@ -330,6 +330,93 @@ def simhash_pairs(
     )
 
 
+# ------------------------------------------------------- components
+
+
+def connected_components(
+    pairs: DataFrame,
+    nodes: DataFrame | None = None,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Component label per node from a near-dup pair graph: (id, component)
+    where component = min node id reachable from id. The last stage of a
+    real dedup pipeline: pairs -> clusters -> one canonical doc per
+    cluster (component == id).
+
+    Min-label propagation: labels start as own id; each round every node
+    takes the min of its label and its neighbors' labels. Converges in
+    `diameter` rounds -- near-dup components from LSH banding are
+    near-cliques (diameter 2-3), so 3-4 shuffle rounds in practice, each
+    round one join + one groupBy on the *pair* table only (nodes outside
+    any pair never enter the loop). Convergence is detected by the
+    monotonically-decreasing sum of labels; `localCheckpoint` truncates
+    the growing lineage each round (essential for iterative Spark plans).
+    For adversarial long-chain graphs use the O(log n)-round
+    large-star/small-star variant (Kiveris et al., "Connected Components
+    in MapReduce and Beyond") -- not needed for dedup graphs.
+
+    ``nodes``: optional (id) DataFrame; ids absent from ``pairs`` are
+    emitted as singleton components (component = own id).
+    """
+    a = F.col(id_a).alias("src")
+    b = F.col(id_b).alias("dst")
+    edges = (
+        pairs.select(a, b)
+        .union(pairs.select(b.alias("src"), a.alias("dst")))
+        .distinct()
+        .cache()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id")).distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint()
+    )
+    prev_sum = labels.agg(F.sum("label")).first()[0]
+    for _ in range(max_iter):
+        neighbor = edges.join(
+            labels.withColumnRenamed("id", "src"), "src"
+        ).select(F.col("dst").alias("id"), "label")
+        labels = (
+            labels.union(neighbor)
+            .groupBy("id")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        cur_sum = labels.agg(F.sum("label")).first()[0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    edges.unpersist()
+    out = labels.select("id", F.col("label").alias("component"))
+    if nodes is not None:
+        singles = (
+            nodes.select(F.col(nodes.columns[0]).alias("id"))
+            .join(out.select("id"), "id", "left_anti")
+            .withColumn("component", F.col("id"))
+        )
+        out = out.union(singles)
+    return out
+
+
+def dedup_keep_list(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    max_iter: int = 20,
+) -> DataFrame:
+    """(id, component, is_kept) over ALL docs: one canonical survivor
+    (the min id) per near-dup cluster, singletons kept as themselves.
+    Downstream: ``docs.join(keep.where("is_kept"), id)`` drops dups."""
+    comp = connected_components(
+        pairs, nodes=docs.select(id_col), max_iter=max_iter
+    )
+    return comp.select(
+        "id", "component", (F.col("id") == F.col("component")).alias("is_kept")
+    )
+
+
 # ------------------------------------------------------------ embeddings
 
 

@@ -537,6 +537,22 @@ def q_dedup_minhash_lsh(spark, sf_dir):
 _SIMHASH_BITS = 32
 
 
+def q_dedup_components(spark, sf_dir):
+    """Near-dup graph -> connected components -> keep-list: the last
+    stage of a real dedup pipeline (pairs alone don't dedup anything --
+    clusters need ONE canonical survivor even when A~B~C but A!~C).
+
+    Edges are the exact n-gram Jaccard pairs (>= 0.5); labels converge by
+    min-label propagation in diameter rounds (near-dup clusters are
+    near-cliques), each round one join + one groupBy over the pair graph
+    only. operators/dedup.py connected_components / dedup_keep_list."""
+    from letsearch_spark.operators.dedup import dedup_keep_list, ngram_jaccard_pairs
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    return dedup_keep_list(docs, pairs, "doc_id").orderBy("id")
+
+
 def q_dedup_simhash(spark, sf_dir):
     """32-bit SimHash fingerprints (md5-keyed, +-1 per token occurrence).
     operators/dedup.py simhash."""
@@ -765,6 +781,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_components": q_dedup_components,
     "dedup_simhash": q_dedup_simhash,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "text_stats": q_text_stats,
@@ -974,7 +991,7 @@ def _oracles() -> dict[str, str]:
         GROUP BY norm_text
         ORDER BY keep_id
     """
-    o["dedup_ngram_jaccard"] = f"""
+    jac_pairs_sql = f"""
         WITH sh AS ({_SHINGLES_SQL}),
         cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
         inter AS (
@@ -988,7 +1005,27 @@ def _oracles() -> dict[str, str]:
         JOIN cnt ca ON ca.doc_id = id_a
         JOIN cnt cb ON cb.doc_id = id_b
         WHERE round(i * 1.0 / (ca.n + cb.n - i), 6) >= 0.5
-        ORDER BY id_a, id_b
+    """
+    o["dedup_ngram_jaccard"] = f"""
+        SELECT * FROM ({jac_pairs_sql}) ORDER BY id_a, id_b
+    """
+    # components oracle: transitive closure by recursive CTE (set-semantic
+    # UNION terminates it), component = min reachable id
+    o["dedup_components"] = f"""
+        WITH RECURSIVE
+        pairs AS ({jac_pairs_sql}),
+        edges AS (
+            SELECT id_a AS src, id_b AS dst FROM pairs
+            UNION
+            SELECT id_b AS src, id_a AS dst FROM pairs
+        ),
+        reach(a, b) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
+        )
+        SELECT a AS id, min(b) AS component, (a = min(b)) AS is_kept
+        FROM reach GROUP BY a ORDER BY id
     """
     from letsearch_spark.operators.dedup import (
         MINHASH_BASE_P,

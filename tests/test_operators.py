@@ -220,3 +220,24 @@ def test_lsh_topk_self_hit(spark, sf_dir):
     hits = lsh_topk(indexed, q, k=5, bits=6, multiprobe=1).collect()
     assert hits[0]["_key"] == 7
     assert hits[0]["score"] == pytest.approx(1.0, abs=1e-9)
+
+
+def test_connected_components_chain_and_singletons(spark):
+    from letsearch_spark.operators.dedup import connected_components, dedup_keep_list
+
+    # chain 1-2-3-4-5 (diameter 4: forces multiple propagation rounds),
+    # clique-ish 10-11, singleton 20 (only via nodes=)
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11)], "id_a long, id_b long"
+    )
+    nodes = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 5, 10, 11, 20]], "id long")
+    comp = {
+        r["id"]: r["component"]
+        for r in connected_components(pairs, nodes=nodes).collect()
+    }
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 20: 20}
+
+    keep = dedup_keep_list(nodes.withColumnRenamed("id", "doc_id"), pairs, "doc_id")
+    kept = sorted(r["id"] for r in keep.where("is_kept").collect())
+    assert kept == [1, 10, 20]
+    assert keep.count() == 8
