@@ -448,6 +448,60 @@ def q_events_value_percentiles(spark, sf_dir):
     )
 
 
+def q_events_asof_last_order(spark, sf_dir):
+    """Point-in-time feature join: each event picks up the user's most
+    recent order at-or-before the event timestamp -- the leakage-free
+    feature-attachment join every training pipeline needs.
+
+    One shuffle on the key (union + running window), no range cross-join;
+    operators/asof.py asof_join. Right side pre-deduped per (key, ts)
+    with a deterministic max-orderkey tie-break so Spark and the DuckDB
+    ASOF JOIN oracle pick identical rows."""
+    from pyspark.sql import Window
+
+    from letsearch_spark.operators.asof import asof_join
+
+    events = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    w = Window.partitionBy("o_custkey", "o_orderdate").orderBy(
+        F.col("o_orderkey").desc()
+    )
+    orders = (
+        load(spark, sf_dir, "orders")
+        .withColumn("rn", F.row_number().over(w))
+        .where("rn = 1")
+        .select("o_custkey", "o_orderdate", "o_orderkey", "o_totalprice")
+    )
+    return asof_join(
+        events,
+        orders,
+        left_ts="ts",
+        right_ts="o_orderdate",
+        by_left="user_id",
+        by_right="o_custkey",
+        right_ts_out="order_ts",
+    ).orderBy("event_id")
+
+
+def q_sample_train_test_split(spark, sf_dir):
+    """Deterministic hash split (90/5/5) + independent 10% hash sample.
+
+    Stable under repartitioning/appends/engine choice -- the md5 bucket
+    formula is replicated bit-for-bit in the DuckDB oracle. Zero-shuffle
+    map-side expressions; operators/sample.py."""
+    from letsearch_spark.operators.sample import hash_bucket, hash_split
+
+    docs = load(spark, sf_dir, "documents")
+    return (
+        hash_split(docs.select("doc_id"), "doc_id")
+        .withColumn(
+            "in_10pct_sample", hash_bucket(F.col("doc_id"), seed=7) < 100000
+        )
+        .orderBy("doc_id")
+    )
+
+
 def q_dedup_embedding_cosine(spark, sf_dir):
     """Embedding-cosine near-dup pairs (sim >= 0.5, id_a < id_b).
 
@@ -777,6 +831,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_join": q_knn_join,
     "search_fetchback_join": q_search_fetchback_join,
     "events_value_percentiles": q_events_value_percentiles,
+    "events_asof_last_order": q_events_asof_last_order,
+    "sample_train_test_split": q_sample_train_test_split,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -975,6 +1031,31 @@ def _oracles() -> dict[str, str]:
                round(percentile_cont(0.9) WITHIN GROUP (ORDER BY value), 6) AS p90,
                round(percentile_cont(0.99) WITHIN GROUP (ORDER BY value), 6) AS p99
         FROM events GROUP BY event_type ORDER BY event_type
+    """
+    o["events_asof_last_order"] = """
+        WITH r AS (
+            SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice FROM (
+                SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice,
+                       row_number() OVER (PARTITION BY o_custkey, o_orderdate
+                                          ORDER BY o_orderkey DESC) AS rn
+                FROM orders) WHERE rn = 1
+        )
+        SELECT e.event_id, e.user_id, e.ts, e.event_type,
+               r.o_orderkey, r.o_totalprice, r.o_orderdate AS order_ts
+        FROM events e ASOF LEFT JOIN r
+             ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate
+        ORDER BY e.event_id
+    """
+    b42 = md5_60.format(x="CAST(doc_id AS VARCHAR) || '#42'") + " % 1000000"
+    b7 = md5_60.format(x="CAST(doc_id AS VARCHAR) || '#7'") + " % 1000000"
+    o["sample_train_test_split"] = f"""
+        SELECT doc_id,
+               CASE WHEN {b42} < 900000 THEN 'train'
+                    WHEN {b42} < 950000 THEN 'val'
+                    ELSE 'test' END AS split,
+               ({b7} < 100000) AS in_10pct_sample
+        FROM documents
+        ORDER BY doc_id
     """
     o["dedup_embedding_cosine"] = f"""
         SELECT a.vec_id AS id_a, b.vec_id AS id_b,

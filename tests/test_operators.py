@@ -241,3 +241,67 @@ def test_connected_components_chain_and_singletons(spark):
     kept = sorted(r["id"] for r in keep.where("is_kept").collect())
     assert kept == [1, 10, 20]
     assert keep.count() == 8
+
+
+def test_asof_join_directions_tolerance(spark):
+    import datetime as dt
+
+    from letsearch_spark.operators.asof import asof_join
+
+    T = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)
+    left = spark.createDataFrame(
+        [(1, T(10), "u"), (2, T(20), "u"), (3, T(5), "v")],
+        "lid long, lts timestamp, luser string",
+    )
+    right = spark.createDataFrame(
+        [(100, T(10), "u"), (200, T(15), "u"), (300, T(30), "v")],
+        "rid long, rts timestamp, ruser string",
+    )
+
+    def run(**kw):
+        rows = asof_join(
+            left, right, "lts", "rts", "luser", "ruser", right_ts_out="mts", **kw
+        ).collect()
+        return {r["lid"]: r["rid"] for r in rows}
+
+    # backward: ts-equal right row IS visible (<=)
+    assert run() == {1: 100, 2: 200, 3: None}
+    # forward: at-or-after
+    assert run(direction="forward") == {1: 100, 2: None, 3: 300}
+    # tolerance cuts the 25s-away match for lid=3 forward
+    assert run(direction="forward", tolerance_seconds=20) == {1: 100, 2: None, 3: None}
+    # inner drops unmatched
+    inner = asof_join(left, right, "lts", "rts", "luser", "ruser", how="inner")
+    assert sorted(r["lid"] for r in inner.collect()) == [1, 2]
+
+    with pytest.raises(ValueError):
+        asof_join(left, right, "lts", "rts", "luser", "ruser", direction="nearest")
+    with pytest.raises(ValueError):
+        # payload column name clash with left
+        asof_join(left, right.withColumnRenamed("rid", "lid"), "lts", "rts", "luser", "ruser")
+
+
+def test_hash_split_and_sample(spark):
+    from letsearch_spark.operators.sample import hash_sample, hash_split
+
+    df = spark.range(0, 2000).withColumnRenamed("id", "k")
+    split = hash_split(df, "k")
+    counts = {r["split"]: r["n"] for r in split.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert counts["train"] > 1600  # ~90%
+    # stable under repartitioning
+    a = sorted((r["k"], r["split"]) for r in split.collect())
+    b = sorted((r["k"], r["split"]) for r in hash_split(df.repartition(13), "k").collect())
+    assert a == b
+
+    n = hash_sample(df, "k", 0.1).count()
+    assert 120 <= n <= 280  # ~10% of 2000
+    # sample is a subset relation: 5% sample ⊆ 10% sample (nested cutoffs)
+    s5 = {r["k"] for r in hash_sample(df, "k", 0.05).collect()}
+    s10 = {r["k"] for r in hash_sample(df, "k", 0.1).collect()}
+    assert s5 <= s10
+
+    with pytest.raises(ValueError):
+        hash_sample(df, "k", 1.5)
+    with pytest.raises(ValueError):
+        hash_split(df, "k", weights={"a": 0.5, "b": 0.6})
