@@ -892,7 +892,7 @@ def _oracles() -> dict[str, str]:
     """
     o["agg_pricing_summary"] = f"""
         SELECT l_returnflag, l_linestatus,
-               sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
+               CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
                sum({cents.format(x='l_extendedprice')}) / 100.0 AS sum_base_price,
                sum({cents.format(x='l_extendedprice * (1 - l_discount)')}) / 100.0 AS sum_disc_price,
                count(*) AS count_order
@@ -972,14 +972,14 @@ def _oracles() -> dict[str, str]:
     """
     o["events_json_extract"] = """
         SELECT event_type,
-               sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+               CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
                count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_k
         FROM events
         GROUP BY event_type
         ORDER BY event_type
     """
     o["events_sessionize"] = """
-        SELECT user_id, sum(new_s) AS n_sessions FROM (
+        SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_sessions FROM (
             SELECT user_id,
                    CASE WHEN lag(ts) OVER w IS NULL
                              OR date_diff('second', lag(ts) OVER w, ts) > 1800
@@ -1235,7 +1235,7 @@ def _oracles() -> dict[str, str]:
         FROM documents ORDER BY doc_id
     """
     o["stream_incremental_count"] = """
-        SELECT event_type, count(*) AS n, sum(user_id) AS sum_uid
+        SELECT event_type, count(*) AS n, CAST(sum(user_id) AS BIGINT) AS sum_uid
         FROM events GROUP BY event_type ORDER BY event_type
     """
     return o
