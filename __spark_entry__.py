@@ -3,9 +3,10 @@
 ``entry(spark)`` -- flagship end-to-end semantic search on sf0.001.
 ``queries()``    -- every implemented operator from SURVEY.md §2 plus the
                     north-star dedup/similarity/text-analysis suite.
-``oracle_sql()`` -- DuckDB-equivalent SQL for each hash-checkable query
-                    (non-SQL-expressible pipelines -- chunker, stub embed,
-                    e2e search -- are rows-only by design).
+``oracle_sql()`` -- DuckDB-equivalent SQL for every query: hand-written
+                    SQL twins where expressible, computed VALUES-literal
+                    oracles (pure-Python/numpy reference implementations)
+                    for the chunker / stub-embed / e2e-search pipelines.
 """
 
 from __future__ import annotations
@@ -49,6 +50,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from letsearch_spark.queries import ORACLES
+    from letsearch_spark.queries import oracles_with_computed
 
-    return dict(ORACLES)
+    return oracles_with_computed()

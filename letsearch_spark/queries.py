@@ -1242,3 +1242,144 @@ def _oracles() -> dict[str, str]:
 
 
 ORACLES = _oracles()
+
+
+# ======================================================================
+# computed-literal oracles for the non-SQL-expressible pipelines
+# ======================================================================
+#
+# The chunker / stub-embed / e2e-search pipelines have no SQL twin, but
+# their expected output at a fixed scale factor is computable by a
+# single-process reference implementation (pandas + the pure-Python
+# chunker/embedder primitives, numpy for the brute-force search --
+# reference: chunker.rs:76-299, vector_index.rs:128-152).  We emit that
+# expected output as a VALUES-literal SELECT so the driver can
+# hash-check all three exactly like the SQL-expressible queries.
+
+ORACLE_SF_DIR_ENV = "LETSEARCH_ORACLE_SF_DIR"
+_DEFAULT_ORACLE_SF_DIR = "/root/testdata/sf0.01"
+_computed_cache: dict[str, dict[str, str]] = {}
+
+
+def _read_documents(sf_dir: str) -> list[dict]:
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    rows = tbl.to_pylist()
+    rows.sort(key=lambda r: r["doc_id"])
+    return rows
+
+
+def _values_literal(rows: list[tuple], cols: list[tuple[str, str]]) -> str:
+    """``SELECT CAST(...) ...`` over a VALUES list; explicit casts keep the
+    Arrow types identical to Spark's (BIGINT -> int64, BOOLEAN -> bool)."""
+
+    def lit(v) -> str:
+        if isinstance(v, bool):
+            return "TRUE" if v else "FALSE"
+        return str(int(v))
+
+    names = [c for c, _ in cols]
+    sel = ", ".join(
+        f"CAST(c{i} AS {typ}) AS {name}" for i, (name, typ) in enumerate(cols)
+    )
+    if not rows:
+        zero = ", ".join("NULL" for _ in cols)
+        return (
+            f"SELECT {sel} FROM (VALUES ({zero})) "
+            f"AS t({', '.join(f'c{i}' for i in range(len(cols)))}) WHERE FALSE"
+        )
+    vals = ", ".join("(" + ", ".join(lit(v) for v in row) + ")" for row in rows)
+    return (
+        f"SELECT {sel} FROM (VALUES {vals}) "
+        f"AS t({', '.join(f'c{i}' for i in range(len(cols)))})"
+    )
+
+
+def _seq_dot(a, b) -> float:
+    """Left-to-right double accumulation -- bit-identical to the Catalyst
+    ``aggregate(zip_with(a, b, *), 0.0, +)`` expression in
+    functions/vector.py, so scores replicate the engine's exactly."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc += float(x) * float(y)
+    return acc
+
+
+def _computed_oracles(sf_dir: str) -> dict[str, str]:
+    import math
+
+    from letsearch_spark.chunker import ChunkerConfig, MarkdownChunker
+    from letsearch_spark.embedders.stub import StubEmbedder
+
+    docs = _read_documents(sf_dir)
+    o: dict[str, str] = {}
+
+    # --- chunk_documents: (doc_id, chunk_idx, chunk_len), cfg 32/0 ---
+    chunker = MarkdownChunker(ChunkerConfig(max_tokens=32, overlap_tokens=0))
+    chunk_rows = [
+        (r["doc_id"], idx, len(ch))
+        for r in docs
+        for idx, ch in enumerate(chunker.chunk(r["text"] if r["text"] is not None else ""))
+    ]
+    o["chunk_documents"] = _values_literal(
+        chunk_rows,
+        [("doc_id", "BIGINT"), ("chunk_idx", "BIGINT"), ("chunk_len", "BIGINT")],
+    )
+
+    # --- embed_stub: (doc_id, dim, norm_ok) via the same stub embedder ---
+    emb = StubEmbedder(16)
+    vecs = emb.embed([r["text"] if r["text"] is not None else "" for r in docs])
+    embed_rows = []
+    for r, v in zip(docs, vecs):
+        norm = math.sqrt(_seq_dot(v, v))
+        embed_rows.append((r["doc_id"], 16, abs(norm - 1.0) < 1e-5))
+    o["embed_stub"] = _values_literal(
+        embed_rows,
+        [("doc_id", "BIGINT"), ("dim", "BIGINT"), ("norm_ok", "BOOLEAN")],
+    )
+
+    # --- search_e2e: (rank, content_len) -- numpy brute-force twin of the
+    # collection spine (embed coalesce(text,'') -> cosine -> top-10 by
+    # (-score, key), null-content dropped).  Scores replicate the
+    # engine's double arithmetic bit-for-bit via _seq_dot, so the
+    # ordering (hence rank/content_len) is exact; key order only breaks
+    # ties between bit-equal scores, which identical texts (equal
+    # content_len) produce.
+    q = emb.embed(["spark join query window batch data"])[0]
+    qn = math.sqrt(_seq_dot(q, q))
+    scored = []
+    for i, (r, v) in enumerate(zip(docs, vecs)):
+        if r["text"] is None:
+            continue  # P6 null-content drop
+        vn = math.sqrt(_seq_dot(v, v))
+        denom = vn * qn
+        score = 0.0 if denom == 0.0 else _seq_dot(v, q) / denom
+        scored.append((-score, i, len(r["text"])))
+    scored.sort()
+    search_rows = [
+        (rank + 1, content_len)
+        for rank, (_, _, content_len) in enumerate(scored[:10])
+    ]
+    o["search_e2e"] = _values_literal(
+        search_rows, [("rank", "BIGINT"), ("content_len", "BIGINT")]
+    )
+    return o
+
+
+def oracles_with_computed(sf_dir: str | None = None) -> dict[str, str]:
+    """Static SQL oracles plus the computed VALUES-literal oracles.
+
+    ``sf_dir`` defaults to the driver's comparison scale (sf0.01); override
+    via the ``LETSEARCH_ORACLE_SF_DIR`` env var (tools/check_oracle.py sets
+    it from ``--sf-dir``)."""
+    sf_dir = sf_dir or os.environ.get(ORACLE_SF_DIR_ENV, _DEFAULT_ORACLE_SF_DIR)
+    cached = _computed_cache.get(sf_dir)
+    if cached is None:
+        cached = _computed_oracles(sf_dir)
+        _computed_cache[sf_dir] = cached
+    out = dict(ORACLES)
+    out.update(cached)
+    return out

@@ -47,6 +47,8 @@ def main() -> int:
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     ap.add_argument("--only", default=None)
     args = ap.parse_args()
+    # computed VALUES-literal oracles must be generated at the same scale
+    os.environ["LETSEARCH_ORACLE_SF_DIR"] = args.sf_dir
 
     import duckdb
 
