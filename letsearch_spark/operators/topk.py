@@ -63,24 +63,30 @@ def knn_join(
     vec_col: str = "vector",
     query_key_col: str = "query_id",
     query_vec_col: str = "qvec",
-    method: str = "expr",
+    method: str = "numpy",
+    exclude_self: bool = False,
 ) -> DataFrame:
     """Batched k-NN join: top-k neighbors in ``base`` for every query row.
 
-    method='expr' -- broadcast the queries, score each (row, query) pair
-    with the Catalyst dot-product expression, window top-k. Exact and
-    oracle-matchable; cost O(|base| * |queries|) expression evals.
+    method='numpy' (default -- the 100-TB shape): queries are collected
+    (they must be the small side), normalized into one matrix, and each
+    base partition scores itself with a single float64 matmul +
+    argpartition, emitting only its LOCAL top-k per query (<= k rows per
+    partition per query, plus boundary ties). A final window reduces the
+    (partitions x k) candidates per query. The all-pairs score matrix
+    never materializes and nothing but candidates crosses the network --
+    the batched analog of TakeOrderedAndProject.
 
-    method='numpy' -- the throughput shape for wide vectors / many
-    queries: queries are collected (they must be the small side),
-    normalized into one matrix, and each base partition scores itself
-    with a single float64 matmul + argpartition, emitting only its
-    LOCAL top-k per query (k rows per partition per query). A final
-    window reduces the (partitions x k) candidates per query. The
-    all-pairs score matrix never materializes and nothing but
-    candidates crosses the network -- the batched analog of
-    TakeOrderedAndProject. Scores differ from the expr path only in
-    float summation order (pairwise vs sequential).
+    method='expr' -- the Catalyst-only correctness twin: broadcast the
+    queries, score each (row, query) pair with the dot-product
+    expression, then reduce in two stages: a LOCAL window keyed by
+    (query, scan partition id) bounds every reducer at one scan
+    partition's pairs, and the global window then ranks only the
+    (partitions x k) surviving candidates. Scores differ from the numpy
+    path only in float summation order (sequential vs pairwise).
+
+    ``exclude_self`` drops pairs where the base key equals the query id
+    (self-matches when the queries are drawn from the base table).
     """
     from letsearch_spark.functions.vector import dot_product, l2_norm
 
@@ -96,13 +102,34 @@ def knn_join(
         sim = dot_product(F.col(vec_col), F.col("__qv")) / (
             F.col("__n") * F.col("__qn")
         )
-        w = Window.partitionBy(query_key_col).orderBy(F.desc("score"), F.asc(key_col))
-        return (
-            b.crossJoin(F.broadcast(q))
-            .select(query_key_col, key_col, sim.alias("score"))
-            .withColumn("rank", F.row_number().over(w).cast("long"))
-            .where(F.col("rank") <= k)
+        pairs = b.crossJoin(F.broadcast(q))
+        if exclude_self:
+            pairs = pairs.where(F.col(key_col) != F.col(query_key_col))
+        # stage 1: local top-k per (query, scan partition). The broadcast
+        # join is map-side, so spark_partition_id() here IS the scan
+        # partition; the window's exchange spreads the pairs over
+        # |queries| x |partitions| reducers instead of collapsing the
+        # whole dataset into |queries|.
+        scored = pairs.select(
+            query_key_col,
+            key_col,
+            sim.alias("score"),
+            F.spark_partition_id().alias("__pid"),
         )
+        wl = Window.partitionBy(query_key_col, "__pid").orderBy(
+            F.desc("score"), F.asc(key_col)
+        )
+        candidates = (
+            scored.withColumn("__lrank", F.row_number().over(wl))
+            .where(F.col("__lrank") <= k)
+            .drop("__pid", "__lrank")
+        )
+        # stage 2: global rank over candidates only (<= k per partition
+        # per query survive stage 1)
+        w = Window.partitionBy(query_key_col).orderBy(F.desc("score"), F.asc(key_col))
+        return candidates.withColumn(
+            "rank", F.row_number().over(w).cast("long")
+        ).where(F.col("rank") <= k)
 
     if method != "numpy":
         raise ValueError(f"unknown method {method!r}; expected expr|numpy")
@@ -118,6 +145,7 @@ def knn_join(
 
     schema = f"{query_key_col} long, {key_col} long, score double"
     kk = k
+    excl = exclude_self
 
     def score_partition(batches):
         for pdf in batches:
@@ -128,6 +156,8 @@ def knn_join(
             n = np.linalg.norm(X, axis=1, keepdims=True)
             n[n == 0] = 1.0
             S = (X / n) @ Qn  # rows x queries
+            if excl:
+                S[keys[:, None] == qids[None, :]] = -np.inf
             top = min(kk, S.shape[0])
             part = np.argpartition(-S, top - 1, axis=0)[:top]  # top x queries
             out_q, out_k, out_s = [], [], []
@@ -136,7 +166,11 @@ def knn_join(
                 # are resolved by the final (score desc, key asc) window,
                 # not by argpartition's arbitrary pick
                 thresh = S[part[:, j], j].min()
-                rows = np.nonzero(S[:, j] >= thresh)[0]
+                if not np.isfinite(thresh):
+                    thresh = -np.inf  # all-excluded partition: emit nothing
+                    rows = np.nonzero(S[:, j] > thresh)[0]
+                else:
+                    rows = np.nonzero(S[:, j] >= thresh)[0]
                 out_q.extend([qids[j]] * len(rows))
                 out_k.extend(keys[rows])
                 out_s.extend(S[rows, j])

@@ -387,23 +387,25 @@ def q_k1_topk_label_filtered(spark, sf_dir):
 
 
 def q_knn_join(spark, sf_dir):
-    """Brute-force k-NN join: top-3 neighbors for each of 5 query vectors.
-    Queries are broadcast; candidates never shuffle; per-query top-k via
-    window over the (tiny) query partition."""
+    """Brute-force k-NN join: top-3 neighbors for each of 5 query vectors,
+    via the scale-safe operator default (operators/topk.py knn_join,
+    method='numpy'): each base partition emits only its local top-k
+    candidates, so the final per-query window ranks candidates -- the
+    all-pairs score matrix never shuffles."""
+    from letsearch_spark.operators.topk import knn_join
+
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
     )
-    sim = _cosine_pair(F.col("embedding"), F.col("qvec"))
-    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
-    return (
-        emb.crossJoin(F.broadcast(queries))
-        .where(F.col("vec_id") != F.col("query_id"))
-        .select("query_id", "vec_id", sim.alias("sim"))
-        .withColumn("rank", F.row_number().over(w).cast("long"))
-        .where(F.col("rank") <= 3)
-        .select("query_id", F.col("vec_id").alias("neighbor_id"), "rank")
-    )
+    return knn_join(
+        emb,
+        queries,
+        k=3,
+        key_col="vec_id",
+        vec_col="embedding",
+        exclude_self=True,
+    ).select("query_id", F.col("vec_id").alias("neighbor_id"), "rank")
 
 
 def q_search_fetchback_join(spark, sf_dir):
