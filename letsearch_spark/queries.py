@@ -521,6 +521,32 @@ def q_dedup_embedding_cosine(spark, sf_dir):
     ).orderBy("id_a", "id_b")
 
 
+_LSH_BITS = 4  # 16 buckets at sf0.01: pairs scored drop to ~6% of all-pairs
+_LSH_THRESHOLD = 0.3
+_EMB_DIM = 64
+
+
+def q_dedup_embedding_cosine_lsh(spark, sf_dir):
+    """Embedding near-dup pairs via the 100-TB path: sign-LSH bucket the
+    vectors (4 random hyperplanes -> 16 buckets, pure Catalyst signature
+    expression), score only same-bucket pairs. Output is a verified
+    subset of the exact all-pairs result (cross-bucket pairs are the
+    documented recall loss; raise bits+multiprobe to trade cost for
+    recall). operators/dedup.py embedding_cosine_pairs(method='lsh')."""
+    from letsearch_spark.operators.dedup import embedding_cosine_pairs
+
+    emb = load(spark, sf_dir, "embeddings")
+    return embedding_cosine_pairs(
+        emb,
+        "vec_id",
+        "embedding",
+        threshold=_LSH_THRESHOLD,
+        method="lsh",
+        lsh_bits=_LSH_BITS,
+        dim=_EMB_DIM,
+    ).orderBy("id_a", "id_b")
+
+
 # ======================================================================
 # North star: deduplication family (exact, n-gram Jaccard, MinHash-LSH,
 # SimHash) over documents
@@ -545,20 +571,38 @@ _SHINGLES_SQL = f"""
     WHERE len(words) >= 3
 """
 
+# the contract queries run with the hot-shingle skew guard ON (a shingle
+# shared by more than this many docs is a stop-phrase; joining on it is
+# quadratic). The oracle mirrors the cap in _CAPPED_SHINGLES_SQL.
+_MAX_SHINGLE_FREQ = 100
+
+_CAPPED_SHINGLES_SQL = f"""
+    SELECT doc_id, s FROM (
+        SELECT doc_id, s, count(*) OVER (PARTITION BY s) AS df_
+        FROM ({_SHINGLES_SQL})
+    ) WHERE df_ <= {_MAX_SHINGLE_FREQ}
+"""
+
 
 def q_dedup_ngram_jaccard(spark, sf_dir):
     """Word-3-gram Jaccard near-dup pairs (j >= 0.5).
 
     Shuffle profile at scale: explode -> distinct (one shuffle on
-    (doc,shingle)), self-join on shingle (one shuffle on shingle; skewed
-    shingles are capped by max_shingle_freq in the operator), then a
-    count aggregation. operators/dedup.py ngram_jaccard_pairs."""
+    (doc,shingle)), self-join on shingle (one shuffle on shingle; hot
+    shingles capped at max_shingle_freq docs so no stop-phrase goes
+    quadratic), then a count aggregation. operators/dedup.py
+    ngram_jaccard_pairs."""
     from letsearch_spark.operators.dedup import ngram_jaccard_pairs
 
     docs = load(spark, sf_dir, "documents")
-    return ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5).orderBy(
-        "id_a", "id_b"
-    )
+    return ngram_jaccard_pairs(
+        docs,
+        "doc_id",
+        "text",
+        n=3,
+        threshold=0.5,
+        max_shingle_freq=_MAX_SHINGLE_FREQ,
+    ).orderBy("id_a", "id_b")
 
 
 _N_PERMS = 16
@@ -605,7 +649,10 @@ def q_dedup_components(spark, sf_dir):
     from letsearch_spark.operators.dedup import dedup_keep_list, ngram_jaccard_pairs
 
     docs = load(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    pairs = ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.5,
+        max_shingle_freq=_MAX_SHINGLE_FREQ,
+    )
     return dedup_keep_list(docs, pairs, "doc_id").orderBy("id")
 
 
@@ -836,6 +883,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_asof_last_order": q_events_asof_last_order,
     "sample_train_test_split": q_sample_train_test_split,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
+    "dedup_embedding_cosine_lsh": q_dedup_embedding_cosine_lsh,
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -1066,6 +1114,29 @@ def _oracles() -> dict[str, str]:
         WHERE round({cos.format(a='a.embedding', b='b.embedding')}, 6) >= 0.5
         ORDER BY id_a, id_b
     """
+    # LSH-mode embedding dedup: the hyperplanes are deterministic from the
+    # seed, so the oracle reproduces the bucket signature with the same
+    # plane coefficients as double literals
+    from letsearch_spark.operators.topk import _hyperplanes
+
+    planes = _hyperplanes(_EMB_DIM, _LSH_BITS, seed=42)
+    bucket_terms = " + ".join(
+        "(CASE WHEN list_dot_product((embedding)::DOUBLE[], "
+        f"[{', '.join(repr(float(p)) for p in plane)}]::DOUBLE[]) >= 0 "
+        f"THEN {1 << i} ELSE 0 END)"
+        for i, plane in enumerate(planes)
+    )
+    o["dedup_embedding_cosine_lsh"] = f"""
+        WITH bv AS (
+            SELECT vec_id, embedding, CAST({bucket_terms} AS INT) AS bucket
+            FROM embeddings
+        )
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round({cos.format(a='a.embedding', b='b.embedding')}, 6) AS sim
+        FROM bv a JOIN bv b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        WHERE round({cos.format(a='a.embedding', b='b.embedding')}, 6) >= {_LSH_THRESHOLD}
+        ORDER BY id_a, id_b
+    """
     o["dedup_exact"] = """
         SELECT min(doc_id) AS keep_id, count(*) AS n_copies
         FROM (SELECT doc_id,
@@ -1075,7 +1146,7 @@ def _oracles() -> dict[str, str]:
         ORDER BY keep_id
     """
     jac_pairs_sql = f"""
-        WITH sh AS ({_SHINGLES_SQL}),
+        WITH sh AS ({_CAPPED_SHINGLES_SQL}),
         cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
         inter AS (
             SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i

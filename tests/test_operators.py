@@ -38,6 +38,36 @@ def test_ngram_jaccard_finds_near_dups(docs):
     assert not any({a, b} == {4, 5} for a, b in pairs)
 
 
+def test_ngram_jaccard_shingle_freq_guard(spark):
+    from letsearch_spark.operators.dedup import ngram_jaccard_pairs, shingles
+
+    # every doc shares the hot phrase; only 1 and 2 share rare content
+    hot = "lorem ipsum dolor sit amet consectetur"
+    rows = [
+        (1, f"{hot} alpha beta gamma delta"),
+        (2, f"{hot} alpha beta gamma delta"),
+        (3, f"{hot} epsilon zeta eta theta"),
+        (4, f"{hot} iota kappa lambda mu"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    # cap=3: the 4-doc hot shingles are dropped before the self-join...
+    capped = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(
+            df, "doc_id", "text", threshold=0.5, max_shingle_freq=3
+        ).collect()
+    }
+    # ...so only the true near-dup pair survives, at jaccard 1.0 over its
+    # surviving (rare) shingles
+    assert set(capped) == {(1, 2)} and capped[(1, 2)] == 1.0
+    # and the shingle relation itself shrank: no shingle with df > 3
+    sh = shingles(df, "doc_id", "text")
+    from pyspark.sql import functions as FF
+
+    freqs = sh.groupBy("s").count()
+    assert freqs.where(FF.col("count") > 3).count() > 0  # guard had work to do
+
+
 def test_minhash_candidates_superset_of_high_jaccard(docs):
     from letsearch_spark.operators.dedup import minhash_lsh_pairs
 
@@ -205,6 +235,26 @@ def test_knn_join_numpy_matches_expr(spark, sf_dir):
 
     with pytest.raises(ValueError):
         knn_join(emb, queries, k=5, method="bogus")
+
+
+def test_knn_join_exclude_self(spark, sf_dir):
+    import os
+
+    from letsearch_spark.operators.topk import knn_join
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).select(
+        F.col("vec_id").alias("_key"), F.col("embedding").alias("vector")
+    )
+    queries = emb.where(F.col("_key") < 3).select(
+        F.col("_key").alias("query_id"), F.col("vector").alias("qvec")
+    )
+    for method in ("expr", "numpy"):
+        out = knn_join(
+            emb, queries, k=3, method=method, exclude_self=True
+        ).collect()
+        assert all(r["_key"] != r["query_id"] for r in out)
+        assert len(out) == 9  # 3 queries x k=3, self removed, rank dense
+        assert sorted(r["rank"] for r in out) == [1, 1, 1, 2, 2, 2, 3, 3, 3]
 
 
 def test_lsh_topk_self_hit(spark, sf_dir):
