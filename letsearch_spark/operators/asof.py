@@ -37,7 +37,7 @@ def asof_join(
     by_left: str,
     by_right: str,
     direction: str = "backward",
-    tolerance_seconds: int | None = None,
+    tolerance_seconds: float | None = None,
     right_ts_out: str | None = None,
     how: str = "left",
 ) -> DataFrame:
@@ -50,7 +50,9 @@ def asof_join(
     side per (key, ts) (recommended; mirrors DuckDB ASOF which assumes
     unique timestamps per key).
 
-    ``tolerance_seconds``: unmatched if |left_ts - right_ts| exceeds it.
+    ``tolerance_seconds``: unmatched if |left_ts - right_ts| exceeds it
+    (fractional seconds honored -- the comparison runs on epoch
+    microseconds, not whole seconds).
     ``right_ts_out``: include the matched right timestamp under this name.
     ``how``: 'left' keeps unmatched left rows (payload nulls); 'inner'
     drops them.
@@ -105,11 +107,15 @@ def asof_join(
         .where(F.col("__is_right") == 0)
     )
     if tolerance_seconds is not None:
-        delta = F.abs(
-            F.unix_timestamp("__t") - F.unix_timestamp(F.col("__m.__rt"))
+        # microsecond-precision delta: unix_timestamp() truncates to whole
+        # seconds and would mis-classify sub-second gaps at the boundary
+        delta_us = F.abs(
+            F.unix_micros(F.col("__t").cast("timestamp"))
+            - F.unix_micros(F.col("__m.__rt").cast("timestamp"))
         )
+        tol_us = int(round(tolerance_seconds * 1_000_000))
         out = out.withColumn(
-            "__m", F.when(delta <= tolerance_seconds, F.col("__m"))
+            "__m", F.when(delta_us <= tol_us, F.col("__m"))
         )
     if how == "inner":
         out = out.where(F.col("__m").isNotNull())

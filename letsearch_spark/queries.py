@@ -327,14 +327,17 @@ def q_events_json_extract(spark, sf_dir):
     )
 
 
-def q_events_sessionize(spark, sf_dir):
-    """Gap-based sessionization (30 min) -- lag + cumulative flag."""
-    ev = load(spark, sf_dir, "events")
+def sessionize_counts(ev: DataFrame, gap_seconds: float = 1800) -> DataFrame:
+    """Sessions per user from a gap rule: a new session starts when the
+    gap to the previous event exceeds ``gap_seconds``. The gap compares
+    epoch MICROseconds (unix_timestamp would truncate to whole seconds
+    and misjudge sub-second boundary gaps)."""
+    gap_us = int(round(gap_seconds * 1_000_000))
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     prev = F.lag("ts").over(w)
     new_s = F.when(
         prev.isNull()
-        | ((F.unix_timestamp("ts") - F.unix_timestamp(prev)) > 1800),
+        | ((F.unix_micros(F.col("ts")) - F.unix_micros(prev)) > gap_us),
         1,
     ).otherwise(0)
     return (
@@ -343,6 +346,12 @@ def q_events_sessionize(spark, sf_dir):
         .agg(F.sum("new_s").alias("n_sessions"))
         .orderBy("user_id")
     )
+
+
+def q_events_sessionize(spark, sf_dir):
+    """Gap-based sessionization (30 min) -- lag + cumulative flag,
+    microsecond-precision gap arithmetic."""
+    return sessionize_counts(load(spark, sf_dir, "events"))
 
 
 # ======================================================================
@@ -1032,7 +1041,8 @@ def _oracles() -> dict[str, str]:
         SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_sessions FROM (
             SELECT user_id,
                    CASE WHEN lag(ts) OVER w IS NULL
-                             OR date_diff('second', lag(ts) OVER w, ts) > 1800
+                             OR date_diff('microsecond', lag(ts) OVER w, ts)
+                                > 1800000000
                         THEN 1 ELSE 0 END AS new_s
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)

@@ -320,6 +320,29 @@ def test_asof_join_directions_tolerance(spark):
     assert run(direction="forward") == {1: 100, 2: None, 3: 300}
     # tolerance cuts the 25s-away match for lid=3 forward
     assert run(direction="forward", tolerance_seconds=20) == {1: 100, 2: None, 3: None}
+    # sub-second tolerance: a 5s gap (lid=2 backward matched rid=200 at
+    # ts-5s) must fail a 4.999s tolerance and pass a 5.0s one -- whole-
+    # second truncation would see both as exactly 5
+    assert run(tolerance_seconds=4.999) == {1: 100, 2: None, 3: None}
+    assert run(tolerance_seconds=5.0) == {1: 100, 2: 200, 3: None}
+    # sub-second timestamps: left at +250ms matches right at ts, and a
+    # 200ms tolerance cuts it while 300ms keeps it
+    Tms = lambda s, ms: dt.datetime(2024, 1, 1, 0, 0, s, ms * 1000)
+    l2 = spark.createDataFrame(
+        [(9, Tms(40, 250), "u")], "lid long, lts timestamp, luser string"
+    )
+    r2 = spark.createDataFrame(
+        [(900, Tms(40, 0), "u")], "rid long, rts timestamp, ruser string"
+    )
+    for tol, want in ((0.2, None), (0.3, 900)):
+        got = {
+            r["lid"]: r["rid"]
+            for r in asof_join(
+                l2, r2, "lts", "rts", "luser", "ruser",
+                tolerance_seconds=tol,
+            ).collect()
+        }
+        assert got == {9: want}
     # inner drops unmatched
     inner = asof_join(left, right, "lts", "rts", "luser", "ruser", how="inner")
     assert sorted(r["lid"] for r in inner.collect()) == [1, 2]
@@ -329,6 +352,30 @@ def test_asof_join_directions_tolerance(spark):
     with pytest.raises(ValueError):
         # payload column name clash with left
         asof_join(left, right.withColumnRenamed("rid", "lid"), "lts", "rts", "luser", "ruser")
+
+
+def test_sessionize_subsecond_gaps(spark):
+    import datetime as dt
+
+    from letsearch_spark.queries import sessionize_counts
+
+    base = dt.datetime(2024, 1, 1)
+    us = dt.timedelta(microseconds=1)
+    gap = dt.timedelta(seconds=1800)
+    rows = [
+        # user 1: second event exactly 1800.000000s later -> SAME session
+        (1, 1, base),
+        (2, 1, base + gap),
+        # user 2: second event 1800.000001s later -> NEW session; whole-
+        # second truncation would call this gap 1800 and merge them
+        (3, 2, base),
+        (4, 2, base + gap + us),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp"
+    )
+    got = {r["user_id"]: r["n_sessions"] for r in sessionize_counts(ev).collect()}
+    assert got == {1: 1, 2: 2}
 
 
 def test_hash_split_and_sample(spark):
