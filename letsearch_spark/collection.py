@@ -27,7 +27,6 @@ from __future__ import annotations
 
 import os
 import re
-import shutil
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
@@ -137,8 +136,7 @@ class Collection:
         keyed = add_dense_key(df, KEY_COL, start=1)
         keyed.write.mode("overwrite").parquet(self.docs_path)
         self._invalidate_cache()
-        if os.path.isdir(self.embeddings_path):
-            shutil.rmtree(self.embeddings_path)
+        self._fs_delete(self.embeddings_path)
         return self.count()
 
     def import_parquet(self, path: str) -> int:
@@ -214,19 +212,36 @@ class Collection:
     def _embedder(self) -> Embedder:
         return get_embedder(self.config.model_name, self.config.model_variant)
 
-    def _docs_exist(self) -> bool:
-        p = self.docs_path
-        return os.path.isdir(p) and any(
-            not e.startswith(("_", ".")) for e in os.listdir(p)
+    def _fs_nonempty(self, path: str) -> bool:
+        """True if ``path`` exists and holds at least one non-hidden entry.
+
+        Goes through the Hadoop FileSystem API (resolved from the path's
+        scheme), so plain local paths, ``file:`` URIs and object-store
+        URIs (s3a/gs/abfs) all behave identically -- os.listdir would
+        silently fail anywhere but the local FS."""
+        jvm = self.spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = jpath.getFileSystem(self.spark._jsc.hadoopConfiguration())
+        if not fs.exists(jpath):
+            return False
+        return any(
+            not st.getPath().getName().startswith(("_", "."))
+            for st in fs.listStatus(jpath)
         )
 
+    def _fs_delete(self, path: str) -> None:
+        """Recursive delete via the Hadoop FS (no-op when absent)."""
+        jvm = self.spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = jpath.getFileSystem(self.spark._jsc.hadoopConfiguration())
+        if fs.exists(jpath):
+            fs.delete(jpath, True)
+
+    def _docs_exist(self) -> bool:
+        return self._fs_nonempty(self.docs_path)
+
     def _has_embeddings(self) -> bool:
-        # local/dbfs-style path check; works for file: URIs the tests use.
-        # On object stores a real deployment would consult the catalog.
-        p = self.embeddings_path
-        return os.path.isdir(p) and any(
-            e for e in os.listdir(p) if not e.startswith(("_", "."))
-        )
+        return self._fs_nonempty(self.embeddings_path)
 
     def embeddings(self, column: str | None = None) -> DataFrame:
         df = self.spark.read.parquet(self.embeddings_path)

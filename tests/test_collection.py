@@ -176,3 +176,28 @@ def test_search_limit_validation(coll):
             coll.search("text", "q", limit=bad)
     with pytest.raises(ValueError):
         coll.search("not_indexed", "q")
+
+
+def test_fs_checks_handle_file_uris(spark, tmp_path):
+    """_fs_nonempty/_fs_delete go through the Hadoop FS API, so plain
+    paths and file: URIs resolve identically (os.listdir would treat the
+    URI as a literal relative path)."""
+    from letsearch_spark.collection import Collection
+
+    c = Collection.create(spark, str(tmp_path), name="fscheck")
+
+    d = tmp_path / "somedir"
+    d.mkdir()
+    for probe in (str(d), f"file:{d}"):
+        assert not c._fs_nonempty(probe)  # empty dir
+    (d / "_SUCCESS").write_text("")
+    (d / ".hidden").write_text("")
+    for probe in (str(d), f"file:{d}"):
+        assert not c._fs_nonempty(probe)  # only hidden/meta entries
+    (d / "part-00000.parquet").write_text("x")
+    for probe in (str(d), f"file:{d}"):
+        assert c._fs_nonempty(probe)
+
+    c._fs_delete(f"file:{d}")
+    assert not d.exists()
+    c._fs_delete(f"file:{d}")  # absent: no-op, no raise
