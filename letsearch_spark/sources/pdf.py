@@ -14,9 +14,12 @@ backends:
   the reference's own hand-crafted test fixture (pdf.rs:83-92) and for
   exercising the heuristic end-to-end without native deps.
 
-Markdown conversion beyond plain text concatenation (headings, lists)
-is deliberately out of scope, like the reference delegating to
-pdf_oxide's converter: we emit one markdown paragraph per page.
+Markdown conversion (the pdf_oxide analog, pdf.rs:62-73): the builtin
+extractor tracks the active font size (``Tf`` operators) per text run,
+and :func:`runs_to_markdown` promotes short runs set significantly
+larger than the body size to ``#``/``##``/``###`` ATX headings --
+structure the hierarchical chunker (T1) keys on. The pypdf backend
+yields plain text runs (size-less), which degrade to paragraphs.
 
 Distributed use: ``spark.read.format("binaryFile")`` over a directory of
 PDFs + ``mapInPandas`` applying these functions per file (see
@@ -44,7 +47,10 @@ def _extract_pages_pypdf(data: bytes) -> list[str] | None:
     return [(p.extract_text() or "") for p in reader.pages]
 
 
-_TJ_RE = re.compile(rb"\((?P<s>(?:\\.|[^\\()])*)\)\s*Tj")
+_OP_RE = re.compile(
+    rb"(?:/\w+\s+(?P<size>\d+(?:\.\d+)?)\s+Tf)"
+    rb"|(?:\((?P<s>(?:\\.|[^\\()])*)\)\s*Tj)"
+)
 _STREAM_RE = re.compile(rb"stream\r?\n(.*?)endstream", re.DOTALL)
 _PAGE_RE = re.compile(rb"/Type\s*/Page\b(?!s)")
 
@@ -54,32 +60,98 @@ def _unescape_pdf_string(raw: bytes) -> str:
     return out.decode("latin-1", errors="replace")
 
 
-def _extract_pages_builtin(data: bytes) -> list[str]:
+def _extract_runs_builtin(data: bytes) -> list[list[tuple[str, float]]]:
     """Last-resort extractor for simple, uncompressed PDFs (e.g. the
-    reference's test fixture). One entry per /Type /Page object; all text
-    shown via ``(...) Tj`` in content streams is concatenated in order.
-    This is NOT a general PDF parser -- real corpora should have pypdf.
+    reference's test fixture). One entry per /Type /Page object; each
+    page is a list of (text, font_size) runs -- every ``(...) Tj``
+    show-text operand tagged with the active ``Tf`` size (0.0 when no
+    Tf precedes it). This is NOT a general PDF parser -- real corpora
+    should have pypdf.
     """
     n_pages = len(_PAGE_RE.findall(data))
     if n_pages == 0:
         raise ValueError("not a parseable PDF (no /Type /Page objects)")
-    texts = []
+    streams: list[list[tuple[str, float]]] = []
     for m in _STREAM_RE.finditer(data):
-        parts = [_unescape_pdf_string(t.group("s")) for t in _TJ_RE.finditer(m.group(1))]
-        if parts:
-            texts.append(" ".join(parts))
+        runs: list[tuple[str, float]] = []
+        size = 0.0
+        for op in _OP_RE.finditer(m.group(1)):
+            if op.group("size") is not None:
+                size = float(op.group("size"))
+            else:
+                runs.append((_unescape_pdf_string(op.group("s")), size))
+        if runs:
+            streams.append(runs)
     # associate streams to pages positionally; missing -> empty page
-    pages = [""] * n_pages
-    for i, t in enumerate(texts[:n_pages]):
-        pages[i] = t
+    pages: list[list[tuple[str, float]]] = [[] for _ in range(n_pages)]
+    for i, r in enumerate(streams[:n_pages]):
+        pages[i] = r
     return pages
+
+
+def extract_runs(data: bytes) -> list[list[tuple[str, float]]]:
+    """(text, font_size) runs per page; pypdf text degrades to one
+    size-less run per page (size 0.0 == body)."""
+    plain = _extract_pages_pypdf(data)
+    if plain is not None:
+        return [[(p, 0.0)] if p else [] for p in plain]
+    return _extract_runs_builtin(data)
 
 
 def extract_pages(data: bytes) -> list[str]:
-    pages = _extract_pages_pypdf(data)
-    if pages is None:
-        pages = _extract_pages_builtin(data)
-    return pages
+    return [" ".join(t for t, _ in runs) for runs in extract_runs(data)]
+
+
+def runs_to_markdown(pages: list[list[tuple[str, float]]]) -> str:
+    """Markdown with ATX headings from font-size structure (the
+    pdf_oxide-converter analog, pdf.rs:62-73).
+
+    Body size = the size carrying the most text; a short run set at
+    >= 1.15x body becomes a heading, level by rank of its size among
+    heading sizes (largest -> #, then ##, ###; deeper sizes clamp to
+    ###, the deepest level the hierarchical chunker splits on).
+    """
+    from collections import Counter
+
+    weight: Counter = Counter()
+    for runs in pages:
+        for text, size in runs:
+            if text.strip():
+                weight[size] += len(text)
+    if not weight:
+        return ""
+    body_size = max(weight.items(), key=lambda kv: (kv[1], kv[0]))[0]
+    heading_sizes = sorted(
+        {
+            s
+            for runs in pages
+            for t, s in runs
+            if t.strip() and s >= body_size * 1.15 and len(t.strip()) <= 100
+        },
+        reverse=True,
+    )
+    level = {s: min(i + 1, 3) for i, s in enumerate(heading_sizes)}
+
+    out_pages: list[str] = []
+    for runs in pages:
+        blocks: list[str] = []
+        para: list[str] = []
+        for text, size in runs:
+            t = text.strip()
+            if not t:
+                continue
+            if size in level and len(t) <= 100:
+                if para:
+                    blocks.append(" ".join(para))
+                    para = []
+                blocks.append(f"{'#' * level[size]} {t}")
+            else:
+                para.append(t)
+        if para:
+            blocks.append(" ".join(para))
+        if blocks:
+            out_pages.append("\n\n".join(blocks))
+    return "\n\n".join(out_pages)
 
 
 def _check_text_pdf(pages: list[str]) -> bool:
@@ -104,16 +176,26 @@ def is_text_pdf(path: str) -> bool:
         return _check_text_pdf(extract_pages(f.read()))
 
 
+def _data_to_markdown(data: bytes) -> str:
+    """Shared conversion core: heuristic on plain text, markdown (with
+    font-size headings) from the same runs."""
+    runs = extract_runs(data)
+    plain = [" ".join(t for t, _ in page) for page in runs]
+    if not _check_text_pdf(plain):
+        raise ValueError(
+            "PDF appears to be a scanned document without extractable text"
+        )
+    return runs_to_markdown(runs)
+
+
 def pdf_to_markdown(path: str) -> str:
     """pdf.rs:62-73 -- single open; heuristic + conversion on the same doc."""
     with open(path, "rb") as f:
         data = f.read()
-    pages = extract_pages(data)
-    if not _check_text_pdf(pages):
-        raise ValueError(
-            f"PDF {path!r} appears to be a scanned document without extractable text"
-        )
-    return "\n\n".join(p for p in pages if p.strip())
+    try:
+        return _data_to_markdown(data)
+    except ValueError as e:
+        raise ValueError(f"{path!r}: {e}") from e
 
 
 def read_pdfs(spark, path_glob: str, column: str = "text"):
@@ -139,9 +221,8 @@ def read_pdfs(spark, path_glob: str, column: str = "text"):
             rows = []
             for p, content in zip(pdf["path"], pdf["content"]):
                 try:
-                    pages = extract_pages(bytes(content))
-                    ok = _check_text_pdf(pages)
-                    text = "\n\n".join(pg for pg in pages if pg.strip()) if ok else None
+                    text = _data_to_markdown(bytes(content))
+                    ok = True
                 except Exception:
                     ok, text = False, None
                 rows.append((p, text, ok))

@@ -56,3 +56,89 @@ def test_heuristic_boundaries():
     assert _check_text_pdf(["", "x" * 50, "", "x" * 50]) is False
     # ratio boundary: 1 of 2 sampled pages texty -> 0.5 >= 0.5 -> True
     assert _check_text_pdf(["x" * 50, "", "", ""]) is True
+
+
+# structured fixture: 24pt title, 18pt section headers, 12pt body runs
+STRUCTURED_STREAM = (
+    b"BT "
+    b"/F1 24 Tf (Quarterly Report) Tj "
+    b"/F1 12 Tf (This report summarizes the quarter with revenue growth "
+    b"and cost detail across all operating segments worldwide) Tj "
+    b"/F1 18 Tf (Revenue Overview) Tj "
+    b"/F1 12 Tf (Revenue grew nine percent on strong subscription demand "
+    b"and better renewal rates in every region we serve today) Tj "
+    b"/F1 18 Tf (Cost Analysis) Tj "
+    b"/F1 12 Tf (Costs fell as cloud migration completed and vendor "
+    b"consolidation reduced our total infrastructure footprint) Tj "
+    b"ET"
+)
+
+STRUCTURED_PDF = (
+    b"%PDF-1.4\n1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n2 0 obj\n"
+    b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n3 0 obj\n"
+    b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792]\n"
+    b"  /Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >>\nendobj\n"
+    b"4 0 obj\n<< /Length " + str(len(STRUCTURED_STREAM)).encode() + b" >>\nstream\n"
+    + STRUCTURED_STREAM + b"\nendstream\nendobj\n"
+    b"5 0 obj\n<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>\nendobj\n"
+    b"trailer\n<< /Size 6 /Root 1 0 R >>\n%%EOF\n"
+)
+
+
+@pytest.fixture
+def structured_pdf(tmp_path):
+    p = tmp_path / "structured.pdf"
+    p.write_bytes(STRUCTURED_PDF)
+    return str(p)
+
+
+def test_pdf_markdown_emits_headings(structured_pdf):
+    md = pdf_to_markdown(structured_pdf)
+    lines = md.split("\n\n")
+    assert "# Quarterly Report" in lines
+    assert "## Revenue Overview" in lines
+    assert "## Cost Analysis" in lines
+    # heading rank: 24pt -> #, 18pt -> ##; body stays unmarked
+    assert not any(ln.startswith("#") and "revenue grew" in ln.lower() for ln in lines)
+
+
+def test_pdf_chunks_split_at_headers(structured_pdf):
+    """T1 integration: the font-size headings make the hierarchical
+    chunker split at section boundaries instead of token windows."""
+    from letsearch_spark.chunker import ChunkerConfig, MarkdownChunker
+
+    md = pdf_to_markdown(structured_pdf)
+    chunks = MarkdownChunker(ChunkerConfig(max_tokens=40, overlap_tokens=0)).chunk(md)
+    assert len(chunks) == 3
+    assert chunks[0].startswith("# Quarterly Report")
+    assert chunks[1].startswith("## Revenue Overview")
+    assert chunks[2].startswith("## Cost Analysis")
+    # every section kept its body text with its own header
+    assert "subscription demand" in chunks[1]
+    assert "vendor" in chunks[2]
+
+
+def test_plain_fixture_stays_unstructured(text_pdf):
+    # single-size document: no heading promotion, one paragraph
+    md = pdf_to_markdown(text_pdf)
+    assert "#" not in md
+
+
+def test_read_pdfs_distributed(spark, tmp_path, structured_pdf):
+    """binaryFile scan + per-executor parse: both fixtures land with
+    markdown text; headings survive the distributed path."""
+    import shutil
+
+    from letsearch_spark.sources.pdf import read_pdfs
+
+    d = tmp_path / "pdfs"
+    d.mkdir()
+    (d / "plain.pdf").write_bytes(PDF_BYTES)
+    shutil.copy(structured_pdf, d / "structured.pdf")
+    (d / "garbage.pdf").write_bytes(b"not a pdf at all")
+
+    rows = {r["path"].split("/")[-1]: r for r in read_pdfs(spark, str(d)).collect()}
+    assert rows["plain.pdf"]["is_text"] and "AAAAAAAAAA" in rows["plain.pdf"]["text"]
+    assert rows["structured.pdf"]["is_text"]
+    assert "## Revenue Overview" in rows["structured.pdf"]["text"]
+    assert not rows["garbage.pdf"]["is_text"] and rows["garbage.pdf"]["text"] is None
