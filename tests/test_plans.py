@@ -93,6 +93,61 @@ def test_scan_in_wholestage_codegen(docs):
     assert "partial_count" in p
 
 
+def test_fetchback_join_broadcasts(spark, sf_dir):
+    """P4 fetch-back: the <=100-hit side must broadcast against the docs
+    table -- a shuffle join here would move the whole corpus to fetch
+    100 rows."""
+    from letsearch_spark.queries import QUERIES
+
+    df = QUERIES["search_fetchback_join"](spark, sf_dir)
+    p = plan_of(df, "simple")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
+
+
+def test_knn_join_shuffles_candidates_only(spark, sf_dir):
+    """The default knn_join plan must score partitions locally
+    (mapInPandas) and exchange only per-partition candidates keyed by
+    query_id -- never hash-partition the scored all-pairs stream."""
+    from letsearch_spark.operators.topk import knn_join
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    qs = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    df = knn_join(emb, qs, k=3, key_col="vec_id", vec_col="embedding")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # exactly one exchange, on query_id, fed by the local scorer with a
+    # partial group-limit (k rows per query per partition max)
+    assert plan.count("Exchange hashpartitioning") == 1
+    exch = plan.split("Exchange hashpartitioning", 1)[1]
+    assert exch.split("\n")[0].startswith("(query_id")
+    assert "MapInPandas" in exch  # scorer sits BELOW the exchange
+    below = exch.split("MapInPandas", 1)[0]
+    assert "WindowGroupLimit" in below and "Partial" in below
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_knn_join_expr_never_collapses_into_queries(spark, sf_dir):
+    """The expr path's first exchange must key on (query_id, scan
+    partition id): collapsing all scored pairs into |queries| reducers
+    is the 100-TB scale-killer this guards against."""
+    from letsearch_spark.operators.topk import knn_join
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    qs = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    df = knn_join(emb, qs, k=3, key_col="vec_id", vec_col="embedding", method="expr")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    first = plan.split("Exchange hashpartitioning")
+    # the LOWEST exchange (last in toString order) carries the full scored
+    # stream; it must include __pid in its keys
+    assert "__pid" in first[-1].split("\n")[0]
+    # the candidate exchange above it keys on query_id alone
+    assert first[1].split("\n")[0].startswith("(query_id")
+
+
 def test_search_is_single_takeordered_over_cache(spark, sf_dir, tmp_path):
     from letsearch_spark.collection import Collection
 
