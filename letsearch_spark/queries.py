@@ -417,6 +417,119 @@ def q_knn_join(spark, sf_dir):
     ).select("query_id", F.col("vec_id").alias("neighbor_id"), "rank")
 
 
+def q_ann_lsh_topk(spark, sf_dir):
+    """Approximate top-k via sign-LSH bucket pruning (the repeated-query
+    scale path beside exact K1): 4 hyperplanes -> 16 buckets, probe the
+    query's bucket plus all Hamming-distance-1 neighbors (multiprobe),
+    exact cosine only inside the probed ~5/16 of the data. Same plan
+    shape as operators/topk.py lsh_topk, with oracle-parity rounding
+    applied before the ordering (k1 pattern)."""
+    import numpy as np
+
+    from letsearch_spark.operators.topk import (
+        _hyperplanes,
+        lsh_signature_col,
+        multiprobe_signatures,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    qvec = emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    planes = _hyperplanes(_EMB_DIM, _LSH_BITS, seed=42)
+    q = np.asarray(qvec, dtype=np.float64)
+    sig = 0
+    for i, plane in enumerate(planes):
+        if float(plane @ q) >= 0:
+            sig |= 1 << i
+    probes = multiprobe_signatures(sig, _LSH_BITS, radius=1)
+    indexed = emb.withColumn(
+        "_bucket", lsh_signature_col(F.col("embedding"), planes)
+    )
+    pruned = indexed.filter(F.col("_bucket").isin(*[int(p) for p in probes]))
+    sim = _cosine_pair(F.col("embedding"), F.array(*[F.lit(float(x)) for x in qvec]))
+    return (
+        pruned.select("vec_id", F.round(sim, 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+def q_skew_salted_join(spark, sf_dir):
+    """Skew-mitigated join (operators/skew.py salted_join): the hot side
+    carries a random salt, the dimension side is exploded n_salts times,
+    so one hot key spreads over n_salts reducers. Result is identical to
+    the plain join (the oracle IS the plain join)."""
+    from letsearch_spark.operators.skew import salted_join
+
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_quantity", "l_linenumber"
+    )
+    dim = (
+        load(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") <= 100)
+        .select("o_orderkey", "o_orderpriority")
+    )
+    return (
+        salted_join(li, dim, on="o_orderkey", n_salts=8)
+        .select(
+            "o_orderkey",
+            F.col("l_linenumber").cast("long").alias("l_linenumber"),
+            F.col("l_quantity").cast("long").alias("qty"),
+            "o_orderpriority",
+        )
+        .orderBy("o_orderkey", "l_linenumber")
+    )
+
+
+def q_skew_two_stage_agg(spark, sf_dir):
+    """Skew-mitigated aggregation (operators/skew.py two_stage_agg):
+    partial agg on (key, salt) then final on key -- algebraic aggregates
+    only, so the result equals the direct groupBy the oracle runs."""
+    from letsearch_spark.operators.skew import two_stage_agg
+
+    ev = load(spark, sf_dir, "events")
+    return (
+        two_stage_agg(
+            ev,
+            keys=["event_type"],
+            aggs={"user_id": "sum", "event_id": "count"},
+            n_salts=16,
+        )
+        .select(
+            "event_type",
+            F.col("sum_user_id").cast("long").alias("sum_user_id"),
+            F.col("count_event_id").cast("long").alias("count_event_id"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def q_quantize_f16_roundtrip(spark, sf_dir):
+    """f16 vector quantization round-trip (functions/quantize.py, the
+    model-variant storage path, collection_actor.rs:793-797 analog):
+    pack embeddings to packed float16 binary, unpack, and report the
+    per-vector byte size and max absolute round-trip error (computed by
+    a Catalyst fold in double, so the oracle replicates it bit-for-bit)."""
+    from letsearch_spark.functions.quantize import dequantize_column, quantize_column
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    packed = quantize_column(emb, "embedding", "f16", out_col="packed")
+    restored = dequantize_column(packed, "packed", "f16", out_col="restored")
+    err = F.aggregate(
+        F.zip_with(
+            F.transform("embedding", lambda x: x.cast("double")),
+            F.transform("restored", lambda x: x.cast("double")),
+            lambda a, b: F.abs(a - b),
+        ),
+        F.lit(0.0),
+        lambda acc, v: F.greatest(acc, v),
+    )
+    return restored.select(
+        "vec_id",
+        F.octet_length("packed").cast("long").alias("n_bytes"),
+        err.alias("max_err"),
+    ).orderBy("vec_id")
+
+
 def q_search_fetchback_join(spark, sf_dir):
     """K1 + P3/P4 with an oracle: top-10 for the vec_id-0 query joined
     back to the documents table (vec_id keys the docs) -- the fetch-back
@@ -887,10 +1000,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "k1_cosine_topk": q_k1_cosine_topk,
     "k1_topk_label_filtered": q_k1_topk_label_filtered,
     "knn_join": q_knn_join,
+    "ann_lsh_topk": q_ann_lsh_topk,
     "search_fetchback_join": q_search_fetchback_join,
     "events_value_percentiles": q_events_value_percentiles,
     "events_asof_last_order": q_events_asof_last_order,
     "sample_train_test_split": q_sample_train_test_split,
+    "skew_salted_join": q_skew_salted_join,
+    "skew_two_stage_agg": q_skew_two_stage_agg,
+    "quantize_f16_roundtrip": q_quantize_f16_roundtrip,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "dedup_embedding_cosine_lsh": q_dedup_embedding_cosine_lsh,
     "dedup_exact": q_dedup_exact,
@@ -1147,6 +1264,34 @@ def _oracles() -> dict[str, str]:
         WHERE round({cos.format(a='a.embedding', b='b.embedding')}, 6) >= {_LSH_THRESHOLD}
         ORDER BY id_a, id_b
     """
+    # sign-LSH multiprobe top-k: probe = query bucket + Hamming-1
+    # neighbors, exactly the multiprobe_signatures(radius=1) set
+    o["ann_lsh_topk"] = f"""
+        WITH bv AS (
+            SELECT vec_id, embedding, CAST({bucket_terms} AS INT) AS bucket
+            FROM embeddings
+        )
+        SELECT vec_id, round({cos.format(a='embedding', b=qvec)}, 6) AS score
+        FROM bv
+        WHERE bit_count(xor(bucket, (SELECT bucket FROM bv WHERE vec_id = 0))) <= 1
+        ORDER BY score DESC, vec_id ASC
+        LIMIT 10
+    """
+    o["skew_salted_join"] = """
+        SELECT l_orderkey AS o_orderkey,
+               CAST(l_linenumber AS BIGINT) AS l_linenumber,
+               CAST(l_quantity AS BIGINT) AS qty,
+               o_orderpriority
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_orderkey <= 100
+        ORDER BY o_orderkey, l_linenumber
+    """
+    o["skew_two_stage_agg"] = """
+        SELECT event_type,
+               CAST(sum(user_id) AS BIGINT) AS sum_user_id,
+               count(event_id) AS count_event_id
+        FROM events GROUP BY event_type ORDER BY event_type
+    """
     o["dedup_exact"] = """
         SELECT min(doc_id) AS keep_id, count(*) AS n_copies
         FROM (SELECT doc_id,
@@ -1362,6 +1507,11 @@ def _values_literal(rows: list[tuple], cols: list[tuple[str, str]]) -> str:
     def lit(v) -> str:
         if isinstance(v, bool):
             return "TRUE" if v else "FALSE"
+        if isinstance(v, float):
+            # scientific notation with 17 significant digits: DuckDB types
+            # exponent literals as DOUBLE directly (a plain decimal would
+            # be parsed as DECIMAL first and re-rounded, losing a ulp)
+            return f"{v:.17e}"
         return str(int(v))
 
     names = [c for c, _ in cols]
@@ -1448,6 +1598,30 @@ def _computed_oracles(sf_dir: str) -> dict[str, str]:
     ]
     o["search_e2e"] = _values_literal(
         search_rows, [("rank", "BIGINT"), ("content_len", "BIGINT")]
+    )
+
+    # --- quantize_f16_roundtrip: replicate the numpy f16 pack/unpack and
+    # the Catalyst double fold (abs diff, running greatest) exactly ---
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    etbl = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    ).to_pylist()
+    etbl.sort(key=lambda r: r["vec_id"])
+    qrows = []
+    for r in etbl:
+        a = np.asarray(r["embedding"], dtype=np.float32)
+        restored = a.astype(np.float16).astype(np.float32)
+        err = 0.0
+        for x, y in zip(a, restored):
+            d = abs(float(x) - float(y))
+            if d > err:
+                err = d
+        qrows.append((r["vec_id"], 2 * len(a), err))
+    o["quantize_f16_roundtrip"] = _values_literal(
+        qrows,
+        [("vec_id", "BIGINT"), ("n_bytes", "BIGINT"), ("max_err", "DOUBLE")],
     )
     return o
 
