@@ -36,13 +36,30 @@ def train_centroids(
     sample_limit: int = 100_000,
     iters: int = 10,
     seed: int = 42,
+    key_col: str | None = None,
 ) -> np.ndarray:
     """Fit nlist k-means centroids on a bounded sample (driver-side numpy;
-    vectors are L2-normalized first so euclidean k-means ~ spherical)."""
-    rows = (
-        embeddings.select(vec_col).limit(sample_limit).collect()
-    )
-    x = np.array([r[0] for r in rows], dtype=np.float64)
+    vectors are L2-normalized first so euclidean k-means ~ spherical).
+
+    With ``key_col`` the collected sample is sorted by that key before
+    training, making the centroids (and every downstream assignment)
+    deterministic across partitionings and cluster sizes -- `limit`
+    alone returns rows in scan-partition order, which depends on split
+    planning. Costs one driver-side sort of <= sample_limit rows."""
+    cols = [vec_col] if key_col is None else [key_col, vec_col]
+    rows = embeddings.select(*cols).limit(sample_limit).collect()
+    if key_col is not None:
+        rows = sorted(rows, key=lambda r: r[0])
+    x = np.array([r[-1] for r in rows], dtype=np.float64)
+    return kmeans_fit(x, nlist=nlist, iters=iters, seed=seed)
+
+
+def kmeans_fit(
+    x: np.ndarray, nlist: int = 16, iters: int = 10, seed: int = 42
+) -> np.ndarray:
+    """Pure-numpy spherical k-means core (shared by the Spark trainer and
+    the single-process oracle twin): normalize, seed centroids from a
+    seeded choice, iterate argmax-assign / mean / renormalize."""
     norms = np.linalg.norm(x, axis=1, keepdims=True)
     norms[norms == 0] = 1.0
     x = x / norms
@@ -87,10 +104,13 @@ def build_ivf(
     path: str,
     nlist: int = 16,
     vec_col: str = "vector",
+    key_col: str | None = None,
 ) -> np.ndarray:
     """Train + assign + persist partitioned by list id; returns centroids
     (caller persists them beside the index, e.g. np.save)."""
-    centroids = train_centroids(embeddings, nlist=nlist, vec_col=vec_col)
+    centroids = train_centroids(
+        embeddings, nlist=nlist, vec_col=vec_col, key_col=key_col
+    )
     assigned = assign_lists(embeddings, centroids, vec_col=vec_col)
     assigned.write.mode("overwrite").partitionBy("_list").parquet(path)
     return centroids

@@ -453,6 +453,26 @@ def q_ann_lsh_topk(spark, sf_dir):
     )
 
 
+def q_ann_ivf_assign(spark, sf_dir):
+    """IVF-Flat index build (FAISS-IVF analog, operators/ann.py): spherical
+    k-means centroids fitted driver-side on a key-sorted bounded sample
+    (deterministic across partitionings), nearest-centroid list id per
+    vector via a vectorized pandas UDF. Persisting partitioned by list id
+    turns each probe into a scan of nprobe/nlist of the data; this entry
+    verifies train+assign against a single-process numpy twin."""
+    from letsearch_spark.operators.ann import assign_lists, train_centroids
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cent = train_centroids(
+        emb, nlist=8, vec_col="embedding", key_col="vec_id"
+    )
+    return (
+        assign_lists(emb, cent, vec_col="embedding", list_col="list_id")
+        .select("vec_id", F.col("list_id").cast("long").alias("list_id"))
+        .orderBy("vec_id")
+    )
+
+
 def q_skew_salted_join(spark, sf_dir):
     """Skew-mitigated join (operators/skew.py salted_join): the hot side
     carries a random salt, the dimension side is exploded n_salts times,
@@ -1001,6 +1021,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "k1_topk_label_filtered": q_k1_topk_label_filtered,
     "knn_join": q_knn_join,
     "ann_lsh_topk": q_ann_lsh_topk,
+    "ann_ivf_assign": q_ann_ivf_assign,
     "search_fetchback_join": q_search_fetchback_join,
     "events_value_percentiles": q_events_value_percentiles,
     "events_asof_last_order": q_events_asof_last_order,
@@ -1598,6 +1619,32 @@ def _computed_oracles(sf_dir: str) -> dict[str, str]:
     ]
     o["search_e2e"] = _values_literal(
         search_rows, [("rank", "BIGINT"), ("content_len", "BIGINT")]
+    )
+
+    # --- ann_ivf_assign: the same kmeans_fit numpy core on the key-sorted
+    # vectors, then per-row argmax assignment -- the oracle twin of the
+    # driver-side trainer + pandas-UDF assigner ---
+    import numpy as np
+
+    def _ivf_rows():
+        import pyarrow.parquet as pq
+
+        from letsearch_spark.operators.ann import kmeans_fit
+
+        etbl = pq.read_table(
+            os.path.join(sf_dir, "embeddings.parquet"),
+            columns=["vec_id", "embedding"],
+        ).to_pylist()
+        etbl.sort(key=lambda r: r["vec_id"])
+        x = np.array([r["embedding"] for r in etbl], dtype=np.float64)
+        cent = kmeans_fit(x, nlist=8)
+        norms = np.linalg.norm(x, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        assign = (x / norms @ cent.T).argmax(axis=1)
+        return [(r["vec_id"], int(a)) for r, a in zip(etbl, assign)]
+
+    o["ann_ivf_assign"] = _values_literal(
+        _ivf_rows(), [("vec_id", "BIGINT"), ("list_id", "BIGINT")]
     )
 
     # --- quantize_f16_roundtrip: replicate the numpy f16 pack/unpack and
