@@ -149,6 +149,18 @@ class Collection:
         """S1 (collection_actor.rs:166-192): schema-on-read JSONL scan."""
         return self.import_df(self.spark.read.json(self._resolve(path)))
 
+    def _read_csv(self, path: str) -> DataFrame:
+        """Header + schema-inference CSV scan (an ingest format the
+        reference lacks; same key/append semantics as S1/S2)."""
+        return (
+            self.spark.read.option("header", "true")
+            .option("inferSchema", "true")
+            .csv(self._resolve(path))
+        )
+
+    def import_csv(self, path: str) -> int:
+        return self.import_df(self._read_csv(path))
+
     @staticmethod
     def _resolve(path: str) -> str:
         from letsearch_spark.sources.hf import resolve_data_path
@@ -177,6 +189,9 @@ class Collection:
 
     def append_jsonl(self, path: str) -> int:
         return self._append_df(self.spark.read.json(self._resolve(path)))
+
+    def append_csv(self, path: str) -> int:
+        return self._append_df(self._read_csv(path))
 
     def add_chunks(self, chunks: Sequence[str], column: str = "text") -> int:
         """S6 (collection_actor.rs:293-365): insert pre-chunked strings as

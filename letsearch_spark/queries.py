@@ -453,6 +453,60 @@ def q_ann_lsh_topk(spark, sf_dir):
     )
 
 
+def q_s_csv_roundtrip(spark, sf_dir):
+    """CSV ingest (a source format beyond the reference's jsonl/parquet,
+    same dense-key semantics): write the documents projection out as
+    headered CSV, import it through Collection.import_csv (header +
+    schema inference), read back. The oracle is the original table."""
+    import tempfile
+
+    from letsearch_spark.collection import Collection
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    tmp = tempfile.mkdtemp(prefix="ls_csv_")
+    csv_path = os.path.join(tmp, "docs_csv")
+    docs.write.mode("overwrite").option("header", "true").csv(csv_path)
+    coll = Collection.create(spark, tmp, name="csvroundtrip")
+    coll.import_csv(csv_path)
+    return (
+        coll.docs()
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "lang",
+            F.col("n_chars").cast("long").alias("n_chars"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def q_multimodal_decode(spark, sf_dir):
+    """Multimodal decode plumbing (sources/multimodal.py decode_media,
+    decoder='fake'): binary payloads through the mapInPandas kernel; the
+    md5-seeded pseudo-decode is deterministic, so dims and features are
+    oracle-expressible from the same md5 in SQL. Feature floats are
+    mapped back to their source bytes (round(f*255)) to compare exactly."""
+    from letsearch_spark.sources.multimodal import decode_media
+
+    docs = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("path"),
+        F.coalesce(F.col("text"), F.lit("")).cast("binary").alias("content"),
+    )
+    dec = decode_media(docs, decoder="fake")
+    return dec.select(
+        F.col("path").cast("long").alias("doc_id"),
+        F.col("n_bytes"),
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.col("n_channels").cast("long").alias("n_channels"),
+        *[
+            F.round(F.element_at("feature", i + 1) * 255)
+            .cast("long")
+            .alias(f"f{i}")
+            for i in range(4)
+        ],
+    ).orderBy("doc_id")
+
+
 def q_ann_ivf_assign(spark, sf_dir):
     """IVF-Flat index build (FAISS-IVF analog, operators/ann.py): spherical
     k-means centroids fitted driver-side on a key-sorted bounded sample
@@ -1043,6 +1097,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_fingerprint": q_text_fingerprint,
     "text_quality_score": q_text_quality_score,
     "multimodal_binary_meta": q_multimodal_binary_meta,
+    "multimodal_decode": q_multimodal_decode,
+    "s_csv_roundtrip": q_s_csv_roundtrip,
     "chunk_documents": q_chunk_documents,
     "embed_stub": q_embed_stub,
     "search_e2e": q_search_e2e,
@@ -1481,6 +1537,25 @@ def _oracles() -> dict[str, str]:
         SELECT doc_id,
                CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
                sha256(text) AS sha
+        FROM documents ORDER BY doc_id
+    """
+    o["s_csv_roundtrip"] = """
+        SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+        FROM documents ORDER BY doc_id
+    """
+    # fake decode: md5-seeded dims/features (multimodal.py _fake_decode);
+    # byte k of the digest is hex chars [2k+1, 2k+2]
+    mm_byte = "CAST(('0x' || substr(md5(coalesce(text, '')), {p}, 2)) AS INT)"
+    o["multimodal_decode"] = f"""
+        SELECT doc_id,
+               CAST(octet_length(encode(coalesce(text, ''))) AS BIGINT) AS n_bytes,
+               CAST(16 + {mm_byte.format(p=1)} AS BIGINT) AS width,
+               CAST(16 + {mm_byte.format(p=3)} AS BIGINT) AS height,
+               CAST(1 + {mm_byte.format(p=5)} % 4 AS BIGINT) AS n_channels,
+               CAST({mm_byte.format(p=7)} AS BIGINT) AS f0,
+               CAST({mm_byte.format(p=9)} AS BIGINT) AS f1,
+               CAST({mm_byte.format(p=11)} AS BIGINT) AS f2,
+               CAST({mm_byte.format(p=13)} AS BIGINT) AS f3
         FROM documents ORDER BY doc_id
     """
     o["stream_incremental_count"] = """

@@ -201,3 +201,29 @@ def test_fs_checks_handle_file_uris(spark, tmp_path):
     c._fs_delete(f"file:{d}")
     assert not d.exists()
     c._fs_delete(f"file:{d}")  # absent: no-op, no raise
+
+
+def test_csv_import_and_append(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from letsearch_spark.collection import Collection
+
+    a = tmp_path / "a_csv"
+    b = tmp_path / "b_csv"
+    spark.createDataFrame(
+        [(1, "alpha"), (2, "beta")], "doc_id long, text string"
+    ).write.option("header", "true").csv(str(a))
+    spark.createDataFrame(
+        [(3, "gamma")], "doc_id long, text string"
+    ).write.option("header", "true").csv(str(b))
+
+    c = Collection.create(spark, str(tmp_path), name="csv")
+    assert c.import_csv(str(a)) == 2
+    assert c.append_csv(str(b)) == 3
+    rows = {r["doc_id"]: r["_key"] for r in c.docs().collect()}
+    assert set(rows) == {1, 2, 3}
+    # appended row continues the dense key sequence past the import max
+    assert rows[3] == 3
+    assert sorted(r["_key"] for r in c.docs().collect()) == [1, 2, 3]
+    # inferSchema typed doc_id integral, not string
+    assert dict(c.docs().dtypes)["doc_id"] in ("int", "bigint")
