@@ -507,6 +507,39 @@ def q_multimodal_decode(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_events_range_join(spark, sf_dir):
+    """Interval join via the binned equi-join (operators/range_join.py):
+    each user's first-2-hours window joined back to their events, counts
+    per user. The bin method turns the range predicate into an equi-join
+    on (key, hour-bin) -- hot keys spread over (key x bin) reducers and
+    no per-key all-pairs stream materializes; results are identical to
+    the plain BETWEEN join the oracle runs."""
+    from letsearch_spark.operators.range_join import range_join
+
+    ev = load(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    iv = (
+        ev.groupBy(F.col("user_id").alias("iv_user"))
+        .agg(F.min("ts").alias("start_ts"))
+        .withColumn("end_ts", F.col("start_ts") + F.expr("INTERVAL 2 HOURS"))
+    )
+    joined = range_join(
+        ev,
+        iv,
+        left_ts="ts",
+        right_start="start_ts",
+        right_end="end_ts",
+        by_left="user_id",
+        by_right="iv_user",
+        method="bin",
+        bin_width_seconds=3600,
+    )
+    return (
+        joined.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_in_window"))
+        .orderBy("user_id")
+    )
+
+
 def q_ann_ivf_assign(spark, sf_dir):
     """IVF-Flat index build (FAISS-IVF analog, operators/ann.py): spherical
     k-means centroids fitted driver-side on a key-sorted bounded sample
@@ -1079,6 +1112,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "search_fetchback_join": q_search_fetchback_join,
     "events_value_percentiles": q_events_value_percentiles,
     "events_asof_last_order": q_events_asof_last_order,
+    "events_range_join": q_events_range_join,
     "sample_train_test_split": q_sample_train_test_split,
     "skew_salted_join": q_skew_salted_join,
     "skew_two_stage_agg": q_skew_two_stage_agg,
@@ -1299,6 +1333,17 @@ def _oracles() -> dict[str, str]:
         FROM events e ASOF LEFT JOIN r
              ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate
         ORDER BY e.event_id
+    """
+    # ::TIMESTAMP drops the sub-microsecond component of the TIMESTAMP_NS
+    # storage, matching Spark's microsecond timestamps exactly
+    o["events_range_join"] = """
+        WITH ev AS (SELECT event_id, user_id, ts::TIMESTAMP AS ts FROM events),
+        iv AS (SELECT user_id AS iv_user, min(ts) AS start_ts FROM ev GROUP BY user_id)
+        SELECT e.user_id, count(*) AS n_in_window
+        FROM ev e JOIN iv ON e.user_id = iv.iv_user
+             AND e.ts >= iv.start_ts
+             AND e.ts <= iv.start_ts + INTERVAL 2 HOUR
+        GROUP BY e.user_id ORDER BY e.user_id
     """
     b42 = md5_60.format(x="CAST(doc_id AS VARCHAR) || '#42'") + " % 1000000"
     b7 = md5_60.format(x="CAST(doc_id AS VARCHAR) || '#7'") + " % 1000000"

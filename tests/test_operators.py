@@ -402,3 +402,71 @@ def test_hash_split_and_sample(spark):
         hash_sample(df, "k", 1.5)
     with pytest.raises(ValueError):
         hash_split(df, "k", weights={"a": 0.5, "b": 0.6})
+
+
+def test_range_join_bin_equals_range(spark):
+    import datetime as dt
+
+    from letsearch_spark.operators.range_join import range_join
+
+    T = lambda h, m=0, s=0: dt.datetime(2024, 1, 1, h, m, s)
+    ev = spark.createDataFrame(
+        [
+            (1, "u", T(0, 30)),   # inside iv A only
+            (2, "u", T(2, 0)),    # boundary: end of A, start of B -> both
+            (3, "u", T(5, 0)),    # inside no interval
+            (4, "v", T(0, 30)),   # other key, same time as event 1
+            (5, "u", T(3, 59, 59)),  # last second of B
+        ],
+        "event_id long, user_id string, ts timestamp",
+    )
+    iv = spark.createDataFrame(
+        [
+            ("A", "u", T(0), T(2)),
+            ("B", "u", T(2), T(4)),
+            ("C", "v", T(1), T(2)),  # does NOT cover event 4
+        ],
+        "iv_id string, iv_user string, start_ts timestamp, end_ts timestamp",
+    )
+
+    def pairs(method, width=3600):
+        out = range_join(
+            ev, iv, "ts", "start_ts", "end_ts", "user_id", "iv_user",
+            method=method, bin_width_seconds=width,
+        )
+        return sorted((r["event_id"], r["iv_id"]) for r in out.collect())
+
+    expect = [(1, "A"), (2, "A"), (2, "B"), (5, "B")]
+    assert pairs("range") == expect
+    for width in (60, 3600, 86_400):  # bin width must not change results
+        assert pairs("bin", width) == expect
+
+    with pytest.raises(ValueError):
+        range_join(ev, iv, "ts", "start_ts", "end_ts", "user_id", "iv_user", method="bogus")
+    # column clash raises
+    with pytest.raises(ValueError):
+        range_join(
+            ev, iv.withColumnRenamed("iv_id", "event_id"),
+            "ts", "start_ts", "end_ts", "user_id", "iv_user",
+        )
+
+
+def test_range_join_max_bins_guard(spark):
+    import datetime as dt
+
+    from letsearch_spark.operators.range_join import range_join
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    ev = spark.createDataFrame(
+        [(1, "u", dt.datetime(2024, 1, 2))], "event_id long, user_id string, ts timestamp"
+    )
+    iv = spark.createDataFrame(
+        [("A", "u", dt.datetime(2024, 1, 1), dt.datetime(2025, 1, 1))],
+        "iv_id string, iv_user string, start_ts timestamp, end_ts timestamp",
+    )
+    out = range_join(
+        ev, iv, "ts", "start_ts", "end_ts", "user_id", "iv_user",
+        bin_width_seconds=3600, max_bins=100,  # 1-year interval >> 100 hours
+    )
+    with pytest.raises(SparkRuntimeException):
+        out.collect()
