@@ -507,6 +507,27 @@ def q_multimodal_decode(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_events_time_rollup(spark, sf_dir):
+    """Hypertable-style rollup (operators/rollup.py time_rollup): hour and
+    day tiers of the events stream computed in ONE scan + ONE shuffle via
+    grouping sets (vs one groupBy job per tier); rows carry their grain
+    so a rollup table partitioned by it prunes serving reads."""
+    from letsearch_spark.operators.rollup import time_rollup
+
+    ev = load(spark, sf_dir, "events")
+    out = time_rollup(
+        ev,
+        ts_col="ts",
+        keys=["event_type"],
+        aggs=[
+            "count(1) AS n",
+            "CAST(sum(user_id) AS BIGINT) AS sum_uid",
+        ],
+        granularities=("hour", "day"),
+    )
+    return out.orderBy("grain", "bucket", "event_type")
+
+
 def q_events_range_join(spark, sf_dir):
     """Interval join via the binned equi-join (operators/range_join.py):
     each user's first-2-hours window joined back to their events, counts
@@ -1113,6 +1134,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_value_percentiles": q_events_value_percentiles,
     "events_asof_last_order": q_events_asof_last_order,
     "events_range_join": q_events_range_join,
+    "events_time_rollup": q_events_time_rollup,
     "sample_train_test_split": q_sample_train_test_split,
     "skew_salted_join": q_skew_salted_join,
     "skew_two_stage_agg": q_skew_two_stage_agg,
@@ -1333,6 +1355,16 @@ def _oracles() -> dict[str, str]:
         FROM events e ASOF LEFT JOIN r
              ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate
         ORDER BY e.event_id
+    """
+    o["events_time_rollup"] = """
+        SELECT 'hour' AS grain, date_trunc('hour', ts) AS bucket, event_type,
+               count(*) AS n, CAST(sum(user_id) AS BIGINT) AS sum_uid
+        FROM events GROUP BY 2, 3
+        UNION ALL
+        SELECT 'day' AS grain, date_trunc('day', ts) AS bucket, event_type,
+               count(*) AS n, CAST(sum(user_id) AS BIGINT) AS sum_uid
+        FROM events GROUP BY 2, 3
+        ORDER BY grain, bucket, event_type
     """
     # ::TIMESTAMP drops the sub-microsecond component of the TIMESTAMP_NS
     # storage, matching Spark's microsecond timestamps exactly

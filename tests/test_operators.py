@@ -470,3 +470,52 @@ def test_range_join_max_bins_guard(spark):
     )
     with pytest.raises(SparkRuntimeException):
         out.collect()
+
+
+def test_time_rollup_matches_separate_groupbys(spark):
+    import datetime as dt
+
+    from letsearch_spark.operators.rollup import time_rollup
+
+    rows = [
+        (1, "a", dt.datetime(2024, 1, 1, 10, 15)),
+        (2, "a", dt.datetime(2024, 1, 1, 10, 45)),
+        (3, "a", dt.datetime(2024, 1, 1, 11, 5)),
+        (4, "b", dt.datetime(2024, 1, 2, 10, 15)),
+        (5, "b", dt.datetime(2024, 1, 2, 10, 20)),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp")
+    out = time_rollup(
+        ev, "ts", ["event_type"],
+        ["count(1) AS n", "CAST(sum(user_id) AS BIGINT) AS sum_uid"],
+        granularities=("hour", "day"),
+    )
+    got = {
+        (r["grain"], r["bucket"], r["event_type"]): (r["n"], r["sum_uid"])
+        for r in out.collect()
+    }
+    H, D = dt.datetime, dt.datetime
+    assert got[("hour", H(2024, 1, 1, 10), "a")] == (2, 3)
+    assert got[("hour", H(2024, 1, 1, 11), "a")] == (1, 3)
+    assert got[("hour", H(2024, 1, 2, 10), "b")] == (2, 9)
+    assert got[("day", D(2024, 1, 1), "a")] == (3, 6)
+    assert got[("day", D(2024, 1, 2), "b")] == (2, 9)
+    assert len(got) == 5
+
+    # exactly one shuffle: grouping sets expand below a single exchange
+    # (inspect a freshly-planned copy -- after collect() AQE rewrites the
+    # tree into query stages and the exchange count is no longer 1:1)
+    fresh = time_rollup(
+        ev, "ts", ["event_type"],
+        ["count(1) AS n", "CAST(sum(user_id) AS BIGINT) AS sum_uid"],
+        granularities=("hour", "day"),
+    )
+    plan = fresh._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Expand" in plan
+    assert "partial_count" in plan  # map-side partials below the exchange
+
+    with pytest.raises(ValueError):
+        time_rollup(ev, "ts", [], ["count(1) AS n"], granularities=("fortnight",))
+    with pytest.raises(ValueError):
+        time_rollup(ev, "ts", [], ["count(1)"])  # missing alias
