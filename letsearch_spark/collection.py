@@ -277,9 +277,21 @@ class Collection:
         Scale: embedding is compute-bound; the anti-join shuffles only the
         (narrow) key column; output is written partitioned by column_name
         so per-column searches prune to one partition tree.
+
+        Storage precision follows ``config.model_variant`` (the analog of
+        the reference's usearch ScalarKind mapping,
+        collection_actor.rs:793-797): 'f32' stores array<float>;
+        'f16'/'i8' store packed binary (functions/quantize.py layout),
+        packed inside the same mapInPandas pass -- no second job. The
+        serve view dequantizes when it materializes, so search works
+        identically (with the variant's quantization error, as in the
+        reference).
         """
         if not is_valid_identifier(column):
             raise ValueError(f"invalid column identifier: {column!r}")
+        variant = self.config.model_variant
+        if variant not in ("f32", "f16", "i8"):
+            raise ValueError(f"unknown model_variant {variant!r}")
         docs = self.docs().select(
             F.col(KEY_COL),
             F.coalesce(F.col(column).cast("string"), F.lit("")).alias("__text"),
@@ -292,22 +304,29 @@ class Collection:
         out_schema = T.StructType(
             [
                 T.StructField(KEY_COL, T.LongType()),
-                T.StructField("vector", T.ArrayType(T.FloatType())),
+                T.StructField(
+                    "vector",
+                    T.BinaryType() if variant != "f32" else T.ArrayType(T.FloatType()),
+                ),
             ]
         )
 
         def embed_batches(it):
             import pandas as pd
 
+            from letsearch_spark.functions.quantize import PACK_KERNELS
+
             emb = embedder  # per-task closure; heavy state built lazily inside
+            pack = PACK_KERNELS.get(variant)
             for pdf in it:
                 if len(pdf) == 0:
                     continue
                 vecs = emb.embed(pdf["__text"].tolist())
+                out = [pack(v) for v in vecs] if pack else list(vecs)
                 yield pd.DataFrame(
                     {
                         KEY_COL: pdf[KEY_COL].values,
-                        "vector": list(vecs),
+                        "vector": out,
                     }
                 )
 
@@ -502,12 +521,15 @@ class Collection:
             docs = self.docs().select(
                 F.col(KEY_COL), F.col(column).alias("content")
             )
-            view = (
-                self.embeddings(column)
-                .select(KEY_COL, "vector")
-                .join(docs, KEY_COL)
-                .cache()
-            )
+            emb = self.embeddings(column).select(KEY_COL, "vector")
+            if self.config.model_variant != "f32":
+                # quantized storage: dequantize ONCE into the cached view
+                # (the reference searches its f16 index natively; we pay
+                # the same quantization error with float serving math)
+                from letsearch_spark.functions.quantize import dequantize_column
+
+                emb = dequantize_column(emb, "vector", self.config.model_variant)
+            view = emb.join(docs, KEY_COL).cache()
             view.count()  # materialize now; searches then cost one job
             self._emb_cache[f"__serve_{column}"] = view
         return view

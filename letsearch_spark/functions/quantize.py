@@ -23,9 +23,7 @@ from pyspark.sql.functions import pandas_udf
 def pack_f16_udf():
     @pandas_udf("binary")
     def _pack(v: pd.Series) -> pd.Series:
-        return v.map(
-            lambda x: np.asarray(x, dtype=np.float16).tobytes() if x is not None else None
-        )
+        return v.map(pack_f16)
 
     return _pack
 
@@ -33,29 +31,15 @@ def pack_f16_udf():
 def unpack_f16_udf():
     @pandas_udf("array<float>")
     def _unpack(b: pd.Series) -> pd.Series:
-        return b.map(
-            lambda x: np.frombuffer(x, dtype=np.float16).astype(np.float32)
-            if x is not None
-            else None
-        )
+        return b.map(unpack_f16)
 
     return _unpack
 
 
 def pack_int8_udf():
-    """Symmetric max-abs int8: [4-byte f32 scale][dim bytes int8]."""
-
     @pandas_udf("binary")
     def _pack(v: pd.Series) -> pd.Series:
-        def one(x):
-            if x is None:
-                return None
-            a = np.asarray(x, dtype=np.float32)
-            scale = float(np.max(np.abs(a))) or 1.0
-            q = np.clip(np.round(a / scale * 127.0), -127, 127).astype(np.int8)
-            return np.float32(scale).tobytes() + q.tobytes()
-
-        return v.map(one)
+        return v.map(pack_i8)
 
     return _pack
 
@@ -63,16 +47,47 @@ def pack_int8_udf():
 def unpack_int8_udf():
     @pandas_udf("array<float>")
     def _unpack(b: pd.Series) -> pd.Series:
-        def one(x):
-            if x is None:
-                return None
-            scale = np.frombuffer(x[:4], dtype=np.float32)[0]
-            q = np.frombuffer(x[4:], dtype=np.int8).astype(np.float32)
-            return q / 127.0 * scale
-
-        return b.map(one)
+        return b.map(unpack_i8)
 
     return _unpack
+
+
+# ---- pure per-vector kernels (shared by the UDFs above and the
+# collection's in-pipeline packing in embed_column) ----
+
+
+def pack_f16(x) -> bytes | None:
+    if x is None:
+        return None
+    return np.asarray(x, dtype=np.float16).tobytes()
+
+
+def unpack_f16(b):
+    if b is None:
+        return None
+    return np.frombuffer(b, dtype=np.float16).astype(np.float32)
+
+
+def pack_i8(x) -> bytes | None:
+    """Symmetric max-abs int8: [4-byte f32 scale][dim bytes int8]."""
+    if x is None:
+        return None
+    a = np.asarray(x, dtype=np.float32)
+    scale = float(np.max(np.abs(a))) or 1.0
+    q = np.clip(np.round(a / scale * 127.0), -127, 127).astype(np.int8)
+    return np.float32(scale).tobytes() + q.tobytes()
+
+
+def unpack_i8(b):
+    if b is None:
+        return None
+    scale = np.frombuffer(b[:4], dtype=np.float32)[0]
+    q = np.frombuffer(b[4:], dtype=np.int8).astype(np.float32)
+    return q / 127.0 * scale
+
+
+PACK_KERNELS = {"f16": pack_f16, "i8": pack_i8}
+UNPACK_KERNELS = {"f16": unpack_f16, "i8": unpack_i8}
 
 
 _PACK = {"f16": pack_f16_udf, "i8": pack_int8_udf}

@@ -227,3 +227,38 @@ def test_csv_import_and_append(spark, tmp_path):
     assert sorted(r["_key"] for r in c.docs().collect()) == [1, 2, 3]
     # inferSchema typed doc_id integral, not string
     assert dict(c.docs().dtypes)["doc_id"] in ("int", "bigint")
+
+
+def test_quantized_variant_storage_and_search(spark, tmp_path, sf_dir):
+    """model_variant f16/i8 stores packed binary vectors (the reference's
+    ScalarKind mapping) and search serves through a dequantized view --
+    results match the f32 collection's ranking within quantization error."""
+    import os
+
+    from letsearch_spark.collection import Collection
+
+    results = {}
+    for variant in ("f32", "f16", "i8"):
+        root = str(tmp_path / variant)
+        c = Collection.create(
+            spark, root, name="q", index_columns=["text"],
+            model_name="stub://16", model_variant=variant,
+        )
+        c.import_parquet(os.path.join(sf_dir, "documents.parquet"))
+        c.embed_all()
+        vec_type = dict(c.embeddings("text").dtypes)["vector"]
+        assert vec_type == ("array<float>" if variant == "f32" else "binary")
+        hits = c.search("text", "spark join query window batch", limit=5).collect()
+        results[variant] = [(r["key"], r["score"]) for r in hits]
+        # exact-text hit still scores ~1.0 through the quantized path
+        probe = c.docs().where("_key = 1").select("text").first()[0]
+        top = c.search("text", probe, limit=1).first()
+        assert top["score"] > 0.999, variant
+
+    f32_keys = [k for k, _ in results["f32"]]
+    for variant in ("f16", "i8"):
+        keys = [k for k, _ in results[variant]]
+        # rankings agree (identical texts, tiny quantization error)
+        assert keys == f32_keys, variant
+        for (_, s_q), (_, s_f) in zip(results[variant], results["f32"]):
+            assert abs(s_q - s_f) < (1e-3 if variant == "f16" else 2e-2)
