@@ -49,6 +49,8 @@ def cmd_index(args) -> int:
             n = coll.import_jsonl(path)
         elif path.endswith(".pdf"):
             n = coll.import_pdf(path)
+        elif path.endswith(".csv"):
+            n = coll.import_csv(path)
         else:
             n = coll.import_parquet(path)
         print(f"imported {path}: {n} rows total")
@@ -68,6 +70,8 @@ def cmd_add_docs(args) -> int:
             n = coll.append_jsonl(path)
         elif path.endswith(".pdf"):
             n = coll.import_pdf(path)
+        elif path.endswith(".csv"):
+            n = coll.append_csv(path)
         else:
             n = coll.append_parquet(path)
         print(f"appended {path}: {n} rows total")
