@@ -132,6 +132,62 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_containment_pairs(
+    corpus: DataFrame,
+    probes: DataFrame,
+    corpus_id: str,
+    corpus_text: str,
+    probe_id: str,
+    probe_text: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """Cross-corpus contamination check (benchmark decontamination): for
+    each probe document (e.g. an eval/test item), find corpus documents
+    (e.g. training data) whose shingle overlap COVERS the probe --
+    containment = |shingles(corpus_doc) ∩ shingles(probe)| /
+    |shingles(probe)|. Asymmetric on purpose: a long training document
+    that embeds a short benchmark item verbatim scores 1.0 where Jaccard
+    would dilute it to near zero.
+
+    Same join geometry as ngram_jaccard_pairs: shingle equi-join with the
+    hot-shingle cap (applied to the CORPUS side -- stop-phrases shared by
+    everything would dominate both cost and score); at 100 TB the corpus
+    side shuffles once on shingle and the probe side is usually small
+    enough to broadcast its shingle set.
+
+    Output: (corpus_id, probe_id, containment) with containment >=
+    threshold, rounded to 6 (oracle parity).
+    """
+    ca = shingles(corpus, corpus_id, corpus_text, n).withColumnRenamed(
+        "id", "corpus_id"
+    )
+    if max_shingle_freq is not None:
+        hot = (
+            ca.groupBy("s")
+            .agg(F.count(F.lit(1)).alias("df_"))
+            .where(F.col("df_") > max_shingle_freq)
+            .select("s")
+        )
+        ca = ca.join(F.broadcast(hot), "s", "left_anti")
+    pb = shingles(probes, probe_id, probe_text, n).withColumnRenamed(
+        "id", "probe_id"
+    )
+    pcnt = pb.groupBy("probe_id").agg(F.count(F.lit(1)).alias("np"))
+    inter = (
+        ca.join(pb, "s")
+        .groupBy("corpus_id", "probe_id")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    containment = F.round(F.col("i") * 1.0 / F.col("np"), 6)
+    return (
+        inter.join(pcnt, "probe_id")
+        .select("corpus_id", "probe_id", containment.alias("containment"))
+        .where(F.col("containment") >= threshold)
+    )
+
+
 # ---------------------------------------------------------------- minhash
 
 # Carter-Wegman affine permutations over a single md5 base hash: one md5

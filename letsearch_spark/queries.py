@@ -803,6 +803,32 @@ def q_dedup_embedding_cosine_lsh(spark, sf_dir):
 # ======================================================================
 
 
+def q_decontaminate_containment(spark, sf_dir):
+    """Benchmark decontamination (operators/dedup.py
+    ngram_containment_pairs): even doc_ids play the training corpus, odd
+    doc_ids the eval set; report corpus docs whose shingle overlap covers
+    >= 50% of a probe doc's shingles. Asymmetric containment, not
+    Jaccard: verbatim inclusion of a short probe in a long training doc
+    must score 1.0. Corpus-side hot-shingle cap mirrors the dedup
+    contract."""
+    from letsearch_spark.operators.dedup import ngram_containment_pairs
+
+    docs = load(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") % 2 == 0)
+    probes = docs.where(F.col("doc_id") % 2 == 1)
+    return ngram_containment_pairs(
+        corpus,
+        probes,
+        "doc_id",
+        "text",
+        "doc_id",
+        "text",
+        n=3,
+        threshold=0.5,
+        max_shingle_freq=_MAX_SHINGLE_FREQ,
+    ).orderBy("corpus_id", "probe_id")
+
+
 def q_dedup_exact(spark, sf_dir):
     """Exact dedup on normalized text: keep min(doc_id) per distinct text.
     Hash-groupBy; at scale this is one shuffle on a 60-bit text hash
@@ -1145,6 +1171,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_components": q_dedup_components,
+    "decontaminate_containment": q_decontaminate_containment,
     "dedup_simhash": q_dedup_simhash,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "text_stats": q_text_stats,
@@ -1489,6 +1516,26 @@ def _oracles() -> dict[str, str]:
         )
         SELECT a AS id, min(b) AS component, (a = min(b)) AS is_kept
         FROM reach GROUP BY a ORDER BY id
+    """
+    o["decontaminate_containment"] = f"""
+        WITH sh AS ({_SHINGLES_SQL}),
+        ca0 AS (SELECT doc_id AS corpus_id, s FROM sh WHERE doc_id % 2 = 0),
+        ca AS (
+            SELECT corpus_id, s FROM (
+                SELECT corpus_id, s, count(*) OVER (PARTITION BY s) AS df_
+                FROM ca0
+            ) WHERE df_ <= {_MAX_SHINGLE_FREQ}
+        ),
+        pb AS (SELECT doc_id AS probe_id, s FROM sh WHERE doc_id % 2 = 1),
+        pcnt AS (SELECT probe_id, count(*) AS np FROM pb GROUP BY probe_id),
+        inter AS (
+            SELECT corpus_id, probe_id, count(*) AS i
+            FROM ca JOIN pb USING (s) GROUP BY 1, 2
+        )
+        SELECT corpus_id, probe_id, round(i * 1.0 / np, 6) AS containment
+        FROM inter JOIN pcnt USING (probe_id)
+        WHERE round(i * 1.0 / np, 6) >= 0.5
+        ORDER BY corpus_id, probe_id
     """
     from letsearch_spark.operators.dedup import (
         MINHASH_BASE_P,

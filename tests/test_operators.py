@@ -519,3 +519,40 @@ def test_time_rollup_matches_separate_groupbys(spark):
         time_rollup(ev, "ts", [], ["count(1) AS n"], granularities=("fortnight",))
     with pytest.raises(ValueError):
         time_rollup(ev, "ts", [], ["count(1)"])  # missing alias
+
+
+def test_ngram_containment_verbatim_inclusion(spark):
+    from letsearch_spark.operators.dedup import ngram_containment_pairs
+
+    probe_text = "the quick brown fox jumps over the lazy dog"
+    corpus = spark.createDataFrame(
+        [
+            # 100: embeds the probe verbatim inside a longer doc
+            (100, f"intro words before {probe_text} and plenty of trailing "
+                  f"material that dilutes jaccard far below any threshold "
+                  f"while containment stays perfect"),
+            (101, "totally unrelated text about spark shuffle partitions"),
+        ],
+        ["doc_id", "text"],
+    )
+    probes = spark.createDataFrame([(7, probe_text)], ["pid", "ptext"])
+    got = {
+        (r["corpus_id"], r["probe_id"]): r["containment"]
+        for r in ngram_containment_pairs(
+            corpus, probes, "doc_id", "text", "pid", "ptext", threshold=0.5
+        ).collect()
+    }
+    assert got == {(100, 7): 1.0}  # verbatim inclusion scores exactly 1.0
+
+    # jaccard on the same pair would be far below 0.5 (dilution): the
+    # asymmetry is the point of the containment metric
+    from letsearch_spark.operators.dedup import ngram_jaccard_pairs
+
+    both = corpus.union(
+        probes.select(F.col("pid").alias("doc_id"), F.col("ptext").alias("text"))
+    )
+    jac = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(both, "doc_id", "text", threshold=0.0).collect()
+    }
+    assert jac[(7, 100)] < 0.5
