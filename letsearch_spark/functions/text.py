@@ -66,6 +66,32 @@ def fingerprint(col: Column) -> Column:
     return F.md5(F.regexp_replace(F.trim(F.lower(col)), r"\s+", " "))
 
 
+# scrub patterns chosen to mean the same thing in Java regex (Spark) and
+# DuckDB's RE2: no lookarounds, no backrefs
+URL_RE = r"https?://[^\s]+"
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+
+
+def scrub_text(
+    col: Column, url_token: str = "<URL>", email_token: str = "<EMAIL>"
+) -> Column:
+    """PII/noise scrubbing for training text: URLs and e-mail addresses
+    replaced by stable placeholder tokens, whitespace re-normalized.
+    Pure Catalyst regexp_replace chain -- runs inside the scan."""
+    out = F.regexp_replace(col, URL_RE, url_token)
+    out = F.regexp_replace(out, EMAIL_RE, email_token)
+    return F.trim(F.regexp_replace(out, r"\s+", " "))
+
+
+def scrub_counts(col: Column) -> tuple[Column, Column]:
+    """(n_urls, n_emails) found in the text -- audit companion to
+    :func:`scrub_text`."""
+    return (
+        F.size(F.regexp_extract_all(col, F.lit(URL_RE), 0)).cast("long"),
+        F.size(F.regexp_extract_all(col, F.lit(EMAIL_RE), 0)).cast("long"),
+    )
+
+
 def quality_score(col: Column) -> Column:
     """Composite [0,1]-ish quality: length, stopword ratio, punctuation."""
     n_words = word_count(col)

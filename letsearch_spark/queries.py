@@ -1022,6 +1022,31 @@ def q_text_quality_score(spark, sf_dir):
     )
 
 
+def q_text_scrub(spark, sf_dir):
+    """PII/noise scrubbing (functions/text.py scrub_text/scrub_counts):
+    URLs and e-mails replaced by placeholder tokens, counted for audit.
+    Deterministic noise is injected per doc so the scrub has real work
+    at any scale; all regexp chains are Catalyst expressions."""
+    from letsearch_spark.functions.text import scrub_counts, scrub_text
+
+    docs = load(spark, sf_dir, "documents")
+    noisy = F.concat(
+        F.coalesce(F.col("text"), F.lit("")),
+        F.lit(" see https://ex.com/p/"),
+        F.col("doc_id").cast("string"),
+        F.lit(" or mail bob"),
+        F.col("doc_id").cast("string"),
+        F.lit("@ex-mail.org end"),
+    )
+    n_urls, n_emails = scrub_counts(noisy)
+    return docs.select(
+        "doc_id",
+        n_urls.alias("n_urls"),
+        n_emails.alias("n_emails"),
+        F.length(scrub_text(noisy)).cast("long").alias("scrubbed_len"),
+    ).orderBy("doc_id")
+
+
 def q_multimodal_binary_meta(spark, sf_dir):
     """Opaque-binary column plumbing: byte length + sha256 of the payload
     (the multimodal pattern -- decode UDFs in sources/multimodal.py)."""
@@ -1179,6 +1204,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_lang_id": q_text_lang_id,
     "text_fingerprint": q_text_fingerprint,
     "text_quality_score": q_text_quality_score,
+    "text_scrub": q_text_scrub,
     "multimodal_binary_meta": q_multimodal_binary_meta,
     "multimodal_decode": q_multimodal_decode,
     "s_csv_roundtrip": q_s_csv_roundtrip,
@@ -1662,6 +1688,24 @@ def _oracles() -> dict[str, str]:
                CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
                sha256(text) AS sha
         FROM documents ORDER BY doc_id
+    """
+    from letsearch_spark.functions.text import EMAIL_RE, URL_RE
+
+    o["text_scrub"] = f"""
+        WITH noisy AS (
+            SELECT doc_id,
+                   coalesce(text, '') || ' see https://ex.com/p/'
+                   || CAST(doc_id AS VARCHAR) || ' or mail bob'
+                   || CAST(doc_id AS VARCHAR) || '@ex-mail.org end' AS t
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(t, '{URL_RE}')) AS BIGINT) AS n_urls,
+               CAST(len(regexp_extract_all(t, '{EMAIL_RE}')) AS BIGINT) AS n_emails,
+               CAST(length(trim(regexp_replace(regexp_replace(regexp_replace(
+                   t, '{URL_RE}', '<URL>', 'g'), '{EMAIL_RE}', '<EMAIL>', 'g'),
+                   '\\s+', ' ', 'g'))) AS BIGINT) AS scrubbed_len
+        FROM noisy ORDER BY doc_id
     """
     o["s_csv_roundtrip"] = """
         SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
