@@ -395,27 +395,36 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 20,
+    algorithm: str = "minlabel",
 ) -> DataFrame:
     """Component label per node from a near-dup pair graph: (id, component)
     where component = min node id reachable from id. The last stage of a
     real dedup pipeline: pairs -> clusters -> one canonical doc per
     cluster (component == id).
 
-    Min-label propagation: labels start as own id; each round every node
-    takes the min of its label and its neighbors' labels. Converges in
-    `diameter` rounds -- near-dup components from LSH banding are
-    near-cliques (diameter 2-3), so 3-4 shuffle rounds in practice, each
-    round one join + one groupBy on the *pair* table only (nodes outside
-    any pair never enter the loop). Convergence is detected by the
-    monotonically-decreasing sum of labels; `localCheckpoint` truncates
-    the growing lineage each round (essential for iterative Spark plans).
-    For adversarial long-chain graphs use the O(log n)-round
-    large-star/small-star variant (Kiveris et al., "Connected Components
-    in MapReduce and Beyond") -- not needed for dedup graphs.
+    algorithm='minlabel' (default): labels start as own id; each round
+    every node takes the min of its label and its neighbors' labels.
+    Converges in `diameter` rounds -- near-dup components from LSH
+    banding are near-cliques (diameter 2-3), so 3-4 shuffle rounds in
+    practice, each round one join + one groupBy on the *pair* table only
+    (nodes outside any pair never enter the loop). Convergence is
+    detected by the monotonically-decreasing sum of labels;
+    `localCheckpoint` truncates the growing lineage each round
+    (essential for iterative Spark plans).
+
+    algorithm='star': alternating large-star/small-star contraction
+    (Kiveris et al., "Connected Components in MapReduce and Beyond"),
+    O(log n) rounds independent of diameter -- the shape for adversarial
+    long-chain graphs where minlabel would need diameter rounds. Same
+    output contract.
 
     ``nodes``: optional (id) DataFrame; ids absent from ``pairs`` are
     emitted as singleton components (component = own id).
     """
+    if algorithm == "star":
+        return _components_star(pairs, nodes, id_a, id_b, max_iter)
+    if algorithm != "minlabel":
+        raise ValueError(f"algorithm must be minlabel|star, got {algorithm!r}")
     a = F.col(id_a).alias("src")
     b = F.col(id_b).alias("dst")
     edges = (
@@ -430,6 +439,7 @@ def connected_components(
         .localCheckpoint()
     )
     prev_sum = labels.agg(F.sum("label")).first()[0]
+    converged = False
     for _ in range(max_iter):
         neighbor = edges.join(
             labels.withColumnRenamed("id", "src"), "src"
@@ -442,10 +452,98 @@ def connected_components(
         )
         cur_sum = labels.agg(F.sum("label")).first()[0]
         if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
     edges.unpersist()
+    if not converged:
+        # a silently-unconverged result would hand back WRONG labels;
+        # graphs with diameter > max_iter need algorithm='star'
+        raise RuntimeError(
+            f"min-label propagation did not converge in {max_iter} rounds "
+            f"(graph diameter exceeds max_iter); use algorithm='star' or "
+            f"raise max_iter"
+        )
     out = labels.select("id", F.col("label").alias("component"))
+    if nodes is not None:
+        singles = (
+            nodes.select(F.col(nodes.columns[0]).alias("id"))
+            .join(out.select("id"), "id", "left_anti")
+            .withColumn("component", F.col("id"))
+        )
+        out = out.union(singles)
+    return out
+
+
+def _components_star(
+    pairs: DataFrame,
+    nodes: DataFrame | None,
+    id_a: str,
+    id_b: str,
+    max_iter: int,
+) -> DataFrame:
+    """Alternating large-star/small-star contraction (Kiveris et al.):
+    each round every node hooks its larger neighbors (large-star) then
+    its smaller-or-equal neighbors (small-star) onto the minimum of its
+    neighborhood. Component trees halve in height every round -> O(log n)
+    rounds on ANY graph shape, vs diameter rounds for min-label."""
+    spark = pairs.sparkSession
+
+    edges = (
+        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+        .distinct()
+        .localCheckpoint()
+    )  # orientation: u (larger) -> v (smaller); column order (u, v)
+    # matters: the unions below are positional
+
+    def large_star(e):
+        # full (undirected) adjacency per center; hook every LARGER
+        # neighbor onto the neighborhood minimum
+        adj = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = adj.groupBy("u").agg(F.least(F.col("u"), F.min("v")).alias("m"))
+        out = (
+            adj.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        return out.where(F.col("u") != F.col("v")).distinct()
+
+    def small_star(e):
+        # DIRECTED (larger -> smaller) edges only: hook each center and
+        # its smaller neighbors onto the minimum of that directed set
+        mins = e.groupBy("u").agg(F.min("v").alias("m"))
+        out = (
+            e.join(mins, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(mins.select(F.col("u"), F.col("m").alias("v")))
+        )
+        return out.where(F.col("u") != F.col("v")).distinct()
+
+    def signature(e):
+        r = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("u").alias("su"),
+            F.sum("v").alias("sv"),
+        ).first()
+        return (r["n"], r["su"], r["sv"])
+
+    sig = signature(edges)
+    for _ in range(max_iter):
+        edges = small_star(large_star(edges)).localCheckpoint()
+        new_sig = signature(edges)
+        if new_sig == sig:
+            break
+        sig = new_sig
+
+    # fixed point is a star forest: every edge is (node, root)
+    roots = edges.select(F.col("v").alias("id")).distinct().withColumn(
+        "component", F.col("id")
+    )
+    out = edges.select(
+        F.col("u").alias("id"), F.col("v").alias("component")
+    ).union(roots)
     if nodes is not None:
         singles = (
             nodes.select(F.col(nodes.columns[0]).alias("id"))

@@ -556,3 +556,42 @@ def test_ngram_containment_verbatim_inclusion(spark):
         for r in ngram_jaccard_pairs(both, "doc_id", "text", threshold=0.0).collect()
     }
     assert jac[(7, 100)] < 0.5
+
+
+def test_components_star_equals_minlabel(spark):
+    import random
+
+    from letsearch_spark.operators.dedup import connected_components
+
+    rng = random.Random(7)
+    # random sparse graph + a long chain (the star algorithm's case:
+    # 60-node chain has diameter 59, star converges in O(log n) rounds)
+    edges = [(i, i + 1) for i in range(100, 160)]
+    edges += [(rng.randrange(0, 50), rng.randrange(0, 50)) for _ in range(40)]
+    edges = [(a, b) for a, b in edges if a != b]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    nodes = spark.createDataFrame(
+        [(i,) for i in range(0, 50)] + [(i,) for i in range(100, 161)] + [(999,)],
+        "id long",
+    )
+    base = {
+        r["id"]: r["component"]
+        for r in connected_components(pairs, nodes=nodes, max_iter=80).collect()
+    }
+    star = {
+        r["id"]: r["component"]
+        for r in connected_components(
+            pairs, nodes=nodes, algorithm="star", max_iter=10
+        ).collect()
+    }
+    assert star == base
+    # the chain collapsed to its min id, the singleton kept itself
+    assert star[160] == 100 and star[999] == 999
+
+    # default max_iter (20) cannot cover diameter 59: min-label must
+    # REFUSE rather than silently return wrong labels
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, nodes=nodes).collect()
+
+    with pytest.raises(ValueError):
+        connected_components(pairs, algorithm="bogus")
