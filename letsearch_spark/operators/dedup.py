@@ -559,12 +559,13 @@ def dedup_keep_list(
     pairs: DataFrame,
     id_col: str,
     max_iter: int = 20,
+    algorithm: str = "minlabel",
 ) -> DataFrame:
     """(id, component, is_kept) over ALL docs: one canonical survivor
     (the min id) per near-dup cluster, singletons kept as themselves.
     Downstream: ``docs.join(keep.where("is_kept"), id)`` drops dups."""
     comp = connected_components(
-        pairs, nodes=docs.select(id_col), max_iter=max_iter
+        pairs, nodes=docs.select(id_col), max_iter=max_iter, algorithm=algorithm
     )
     return comp.select(
         "id", "component", (F.col("id") == F.col("component")).alias("is_kept")

@@ -595,3 +595,46 @@ def test_components_star_equals_minlabel(spark):
 
     with pytest.raises(ValueError):
         connected_components(pairs, algorithm="bogus")
+
+
+def test_range_join_bin_equivalence_property(spark):
+    """Randomized equivalence: for arbitrary events/intervals and any bin
+    width, the binned equi-join returns exactly the naive join's pairs."""
+    import random
+
+    from letsearch_spark.operators.range_join import range_join
+
+    rng = random.Random(12345)
+    base = 1_700_000_000
+    ev = spark.createDataFrame(
+        [
+            (i, f"u{rng.randrange(4)}", base + rng.randrange(0, 500_000))
+            for i in range(200)
+        ],
+        "event_id long, user_id string, ts_epoch long",
+    ).selectExpr("event_id", "user_id", "CAST(ts_epoch AS TIMESTAMP) AS ts")
+    ivs = []
+    for j in range(40):
+        start = base + rng.randrange(0, 500_000)
+        ivs.append((j, f"u{rng.randrange(4)}", start, start + rng.randrange(0, 120_000)))
+    iv = spark.createDataFrame(
+        ivs, "iv_id long, iv_user string, s_epoch long, e_epoch long"
+    ).selectExpr(
+        "iv_id", "iv_user",
+        "CAST(s_epoch AS TIMESTAMP) AS start_ts",
+        "CAST(e_epoch AS TIMESTAMP) AS end_ts",
+    )
+
+    def pairs(method, width):
+        return sorted(
+            (r["event_id"], r["iv_id"])
+            for r in range_join(
+                ev, iv, "ts", "start_ts", "end_ts", "user_id", "iv_user",
+                method=method, bin_width_seconds=width, max_bins=10_000,
+            ).collect()
+        )
+
+    expect = pairs("range", 3600)
+    assert expect  # fixture produces matches
+    for width in (97, 3600, 86_400, 1_000_000):
+        assert pairs("bin", width) == expect, width
