@@ -487,8 +487,6 @@ def _components_star(
     its smaller-or-equal neighbors (small-star) onto the minimum of its
     neighborhood. Component trees halve in height every round -> O(log n)
     rounds on ANY graph shape, vs diameter rounds for min-label."""
-    spark = pairs.sparkSession
-
     edges = (
         pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
         .where(F.col("u") != F.col("v"))
