@@ -348,7 +348,7 @@ class Collection:
 
     def _invalidate_cache(self, column: str | None = None) -> None:
         cols = (
-            [column, f"__docs_{column}", f"__serve_{column}"]
+            [column, f"__docs_{column}", f"__serve_{column}", f"__lsh_{column}"]
             if column
             else list(self._emb_cache)
         )
@@ -396,14 +396,25 @@ class Collection:
         graph + DuckDB's open table), each query a single matmul with
         no Spark job at all. Only for collections that fit on the
         driver; Spark remains the build/scale path.
+
+        strategy='lsh': approximate -- the serve view carries a sign-LSH
+        bucket column and is cached REPARTITIONED BY BUCKET, so each
+        query's bucket filter prunes whole cached batches via their
+        min/max stats (the in-memory analog of parquet partition
+        pruning); exact cosine runs only inside the probed buckets
+        (multiprobe radius 1). Recall < 1 by design; the usearch-HNSW
+        trade expressed Spark-first.
         """
         if not 1 <= limit <= 100:
             raise ValueError(f"limit must be in [1, 100], got {limit}")
         if column not in self.config.index_columns:
             raise ValueError(f"column {column!r} is not indexed")
-        if strategy not in ("join", "inlist", "local"):
+        if strategy not in ("join", "inlist", "local", "lsh"):
             raise ValueError(f"unknown strategy {strategy!r}")
         qvec = self._embedder().embed([query])[0].tolist()
+
+        if strategy == "lsh":
+            return self._search_lsh(column, qvec, limit)
 
         if strategy == "local":
             rows_out = self._local_topk(self._local_bundle(column), qvec, limit)
@@ -451,6 +462,60 @@ class Collection:
             .orderBy(F.desc("score"), F.asc("key"))
             .limit(limit)
         )
+
+    _LSH_BITS = 8
+    _LSH_SEED = 42
+
+    def _search_lsh(self, column: str, qvec, limit: int) -> DataFrame:
+        import numpy as np
+
+        from letsearch_spark.operators.topk import (
+            _hyperplanes,
+            multiprobe_signatures,
+        )
+
+        indexed = self._lsh_view(column)
+        dim = len(qvec)
+        planes = _hyperplanes(dim, self._LSH_BITS, self._LSH_SEED)
+        q = np.asarray(qvec, dtype=np.float64)
+        sig = 0
+        for i, plane in enumerate(planes):
+            if float(plane @ q) >= 0:
+                sig |= 1 << i
+        probes = multiprobe_signatures(sig, self._LSH_BITS, radius=1)
+        sim = cosine_similarity(F.col("vector"), [float(x) for x in qvec])
+        return (
+            indexed.where(F.col("_bucket").isin(*[int(p) for p in probes]))
+            .where(F.col("content").isNotNull())
+            .select(F.col(KEY_COL).alias("key"), "content", sim.alias("score"))
+            .orderBy(F.desc("score"), F.asc("key"))
+            .limit(limit)
+        )
+
+    def _lsh_view(self, column: str) -> DataFrame:
+        """Serve view + sign-LSH bucket, repartitioned by bucket and
+        cached: cached batches then hold few distinct buckets each, so a
+        bucket filter skips whole batches via their min/max stats."""
+        view = self._emb_cache.get(f"__lsh_{column}")
+        if view is None:
+            from letsearch_spark.operators.topk import (
+                _hyperplanes,
+                lsh_signature_col,
+            )
+
+            serve = self._serve_view(column)
+            dim = len(serve.select("vector").first()[0])
+            planes = _hyperplanes(dim, self._LSH_BITS, self._LSH_SEED)
+            view = (
+                serve.withColumn(
+                    "_bucket", lsh_signature_col(F.col("vector"), planes)
+                )
+                .repartition("_bucket")
+                .cache()
+            )
+            view.count()
+            self._emb_cache[f"__lsh_{column}"] = view
+        return view
 
     @staticmethod
     def _local_topk(bundle, qvec, limit: int) -> list[tuple]:

@@ -262,3 +262,29 @@ def test_quantized_variant_storage_and_search(spark, tmp_path, sf_dir):
         assert keys == f32_keys, variant
         for (_, s_q), (_, s_f) in zip(results[variant], results["f32"]):
             assert abs(s_q - s_f) < (1e-3 if variant == "f16" else 2e-2)
+
+
+def test_search_lsh_strategy(coll):
+    """Approximate serving: probed-bucket results are a subset of the
+    exact ranking, and an exact-text query still self-hits at rank 1
+    (its own vector shares its own bucket by construction)."""
+    exact = [
+        (r["key"], round(r["score"], 6))
+        for r in coll.search("text", "spark q", limit=20).collect()
+    ]
+    approx = [
+        (r["key"], round(r["score"], 6))
+        for r in coll.search("text", "spark q", limit=20, strategy="lsh").collect()
+    ]
+    assert approx  # probed buckets are never empty (query bucket exists)
+    assert set(approx) <= set(exact) or len(approx) == 20
+    # scores must come from the same scoring function: any shared key
+    # carries the identical score
+    e = dict(exact)
+    for k, s in approx:
+        if k in e:
+            assert s == e[k]
+
+    probe = coll.docs().where("_key = 7").select("text").first()[0]
+    top = coll.search("text", probe, limit=1, strategy="lsh").first()
+    assert top["key"] == 7 and top["score"] > 0.999
