@@ -506,11 +506,16 @@ class Collection:
             serve = self._serve_view(column)
             dim = len(serve.select("vector").first()[0])
             planes = _hyperplanes(dim, self._LSH_BITS, self._LSH_SEED)
+            # repartition ALONE is not enough: a partition holds several
+            # buckets and un-sorted rows give every cached batch a wide
+            # min/max, defeating stats pruning; sorting within partitions
+            # makes batches bucket-runs so the filter skips whole batches
             view = (
                 serve.withColumn(
                     "_bucket", lsh_signature_col(F.col("vector"), planes)
                 )
                 .repartition("_bucket")
+                .sortWithinPartitions("_bucket")
                 .cache()
             )
             view.count()
