@@ -36,7 +36,6 @@ from pyspark.sql import types as T
 from letsearch_spark.chunker import ChunkerConfig, MarkdownChunker
 from letsearch_spark.config import CollectionConfig
 from letsearch_spark.embedders import Embedder, get_embedder
-from letsearch_spark.functions.vector import cosine_similarity
 from letsearch_spark.keys import KEY_COL, add_dense_key, next_key_start
 from letsearch_spark.operators.topk import cosine_topk
 
@@ -451,17 +450,35 @@ class Collection:
         # single-job path: score + top-k + content projection in ONE
         # TakeOrderedAndProject over the cached serve view -- the Spark
         # analog of one usearch lookup + row fetch
-        sim = cosine_similarity(F.col("vector"), [float(x) for x in qvec])
         return (
             serve.where(F.col("content").isNotNull())  # P6 null-content drop
             .select(
                 F.col(KEY_COL).alias("key"),
                 F.col("content"),
-                sim.alias("score"),
+                self._serve_score(qvec).alias("score"),
             )
             .orderBy(F.desc("score"), F.asc("key"))
             .limit(limit)
         )
+
+    @staticmethod
+    def _serve_score(qvec):
+        """Cosine against the serve view using its precomputed ``_vnorm``:
+        one fold per row instead of two, and the query literal appears
+        once (its norm is a driver-side scalar computed with the same
+        sequential double arithmetic, so scores are bit-identical to the
+        full expression form)."""
+        import math
+
+        from letsearch_spark.functions.vector import dot_product
+
+        qn = 0.0
+        for x in qvec:
+            qn += float(x) * float(x)
+        qn = math.sqrt(qn)
+        denom = F.col("_vnorm") * F.lit(qn)
+        num = dot_product(F.col("vector"), [float(x) for x in qvec])
+        return F.when(denom == 0.0, F.lit(0.0)).otherwise(num / denom)
 
     _LSH_BITS = 8
     _LSH_SEED = 42
@@ -483,11 +500,14 @@ class Collection:
             if float(plane @ q) >= 0:
                 sig |= 1 << i
         probes = multiprobe_signatures(sig, self._LSH_BITS, radius=1)
-        sim = cosine_similarity(F.col("vector"), [float(x) for x in qvec])
         return (
             indexed.where(F.col("_bucket").isin(*[int(p) for p in probes]))
             .where(F.col("content").isNotNull())
-            .select(F.col(KEY_COL).alias("key"), "content", sim.alias("score"))
+            .select(
+                F.col(KEY_COL).alias("key"),
+                "content",
+                self._serve_score(qvec).alias("score"),
+            )
             .orderBy(F.desc("score"), F.asc("key"))
             .limit(limit)
         )
@@ -599,6 +619,10 @@ class Collection:
                 from letsearch_spark.functions.quantize import dequantize_column
 
                 emb = dequantize_column(emb, "vector", self.config.model_variant)
+            from letsearch_spark.functions.vector import l2_norm
+
+            # row norms computed ONCE at cache time (_serve_score)
+            emb = emb.withColumn("_vnorm", l2_norm(F.col("vector")))
             view = emb.join(docs, KEY_COL).cache()
             view.count()  # materialize now; searches then cost one job
             self._emb_cache[f"__serve_{column}"] = view
