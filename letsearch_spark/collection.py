@@ -461,6 +461,56 @@ class Collection:
             .limit(limit)
         )
 
+    def search_many(
+        self, column: str, queries: Sequence[str], limit: int = 10
+    ) -> DataFrame:
+        """Batched search: every query scored in ONE job instead of one
+        job per query -- the serving-throughput path. Queries embed
+        driver-side into a small frame; the candidate-only knn_join plan
+        (operators/topk.py, numpy method) lets each serve-view partition
+        emit only its local top-k per query, and the tiny hit set
+        broadcasts back against the view for content.
+
+        Returns (query_idx, rank, key, content, score) ordered by
+        (query_idx, rank). Scores differ from :meth:`search` only in
+        float summation order (pairwise vs sequential)."""
+        if not 1 <= limit <= 100:
+            raise ValueError(f"limit must be in [1, 100], got {limit}")
+        if column not in self.config.index_columns:
+            raise ValueError(f"column {column!r} is not indexed")
+        if not queries:
+            raise ValueError("queries must be non-empty")
+        from letsearch_spark.operators.topk import knn_join
+
+        vecs = self._embedder().embed(list(queries))
+        qdf = self.spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+            "query_idx long, qvec array<float>",
+        )
+        serve = self._serve_view(column).where(F.col("content").isNotNull())
+        hits = knn_join(
+            serve,
+            qdf,
+            k=limit,
+            key_col=KEY_COL,
+            vec_col="vector",
+            query_key_col="query_idx",
+            query_vec_col="qvec",
+            method="numpy",
+        )
+        return (
+            serve.select(F.col(KEY_COL), "content")
+            .join(F.broadcast(hits), KEY_COL)
+            .select(
+                "query_idx",
+                "rank",
+                F.col(KEY_COL).alias("key"),
+                "content",
+                "score",
+            )
+            .orderBy("query_idx", "rank")
+        )
+
     @staticmethod
     def _serve_score(qvec):
         """Cosine against the serve view using its precomputed ``_vnorm``:

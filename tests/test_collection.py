@@ -288,3 +288,23 @@ def test_search_lsh_strategy(coll):
     probe = coll.docs().where("_key = 7").select("text").first()[0]
     top = coll.search("text", probe, limit=1, strategy="lsh").first()
     assert top["key"] == 7 and top["score"] > 0.999
+
+
+def test_search_many_matches_per_query(coll):
+    qs = [f"spark join query window batch {i}" for i in range(5)]
+    batched = {}
+    for r in coll.search_many("text", qs, limit=5).collect():
+        batched.setdefault(r["query_idx"], []).append(
+            (r["rank"], r["key"], r["content"], round(r["score"], 6))
+        )
+    for i, q in enumerate(qs):
+        single = [
+            (j + 1, r["key"], r["content"], round(r["score"], 6))
+            for j, r in enumerate(coll.search("text", q, limit=5).collect())
+        ]
+        assert sorted(batched[i]) == single, i
+
+    with pytest.raises(ValueError):
+        coll.search_many("text", [], limit=5)
+    with pytest.raises(ValueError):
+        coll.search_many("text", ["q"], limit=0)
