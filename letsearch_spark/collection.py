@@ -257,6 +257,15 @@ class Collection:
     def _has_embeddings(self) -> bool:
         return self._fs_nonempty(self.embeddings_path)
 
+    def _require_embeddings(self, column: str) -> None:
+        """Friendly precondition for the search paths: a raw
+        PATH_NOT_FOUND from the parquet scan tells the user nothing."""
+        if not self._has_embeddings():
+            raise RuntimeError(
+                f"collection {self.config.name!r} has no embeddings yet; "
+                f"run embed_column({column!r}) (CLI: index/add-docs) first"
+            )
+
     def embeddings(self, column: str | None = None) -> DataFrame:
         df = self.spark.read.parquet(self.embeddings_path)
         if column is not None:
@@ -410,6 +419,7 @@ class Collection:
             raise ValueError(f"column {column!r} is not indexed")
         if strategy not in ("join", "inlist", "local", "lsh"):
             raise ValueError(f"unknown strategy {strategy!r}")
+        self._require_embeddings(column)
         qvec = self._embedder().embed([query])[0].tolist()
 
         if strategy == "lsh":
@@ -480,6 +490,7 @@ class Collection:
             raise ValueError(f"column {column!r} is not indexed")
         if not queries:
             raise ValueError("queries must be non-empty")
+        self._require_embeddings(column)
         from letsearch_spark.operators.topk import knn_join
 
         vecs = self._embedder().embed(list(queries))
@@ -642,6 +653,7 @@ class Collection:
                 raise ValueError(f"limit must be in [1, 100], got {limit}")
             if column not in self.config.index_columns:
                 raise ValueError(f"column {column!r} is not indexed")
+            self._require_embeddings(column)
             qvec = self._embedder().embed([query])[0].tolist()
             rows = self._local_topk(self._local_bundle(column), qvec, limit)
             return [

@@ -308,3 +308,19 @@ def test_search_many_matches_per_query(coll):
         coll.search_many("text", [], limit=5)
     with pytest.raises(ValueError):
         coll.search_many("text", ["q"], limit=0)
+
+
+def test_search_before_embed_raises_clearly(spark, tmp_path, sf_dir):
+    import os
+
+    from letsearch_spark.collection import Collection
+
+    c = Collection.create(spark, str(tmp_path), name="unembedded")
+    c.import_parquet(os.path.join(sf_dir, "documents.parquet"))
+    for call in (
+        lambda: c.search("text", "q"),
+        lambda: c.search_many("text", ["q"]),
+        lambda: c.search_rows("text", "q"),
+    ):
+        with pytest.raises(RuntimeError, match="no embeddings yet"):
+            call()
