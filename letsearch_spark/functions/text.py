@@ -92,6 +92,41 @@ def scrub_counts(col: Column) -> tuple[Column, Column]:
     )
 
 
+def repetition_stats(col: Column, n: int = 2) -> dict[str, Column]:
+    """Within-document repetition signals (the Gopher/C4-style quality
+    filters): distinct-word ratio and duplicate n-gram fraction. High
+    duplicate fractions flag boilerplate/spam/generation loops. All
+    Catalyst expressions; counts are order-invariant so the DuckDB twin
+    matches exactly.
+
+    Returns named Columns: n_words, n_distinct_words, dup_word_frac,
+    dup_ngram_frac (fractions rounded to 6)."""
+    w = words(col)
+    n_words = F.size(w)
+    n_distinct = F.size(F.array_distinct(w))
+    grams = F.when(
+        n_words >= n,
+        F.transform(
+            F.sequence(F.lit(0), n_words - n),
+            lambda i: F.concat_ws(" ", F.slice(w, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    n_grams = F.size(grams)
+    n_distinct_grams = F.size(F.array_distinct(grams))
+    dup_word = F.when(
+        n_words > 0, F.round(1.0 - n_distinct * 1.0 / n_words, 6)
+    ).otherwise(F.lit(0.0))
+    dup_gram = F.when(
+        n_grams > 0, F.round(1.0 - n_distinct_grams * 1.0 / n_grams, 6)
+    ).otherwise(F.lit(0.0))
+    return {
+        "n_words": n_words.cast("long"),
+        "n_distinct_words": n_distinct.cast("long"),
+        "dup_word_frac": dup_word,
+        "dup_ngram_frac": dup_gram,
+    }
+
+
 def quality_score(col: Column) -> Column:
     """Composite [0,1]-ish quality: length, stopword ratio, punctuation."""
     n_words = word_count(col)

@@ -42,6 +42,39 @@ def hash_sample(
     return df.where(hash_bucket(F.col(key_col), seed) < cut)
 
 
+def stratified_hash_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+    seed: int = 42,
+) -> DataFrame:
+    """Per-stratum deterministic sampling: keep ~``fractions[stratum]``
+    of each stratum's rows, chosen by key hash. The training-data use
+    case is rebalancing a corpus by language/domain (downsample the head
+    stratum, keep the tail) without RNG instability; all of hash
+    sampling's properties (rerun/repartition/append stability) hold per
+    stratum. Strata absent from ``fractions`` use ``default_fraction``.
+
+    Pure map-side expression: the per-stratum cut is a CASE over
+    ``strata_col`` compared against one hash -- zero shuffles."""
+    for name, frac in fractions.items():
+        if not 0.0 <= frac <= 1.0:
+            raise ValueError(f"fraction for {name!r} must be in [0, 1], got {frac}")
+    if not 0.0 <= default_fraction <= 1.0:
+        raise ValueError(f"default_fraction must be in [0, 1], got {default_fraction}")
+    bucket = hash_bucket(F.col(key_col), seed)
+    cut = None
+    for name, frac in fractions.items():
+        cond = F.col(strata_col) == name
+        val = F.lit(int(round(frac * _BUCKETS)))
+        cut = F.when(cond, val) if cut is None else cut.when(cond, val)
+    default_cut = F.lit(int(round(default_fraction * _BUCKETS)))
+    cut = default_cut if cut is None else cut.otherwise(default_cut)
+    return df.where(bucket < cut)
+
+
 def hash_split(
     df: DataFrame,
     key_col: str,

@@ -1022,6 +1022,37 @@ def q_text_quality_score(spark, sf_dir):
     )
 
 
+def q_sample_stratified(spark, sf_dir):
+    """Per-stratum rebalancing (operators/sample.py
+    stratified_hash_sample): downsample the head language (en) to 25%
+    while keeping every other stratum -- deterministic per-key hash, so
+    reruns/appends keep the same rows. Zero-shuffle map-side filter."""
+    from letsearch_spark.operators.sample import stratified_hash_sample
+
+    docs = load(spark, sf_dir, "documents")
+    return (
+        stratified_hash_sample(
+            docs, "doc_id", "lang", {"en": 0.25}, default_fraction=1.0
+        )
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )
+
+
+def q_text_repetition(spark, sf_dir):
+    """Gopher/C4-style within-document repetition filters: distinct-word
+    ratio and duplicate-bigram fraction (functions/text.py
+    repetition_stats). Order-invariant counts keep the DuckDB twin
+    exact."""
+    from letsearch_spark.functions.text import repetition_stats
+
+    docs = load(spark, sf_dir, "documents")
+    stats = repetition_stats(F.col("text"), n=2)
+    return docs.select(
+        "doc_id", *[c.alias(name) for name, c in stats.items()]
+    ).orderBy("doc_id")
+
+
 def q_text_scrub(spark, sf_dir):
     """PII/noise scrubbing (functions/text.py scrub_text/scrub_counts):
     URLs and e-mails replaced by placeholder tokens, counted for audit.
@@ -1187,6 +1218,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_range_join": q_events_range_join,
     "events_time_rollup": q_events_time_rollup,
     "sample_train_test_split": q_sample_train_test_split,
+    "sample_stratified": q_sample_stratified,
     "skew_salted_join": q_skew_salted_join,
     "skew_two_stage_agg": q_skew_two_stage_agg,
     "quantize_f16_roundtrip": q_quantize_f16_roundtrip,
@@ -1205,6 +1237,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_fingerprint": q_text_fingerprint,
     "text_quality_score": q_text_quality_score,
     "text_scrub": q_text_scrub,
+    "text_repetition": q_text_repetition,
     "multimodal_binary_meta": q_multimodal_binary_meta,
     "multimodal_decode": q_multimodal_decode,
     "s_csv_roundtrip": q_s_csv_roundtrip,
@@ -1440,6 +1473,34 @@ def _oracles() -> dict[str, str]:
                ({b7} < 100000) AS in_10pct_sample
         FROM documents
         ORDER BY doc_id
+    """
+    o["sample_stratified"] = f"""
+        SELECT doc_id, lang FROM documents
+        WHERE {b42} < CASE WHEN lang = 'en' THEN 250000 ELSE 1000000 END
+        ORDER BY doc_id
+    """
+    o["text_repetition"] = f"""
+        WITH w AS (
+            SELECT doc_id, {words} AS ws FROM documents
+        ),
+        g AS (
+            SELECT doc_id, ws,
+                   CASE WHEN len(ws) >= 2 THEN
+                        list_transform(range(1, len(ws)),
+                                       i -> ws[i] || ' ' || ws[i+1])
+                   ELSE [] END AS gs
+            FROM w
+        )
+        SELECT doc_id,
+               CAST(len(ws) AS BIGINT) AS n_words,
+               CAST(len(list_distinct(ws)) AS BIGINT) AS n_distinct_words,
+               CASE WHEN len(ws) > 0
+                    THEN round(1.0 - len(list_distinct(ws)) * 1.0 / len(ws), 6)
+                    ELSE 0.0 END AS dup_word_frac,
+               CASE WHEN len(gs) > 0
+                    THEN round(1.0 - len(list_distinct(gs)) * 1.0 / len(gs), 6)
+                    ELSE 0.0 END AS dup_ngram_frac
+        FROM g ORDER BY doc_id
     """
     o["dedup_embedding_cosine"] = f"""
         SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -638,3 +638,49 @@ def test_range_join_bin_equivalence_property(spark):
     assert expect  # fixture produces matches
     for width in (97, 3600, 86_400, 1_000_000):
         assert pairs("bin", width) == expect, width
+
+
+def test_stratified_hash_sample(spark):
+    from letsearch_spark.operators.sample import stratified_hash_sample
+
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 == 0 else "de") for i in range(2000)],
+        "k long, lang string",
+    )
+    out = stratified_hash_sample(df, "k", "lang", {"en": 0.25}, default_fraction=1.0)
+    counts = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert counts["de"] == 1000  # default 1.0 keeps the full stratum
+    assert 180 < counts["en"] < 320  # ~25% of 1000
+    # per-key determinism: same rows under repartitioning
+    a = sorted(r["k"] for r in out.collect())
+    b = sorted(
+        r["k"]
+        for r in stratified_hash_sample(
+            df.repartition(17), "k", "lang", {"en": 0.25}, default_fraction=1.0
+        ).collect()
+    )
+    assert a == b
+    with pytest.raises(ValueError):
+        stratified_hash_sample(df, "k", "lang", {"en": 1.5})
+
+
+def test_repetition_stats(spark):
+    from letsearch_spark.functions.text import repetition_stats
+
+    rows = [
+        (1, "a b c d e"),            # no repetition
+        (2, "spam spam spam spam"),  # maximal repetition
+        (3, "x"),                    # shorter than the n-gram window
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    stats = repetition_stats(F.col("text"), n=2)
+    got = {
+        r["doc_id"]: r
+        for r in df.select("doc_id", *[c.alias(k) for k, c in stats.items()]).collect()
+    }
+    assert got[1]["dup_word_frac"] == 0.0 and got[1]["dup_ngram_frac"] == 0.0
+    assert got[2]["n_words"] == 4 and got[2]["n_distinct_words"] == 1
+    assert got[2]["dup_word_frac"] == 0.75
+    assert got[2]["dup_ngram_frac"] == pytest.approx(1 - 1 / 3, abs=1e-6)
+    assert got[3]["dup_ngram_frac"] == 0.0  # empty gram set, no NaN
