@@ -932,6 +932,28 @@ def q_dedup_components(spark, sf_dir):
     return dedup_keep_list(docs, pairs, "doc_id").orderBy("id")
 
 
+def q_dedup_minhash_components(spark, sf_dir):
+    """The complete 100-TB dedup pipeline in one entry: MinHash banding
+    finds candidates WITHOUT the all-pairs shingle join, exact Jaccard
+    verifies them, connected components collapse clusters, and the
+    keep-list marks one canonical survivor per cluster. Every stage is
+    the scale shape; the oracle recomputes it with a recursive-CTE
+    closure over the same banded-candidate SQL."""
+    from letsearch_spark.operators.dedup import dedup_keep_list, minhash_lsh_pairs
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        docs,
+        "doc_id",
+        "text",
+        n=3,
+        num_perms=_N_PERMS,
+        band_rows=_BAND_ROWS,
+        threshold=0.5,
+    )
+    return dedup_keep_list(docs, pairs, "doc_id").orderBy("id")
+
+
 def q_dedup_simhash(spark, sf_dir):
     """32-bit SimHash fingerprints (md5-keyed, +-1 per token occurrence).
     operators/dedup.py simhash."""
@@ -1227,6 +1249,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_minhash_components": q_dedup_minhash_components,
     "dedup_components": q_dedup_components,
     "decontaminate_containment": q_decontaminate_containment,
     "dedup_simhash": q_dedup_simhash,
@@ -1645,7 +1668,7 @@ def _oracles() -> dict[str, str]:
         )
         for bi in range(_N_PERMS // _BAND_ROWS)
     )
-    o["dedup_minhash_lsh"] = f"""
+    mh_pairs_sql = f"""
         WITH sh AS ({_SHINGLES_SQL}),
         base AS (
             SELECT doc_id, {md5_60.format(x='s')} % {MINHASH_BASE_P} AS h FROM sh
@@ -1672,7 +1695,27 @@ def _oracles() -> dict[str, str]:
         JOIN cnt ca ON ca.doc_id = c.id_a
         JOIN cnt cb ON cb.doc_id = c.id_b
         WHERE round(coalesce(i.i * 1.0 / (ca.n + cb.n - i.i), 0.0), 6) >= 0.5
-        ORDER BY c.id_a, c.id_b
+    """
+    o["dedup_minhash_lsh"] = f"""
+        SELECT * FROM ({mh_pairs_sql}) ORDER BY id_a, id_b
+    """
+    # the full scalable pipeline: banded candidates -> verify ->
+    # transitive closure -> keep-list, end-to-end
+    o["dedup_minhash_components"] = f"""
+        WITH RECURSIVE
+        pairs AS ({mh_pairs_sql}),
+        edges AS (
+            SELECT id_a AS src, id_b AS dst FROM pairs
+            UNION
+            SELECT id_b AS src, id_a AS dst FROM pairs
+        ),
+        reach(a, b) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
+        )
+        SELECT a AS id, min(b) AS component, (a = min(b)) AS is_kept
+        FROM reach GROUP BY a ORDER BY id
     """
     bit_sums = ", ".join(
         f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS b{j}"
