@@ -21,6 +21,7 @@ from __future__ import annotations
 import os
 from collections.abc import Callable
 
+import pandas as pd  # module-level so pandas_udf type hints resolve
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1075,6 +1076,42 @@ def q_text_repetition(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_multimodal_frame_sample(spark, sf_dir):
+    """Video frame-sampling plan (sources/multimodal.py
+    frame_sample_plan -- the sqrt policy the reference applies to PDF
+    pages, pdf.rs:25-33): synthetic per-doc frame counts, exploded to
+    one row per sampled frame index. Exercises the policy distributively
+    via a pure Catalyst expression of the same arithmetic."""
+    import math
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<int>")
+    def _plan(n: pd.Series) -> pd.Series:
+        from letsearch_spark.sources.multimodal import frame_sample_plan
+
+        return n.map(
+            lambda x: frame_sample_plan(int(x), math.ceil(math.sqrt(int(x))))
+        )
+
+    docs = load(spark, sf_dir, "documents")
+    n_frames = (F.col("n_chars") % 240 + 1).cast("int")
+    return (
+        docs.select(
+            "doc_id",
+            n_frames.cast("long").alias("n_frames"),
+            F.posexplode(_plan(n_frames)).alias("pos", "frame_idx"),
+        )
+        .select(
+            "doc_id",
+            "n_frames",
+            F.col("pos").cast("long").alias("pos"),
+            F.col("frame_idx").cast("long").alias("frame_idx"),
+        )
+        .orderBy("doc_id", "pos")
+    )
+
+
 def q_text_scrub(spark, sf_dir):
     """PII/noise scrubbing (functions/text.py scrub_text/scrub_counts):
     URLs and e-mails replaced by placeholder tokens, counted for audit.
@@ -1263,6 +1300,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_repetition": q_text_repetition,
     "multimodal_binary_meta": q_multimodal_binary_meta,
     "multimodal_decode": q_multimodal_decode,
+    "multimodal_frame_sample": q_multimodal_frame_sample,
     "s_csv_roundtrip": q_s_csv_roundtrip,
     "chunk_documents": q_chunk_documents,
     "embed_stub": q_embed_stub,
@@ -1792,6 +1830,23 @@ def _oracles() -> dict[str, str]:
                CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
                sha256(text) AS sha
         FROM documents ORDER BY doc_id
+    """
+    # frame-sample policy: sample_count = clamp(ceil(sqrt(n)), 1, n),
+    # step = max(n // s, 1), idx_i = min(i*step, n-1) (pdf.rs:25-33)
+    o["multimodal_frame_sample"] = """
+        WITH f AS (
+            SELECT doc_id,
+                   CAST(n_chars % 240 + 1 AS BIGINT) AS n_frames,
+                   least(greatest(CAST(ceil(sqrt(n_chars % 240 + 1)) AS BIGINT), 1),
+                         CAST(n_chars % 240 + 1 AS BIGINT)) AS s
+            FROM documents
+        ),
+        p AS (SELECT doc_id, n_frames, s, greatest(n_frames // s, 1) AS step FROM f)
+        SELECT doc_id, n_frames,
+               CAST(i AS BIGINT) AS pos,
+               least(i * step, n_frames - 1) AS frame_idx
+        FROM p, unnest(range(0, s)) AS t(i)
+        ORDER BY doc_id, pos
     """
     from letsearch_spark.functions.text import EMAIL_RE, URL_RE
 
