@@ -168,3 +168,26 @@ def test_search_is_single_takeordered_over_cache(spark, sf_dir, tmp_path):
     query_time = p.split("InMemoryTableScan", 1)[0]
     assert "Join" not in query_time
     assert "Exchange" not in query_time
+
+
+def test_no_accidental_cartesian_in_contract_queries(spark, sf_dir):
+    """Every contract query's physical plan is scanned for all-pairs
+    join shapes. The only allowed hit is the explicitly-documented exact
+    all-pairs verification twin (dedup_embedding_cosine); its scale path
+    is the separate LSH entry. A new query that accidentally plans a
+    cartesian fails here before it ships."""
+    from letsearch_spark.queries import QUERIES
+
+    ALLOWED = {"dedup_embedding_cosine"}
+    flagged = {}
+    for name, fn in QUERIES.items():
+        df = fn(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        hits = [
+            k
+            for k in ("CartesianProduct", "BroadcastNestedLoopJoin")
+            if k in plan
+        ]
+        if hits and name not in ALLOWED:
+            flagged[name] = hits
+    assert not flagged, flagged
