@@ -1222,6 +1222,40 @@ def q_search_e2e(spark, sf_dir):
     )
 
 
+def q_stream_windowed_counts(spark, sf_dir):
+    """Structured Streaming watermarked tumbling-window rollup
+    (streaming/incremental.py windowed_event_counts), replayed over the
+    events table with an availableNow trigger into a complete-mode
+    memory sink. Complete mode emits every window, so the result is
+    batch-deterministic and the oracle is the plain hourly aggregate
+    (counts only -- double sums are summation-order-dependent)."""
+    import tempfile
+    import uuid
+
+    from letsearch_spark.streaming.incremental import windowed_event_counts
+
+    ev = load(spark, sf_dir, "events")
+    src = tempfile.mkdtemp(prefix="ls_swin_") + "/events"
+    ev.write.parquet(src)
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    out = windowed_event_counts(stream, window="1 hour", watermark="2 hours")
+    name = f"swin_{uuid.uuid4().hex[:12]}"
+    q = (
+        out.select("window_start", "event_type", "n")
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return (
+        spark.table(name)
+        .select("window_start", "event_type", F.col("n").cast("long").alias("n"))
+        .orderBy("window_start", "event_type")
+    )
+
+
 def q_stream_incremental_count(spark, sf_dir):
     """Incremental append replay (S3/S4 + K5 semantics, FIXTURES.md §5):
     events replayed in 5 ts-ordered batches through the append path must
@@ -1306,6 +1340,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embed_stub": q_embed_stub,
     "search_e2e": q_search_e2e,
     "stream_incremental_count": q_stream_incremental_count,
+    "stream_windowed_counts": q_stream_windowed_counts,
 }
 
 
@@ -1884,6 +1919,11 @@ def _oracles() -> dict[str, str]:
                CAST({mm_byte.format(p=11)} AS BIGINT) AS f2,
                CAST({mm_byte.format(p=13)} AS BIGINT) AS f3
         FROM documents ORDER BY doc_id
+    """
+    o["stream_windowed_counts"] = """
+        SELECT date_trunc('hour', ts) AS window_start, event_type,
+               count(*) AS n
+        FROM events GROUP BY 1, 2 ORDER BY 1, 2
     """
     o["stream_incremental_count"] = """
         SELECT event_type, count(*) AS n, CAST(sum(user_id) AS BIGINT) AS sum_uid
