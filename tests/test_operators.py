@@ -684,3 +684,26 @@ def test_repetition_stats(spark):
     assert got[2]["dup_word_frac"] == 0.75
     assert got[2]["dup_ngram_frac"] == pytest.approx(1 - 1 / 3, abs=1e-6)
     assert got[3]["dup_ngram_frac"] == 0.0  # empty gram set, no NaN
+
+
+def test_range_join_shared_key_name(spark):
+    import datetime as dt
+
+    from letsearch_spark.operators.range_join import range_join
+
+    T = lambda h: dt.datetime(2024, 1, 1, h)
+    ev = spark.createDataFrame(
+        [(1, "u", T(1)), (2, "v", T(1))], "event_id long, user_id string, ts timestamp"
+    )
+    iv = spark.createDataFrame(
+        [("A", "u", T(0), T(2))],
+        "iv_id string, user_id string, start_ts timestamp, end_ts timestamp",
+    )
+    for method in ("bin", "range"):
+        out = range_join(
+            ev, iv, "ts", "start_ts", "end_ts", "user_id", "user_id", method=method
+        )
+        # shared key column appears once, from the left side
+        assert out.columns.count("user_id") == 1
+        rows = [(r["event_id"], r["iv_id"], r["user_id"]) for r in out.collect()]
+        assert rows == [(1, "A", "u")], method
