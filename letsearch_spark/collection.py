@@ -58,6 +58,8 @@ class Collection:
         self._emb_cache: dict[str, DataFrame] = {}
         # driver-local serving bundles for strategy='local'
         self._local_idx: dict[str, tuple] = {}
+        # positive result of the embeddings-exist check; cleared on writes
+        self._embeddings_ok = False
 
     # ---- paths ----
 
@@ -259,12 +261,20 @@ class Collection:
 
     def _require_embeddings(self, column: str) -> None:
         """Friendly precondition for the search paths: a raw
-        PATH_NOT_FOUND from the parquet scan tells the user nothing."""
+        PATH_NOT_FOUND from the parquet scan tells the user nothing.
+
+        The positive result is cached (and cleared on any write that
+        invalidates caches) -- the Hadoop FS round-trip costs ~2 ms,
+        which would dominate the driver-local serving path's per-query
+        budget."""
+        if self._embeddings_ok:
+            return
         if not self._has_embeddings():
             raise RuntimeError(
                 f"collection {self.config.name!r} has no embeddings yet; "
                 f"run embed_column({column!r}) (CLI: index/add-docs) first"
             )
+        self._embeddings_ok = True
 
     def embeddings(self, column: str | None = None) -> DataFrame:
         df = self.spark.read.parquet(self.embeddings_path)
@@ -371,6 +381,7 @@ class Collection:
             self._local_idx.clear()
         else:
             self._local_idx.pop(column, None)
+        self._embeddings_ok = False
 
     def embed_all(self, incremental: bool = True) -> dict[str, int]:
         return {
