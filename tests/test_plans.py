@@ -191,3 +191,40 @@ def test_no_accidental_cartesian_in_contract_queries(spark, sf_dir):
         if hits and name not in ALLOWED:
             flagged[name] = hits
     assert not flagged, flagged
+
+
+def test_bucketed_join_is_exchange_free(spark, sf_dir, tmp_path):
+    """Both sides written bucketed+sorted by the join key: the join plan
+    must contain no Exchange (the shuffle was paid once at write time)
+    and no per-side Sort."""
+    from letsearch_spark.operators.bucketed import bucketed_join, write_bucketed
+
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet")).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    lineitem = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_quantity"
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    # surface the on-disk sort order of single-file buckets (module doc)
+    spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+    try:
+        write_bucketed(
+            orders, "bkt_orders", "o_orderkey", 8, path=str(tmp_path / "o")
+        )
+        write_bucketed(
+            lineitem, "bkt_lineitem", "o_orderkey", 8, path=str(tmp_path / "l")
+        )
+        df = bucketed_join(spark, "bkt_orders", "bkt_lineitem", "o_orderkey")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan
+        assert "Sort " not in plan.replace("SortMergeJoin", "SMJ")
+        assert "Bucketed: true" in plan
+        # and it actually computes the join
+        assert df.count() == lineitem.count()
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.unset("spark.sql.legacy.bucketedTableScan.outputOrdering")
+        spark.sql("DROP TABLE IF EXISTS bkt_orders")
+        spark.sql("DROP TABLE IF EXISTS bkt_lineitem")
