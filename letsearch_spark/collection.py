@@ -194,6 +194,15 @@ class Collection:
     def append_csv(self, path: str) -> int:
         return self._append_df(self._read_csv(path))
 
+    def export_jsonl(self, path: str) -> int:
+        """Write the docs table (keys included) as JSONL shards -- the
+        egress twin of import_jsonl, so a cleaned/deduped collection
+        round-trips back into any JSONL consumer. One file per
+        partition; returns the row count."""
+        docs = self.docs()
+        docs.write.mode("overwrite").json(path)
+        return docs.count()
+
     def add_chunks(self, chunks: Sequence[str], column: str = "text") -> int:
         """S6 (collection_actor.rs:293-365): insert pre-chunked strings as
         rows; creates the table if missing; guards the identifier."""

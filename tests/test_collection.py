@@ -324,3 +324,18 @@ def test_search_before_embed_raises_clearly(spark, tmp_path, sf_dir):
     ):
         with pytest.raises(RuntimeError, match="no embeddings yet"):
             call()
+
+
+def test_export_jsonl_roundtrip(spark, tmp_path, sf_dir):
+    import os
+
+    from letsearch_spark.collection import Collection
+
+    c = Collection.create(spark, str(tmp_path), name="exp")
+    c.import_parquet(os.path.join(sf_dir, "documents.parquet"))
+    out = str(tmp_path / "export")
+    n = c.export_jsonl(out)
+    assert n == c.count()
+    back = spark.read.json(out)
+    assert back.count() == n
+    assert set(back.columns) == set(c.docs().columns)
