@@ -198,6 +198,104 @@ def pdf_to_markdown(path: str) -> str:
         raise ValueError(f"{path!r}: {e}") from e
 
 
+def synthesize_pdf(pages: list[list[tuple[str, float]]]) -> bytes:
+    """Build a minimal uncompressed PDF in the exact shape of the
+    reference's hand-crafted test fixture (pdf.rs:83-92): one catalog,
+    one /Pages tree, one /Type /Page + content stream per page, text as
+    ``/F1 <size> Tf (<text>) Tj`` runs. There is no PDF in the driver's
+    testdata, so the contract query synthesizes its own inputs with
+    this; it emits only constructs the builtin extractor (and any real
+    PDF reader) understands."""
+    out = [b"%PDF-1.4\n"]
+    objs: list[bytes] = []
+    n_pages = len(pages)
+    kids = " ".join(f"{3 + 2 * i} 0 R" for i in range(n_pages))
+    objs.append(b"<< /Type /Catalog /Pages 2 0 R >>")
+    objs.append(
+        f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>".encode()
+    )
+    font_obj = 3 + 2 * n_pages
+    for i, runs in enumerate(pages):
+        page_no, content_no = 3 + 2 * i, 4 + 2 * i
+        objs.append(
+            (
+                f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+                f"/Contents {content_no} 0 R "
+                f"/Resources << /Font << /F1 {font_obj} 0 R >> >> >>"
+            ).encode()
+        )
+        parts = [b"BT"]
+        for text, size in runs:
+            esc = (
+                text.replace("\\", "\\\\").replace("(", "\\(").replace(")", "\\)")
+            )
+            parts.append(
+                f"/F1 {size:g} Tf ({esc}) Tj".encode("latin-1", errors="replace")
+            )
+        parts.append(b"ET")
+        stream = b" ".join(parts)
+        objs.append(
+            b"<< /Length %d >>\nstream\n%s\nendstream" % (len(stream), stream)
+        )
+    objs.append(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    for i, body in enumerate(objs):
+        out.append(b"%d 0 obj\n%s\nendobj\n" % (i + 1, body))
+    out.append(b"trailer\n<< /Size %d /Root 1 0 R >>\n%%%%EOF\n" % (len(objs) + 1))
+    return b"".join(out)
+
+
+def pdf_fixture_files() -> dict[str, bytes]:
+    """Deterministic synthetic PDF corpus for the `pdf_ingest` contract
+    query: the reference fixture's plain one-pager (pdf.rs:88), a
+    font-size-structured report (headings for the T1 chunker), a
+    multi-page doc exercising the sqrt page-sampling heuristic
+    (pdf.rs:19-41), a sparse 'scanned' doc the heuristic must reject,
+    and a non-PDF byte blob the parser must survive."""
+    body = 12.0
+    plain = [[("AAAAAAAAAABBBBBBBBBBCCCCCCCCCCDDDDDDDDDDEEEEEEEEEE", body)]]
+    structured = [
+        [
+            ("Quarterly Report", 24.0),
+            (
+                "This report summarizes the quarter with revenue growth "
+                "and cost detail across all operating segments worldwide",
+                body,
+            ),
+            ("Revenue Overview", 18.0),
+            (
+                "Revenue grew nine percent on strong subscription demand "
+                "and better renewal rates in every region we serve today",
+                body,
+            ),
+            ("Cost Analysis", 18.0),
+            (
+                "Costs fell as cloud migration completed and vendor "
+                "consolidation reduced our total infrastructure footprint",
+                body,
+            ),
+        ]
+    ]
+    multi = [
+        [
+            (f"Chapter {i}", 20.0),
+            (
+                f"Page {i} of the handbook explains procedure number {i} "
+                "in enough words to clear the fifty character floor easily",
+                body,
+            ),
+        ]
+        for i in range(1, 10)
+    ]
+    scanned = [[("tiny", body)] for _ in range(4)]
+    return {
+        "plain.pdf": synthesize_pdf(plain),
+        "structured.pdf": synthesize_pdf(structured),
+        "multi.pdf": synthesize_pdf(multi),
+        "scanned.pdf": synthesize_pdf(scanned),
+        "garbage.pdf": b"not a pdf at all",
+    }
+
+
 def read_pdfs(spark, path_glob: str, column: str = "text"):
     """Distributed PDF ingest: binaryFile scan + per-executor parse.
 

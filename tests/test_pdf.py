@@ -124,6 +124,40 @@ def test_plain_fixture_stays_unstructured(text_pdf):
     assert "#" not in md
 
 
+def test_synthesize_pdf_round_trips():
+    """The synthetic fixture corpus parses back through the extractor:
+    the heuristic accepts the text docs, rejects the sparse 'scanned'
+    doc (sqrt-sampled pages all under 50 chars) and the non-PDF blob."""
+    from letsearch_spark.sources.pdf import (
+        _data_to_markdown,
+        extract_pages,
+        pdf_fixture_files,
+    )
+
+    files = pdf_fixture_files()
+    assert len(extract_pages(files["multi.pdf"])) == 9
+    md = _data_to_markdown(files["multi.pdf"])
+    assert "# Chapter 1" in md and "# Chapter 9" in md
+    assert "## Revenue Overview" in _data_to_markdown(files["structured.pdf"])
+    with pytest.raises(ValueError):
+        _data_to_markdown(files["scanned.pdf"])
+    with pytest.raises(ValueError):
+        _data_to_markdown(files["garbage.pdf"])
+
+
+def test_registry_fits_driver_window():
+    """The driver's correctness gate records at most the first 50
+    registry entries (round 2 lost 8 queries past the cap), so the
+    registry must stay <= 50 and lead with the flagship pipelines."""
+    from letsearch_spark.queries import QUERIES
+
+    names = list(QUERIES)
+    assert len(names) <= 50
+    assert names[:4] == ["chunk_documents", "embed_stub", "search_e2e", "pdf_ingest"]
+    assert "stream_incremental_count" in names[:10]
+    assert "multimodal_decode" in names[:10]
+
+
 def test_read_pdfs_distributed(spark, tmp_path, structured_pdf):
     """binaryFile scan + per-executor parse: both fixtures land with
     markdown text; headings survive the distributed path."""

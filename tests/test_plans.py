@@ -172,13 +172,13 @@ def test_search_is_single_takeordered_over_cache(spark, sf_dir, tmp_path):
 
 def test_no_accidental_cartesian_in_contract_queries(spark, sf_dir):
     """Every contract query's physical plan is scanned for all-pairs
-    join shapes. The only allowed hit is the explicitly-documented exact
-    all-pairs verification twin (dedup_embedding_cosine); its scale path
-    is the separate LSH entry. A new query that accidentally plans a
-    cartesian fails here before it ships."""
+    join shapes -- NO contract entry may plan one (the exact all-pairs
+    embedding dedup was demoted to a test-only verification twin in
+    round 3). A new query that accidentally plans a cartesian fails
+    here before it ships."""
     from letsearch_spark.queries import QUERIES
 
-    ALLOWED = {"dedup_embedding_cosine"}
+    ALLOWED: set[str] = set()
     flagged = {}
     for name, fn in QUERIES.items():
         df = fn(spark, sf_dir)
