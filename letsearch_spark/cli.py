@@ -74,7 +74,7 @@ def cmd_add_docs(args) -> int:
             n = coll.append_csv(path)
         else:
             n = coll.append_parquet(path)
-        print(f"appended {path}: {n} rows total")
+        print(f"appended {path}: {n} rows")
     counts = coll.embed_all(incremental=True)  # K5 anti-join increments
     for col, n in counts.items():
         print(f"index for {col!r}: {n} vectors")

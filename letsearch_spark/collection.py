@@ -36,7 +36,12 @@ from pyspark.sql import types as T
 from letsearch_spark.chunker import ChunkerConfig, MarkdownChunker
 from letsearch_spark.config import CollectionConfig
 from letsearch_spark.embedders import Embedder, get_embedder
-from letsearch_spark.keys import KEY_COL, add_dense_key, next_key_start
+from letsearch_spark.keys import (
+    KEY_COL,
+    add_dense_key,
+    add_dense_key_with_count,
+    next_key_start,
+)
 from letsearch_spark.operators.topk import cosine_topk
 
 _IDENT_RE = re.compile(r"^[A-Za-z0-9_]+$")
@@ -58,8 +63,11 @@ class Collection:
         self._emb_cache: dict[str, DataFrame] = {}
         # driver-local serving bundles for strategy='local'
         self._local_idx: dict[str, tuple] = {}
-        # positive result of the embeddings-exist check; cleared on writes
-        self._embeddings_ok = False
+        # columns whose embeddings-exist check passed; cleared on writes
+        self._embeddings_ok: set[str] = set()
+        # driver-RAM ceiling for strategy='local' serving (rows); a
+        # 100x-scale collection must use the distributed strategies
+        self.local_serve_max_rows: int = 1_000_000
 
     # ---- paths ----
 
@@ -170,7 +178,10 @@ class Collection:
 
     def _append_df(self, df: DataFrame) -> int:
         """S3/S4 core: column-list alignment minus ``_key`` then insert with
-        key continuation (collection_actor.rs:222-291)."""
+        key continuation (collection_actor.rs:222-291). Returns the number
+        of rows APPENDED -- the key assigner already counted the batch, so
+        no post-write re-scan of the whole table is needed (at 100 TB that
+        re-scan would cost more than the append itself)."""
         existing = self.docs()
         cols = [c for c in existing.columns if c != KEY_COL]
         start = next_key_start(existing, KEY_COL)
@@ -180,10 +191,12 @@ class Collection:
                 for c in cols
             ]
         )
-        keyed = add_dense_key(incoming, KEY_COL, start=start, if_absent=False)
+        keyed, n = add_dense_key_with_count(
+            incoming, KEY_COL, start=start, if_absent=False
+        )
         keyed.select(existing.columns).write.mode("append").parquet(self.docs_path)
         self._invalidate_cache()
-        return self.count()
+        return n if n is not None else keyed.count()
 
     def append_parquet(self, path: str) -> int:
         return self._append_df(self.spark.read.parquet(self._resolve(path)))
@@ -272,18 +285,23 @@ class Collection:
         """Friendly precondition for the search paths: a raw
         PATH_NOT_FOUND from the parquet scan tells the user nothing.
 
-        The positive result is cached (and cleared on any write that
-        invalidates caches) -- the Hadoop FS round-trip costs ~2 ms,
-        which would dominate the driver-local serving path's per-query
-        budget."""
-        if self._embeddings_ok:
+        Checked PER COLUMN by probing the ``column_name=<col>`` partition
+        directory (K4 multi-column indexes: embedding only one of two
+        index columns must not let a search on the other slip through to
+        an empty scan). The positive result is cached per column (and
+        cleared on any write that invalidates caches) -- the Hadoop FS
+        round-trip costs ~2 ms, which would dominate the driver-local
+        serving path's per-query budget."""
+        if column in self._embeddings_ok:
             return
-        if not self._has_embeddings():
+        part = os.path.join(self.embeddings_path, f"column_name={column}")
+        if not self._fs_nonempty(part):
             raise RuntimeError(
-                f"collection {self.config.name!r} has no embeddings yet; "
-                f"run embed_column({column!r}) (CLI: index/add-docs) first"
+                f"collection {self.config.name!r} has no embeddings for "
+                f"column {column!r} yet; run embed_column({column!r}) "
+                f"(CLI: index/add-docs) first"
             )
-        self._embeddings_ok = True
+        self._embeddings_ok.add(column)
 
     def embeddings(self, column: str | None = None) -> DataFrame:
         df = self.spark.read.parquet(self.embeddings_path)
@@ -388,9 +406,10 @@ class Collection:
                     pass
         if column is None:
             self._local_idx.clear()
+            self._embeddings_ok.clear()
         else:
             self._local_idx.pop(column, None)
-        self._embeddings_ok = False
+            self._embeddings_ok.discard(column)
 
     def embed_all(self, incremental: bool = True) -> dict[str, int]:
         return {
@@ -648,7 +667,22 @@ class Collection:
 
         bundle = self._local_idx.get(column)
         if bundle is None:
-            rows = self._serve_view(column).collect()
+            view = self._serve_view(column)
+            # strategy='local' collects the WHOLE serve view into driver
+            # RAM (the reference's in-RAM serving model, driver-sized
+            # collections only). Refuse loudly past the ceiling instead
+            # of OOMing the driver; the count runs on the cached view,
+            # so it is paid once per (re)build.
+            n = view.count()
+            if n > self.local_serve_max_rows:
+                raise RuntimeError(
+                    f"collection {self.config.name!r} column {column!r} has "
+                    f"{n} rows -- above local_serve_max_rows="
+                    f"{self.local_serve_max_rows} for driver-local serving; "
+                    f"use strategy='join' or strategy='lsh' (distributed), "
+                    f"or raise collection.local_serve_max_rows explicitly"
+                )
+            rows = view.collect()
             keys = np.array([r[KEY_COL] for r in rows], dtype=np.int64)
             mat = np.array([r["vector"] for r in rows], dtype=np.float64)
             norms = np.linalg.norm(mat, axis=1, keepdims=True)

@@ -48,14 +48,34 @@ def add_dense_key(
     partitioning produced (stable within one materialization -- callers
     persist the result, which the collection writer does).
     """
+    return add_dense_key_with_count(
+        df, key_col=key_col, start=start, order_by=order_by, if_absent=if_absent
+    )[0]
+
+
+def add_dense_key_with_count(
+    df: DataFrame,
+    key_col: str = KEY_COL,
+    start: int = 1,
+    order_by: list[str] | None = None,
+    if_absent: bool = True,
+) -> tuple[DataFrame, int | None]:
+    """:func:`add_dense_key` plus the number of rows keyed, for free:
+    the zipWithIndex layout already collects per-partition counts, so
+    appends can report the batch size without a second pass over the
+    table. The count is ``None`` on the paths that never run a counting
+    job (pre-existing key, ``order_by``)."""
     if if_absent and key_col in df.columns:
         # reference rule: keep a pre-existing _key untouched
         # (collection_actor.rs:176-188)
-        return df
+        return df, None
 
     if order_by:
         w = Window.orderBy(*[F.col(c) for c in order_by])
-        return df.withColumn(key_col, F.row_number().over(w).cast("long") + F.lit(start - 1))
+        out = df.withColumn(
+            key_col, F.row_number().over(w).cast("long") + F.lit(start - 1)
+        )
+        return out, None
 
     pid = F.spark_partition_id()
     mid = F.monotonically_increasing_id()
@@ -66,7 +86,7 @@ def add_dense_key(
         tagged.groupBy("__pid").count().orderBy("__pid").collect()
     )
     if not counts:  # empty input: just type the key column
-        return df.withColumn(key_col, F.lit(start).cast("long"))
+        return df.withColumn(key_col, F.lit(start).cast("long")), 0
     offsets: dict[int, int] = {}
     acc = start
     for row in counts:
@@ -77,13 +97,14 @@ def add_dense_key(
     offset_expr = F.create_map(
         *[F.lit(x) for pair in offsets.items() for x in pair]
     )[F.col("__pid")]
-    return (
+    out = (
         tagged.withColumn(
             key_col,
             (F.row_number().over(w).cast("long") - 1) + offset_expr.cast("long"),
         )
         .drop("__pid", "__mid")
     )
+    return out, acc - start
 
 
 def next_key_start(df: DataFrame, key_col: str = KEY_COL) -> int:

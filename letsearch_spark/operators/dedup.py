@@ -520,20 +520,40 @@ def _components_star(
         return out.where(F.col("u") != F.col("v")).distinct()
 
     def signature(e):
+        # order-invariant edge-set fingerprint: (count, XOR of a 60-bit
+        # md5 per edge) -- XOR-folding cannot overflow and a collision
+        # would need two DIFFERENT distinct-edge sets with equal count
+        # and equal fold (~2^-60); the old (count, sum_u, sum_v) tuple
+        # collided for trivially-rearranged sets and could break the
+        # loop early with a non-star forest.
         r = e.agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum("u").alias("su"),
-            F.sum("v").alias("sv"),
+            F.bit_xor(
+                F.conv(
+                    F.substring(F.md5(F.concat_ws(",", "u", "v")), 1, 15), 16, 10
+                ).cast("long")
+            ).alias("h"),
         ).first()
-        return (r["n"], r["su"], r["sv"])
+        return (r["n"], r["h"])
 
     sig = signature(edges)
+    converged = False
     for _ in range(max_iter):
         edges = small_star(large_star(edges)).localCheckpoint()
         new_sig = signature(edges)
         if new_sig == sig:
+            converged = True
             break
         sig = new_sig
+    if not converged:
+        # an unconverged edge set is NOT a star forest: interior tree
+        # nodes would appear both as sources and as roots below,
+        # yielding duplicate conflicting (id, component) rows -- same
+        # contract as minlabel: refuse loudly instead
+        raise RuntimeError(
+            f"star contraction did not reach a fixed point in {max_iter} "
+            f"rounds; raise max_iter"
+        )
 
     # fixed point is a star forest: every edge is (node, root)
     roots = edges.select(F.col("v").alias("id")).distinct().withColumn(

@@ -45,14 +45,34 @@ def time_rollup(
     Output: (grain, bucket, *keys, *agg aliases); ``bucket`` is the
     row's date_trunc'd timestamp at its granularity.
     """
+    import re
+
     bad = [g for g in granularities if g not in _GRANULARITIES]
     if bad:
         raise ValueError(f"unknown granularities {bad}; pick from {_GRANULARITIES}")
     if not granularities:
         raise ValueError("need at least one granularity")
+    alias_re = re.compile(r"\s+as\s+(\w+)\s*$", re.IGNORECASE)
+    agg_aliases = []
     for a in aggs:
-        if " as " not in a.lower():
+        m = alias_re.search(a)
+        if m is None:
             raise ValueError(f"aggregate needs an alias: {a!r}")
+        agg_aliases.append(m.group(1))
+    # the output is (grain, bucket, *keys, *agg aliases): a grain/bucket
+    # name colliding with a key or alias would yield duplicate columns
+    taken = set(keys) | set(agg_aliases)
+    for name, what in ((grain_col, "grain_col"), (bucket_col, "bucket_col")):
+        if name in taken:
+            raise ValueError(
+                f"{what}={name!r} collides with a key or aggregate alias; "
+                f"pass a different {what}"
+            )
+
+    def q(ident: str) -> str:
+        # backtick-quote key identifiers: names with spaces/dots/keywords
+        # would otherwise break the generated GROUPING SETS statement
+        return "`" + ident.replace("`", "``") + "`"
 
     spark = df.sparkSession
     with_buckets = df.select(
@@ -63,14 +83,15 @@ def time_rollup(
     with_buckets.createOrReplaceTempView(view)
 
     sets = ", ".join(
-        "(" + ", ".join([f"__b_{g}", *keys]) + ")" for g in granularities
+        "(" + ", ".join([f"__b_{g}", *[q(k) for k in keys]]) + ")"
+        for g in granularities
     )
     bucket_cols = ", ".join(f"__b_{g}" for g in granularities)
     # GROUPING() = 0 marks the set this output row belongs to -- null
     # bucket values can't be trusted for that (a null ts yields a null
     # bucket inside its own set)
     markers = ", ".join(f"grouping(__b_{g}) AS __in_{g}" for g in granularities)
-    key_sel = "".join(f"{k}, " for k in keys)
+    key_sel = "".join(f"{q(k)}, " for k in keys)
     agged = spark.sql(
         f"SELECT {key_sel}{bucket_cols}, {markers}, {', '.join(aggs)} "
         f"FROM {view} GROUP BY GROUPING SETS ({sets})"

@@ -387,11 +387,16 @@ def q_k1_topk_label_filtered(spark, sf_dir):
 
 
 def q_knn_join(spark, sf_dir):
-    """Brute-force k-NN join: top-3 neighbors for each of 5 query vectors,
-    via the scale-safe operator default (operators/topk.py knn_join,
-    method='numpy'): each base partition emits only its local top-k
-    candidates, so the final per-query window ranks candidates -- the
-    all-pairs score matrix never shuffles."""
+    """Batched k-NN join: top-3 neighbors for each of 5 query vectors
+    (operators/topk.py knn_join). The oracle-gated entry runs
+    method='expr', whose sequential-double dot product is bit-identical
+    to DuckDB's -- the numpy path's pairwise summation differs by ULPs,
+    which could nondeterministically flip near-tied ranks at other
+    scales. The numpy production default is plan-gated separately
+    (test_knn_join_shuffles_candidates_only) and equivalence-tested
+    against expr (test_knn_join_numpy_matches_expr). Both shapes shuffle
+    candidates only: a local per-partition top-k bounds what crosses the
+    network before the global per-query window ranks it."""
     from letsearch_spark.operators.topk import knn_join
 
     emb = load(spark, sf_dir, "embeddings")
@@ -404,6 +409,7 @@ def q_knn_join(spark, sf_dir):
         k=3,
         key_col="vec_id",
         vec_col="embedding",
+        method="expr",
         exclude_self=True,
     ).select("query_id", F.col("vec_id").alias("neighbor_id"), "rank")
 

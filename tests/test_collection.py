@@ -219,7 +219,8 @@ def test_csv_import_and_append(spark, tmp_path):
 
     c = Collection.create(spark, str(tmp_path), name="csv")
     assert c.import_csv(str(a)) == 2
-    assert c.append_csv(str(b)) == 3
+    # append returns the BATCH size (no full-table re-scan per append)
+    assert c.append_csv(str(b)) == 1
     rows = {r["doc_id"]: r["_key"] for r in c.docs().collect()}
     assert set(rows) == {1, 2, 3}
     # appended row continues the dense key sequence past the import max
@@ -322,8 +323,56 @@ def test_search_before_embed_raises_clearly(spark, tmp_path, sf_dir):
         lambda: c.search_many("text", ["q"]),
         lambda: c.search_rows("text", "q"),
     ):
-        with pytest.raises(RuntimeError, match="no embeddings yet"):
+        with pytest.raises(RuntimeError, match="no embeddings"):
             call()
+
+
+def test_embeddings_guard_is_per_column(spark, tmp_path, sf_dir):
+    """Two index columns, only one embedded: searching the other must
+    raise the friendly error, not return silently-empty results (the
+    guard probes the column_name=<col> partition, not just the
+    embeddings root)."""
+    import os
+
+    from letsearch_spark.collection import Collection
+
+    c = Collection.create(
+        spark,
+        str(tmp_path),
+        name="percol",
+        index_columns=["text", "source"],
+        model_name="stub://16",
+    )
+    c.import_parquet(os.path.join(sf_dir, "documents.parquet"))
+    c.embed_column("text")
+    assert len(c.search("text", "spark join", limit=3).collect()) == 3
+    with pytest.raises(RuntimeError, match="no embeddings for column 'source'"):
+        c.search("source", "spark join", limit=3)
+    # embedding the second column clears its guard independently
+    c.embed_column("source")
+    assert len(c.search("source", "spark join", limit=3).collect()) == 3
+
+
+def test_local_serving_row_ceiling(spark, tmp_path, sf_dir):
+    """strategy='local' collects the serve view into driver RAM; above
+    the configurable ceiling it must refuse with a pointer to the
+    distributed strategies instead of OOMing the driver."""
+    import os
+
+    import pytest
+
+    from letsearch_spark.collection import Collection
+
+    c = Collection.create(
+        spark, str(tmp_path), name="ceil", model_name="stub://16"
+    )
+    c.import_parquet(os.path.join(sf_dir, "documents.parquet"))
+    c.embed_column("text")
+    c.local_serve_max_rows = 10  # force the refusal at test size
+    with pytest.raises(RuntimeError, match="strategy='join'"):
+        c.search_rows("text", "spark join", strategy="local")
+    c.local_serve_max_rows = 1_000_000
+    assert len(c.search_rows("text", "spark join", strategy="local")) == 10
 
 
 def test_export_jsonl_roundtrip(spark, tmp_path, sf_dir):

@@ -521,6 +521,36 @@ def test_time_rollup_matches_separate_groupbys(spark):
         time_rollup(ev, "ts", [], ["count(1)"])  # missing alias
 
 
+def test_time_rollup_name_collisions_and_quoting(spark):
+    """grain/bucket output names colliding with a key or aggregate alias
+    must raise (duplicate columns otherwise); keys needing backticks
+    must survive the generated GROUPING SETS SQL."""
+    import datetime as dt
+
+    from letsearch_spark.operators.rollup import time_rollup
+
+    ev = spark.createDataFrame(
+        [(1, "a", dt.datetime(2024, 1, 1, 10, 15))],
+        "user_id long, `event type` string, ts timestamp",
+    )
+    out = time_rollup(
+        ev, "ts", ["event type"], ["count(1) AS n"], granularities=("hour",)
+    )
+    r = out.collect()[0]
+    assert (r["grain"], r["event type"], r["n"]) == ("hour", "a", 1)
+
+    plain = ev.withColumnRenamed("event type", "grain")
+    with pytest.raises(ValueError, match="grain_col"):
+        time_rollup(plain, "ts", ["grain"], ["count(1) AS n"])
+    with pytest.raises(ValueError, match="bucket_col"):
+        time_rollup(
+            plain.withColumnRenamed("grain", "k"),
+            "ts",
+            ["k"],
+            ["count(1) AS bucket"],
+        )
+
+
 def test_ngram_containment_verbatim_inclusion(spark):
     from letsearch_spark.operators.dedup import ngram_containment_pairs
 
@@ -592,6 +622,14 @@ def test_components_star_equals_minlabel(spark):
     # REFUSE rather than silently return wrong labels
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(pairs, nodes=nodes).collect()
+
+    # star has the same contract: an interrupted contraction is not a
+    # star forest (interior nodes would emit conflicting component
+    # rows), so it must raise instead of returning
+    with pytest.raises(RuntimeError, match="fixed point"):
+        connected_components(
+            pairs, nodes=nodes, algorithm="star", max_iter=1
+        ).collect()
 
     with pytest.raises(ValueError):
         connected_components(pairs, algorithm="bogus")
