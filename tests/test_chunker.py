@@ -157,3 +157,24 @@ def test_token_count_approximation():
     assert c.count_tokens("one two three") == 4  # ceil(3.9)
     assert c.count_tokens("") == 0
     assert c.count_tokens("word") == 2  # ceil(1.3)
+
+
+def test_approximation_mode_is_the_parity_mode():
+    """The reference counts tokens with `tokie` (chunker.rs:106-114); our
+    tokenizer mode uses HF `tokenizers`, whose counts can differ per
+    model and shift chunk boundaries. The PARITY contract is therefore
+    the approximation mode: it is the default (no tokenizer_path), it is
+    bit-exact vs the reference's ceil(words*1.3) fallback, and it is
+    what the `chunk_documents` oracle pins. See COVERAGE.md §2.5."""
+    from letsearch_spark.chunker import ChunkerConfig, MarkdownChunker
+
+    cfg = ChunkerConfig()
+    assert cfg.tokenizer_path is None  # default = approximation mode
+    c = MarkdownChunker(cfg)
+    assert c._tokenizer is None
+    # ceil(words*1.3) across a word-count sweep, incl. the 10/13 edges
+    import math
+
+    for n in (0, 1, 2, 3, 9, 10, 11, 13, 100):
+        text = " ".join(["w"] * n)
+        assert c.count_tokens(text) == math.ceil(n * 1.3)
