@@ -137,3 +137,99 @@ def quality_score(col: Column) -> Column:
         + (1.0 - punct_count(col) * 1.0 / n_chars) * 0.3,
         6,
     )
+
+
+# ---------------- Gopher-style quality filter ----------------
+
+# exact-token stopword list for the "contains real language" rule
+# (distinct from the regex sets above, which serve lang-id scoring)
+STOP_TOKENS = ("the", "a", "an", "of", "and", "is", "to", "in", "that", "for")
+
+# bullet / trailing-ellipsis line shapes; plain character classes so the
+# Java (Spark) and RE2 (DuckDB) engines agree
+BULLET_RE = r"^\s*[-*+]"
+ELLIPSIS_RE = r"\.\.\.\s*$"
+SYMBOL_RE = r"#|\.\.\."
+
+
+def gopher_flags(
+    col: Column,
+    min_words: int = 20,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_frac: float = 0.9,
+    max_ellipsis_frac: float = 0.3,
+    min_alpha_frac: float = 0.8,
+    min_stop_tokens: int = 2,
+) -> dict[str, Column]:
+    """Gopher-style document quality rules (Rae et al. 2021, table A1)
+    as pure Catalyst columns -- the standard pretraining-corpus filter
+    family: length bounds, mean word length, symbol-to-word ratio,
+    bullet/ellipsis line shapes, alphabetic-word fraction, and a
+    real-language stopword floor.
+
+    Returns the measured metrics plus one boolean per rule and the
+    conjunction ``passes``. Every expression has an exact DuckDB twin
+    (list ops over the same splits), so the filter is oracle-verifiable.
+    Word stats run on the same lowercased whitespace split as the rest
+    of this module; ``min_words`` defaults lower than Gopher's 50
+    because chunk-sized inputs are the common case here -- pass the
+    paper's thresholds for raw-page filtering.
+    """
+    w = words(col)
+    n_words = F.size(w)
+    lines = F.split(col, r"\n")
+    n_lines = F.size(lines)
+
+    mean_wl = F.aggregate(
+        F.transform(w, lambda x: F.length(x)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    ) * 1.0 / n_words
+    symbol_ratio = (
+        F.size(F.regexp_extract_all(col, F.lit(SYMBOL_RE), 0)) * 1.0 / n_words
+    )
+    bullet_frac = (
+        F.size(F.filter(lines, lambda x: x.rlike(BULLET_RE))) * 1.0 / n_lines
+    )
+    ellipsis_frac = (
+        F.size(F.filter(lines, lambda x: x.rlike(ELLIPSIS_RE))) * 1.0 / n_lines
+    )
+    alpha_frac = (
+        F.size(F.filter(w, lambda x: x.rlike(r"[a-z]"))) * 1.0 / n_words
+    )
+    n_stop = F.size(
+        F.array_intersect(
+            F.array_distinct(w), F.array(*[F.lit(s) for s in STOP_TOKENS])
+        )
+    )
+
+    flags = {
+        "n_words": n_words.cast("long"),
+        "mean_word_len": F.round(mean_wl, 6),
+        "symbol_ratio": F.round(symbol_ratio, 6),
+        "bullet_frac": F.round(bullet_frac, 6),
+        "ellipsis_frac": F.round(ellipsis_frac, 6),
+        "alpha_frac": F.round(alpha_frac, 6),
+        "n_stop_tokens": n_stop.cast("long"),
+        "ok_words": (n_words >= min_words) & (n_words <= max_words),
+        "ok_word_len": (mean_wl >= min_mean_word_len)
+        & (mean_wl <= max_mean_word_len),
+        "ok_symbols": symbol_ratio <= max_symbol_ratio,
+        "ok_bullets": bullet_frac <= max_bullet_frac,
+        "ok_ellipsis": ellipsis_frac <= max_ellipsis_frac,
+        "ok_alpha": alpha_frac >= min_alpha_frac,
+        "ok_stop": n_stop >= min_stop_tokens,
+    }
+    flags["passes"] = (
+        flags["ok_words"]
+        & flags["ok_word_len"]
+        & flags["ok_symbols"]
+        & flags["ok_bullets"]
+        & flags["ok_ellipsis"]
+        & flags["ok_alpha"]
+        & flags["ok_stop"]
+    )
+    return flags

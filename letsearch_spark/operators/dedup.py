@@ -644,3 +644,84 @@ def embedding_cosine_pairs(
         )
         .where(F.col("sim") >= threshold)
     )
+
+
+# ------------------------------------------------------------ lines
+
+
+def remove_duplicate_lines(
+    df: DataFrame,
+    key_col: str,
+    text_col: str,
+    max_occurrences: int = 1,
+    min_line_chars: int = 1,
+) -> DataFrame:
+    """C4-style corpus-level duplicate-line removal (Raffel et al. 2020
+    §2.2): a line that occurs in more than ``max_occurrences`` documents
+    is kept only in the lowest-key document and stripped everywhere
+    else. Boilerplate (nav bars, license headers, cookie banners)
+    dominates web corpora by exactly this shape.
+
+    Lines shorter than ``min_line_chars`` (after trim) are exempt --
+    blank lines and stray punctuation are structure, not boilerplate.
+    Line identity is the exact trimmed line (case-sensitive).
+
+    Output: one row per input document --
+    (``key_col``, ``text`` cleaned, ``n_lines``, ``n_removed``).
+    Documents whose every line is stripped come back with empty text
+    (downstream length filters drop them).
+
+    Scale shape (the part that matters at 100 TB): the occurrence count
+    and keeper choice travel as a 60-bit line hash, never the line text
+    -- one shuffle aggregates (hash -> n_docs, min_key), one join maps
+    the verdict back onto the exploded lines, one final shuffle per
+    document reassembles. No all-pairs anything; skew on mega-duplicated
+    lines is absorbed by the hash aggregation's map-side partials.
+    """
+    lines = df.select(
+        F.col(key_col).alias("__k"),
+        F.posexplode(F.split(F.col(text_col), r"\n")).alias("__pos", "__line"),
+    ).withColumn("__exempt", F.length(F.trim(F.col("__line"))) < min_line_chars)
+    hashed = lines.withColumn("__h", md5_60(F.trim(F.col("__line"))))
+
+    stats = (
+        hashed.where(~F.col("__exempt"))
+        .groupBy("__h")
+        .agg(
+            F.countDistinct("__k").alias("__n_docs"),
+            F.min("__k").alias("__keeper"),
+        )
+        .where(F.col("__n_docs") > max_occurrences)
+    )
+
+    judged = hashed.join(stats, "__h", "left").withColumn(
+        "__keep",
+        F.col("__exempt")
+        | F.col("__n_docs").isNull()
+        | (F.col("__k") == F.col("__keeper")),
+    )
+
+    rebuilt = judged.groupBy("__k").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.when(~F.col("__keep"), 1).otherwise(0)).alias("n_removed"),
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("__keep"),
+                            F.struct(F.col("__pos"), F.col("__line")),
+                        )
+                    )
+                ),
+                lambda s: s.getField("__line"),
+            ),
+        ).alias("text"),
+    )
+    return rebuilt.select(
+        F.col("__k").alias(key_col),
+        "text",
+        F.col("n_lines").cast("long").alias("n_lines"),
+        F.col("n_removed").cast("long").alias("n_removed"),
+    )

@@ -100,3 +100,57 @@ def hash_split(
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
     expr = F.lit(last_name) if expr is None else expr.otherwise(last_name)
     return df.withColumn(split_col, expr)
+
+
+def mixture_hash_sample(
+    df: DataFrame,
+    key_col: str,
+    domain_col: str,
+    weights: dict[str, float],
+    target_rows: int,
+    seed: int = 42,
+) -> DataFrame:
+    """Resample a corpus toward a target domain mixture: keep
+    ~``target_rows * weights[d]`` rows of each domain ``d`` (the
+    pretraining "data mixture" step -- e.g. upweight code/wiki, clamp
+    common-crawl). Domains absent from ``weights`` are dropped.
+
+    A domain whose corpus share is below its target share saturates
+    (rate clamps at 1.0 -- this operator never duplicates rows, so the
+    realized mixture is best-effort; re-weigh or add epochs upstream
+    for true upsampling).
+
+    Per-domain rates need per-domain counts: ONE tiny aggregation
+    (|domains| rows to the driver), then the keep decision is the same
+    zero-shuffle deterministic hash filter as the other samplers --
+    rerun/repartition/append-stable, and exactly reproducible in SQL
+    (cut = floor(rate * buckets) on the shared md5 bucket formula).
+    """
+    if target_rows < 0:
+        raise ValueError(f"target_rows must be >= 0, got {target_rows}")
+    for name, wgt in weights.items():
+        if wgt < 0:
+            raise ValueError(f"weight for {name!r} must be >= 0, got {wgt}")
+    total = sum(weights.values())
+    if total <= 0:
+        raise ValueError("weights must sum to a positive value")
+
+    counts = {
+        r["d"]: r["n"]
+        for r in df.groupBy(F.col(domain_col).alias("d"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    bucket = hash_bucket(F.col(key_col), seed)
+    cut = None
+    for name, wgt in weights.items():
+        n_d = counts.get(name, 0)
+        if n_d == 0:
+            continue
+        rate = min(1.0, target_rows * (wgt / total) / n_d)
+        val = F.lit(int(rate * _BUCKETS))  # floor, mirrored in the oracle
+        cond = F.col(domain_col) == name
+        cut = F.when(cond, val) if cut is None else cut.when(cond, val)
+    if cut is None:
+        return df.where(F.lit(False))
+    return df.where(bucket < cut.otherwise(F.lit(0)))

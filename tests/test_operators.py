@@ -745,3 +745,236 @@ def test_range_join_shared_key_name(spark):
         assert out.columns.count("user_id") == 1
         rows = [(r["event_id"], r["iv_id"], r["user_id"]) for r in out.collect()]
         assert rows == [(1, "A", "u")], method
+
+
+# ---------------------------------------------------------------- pack
+
+
+def test_pack_sequences_tiling_invariants(spark):
+    """Spans of each doc tile [0, tokens); spans of each (shard, seq)
+    tile [0, seq_len) except the shard's final partial sequence; no
+    token is lost or duplicated."""
+    from letsearch_spark.operators.pack import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(i, (i * 37) % 190 + 1) for i in range(1, 101)], "id long, tokens long"
+    )
+    L = 128
+    out = pack_sequences(docs, "id", "tokens", seq_len=L, num_shards=4).collect()
+
+    total = sum(r["tok_len"] for r in out)
+    assert total == sum((i * 37) % 190 + 1 for i in range(1, 101))
+    assert all(r["tok_len"] > 0 for r in out)
+    assert all(0 <= r["seq_offset"] < L for r in out)
+    assert all(r["seq_offset"] + r["tok_len"] <= L for r in out)
+
+    # per-doc spans tile the doc contiguously from 0
+    from collections import defaultdict
+
+    per_doc = defaultdict(list)
+    for r in out:
+        per_doc[r["id"]].append(r)
+    doc_tokens = {i: (i * 37) % 190 + 1 for i in range(1, 101)}
+    for i, spans in per_doc.items():
+        spans.sort(key=lambda r: (r["seq"], r["seq_offset"]))
+        pos = 0
+        for s in spans:
+            assert s["tok_begin"] == pos
+            pos += s["tok_len"]
+        assert pos == doc_tokens[i]
+
+    # per-(shard, seq) spans tile the sequence; all but the last seq of
+    # a shard are exactly full
+    per_seq = defaultdict(list)
+    for r in out:
+        per_seq[(r["shard"], r["seq"])].append(r)
+    last_seq = defaultdict(int)
+    for (sh, sq) in per_seq:
+        last_seq[sh] = max(last_seq[sh], sq)
+    for (sh, sq), spans in per_seq.items():
+        spans.sort(key=lambda r: r["seq_offset"])
+        pos = 0
+        for s in spans:
+            assert s["seq_offset"] == pos
+            pos += s["tok_len"]
+        if sq < last_seq[sh]:
+            assert pos == L, f"interior sequence ({sh},{sq}) not full: {pos}"
+        else:
+            assert 0 < pos <= L
+
+
+def test_pack_sequences_deterministic_and_validated(spark):
+    from letsearch_spark.operators.pack import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(1, 10), (2, 0), (3, -5), (4, 300)], "id long, tokens long"
+    )
+    out = pack_sequences(docs, "id", "tokens", seq_len=100, num_shards=2)
+    rows = {tuple(r) for r in out.collect()}
+    # zero/negative token docs dropped
+    assert not any(r[2] in (2, 3) for r in rows)
+    # repartitioning the input cannot change the layout
+    rows2 = {
+        tuple(r)
+        for r in pack_sequences(
+            docs.repartition(7), "id", "tokens", seq_len=100, num_shards=2
+        ).collect()
+    }
+    assert rows == rows2
+
+    import pytest
+
+    with pytest.raises(ValueError, match="seq_len"):
+        pack_sequences(docs, "id", "tokens", seq_len=0)
+    with pytest.raises(ValueError, match="num_shards"):
+        pack_sequences(docs, "id", "tokens", seq_len=10, num_shards=0)
+
+
+# ------------------------------------------------------------ lines
+
+
+def test_remove_duplicate_lines(spark):
+    """The boilerplate line survives only in the lowest-key doc; unique
+    lines and blank lines survive everywhere; order is preserved."""
+    from letsearch_spark.operators.dedup import remove_duplicate_lines
+
+    boiler = "subscribe to our newsletter"
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha\n{boiler}\nbeta"),
+            (2, f"{boiler}\n\ngamma"),
+            (3, f"delta\n{boiler}"),
+            (4, "unique only"),
+        ],
+        "id long, text string",
+    )
+    out = {
+        r["id"]: r for r in remove_duplicate_lines(docs, "id", "text").collect()
+    }
+    assert out[1]["text"] == f"alpha\n{boiler}\nbeta"
+    assert out[1]["n_removed"] == 0
+    assert out[2]["text"] == "\ngamma"  # blank line exempt, boiler stripped
+    assert out[2]["n_removed"] == 1
+    assert out[3]["text"] == "delta"
+    assert out[3]["n_removed"] == 1
+    assert out[4]["text"] == "unique only"
+    assert {r["id"]: r["n_lines"] for r in out.values()} == {
+        1: 3,
+        2: 3,
+        3: 2,
+        4: 1,
+    }
+
+
+def test_remove_duplicate_lines_max_occurrences(spark):
+    from letsearch_spark.operators.dedup import remove_duplicate_lines
+
+    docs = spark.createDataFrame(
+        [(1, "x\ny"), (2, "x\nz")], "id long, text string"
+    )
+    # a line shared by 2 docs survives when max_occurrences=2
+    out = {
+        r["id"]: r["text"]
+        for r in remove_duplicate_lines(
+            docs, "id", "text", max_occurrences=2
+        ).collect()
+    }
+    assert out == {1: "x\ny", 2: "x\nz"}
+
+
+# ------------------------------------------------------------ mixture
+
+
+def test_mixture_hash_sample(spark):
+    """Realized counts land near target_rows * weight per domain; a
+    domain below its target saturates at full retention; unknown
+    domains are dropped; the filter is append/repartition-stable."""
+    from letsearch_spark.operators.sample import mixture_hash_sample
+
+    rows = (
+        [(i, "web") for i in range(8000)]
+        + [(i + 10000, "code") for i in range(1500)]
+        + [(i + 20000, "wiki") for i in range(120)]
+        + [(i + 30000, "junk") for i in range(500)]
+    )
+    df = spark.createDataFrame(rows, "id long, domain string")
+    out = mixture_hash_sample(
+        df, "id", "domain", {"web": 0.5, "code": 0.3, "wiki": 0.2}, 2000
+    )
+    got = {r["d"]: r["n"] for r in out.groupBy(F.col("domain").alias("d")).agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert "junk" not in got
+    assert abs(got["web"] - 1000) < 150  # hash-sampled ~ rate*n
+    assert abs(got["code"] - 600) < 120
+    assert got["wiki"] == 120  # saturated: target 400 > 120 available
+
+    # stability: same keys kept after repartitioning
+    a = {r["id"] for r in out.collect()}
+    b = {
+        r["id"]
+        for r in mixture_hash_sample(
+            df.repartition(13), "id", "domain",
+            {"web": 0.5, "code": 0.3, "wiki": 0.2}, 2000,
+        ).collect()
+    }
+    assert a == b
+
+    import pytest
+
+    with pytest.raises(ValueError, match="target_rows"):
+        mixture_hash_sample(df, "id", "domain", {"web": 1.0}, -1)
+    with pytest.raises(ValueError, match="positive"):
+        mixture_hash_sample(df, "id", "domain", {"web": 0.0}, 10)
+
+
+# ------------------------------------------------------------ gopher
+
+
+def test_gopher_flags(spark):
+    """Each rule triggers on the document built to violate it and only
+    that rule (plus whatever its pathology implies); a normal paragraph
+    passes everything."""
+    from letsearch_spark.functions.text import gopher_flags
+
+    good = (
+        "the quick brown fox jumps over a lazy dog and then runs "
+        "into the woods for an hour of rest that is well earned today"
+    )
+    too_short = "the cat is here"
+    symbols = " ".join(
+        ["the and a of is to in that for an"] * 3 + ["# word"] * 15
+    )
+    bullets = "\n".join(["- " + good] * 10)
+    ellipsised = "\n".join([good + " ..."] * 10)
+    numeric = " ".join(
+        ["the and a of is to in that for an"] + ["12345"] * 40
+    )
+    no_stop = " ".join(["zebra quagga okapi tapir bongo"] * 8)
+
+    docs = spark.createDataFrame(
+        [
+            (1, good),
+            (2, too_short),
+            (3, symbols),
+            (4, bullets),
+            (5, ellipsised),
+            (6, numeric),
+            (7, no_stop),
+        ],
+        "id long, text string",
+    )
+    flags = gopher_flags(F.col("text"))
+    out = {
+        r["id"]: r
+        for r in docs.select(
+            "id", *[c.alias(n) for n, c in flags.items()]
+        ).collect()
+    }
+    assert out[1]["passes"]
+    assert not out[2]["ok_words"] and out[2]["ok_stop"]
+    assert not out[3]["ok_symbols"] and out[3]["ok_words"]
+    assert not out[4]["ok_bullets"] and out[4]["passes"] is False
+    assert not out[5]["ok_ellipsis"]
+    assert not out[6]["ok_alpha"] and out[6]["ok_words"]
+    assert not out[7]["ok_stop"] and out[7]["ok_alpha"]
+    for i in (2, 3, 4, 5, 6, 7):
+        assert not out[i]["passes"], i
