@@ -59,6 +59,23 @@ def stratified_hash_sample(
 
     Pure map-side expression: the per-stratum cut is a CASE over
     ``strata_col`` compared against one hash -- zero shuffles."""
+    return df.where(
+        stratified_keep_col(
+            key_col, strata_col, fractions, default_fraction, seed
+        )
+    )
+
+
+def stratified_keep_col(
+    key_col: str,
+    strata_col: str,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+    seed: int = 42,
+) -> Column:
+    """The boolean keep predicate behind :func:`stratified_hash_sample`,
+    exposed as a Column so callers can carry it as a flag (audit/label
+    use) instead of filtering."""
     for name, frac in fractions.items():
         if not 0.0 <= frac <= 1.0:
             raise ValueError(f"fraction for {name!r} must be in [0, 1], got {frac}")
@@ -72,7 +89,7 @@ def stratified_hash_sample(
         cut = F.when(cond, val) if cut is None else cut.when(cond, val)
     default_cut = F.lit(int(round(default_fraction * _BUCKETS)))
     cut = default_cut if cut is None else cut.otherwise(default_cut)
-    return df.where(bucket < cut)
+    return bucket < cut
 
 
 def hash_split(

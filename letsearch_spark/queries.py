@@ -296,23 +296,6 @@ def q_setop_customers_without_orders(spark, sf_dir):
     )
 
 
-def q_events_hourly(spark, sf_dir):
-    """Tumbling-window aggregation over the events stream table (batch view
-    of the Structured Streaming rollup in streaming/)."""
-    ev = load(spark, sf_dir, "events")
-    return (
-        ev.groupBy(
-            F.date_trunc("hour", F.col("ts")).alias("hour"),
-            F.col("event_type"),
-        )
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            (F.sum(_cents(F.col("value"))) / 100.0).alias("sum_value"),
-        )
-        .orderBy("hour", "event_type")
-    )
-
-
 def q_events_json_extract(spark, sf_dir):
     """JSON scalar extraction (the reference only parses JSON at ingest,
     S1; we expose it as a function)."""
@@ -481,7 +464,10 @@ def q_multimodal_decode(spark, sf_dir):
     decoder='fake'): binary payloads through the mapInPandas kernel; the
     md5-seeded pseudo-decode is deterministic, so dims and features are
     oracle-expressible from the same md5 in SQL. Feature floats are
-    mapped back to their source bytes (round(f*255)) to compare exactly."""
+    mapped back to their source bytes (round(f*255)) to compare exactly.
+    Also carries the opaque-binary metadata columns (payload sha256 --
+    the content-addressing pattern for binary media lakes), absorbing
+    the former multimodal_binary_meta entry."""
     from letsearch_spark.sources.multimodal import decode_media
 
     docs = load(spark, sf_dir, "documents").select(
@@ -492,6 +478,7 @@ def q_multimodal_decode(spark, sf_dir):
     return dec.select(
         F.col("path").cast("long").alias("doc_id"),
         F.col("n_bytes"),
+        F.col("media_sha").alias("sha"),
         F.col("width").cast("long").alias("width"),
         F.col("height").cast("long").alias("height"),
         F.col("n_channels").cast("long").alias("n_channels"),
@@ -734,18 +721,31 @@ def q_events_asof_last_order(spark, sf_dir):
 
 
 def q_sample_train_test_split(spark, sf_dir):
-    """Deterministic hash split (90/5/5) + independent 10% hash sample.
+    """Deterministic hash split (90/5/5) + independent 10% hash sample
+    + the stratified-rebalance keep flag (en downsampled to 25%, other
+    strata kept -- the former sample_stratified entry, folded in as a
+    column so the whole sampling family shares one scan).
 
     Stable under repartitioning/appends/engine choice -- the md5 bucket
     formula is replicated bit-for-bit in the DuckDB oracle. Zero-shuffle
     map-side expressions; operators/sample.py."""
-    from letsearch_spark.operators.sample import hash_bucket, hash_split
+    from letsearch_spark.operators.sample import (
+        hash_bucket,
+        hash_split,
+        stratified_keep_col,
+    )
 
     docs = load(spark, sf_dir, "documents")
     return (
-        hash_split(docs.select("doc_id"), "doc_id")
+        hash_split(docs.select("doc_id", "lang"), "doc_id")
         .withColumn(
             "in_10pct_sample", hash_bucket(F.col("doc_id"), seed=7) < 100000
+        )
+        .withColumn(
+            "strat_kept_en25",
+            stratified_keep_col(
+                "doc_id", "lang", {"en": 0.25}, default_fraction=1.0
+            ),
         )
         .orderBy("doc_id")
     )
@@ -961,12 +961,18 @@ def q_text_profile(spark, sf_dir):
     """One-scan text-analysis profile over `documents`: length/word
     stats, the T4 token estimate ceil(words*1.3) (chunker.rs:106-114),
     stopword-ratio language-ID, md5 fingerprint, composite quality
-    score, and Gopher/C4-style repetition fractions -- every
-    functions/text.py analysis operator as pure Catalyst columns.
-    Merged into one contract entry so the whole family fits inside the
-    driver's correctness window while staying a single parquet scan."""
+    score, Gopher/C4-style repetition fractions, and the PII scrub
+    audit (URL/e-mail counts + scrubbed length over deterministically
+    noised text) -- every functions/text.py analysis operator as pure
+    Catalyst columns. Merged into one contract entry so the whole
+    family fits inside the driver's correctness window while staying a
+    single parquet scan."""
     from letsearch_spark.functions import text as TX
-    from letsearch_spark.functions.text import repetition_stats
+    from letsearch_spark.functions.text import (
+        repetition_stats,
+        scrub_counts,
+        scrub_text,
+    )
 
     docs = load(spark, sf_dir, "documents")
     n_words = TX.word_count(F.col("text"))
@@ -975,6 +981,15 @@ def q_text_profile(spark, sf_dir):
     quality = F.when(
         (n_chars > 0) & (n_words > 0), TX.quality_score(F.col("text"))
     )
+    noisy = F.concat(
+        F.coalesce(F.col("text"), F.lit("")),
+        F.lit(" see https://ex.com/p/"),
+        F.col("doc_id").cast("string"),
+        F.lit(" or mail bob"),
+        F.col("doc_id").cast("string"),
+        F.lit("@ex-mail.org end"),
+    )
+    n_urls, n_emails = scrub_counts(noisy)
     return docs.select(
         "doc_id",
         n_chars.cast("long").alias("n_chars"),
@@ -988,24 +1003,10 @@ def q_text_profile(spark, sf_dir):
         rep["n_distinct_words"].alias("n_distinct_words"),
         rep["dup_word_frac"].alias("dup_word_frac"),
         rep["dup_ngram_frac"].alias("dup_ngram_frac"),
+        n_urls.alias("n_urls"),
+        n_emails.alias("n_emails"),
+        F.length(scrub_text(noisy)).cast("long").alias("scrubbed_len"),
     ).orderBy("doc_id")
-
-
-def q_sample_stratified(spark, sf_dir):
-    """Per-stratum rebalancing (operators/sample.py
-    stratified_hash_sample): downsample the head language (en) to 25%
-    while keeping every other stratum -- deterministic per-key hash, so
-    reruns/appends keep the same rows. Zero-shuffle map-side filter."""
-    from letsearch_spark.operators.sample import stratified_hash_sample
-
-    docs = load(spark, sf_dir, "documents")
-    return (
-        stratified_hash_sample(
-            docs, "doc_id", "lang", {"en": 0.25}, default_fraction=1.0
-        )
-        .select("doc_id", "lang")
-        .orderBy("doc_id")
-    )
 
 
 def q_multimodal_frame_sample(spark, sf_dir):
@@ -1042,43 +1043,6 @@ def q_multimodal_frame_sample(spark, sf_dir):
         )
         .orderBy("doc_id", "pos")
     )
-
-
-def q_text_scrub(spark, sf_dir):
-    """PII/noise scrubbing (functions/text.py scrub_text/scrub_counts):
-    URLs and e-mails replaced by placeholder tokens, counted for audit.
-    Deterministic noise is injected per doc so the scrub has real work
-    at any scale; all regexp chains are Catalyst expressions."""
-    from letsearch_spark.functions.text import scrub_counts, scrub_text
-
-    docs = load(spark, sf_dir, "documents")
-    noisy = F.concat(
-        F.coalesce(F.col("text"), F.lit("")),
-        F.lit(" see https://ex.com/p/"),
-        F.col("doc_id").cast("string"),
-        F.lit(" or mail bob"),
-        F.col("doc_id").cast("string"),
-        F.lit("@ex-mail.org end"),
-    )
-    n_urls, n_emails = scrub_counts(noisy)
-    return docs.select(
-        "doc_id",
-        n_urls.alias("n_urls"),
-        n_emails.alias("n_emails"),
-        F.length(scrub_text(noisy)).cast("long").alias("scrubbed_len"),
-    ).orderBy("doc_id")
-
-
-def q_multimodal_binary_meta(spark, sf_dir):
-    """Opaque-binary column plumbing: byte length + sha256 of the payload
-    (the multimodal pattern -- decode UDFs in sources/multimodal.py)."""
-    docs = load(spark, sf_dir, "documents")
-    bin_col = F.col("text").cast("binary")
-    return docs.select(
-        "doc_id",
-        F.octet_length(F.col("text")).cast("long").alias("n_bytes"),
-        F.sha2(bin_col, 256).alias("sha"),
-    ).orderBy("doc_id")
 
 
 # ======================================================================
@@ -1253,6 +1217,103 @@ def q_stream_incremental_count(spark, sf_dir):
     )
 
 
+
+_MIX_WEIGHTS = {"en": 0.2, "zh": 0.2, "es": 0.1, "de": 0.1, "fr": 0.4}
+_MIX_TARGET = 300
+_PACK_SEQ_LEN = 256
+_PACK_SHARDS = 8
+_BOILER_LINE = "subscribe to our newsletter for updates"
+
+
+def q_pack_sequences(spark, sf_dir):
+    """Sequence packing layout (operators/pack.py): each document's
+    ceil(words*1.3) token estimate (T4) packed into 256-token training
+    sequences across 8 hash shards -- the GPT-style concatenate-then-
+    split layout as pure integer window arithmetic. One shuffle total
+    (hash-partition by shard + in-shard key sort); the oracle replicates
+    the cumsum + range explode bit-for-bit."""
+    from letsearch_spark.functions.text import token_count_approx
+    from letsearch_spark.operators.pack import pack_sequences
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", token_count_approx(F.col("text")).alias("tokens")
+    )
+    return pack_sequences(
+        docs, "doc_id", "tokens", seq_len=_PACK_SEQ_LEN, num_shards=_PACK_SHARDS
+    ).orderBy("shard", "seq", "seq_offset")
+
+
+def q_quality_filter_gopher(spark, sf_dir):
+    """Gopher-style quality filtering (functions/text.py gopher_flags,
+    Rae et al. 2021): per-document length / mean-word-length / symbol /
+    bullet / ellipsis / alphabetic / stopword rules plus the verdict,
+    all pure Catalyst columns in one scan. min_words=40 so the rule set
+    actually splits this corpus; non-en documents exercise the stopword
+    floor."""
+    from letsearch_spark.functions.text import gopher_flags
+
+    docs = load(spark, sf_dir, "documents")
+    flags = gopher_flags(F.col("text"), min_words=40)
+    return docs.select(
+        "doc_id", *[c.alias(n) for n, c in flags.items()]
+    ).orderBy("doc_id")
+
+
+def q_dedup_lines(spark, sf_dir):
+    """C4-style corpus-level duplicate-line removal (operators/dedup.py
+    remove_duplicate_lines): documents are deterministically laid out as
+    8-word lines with a boilerplate line planted in every third doc; the
+    operator strips lines occurring in >1 document everywhere except
+    the lowest-key doc. Compared by md5 of the reassembled text, so the
+    oracle checks exact reconstruction, not just counts. Line identity
+    travels as a 60-bit hash (text never shuffles)."""
+    from letsearch_spark.operators.dedup import remove_duplicate_lines
+
+    docs = load(spark, sf_dir, "documents")
+    ws = F.split(F.coalesce(F.col("text"), F.lit("")), " ")
+    n_lines = F.ceil(F.size(ws) / F.lit(8.0)).cast("int")
+    lines = F.transform(
+        F.sequence(F.lit(0), n_lines - 1),
+        lambda i: F.concat_ws(" ", F.slice(ws, i * 8 + 1, 8)),
+    )
+    body = F.concat_ws("\n", lines)
+    built = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit(_BOILER_LINE + "\n"), body),
+        )
+        .otherwise(body)
+        .alias("text"),
+    )
+    out = remove_duplicate_lines(built, "doc_id", "text")
+    return out.select(
+        "doc_id",
+        F.md5(F.col("text")).alias("cleaned_md5"),
+        "n_lines",
+        "n_removed",
+    ).orderBy("doc_id")
+
+
+def q_sample_mixture(spark, sf_dir):
+    """Domain-mixture resampling (operators/sample.py
+    mixture_hash_sample): retarget the corpus to a weighted language
+    mixture of ~300 rows. fr's target share exceeds its corpus share,
+    exercising the saturation clamp (kept whole, never upsampled). The
+    per-domain rates derive from one tiny count aggregation; the keep
+    decision is the shared deterministic md5 bucket filter, and the
+    oracle reproduces the rate arithmetic (same IEEE-double op order)
+    from its own counts CTE."""
+    from letsearch_spark.operators.sample import mixture_hash_sample
+
+    docs = load(spark, sf_dir, "documents")
+    return (
+        mixture_hash_sample(docs, "doc_id", "lang", _MIX_WEIGHTS, _MIX_TARGET)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )
+
+
 # ======================================================================
 # registry + oracles
 # ======================================================================
@@ -1277,7 +1338,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_windowed_counts": q_stream_windowed_counts,
     "multimodal_decode": q_multimodal_decode,
     "multimodal_frame_sample": q_multimodal_frame_sample,
-    "multimodal_binary_meta": q_multimodal_binary_meta,
     "s_csv_roundtrip": q_s_csv_roundtrip,
     # -- sources / collection surface --
     "s1_jsonl_ingest": q_s1_jsonl_ingest,
@@ -1302,9 +1362,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decontaminate_containment": q_decontaminate_containment,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "dedup_embedding_cosine_lsh": q_dedup_embedding_cosine_lsh,
+    "dedup_lines": q_dedup_lines,
     # -- text analysis --
     "text_profile": q_text_profile,
-    "text_scrub": q_text_scrub,
+    "quality_filter_gopher": q_quality_filter_gopher,
     # -- relational / OLAP --
     "agg_pricing_summary": q_agg_pricing_summary,
     "join_top_orders": q_join_top_orders,
@@ -1313,7 +1374,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "scalar_functions": q_scalar_functions,
     "window_top_orders_per_customer": q_window_top_orders_per_customer,
     "setop_customers_without_orders": q_setop_customers_without_orders,
-    "events_hourly": q_events_hourly,
     "events_json_extract": q_events_json_extract,
     "events_sessionize": q_events_sessionize,
     "events_value_percentiles": q_events_value_percentiles,
@@ -1322,7 +1382,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_time_rollup": q_events_time_rollup,
     # -- sampling / skew tooling --
     "sample_train_test_split": q_sample_train_test_split,
-    "sample_stratified": q_sample_stratified,
+    "sample_mixture": q_sample_mixture,
+    "pack_sequences": q_pack_sequences,
     "skew_salted_join": q_skew_salted_join,
     "skew_two_stage_agg": q_skew_two_stage_agg,
 }
@@ -1437,14 +1498,6 @@ def _oracles() -> dict[str, str]:
         SELECT c_custkey FROM customer
         WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
     """
-    o["events_hourly"] = f"""
-        SELECT date_trunc('hour', ts) AS hour, event_type,
-               count(*) AS n,
-               sum({cents.format(x='value')}) / 100.0 AS sum_value
-        FROM events
-        GROUP BY 1, 2
-        ORDER BY 1, 2
-    """
     o["events_json_extract"] = """
         SELECT event_type,
                CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
@@ -1540,18 +1593,54 @@ def _oracles() -> dict[str, str]:
     b42 = md5_60.format(x="CAST(doc_id AS VARCHAR) || '#42'") + " % 1000000"
     b7 = md5_60.format(x="CAST(doc_id AS VARCHAR) || '#7'") + " % 1000000"
     o["sample_train_test_split"] = f"""
-        SELECT doc_id,
+        SELECT doc_id, lang,
                CASE WHEN {b42} < 900000 THEN 'train'
                     WHEN {b42} < 950000 THEN 'val'
                     ELSE 'test' END AS split,
-               ({b7} < 100000) AS in_10pct_sample
+               ({b7} < 100000) AS in_10pct_sample,
+               ({b42} < CASE WHEN lang = 'en' THEN 250000 ELSE 1000000 END)
+                   AS strat_kept_en25
         FROM documents
         ORDER BY doc_id
     """
-    o["sample_stratified"] = f"""
-        SELECT doc_id, lang FROM documents
-        WHERE {b42} < CASE WHEN lang = 'en' THEN 250000 ELSE 1000000 END
+    mix_total = sum(_MIX_WEIGHTS.values())
+    mix_case = " ".join(
+        f"WHEN '{k}' THEN {v / mix_total:.17e}" for k, v in _MIX_WEIGHTS.items()
+    )
+    o["sample_mixture"] = f"""
+        WITH cnt AS (SELECT lang AS d, count(*) AS n FROM documents GROUP BY lang)
+        SELECT doc_id, lang
+        FROM documents JOIN cnt ON lang = cnt.d
+        WHERE {b42} < CAST(floor(least(1.0::DOUBLE,
+            {_MIX_TARGET} * (CASE lang {mix_case} ELSE 0.0 END) / n)
+            * 1000000) AS BIGINT)
         ORDER BY doc_id
+    """
+    o["pack_sequences"] = f"""
+        WITH t AS (
+            SELECT doc_id,
+                   CAST(ceil(len({words}) * 1.3) AS BIGINT) AS tok,
+                   ({b42}) % {_PACK_SHARDS} AS shard
+            FROM documents
+        ),
+        s AS (
+            SELECT doc_id, tok, shard,
+                   CAST(sum(tok) OVER (PARTITION BY shard ORDER BY doc_id
+                                       ROWS UNBOUNDED PRECEDING) - tok
+                        AS BIGINT) AS st
+            FROM t WHERE tok > 0
+        )
+        SELECT shard,
+               CAST(sq AS BIGINT) AS seq,
+               doc_id,
+               greatest(0, sq * {_PACK_SEQ_LEN} - st) AS tok_begin,
+               least(tok, sq * {_PACK_SEQ_LEN} + {_PACK_SEQ_LEN} - st)
+                   - greatest(0, sq * {_PACK_SEQ_LEN} - st) AS tok_len,
+               st + greatest(0, sq * {_PACK_SEQ_LEN} - st)
+                   - sq * {_PACK_SEQ_LEN} AS seq_offset
+        FROM s, unnest(range(st // {_PACK_SEQ_LEN},
+                             (st + tok - 1) // {_PACK_SEQ_LEN} + 1)) AS u(sq)
+        ORDER BY shard, seq, seq_offset
     """
     # LSH-mode embedding dedup: the hyperplanes are deterministic from the
     # seed, so the oracle reproduces the bucket signature with the same
@@ -1575,6 +1664,50 @@ def _oracles() -> dict[str, str]:
         FROM bv a JOIN bv b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
         WHERE round({cos.format(a='a.embedding', b='b.embedding')}, 6) >= {_LSH_THRESHOLD}
         ORDER BY id_a, id_b
+    """
+    o["dedup_lines"] = f"""
+        WITH base AS (
+            SELECT doc_id, string_split(coalesce(text, ''), ' ') AS ws
+            FROM documents
+        ),
+        built AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 3 = 0
+                        THEN '{_BOILER_LINE}' || chr(10) ELSE '' END ||
+                   array_to_string(
+                       list_transform(
+                           range(0, CAST(ceil(len(ws) / 8.0) AS BIGINT)),
+                           i -> array_to_string(
+                               list_slice(ws, i * 8 + 1, i * 8 + 8), ' ')),
+                       chr(10)) AS t
+            FROM base
+        ),
+        l AS (
+            SELECT doc_id,
+                   unnest(string_split(t, chr(10))) AS line,
+                   unnest(range(1, len(string_split(t, chr(10))) + 1)) AS pos
+            FROM built
+        ),
+        stats AS (
+            SELECT trim(line) AS tl,
+                   min(doc_id) AS keeper
+            FROM l WHERE length(trim(line)) >= 1
+            GROUP BY 1 HAVING count(DISTINCT doc_id) > 1
+        ),
+        j AS (
+            SELECT l.doc_id, l.pos, l.line,
+                   (length(trim(l.line)) < 1 OR s.tl IS NULL
+                    OR l.doc_id = s.keeper) AS keep
+            FROM l LEFT JOIN stats s ON trim(l.line) = s.tl
+        )
+        SELECT doc_id,
+               md5(coalesce(
+                   string_agg(line, chr(10) ORDER BY pos)
+                       FILTER (WHERE keep), '')) AS cleaned_md5,
+               count(*) AS n_lines,
+               CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT)
+                   AS n_removed
+        FROM j GROUP BY doc_id ORDER BY doc_id
     """
     # sign-LSH multiprobe top-k: probe = query bucket + Hamming-1
     # neighbors, exactly the multiprobe_signatures(radius=1) set
@@ -1750,9 +1883,15 @@ def _oracles() -> dict[str, str]:
         f"len(regexp_extract_all(lower(text), '{pat}')) AS n_{k}"
         for k, pat in _STOP.items()
     )
+    from letsearch_spark.functions.text import EMAIL_RE, URL_RE
+
     o["text_profile"] = f"""
         WITH w AS (
-            SELECT doc_id, text, {words} AS ws, {lang_counts} FROM documents
+            SELECT doc_id, text, {words} AS ws, {lang_counts},
+                   coalesce(text, '') || ' see https://ex.com/p/'
+                   || CAST(doc_id AS VARCHAR) || ' or mail bob'
+                   || CAST(doc_id AS VARCHAR) || '@ex-mail.org end' AS noisy
+            FROM documents
         ),
         g AS (
             SELECT *, CASE WHEN len(ws) >= 2 THEN
@@ -1786,14 +1925,66 @@ def _oracles() -> dict[str, str]:
                     ELSE 0.0 END AS dup_word_frac,
                CASE WHEN len(gs) > 0
                     THEN round(1.0 - len(list_distinct(gs)) * 1.0 / len(gs), 6)
-                    ELSE 0.0 END AS dup_ngram_frac
+                    ELSE 0.0 END AS dup_ngram_frac,
+               CAST(len(regexp_extract_all(noisy, '{URL_RE}')) AS BIGINT) AS n_urls,
+               CAST(len(regexp_extract_all(noisy, '{EMAIL_RE}')) AS BIGINT)
+                   AS n_emails,
+               CAST(length(trim(regexp_replace(regexp_replace(regexp_replace(
+                   noisy, '{URL_RE}', '<URL>', 'g'), '{EMAIL_RE}', '<EMAIL>', 'g'),
+                   '\\s+', ' ', 'g'))) AS BIGINT) AS scrubbed_len
         FROM g ORDER BY doc_id
     """
-    o["multimodal_binary_meta"] = """
+    from letsearch_spark.functions.text import (
+        BULLET_RE,
+        ELLIPSIS_RE,
+        STOP_TOKENS,
+        SYMBOL_RE,
+    )
+
+    stop_list = ", ".join(f"'{s}'" for s in STOP_TOKENS)
+    o["quality_filter_gopher"] = f"""
+        WITH w AS (
+            SELECT doc_id, text, {words} AS ws,
+                   string_split(text, chr(10)) AS ls
+            FROM documents
+        ),
+        m AS (
+            SELECT doc_id,
+                   len(ws) AS n_words,
+                   list_sum(list_transform(ws, x -> length(x))) * 1.0
+                       / len(ws) AS mwl,
+                   len(regexp_extract_all(text, '{SYMBOL_RE}')) * 1.0
+                       / len(ws) AS symr,
+                   len(list_filter(ls, x -> regexp_matches(x, '{BULLET_RE}')))
+                       * 1.0 / len(ls) AS bull,
+                   len(list_filter(ls, x -> regexp_matches(x, '{ELLIPSIS_RE}')))
+                       * 1.0 / len(ls) AS ell,
+                   len(list_filter(ws, x -> regexp_matches(x, '[a-z]')))
+                       * 1.0 / len(ws) AS alphaf,
+                   len(list_intersect(list_distinct(ws), [{stop_list}]))
+                       AS nstop
+            FROM w
+        )
         SELECT doc_id,
-               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-               sha256(text) AS sha
-        FROM documents ORDER BY doc_id
+               CAST(n_words AS BIGINT) AS n_words,
+               round(mwl, 6) AS mean_word_len,
+               round(symr, 6) AS symbol_ratio,
+               round(bull, 6) AS bullet_frac,
+               round(ell, 6) AS ellipsis_frac,
+               round(alphaf, 6) AS alpha_frac,
+               CAST(nstop AS BIGINT) AS n_stop_tokens,
+               (n_words >= 40 AND n_words <= 100000) AS ok_words,
+               (mwl >= 3.0 AND mwl <= 10.0) AS ok_word_len,
+               (symr <= 0.1) AS ok_symbols,
+               (bull <= 0.9) AS ok_bullets,
+               (ell <= 0.3) AS ok_ellipsis,
+               (alphaf >= 0.8) AS ok_alpha,
+               (nstop >= 2) AS ok_stop,
+               (n_words >= 40 AND n_words <= 100000
+                AND mwl >= 3.0 AND mwl <= 10.0
+                AND symr <= 0.1 AND bull <= 0.9 AND ell <= 0.3
+                AND alphaf >= 0.8 AND nstop >= 2) AS passes
+        FROM m ORDER BY doc_id
     """
     # frame-sample policy: sample_count = clamp(ceil(sqrt(n)), 1, n),
     # step = max(n // s, 1), idx_i = min(i*step, n-1) (pdf.rs:25-33)
@@ -1812,24 +2003,6 @@ def _oracles() -> dict[str, str]:
         FROM p, unnest(range(0, s)) AS t(i)
         ORDER BY doc_id, pos
     """
-    from letsearch_spark.functions.text import EMAIL_RE, URL_RE
-
-    o["text_scrub"] = f"""
-        WITH noisy AS (
-            SELECT doc_id,
-                   coalesce(text, '') || ' see https://ex.com/p/'
-                   || CAST(doc_id AS VARCHAR) || ' or mail bob'
-                   || CAST(doc_id AS VARCHAR) || '@ex-mail.org end' AS t
-            FROM documents
-        )
-        SELECT doc_id,
-               CAST(len(regexp_extract_all(t, '{URL_RE}')) AS BIGINT) AS n_urls,
-               CAST(len(regexp_extract_all(t, '{EMAIL_RE}')) AS BIGINT) AS n_emails,
-               CAST(length(trim(regexp_replace(regexp_replace(regexp_replace(
-                   t, '{URL_RE}', '<URL>', 'g'), '{EMAIL_RE}', '<EMAIL>', 'g'),
-                   '\\s+', ' ', 'g'))) AS BIGINT) AS scrubbed_len
-        FROM noisy ORDER BY doc_id
-    """
     o["s_csv_roundtrip"] = """
         SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
         FROM documents ORDER BY doc_id
@@ -1840,6 +2013,7 @@ def _oracles() -> dict[str, str]:
     o["multimodal_decode"] = f"""
         SELECT doc_id,
                CAST(octet_length(encode(coalesce(text, ''))) AS BIGINT) AS n_bytes,
+               sha256(coalesce(text, '')) AS sha,
                CAST(16 + {mm_byte.format(p=1)} AS BIGINT) AS width,
                CAST(16 + {mm_byte.format(p=3)} AS BIGINT) AS height,
                CAST(1 + {mm_byte.format(p=5)} % 4 AS BIGINT) AS n_channels,
