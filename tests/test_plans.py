@@ -234,3 +234,53 @@ def test_bucketed_join_is_exchange_free(spark, sf_dir, tmp_path):
         spark.conf.unset("spark.sql.legacy.bucketedTableScan.outputOrdering")
         spark.sql("DROP TABLE IF EXISTS bkt_orders")
         spark.sql("DROP TABLE IF EXISTS bkt_lineitem")
+
+
+def test_pack_sequences_single_shuffle(spark):
+    """The packing layout pays exactly ONE hash exchange (partition by
+    shard, sort within by key); everything after the window is map-side
+    arithmetic. At 100 TB the operator's cost IS that one shuffle of
+    (key, tokens) pairs -- text never travels."""
+    from letsearch_spark.operators.pack import pack_sequences
+
+    docs = spark.range(1, 1000).select(
+        F.col("id"), (F.col("id") % 90 + 1).alias("tokens")
+    )
+    out = pack_sequences(docs, "id", "tokens", seq_len=64, num_shards=4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+    assert "hashpartitioning(shard" in plan
+    assert "Join" not in plan
+
+
+def test_gopher_filter_is_scan_only(spark, sf_dir):
+    """The quality filter is a pure per-row projection: no exchange, no
+    join, no aggregate anywhere in the plan -- it runs entirely inside
+    the parquet scan's codegen stage."""
+    from letsearch_spark.functions.text import gopher_flags
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    flags = gopher_flags(F.col("text"))
+    out = docs.select("doc_id", *[c.alias(n) for n, c in flags.items()])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert "Aggregate" not in plan
+
+
+def test_remove_duplicate_lines_hash_only_shuffle(spark, sf_dir):
+    """Corpus-level line dedup must never shuffle line TEXT for the
+    verdict: the stats aggregation exchanges rows keyed by the 60-bit
+    line hash, and no exchange in the plan carries the raw __line
+    column except the final per-document reassembly of kept lines."""
+    from letsearch_spark.operators.dedup import remove_duplicate_lines
+
+    docs = spark.read.parquet(
+        os.path.join(sf_dir, "documents.parquet")
+    ).select("doc_id", "text")
+    out = remove_duplicate_lines(docs, "doc_id", "text")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the verdict-side aggregation exchanges on the hash column
+    assert "hashpartitioning(__h" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

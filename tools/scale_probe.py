@@ -192,6 +192,30 @@ def main() -> None:
             lambda: knn_join(emb, queries, k=10, method="numpy").count(),
         )
 
+        from letsearch_spark.operators.dedup import remove_duplicate_lines
+        from letsearch_spark.operators.pack import pack_sequences
+
+        # round-3 pipeline ops: packing is one shuffle of (key, tokens);
+        # line dedup shuffles 60-bit hashes. Both must stay near-linear.
+        toks = docs.select(
+            "doc_id", (F.size(F.split("text", r"\s+")).cast("long")).alias("tokens")
+        )
+        timeit(
+            "pack_seq",
+            lambda: pack_sequences(
+                toks, "doc_id", "tokens", seq_len=256, num_shards=int(CPUS)
+            ).count(),
+        )
+        lined = docs.select(
+            "doc_id", F.regexp_replace("text", r"((\S+\s+){7}\S+)\s+", "$1\n").alias("text")
+        )
+        timeit(
+            "dedup_lines",
+            lambda: remove_duplicate_lines(lined, "doc_id", "text")
+            .agg(F.sum("n_removed"))
+            .collect()[0][0],
+        )
+
         from letsearch_spark.operators.range_join import range_join
         from letsearch_spark.operators.rollup import time_rollup
 
