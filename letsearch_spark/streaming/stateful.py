@@ -101,3 +101,69 @@ def session_windows(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+# ---------------- online dedup state ----------------
+
+DEDUP_OUTPUT_SCHEMA = "h long, doc_key long, first_seen boolean"
+DEDUP_STATE_SCHEMA = "seen long"
+
+
+def _dedup_group(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
+    """State per content hash: whether it has been emitted before. The
+    first arrival (lowest key within the micro-batch, for determinism)
+    passes; later arrivals in this or any later batch are flagged as
+    duplicates."""
+    if state.hasTimedOut:  # pragma: no cover - no timeout configured
+        state.remove()
+        return
+    rows = pd.concat(list(pdfs)).sort_values("doc_key")
+    seen = state.exists
+    out_first = []
+    for k in rows["doc_key"]:
+        out_first.append(not seen)
+        seen = True
+    state.update((1,))
+    yield pd.DataFrame(
+        {
+            "h": [key[0]] * len(rows),
+            "doc_key": rows["doc_key"].to_list(),
+            "first_seen": out_first,
+        }
+    )
+
+
+def streaming_dedup(docs_stream, key_col: str = "_key", text_col: str = "text"):
+    """Online exact dedup over an unbounded document stream: the
+    streaming twin of operators/dedup.py ``exact_dedup``.
+
+    Each document's normalized text is hashed to the same 60-bit md5 the
+    batch path uses; per-hash state (one long) remembers whether content
+    was ever seen, so re-ingested documents are flagged as duplicates
+    ACROSS micro-batches -- the property a backfill-then-tail ingest
+    pipeline needs and that per-batch ``dropDuplicates`` cannot give
+    (Structured Streaming's built-in dropDuplicates state serves the
+    same role; this operator exists to expose the verdict as a column --
+    ``first_seen`` -- instead of silently dropping rows, and as the
+    template for richer dedup state, e.g. per-hash counts or MinHash
+    band keys).
+
+    State is bounded by the number of DISTINCT documents, one long each;
+    at 100 TB use RocksDB state store and shard by hash (the groupBy
+    already partitions state by ``h``). Emits (h, doc_key, first_seen)
+    in append mode.
+    """
+    from letsearch_spark.operators.dedup import md5_60, normalize_text
+    from pyspark.sql import functions as F
+
+    hashed = docs_stream.select(
+        F.col(key_col).alias("doc_key"),
+        md5_60(normalize_text(F.col(text_col))).alias("h"),
+    )
+    return hashed.groupBy("h").applyInPandasWithState(
+        _dedup_group,
+        outputStructType=DEDUP_OUTPUT_SCHEMA,
+        stateStructType=DEDUP_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -74,3 +74,53 @@ def test_stateful_sessions_match_batch(spark, sf_dir, tmp_path):
     must_emit = {s for s in expected if s[2].timestamp() < cutoff}
     missing = must_emit - got
     assert not missing, f"missing closed sessions: {list(missing)[:3]}"
+
+
+def test_streaming_dedup_flags_duplicates_across_batches(spark, tmp_path):
+    """Online dedup state: re-ingesting the same content in a LATER
+    micro-batch must flag it as a duplicate (first_seen=False), which
+    per-batch dropDuplicates cannot do. Verified against the batch
+    exact_dedup keep-list on the union of both batches."""
+    from letsearch_spark.operators.dedup import exact_dedup
+    from letsearch_spark.streaming.stateful import streaming_dedup
+
+    src = str(tmp_path / "src")
+    batch1 = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma delta"), (3, "Alpha  beta")],
+        "_key long, text string",
+    )
+    batch2 = spark.createDataFrame(
+        [(4, "alpha beta"), (5, "epsilon"), (6, "gamma delta")],
+        "_key long, text string",
+    )
+    # two parquet files -> two micro-batches (maxFilesPerTrigger=1)
+    batch1.coalesce(1).write.mode("append").parquet(src)
+    batch2.coalesce(1).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(batch1.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    out = streaming_dedup(stream)
+    sink = str(tmp_path / "sink")
+    q = (
+        out.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = {r["doc_key"]: r["first_seen"] for r in spark.read.parquet(sink).collect()}
+    assert len(got) == 6  # verdict column, no rows dropped
+    # batch twin: keep-list of the union
+    union = batch1.union(batch2)
+    keep = {
+        r["keep_id"] for r in exact_dedup(union, "_key", "text").collect()
+    }
+    assert {k for k, first in got.items() if first} == keep
+    # the cross-batch duplicate (key 4 repeats key 1's content; 3 is a
+    # whitespace/case variant of 1; 6 repeats 2) is the point
+    assert got[1] and got[2] and got[5]
+    assert not got[3] and not got[4] and not got[6]
