@@ -156,6 +156,11 @@ def main() -> None:
     for name in ("dedup_minhash_lsh", "dedup_simhash_pairs"):
         run_stage(name, lambda name=name: QUERIES[name](spark, SF_DIR).count())
 
+    # 12-14. round-3 training-pipeline stages (no baseline rows -- see
+    # BASELINE.md ledger; compare across rounds per-stage)
+    for name in ("quality_filter_gopher", "dedup_lines", "pack_sequences"):
+        run_stage(name, lambda name=name: QUERIES[name](spark, SF_DIR).count())
+
     total = round(
         sum(v for k, v in timings.items() if not k.endswith("_per_sec")), 3
     )
