@@ -1,0 +1,140 @@
+"""End-to-end training-data preparation: the round-trip a pretraining
+corpus actually takes, composed from this repo's operators.
+
+The reference stops at search (collection_actor.rs:764-885); the
+north-star scope (BASELINE.json) adds the LLM-data-pipeline operators.
+This module is their composition -- ONE declarative recipe:
+
+    1. quality filter     (functions/text.py gopher_flags)
+    2. line dedup         (operators/dedup.py remove_duplicate_lines)
+    3. fuzzy dedup        (minhash_lsh_pairs -> dedup_keep_list)
+    4. mixture resample   (operators/sample.py mixture_hash_sample)
+    5. train/val/test     (operators/sample.py hash_split)
+    6. sequence packing   (operators/pack.py pack_sequences)
+
+Every stage is the scale shape (banded joins, hash filters, single
+shuffles) -- the composition inherits the operators' 100 TB designs and
+adds nothing driver-side except the tiny mixture count aggregation. The
+whole pipeline is lazy up to the fuzzy-dedup keep-list (connected
+components must iterate); callers get back DataFrames plus an audit of
+per-stage row counts.
+
+Determinism: stages 1-2 are pure functions of the text; stages 4-5 are
+hash-stable (append/rerun-safe); stage 3's canonical survivor is the
+min-key per cluster; stage 6 is a pure function of (key -> tokens). A
+rerun over the same corpus reproduces the output bit-for-bit --
+the property that makes data ablations comparable.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass
+class PrepConfig:
+    """Knobs for :func:`prepare_training_data`; defaults are the
+    operators' own defaults, thresholds sized for chunk-scale text."""
+
+    key_col: str = "doc_id"
+    text_col: str = "text"
+    domain_col: str | None = None
+
+    # stage 1 -- quality (None disables; kwargs forwarded to gopher_flags)
+    quality: dict | None = field(default_factory=dict)
+    # stage 2 -- line dedup (None disables)
+    line_dedup: dict | None = field(default_factory=dict)
+    # stage 3 -- fuzzy dedup (None disables; kwargs to minhash_lsh_pairs)
+    fuzzy_dedup: dict | None = field(default_factory=lambda: {"threshold": 0.8})
+    # stage 4 -- mixture (None disables; needs domain_col)
+    mixture_weights: dict[str, float] | None = None
+    mixture_target_rows: int = 0
+    # stage 5 -- split
+    split_weights: dict[str, float] | None = None
+    # stage 6 -- packing
+    seq_len: int = 2048
+    num_shards: int = 32
+    token_count_col: str | None = None  # None: ceil(words * 1.3)
+
+
+def prepare_training_data(
+    docs: DataFrame, config: PrepConfig | None = None
+) -> tuple[DataFrame, DataFrame, dict[str, int]]:
+    """Run the filter -> dedup -> mix -> split -> pack recipe.
+
+    Returns ``(clean_docs, layout, audit)``:
+
+    * ``clean_docs`` -- surviving documents with their (possibly
+      line-stripped) text, ``split`` label, and token count;
+    * ``layout`` -- the packed-sequence spans of the TRAIN split
+      (shard, seq, key, tok_begin, tok_len, seq_offset);
+    * ``audit`` -- rows surviving each enabled stage (the numbers a
+      data card reports).
+
+    The audit forces one count per enabled stage; pass a cached input
+    if the scan is expensive.
+    """
+    from letsearch_spark.functions.text import gopher_flags, token_count_approx
+    from letsearch_spark.operators.dedup import (
+        dedup_keep_list,
+        minhash_lsh_pairs,
+        remove_duplicate_lines,
+    )
+    from letsearch_spark.operators.pack import pack_sequences
+    from letsearch_spark.operators.sample import hash_split, mixture_hash_sample
+
+    cfg = config or PrepConfig()
+    key, text = cfg.key_col, cfg.text_col
+    audit: dict[str, int] = {"input": docs.count()}
+    cur = docs
+
+    if cfg.quality is not None:
+        flags = gopher_flags(F.col(text), **cfg.quality)
+        cur = cur.where(flags["passes"])
+        audit["quality_filter"] = cur.count()
+
+    if cfg.line_dedup is not None:
+        keep_cols = [c for c in cur.columns if c not in (text,)]
+        cleaned = remove_duplicate_lines(cur, key, text, **cfg.line_dedup)
+        cur = cur.select(*keep_cols).join(
+            cleaned.select(key, text), key
+        )
+        # stripping boilerplate can empty a document
+        cur = cur.where(F.length(F.trim(F.col(text))) > 0)
+        audit["line_dedup"] = cur.count()
+
+    if cfg.fuzzy_dedup is not None:
+        pairs = minhash_lsh_pairs(cur, key, text, **cfg.fuzzy_dedup)
+        keep = dedup_keep_list(cur, pairs, key)
+        cur = cur.join(
+            keep.where("is_kept").select(F.col("id").alias(key)), key
+        )
+        audit["fuzzy_dedup"] = cur.count()
+
+    if cfg.mixture_weights is not None:
+        if cfg.domain_col is None:
+            raise ValueError("mixture_weights needs domain_col")
+        cur = mixture_hash_sample(
+            cur, key, cfg.domain_col, cfg.mixture_weights, cfg.mixture_target_rows
+        )
+        audit["mixture"] = cur.count()
+
+    cur = hash_split(cur, key, weights=cfg.split_weights)
+
+    if cfg.token_count_col is None:
+        cur = cur.withColumn("tokens", token_count_approx(F.col(text)))
+    else:
+        cur = cur.withColumn("tokens", F.col(cfg.token_count_col).cast("long"))
+
+    layout = pack_sequences(
+        cur.where(F.col("split") == "train"),
+        key,
+        "tokens",
+        seq_len=cfg.seq_len,
+        num_shards=cfg.num_shards,
+    )
+    audit["train_docs"] = cur.where(F.col("split") == "train").count()
+    return cur, layout, audit

@@ -1,0 +1,89 @@
+"""End-to-end training-data preparation (letsearch_spark/pipeline.py):
+the operator composition must survive a real corpus, keep its stage
+accounting honest, and reproduce bit-for-bit on rerun."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def test_prepare_training_data_end_to_end(spark, sf_dir):
+    from letsearch_spark.pipeline import PrepConfig, prepare_training_data
+
+    docs = _docs(spark, sf_dir).select("doc_id", "lang", "text")
+    cfg = PrepConfig(
+        domain_col="lang",
+        quality={"min_words": 25},
+        fuzzy_dedup={"threshold": 0.8},
+        seq_len=256,
+        num_shards=4,
+    )
+    clean, layout, audit = prepare_training_data(docs, cfg)
+
+    # stage accounting: monotone non-increasing through the filters
+    assert (
+        audit["input"]
+        >= audit["quality_filter"]
+        >= audit["line_dedup"]
+        >= audit["fuzzy_dedup"]
+        > 0
+    )
+    # the planted near-dup pairs (TESTDATA.md: jaccard >= 0.8) must cost
+    # rows in the fuzzy stage
+    assert audit["fuzzy_dedup"] < audit["line_dedup"]
+
+    rows = clean.collect()
+    assert {r["split"] for r in rows} <= {"train", "val", "test"}
+    assert all(r["tokens"] > 0 for r in rows)
+
+    # packing covers every train token exactly once
+    train_tokens = sum(r["tokens"] for r in rows if r["split"] == "train")
+    spans = layout.collect()
+    assert sum(r["tok_len"] for r in spans) == train_tokens
+    assert audit["train_docs"] == len(
+        {r["doc_id"] for r in rows if r["split"] == "train"}
+    )
+
+
+def test_prepare_training_data_is_deterministic(spark, sf_dir):
+    from letsearch_spark.pipeline import PrepConfig, prepare_training_data
+
+    docs = _docs(spark, sf_dir).select("doc_id", "lang", "text")
+    cfg = PrepConfig(
+        domain_col="lang",
+        mixture_weights={"en": 0.4, "de": 0.2, "es": 0.2, "fr": 0.1, "zh": 0.1},
+        mixture_target_rows=200,
+        seq_len=128,
+        num_shards=2,
+    )
+    a_clean, a_layout, a_audit = prepare_training_data(docs, cfg)
+    b_clean, b_layout, b_audit = prepare_training_data(
+        docs.repartition(11), cfg
+    )
+    assert a_audit == b_audit
+    assert {tuple(r) for r in a_layout.collect()} == {
+        tuple(r) for r in b_layout.collect()
+    }
+    a_keys = {(r["doc_id"], r["split"]) for r in a_clean.collect()}
+    b_keys = {(r["doc_id"], r["split"]) for r in b_clean.collect()}
+    assert a_keys == b_keys
+
+
+def test_prepare_training_data_stage_toggles(spark, sf_dir):
+    from letsearch_spark.pipeline import PrepConfig, prepare_training_data
+
+    docs = _docs(spark, sf_dir).select("doc_id", "lang", "text").limit(100)
+    cfg = PrepConfig(quality=None, line_dedup=None, fuzzy_dedup=None)
+    clean, layout, audit = prepare_training_data(docs, cfg)
+    assert set(audit) == {"input", "train_docs"}
+    assert clean.count() == audit["input"]
+
+    with pytest.raises(ValueError, match="domain_col"):
+        prepare_training_data(
+            docs, PrepConfig(mixture_weights={"en": 1.0}, mixture_target_rows=10)
+        )
