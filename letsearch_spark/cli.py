@@ -81,6 +81,17 @@ def cmd_add_docs(args) -> int:
     return 0
 
 
+def cmd_compact(args) -> int:
+    from letsearch_spark.collection import Collection
+
+    spark = _spark(args)
+    coll = Collection.load(spark, _home(args), args.collection)
+    out = coll.compact(rows_per_file=args.rows_per_file)
+    for table, n in out.items():
+        print(f"{table}: {n}")
+    return 0
+
+
 def cmd_search(args) -> int:
     from letsearch_spark.collection import Collection
 
@@ -133,6 +144,13 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--collection", default="default")
     s.add_argument("--files", nargs="+", required=True)
     s.set_defaults(fn=cmd_add_docs)
+
+    s = sub.add_parser(
+        "compact", help="rewrite tables into size-targeted key-sorted files"
+    )
+    s.add_argument("collection")
+    s.add_argument("--rows-per-file", type=int, default=1_000_000)
+    s.set_defaults(fn=cmd_compact)
 
     s = sub.add_parser("search", help="top-k semantic search")
     s.add_argument("--collection", default="default")

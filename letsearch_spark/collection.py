@@ -216,6 +216,82 @@ class Collection:
         docs.write.mode("overwrite").json(path)
         return docs.count()
 
+    def compact(self, rows_per_file: int = 1_000_000) -> dict[str, int]:
+        """Rewrite the docs and embeddings tables into size-targeted,
+        key-sorted parquet files.
+
+        Every append writes its own files, so an append-heavy collection
+        accumulates tiny files -- the classic small-file problem: at
+        scale the scan's task count (and the NameNode/listing cost) is
+        driven by file count, not data volume. Compaction restores
+        ``ceil(rows / rows_per_file)`` files, range-partitioned and
+        sorted by ``_key`` (so key-range lookups prune row groups via
+        parquet min/max stats); embeddings keep their ``column_name``
+        partitioning (K4 pruning preserved).
+
+        Rewrites stage into a sibling ``.compact`` directory and then
+        swap -- same single-writer contract as appends (no concurrent
+        readers during the swap). Caches are invalidated. Returns the
+        file count per table after compaction.
+        """
+        out: dict[str, int] = {}
+        docs = self.docs()
+        n = docs.count()
+        p = max(1, -(-n // rows_per_file))
+        staged = self.docs_path + ".compact"
+        (
+            docs.repartitionByRange(p, F.col(KEY_COL))
+            .sortWithinPartitions(KEY_COL)
+            .write.mode("overwrite")
+            .parquet(staged)
+        )
+        self._fs_replace(staged, self.docs_path)
+        out["docs_files"] = self._fs_count_files(self.docs_path)
+
+        if self._has_embeddings():
+            emb = self.spark.read.parquet(self.embeddings_path)
+            m = emb.count()
+            ep = max(1, -(-m // rows_per_file))
+            staged = self.embeddings_path + ".compact"
+            (
+                emb.repartitionByRange(ep, F.col("column_name"), F.col(KEY_COL))
+                .sortWithinPartitions(KEY_COL)
+                .write.mode("overwrite")
+                .partitionBy("column_name")
+                .parquet(staged)
+            )
+            self._fs_replace(staged, self.embeddings_path)
+            out["embeddings_files"] = self._fs_count_files(self.embeddings_path)
+
+        self._invalidate_cache()
+        return out
+
+    def _fs_replace(self, src: str, dest: str) -> None:
+        """Delete ``dest`` and rename ``src`` into its place (staged
+        table swap; single-writer, like every other write here)."""
+        jvm = self.spark._jvm
+        fs = jvm.org.apache.hadoop.fs.Path(dest).getFileSystem(
+            self.spark._jsc.hadoopConfiguration()
+        )
+        self._fs_delete(dest)
+        if not fs.rename(
+            jvm.org.apache.hadoop.fs.Path(src), jvm.org.apache.hadoop.fs.Path(dest)
+        ):
+            raise RuntimeError(f"rename {src} -> {dest} failed")
+
+    def _fs_count_files(self, path: str) -> int:
+        """Number of parquet data files under ``path`` (recursive)."""
+        jvm = self.spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = jpath.getFileSystem(self.spark._jsc.hadoopConfiguration())
+        it = fs.listFiles(jpath, True)
+        count = 0
+        while it.hasNext():
+            f = it.next()
+            if f.getPath().getName().endswith(".parquet"):
+                count += 1
+        return count
+
     def add_chunks(self, chunks: Sequence[str], column: str = "text") -> int:
         """S6 (collection_actor.rs:293-365): insert pre-chunked strings as
         rows; creates the table if missing; guards the identifier."""

@@ -57,3 +57,25 @@ def test_cli_roundtrip(spark, sf_dir, tmp_path, capsys):
     assert cmd_search(a) == 0
     line = capsys.readouterr().out.strip()
     assert "cli appended doc" in line and "[1.0000]" in line
+
+
+def test_cli_compact(spark, sf_dir, tmp_path, capsys):
+    from letsearch_spark.cli import cmd_compact
+
+    home = str(tmp_path / "home")
+    p = build_parser()
+    a = p.parse_args(
+        [
+            "--home", home, "--master", "local[4]",
+            "index", "--collection", "c2",
+            "--files", os.path.join(sf_dir, "documents.parquet"),
+        ]
+    )
+    assert cmd_index(a) == 0
+    capsys.readouterr()
+
+    a = p.parse_args(["--home", home, "compact", "c2"])
+    assert a.rows_per_file == 1_000_000
+    assert cmd_compact(a) == 0
+    out = capsys.readouterr().out
+    assert "docs_files: 1" in out and "embeddings_files:" in out

@@ -388,3 +388,43 @@ def test_export_jsonl_roundtrip(spark, tmp_path, sf_dir):
     back = spark.read.json(out)
     assert back.count() == n
     assert set(back.columns) == set(c.docs().columns)
+
+
+def test_compact_restores_file_count_and_content(spark, tmp_path, sf_dir):
+    """Append-heavy collections accumulate one-file-per-append; compact
+    must rewrite to ceil(rows/rows_per_file) key-sorted files with
+    identical content, keep the embeddings' column_name partitioning
+    (K4 pruning), and leave search working (caches invalidated)."""
+    import os
+
+    from letsearch_spark.collection import Collection
+
+    c = Collection.create(
+        spark, str(tmp_path), name="cmp", model_name="stub://16"
+    )
+    c.import_parquet(os.path.join(sf_dir, "documents.parquet"))
+    docs = c.docs()
+    one = docs.limit(1).drop("_key")
+    for _ in range(5):
+        c._append_df(one)
+    c.embed_column("text")
+
+    before_files = c._fs_count_files(c.docs_path)
+    assert before_files > 5  # import shards + 5 append files
+    before = {(r["_key"], r["doc_id"]) for r in c.docs().collect()}
+
+    out = c.compact(rows_per_file=1_000_000)
+    assert out["docs_files"] == 1
+    assert out["embeddings_files"] >= 1
+    after = {(r["_key"], r["doc_id"]) for r in c.docs().collect()}
+    assert after == before
+
+    # column_name partition layout survives (partition pruning intact)
+    assert os.path.isdir(os.path.join(c.embeddings_path, "column_name=text"))
+    assert len(c.search("text", "spark join", limit=3).collect()) == 3
+
+    # rows_per_file drives the file count
+    out2 = c.compact(rows_per_file=100)
+    n = c.count()
+    assert out2["docs_files"] == -(-n // 100)
+    assert {(r["_key"], r["doc_id"]) for r in c.docs().collect()} == before
