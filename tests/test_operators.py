@@ -978,3 +978,98 @@ def test_gopher_flags(spark):
     assert not out[7]["ok_stop"] and out[7]["ok_alpha"]
     for i in (2, 3, 4, 5, 6, 7):
         assert not out[i]["passes"], i
+
+
+def test_pack_sequences_matches_python_twin_randomized(spark):
+    """Randomized equivalence: the distributed layout must equal a
+    transparent single-process packer (group by shard, sort by key,
+    running offset, span per crossed sequence) on corpora with skewed
+    token counts (giant docs spanning many sequences, 1-token docs,
+    seq_len edge multiples)."""
+    import random
+
+    from letsearch_spark.operators.pack import pack_sequences
+    from letsearch_spark.operators.sample import hash_bucket
+
+    rng = random.Random(7)
+    for trial in range(8):
+        n_docs = rng.randint(1, 120)
+        L = rng.choice([1, 7, 64, 128])
+        shards = rng.choice([1, 3, 8])
+        docs = [
+            (k, rng.choice([1, 2, L - 1 if L > 1 else 1, L, L + 1, rng.randint(1, 5 * L)]))
+            for k in rng.sample(range(1, 10_000), n_docs)
+        ]
+        df = spark.createDataFrame(docs, "id long, tokens long")
+        got = {
+            tuple(r)
+            for r in pack_sequences(
+                df, "id", "tokens", seq_len=L, num_shards=shards
+            ).collect()
+        }
+
+        # python twin: reuse the SAME hash column for shard assignment
+        shard_of = {
+            r["id"]: r["s"] % shards
+            for r in df.select(
+                "id", hash_bucket(F.col("id")).alias("s")
+            ).collect()
+        }
+        expect = set()
+        by_shard = {}
+        for k, tok in docs:
+            by_shard.setdefault(shard_of[k], []).append((k, tok))
+        for sh, items in by_shard.items():
+            off = 0
+            for k, tok in sorted(items):
+                for seq in range(off // L, (off + tok - 1) // L + 1):
+                    b = max(0, seq * L - off)
+                    e = min(tok, (seq + 1) * L - off)
+                    expect.add((sh, seq, k, b, e - b, off + b - seq * L))
+                off += tok
+        assert got == expect, f"trial {trial}: L={L} shards={shards}"
+
+
+def test_remove_duplicate_lines_matches_python_twin_randomized(spark):
+    """Randomized equivalence vs a transparent single-process C4
+    dedupper over corpora drawn from a tiny line vocabulary (high
+    duplication), including blank lines and within-doc repeats."""
+    import random
+
+    from letsearch_spark.operators.dedup import remove_duplicate_lines
+
+    vocab = ["alpha beta", "gamma", "  ", "", "delta epsilon zeta", "eta"]
+    rng = random.Random(11)
+    for trial in range(6):
+        docs = [
+            (k, "\n".join(rng.choice(vocab) for _ in range(rng.randint(1, 8))))
+            for k in rng.sample(range(1, 1000), rng.randint(1, 40))
+        ]
+        df = spark.createDataFrame(docs, "id long, text string")
+        got = {
+            r["id"]: (r["text"], r["n_lines"], r["n_removed"])
+            for r in remove_duplicate_lines(df, "id", "text").collect()
+        }
+
+        # python twin
+        from collections import defaultdict
+
+        docs_of_line = defaultdict(set)
+        for k, t in docs:
+            for line in t.split("\n"):
+                if line.strip():
+                    docs_of_line[line.strip()].add(k)
+        dup = {
+            line: min(ks) for line, ks in docs_of_line.items() if len(ks) > 1
+        }
+        expect = {}
+        for k, t in docs:
+            kept, removed = [], 0
+            for line in t.split("\n"):
+                s = line.strip()
+                if s and s in dup and dup[s] != k:
+                    removed += 1
+                else:
+                    kept.append(line)
+            expect[k] = ("\n".join(kept), len(t.split("\n")), removed)
+        assert got == expect, f"trial {trial}"
