@@ -233,3 +233,44 @@ def gopher_flags(
         & flags["ok_stop"]
     )
     return flags
+
+
+# ---------------- URL canonicalization ----------------
+
+# tracking parameters stripped by normalize_url (the web-corpus dedup
+# convention: utm_* campaign tags and click ids never identify content)
+_TRACKING_PARAM_RE = r"(?:utm_[a-zA-Z]+|gclid|fbclid|msclkid|ref_src)=[^&#\s]*"
+
+
+def url_host(col: Column) -> Column:
+    """Lowercased host (no port, no leading www.) of a URL column --
+    the grouping key for host-level splits (hash the host, not the
+    URL, to keep whole sites on one side of a train/test split) and
+    per-site aggregation."""
+    host = F.lower(F.regexp_extract(col, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#:]+)", 1))
+    return F.regexp_replace(host, r"^www\.", "")
+
+
+def normalize_url(col: Column) -> Column:
+    """Canonical URL for exact URL-level dedup of web corpora: the same
+    page crawled twice usually differs only in tracking params, case of
+    scheme/host, fragments, default ports, or a trailing slash.
+
+    Steps (pure Catalyst regexp chain, order matters):
+    fragment off -> tracking params off (incl. dangling separators) ->
+    scheme+host lowercased, www. and default ports dropped -> empty
+    query and trailing slash trimmed.
+
+    Deliberately NOT touching path case or non-tracking param order --
+    those can be semantic.
+    """
+    u = F.regexp_replace(col, r"#.*$", "")  # fragment
+    u = F.regexp_replace(u, r"(?<=[?&])" + _TRACKING_PARAM_RE + r"&?", "")
+    u = F.regexp_replace(u, r"[?&]$", "")  # dangling separator
+    scheme_host = F.lower(F.regexp_extract(u, r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+)", 1))
+    scheme_host = F.regexp_replace(scheme_host, r"^(https?://)www\.", "$1")
+    scheme_host = F.regexp_replace(scheme_host, r"^(http://[^/?#:]+):80$", "$1")
+    scheme_host = F.regexp_replace(scheme_host, r"^(https://[^/?#:]+):443$", "$1")
+    rest = F.regexp_replace(u, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+", "")
+    out = F.concat(scheme_host, rest)
+    return F.regexp_replace(out, r"/$", "")

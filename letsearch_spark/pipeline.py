@@ -138,3 +138,38 @@ def prepare_training_data(
     )
     audit["train_docs"] = cur.where(F.col("split") == "train").count()
     return cur, layout, audit
+
+
+def write_training_shards(
+    clean_docs: DataFrame,
+    layout: DataFrame,
+    path: str,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+) -> int:
+    """Materialize the packed layout as on-disk training shards.
+
+    Joins the spans back to their document text and writes parquet
+    partitioned by ``shard``, each row one (seq, seq_offset)-addressed
+    span carrying its text -- the layout a tokenizing trainer consumes
+    shard-by-shard (each shard is one independent, ordered token
+    stream; a reader tokenizes the text and slices [tok_begin,
+    tok_begin+tok_len)). Rows are written sorted by (seq, seq_offset)
+    within each shard so readers stream sequences in order without a
+    sort.
+
+    The join broadcasts nothing and shuffles each side once on the key;
+    at 100 TB this is the final co-partitioned pass of the prep
+    pipeline. Returns the span count written.
+    """
+    spans = layout.join(
+        clean_docs.select(F.col(key_col), F.col(text_col)), key_col
+    )
+    (
+        spans.repartition(F.col("shard"))
+        .sortWithinPartitions("seq", "seq_offset")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )
+    return layout.count()

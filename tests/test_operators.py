@@ -1073,3 +1073,31 @@ def test_remove_duplicate_lines_matches_python_twin_randomized(spark):
                     kept.append(line)
             expect[k] = ("\n".join(kept), len(t.split("\n")), removed)
         assert got == expect, f"trial {trial}"
+
+
+def test_normalize_url_and_host(spark):
+    from letsearch_spark.functions.text import normalize_url, url_host
+
+    cases = [
+        # tracking params + fragment + case + www + default port + slash
+        ("HTTPS://WWW.Example.COM:443/Path/?utm_source=x&utm_medium=y#top",
+         "https://example.com/Path"),
+        ("http://example.com:80/a?id=3&utm_campaign=z&q=ok",
+         "http://example.com/a?id=3&q=ok"),
+        ("https://example.com/a?gclid=abc", "https://example.com/a"),
+        ("https://example.com/a?fbclid=1&id=2", "https://example.com/a?id=2"),
+        # path case and real params preserved
+        ("https://site.org/API/v1?b=2&a=1", "https://site.org/API/v1?b=2&a=1"),
+        ("http://example.com/", "http://example.com"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [r[0] for r in df.select(normalize_url(F.col("url"))).collect()]
+    assert got == [want for _, want in cases]
+
+    hosts = [
+        r[0] for r in df.select(url_host(F.col("url"))).collect()
+    ]
+    assert hosts == [
+        "example.com", "example.com", "example.com", "example.com",
+        "site.org", "example.com",
+    ]
