@@ -1249,11 +1249,23 @@ def q_quality_filter_gopher(spark, sf_dir):
     bullet / ellipsis / alphabetic / stopword rules plus the verdict,
     all pure Catalyst columns in one scan. min_words=40 so the rule set
     actually splits this corpus; non-en documents exercise the stopword
-    floor."""
+    floor; a deterministic bullet-list/ellipsis suffix is planted on
+    every 4th/5th doc so the line-shape rules fire under the driver
+    gate too (single-line corpus text would leave them vacuous)."""
     from letsearch_spark.functions.text import gopher_flags
 
     docs = load(spark, sf_dir, "documents")
-    flags = gopher_flags(F.col("text"), min_words=40)
+    planted = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.lit("\n- item one\n- item two\n- item three"),
+        ).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("\nto be continued ...")).otherwise(
+            F.lit("")
+        ),
+    )
+    flags = gopher_flags(planted, min_words=40)
     return docs.select(
         "doc_id", *[c.alias(n) for n, c in flags.items()]
     ).orderBy("doc_id")
@@ -1943,10 +1955,21 @@ def _oracles() -> dict[str, str]:
 
     stop_list = ", ".join(f"'{s}'" for s in STOP_TOKENS)
     o["quality_filter_gopher"] = f"""
-        WITH w AS (
+        WITH p AS (
+            SELECT doc_id,
+                   text
+                   || CASE WHEN doc_id % 4 = 0 THEN chr(10) || '- item one'
+                        || chr(10) || '- item two' || chr(10) || '- item three'
+                        ELSE '' END
+                   || CASE WHEN doc_id % 5 = 0
+                        THEN chr(10) || 'to be continued ...'
+                        ELSE '' END AS text
+            FROM documents
+        ),
+        w AS (
             SELECT doc_id, text, {words} AS ws,
                    string_split(text, chr(10)) AS ls
-            FROM documents
+            FROM p
         ),
         m AS (
             SELECT doc_id,

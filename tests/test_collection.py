@@ -470,3 +470,55 @@ def test_search_strategy_ivf(spark, tmp_path, sf_dir):
     assert "text" not in c._ivf_centroids
     c.embed_column("text", incremental=True)
     assert len(c.search("text", "spark join", limit=3, strategy="ivf").collect()) == 3
+
+
+def test_collection_full_lifecycle(spark, tmp_path, sf_dir):
+    """The whole collection lifetime in one pass: create -> import ->
+    embed -> search -> append -> incremental embed -> compact -> search
+    -> export -> reimport. Every transition must preserve counts, key
+    continuity, and search correctness -- the sequence a real user runs
+    over weeks, exercised end-to-end."""
+    import os
+
+    from letsearch_spark.collection import Collection
+
+    c = Collection.create(
+        spark, str(tmp_path), name="life", model_name="stub://16"
+    )
+    n0 = c.import_parquet(os.path.join(sf_dir, "documents.parquet"))
+    assert c.embed_all() == {"text": n0}
+    probe = c.docs().select("_key", "text").first()
+    assert c.search("text", probe["text"], limit=1).collect()[0]["key"] == probe["_key"]
+
+    # append twice, embed incrementally: only the new rows embed
+    batch = c.docs().limit(3).drop("_key").withColumn(
+        "text", F.concat(F.lit("appended v2 "), F.col("text"))
+    )
+    assert c._append_df(batch) == 3
+    assert c._append_df(batch) == 3
+    # embed_column reports TOTAL vectors (the index size); the anti-join
+    # increment only embeds the 6 new rows (covered by
+    # test_embed_incremental_anti_join)
+    assert c.embed_column("text", incremental=True) == n0 + 6
+    assert c.count() == n0 + 6
+    # keys stayed dense 1..n
+    keys = [r["_key"] for r in c.docs().select("_key").collect()]
+    assert sorted(keys) == list(range(1, n0 + 7))
+
+    out = c.compact(rows_per_file=10_000)
+    assert out["docs_files"] == 1
+    assert c.count() == n0 + 6
+
+    # search still exact after compact; appended content findable
+    hit = c.search("text", "appended v2 " + probe["text"], limit=1).collect()[0]
+    assert hit["score"] > 0.99
+    assert hit["content"].startswith("appended v2 ")
+
+    # export -> reimport round trip preserves everything
+    exp = str(tmp_path / "export")
+    assert c.export_jsonl(exp) == n0 + 6
+    c2 = Collection.create(
+        spark, str(tmp_path / "again"), name="life2", model_name="stub://16"
+    )
+    c2.import_jsonl(os.path.join(exp, "*.json"))
+    assert c2.count() == n0 + 6
