@@ -1,0 +1,144 @@
+"""N-gram language-model perplexity scoring -- the CCNet-style quality
+filter (Wenzek et al. 2020 train a KenLM on Wikipedia and keep the
+low-perplexity tail of Common Crawl).
+
+North-star training-data-pipeline operator (SURVEY.md §2.7 scope). The
+whole thing is DataFrame ops -- no UDFs, no model files:
+
+* **train**: one aggregation over the reference corpus's word n-grams
+  -> a (prefix, word, count) table plus (prefix, count) totals. The
+  model IS a DataFrame; at 100 TB it stays distributed (never
+  collected), and a vocabulary cap keeps it bounded.
+* **score**: explode each document's n-grams, LEFT join the model on
+  (prefix, word) and on prefix (two hash joins against the model,
+  which Spark broadcasts automatically when small), Laplace-smooth,
+  average log-probs per document:
+
+      logp(w | prefix) = log((c(prefix, w) + a) / (c(prefix) + a * V))
+      ppl(doc) = exp(-mean(logp))
+
+Unseen prefixes fall back to the uniform smoothed floor a/(aV); docs
+that look like the training distribution score LOW perplexity. The
+filter step is then a plain ``where(ppl <= cutoff)``.
+
+Determinism: counts and float math are order-invariant (the per-doc
+mean uses a sum of logs / count in a fixed formula), so reruns and
+repartitionings reproduce scores bit-for-bit up to float addition
+order of the aggregation; tests compare against a single-process twin
+with tolerance.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from letsearch_spark.functions.text import words
+
+
+def _doc_ngrams(df: DataFrame, key_col: str, text_col: str, n: int) -> DataFrame:
+    """(key, prefix, word) rows: word n-grams of the lowercased
+    whitespace split, prefix = the n-1 preceding words joined by a
+    space ('' for unigrams)."""
+    w = words(F.col(text_col))
+    n_words = F.size(w)
+    grams = F.when(
+        n_words >= n,
+        F.transform(
+            F.sequence(F.lit(0), n_words - n),
+            lambda i: F.struct(
+                F.concat_ws(" ", F.slice(w, i + 1, n - 1)).alias("prefix"),
+                F.element_at(w, i + n).alias("word"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<prefix:string,word:string>>"))
+    return df.select(
+        F.col(key_col), F.explode(grams).alias("g")
+    ).select(key_col, F.col("g.prefix").alias("prefix"), F.col("g.word").alias("word"))
+
+
+def train_ngram_lm(
+    corpus: DataFrame,
+    text_col: str = "text",
+    n: int = 2,
+    min_count: int = 1,
+) -> DataFrame:
+    """Count-based n-gram model: (prefix, word, count). ``min_count``
+    prunes the long tail (the vocabulary-cap knob that bounds model
+    size at corpus scale)."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    tagged = corpus.select(F.lit(0).alias("__k"), F.col(text_col))
+    grams = _doc_ngrams(tagged, "__k", text_col, n)
+    counts = grams.groupBy("prefix", "word").agg(
+        F.count(F.lit(1)).alias("count")
+    )
+    return counts.where(F.col("count") >= min_count)
+
+
+def perplexity(
+    docs: DataFrame,
+    lm: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Per-document perplexity under ``lm`` (see module doc).
+
+    Output: (key, n_grams, ppl). Documents with fewer than ``n`` words
+    have no n-grams and come back with ppl NULL (score them by length
+    rules instead). The vocabulary size V is derived from the model
+    (distinct predicted words) -- one tiny aggregation.
+    """
+    if alpha <= 0:
+        raise ValueError(f"alpha must be > 0, got {alpha}")
+    vocab = lm.select("word").distinct().count()
+    prefix_totals = lm.groupBy("prefix").agg(
+        F.sum("count").alias("prefix_count")
+    )
+
+    grams = _doc_ngrams(docs, key_col, text_col, n)
+    joined = (
+        grams.join(lm, ["prefix", "word"], "left")
+        .join(prefix_totals, ["prefix"], "left")
+        .select(
+            key_col,
+            F.log(
+                (F.coalesce(F.col("count"), F.lit(0)) + alpha)
+                / (F.coalesce(F.col("prefix_count"), F.lit(0)) + alpha * vocab)
+            ).alias("logp"),
+        )
+    )
+    per_doc = joined.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.exp(-F.sum("logp") / F.count(F.lit(1))).alias("ppl"),
+    )
+    # docs too short for any n-gram still get a row (ppl NULL)
+    return (
+        docs.select(key_col)
+        .join(per_doc, key_col, "left")
+        .select(
+            key_col,
+            F.coalesce(F.col("n_grams"), F.lit(0)).cast("long").alias("n_grams"),
+            F.round(F.col("ppl"), 6).alias("ppl"),
+        )
+    )
+
+
+def perplexity_filter(
+    docs: DataFrame,
+    lm: DataFrame,
+    max_ppl: float,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Keep documents whose perplexity under ``lm`` is <= ``max_ppl``
+    (the CCNet head/middle cut). Short docs (no n-grams) are dropped --
+    they carry no evidence either way; screen them with length rules
+    first."""
+    scored = perplexity(docs, lm, key_col, text_col, n, alpha)
+    keep = scored.where(F.col("ppl") <= max_ppl).select(key_col)
+    return docs.join(keep, key_col)

@@ -6,6 +6,7 @@ north-star scope (BASELINE.json) adds the LLM-data-pipeline operators.
 This module is their composition -- ONE declarative recipe:
 
     1. quality filter     (functions/text.py gopher_flags)
+    1b. perplexity filter (operators/ngram_lm.py, CCNet-style, optional)
     2. line dedup         (operators/dedup.py remove_duplicate_lines)
     3. fuzzy dedup        (minhash_lsh_pairs -> dedup_keep_list)
     4. mixture resample   (operators/sample.py mixture_hash_sample)
@@ -45,6 +46,10 @@ class PrepConfig:
 
     # stage 1 -- quality (None disables; kwargs forwarded to gopher_flags)
     quality: dict | None = field(default_factory=dict)
+    # stage 1b -- CCNet-style perplexity filter (None disables):
+    # kwargs for operators/ngram_lm.py perplexity_filter, minus the
+    # key/text columns -- e.g. {"lm": <trained model>, "max_ppl": 500.0}
+    ppl_filter: dict | None = None
     # stage 2 -- line dedup (None disables)
     line_dedup: dict | None = field(default_factory=dict)
     # stage 3 -- fuzzy dedup (None disables; kwargs to minhash_lsh_pairs)
@@ -95,6 +100,14 @@ def prepare_training_data(
         flags = gopher_flags(F.col(text), **cfg.quality)
         cur = cur.where(flags["passes"])
         audit["quality_filter"] = cur.count()
+
+    if cfg.ppl_filter is not None:
+        from letsearch_spark.operators.ngram_lm import perplexity_filter
+
+        cur = perplexity_filter(
+            cur, key_col=key, text_col=text, **cfg.ppl_filter
+        )
+        audit["ppl_filter"] = cur.count()
 
     if cfg.line_dedup is not None:
         keep_cols = [c for c in cur.columns if c not in (text,)]

@@ -1101,3 +1101,89 @@ def test_normalize_url_and_host(spark):
         "example.com", "example.com", "example.com", "example.com",
         "site.org", "example.com",
     ]
+
+
+# ------------------------------------------------------------ ngram LM
+
+
+def test_ngram_lm_perplexity_matches_python_twin(spark):
+    """Bigram LM trained on a tiny corpus: Spark scores must match a
+    transparent single-process implementation to float tolerance, and
+    in-distribution text must score lower perplexity than shuffled
+    out-of-distribution text."""
+    import math
+    from collections import Counter
+
+    from letsearch_spark.operators.ngram_lm import perplexity, train_ngram_lm
+
+    corpus_texts = [
+        "the cat sat on the mat",
+        "the dog sat on the rug",
+        "the cat ran to the dog",
+    ]
+    corpus = spark.createDataFrame([(t,) for t in corpus_texts], "text string")
+    lm = train_ngram_lm(corpus, n=2)
+
+    docs = [
+        (1, "the cat sat on the rug"),   # in-distribution
+        (2, "rug the on mat sat the"),   # same words, scrambled
+        (3, "zebra quantum flux"),       # OOV
+        (4, "one"),                      # too short for a bigram
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in perplexity(df, lm, n=2).collect()}
+
+    # python twin
+    def grams(t, n=2):
+        ws = t.lower().split()
+        return [(" ".join(ws[i:i + n - 1]), ws[i + n - 1]) for i in range(len(ws) - n + 1)]
+
+    counts = Counter(g for t in corpus_texts for g in grams(t))
+    prefix_tot = Counter()
+    for (p, w), c in counts.items():
+        prefix_tot[p] += c
+    V = len({w for (_, w) in counts})
+
+    for doc_id, text in docs:
+        gs = grams(text)
+        if not gs:
+            assert got[doc_id]["ppl"] is None
+            assert got[doc_id]["n_grams"] == 0
+            continue
+        lp = [
+            math.log((counts.get(g, 0) + 1.0) / (prefix_tot.get(g[0], 0) + V))
+            for g in gs
+        ]
+        want = math.exp(-sum(lp) / len(lp))
+        assert got[doc_id]["n_grams"] == len(gs)
+        assert abs(got[doc_id]["ppl"] - want) < 1e-4, doc_id
+
+    # in-distribution text scores best. (No claim between scrambled and
+    # OOV: under Laplace smoothing an all-unseen-PREFIX doc gets the
+    # uniform floor ppl == V, which can beat seen-prefix/unseen-word.)
+    assert got[1]["ppl"] < got[2]["ppl"]
+    assert got[1]["ppl"] < got[3]["ppl"]
+    assert abs(got[3]["ppl"] - 9.0) < 1e-6  # uniform floor == V
+
+
+def test_perplexity_filter_keeps_in_distribution(spark):
+    from letsearch_spark.operators.ngram_lm import (
+        perplexity,
+        perplexity_filter,
+        train_ngram_lm,
+    )
+
+    corpus = spark.createDataFrame(
+        [("the cat sat on the mat",), ("the dog sat on the rug",)],
+        "text string",
+    )
+    lm = train_ngram_lm(corpus, n=2)
+    docs = spark.createDataFrame(
+        [(1, "the cat sat on the mat"), (2, "colorless green ideas sleep")],
+        "doc_id long, text string",
+    )
+    cut = [
+        r["ppl"] for r in perplexity(docs, lm).collect() if r["doc_id"] == 1
+    ][0] + 0.1
+    kept = {r["doc_id"] for r in perplexity_filter(docs, lm, max_ppl=cut).collect()}
+    assert kept == {1}

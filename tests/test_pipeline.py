@@ -123,3 +123,23 @@ def test_write_training_shards(spark, sf_dir, tmp_path):
         t = pq.read_table(f, columns=["seq", "seq_offset"]).to_pydict()
         pairs = list(zip(t["seq"], t["seq_offset"]))
         assert pairs == sorted(pairs), f
+
+
+def test_pipeline_perplexity_stage(spark, sf_dir):
+    """Optional CCNet stage: an LM trained on the corpus itself keeps
+    typical documents and the audit records the stage."""
+    from letsearch_spark.operators.ngram_lm import train_ngram_lm
+    from letsearch_spark.pipeline import PrepConfig, prepare_training_data
+
+    docs = _docs(spark, sf_dir).select("doc_id", "lang", "text").limit(150)
+    lm = train_ngram_lm(docs, n=2, min_count=2)
+    cfg = PrepConfig(
+        quality=None,
+        fuzzy_dedup=None,
+        ppl_filter={"lm": lm, "max_ppl": 5_000.0, "n": 2},
+        seq_len=256,
+        num_shards=2,
+    )
+    clean, layout, audit = prepare_training_data(docs, cfg)
+    assert 0 < audit["ppl_filter"] <= audit["input"]
+    assert audit["line_dedup"] <= audit["ppl_filter"]
