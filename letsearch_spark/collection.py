@@ -324,6 +324,42 @@ class Collection:
         chunks = chunker.chunk(markdown) or [markdown]
         return self.add_chunks(chunks, column=column)
 
+    def import_markdown_dir(
+        self,
+        path: str,
+        column: str = "text",
+        chunker_config: ChunkerConfig | None = None,
+        glob: str = "*.md",
+    ) -> int:
+        """Distributed markdown/text-directory ingest: every matching
+        file read where it lives (binaryFile scan -- works on object
+        stores), chunked by the T1 hierarchical chunker
+        (chunk_column's pandas-UDF + explode), inserted as rows with a
+        ``source_path`` column. The directory analog of S5's
+        PDF->markdown->chunks->rows path for corpora that are already
+        markdown; at scale the only shuffle is the append's key
+        assignment."""
+        from letsearch_spark.chunker import chunk_column
+
+        files = (
+            self.spark.read.format("binaryFile")
+            .option("pathGlobFilter", glob)
+            .load(self._resolve(path))
+            .select(
+                F.col("path").alias("source_path"),
+                F.col("content").cast("string").alias("__md"),
+            )
+        )
+        chunked = chunk_column(files, "__md", chunker_config or ChunkerConfig())
+        rows = chunked.select(
+            "source_path",
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            F.col("chunk").alias(column),
+        )
+        if self._docs_exist():
+            return self._append_df(rows)
+        return self.import_df(rows)
+
     # ---- embedding pipeline (E5, K2, K5) ----
 
     def _embedder(self) -> Embedder:

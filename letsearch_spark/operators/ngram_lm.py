@@ -93,7 +93,10 @@ def perplexity(
     """
     if alpha <= 0:
         raise ValueError(f"alpha must be > 0, got {alpha}")
-    vocab = lm.select("word").distinct().count()
+    # an EMPTY model degenerates to V=0; clamp to 1 so the smoothed
+    # term stays a/(0+a)=1 (ppl 1.0 for every doc) instead of dividing
+    # by zero -- the well-defined "no evidence" value
+    vocab = max(1, lm.select("word").distinct().count())
     prefix_totals = lm.groupBy("prefix").agg(
         F.sum("count").alias("prefix_count")
     )

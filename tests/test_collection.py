@@ -522,3 +522,45 @@ def test_collection_full_lifecycle(spark, tmp_path, sf_dir):
     )
     c2.import_jsonl(os.path.join(exp, "*.json"))
     assert c2.count() == n0 + 6
+
+
+def test_import_markdown_dir(spark, tmp_path):
+    """A directory of .md files lands as chunked rows with provenance;
+    a second import appends with key continuation; chunk boundaries
+    come from the hierarchical chunker."""
+    from letsearch_spark.chunker import ChunkerConfig
+    from letsearch_spark.collection import Collection
+
+    src = tmp_path / "md"
+    src.mkdir()
+    (src / "a.md").write_text("# Title\n\npara one\n\npara two\n\n## Sub\n\nmore text")
+    (src / "b.md").write_text("plain body " * 30)
+    (src / "ignored.txt").write_text("not markdown")
+
+    c = Collection.create(
+        spark, str(tmp_path / "root"), name="md", model_name="stub://16"
+    )
+    n = c.import_markdown_dir(
+        str(src), chunker_config=ChunkerConfig(max_tokens=16)
+    )
+    rows = c.docs().collect()
+    assert n == len(rows) > 2  # both files chunked, txt ignored
+    paths = {r["source_path"].rsplit("/", 1)[-1] for r in rows}
+    assert paths == {"a.md", "b.md"}
+    # per-file chunk indexes are dense from 0
+    a_idx = sorted(
+        r["chunk_idx"] for r in rows if r["source_path"].endswith("a.md")
+    )
+    assert a_idx == list(range(len(a_idx)))
+    assert sorted(r["_key"] for r in rows) == list(range(1, len(rows) + 1))
+
+    # second import appends, continuing keys
+    (src / "c.md").write_text("# Later\n\nnew doc")
+    n2 = c.import_markdown_dir(
+        str(src), chunker_config=ChunkerConfig(max_tokens=16)
+    )
+    assert n2 > 0
+    total = c.count()
+    assert sorted(r["_key"] for r in c.docs().collect()) == list(
+        range(1, total + 1)
+    )

@@ -1187,3 +1187,33 @@ def test_perplexity_filter_keeps_in_distribution(spark):
     ][0] + 0.1
     kept = {r["doc_id"] for r in perplexity_filter(docs, lm, max_ppl=cut).collect()}
     assert kept == {1}
+
+
+def test_new_operators_degenerate_inputs(spark):
+    """Empty/degenerate corpora must yield empty (not crash): the
+    shapes a scheduled pipeline hits on an empty partition day."""
+    from letsearch_spark.operators.dedup import remove_duplicate_lines
+    from letsearch_spark.operators.ngram_lm import perplexity, train_ngram_lm
+    from letsearch_spark.operators.pack import pack_sequences
+    from letsearch_spark.operators.sample import mixture_hash_sample
+
+    empty_docs = spark.createDataFrame([], "id long, text string")
+    empty_tok = spark.createDataFrame([], "id long, tokens long")
+
+    assert pack_sequences(empty_tok, "id", "tokens", seq_len=8).count() == 0
+    assert remove_duplicate_lines(empty_docs, "id", "text").count() == 0
+    assert (
+        mixture_hash_sample(empty_docs, "id", "text", {"en": 1.0}, 10).count()
+        == 0
+    )
+    lm = train_ngram_lm(empty_docs.select("text"), n=2)
+    assert lm.count() == 0
+    one = spark.createDataFrame([(1, "hello world")], "id long, text string")
+    scored = perplexity(one, lm, key_col="id", n=2).collect()
+    # empty model: uniform floor over an empty vocab -> V=0, smoothed
+    # to alpha/alpha = 1 -> ppl 1.0 (documented degenerate value)
+    assert scored[0]["n_grams"] == 1
+
+    # single-doc corpus through line dedup: nothing to deduplicate
+    r = remove_duplicate_lines(one, "id", "text").collect()[0]
+    assert (r["text"], r["n_removed"]) == ("hello world", 0)
