@@ -104,11 +104,19 @@ def repetition_stats(col: Column, n: int = 2) -> dict[str, Column]:
     w = words(col)
     n_words = F.size(w)
     n_distinct = F.size(F.array_distinct(w))
+    # n-grams as a transform over zipped shifted slices: a lambda that
+    # indexed back into `w` would re-evaluate the words() split PER
+    # ELEMENT (O(words^2) per doc, see operators/ngram_lm.py); zipping
+    # keeps it linear and produces the identical gram strings
     grams = F.when(
         n_words >= n,
         F.transform(
-            F.sequence(F.lit(0), n_words - n),
-            lambda i: F.concat_ws(" ", F.slice(w, i + 1, n)),
+            F.arrays_zip(
+                *[F.slice(w, i + 1, n_words - n + 1).alias(f"c{i}") for i in range(n)]
+            ),
+            lambda s: F.concat_ws(
+                " ", *[s.getField(f"c{i}") for i in range(n)]
+            ),
         ),
     ).otherwise(F.array().cast("array<string>"))
     n_grams = F.size(grams)

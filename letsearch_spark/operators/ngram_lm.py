@@ -39,22 +39,30 @@ from letsearch_spark.functions.text import words
 def _doc_ngrams(df: DataFrame, key_col: str, text_col: str, n: int) -> DataFrame:
     """(key, prefix, word) rows: word n-grams of the lowercased
     whitespace split, prefix = the n-1 preceding words joined by a
-    space ('' for unigrams)."""
+    space ('' for unigrams).
+
+    Built as an arrays_zip of n shifted slices, NOT a transform(
+    sequence(...)) whose lambda indexes back into the words array:
+    expressions referenced inside a higher-order-function lambda are
+    re-evaluated PER ELEMENT, so the indexing form re-runs the regex
+    split O(words) times per row -- O(words^2) per document, measured
+    20-45x slower at 80k docs. The zip form evaluates the split n
+    times per ROW and stays linear."""
     w = words(F.col(text_col))
-    n_words = F.size(w)
-    grams = F.when(
-        n_words >= n,
-        F.transform(
-            F.sequence(F.lit(0), n_words - n),
-            lambda i: F.struct(
-                F.concat_ws(" ", F.slice(w, i + 1, n - 1)).alias("prefix"),
-                F.element_at(w, i + n).alias("word"),
-            ),
-        ),
-    ).otherwise(F.array().cast("array<struct<prefix:string,word:string>>"))
-    return df.select(
-        F.col(key_col), F.explode(grams).alias("g")
-    ).select(key_col, F.col("g.prefix").alias("prefix"), F.col("g.word").alias("word"))
+    pre = df.select(F.col(key_col), w.alias("__w")).where(F.size("__w") >= n)
+    L = F.size(F.col("__w"))
+    shifted = [
+        F.slice(F.col("__w"), i + 1, L - n + 1).alias(f"c{i}") for i in range(n)
+    ]
+    g = pre.select(key_col, F.explode(F.arrays_zip(*shifted)).alias("g"))
+    prefix = (
+        F.concat_ws(" ", *[F.col(f"g.c{i}") for i in range(n - 1)])
+        if n > 1
+        else F.lit("")
+    )
+    return g.select(
+        key_col, prefix.alias("prefix"), F.col(f"g.c{n - 1}").alias("word")
+    )
 
 
 def train_ngram_lm(

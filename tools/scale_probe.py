@@ -216,6 +216,22 @@ def main() -> None:
             .collect()[0][0],
         )
 
+        from letsearch_spark.operators.ngram_lm import perplexity, train_ngram_lm
+
+        # CCNet-style scoring: train on the even docs, score the odd --
+        # model AND corpus grow together, the worst case for the joins
+        lm = train_ngram_lm(
+            docs.where(F.col("doc_id") % 2 == 0), n=2, min_count=2
+        ).cache()
+        row["lm_ngrams"] = lm.count()
+        timeit(
+            "ngram_ppl",
+            lambda: perplexity(docs.where(F.col("doc_id") % 2 == 1), lm)
+            .where(F.col("ppl").isNotNull())
+            .count(),
+        )
+        lm.unpersist()
+
         from letsearch_spark.operators.range_join import range_join
         from letsearch_spark.operators.rollup import time_rollup
 
