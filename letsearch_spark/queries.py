@@ -1282,13 +1282,13 @@ def q_dedup_lines(spark, sf_dir):
     from letsearch_spark.operators.dedup import remove_duplicate_lines
 
     docs = load(spark, sf_dir, "documents")
-    ws = F.split(F.coalesce(F.col("text"), F.lit("")), " ")
-    n_lines = F.ceil(F.size(ws) / F.lit(8.0)).cast("int")
-    lines = F.transform(
-        F.sequence(F.lit(0), n_lines - 1),
-        lambda i: F.concat_ws(" ", F.slice(ws, i * 8 + 1, 8)),
+    # newline after every 8th word via one linear regexp pass (a
+    # transform(sequence) lambda slicing back into the split array
+    # would re-evaluate the split per LINE -- the HOF per-element
+    # re-evaluation trap, SCALING.md lesson #3)
+    body = F.regexp_replace(
+        F.coalesce(F.col("text"), F.lit("")), r"((?:\S+ ){7}\S+) ", "$1\n"
     )
-    body = F.concat_ws("\n", lines)
     built = docs.select(
         "doc_id",
         F.when(
@@ -1678,21 +1678,14 @@ def _oracles() -> dict[str, str]:
         ORDER BY id_a, id_b
     """
     o["dedup_lines"] = f"""
-        WITH base AS (
-            SELECT doc_id, string_split(coalesce(text, ''), ' ') AS ws
-            FROM documents
-        ),
-        built AS (
+        WITH built AS (
             SELECT doc_id,
                    CASE WHEN doc_id % 3 = 0
                         THEN '{_BOILER_LINE}' || chr(10) ELSE '' END ||
-                   array_to_string(
-                       list_transform(
-                           range(0, CAST(ceil(len(ws) / 8.0) AS BIGINT)),
-                           i -> array_to_string(
-                               list_slice(ws, i * 8 + 1, i * 8 + 8), ' ')),
-                       chr(10)) AS t
-            FROM base
+                   regexp_replace(coalesce(text, ''),
+                                  '((?:\\S+ ){{7}}\\S+) ',
+                                  '\\1' || chr(10), 'g') AS t
+            FROM documents
         ),
         l AS (
             SELECT doc_id,
