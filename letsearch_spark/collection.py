@@ -270,17 +270,33 @@ class Collection:
         return out
 
     def _fs_replace(self, src: str, dest: str) -> None:
-        """Delete ``dest`` and rename ``src`` into its place (staged
-        table swap; single-writer, like every other write here)."""
+        """Swap ``src`` into ``dest``'s place (staged table swap;
+        single-writer, like every other write here).
+
+        The live table is renamed ASIDE first, so a crash mid-swap
+        leaves either the old table (rename-aside failed) or both the
+        old table at ``dest + '.old'`` and the new one staged -- never
+        a window with NO table at the canonical path (delete-then-
+        rename would)."""
         jvm = self.spark._jvm
         fs = jvm.org.apache.hadoop.fs.Path(dest).getFileSystem(
             self.spark._jsc.hadoopConfiguration()
         )
-        self._fs_delete(dest)
-        if not fs.rename(
-            jvm.org.apache.hadoop.fs.Path(src), jvm.org.apache.hadoop.fs.Path(dest)
-        ):
+
+        def p(x):
+            return jvm.org.apache.hadoop.fs.Path(x)
+
+        old = dest + ".old"
+        self._fs_delete(old)  # leftover from a previous crashed swap
+        had_dest = fs.exists(p(dest))
+        if had_dest and not fs.rename(p(dest), p(old)):
+            raise RuntimeError(f"rename {dest} -> {old} failed")
+        if not fs.rename(p(src), p(dest)):
+            # roll the old table back into place before failing
+            if had_dest:
+                fs.rename(p(old), p(dest))
             raise RuntimeError(f"rename {src} -> {dest} failed")
+        self._fs_delete(old)
 
     def _fs_count_files(self, path: str) -> int:
         """Number of parquet data files under ``path`` (recursive)."""
@@ -756,7 +772,13 @@ class Collection:
         bulk loads to move the build off the first query."""
         from letsearch_spark.operators.ann import build_ivf
 
-        emb = self._serve_view(column).select(KEY_COL, "vector")
+        # null-content rows never serve (P6 drop) -- exclude them at
+        # BUILD time so they cannot consume top-k slots in a probe
+        emb = (
+            self._serve_view(column)
+            .where(F.col("content").isNotNull())
+            .select(KEY_COL, "vector")
+        )
         centroids = build_ivf(
             emb, self.ivf_path(column), nlist=self.ivf_nlist, key_col=KEY_COL
         )

@@ -667,16 +667,17 @@ def remove_duplicate_lines(
     Line identity is the exact trimmed line (case-sensitive).
 
     Output: one row per input document --
-    (``key_col``, ``text`` cleaned, ``n_lines``, ``n_removed``).
+    (``key_col``, ``text_col`` cleaned, ``n_lines``, ``n_removed``).
     Documents whose every line is stripped come back with empty text
     (downstream length filters drop them).
 
-    Scale shape (the part that matters at 100 TB): the occurrence count
-    and keeper choice travel as a 60-bit line hash, never the line text
-    -- one shuffle aggregates (hash -> n_docs, min_key), one join maps
-    the verdict back onto the exploded lines, one final shuffle per
-    document reassembles. No all-pairs anything; skew on mega-duplicated
-    lines is absorbed by the hash aggregation's map-side partials.
+    Scale shape (the part that matters at 100 TB): the occurrence
+    count and keeper choice are AGGREGATED over a 60-bit line hash --
+    that stats shuffle never carries line text, and skew on
+    mega-duplicated lines is absorbed by its map-side partials. Line
+    text crosses the wire once for the per-document reassembly (and in
+    the verdict join's probe side if the duplicated-line stats table
+    ever outgrows the broadcast threshold). No all-pairs anything.
     """
     lines = df.select(
         F.col(key_col).alias("__k"),
@@ -721,7 +722,7 @@ def remove_duplicate_lines(
     )
     return rebuilt.select(
         F.col("__k").alias(key_col),
-        "text",
+        F.col("text").alias(text_col),
         F.col("n_lines").cast("long").alias("n_lines"),
         F.col("n_removed").cast("long").alias("n_removed"),
     )

@@ -73,7 +73,17 @@ def pack_sequences(
         "shard", (hash_bucket(F.col(key_col), seed=seed) % num_shards).cast("long")
     )
 
-    w = Window.partitionBy("shard").orderBy(key_col)
+    # ROWS frame, not the default RANGE: with RANGE, duplicate keys are
+    # frame PEERS and would all receive the same stream offset, silently
+    # emitting overlapping spans. With ROWS, duplicates still tile the
+    # stream (each row gets its own running offset; their relative order
+    # is undefined, so layouts are deterministic only for unique keys --
+    # which collection keys are).
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(key_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     # stream offset of the document's first token within its shard
     start = (F.sum("__tok").over(w) - F.col("__tok")).alias("__start")
     d = d.withColumn("__start", start)

@@ -52,13 +52,17 @@ def time_rollup(
         raise ValueError(f"unknown granularities {bad}; pick from {_GRANULARITIES}")
     if not granularities:
         raise ValueError("need at least one granularity")
-    alias_re = re.compile(r"\s+as\s+(\w+)\s*$", re.IGNORECASE)
+    # plain or backtick-quoted aliases both count (`count(1) AS \`n ev\``)
+    alias_re = re.compile(r"\s+as\s+(\w+|`(?:[^`]|``)+`)\s*$", re.IGNORECASE)
     agg_aliases = []
     for a in aggs:
         m = alias_re.search(a)
         if m is None:
             raise ValueError(f"aggregate needs an alias: {a!r}")
-        agg_aliases.append(m.group(1))
+        alias = m.group(1)
+        if alias.startswith("`"):
+            alias = alias[1:-1].replace("``", "`")
+        agg_aliases.append(alias)
     # the output is (grain, bucket, *keys, *agg aliases): a grain/bucket
     # name colliding with a key or alias would yield duplicate columns
     taken = set(keys) | set(agg_aliases)

@@ -62,6 +62,9 @@ class PrepConfig:
     # stage 6 -- packing
     seq_len: int = 2048
     num_shards: int = 32
+    # pre-supplied token counts (e.g. a real tokenizer's) -- only valid
+    # when line_dedup is None: stripping lines invalidates counts taken
+    # on the original text, so that combination raises
     token_count_col: str | None = None  # None: ceil(words * 1.3)
 
 
@@ -92,6 +95,14 @@ def prepare_training_data(
     from letsearch_spark.operators.sample import hash_split, mixture_hash_sample
 
     cfg = config or PrepConfig()
+    if cfg.token_count_col is not None and cfg.line_dedup is not None:
+        raise ValueError(
+            "token_count_col carries counts of the ORIGINAL text; the "
+            "line-dedup stage rewrites documents, which would silently "
+            "corrupt the packed layout. Disable one: line_dedup=None to "
+            "trust the counts, or token_count_col=None to recount the "
+            "cleaned text."
+        )
     key, text = cfg.key_col, cfg.text_col
     audit: dict[str, int] = {"input": docs.count()}
     cur = docs
@@ -173,7 +184,10 @@ def write_training_shards(
 
     The join broadcasts nothing and shuffles each side once on the key;
     at 100 TB this is the final co-partitioned pass of the prep
-    pipeline. Returns the span count written.
+    pipeline. Returns the span count actually written (counted from the
+    written files -- one cheap scan, instead of re-executing the whole
+    prep lineage; the inner join drops spans whose key is missing from
+    ``clean_docs``, so this can be less than layout's row count).
     """
     spans = layout.join(
         clean_docs.select(F.col(key_col), F.col(text_col)), key_col
@@ -185,4 +199,4 @@ def write_training_shards(
         .partitionBy("shard")
         .parquet(path)
     )
-    return layout.count()
+    return clean_docs.sparkSession.read.parquet(path).count()

@@ -13,7 +13,7 @@ collection_actor.rs:808-826). Here both become streaming-native
   final state equals a single bulk ingest (tested).
 * :func:`windowed_event_counts` -- tumbling-window counts with
   watermarked late-data handling over an events stream; the batch twin
-  is queries.py q_events_hourly, so correctness is checkable without a
+  is the hour tier of queries.py q_events_time_rollup, so correctness is checkable without a
   streaming oracle.
 
 At scale: file sources list incrementally (maxFilesPerTrigger bounds
@@ -71,7 +71,7 @@ def windowed_event_counts(
 ):
     """Tumbling-window counts + sums with late-data watermark.
 
-    Batch twin: queries.py q_events_hourly (date_trunc == tumbling
+    Batch twin: q_events_time_rollup's hour tier (date_trunc == tumbling
     window start for aligned windows), which is oracle-checked."""
     return (
         events_stream.withWatermark(ts_col, watermark)

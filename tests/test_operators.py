@@ -1217,3 +1217,70 @@ def test_new_operators_degenerate_inputs(spark):
     # single-doc corpus through line dedup: nothing to deduplicate
     r = remove_duplicate_lines(one, "id", "text").collect()[0]
     assert (r["text"], r["n_removed"]) == ("hello world", 0)
+
+
+def test_code_review_regressions(spark):
+    """Round-3 self-review fixes, pinned:
+    (1) remove_duplicate_lines aliases its output to text_col;
+    (2) pack_sequences uses a ROWS frame -- duplicate keys still tile
+        the stream instead of silently overlapping;
+    (3) time_rollup accepts backtick-quoted aggregate aliases."""
+    import datetime as dt
+
+    from letsearch_spark.operators.dedup import remove_duplicate_lines
+    from letsearch_spark.operators.pack import pack_sequences
+    from letsearch_spark.operators.rollup import time_rollup
+
+    docs = spark.createDataFrame(
+        [(1, "x\ny"), (2, "x\nz")], "id long, body string"
+    )
+    out = remove_duplicate_lines(docs, "id", "body")
+    assert set(out.columns) == {"id", "body", "n_lines", "n_removed"}
+
+    dup = spark.createDataFrame(
+        [(1, 10), (1, 10), (2, 5)], "id long, tokens long"
+    )
+    spans = pack_sequences(dup, "id", "tokens", seq_len=8, num_shards=1).collect()
+    assert sum(r["tok_len"] for r in spans) == 25  # tiles, no overlap
+    per_seq = {}
+    for r in spans:
+        per_seq.setdefault(r["seq"], []).append(r)
+    for seq, ss in per_seq.items():
+        ss.sort(key=lambda r: r["seq_offset"])
+        pos = 0
+        for s in ss:
+            assert s["seq_offset"] == pos, "overlapping spans"
+            pos += s["tok_len"]
+
+    ev = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1, 10, 15))], "user_id long, ts timestamp"
+    )
+    out = time_rollup(
+        ev, "ts", [], ["count(1) AS `n events`"], granularities=("hour",)
+    )
+    assert out.collect()[0]["n events"] == 1
+
+
+def test_pipeline_token_count_col_guard(spark):
+    """Pre-supplied token counts + line dedup would pack a layout over
+    the UN-stripped text -- the config must refuse the combination."""
+    import pytest
+
+    from letsearch_spark.pipeline import PrepConfig, prepare_training_data
+
+    docs = spark.createDataFrame(
+        [(1, "some text", 10)], "doc_id long, text string, n_tok long"
+    )
+    with pytest.raises(ValueError, match="line_dedup"):
+        prepare_training_data(
+            docs, PrepConfig(token_count_col="n_tok")
+        )
+    # valid when line dedup is off
+    clean, layout, audit = prepare_training_data(
+        docs,
+        PrepConfig(
+            quality=None, line_dedup=None, fuzzy_dedup=None,
+            token_count_col="n_tok", seq_len=4, num_shards=1,
+        ),
+    )
+    assert sum(r["tok_len"] for r in layout.collect()) in (0, 10)

@@ -269,10 +269,12 @@ def test_gopher_filter_is_scan_only(spark, sf_dir):
 
 
 def test_remove_duplicate_lines_hash_only_shuffle(spark, sf_dir):
-    """Corpus-level line dedup must never shuffle line TEXT for the
-    verdict: the stats aggregation exchanges rows keyed by the 60-bit
-    line hash, and no exchange in the plan carries the raw __line
-    column except the final per-document reassembly of kept lines."""
+    """The line-dedup VERDICT aggregation must exchange rows keyed by
+    the 60-bit line hash (never grouping on raw text), and the plan
+    must contain no all-pairs shape. (Line text still crosses the wire
+    for the per-document reassembly, and on the verdict join's probe
+    side if the stats table outgrows broadcast -- the operator
+    docstring documents both.)"""
     from letsearch_spark.operators.dedup import remove_duplicate_lines
 
     docs = spark.read.parquet(
