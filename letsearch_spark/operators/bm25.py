@@ -1,0 +1,180 @@
+"""BM25 lexical scoring and reciprocal-rank-fusion hybrid retrieval.
+
+The reference serves pure vector top-k (vector_index.rs:128-152 via the
+HTTP search route, serve.rs:148-183); production RAG deployments pair
+that dense leg with a lexical (keyword) leg and fuse the two rankings.
+This module adds the lexical leg and the fusion as batch DataFrame
+operators:
+
+* :func:`tokenize` -- the shared analyzer: lowercase, strip everything
+  outside [a-z0-9] to spaces, split. Pure Catalyst (regexp_replace +
+  split + filter), no UDF, and character-class-only regex so Java
+  (Spark) and RE2-ish (DuckDB oracle) engines agree byte-for-byte.
+* :func:`bm25_scores` -- Okapi BM25 (Lucene's idf variant:
+  ``ln(1 + (N - df + 0.5)/(df + 0.5))``) of every document against a
+  short query string. Scale design: the postings explode is filtered to
+  the query's terms BEFORE the aggregating shuffle, so only candidate
+  (doc, term) rows -- not the whole corpus's postings -- ever travel;
+  corpus stats (N, avgdl) come from one tiny two-scalar aggregate, and
+  per-term document frequencies ride a broadcast join.
+* :func:`bm25_topk` -- scores rounded to 6 decimals (cross-engine float
+  determinism, same convention as the cosine entries) with the
+  deterministic (score DESC, id ASC) tie-break, LIMIT k => Spark plans
+  a TakeOrderedAndProject, never a global sort.
+* :func:`rrf_fuse` -- reciprocal-rank fusion ``sum(1/(k0 + rank))``
+  over any number of ranked legs (full outer join on the id; a doc
+  absent from a leg contributes nothing). Rank arithmetic is integer,
+  so the fused score is bit-identical across engines.
+
+At 100 TB: the analyzer and scoring are map-side Catalyst expressions;
+the only shuffles are the per-(doc,term) count for query terms only and
+the final top-k. df/avgdl statistics would be precomputed once per
+corpus snapshot in a real deployment -- pass ``stats=`` to reuse them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+TOKEN_PATTERN = "[^a-z0-9]+"
+
+
+def tokenize(col: Column | str) -> Column:
+    """array<string> of lowercase alphanumeric terms (empties removed)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(
+        F.split(F.regexp_replace(F.lower(c), TOKEN_PATTERN, " "), " "),
+        lambda t: t != "",
+    )
+
+
+def tokenize_query(query: str) -> list[str]:
+    """Driver-side twin of :func:`tokenize` for the (short) query string.
+
+    Duplicate query terms are dropped: BM25 treats the query as a term
+    set (a repeated term would double-count its contribution)."""
+    import re
+
+    seen: dict[str, None] = {}
+    for t in re.sub(TOKEN_PATTERN, " ", query.lower()).split(" "):
+        if t:
+            seen.setdefault(t, None)
+    return list(seen)
+
+
+def corpus_stats(docs: DataFrame, text_col: str = "text") -> tuple[int, float]:
+    """(n_docs, avgdl) over documents with at least one token.
+
+    One aggregate job producing two scalars -- cheap at any scale, and
+    cacheable by the caller for repeated queries."""
+    dl = docs.select(F.size(tokenize(text_col)).alias("dl")).where(F.col("dl") > 0)
+    row = dl.agg(
+        F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
+    ).collect()[0]
+    return int(row["n"]), float(row["avgdl"] or 0.0)
+
+
+def bm25_scores(
+    docs: DataFrame,
+    query: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    stats: tuple[int, float] | None = None,
+) -> DataFrame:
+    """(id, bm25) for every document matching >=1 query term.
+
+    The non-candidate corpus never reaches the shuffle: term rows are
+    filtered to the query's terms at the explode site (Catalyst pushes
+    the IN filter below the aggregation)."""
+    terms = tokenize_query(query)
+    if not terms:
+        raise ValueError("query has no tokens after analysis")
+    n_docs, avgdl = stats if stats is not None else corpus_stats(docs, text_col)
+    if n_docs == 0 or avgdl <= 0.0:
+        raise ValueError("empty corpus: no document has any token")
+
+    toks = docs.select(
+        F.col(id_col).alias("__id"), tokenize(text_col).alias("__toks")
+    ).withColumn("__dl", F.size("__toks"))
+    tf = (
+        toks.select("__id", "__dl", F.explode("__toks").alias("__term"))
+        .where(F.col("__term").isin(terms))
+        .groupBy("__id", "__dl", "__term")
+        .agg(F.count(F.lit(1)).alias("__tf"))
+    )
+    dfreq = tf.groupBy("__term").agg(F.count(F.lit(1)).alias("__df"))
+
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_docs)) - F.col("__df") + F.lit(0.5))
+        / (F.col("__df") + F.lit(0.5))
+    )
+    tf_norm = (
+        F.col("__tf")
+        * (k1 + 1.0)
+        / (F.col("__tf") + k1 * (1.0 - b + b * F.col("__dl") / F.lit(avgdl)))
+    )
+    return (
+        tf.join(F.broadcast(dfreq), "__term")
+        .withColumn("__s", idf * tf_norm)
+        .groupBy("__id")
+        .agg(F.sum("__s").alias("bm25"))
+        .select(F.col("__id").alias(id_col), "bm25")
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query: str,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    stats: tuple[int, float] | None = None,
+) -> DataFrame:
+    """Top-k by BM25: (id, score) with score rounded to 6 decimals and
+    the (score DESC, id ASC) deterministic tie-break."""
+    scored = bm25_scores(docs, query, id_col, text_col, k1, b, stats)
+    return (
+        scored.select(id_col, F.round("bm25", 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def rrf_fuse(
+    legs: dict[str, DataFrame],
+    id_col: str = "doc_id",
+    k0: int = 60,
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Reciprocal-rank fusion of ranked legs.
+
+    Each leg is (id, rank) with rank 1-based; output is
+    (id, rrf, <name>_rank ... one LONG column per leg, null when the
+    doc is absent from that leg). ``rrf = sum(1/(k0 + rank))`` over the
+    legs that contain the doc -- the standard Cormack/Clarke/Buettcher
+    formulation. Integer ranks make the fused double bit-stable across
+    engines regardless of join order."""
+    if not legs:
+        raise ValueError("rrf_fuse needs at least one leg")
+    fused: DataFrame | None = None
+    for name, leg in legs.items():
+        renamed = leg.select(
+            F.col(id_col), F.col(rank_col).cast("long").alias(f"{name}_rank")
+        )
+        fused = renamed if fused is None else fused.join(renamed, id_col, "full_outer")
+    score = None
+    for name in legs:
+        term = F.when(
+            F.col(f"{name}_rank").isNotNull(),
+            F.lit(1.0) / (F.lit(float(k0)) + F.col(f"{name}_rank")),
+        ).otherwise(F.lit(0.0))
+        score = term if score is None else score + term
+    return fused.select(
+        id_col, score.alias("rrf"), *[f"{name}_rank" for name in legs]
+    )

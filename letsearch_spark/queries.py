@@ -319,9 +319,18 @@ def sessionize_counts(ev: DataFrame, gap_seconds: float = 1800) -> DataFrame:
     gap_us = int(round(gap_seconds * 1_000_000))
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     prev = F.lag("ts").over(w)
+    # cast to TIMESTAMP first: unix_micros rejects the TIMESTAMP_NTZ the
+    # parquet reader infers from naive timestamps (wall-clock identity
+    # under the pinned UTC session timezone)
     new_s = F.when(
         prev.isNull()
-        | ((F.unix_micros(F.col("ts")) - F.unix_micros(prev)) > gap_us),
+        | (
+            (
+                F.unix_micros(F.col("ts").cast("timestamp"))
+                - F.unix_micros(prev.cast("timestamp"))
+            )
+            > gap_us
+        ),
         1,
     ).otherwise(0)
     return (
@@ -565,53 +574,78 @@ def q_ann_ivf_assign(spark, sf_dir):
     )
 
 
-def q_skew_salted_join(spark, sf_dir):
-    """Skew-mitigated join (operators/skew.py salted_join): the hot side
-    carries a random salt, the dimension side is exploded n_salts times,
-    so one hot key spreads over n_salts reducers. Result is identical to
-    the plain join (the oracle IS the plain join)."""
-    from letsearch_spark.operators.skew import salted_join
+def q_skew_salted_two_stage(spark, sf_dir):
+    """Both skew-mitigation operators in one pipeline (operators/skew.py):
+    a salted hot-key join (the dimension side exploded n_salts times so
+    one hot key spreads over n_salts reducers) feeding a two-stage
+    aggregation (partial on (key, salt), final on key). Algebraic
+    aggregates over an inner join, so the result equals the plain
+    join + direct groupBy the oracle runs."""
+    from letsearch_spark.operators.skew import salted_join, two_stage_agg
 
     li = load(spark, sf_dir, "lineitem").select(
-        F.col("l_orderkey").alias("o_orderkey"), "l_quantity", "l_linenumber"
+        F.col("l_orderkey").alias("o_orderkey"), "l_quantity"
     )
     dim = (
         load(spark, sf_dir, "orders")
         .where(F.col("o_orderkey") <= 100)
         .select("o_orderkey", "o_orderpriority")
     )
-    return (
-        salted_join(li, dim, on="o_orderkey", n_salts=8)
-        .select(
-            "o_orderkey",
-            F.col("l_linenumber").cast("long").alias("l_linenumber"),
-            F.col("l_quantity").cast("long").alias("qty"),
-            "o_orderpriority",
-        )
-        .orderBy("o_orderkey", "l_linenumber")
-    )
-
-
-def q_skew_two_stage_agg(spark, sf_dir):
-    """Skew-mitigated aggregation (operators/skew.py two_stage_agg):
-    partial agg on (key, salt) then final on key -- algebraic aggregates
-    only, so the result equals the direct groupBy the oracle runs."""
-    from letsearch_spark.operators.skew import two_stage_agg
-
-    ev = load(spark, sf_dir, "events")
+    joined = salted_join(li, dim, on="o_orderkey", n_salts=8)
     return (
         two_stage_agg(
-            ev,
-            keys=["event_type"],
-            aggs={"user_id": "sum", "event_id": "count"},
+            joined,
+            keys=["o_orderpriority"],
+            aggs={"l_quantity": "sum", "o_orderkey": "count"},
             n_salts=16,
         )
         .select(
-            "event_type",
-            F.col("sum_user_id").cast("long").alias("sum_user_id"),
-            F.col("count_event_id").cast("long").alias("count_event_id"),
+            "o_orderpriority",
+            F.col("sum_l_quantity").cast("long").alias("sum_qty"),
+            F.col("count_o_orderkey").cast("long").alias("n_rows"),
         )
-        .orderBy("event_type")
+        .orderBy("o_orderpriority")
+    )
+
+
+def q_search_bm25_hybrid(spark, sf_dir):
+    """Hybrid retrieval (operators/bm25.py): a BM25 lexical leg over the
+    documents table fused with the dense cosine leg (the vec_id-0 query
+    vector, as in search_fetchback_join) by reciprocal-rank fusion.
+    Each leg is its own top-100 ranking (score rounded to 6 decimals,
+    (score DESC, id ASC) tie-break); rrf = sum(1/(60 + rank)) over the
+    legs containing the doc. Integer rank arithmetic makes the fusion
+    bit-stable across engines; the oracle replays both legs and the
+    fusion in SQL."""
+    from letsearch_spark.operators.bm25 import bm25_topk, rrf_fuse
+
+    docs = load(spark, sf_dir, "documents")
+    emb = load(spark, sf_dir, "embeddings")
+
+    rank_w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    lex = bm25_topk(docs, "spark join window agg", k=100)
+    lex_rank = lex.select(
+        "doc_id", F.row_number().over(rank_w).alias("rank")
+    )
+
+    qvec = emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    sim = _cosine_pair(F.col("embedding"), F.array(*[F.lit(float(x)) for x in qvec]))
+    dense = (
+        emb.select(F.col("vec_id").alias("doc_id"), F.round(sim, 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(100)
+    )
+    dense_rank = dense.select(
+        "doc_id", F.row_number().over(rank_w).alias("rank")
+    )
+
+    fused = rrf_fuse({"bm25": lex_rank, "vec": dense_rank}, id_col="doc_id")
+    return (
+        fused.select(
+            "doc_id", F.round("rrf", 6).alias("rrf"), "bm25_rank", "vec_rank"
+        )
+        .orderBy(F.desc("rrf"), F.asc("doc_id"))
+        .limit(10)
     )
 
 
@@ -1396,8 +1430,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sample_train_test_split": q_sample_train_test_split,
     "sample_mixture": q_sample_mixture,
     "pack_sequences": q_pack_sequences,
-    "skew_salted_join": q_skew_salted_join,
-    "skew_two_stage_agg": q_skew_two_stage_agg,
+    "skew_salted_two_stage": q_skew_salted_two_stage,
+    "search_bm25_hybrid": q_search_bm25_hybrid,
 }
 
 
@@ -1727,20 +1761,69 @@ def _oracles() -> dict[str, str]:
         ORDER BY score DESC, vec_id ASC
         LIMIT 10
     """
-    o["skew_salted_join"] = """
-        SELECT l_orderkey AS o_orderkey,
-               CAST(l_linenumber AS BIGINT) AS l_linenumber,
-               CAST(l_quantity AS BIGINT) AS qty,
-               o_orderpriority
+    o["skew_salted_two_stage"] = """
+        SELECT o_orderpriority,
+               CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+               count(*) AS n_rows
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         WHERE o_orderkey <= 100
-        ORDER BY o_orderkey, l_linenumber
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
     """
-    o["skew_two_stage_agg"] = """
-        SELECT event_type,
-               CAST(sum(user_id) AS BIGINT) AS sum_user_id,
-               count(event_id) AS count_event_id
-        FROM events GROUP BY event_type ORDER BY event_type
+    # hybrid retrieval: the BM25 leg replays the Spark analyzer
+    # (lowercase, [^a-z0-9]+ separators) and Lucene-variant idf with the
+    # same parenthesization as operators/bm25.py so the per-term doubles
+    # agree to far beyond the 6-decimal rounding; ranks are integers, so
+    # the RRF fusion is bit-exact.
+    o["search_bm25_hybrid"] = f"""
+        WITH toks AS (
+            SELECT doc_id, t AS term FROM (
+                SELECT doc_id,
+                       unnest(string_split_regex(lower(coalesce(text, '')),
+                                                 '[^a-z0-9]+')) AS t
+                FROM documents
+            ) WHERE t <> ''
+        ),
+        dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+        st AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl),
+        tf AS (
+            SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+            FROM toks
+            WHERE term IN ('spark', 'join', 'window', 'agg')
+            GROUP BY doc_id, term
+        ),
+        dfreq AS (
+            SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term
+        ),
+        bm AS (
+            SELECT tf.doc_id,
+                   sum(ln(1.0 + ((SELECT n FROM st) - df + 0.5) / (df + 0.5))
+                       * (tf * 2.2
+                          / (tf + 1.2 * (0.25 + 0.75 * dl
+                                         / (SELECT avgdl FROM st))))) AS bm25
+            FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id)
+            GROUP BY tf.doc_id
+        ),
+        bmr AS (
+            SELECT doc_id,
+                   CAST(row_number() OVER (ORDER BY round(bm25, 6) DESC,
+                                                    doc_id ASC) AS BIGINT) AS r
+            FROM bm QUALIFY r <= 100
+        ),
+        vr AS (
+            SELECT vec_id AS doc_id,
+                   CAST(row_number() OVER (
+                       ORDER BY round({cos.format(a='embedding', b=qvec)}, 6)
+                                DESC, vec_id ASC) AS BIGINT) AS r
+            FROM embeddings QUALIFY r <= 100
+        )
+        SELECT coalesce(b.doc_id, v.doc_id) AS doc_id,
+               round(coalesce(1.0 / (60 + b.r), 0)
+                     + coalesce(1.0 / (60 + v.r), 0), 6) AS rrf,
+               b.r AS bm25_rank, v.r AS vec_rank
+        FROM bmr b FULL JOIN vr v ON b.doc_id = v.doc_id
+        ORDER BY rrf DESC, doc_id ASC
+        LIMIT 10
     """
     o["dedup_exact"] = """
         SELECT min(doc_id) AS keep_id, count(*) AS n_copies

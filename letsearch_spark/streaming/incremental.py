@@ -25,6 +25,20 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 
+def ensure_event_time(df, ts_col: str):
+    """Return (df, was_ntz): watermarks require TIMESTAMP (with local
+    timezone); parquet written with naive timestamps is read back as
+    TIMESTAMP_NTZ, which Spark rejects as an event-time column. Cast to
+    TIMESTAMP for the watermark -- a wall-clock identity under the
+    engine's pinned UTC session timezone (session.py) -- and let callers
+    cast window bounds back so batch twins and oracles keep comparing
+    like-typed values."""
+    was_ntz = dict(df.dtypes).get(ts_col) == "timestamp_ntz"
+    if was_ntz:
+        df = df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return df, was_ntz
+
+
 def stream_append_collection(
     spark,
     coll,
@@ -73,6 +87,10 @@ def windowed_event_counts(
 
     Batch twin: q_events_time_rollup's hour tier (date_trunc == tumbling
     window start for aligned windows), which is oracle-checked."""
+    events_stream, was_ntz = ensure_event_time(events_stream, ts_col)
+    start = F.col("w.start")
+    if was_ntz:
+        start = start.cast("timestamp_ntz")
     return (
         events_stream.withWatermark(ts_col, watermark)
         .groupBy(F.window(F.col(ts_col), window).alias("w"), F.col(key_col))
@@ -81,7 +99,7 @@ def windowed_event_counts(
             F.sum("value").alias("sum_value"),
         )
         .select(
-            F.col("w.start").alias("window_start"),
+            start.alias("window_start"),
             key_col,
             "n",
             "sum_value",

@@ -24,6 +24,7 @@ from __future__ import annotations
 from collections.abc import Iterable
 
 import pandas as pd
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 OUTPUT_SCHEMA = (
@@ -89,7 +90,10 @@ def session_windows(
     def fn(key, pdfs, state):
         return _sessionize_group(key, pdfs, state, gap_seconds)
 
-    return (
+    from letsearch_spark.streaming.incremental import ensure_event_time
+
+    events_stream, was_ntz = ensure_event_time(events_stream, ts_col)
+    out = (
         events_stream.withWatermark(ts_col, watermark)
         .select(key_col, ts_col)
         .groupBy(key_col)
@@ -101,6 +105,14 @@ def session_windows(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+    if was_ntz:
+        out = out.select(
+            "user_id",
+            F.col("session_start").cast("timestamp_ntz").alias("session_start"),
+            F.col("session_end").cast("timestamp_ntz").alias("session_end"),
+            "n_events",
+        )
+    return out
 
 
 # ---------------- online dedup state ----------------

@@ -1284,3 +1284,83 @@ def test_pipeline_token_count_col_guard(spark):
         ),
     )
     assert sum(r["tok_len"] for r in layout.collect()) in (0, 10)
+
+
+# ------------------------------------------------------------ bm25 / hybrid
+
+
+def test_bm25_matches_python_twin(spark):
+    """BM25 over a tiny corpus vs an independent pure-Python scorer
+    (same Lucene idf variant, same analyzer)."""
+    import math
+    import re
+
+    from letsearch_spark.operators.bm25 import bm25_scores, corpus_stats
+
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "quick quick fox"),
+        (2, "lazy afternoon nap, no animals here"),
+        (3, "Fox! fox? FOX -- and a dog."),
+        (4, None),
+        (5, ""),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    query = "quick fox"
+
+    def toks(s):
+        return [t for t in re.sub("[^a-z0-9]+", " ", s.lower()).split() if t]
+
+    corpus = {i: toks(t) for i, t in rows if t and toks(t)}
+    n, avgdl = len(corpus), sum(map(len, corpus.values())) / len(corpus)
+    k1, b = 1.2, 0.75
+    expected = {}
+    for i, ts in corpus.items():
+        s = 0.0
+        for term in ["quick", "fox"]:
+            tf = ts.count(term)
+            if not tf:
+                continue
+            df = sum(term in v for v in corpus.values())
+            idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+            s += idf * (tf * (k1 + 1) / (tf + k1 * (1 - b + b * len(ts) / avgdl)))
+        if s:
+            expected[i] = s
+
+    assert corpus_stats(docs) == (n, avgdl)
+    got = {r["doc_id"]: r["bm25"] for r in bm25_scores(docs, query).collect()}
+    assert set(got) == set(expected)
+    for i in expected:
+        assert abs(got[i] - expected[i]) < 1e-12, (i, got[i], expected[i])
+    # doc 1 repeats 'quick': saturating tf, but still the strongest match
+    assert got[1] == max(got.values())
+
+
+def test_rrf_fuse_ranks_and_absences(spark):
+    from letsearch_spark.operators.bm25 import rrf_fuse
+
+    lex = spark.createDataFrame([(10, 1), (20, 2)], "doc_id long, rank int")
+    den = spark.createDataFrame([(20, 1), (30, 2)], "doc_id long, rank int")
+    out = {
+        r["doc_id"]: (r["rrf"], r["bm25_rank"], r["vec_rank"])
+        for r in rrf_fuse({"bm25": lex, "vec": den}).collect()
+    }
+    assert set(out) == {10, 20, 30}
+    assert out[20][0] == 1 / 61 + 1 / 62  # present in both legs
+    assert out[10] == (1 / 61, 1, None)
+    assert out[30] == (1 / 62, None, 2)
+    # the doc in both legs outranks single-leg docs here
+    assert out[20][0] > out[10][0] > out[30][0]
+
+
+def test_bm25_empty_query_and_corpus_raise(spark):
+    import pytest as _pytest
+
+    from letsearch_spark.operators.bm25 import bm25_scores
+
+    docs = spark.createDataFrame([(0, "alpha")], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="no tokens"):
+        bm25_scores(docs, "!!! ???")
+    empty = spark.createDataFrame([(0, " .")], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="empty corpus"):
+        bm25_scores(empty, "alpha")
