@@ -593,15 +593,25 @@ class Collection:
         use, rebuilt after writes. The right strategy when the
         collection is too big to cache but the index lives on fast
         storage.
+
+        strategy='hybrid': dense + lexical -- the exact cosine leg fused
+        with a BM25 leg over the indexed column (operators/bm25.py) by
+        reciprocal-rank fusion. ``score`` is then the RRF score (larger
+        is better, bounded by n_legs/61), not 1-cos_dist; rank order is
+        what hybrid serves. Falls back to dense-only when the query has
+        no lexical tokens.
         """
         if not 1 <= limit <= 100:
             raise ValueError(f"limit must be in [1, 100], got {limit}")
         if column not in self.config.index_columns:
             raise ValueError(f"column {column!r} is not indexed")
-        if strategy not in ("join", "inlist", "local", "lsh", "ivf"):
+        if strategy not in ("join", "inlist", "local", "lsh", "ivf", "hybrid"):
             raise ValueError(f"unknown strategy {strategy!r}")
         self._require_embeddings(column)
         qvec = self._embedder().embed([query])[0].tolist()
+
+        if strategy == "hybrid":
+            return self._search_hybrid(column, query, qvec, limit)
 
         if strategy == "lsh":
             return self._search_lsh(column, qvec, limit)
@@ -724,6 +734,68 @@ class Collection:
         denom = F.col("_vnorm") * F.lit(qn)
         num = dot_product(F.col("vector"), [float(x) for x in qvec])
         return F.when(denom == 0.0, F.lit(0.0)).otherwise(num / denom)
+
+    # candidate depth per leg for strategy='hybrid' (standard RRF runs
+    # fusion over deeper-than-k leg rankings; 100 = the serve limit cap)
+    _HYBRID_DEPTH = 100
+
+    def _search_hybrid(
+        self, column: str, query: str, qvec, limit: int
+    ) -> DataFrame:
+        """Dense cosine leg + BM25 lexical leg, reciprocal-rank fused.
+
+        Each leg produces its own top-``_HYBRID_DEPTH`` ranking (the
+        dense one a TakeOrderedAndProject over the cached serve view,
+        the lexical one candidate-only postings; both driver-bounded at
+        100 rows), so the fusion join and the content fetch-back are
+        broadcast-sized regardless of collection size."""
+        from pyspark.sql import Window
+
+        from letsearch_spark.operators.bm25 import (
+            bm25_topk,
+            rrf_fuse,
+            tokenize_query,
+        )
+
+        serve = self._serve_view(column)
+        depth = self._HYBRID_DEPTH
+        rank_w = Window.orderBy(F.desc("score"), F.asc(KEY_COL))
+
+        dense = (
+            serve.select(F.col(KEY_COL), self._serve_score(qvec).alias("score"))
+            .orderBy(F.desc("score"), F.asc(KEY_COL))
+            .limit(depth)
+        )
+        legs = {
+            "dense": dense.select(
+                KEY_COL, F.row_number().over(rank_w).alias("rank")
+            )
+        }
+        if tokenize_query(query):
+            lex = bm25_topk(
+                self.docs().select(KEY_COL, column),
+                query,
+                k=depth,
+                id_col=KEY_COL,
+                text_col=column,
+            )
+            legs["lexical"] = lex.select(
+                KEY_COL, F.row_number().over(rank_w).alias("rank")
+            )
+
+        hits = (
+            rrf_fuse(legs, id_col=KEY_COL)
+            .select(KEY_COL, F.col("rrf").alias("score"))
+            .orderBy(F.desc("score"), F.asc(KEY_COL))
+            .limit(limit)
+        )
+        return (
+            F.broadcast(hits)
+            .join(serve.select(KEY_COL, "content"), KEY_COL)
+            .where(F.col("content").isNotNull())  # P6 null-content drop
+            .select(F.col(KEY_COL).alias("key"), "content", "score")
+            .orderBy(F.desc("score"), F.asc("key"))
+        )
 
     _LSH_BITS = 8
     _LSH_SEED = 42

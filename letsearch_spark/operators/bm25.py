@@ -16,7 +16,9 @@ operators:
   the query's terms BEFORE the aggregating shuffle, so only candidate
   (doc, term) rows -- not the whole corpus's postings -- ever travel;
   corpus stats (N, avgdl) come from one tiny two-scalar aggregate, and
-  per-term document frequencies ride a broadcast join.
+  per-term document frequencies are a window over the aggregated
+  candidate rows (a self-join would duplicate the scan+explode
+  subtree -- Catalyst does not dedupe it -- doubling corpus reads).
 * :func:`bm25_topk` -- scores rounded to 6 decimals (cross-engine float
   determinism, same convention as the cosine entries) with the
   deterministic (score DESC, id ASC) tie-break, LIMIT k => Spark plans
@@ -105,7 +107,13 @@ def bm25_scores(
         .groupBy("__id", "__dl", "__term")
         .agg(F.count(F.lit(1)).alias("__tf"))
     )
-    dfreq = tf.groupBy("__term").agg(F.count(F.lit(1)).alias("__df"))
+    # per-term document frequency as a window over the aggregated tf
+    # rows: a groupBy-then-join would duplicate the scan+explode subtree
+    # (Catalyst does not dedupe it), re-reading the whole corpus; the
+    # window re-shuffles only the candidate rows, exactly once
+    from pyspark.sql import Window
+
+    dfreq = F.count(F.lit(1)).over(Window.partitionBy("__term"))
 
     idf = F.log(
         F.lit(1.0)
@@ -118,7 +126,7 @@ def bm25_scores(
         / (F.col("__tf") + k1 * (1.0 - b + b * F.col("__dl") / F.lit(avgdl)))
     )
     return (
-        tf.join(F.broadcast(dfreq), "__term")
+        tf.withColumn("__df", dfreq)
         .withColumn("__s", idf * tf_norm)
         .groupBy("__id")
         .agg(F.sum("__s").alias("bm25"))

@@ -564,3 +564,34 @@ def test_import_markdown_dir(spark, tmp_path):
     assert sorted(r["_key"] for r in c.docs().collect()) == list(
         range(1, total + 1)
     )
+
+
+def test_search_hybrid_strategy(coll):
+    """Hybrid RRF serving: a verbatim-text query wins BOTH legs (exact
+    cosine self-hit + every one of its terms in the BM25 leg), so it
+    must rank #1 with the two-leg maximum RRF score; a no-token query
+    falls back to the dense-only leg with identical ranking."""
+    coll.embed_column("text", incremental=True)  # no-op when already embedded
+    target = (
+        coll.docs().select("_key", "text").where(F.col("text").isNotNull()).first()
+    )
+    res = coll.search("text", target["text"], limit=10, strategy="hybrid").collect()
+    assert len(res) == 10
+    # dense self-hit is rank 1 (score 1.0); BM25's length normalization
+    # may prefer a shorter doc sharing the terms, but the fused winner
+    # must still be the verbatim doc unless it fell out of the lexical
+    # top-2 (1/61 + 1/62 is the best any competitor can reach)
+    assert res[0]["key"] == target["_key"]
+    assert res[0]["score"] >= 1 / 61 + 1 / 62 - 1e-12
+    scores = [r["score"] for r in res]
+    assert scores == sorted(scores, reverse=True)
+    # every hybrid score is a sum of <= 2 reciprocal ranks
+    assert all(0 < s <= 2 / 61 + 1e-12 for s in scores)
+
+    # no lexical tokens -> dense-only fusion, same order as plain search
+    dense = [r["key"] for r in coll.search("text", "!!! ???", limit=5).collect()]
+    fallback = [
+        r["key"]
+        for r in coll.search("text", "!!! ???", limit=5, strategy="hybrid").collect()
+    ]
+    assert fallback == dense

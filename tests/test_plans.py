@@ -286,3 +286,27 @@ def test_remove_duplicate_lines_hash_only_shuffle(spark, sf_dir):
     assert "hashpartitioning(__h" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bm25_single_scan_candidate_only_shuffles(spark, sf_dir):
+    """BM25's scale contract: ONE corpus scan (document frequency is a
+    window over the aggregated candidate rows, not a self-join that
+    would re-read the corpus), the term filter runs map-side BEFORE the
+    first aggregation exchange (only candidate (doc, term) rows ever
+    travel), and nothing in the plan is an all-pairs or join shape."""
+    from letsearch_spark.operators.bm25 import bm25_scores
+
+    docs = spark.read.parquet(
+        os.path.join(sf_dir, "documents.parquet")
+    ).select("doc_id", "text")
+    out = bm25_scores(docs, "spark join window agg", stats=(500, 80.0))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1, plan
+    assert plan.count("Generate explode") == 1, plan
+    assert "Join" not in plan, plan
+    assert "CartesianProduct" not in plan
+    # the term-IN filter sits below every Exchange (map-side): plans
+    # print top-down, so no Exchange may appear AFTER the filter line
+    filter_pos = plan.find("IN (spark,join,window,agg)")
+    assert filter_pos != -1, plan
+    assert "Exchange" not in plan[filter_pos:], plan
