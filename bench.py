@@ -161,6 +161,25 @@ def main() -> None:
     for name in ("quality_filter_gopher", "dedup_lines", "pack_sequences"):
         run_stage(name, lambda name=name: QUERIES[name](spark, SF_DIR).count())
 
+    # 15. hybrid retrieval (BM25 lexical leg over cached postings +
+    # dense cosine leg, RRF-fused driver-side): half the search count --
+    # each query is 3-4 sequential Spark jobs; the per-sec rate is the
+    # cross-round comparable
+    n_hybrid = max(N_SEARCHES // 2, 1)
+    coll.search("text", "warmup spark join", limit=10, strategy="hybrid").collect()
+
+    def searches_hybrid():
+        for i in range(n_hybrid):
+            coll.search(
+                "text", f"spark join query window batch {i}", limit=10,
+                strategy="hybrid",
+            ).collect()
+
+    run_stage("search_topk_hybrid", searches_hybrid, repeats=1)
+    timings["hybrid_searches_per_sec"] = round(
+        n_hybrid / timings["search_topk_hybrid"], 3
+    )
+
     total = round(
         sum(v for k, v in timings.items() if not k.endswith("_per_sec")), 3
     )

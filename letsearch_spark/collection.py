@@ -71,6 +71,9 @@ class Collection:
         # centroids of built IVF indexes (strategy='ivf'); the presence
         # of a key marks the on-disk index current -- cleared on writes
         self._ivf_centroids: dict = {}
+        # per-column BM25 corpus stats (n_docs, avgdl) for the cached
+        # lexical view (strategy='hybrid'); cleared on writes
+        self._lex_stats: dict[str, tuple[int, float]] = {}
 
     # ---- paths ----
 
@@ -524,7 +527,14 @@ class Collection:
 
     def _invalidate_cache(self, column: str | None = None) -> None:
         cols = (
-            [column, f"__docs_{column}", f"__serve_{column}", f"__lsh_{column}"]
+            [
+                column,
+                f"__docs_{column}",
+                f"__serve_{column}",
+                f"__lsh_{column}",
+                f"__lex_{column}",
+                f"__lexdf_{column}",
+            ]
             if column
             else list(self._emb_cache)
         )
@@ -539,10 +549,12 @@ class Collection:
             self._local_idx.clear()
             self._embeddings_ok.clear()
             self._ivf_centroids.clear()
+            self._lex_stats.clear()
         else:
             self._local_idx.pop(column, None)
             self._embeddings_ok.discard(column)
             self._ivf_centroids.pop(column, None)
+            self._lex_stats.pop(column, None)
 
     def embed_all(self, incremental: bool = True) -> dict[str, int]:
         return {
@@ -739,62 +751,123 @@ class Collection:
     # fusion over deeper-than-k leg rankings; 100 = the serve limit cap)
     _HYBRID_DEPTH = 100
 
+    def _lexical_view(self, column: str):
+        """Cached BM25 postings + dfreq table + corpus stats for the
+        lexical leg -- the lexical analog of _serve_view: the corpus is
+        scanned, tokenized, and aggregated ONCE; each query then filters
+        the cached postings by its terms and reads its terms' document
+        frequencies from the cached dfreq table. Invalidated on writes.
+
+        Returns (postings, dfreq, n_docs, avgdl)."""
+        from letsearch_spark.operators.bm25 import build_postings
+
+        key = f"__lex_{column}"
+        view = self._emb_cache.get(key)
+        if view is None:
+            docs = self.docs().select(KEY_COL, column).where(
+                F.col(column).isNotNull()
+            )
+            # serve-cache compaction: the postings build inherits
+            # shuffle_partitions sized for BULK work; a serve query then
+            # pays that many near-empty task launches per job. Pack the
+            # cache into fewer, fuller partitions (driver-sized
+            # collections; a huge corpus keeps more -- ~250k rows each)
+            n_docs_est = self.count()
+            n_parts = max(1, min(int(n_docs_est // 2_000) + 1, 256))
+            view = (
+                build_postings(docs, id_col=KEY_COL, text_col=column)
+                .coalesce(n_parts)
+                .cache()
+            )
+            dfreq = (
+                view.groupBy("__term")
+                .agg(F.count(F.lit(1)).alias("__df"))
+                .coalesce(max(1, n_parts // 4))
+                .cache()
+            )
+            row = (
+                view.select("__id", "__dl")
+                .distinct()
+                .agg(F.count(F.lit(1)).alias("n"), F.avg("__dl").alias("avgdl"))
+                .collect()[0]
+            )
+            dfreq.count()  # materialize the (vocabulary-sized) table now
+            self._lex_stats[column] = (int(row["n"]), float(row["avgdl"] or 0.0))
+            self._emb_cache[key] = view
+            self._emb_cache[f"__lexdf_{column}"] = dfreq
+        return (
+            view,
+            self._emb_cache[f"__lexdf_{column}"],
+            *self._lex_stats[column],
+        )
+
     def _search_hybrid(
         self, column: str, query: str, qvec, limit: int
     ) -> DataFrame:
         """Dense cosine leg + BM25 lexical leg, reciprocal-rank fused.
 
-        Each leg produces its own top-``_HYBRID_DEPTH`` ranking (the
-        dense one a TakeOrderedAndProject over the cached serve view,
-        the lexical one candidate-only postings; both driver-bounded at
-        100 rows), so the fusion join and the content fetch-back are
-        broadcast-sized regardless of collection size."""
-        from pyspark.sql import Window
-
+        Each leg is one top-``_HYBRID_DEPTH`` Spark job (the dense one a
+        TakeOrderedAndProject over the cached serve view, the lexical
+        one a term filter over the cached postings); both are <= 100
+        rows, so the RRF fusion itself runs driver-side -- the same
+        latency trade as strategy='inlist' -- followed by one broadcast
+        content fetch. Batch pipelines that want the fusion as a lazy
+        plan compose operators/bm25.py rrf_fuse directly (the
+        search_bm25_hybrid contract query does)."""
         from letsearch_spark.operators.bm25 import (
-            bm25_topk,
-            rrf_fuse,
+            bm25_scores_with_idf,
             tokenize_query,
         )
 
         serve = self._serve_view(column)
         depth = self._HYBRID_DEPTH
-        rank_w = Window.orderBy(F.desc("score"), F.asc(KEY_COL))
 
         dense = (
             serve.select(F.col(KEY_COL), self._serve_score(qvec).alias("score"))
             .orderBy(F.desc("score"), F.asc(KEY_COL))
             .limit(depth)
+            .collect()
         )
-        legs = {
-            "dense": dense.select(
-                KEY_COL, F.row_number().over(rank_w).alias("rank")
-            )
-        }
-        if tokenize_query(query):
-            lex = bm25_topk(
-                self.docs().select(KEY_COL, column),
-                query,
-                k=depth,
-                id_col=KEY_COL,
-                text_col=column,
-            )
-            legs["lexical"] = lex.select(
-                KEY_COL, F.row_number().over(rank_w).alias("rank")
-            )
+        leg_keys = [[int(r[KEY_COL]) for r in dense]]
+        terms = tokenize_query(query)
+        if terms:
+            postings, dfreq, n_docs, avgdl = self._lexical_view(column)
+            term_df = {
+                r["__term"]: int(r["__df"])
+                for r in dfreq.where(F.col("__term").isin(terms)).collect()
+            }
+            if term_df:
+                lex = (
+                    bm25_scores_with_idf(
+                        postings, term_df, n_docs, avgdl, id_col=KEY_COL
+                    )
+                    .select(KEY_COL, F.round("bm25", 6).alias("score"))
+                    .orderBy(F.desc("score"), F.asc(KEY_COL))
+                    .limit(depth)
+                    .collect()
+                )
+                leg_keys.append([int(r[KEY_COL]) for r in lex])
 
-        hits = (
-            rrf_fuse(legs, id_col=KEY_COL)
-            .select(KEY_COL, F.col("rrf").alias("score"))
-            .orderBy(F.desc("score"), F.asc(KEY_COL))
-            .limit(limit)
+        rrf: dict[int, float] = {}
+        for keys in leg_keys:
+            for rank, k in enumerate(keys, start=1):
+                rrf[k] = rrf.get(k, 0.0) + 1.0 / (60.0 + rank)
+        top = sorted(rrf.items(), key=lambda kv: (-kv[1], kv[0]))[:limit]
+        scores = dict(top)
+
+        fetched = (
+            serve.where(F.col(KEY_COL).isin(*scores.keys()))
+            .select(F.col(KEY_COL).alias("key"), "content")
+            .collect()
         )
-        return (
-            F.broadcast(hits)
-            .join(serve.select(KEY_COL, "content"), KEY_COL)
-            .where(F.col("content").isNotNull())  # P6 null-content drop
-            .select(F.col(KEY_COL).alias("key"), "content", "score")
-            .orderBy(F.desc("score"), F.asc("key"))
+        content = {int(r["key"]): r["content"] for r in fetched}
+        rows = [
+            (k, content[k], s)
+            for k, s in top
+            if content.get(k) is not None  # P6 null-content drop
+        ]
+        return self.spark.createDataFrame(
+            rows, "key long, content string, score double"
         )
 
     _LSH_BITS = 8

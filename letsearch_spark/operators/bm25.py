@@ -77,44 +77,64 @@ def corpus_stats(docs: DataFrame, text_col: str = "text") -> tuple[int, float]:
     return int(row["n"]), float(row["avgdl"] or 0.0)
 
 
-def bm25_scores(
-    docs: DataFrame,
-    query: str,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    k1: float = 1.2,
-    b: float = 0.75,
-    stats: tuple[int, float] | None = None,
+def build_postings(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """(id, bm25) for every document matching >=1 query term.
+    """(id, __term, __tf, __dl): the corpus's aggregated postings.
 
-    The non-candidate corpus never reaches the shuffle: term rows are
-    filtered to the query's terms at the explode site (Catalyst pushes
-    the IN filter below the aggregation)."""
-    terms = tokenize_query(query)
-    if not terms:
-        raise ValueError("query has no tokens after analysis")
-    n_docs, avgdl = stats if stats is not None else corpus_stats(docs, text_col)
-    if n_docs == 0 or avgdl <= 0.0:
-        raise ValueError("empty corpus: no document has any token")
-
-    toks = docs.select(
+    The serve-time artifact for repeated BM25 queries: build (and
+    persist/cache) once, then every query is a term filter over it
+    instead of a fresh corpus scan+explode. One shuffle to build."""
+    toks = df.select(
         F.col(id_col).alias("__id"), tokenize(text_col).alias("__toks")
     ).withColumn("__dl", F.size("__toks"))
-    tf = (
+    return (
         toks.select("__id", "__dl", F.explode("__toks").alias("__term"))
-        .where(F.col("__term").isin(terms))
         .groupBy("__id", "__dl", "__term")
         .agg(F.count(F.lit(1)).alias("__tf"))
     )
-    # per-term document frequency as a window over the aggregated tf
-    # rows: a groupBy-then-join would duplicate the scan+explode subtree
-    # (Catalyst does not dedupe it), re-reading the whole corpus; the
-    # window re-shuffles only the candidate rows, exactly once
+
+
+def bm25_scores_from_postings(
+    postings: DataFrame,
+    terms: list[str],
+    n_docs: int,
+    avgdl: float,
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    df_via: str = "window",
+) -> DataFrame:
+    """(id, bm25) from prebuilt postings (:func:`build_postings`).
+
+    The term-IN filter sits on the postings' grouping key, so Catalyst
+    pushes it below the aggregation when the postings are built inline
+    (ad-hoc path), and prunes the cached/persisted table when they are
+    reused (serve path).
+
+    ``df_via`` picks how the per-term document frequency is computed:
+
+    * ``'window'`` -- a count over Window.partitionBy(term) on the
+      filtered candidate rows. ONE pass over the postings (right when
+      they are built inline: a groupBy-then-join would duplicate the
+      scan+explode subtree -- Catalyst does not dedupe it -- re-reading
+      the whole corpus), but a stop-word-like query term concentrates
+      all its candidate rows in one window partition.
+    * ``'join'`` -- a tiny groupBy(term) count broadcast-joined back.
+      Touches the postings twice (fine when they are cached/persisted:
+      the serve path) but is skew-immune: partial counts combine
+      map-side and candidates never re-shuffle by term.
+    """
     from pyspark.sql import Window
 
-    dfreq = F.count(F.lit(1)).over(Window.partitionBy("__term"))
+    if not terms:
+        raise ValueError("query has no tokens after analysis")
+    if n_docs == 0 or avgdl <= 0.0:
+        raise ValueError("empty corpus: no document has any token")
+    if df_via not in ("window", "join"):
+        raise ValueError(f"df_via must be 'window' or 'join', got {df_via!r}")
 
+    tf = postings.where(F.col("__term").isin(list(terms)))
     idf = F.log(
         F.lit(1.0)
         + (F.lit(float(n_docs)) - F.col("__df") + F.lit(0.5))
@@ -125,12 +145,91 @@ def bm25_scores(
         * (k1 + 1.0)
         / (F.col("__tf") + k1 * (1.0 - b + b * F.col("__dl") / F.lit(avgdl)))
     )
+    if df_via == "window":
+        scored = tf.withColumn(
+            "__df", F.count(F.lit(1)).over(Window.partitionBy("__term"))
+        )
+    else:
+        dfreq = tf.groupBy("__term").agg(F.count(F.lit(1)).alias("__df"))
+        scored = tf.join(F.broadcast(dfreq), "__term")
     return (
-        tf.withColumn("__df", dfreq)
+        scored.withColumn("__s", idf * tf_norm)
+        .groupBy("__id")
+        .agg(F.sum("__s").alias("bm25"))
+        .select(F.col("__id").alias(id_col), "bm25")
+    )
+
+
+def bm25_scores_with_idf(
+    postings: DataFrame,
+    term_df: dict[str, int],
+    n_docs: int,
+    avgdl: float,
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """(id, bm25) with document frequencies already known (serve path).
+
+    ``term_df`` maps each query term to its corpus document frequency
+    (from a cached dfreq table -- Collection._lexical_view collects the
+    <= n_terms rows per query). idf becomes a per-term LITERAL in the
+    scoring expression, so the per-query plan is: cached-postings filter
+    -> map-side score -> ONE groupBy(id) shuffle of candidate rows ->
+    top-k. No join, no window, no per-term skew."""
+    import math
+
+    terms = {t: int(d) for t, d in term_df.items() if d > 0}
+    if not terms:
+        raise ValueError("query has no tokens after analysis")
+    if n_docs == 0 or avgdl <= 0.0:
+        raise ValueError("empty corpus: no document has any token")
+
+    idf_entries = []
+    for t, d in terms.items():
+        idf_entries.append(F.lit(t))
+        idf_entries.append(
+            F.lit(math.log(1.0 + (float(n_docs) - d + 0.5) / (d + 0.5)))
+        )
+    idf = F.create_map(*idf_entries)[F.col("__term")]
+    tf_norm = (
+        F.col("__tf")
+        * (k1 + 1.0)
+        / (F.col("__tf") + k1 * (1.0 - b + b * F.col("__dl") / F.lit(avgdl)))
+    )
+    return (
+        postings.where(F.col("__term").isin(list(terms)))
         .withColumn("__s", idf * tf_norm)
         .groupBy("__id")
         .agg(F.sum("__s").alias("bm25"))
         .select(F.col("__id").alias(id_col), "bm25")
+    )
+
+
+def bm25_scores(
+    docs: DataFrame,
+    query: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    stats: tuple[int, float] | None = None,
+) -> DataFrame:
+    """(id, bm25) for every document matching >=1 query term (ad-hoc
+    single-scan path; for repeated queries build postings once and use
+    :func:`bm25_scores_from_postings`)."""
+    terms = tokenize_query(query)
+    if not terms:
+        raise ValueError("query has no tokens after analysis")
+    n_docs, avgdl = stats if stats is not None else corpus_stats(docs, text_col)
+    return bm25_scores_from_postings(
+        build_postings(docs, id_col, text_col),
+        terms,
+        n_docs,
+        avgdl,
+        id_col=id_col,
+        k1=k1,
+        b=b,
     )
 
 

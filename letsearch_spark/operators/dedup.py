@@ -726,3 +726,86 @@ def remove_duplicate_lines(
         F.col("n_lines").cast("long").alias("n_lines"),
         F.col("n_removed").cast("long").alias("n_removed"),
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    nlist: int = 16,
+    iters: int = 10,
+    seed: int = 42,
+    sample_limit: int = 100_000,
+    centroids=None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (cluster-then-compare over
+    an embedding column, after Abbas et al. 2023): spherical k-means
+    clusters the vectors, then an item is dropped when some LOWER-id
+    member of the SAME cluster has cosine similarity >= ``threshold`` --
+    the min-id representative of each semantic duplicate group survives,
+    the keep rule every other dedup operator here uses.
+
+    Returns (id, cluster, keep).
+
+    Scale design: the quadratic comparison runs ONLY within a cluster --
+    one shuffle keyed by cluster id, then a per-cluster numpy matmul
+    inside applyInPandas (no cross-cluster pairs ever exist). Choose
+    ``nlist`` so the expected cluster size stays executor-bounded: at
+    1B docs and nlist=100k, ~10k members -> a 10k x 10k in-memory
+    similarity block per task. Centroid training collects a bounded
+    key-sorted sample (deterministic across partitionings, same core as
+    operators/ann.py IVF training); pass precomputed ``centroids`` to
+    skip training and keep the whole plan lazy.
+
+    Null/zero vectors: rows with a NULL vector are dropped before
+    clustering (they have no semantic identity); zero vectors normalize
+    to themselves and land in one cluster, where cos=0 keeps them all.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from letsearch_spark.operators.ann import assign_lists, train_centroids
+
+    clean = df.select(id_col, vec_col).where(F.col(vec_col).isNotNull())
+    if centroids is None:
+        centroids = train_centroids(
+            clean,
+            nlist=nlist,
+            vec_col=vec_col,
+            sample_limit=sample_limit,
+            iters=iters,
+            seed=seed,
+            key_col=id_col,
+        )
+    assigned = assign_lists(clean, centroids, vec_col=vec_col, list_col="__c")
+
+    thr = float(threshold)
+
+    def _judge(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        x = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+        norms = np.linalg.norm(x, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        x = x / norms
+        sims = x @ x.T
+        m = len(pdf)
+        keep = np.ones(m, dtype=bool)
+        for i in range(1, m):
+            # any earlier (lower-id) member this close? then i is a dup
+            if (sims[i, :i] >= thr).any():
+                keep[i] = False
+        return pd.DataFrame(
+            {
+                id_col: pdf[id_col],
+                "cluster": pdf["__c"].astype("int64"),
+                "keep": keep,
+            }
+        )
+
+    out_schema = f"{id_col} long, cluster long, keep boolean"
+    return (
+        assigned.groupBy("__c")
+        .applyInPandas(_judge, schema=out_schema)
+        .orderBy(id_col)
+    )

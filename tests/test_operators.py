@@ -1364,3 +1364,68 @@ def test_bm25_empty_query_and_corpus_raise(spark):
     empty = spark.createDataFrame([(0, " .")], "doc_id long, text string")
     with _pytest.raises(ValueError, match="empty corpus"):
         bm25_scores(empty, "alpha")
+
+
+# ------------------------------------------------------------ semantic dedup
+
+
+def test_semantic_dedup_matches_python_twin(spark, sf_dir):
+    """Cluster-then-compare semantic dedup vs a single-process numpy
+    twin (same centroid fit, same min-id keep rule), plus injected
+    exact-duplicate vectors that must always be dropped."""
+    import numpy as np
+    import os as _os
+
+    from letsearch_spark.operators.ann import kmeans_fit
+    from letsearch_spark.operators.dedup import semantic_dedup
+
+    emb = spark.read.parquet(_os.path.join(sf_dir, "embeddings.parquet")).select(
+        "vec_id", "embedding"
+    )
+    # clone vec 0 and 3 under high ids: same vector => cos = 1 >= thr
+    clones = emb.where(F.col("vec_id").isin(0, 3)).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    df = emb.union(clones)
+
+    got = {
+        r["vec_id"]: (r["cluster"], r["keep"])
+        for r in semantic_dedup(
+            df, id_col="vec_id", vec_col="embedding", threshold=0.9, nlist=8
+        ).collect()
+    }
+    assert got[100000] == (got[0][0], False)  # clone: same cluster, dropped
+    assert got[100003] == (got[3][0], False)
+    assert got[0][1] and got[3][1]  # originals keep (min id)
+
+    # independent twin
+    rows = sorted(
+        ((r["vec_id"], r["embedding"]) for r in df.collect()), key=lambda t: t[0]
+    )
+    x = np.array([v for _, v in rows], dtype=np.float64)
+    cents = kmeans_fit(x, nlist=8, iters=10, seed=42)
+    norms = np.linalg.norm(x, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    xn = x / norms
+    assign = (xn @ cents.T).argmax(axis=1)
+    expected = {}
+    for c in set(assign.tolist()):
+        idx = [i for i in range(len(rows)) if assign[i] == c]
+        sims = xn[idx] @ xn[idx].T
+        for pos, i in enumerate(idx):
+            dup = bool((sims[pos, :pos] >= 0.9).any())
+            expected[rows[i][0]] = (int(c), not dup)
+    assert got == expected
+
+
+def test_semantic_dedup_null_vectors_dropped(spark):
+    from letsearch_spark.operators.dedup import semantic_dedup
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, None), (3, [1.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    out = semantic_dedup(df, id_col="vec_id", vec_col="embedding", nlist=2)
+    got = {r["vec_id"]: r["keep"] for r in out.collect()}
+    assert set(got) == {1, 3}  # null vector has no semantic identity
+    assert got[1] and not got[3]

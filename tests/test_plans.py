@@ -310,3 +310,27 @@ def test_bm25_single_scan_candidate_only_shuffles(spark, sf_dir):
     filter_pos = plan.find("IN (spark,join,window,agg)")
     assert filter_pos != -1, plan
     assert "Exchange" not in plan[filter_pos:], plan
+
+
+def test_semantic_dedup_cluster_local_shuffle(spark, sf_dir):
+    """Semantic dedup's quadratic compare happens ONLY inside a cluster:
+    the plan is one exchange keyed by the cluster id feeding
+    FlatMapGroupsInPandas -- no join, no cartesian, no all-pairs."""
+    import numpy as np
+
+    from letsearch_spark.operators.dedup import semantic_dedup
+
+    emb = spark.read.parquet(
+        os.path.join(sf_dir, "embeddings.parquet")
+    ).select("vec_id", "embedding")
+    rng = np.random.RandomState(0)
+    dim = len(emb.select("embedding").first()[0])
+    cents = rng.randn(8, dim)  # precomputed => fully lazy plan
+    out = semantic_dedup(
+        emb, id_col="vec_id", vec_col="embedding", nlist=8, centroids=cents
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" in plan
+    assert "hashpartitioning(__c" in plan
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
