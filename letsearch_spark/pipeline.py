@@ -54,6 +54,10 @@ class PrepConfig:
     line_dedup: dict | None = field(default_factory=dict)
     # stage 3 -- fuzzy dedup (None disables; kwargs to minhash_lsh_pairs)
     fuzzy_dedup: dict | None = field(default_factory=lambda: {"threshold": 0.8})
+    # stage 3b -- DSIR target-domain selection (None disables):
+    # {"target": <target-corpus DataFrame>, "k": <docs to keep>, ...}
+    # extra keys forward to operators/dsir.py dsir_sample
+    dsir: dict | None = None
     # stage 4 -- mixture (None disables; needs domain_col)
     mixture_weights: dict[str, float] | None = None
     mixture_target_rows: int = 0
@@ -137,6 +141,23 @@ def prepare_training_data(
             keep.where("is_kept").select(F.col("id").alias(key)), key
         )
         audit["fuzzy_dedup"] = cur.count()
+
+    if cfg.dsir is not None:
+        from letsearch_spark.operators.dsir import dsir_sample
+
+        extra = {
+            k: v for k, v in cfg.dsir.items() if k not in ("target", "k")
+        }
+        picked = dsir_sample(
+            cur,
+            cfg.dsir["target"],
+            k=cfg.dsir["k"],
+            id_col=key,
+            text_col=text,
+            **extra,
+        )
+        cur = cur.join(picked.select(key), key, "left_semi")
+        audit["dsir"] = cur.count()
 
     if cfg.mixture_weights is not None:
         if cfg.domain_col is None:

@@ -1429,3 +1429,155 @@ def test_semantic_dedup_null_vectors_dropped(spark):
     got = {r["vec_id"]: r["keep"] for r in out.collect()}
     assert set(got) == {1, 3}  # null vector has no semantic identity
     assert got[1] and not got[3]
+
+
+def test_bm25_df_modes_and_idf_literals_agree(spark, sf_dir):
+    """All three document-frequency formulations -- window over
+    candidates, groupBy+broadcast join, and driver-inlined idf literals
+    (the serve path) -- must produce identical scores."""
+    import os as _os
+
+    from letsearch_spark.operators.bm25 import (
+        bm25_scores_from_postings,
+        bm25_scores_with_idf,
+        build_postings,
+        corpus_stats,
+        tokenize_query,
+    )
+
+    docs = spark.read.parquet(
+        _os.path.join(sf_dir, "documents.parquet")
+    ).select("doc_id", "text")
+    terms = tokenize_query("spark join window agg")
+    n_docs, avgdl = corpus_stats(docs)
+    postings = build_postings(docs).cache()
+    try:
+        base = {
+            r["doc_id"]: r["bm25"]
+            for r in bm25_scores_from_postings(
+                postings, terms, n_docs, avgdl, df_via="window"
+            ).collect()
+        }
+        joined = {
+            r["doc_id"]: r["bm25"]
+            for r in bm25_scores_from_postings(
+                postings, terms, n_docs, avgdl, df_via="join"
+            ).collect()
+        }
+        term_df = {
+            r["__term"]: r["n"]
+            for r in postings.where(F.col("__term").isin(terms))
+            .groupBy("__term")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        lit = {
+            r["doc_id"]: r["bm25"]
+            for r in bm25_scores_with_idf(
+                postings, term_df, n_docs, avgdl
+            ).collect()
+        }
+    finally:
+        postings.unpersist()
+    assert base and set(base) == set(joined) == set(lit)
+    for k in base:
+        assert abs(base[k] - joined[k]) < 1e-12
+        assert abs(base[k] - lit[k]) < 1e-12
+
+
+# ------------------------------------------------------------ dsir
+
+
+def test_dsir_prefers_target_like_documents(spark):
+    """Importance resampling must pull documents that look like the
+    target domain: raw corpus mixes two vocabularies; the target is
+    pure domain A; the top-k sample must be dominated by A docs."""
+    from letsearch_spark.operators.dsir import dsir_sample
+
+    a_words = "protein genome enzyme cell receptor"
+    b_words = "tariff invoice ledger audit equity"
+    raw_rows = [(i, f"{a_words} sample {i % 7}") for i in range(40)] + [
+        (100 + i, f"{b_words} filing {i % 7}") for i in range(40)
+    ]
+    raw = spark.createDataFrame(raw_rows, "doc_id long, text string")
+    target = spark.createDataFrame(
+        [(i, f"{a_words} study {i}") for i in range(10)],
+        "doc_id long, text string",
+    )
+    picked = dsir_sample(raw, target, k=20)
+    rows = picked.collect()
+    assert len(rows) == 20
+    a_picked = sum(1 for r in rows if r["doc_id"] < 100)
+    assert a_picked >= 18, f"only {a_picked}/20 target-like docs picked"
+    # weights separate the domains
+    a_w = min(r["log_w"] for r in rows if r["doc_id"] < 100)
+    b_like = [r["log_w"] for r in rows if r["doc_id"] >= 100]
+    assert all(a_w > w for w in b_like) or not b_like
+
+
+def test_dsir_deterministic_and_weight_twin(spark):
+    """Same seed => identical sample across runs/repartitionings, and
+    per-doc log weights match an independent Python twin of the
+    hash-feature/Laplace-ratio arithmetic."""
+    import hashlib
+    import math
+    import re
+
+    from letsearch_spark.operators.dsir import (
+        dsir_sample,
+        fit_log_ratio,
+        hashed_ngram_features,
+        importance_weights,
+    )
+
+    raw_rows = [(i, f"alpha beta gamma doc {i % 5}") for i in range(30)]
+    tgt_rows = [(i, "alpha beta focus") for i in range(5)]
+    raw = spark.createDataFrame(raw_rows, "doc_id long, text string")
+    target = spark.createDataFrame(tgt_rows, "doc_id long, text string")
+
+    s1 = [r["doc_id"] for r in dsir_sample(raw, target, k=10).collect()]
+    s2 = [
+        r["doc_id"]
+        for r in dsir_sample(raw.repartition(7), target, k=10).collect()
+    ]
+    assert s1 == s2
+
+    B = 64  # tiny bucket space exercises collisions
+
+    def md5_60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    def feats(text):
+        w = [t for t in re.sub("[^a-z0-9]+", " ", text.lower()).split() if t]
+        grams = w + [f"{w[i]} {w[i+1]}" for i in range(len(w) - 1)]
+        out = {}
+        for g in grams:
+            b = md5_60(f"{g}#dsir42") % B
+            out[b] = out.get(b, 0) + 1
+        return out
+
+    t_cnt, r_cnt = {}, {}
+    for _, t in tgt_rows:
+        for b, c in feats(t).items():
+            t_cnt[b] = t_cnt.get(b, 0) + c
+    for _, t in raw_rows:
+        for b, c in feats(t).items():
+            r_cnt[b] = r_cnt.get(b, 0) + c
+    t_tot, r_tot = sum(t_cnt.values()), sum(r_cnt.values())
+    expected = {}
+    for i, t in raw_rows:
+        lw = 0.0
+        for b, c in feats(t).items():
+            lr = math.log((t_cnt.get(b, 0) + 1.0) / (t_tot + B)) - math.log(
+                (r_cnt.get(b, 0) + 1.0) / (r_tot + B)
+            )
+            lw += c * lr
+        expected[i] = lw
+
+    rf = hashed_ngram_features(raw, "doc_id", "text", num_buckets=B)
+    tf_ = hashed_ngram_features(target, "doc_id", "text", num_buckets=B)
+    model = fit_log_ratio(tf_, rf, num_buckets=B)
+    got = {r["id"]: r["log_w"] for r in importance_weights(rf, model).collect()}
+    assert set(got) == set(expected)
+    for i in expected:
+        assert abs(got[i] - expected[i]) < 1e-9, (i, got[i], expected[i])

@@ -143,3 +143,24 @@ def test_pipeline_perplexity_stage(spark, sf_dir):
     clean, layout, audit = prepare_training_data(docs, cfg)
     assert 0 < audit["ppl_filter"] <= audit["input"]
     assert audit["line_dedup"] <= audit["ppl_filter"]
+
+
+def test_pipeline_dsir_stage(spark, sf_dir):
+    """Optional DSIR stage: selecting against a target corpus of 'en'
+    docs keeps exactly k docs and the audit records the stage."""
+    from letsearch_spark.pipeline import PrepConfig, prepare_training_data
+
+    docs = _docs(spark, sf_dir).select("doc_id", "lang", "text").limit(150)
+    target = docs.where(F.col("lang") == "en").limit(20)
+    cfg = PrepConfig(
+        quality=None,
+        line_dedup=None,
+        fuzzy_dedup=None,
+        dsir={"target": target, "k": 60, "num_buckets": 1024},
+        seq_len=256,
+        num_shards=2,
+    )
+    clean, layout, audit = prepare_training_data(docs, cfg)
+    assert audit["dsir"] == 60
+    assert clean.count() == 60
+    assert layout.count() > 0

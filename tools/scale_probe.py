@@ -139,8 +139,13 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scales", default="1,4,16")
     ap.add_argument("--skew", action="store_true", help="hot-key range-join probe only")
+    ap.add_argument(
+        "--ops", default=None,
+        help="comma list of probe names to run (default: all)",
+    )
     args = ap.parse_args()
     scales = [int(s) for s in args.scales.split(",")]
+    only = set(args.ops.split(",")) if args.ops else None
 
     if args.skew:
         spark = get_spark(
@@ -165,6 +170,8 @@ def main() -> None:
         row = {"copies": n, "docs": n_docs, "vectors": n_vecs}
 
         def timeit(name, fn):
+            if only is not None and name not in only:
+                return
             t0 = time.time()
             out = fn()
             row[name] = round(time.time() - t0, 2)
@@ -190,6 +197,31 @@ def main() -> None:
         timeit(
             "knn100_numpy",
             lambda: knn_join(emb, queries, k=10, method="numpy").count(),
+        )
+
+        from letsearch_spark.operators.bm25 import bm25_topk
+        from letsearch_spark.operators.dedup import semantic_dedup
+
+        # BM25 ad-hoc (single corpus scan per query): copy salting makes
+        # vocabularies disjoint, so copy-0's terms stay equally selective
+        # as the corpus grows -- the cost curve isolates the scan+explode,
+        # the candidate shuffle staying constant-size
+        q = "spark join window agg" if scales == [1] or n == 1 else (
+            "spark_0 join_0 window_0 agg_0"
+        )
+        timeit(
+            "bm25_topk",
+            lambda: bm25_topk(docs, q, k=100, id_col="doc_id").count(),
+        )
+        # semantic dedup: nlist grows with the corpus so expected cluster
+        # size stays ~constant -- the knob that bounds the per-cluster
+        # quadratic block (the scale contract of the operator)
+        timeit(
+            "semantic_dedup",
+            lambda: semantic_dedup(
+                emb, id_col="_key", vec_col="vector",
+                threshold=0.95, nlist=16 * n,
+            ).where(~F.col("keep")).count(),
         )
 
         from letsearch_spark.operators.dedup import remove_duplicate_lines
