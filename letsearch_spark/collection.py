@@ -649,19 +649,8 @@ class Collection:
                 vec_col="vector",
             ).collect()
             scores = {int(r[KEY_COL]): float(r["score"]) for r in hits}
-            fetched = serve.where(F.col(KEY_COL).isin(*scores.keys())).select(
-                F.col(KEY_COL).alias("key"), "content"
-            ).collect()
-            content = {int(r["key"]): r["content"] for r in fetched}
             ordered = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
-            rows = [
-                (k, content[k], s)
-                for k, s in ordered
-                if content.get(k) is not None  # P6 null-content drop
-            ]
-            return self.spark.createDataFrame(
-                rows, "key long, content string, score double"
-            )
+            return self._fetch_ordered(serve, ordered)
 
         # single-job path: score + top-k + content projection in ONE
         # TakeOrderedAndProject over the cached serve view -- the Spark
@@ -678,22 +667,35 @@ class Collection:
         )
 
     def search_many(
-        self, column: str, queries: Sequence[str], limit: int = 10
+        self,
+        column: str,
+        queries: Sequence[str],
+        limit: int = 10,
+        strategy: str = "dense",
     ) -> DataFrame:
-        """Batched search: every query scored in ONE job instead of one
+        """Batched search: every query scored in ONE plan instead of one
         job per query -- the serving-throughput path. Queries embed
         driver-side into a small frame; the candidate-only knn_join plan
         (operators/topk.py, numpy method) lets each serve-view partition
         emit only its local top-k per query, and the tiny hit set
         broadcasts back against the view for content.
 
+        strategy='hybrid' adds the batched BM25 leg (one pass over the
+        cached postings for the union of all queries' terms) and fuses
+        per query with distributed reciprocal-rank fusion
+        (operators/bm25.py rrf_fuse with a query group key) -- N hybrid
+        searches for roughly the cost of one.
+
         Returns (query_idx, rank, key, content, score) ordered by
-        (query_idx, rank). Scores differ from :meth:`search` only in
-        float summation order (pairwise vs sequential)."""
+        (query_idx, rank). Dense scores differ from :meth:`search` only
+        in float summation order (pairwise vs sequential); hybrid scores
+        are RRF scores as in :meth:`search` strategy='hybrid'."""
         if not 1 <= limit <= 100:
             raise ValueError(f"limit must be in [1, 100], got {limit}")
         if column not in self.config.index_columns:
             raise ValueError(f"column {column!r} is not indexed")
+        if strategy not in ("dense", "hybrid"):
+            raise ValueError(f"unknown strategy {strategy!r}")
         if not queries:
             raise ValueError("queries must be non-empty")
         self._require_embeddings(column)
@@ -705,16 +707,19 @@ class Collection:
             "query_idx long, qvec array<float>",
         )
         serve = self._serve_view(column).where(F.col("content").isNotNull())
+        depth = self._HYBRID_DEPTH if strategy == "hybrid" else limit
         hits = knn_join(
             serve,
             qdf,
-            k=limit,
+            k=depth,
             key_col=KEY_COL,
             vec_col="vector",
             query_key_col="query_idx",
             query_vec_col="qvec",
             method="numpy",
         )
+        if strategy == "hybrid":
+            hits = self._fuse_many(column, queries, hits, limit)
         return (
             serve.select(F.col(KEY_COL), "content")
             .join(F.broadcast(hits), KEY_COL)
@@ -726,6 +731,63 @@ class Collection:
                 "score",
             )
             .orderBy("query_idx", "rank")
+        )
+
+    def _fuse_many(
+        self, column: str, queries: Sequence[str], dense_hits, limit: int
+    ):
+        """Batched RRF: fuse the dense knn_join hits with one batched
+        BM25 pass over the cached postings; returns per-query
+        (query_idx, key, rank, score) rows, rank <= limit."""
+        from pyspark.sql import Window
+
+        from letsearch_spark.operators.bm25 import (
+            bm25_scores_many,
+            rrf_fuse,
+            tokenize_query,
+        )
+
+        depth = self._HYBRID_DEPTH
+        legs = {
+            "dense": dense_hits.select(
+                "query_idx", F.col(KEY_COL), F.col("rank")
+            )
+        }
+        query_terms = {
+            i: tokenize_query(q)
+            for i, q in enumerate(queries)
+            if tokenize_query(q)
+        }
+        if query_terms:
+            postings, _dfreq, n_docs, avgdl = self._lexical_view(column)
+            lex = bm25_scores_many(
+                postings, query_terms, n_docs, avgdl, id_col=KEY_COL
+            )
+            wq = Window.partitionBy("query_idx").orderBy(
+                F.desc("score"), F.asc(KEY_COL)
+            )
+            legs["lexical"] = (
+                lex.select(
+                    "query_idx",
+                    KEY_COL,
+                    F.round("bm25", 6).alias("score"),
+                )
+                .withColumn("rank", F.row_number().over(wq))
+                .where(F.col("rank") <= depth)
+                .select("query_idx", KEY_COL, "rank")
+            )
+        fused = rrf_fuse(
+            legs, id_col=KEY_COL, group_cols=("query_idx",)
+        )
+        wf = Window.partitionBy("query_idx").orderBy(
+            F.desc("rrf"), F.asc(KEY_COL)
+        )
+        return (
+            fused.withColumn("rank", F.row_number().over(wf).cast("long"))
+            .where(F.col("rank") <= limit)
+            .select(
+                "query_idx", KEY_COL, "rank", F.col("rrf").alias("score")
+            )
         )
 
     @staticmethod
@@ -764,15 +826,23 @@ class Collection:
         key = f"__lex_{column}"
         view = self._emb_cache.get(key)
         if view is None:
-            docs = self.docs().select(KEY_COL, column).where(
-                F.col(column).isNotNull()
-            )
+            # build from the SERVE view, not the raw docs table: the two
+            # legs and the content fetch must rank the same population.
+            # Postings over self.docs() would let appended-but-not-yet-
+            # embedded documents win BM25 slots that the serve-view
+            # content fetch then silently drops (results shrink below
+            # the limit and the lexical signal is lost).
+            serve = self._serve_view(column)
+            docs = serve.select(
+                KEY_COL, F.col("content").alias(column)
+            ).where(F.col(column).isNotNull())
             # serve-cache compaction: the postings build inherits
             # shuffle_partitions sized for BULK work; a serve query then
             # pays that many near-empty task launches per job. Pack the
             # cache into fewer, fuller partitions (driver-sized
-            # collections; a huge corpus keeps more -- ~250k rows each)
-            n_docs_est = self.count()
+            # collections; a huge corpus keeps more -- ~250k rows each).
+            # serve is cached + materialized, so this count is cheap.
+            n_docs_est = serve.count()
             n_parts = max(1, min(int(n_docs_est // 2_000) + 1, 256))
             view = (
                 build_postings(docs, id_col=KEY_COL, text_col=column)
@@ -853,22 +923,28 @@ class Collection:
             for rank, k in enumerate(keys, start=1):
                 rrf[k] = rrf.get(k, 0.0) + 1.0 / (60.0 + rank)
         top = sorted(rrf.items(), key=lambda kv: (-kv[1], kv[0]))[:limit]
-        scores = dict(top)
+        return self._fetch_ordered(serve, top)
 
+    def _fetch_ordered(self, serve: DataFrame, ordered) -> DataFrame:
+        """Driver-side fetch-back shared by strategy='inlist' and
+        'hybrid': IN-list content fetch against the cached serve view +
+        reorder to the given (key, score) list, with the P6 null-content
+        drop."""
+        schema = "key long, content string, score double"
+        if not ordered:
+            return self.spark.createDataFrame([], schema)
         fetched = (
-            serve.where(F.col(KEY_COL).isin(*scores.keys()))
+            serve.where(F.col(KEY_COL).isin(*[k for k, _ in ordered]))
             .select(F.col(KEY_COL).alias("key"), "content")
             .collect()
         )
         content = {int(r["key"]): r["content"] for r in fetched}
         rows = [
             (k, content[k], s)
-            for k, s in top
+            for k, s in ordered
             if content.get(k) is not None  # P6 null-content drop
         ]
-        return self.spark.createDataFrame(
-            rows, "key long, content string, score double"
-        )
+        return self.spark.createDataFrame(rows, schema)
 
     _LSH_BITS = 8
     _LSH_SEED = 42

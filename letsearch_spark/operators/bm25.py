@@ -206,6 +206,60 @@ def bm25_scores_with_idf(
     )
 
 
+def bm25_scores_many(
+    postings: DataFrame,
+    query_terms: dict[int, list[str]],
+    n_docs: int,
+    avgdl: float,
+    id_col: str = "doc_id",
+    query_idx_col: str = "query_idx",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """(query_idx, id, bm25) for a BATCH of queries in one plan.
+
+    ``query_terms`` maps query index -> its analyzed terms. The postings
+    are filtered ONCE to the union of all queries' terms, then a tiny
+    broadcast (query_idx, term) table fans each candidate row out to the
+    queries that asked for its term; document frequencies ride a second
+    broadcast. One aggregation shuffle keyed by (query_idx, id) -- the
+    batched analog of the single-query join mode, with the broadcast
+    overhead amortized across the whole batch."""
+    pairs = [
+        (int(qi), t)
+        for qi, terms in query_terms.items()
+        for t in dict.fromkeys(terms)
+    ]
+    if not pairs:
+        raise ValueError("no query has any tokens after analysis")
+    if n_docs == 0 or avgdl <= 0.0:
+        raise ValueError("empty corpus: no document has any token")
+    spark = postings.sparkSession
+    qt = spark.createDataFrame(pairs, f"{query_idx_col} long, __term string")
+    all_terms = sorted({t for _, t in pairs})
+
+    tf = postings.where(F.col("__term").isin(all_terms))
+    dfreq = tf.groupBy("__term").agg(F.count(F.lit(1)).alias("__df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_docs)) - F.col("__df") + F.lit(0.5))
+        / (F.col("__df") + F.lit(0.5))
+    )
+    tf_norm = (
+        F.col("__tf")
+        * (k1 + 1.0)
+        / (F.col("__tf") + k1 * (1.0 - b + b * F.col("__dl") / F.lit(avgdl)))
+    )
+    return (
+        tf.join(F.broadcast(qt), "__term")
+        .join(F.broadcast(dfreq), "__term")
+        .withColumn("__s", idf * tf_norm)
+        .groupBy(query_idx_col, "__id")
+        .agg(F.sum("__s").alias("bm25"))
+        .select(query_idx_col, F.col("__id").alias(id_col), "bm25")
+    )
+
+
 def bm25_scores(
     docs: DataFrame,
     query: str,
@@ -258,23 +312,27 @@ def rrf_fuse(
     id_col: str = "doc_id",
     k0: int = 60,
     rank_col: str = "rank",
+    group_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Reciprocal-rank fusion of ranked legs.
 
-    Each leg is (id, rank) with rank 1-based; output is
-    (id, rrf, <name>_rank ... one LONG column per leg, null when the
-    doc is absent from that leg). ``rrf = sum(1/(k0 + rank))`` over the
-    legs that contain the doc -- the standard Cormack/Clarke/Buettcher
-    formulation. Integer ranks make the fused double bit-stable across
-    engines regardless of join order."""
+    Each leg is (*group_cols, id, rank) with rank 1-based; output is
+    (*group_cols, id, rrf, <name>_rank ... one LONG column per leg,
+    null when the doc is absent from that leg). ``rrf = sum(1/(k0 +
+    rank))`` over the legs that contain the doc -- the standard
+    Cormack/Clarke/Buettcher formulation. Integer ranks make the fused
+    double bit-stable across engines regardless of join order.
+    ``group_cols`` (e.g. a query index) fuses many rankings at once --
+    the batch shape."""
     if not legs:
         raise ValueError("rrf_fuse needs at least one leg")
+    keys = [*group_cols, id_col]
     fused: DataFrame | None = None
     for name, leg in legs.items():
         renamed = leg.select(
-            F.col(id_col), F.col(rank_col).cast("long").alias(f"{name}_rank")
+            *keys, F.col(rank_col).cast("long").alias(f"{name}_rank")
         )
-        fused = renamed if fused is None else fused.join(renamed, id_col, "full_outer")
+        fused = renamed if fused is None else fused.join(renamed, keys, "full_outer")
     score = None
     for name in legs:
         term = F.when(
@@ -283,5 +341,5 @@ def rrf_fuse(
         ).otherwise(F.lit(0.0))
         score = term if score is None else score + term
     return fused.select(
-        id_col, score.alias("rrf"), *[f"{name}_rank" for name in legs]
+        *keys, score.alias("rrf"), *[f"{name}_rank" for name in legs]
     )

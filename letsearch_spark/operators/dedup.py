@@ -803,9 +803,7 @@ def semantic_dedup(
             }
         )
 
+    # no output ordering: a global sort would add a corpus-sized range
+    # exchange; consumers joining the keep column back don't need one
     out_schema = f"{id_col} long, cluster long, keep boolean"
-    return (
-        assigned.groupBy("__c")
-        .applyInPandas(_judge, schema=out_schema)
-        .orderBy(id_col)
-    )
+    return assigned.groupBy("__c").applyInPandas(_judge, schema=out_schema)

@@ -44,13 +44,21 @@ def hashed_ngram_features(
     num_buckets: int = DEFAULT_BUCKETS,
     seed: int = 42,
 ) -> DataFrame:
-    """(id, bucket, cnt): hashed unigram+bigram counts per document."""
+    """(id, bucket, cnt): hashed unigram+bigram counts per document.
+
+    Bigrams come from zip_with over two shifted slices -- the lambda
+    touches only its own element args, never an outer expression, so
+    nothing is re-evaluated per element (the transform(sequence(...),
+    element_at-lambda) form is O(words^2) per document; see the scale
+    lesson in SCALING.md and ngram_lm._doc_ngrams)."""
     words = tokenize(F.col(text_col))
-    bigrams = F.expr(
-        "transform(sequence(0, size(__w) - 2),"
-        " i -> concat(element_at(__w, i + 1), ' ', element_at(__w, i + 2)))"
+    length = F.size(F.col("__w"))
+    bigrams = F.zip_with(
+        F.slice(F.col("__w"), 1, length - 1),
+        F.slice(F.col("__w"), 2, length - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
     )
-    feats = F.concat(F.col("__w"), F.when(F.size("__w") >= 2, bigrams).otherwise(F.array()))
+    feats = F.concat(F.col("__w"), bigrams)
     return (
         df.select(F.col(id_col).alias("id"), words.alias("__w"))
         .where(F.size("__w") > 0)
@@ -76,28 +84,33 @@ def fit_log_ratio(
     """(bucket, log_ratio): smoothed log(p_target[b] / p_raw[b]).
 
     Laplace ``alpha`` keeps never-seen buckets finite. Input is the
-    output of :func:`hashed_ngram_features` on each corpus."""
+    output of :func:`hashed_ngram_features` on each corpus.
 
-    def marginal(feats: DataFrame, name: str) -> DataFrame:
-        return feats.groupBy("bucket").agg(F.sum("cnt").alias(name))
+    Each corpus is featurized exactly ONCE here: the bucket marginals
+    (<= num_buckets rows -- 1e4 by default, the paper's size) are
+    collected and the model assembled driver-side, so the returned
+    model DataFrame carries no corpus lineage to recompute downstream."""
+    import math
 
-    t = marginal(target_feats, "t_cnt")
-    r = marginal(raw_feats, "r_cnt")
-    # totals: two scalars; computed once driver-side
-    t_total = t.agg(F.sum("t_cnt")).collect()[0][0] or 0
-    r_total = r.agg(F.sum("r_cnt")).collect()[0][0] or 0
-    joined = t.join(r, "bucket", "full_outer").select(
-        "bucket",
-        F.coalesce("t_cnt", F.lit(0)).alias("t_cnt"),
-        F.coalesce("r_cnt", F.lit(0)).alias("r_cnt"),
+    def marginal(feats: DataFrame) -> dict[int, int]:
+        rows = feats.groupBy("bucket").agg(F.sum("cnt").alias("c")).collect()
+        return {int(r["bucket"]): int(r["c"]) for r in rows}
+
+    t_cnt = marginal(target_feats)
+    r_cnt = marginal(raw_feats)
+    t_den = float(sum(t_cnt.values()) + alpha * num_buckets)
+    r_den = float(sum(r_cnt.values()) + alpha * num_buckets)
+    rows = [
+        (
+            b,
+            math.log((t_cnt.get(b, 0) + alpha) / t_den)
+            - math.log((r_cnt.get(b, 0) + alpha) / r_den),
+        )
+        for b in sorted(set(t_cnt) | set(r_cnt))
+    ]
+    return target_feats.sparkSession.createDataFrame(
+        rows, "bucket long, log_ratio double"
     )
-    log_p_t = F.log(
-        (F.col("t_cnt") + alpha) / F.lit(float(t_total + alpha * num_buckets))
-    )
-    log_p_r = F.log(
-        (F.col("r_cnt") + alpha) / F.lit(float(r_total + alpha * num_buckets))
-    )
-    return joined.select("bucket", (log_p_t - log_p_r).alias("log_ratio"))
 
 
 def importance_weights(
@@ -127,6 +140,7 @@ def dsir_sample(
     num_buckets: int = DEFAULT_BUCKETS,
     alpha: float = 1.0,
     seed: int = 42,
+    cache_features: bool = True,
 ) -> DataFrame:
     """Top-k raw documents by Gumbel-perturbed importance weight:
     (id, log_w, gumbel_key) -- sampling without replacement proportional
@@ -134,10 +148,21 @@ def dsir_sample(
 
     The Gumbel variate derives from an md5 uniform on the id (same
     engine-portable trick as operators/sample.py), so a rerun or a
-    repartition returns the identical sample."""
+    repartition returns the identical sample.
+
+    The raw corpus's features feed BOTH the model fit (eager, here) and
+    the returned weight plan; ``cache_features`` persists them
+    (MEMORY_AND_DISK) so the corpus is featurized once, not twice. The
+    persisted features stay registered until Spark evicts them or the
+    caller unpersists -- pass False to trade a second featurization
+    pass for zero cache footprint."""
     raw_feats = hashed_ngram_features(
         raw, id_col, text_col, num_buckets=num_buckets, seed=seed
     )
+    if cache_features:
+        from pyspark import StorageLevel
+
+        raw_feats = raw_feats.persist(StorageLevel.MEMORY_AND_DISK)
     target_feats = hashed_ngram_features(
         target, id_col, text_col, num_buckets=num_buckets, seed=seed
     )

@@ -159,6 +159,7 @@ def test_reimport_resets_embeddings(spark, sf_dir, tmp_path):
 
 
 def test_search_strategies_equal(coll):
+    coll.embed_column("text", incremental=True)  # no-op when already embedded
     a = [(r["key"], round(r["score"], 6)) for r in coll.search("text", "spark q", limit=5).collect()]
     for strat in ("inlist", "local"):
         b = [
@@ -292,6 +293,7 @@ def test_search_lsh_strategy(coll):
 
 
 def test_search_many_matches_per_query(coll):
+    coll.embed_column("text", incremental=True)  # no-op when already embedded
     qs = [f"spark join query window batch {i}" for i in range(5)]
     batched = {}
     for r in coll.search_many("text", qs, limit=5).collect():
@@ -595,3 +597,65 @@ def test_search_hybrid_strategy(coll):
         for r in coll.search("text", "!!! ???", limit=5, strategy="hybrid").collect()
     ]
     assert fallback == dense
+
+
+def test_search_hybrid_excludes_unembedded_appends(spark, sf_dir, tmp_path):
+    """Regression: the lexical leg must rank the SERVE population
+    (embedded docs), not the raw docs table -- an appended-but-not-yet-
+    embedded doc that matches the query lexically must neither shrink
+    the result below the limit nor appear in it."""
+    import pyspark.sql.types as T
+
+    root = str(tmp_path / "hyb")
+    c = Collection.create(
+        spark, root, name="h", index_columns=["text"], model_name="stub://16"
+    )
+    schema = T.StructType([T.StructField("text", T.StringType())])
+    c.import_df(
+        spark.createDataFrame(
+            [(f"base document number {i} alpha bravo",) for i in range(20)], schema
+        )
+    )
+    c.embed_column("text")
+    n_embedded = c.count()
+
+    # append strong lexical matches WITHOUT embedding them
+    c._append_df(
+        spark.createDataFrame(
+            [("zz unique query words exact match",)] * 5, schema
+        )
+    )
+    res = c.search(
+        "text", "zz unique query words exact match", limit=5, strategy="hybrid"
+    ).collect()
+    assert len(res) == 5  # not shrunk by dropped unembedded hits
+    assert all(r["key"] <= n_embedded for r in res)
+    # after embedding the appends, they take over the top slots
+    c.embed_column("text", incremental=True)
+    res2 = c.search(
+        "text", "zz unique query words exact match", limit=5, strategy="hybrid"
+    ).collect()
+    assert all(r["key"] > n_embedded for r in res2)
+    assert res2[0]["content"] == "zz unique query words exact match"
+
+
+def test_search_many_hybrid_matches_per_query(coll):
+    """Batched hybrid (one plan for N queries) must agree with the
+    per-query hybrid path on every query's result set."""
+    coll.embed_column("text", incremental=True)
+    qs = [f"spark join query window batch {i}" for i in range(4)]
+    batched = {}
+    for r in coll.search_many("text", qs, limit=5, strategy="hybrid").collect():
+        batched.setdefault(r["query_idx"], []).append(
+            (r["rank"], r["key"], round(r["score"], 9))
+        )
+    for i, q in enumerate(qs):
+        single = [
+            (j + 1, r["key"], round(r["score"], 9))
+            for j, r in enumerate(
+                coll.search("text", q, limit=5, strategy="hybrid").collect()
+            )
+        ]
+        assert sorted(batched[i]) == single, f"query {i}"
+    with pytest.raises(ValueError):
+        coll.search_many("text", qs, strategy="bogus")

@@ -37,10 +37,14 @@ def scaled_docs(spark, n_copies: int):
             # suffix EVERY word with the copy id: every shingle/token
             # differs across copies, so copies are not near-dups of each
             # other (pair structure stays linear, like real data), while
-            # the near-dup pairs WITHIN each copy are preserved exactly
+            # the near-dup pairs WITHIN each copy are preserved exactly.
+            # The joiner is alphanumeric ('x3', not '_3') so the salted
+            # word stays ONE token under bm25's [^a-z0-9]+ analyzer --
+            # an underscore would split it back into the shared base
+            # word + a bare digit, silently re-merging the vocabularies
             F.expr(
                 "regexp_replace(text, '(\\\\S+)', "
-                "concat('$1_', CAST(copy AS STRING)))"
+                "concat('$1x', CAST(copy AS STRING)))"
             ).alias("text"),
         )
     )
@@ -206,8 +210,8 @@ def main() -> None:
         # vocabularies disjoint, so copy-0's terms stay equally selective
         # as the corpus grows -- the cost curve isolates the scan+explode,
         # the candidate shuffle staying constant-size
-        q = "spark join window agg" if scales == [1] or n == 1 else (
-            "spark_0 join_0 window_0 agg_0"
+        q = "spark join window agg" if n == 1 else (
+            "sparkx0 joinx0 windowx0 aggx0"
         )
         timeit(
             "bm25_topk",
