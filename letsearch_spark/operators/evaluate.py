@@ -1,0 +1,69 @@
+"""Retrieval-quality evaluation: recall@k of an approximate strategy
+against the exact ranking.
+
+The number that justifies every approximate path (sign-LSH buckets, IVF
+probes, hybrid fusion depth) is recall against brute force at the same
+k. This is itself a batch operator: both rankings are (query, key, rank)
+DataFrames -- typically knn_join output or collected serve results --
+and recall is one join + one aggregation.
+
+At scale: rankings are (queries x k) rows; the join keys on
+(query, key) and the aggregation on query -- both tiny relative to the
+corpus that produced them. Nothing here touches the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def recall_at_k(
+    approx: DataFrame,
+    exact: DataFrame,
+    k: int,
+    query_col: str = "query_id",
+    key_col: str = "_key",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """(query, n_exact, n_hit, recall) per query: |approx ∩ exact| / |exact|
+    over each ranking's top-k.
+
+    ``exact`` is ground truth (brute-force top-k); ``approx`` the
+    strategy under test. Queries the approx side missed entirely still
+    appear (n_hit 0) via the left join from the exact side."""
+    e = exact.where(F.col(rank_col) <= k).select(
+        F.col(query_col).alias("__q"), F.col(key_col).alias("__k")
+    )
+    a = approx.where(F.col(rank_col) <= k).select(
+        F.col(query_col).alias("__q"), F.col(key_col).alias("__k"),
+        F.lit(1).alias("__hit"),
+    )
+    return (
+        e.join(a, ["__q", "__k"], "left")
+        .groupBy("__q")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.sum(F.coalesce("__hit", F.lit(0))).cast("long").alias("n_hit"),
+        )
+        .select(
+            F.col("__q").alias(query_col),
+            "n_exact",
+            "n_hit",
+            (F.col("n_hit") / F.col("n_exact")).alias("recall"),
+        )
+    )
+
+
+def mean_recall_at_k(
+    approx: DataFrame,
+    exact: DataFrame,
+    k: int,
+    query_col: str = "query_id",
+    key_col: str = "_key",
+    rank_col: str = "rank",
+) -> float:
+    """Macro-averaged recall@k (one scalar; equal weight per query)."""
+    per_q = recall_at_k(approx, exact, k, query_col, key_col, rank_col)
+    row = per_q.agg(F.avg("recall").alias("r")).collect()[0]
+    return float(row["r"] or 0.0)

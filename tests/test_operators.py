@@ -1581,3 +1581,72 @@ def test_dsir_deterministic_and_weight_twin(spark):
     assert set(got) == set(expected)
     for i in expected:
         assert abs(got[i] - expected[i]) < 1e-9, (i, got[i], expected[i])
+
+
+# ------------------------------------------------------------ evaluation
+
+
+def test_recall_at_k_counts_and_misses(spark):
+    from letsearch_spark.operators.evaluate import mean_recall_at_k, recall_at_k
+
+    exact = spark.createDataFrame(
+        [(0, 10, 1), (0, 11, 2), (0, 12, 3), (1, 20, 1), (1, 21, 2), (1, 22, 3)],
+        "query_id long, _key long, rank int",
+    )
+    # query 0: 2/3 overlap; query 1: approx missed entirely
+    approx = spark.createDataFrame(
+        [(0, 10, 1), (0, 12, 2), (0, 99, 3)],
+        "query_id long, _key long, rank int",
+    )
+    got = {
+        r["query_id"]: (r["n_exact"], r["n_hit"], r["recall"])
+        for r in recall_at_k(approx, exact, k=3).collect()
+    }
+    assert got == {0: (3, 2, 2 / 3), 1: (3, 0, 0.0)}
+    assert mean_recall_at_k(approx, exact, k=3) == (2 / 3 + 0.0) / 2
+    # k cutoff applies to both sides
+    got2 = recall_at_k(approx, exact, k=1).collect()
+    assert {(r["query_id"], r["recall"]) for r in got2} == {(0, 1.0), (1, 0.0)}
+
+
+def test_recall_lsh_and_ivf_measured(spark, sf_dir):
+    """The ANN strategies' recall against brute force on the real
+    embeddings table: sign-LSH multiprobe and IVF probes both trade
+    recall for pruning; both must stay well above chance and IVF
+    recall must rise with nprobe (the knob's contract)."""
+    import os as _os
+
+    from letsearch_spark.operators.ann import build_ivf, ivf_topk
+    from letsearch_spark.operators.evaluate import mean_recall_at_k
+    from letsearch_spark.operators.topk import knn_join
+
+    emb = (
+        spark.read.parquet(_os.path.join(sf_dir, "embeddings.parquet"))
+        .select(F.col("vec_id").alias("_key"), F.col("embedding").alias("vector"))
+    )
+    queries = emb.where(F.col("_key") < 20).select(
+        F.col("_key").alias("query_id"), F.col("vector").alias("qvec")
+    )
+    exact = knn_join(emb, queries, k=10)
+
+    import tempfile
+
+    path = tempfile.mkdtemp(prefix="ls_ivf_eval_") + "/ivf"
+    cents = build_ivf(emb, path, nlist=8, vec_col="vector", key_col="_key")
+    qrows = queries.collect()
+
+    def ivf_ranking(nprobe):
+        rows = []
+        for q in qrows:
+            hits = ivf_topk(
+                spark, path, cents, list(q["qvec"]), k=10, nprobe=nprobe
+            ).collect()
+            rows += [(q["query_id"], r["_key"], i + 1) for i, r in enumerate(hits)]
+        return spark.createDataFrame(rows, "query_id long, _key long, rank int")
+
+    r1 = mean_recall_at_k(ivf_ranking(1), exact, k=10)
+    r4 = mean_recall_at_k(ivf_ranking(4), exact, k=10)
+    r8 = mean_recall_at_k(ivf_ranking(8), exact, k=10)
+    assert r8 >= r4 >= r1 >= 0.3  # recall rises with nprobe
+    assert r4 >= 0.6
+    assert r8 == 1.0  # probing every list IS brute force
