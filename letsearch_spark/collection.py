@@ -47,6 +47,22 @@ from letsearch_spark.operators.topk import cosine_topk
 _IDENT_RE = re.compile(r"^[A-Za-z0-9_]+$")
 
 
+def _overlap_scorer(query: str, contents: list[str]) -> list[float]:
+    """Default reranker: token-set Jaccard overlap with the query --
+    deterministic, dependency-free, and shaped exactly like a real
+    cross-encoder scorer (query + candidate texts in, one score per
+    candidate out)."""
+    from letsearch_spark.operators.bm25 import tokenize_query
+
+    q = set(tokenize_query(query))
+    out = []
+    for c in contents:
+        t = set(tokenize_query(c or ""))
+        union = q | t
+        out.append(len(q & t) / len(union) if union else 0.0)
+    return out
+
+
 def is_valid_identifier(name: str) -> bool:
     """Identifier-injection guard (reference: collection_actor.rs:21-28)."""
     return bool(_IDENT_RE.match(name))
@@ -1112,6 +1128,53 @@ class Collection:
             bundle = (keys, mat, contents)
             self._local_idx[column] = bundle
         return bundle
+
+    def search_rerank(
+        self,
+        column: str,
+        query: str,
+        limit: int = 10,
+        retrieve_limit: int = 100,
+        scorer=None,
+        strategy: str = "join",
+    ) -> DataFrame:
+        """Two-stage retrieve-then-rerank (the standard RAG pattern the
+        reference's dense-only serving stops short of): any first-stage
+        ``strategy`` fetches ``retrieve_limit`` candidates, then
+        ``scorer(query, contents) -> scores`` rescales them and the top
+        ``limit`` survive.
+
+        The scorer runs driver-side over the <= 100 candidates -- the
+        honest shape for a cross-encoder: its cost is per-candidate
+        model inference, bounded by retrieve_limit, not data size. The
+        default scorer is deterministic lexical token overlap (Jaccard
+        against the query), a stand-in with the same signature a real
+        cross-encoder plugs into.
+
+        Returns (key, content, score, retrieval_score), score =
+        reranker's, ties broken by retrieval score then key."""
+        if not 1 <= limit <= retrieve_limit <= 100:
+            raise ValueError(
+                "need 1 <= limit <= retrieve_limit <= 100, got "
+                f"limit={limit} retrieve_limit={retrieve_limit}"
+            )
+        if scorer is None:
+            scorer = _overlap_scorer
+        cands = self.search(
+            column, query, limit=retrieve_limit, strategy=strategy
+        ).collect()
+        scores = scorer(query, [r["content"] for r in cands])
+        rows = sorted(
+            (
+                (int(r["key"]), r["content"], float(s), float(r["score"]))
+                for r, s in zip(cands, scores)
+            ),
+            key=lambda t: (-t[2], -t[3], t[0]),
+        )[:limit]
+        return self.spark.createDataFrame(
+            rows,
+            "key long, content string, score double, retrieval_score double",
+        )
 
     def search_rows(
         self, column: str, query: str, limit: int = 10, strategy: str = "local"

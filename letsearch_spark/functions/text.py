@@ -282,3 +282,64 @@ def normalize_url(col: Column) -> Column:
     rest = F.regexp_replace(u, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+", "")
     out = F.concat(scheme_host, rest)
     return F.regexp_replace(out, r"/$", "")
+
+
+# control/format characters that break tokenizers and dedup hashing:
+# C0 (minus \t\n\r), DEL+C1, zero-widths/joiners, BiDi marks, word
+# joiner, BOM, soft hyphen
+_CONTROL_RE = (
+    "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F-\\x9F"
+    "\\u200B-\\u200F\\u2060\\uFEFF\\u00AD]"
+)
+# every Unicode whitespace run -> one ASCII space (\s in Java regex is
+# ASCII-only by default; spell out NBSP, ogham, en/em spaces, ideographic)
+_WS_RE = "[\\s\\u00A0\\u1680\\u2000-\\u200A\\u2028\\u2029\\u202F\\u205F\\u3000]+"
+
+
+def normalize_text_column(
+    col: Column,
+    form: str = "NFKC",
+    strip_control: bool = True,
+    collapse_whitespace: bool = True,
+) -> Column:
+    """Training-corpus text canonicalization, pure Catalyst:
+
+    * Unicode normalization (NFKC folds full-width forms, ligatures,
+      and compatibility glyphs -- the form web-corpus pipelines
+      standardize on). Spark has no builtin normalizer, so this one
+      step is an Arrow-batched pandas UDF over stdlib ``unicodedata``
+      -- the documented exception to this module's Catalyst-only rule;
+      pass ``form=None`` for a fully JVM-side plan;
+    * control/format-character strip (C0/C1, zero-widths, BiDi marks,
+      BOM, soft hyphen) -- Catalyst regexp;
+    * whitespace collapse (any Unicode whitespace run to one ASCII
+      space) + trim -- Catalyst regexp.
+
+    Each step is a flag so callers canonicalize exactly as far as their
+    dedup/oracle contract allows (exact_dedup's normalize_text only
+    lowercases and collapses ASCII whitespace -- running this first
+    makes visually-identical unicode variants dedup together)."""
+    out = col
+    if form:
+        if form not in ("NFC", "NFD", "NFKC", "NFKD"):
+            raise ValueError(f"unknown unicode form {form!r}")
+        out = _unicode_normalize_udf(form)(out)
+    if strip_control:
+        out = F.regexp_replace(out, _CONTROL_RE, "")
+    if collapse_whitespace:
+        out = F.trim(F.regexp_replace(out, _WS_RE, " "))
+    return out
+
+
+def _unicode_normalize_udf(form: str):
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _norm(s):  # type: ignore[no-untyped-def]
+        import unicodedata
+
+        return s.map(
+            lambda v: unicodedata.normalize(form, v) if v is not None else None
+        )
+
+    return _norm

@@ -659,3 +659,36 @@ def test_search_many_hybrid_matches_per_query(coll):
         assert sorted(batched[i]) == single, f"query {i}"
     with pytest.raises(ValueError):
         coll.search_many("text", qs, strategy="bogus")
+
+
+def test_search_rerank_reorders_and_validates(coll):
+    """Retrieve-then-rerank: a custom scorer's order wins, the default
+    overlap scorer puts the verbatim match first, and the limit
+    contract is enforced."""
+    coll.embed_column("text", incremental=True)
+    target = (
+        coll.docs().select("_key", "text").where(F.col("text").isNotNull()).first()
+    )
+    # default scorer: verbatim text has Jaccard 1.0 with itself
+    res = coll.search_rerank("text", target["text"], limit=5, retrieve_limit=20)
+    rows = res.collect()
+    assert [c for c in res.columns] == ["key", "content", "score", "retrieval_score"]
+    assert len(rows) == 5
+    assert rows[0]["key"] == target["_key"]
+    assert rows[0]["score"] == pytest.approx(1.0)
+    assert [r["score"] for r in rows] == sorted(
+        (r["score"] for r in rows), reverse=True
+    )
+
+    # custom scorer: reverse the retrieval order entirely
+    def reverse_scorer(query, contents):
+        return list(range(len(contents)))
+
+    rev = coll.search_rerank(
+        "text", target["text"], limit=3, retrieve_limit=10, scorer=reverse_scorer
+    ).collect()
+    base = coll.search("text", target["text"], limit=10).collect()
+    assert [r["key"] for r in rev] == [r["key"] for r in base[::-1][:3]]
+
+    with pytest.raises(ValueError):
+        coll.search_rerank("text", "q", limit=50, retrieve_limit=10)

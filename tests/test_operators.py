@@ -1650,3 +1650,33 @@ def test_recall_lsh_and_ivf_measured(spark, sf_dir):
     assert r8 >= r4 >= r1 >= 0.3  # recall rises with nprobe
     assert r4 >= 0.6
     assert r8 == 1.0  # probing every list IS brute force
+
+
+def test_normalize_text_column(spark):
+    """Canonicalization: NFKC folds full-width/ligature glyphs, control
+    and zero-width chars strip, unicode whitespace collapses; the
+    form=None path stays fully JVM-side (no pandas UDF in the plan)."""
+    from letsearch_spark.functions.text import normalize_text_column
+
+    cases = [
+        ("Ｈｅｌｌｏ ﬁne", "Hello fine"),
+        ("a​b\x07c", "abc"),  # zero-width + C0 control
+        ("x 　y\n\tz", "x y z"),  # NBSP/ideographic/runs
+        ("  plain  ", "plain"),
+        (None, None),
+    ]
+    df = spark.createDataFrame([(t,) for t, _ in cases], "t string")
+    got = [
+        r["n"]
+        for r in df.select(normalize_text_column(F.col("t")).alias("n")).collect()
+    ]
+    assert got == [want for _, want in cases]
+
+    jvm_only = df.select(normalize_text_column(F.col("t"), form=None).alias("n"))
+    plan = jvm_only._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown unicode form"):
+        df.select(normalize_text_column(F.col("t"), form="NFX"))
