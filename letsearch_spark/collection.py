@@ -770,14 +770,18 @@ class Collection:
             )
         }
         query_terms = {
-            i: tokenize_query(q)
-            for i, q in enumerate(queries)
-            if tokenize_query(q)
+            i: t for i, q in enumerate(queries) if (t := tokenize_query(q))
         }
         if query_terms:
-            postings, _dfreq, n_docs, avgdl = self._lexical_view(column)
+            postings, dfreq, n_docs, avgdl = self._lexical_view(column)
+            # empty lexical corpus (e.g. all-CJK text under the ASCII
+            # analyzer): degrade to dense-only like the per-query path
+            if n_docs == 0 or avgdl <= 0.0:
+                query_terms = {}
+        if query_terms:
             lex = bm25_scores_many(
-                postings, query_terms, n_docs, avgdl, id_col=KEY_COL
+                postings, query_terms, n_docs, avgdl, id_col=KEY_COL,
+                dfreq=dfreq,  # reuse the cached per-term df table
             )
             wq = Window.partitionBy("query_idx").orderBy(
                 F.desc("score"), F.asc(KEY_COL)
@@ -909,7 +913,12 @@ class Collection:
         depth = self._HYBRID_DEPTH
 
         dense = (
-            serve.select(F.col(KEY_COL), self._serve_score(qvec).alias("score"))
+            # P6 filter BEFORE ranking: a null-content row earning a
+            # dense slot would be dropped by the fetch-back AFTER the
+            # limit, shrinking results -- and the lexical leg (built on
+            # non-null content) must rank the same population
+            serve.where(F.col("content").isNotNull())
+            .select(F.col(KEY_COL), self._serve_score(qvec).alias("score"))
             .orderBy(F.desc("score"), F.asc(KEY_COL))
             .limit(depth)
             .collect()
@@ -918,10 +927,14 @@ class Collection:
         terms = tokenize_query(query)
         if terms:
             postings, dfreq, n_docs, avgdl = self._lexical_view(column)
-            term_df = {
-                r["__term"]: int(r["__df"])
-                for r in dfreq.where(F.col("__term").isin(terms)).collect()
-            }
+            term_df = (
+                {
+                    r["__term"]: int(r["__df"])
+                    for r in dfreq.where(F.col("__term").isin(terms)).collect()
+                }
+                if n_docs > 0 and avgdl > 0.0
+                else {}
+            )
             if term_df:
                 lex = (
                     bm25_scores_with_idf(
@@ -1163,7 +1176,12 @@ class Collection:
         cands = self.search(
             column, query, limit=retrieve_limit, strategy=strategy
         ).collect()
-        scores = scorer(query, [r["content"] for r in cands])
+        scores = list(scorer(query, [r["content"] for r in cands]))
+        if len(scores) != len(cands):
+            raise ValueError(
+                f"scorer returned {len(scores)} scores for "
+                f"{len(cands)} candidates"
+            )
         rows = sorted(
             (
                 (int(r["key"]), r["content"], float(s), float(r["score"]))

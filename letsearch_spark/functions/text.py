@@ -285,15 +285,22 @@ def normalize_url(col: Column) -> Column:
 
 
 # control/format characters that break tokenizers and dedup hashing:
-# C0 (minus \t\n\r), DEL+C1, zero-widths/joiners, BiDi marks, word
-# joiner, BOM, soft hyphen
+# C0 (minus \t\n\r AND the whitespace-functioning VT \x0B / FF \x0C),
+# DEL+C1 except NEL \x85, zero-widths/joiners, BiDi marks, word joiner,
+# BOM, soft hyphen. VT/FF/NEL function as separators in real text
+# (form feeds in PDF extractions!) -- deleting them would merge the
+# words they separate, so they belong to the WHITESPACE step below.
 _CONTROL_RE = (
-    "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F-\\x9F"
+    "[\\x00-\\x08\\x0E-\\x1F\\x7F-\\x84\\x86-\\x9F"
     "\\u200B-\\u200F\\u2060\\uFEFF\\u00AD]"
 )
 # every Unicode whitespace run -> one ASCII space (\s in Java regex is
-# ASCII-only by default; spell out NBSP, ogham, en/em spaces, ideographic)
-_WS_RE = "[\\s\\u00A0\\u1680\\u2000-\\u200A\\u2028\\u2029\\u202F\\u205F\\u3000]+"
+# ASCII-only and already covers \x0B and \f; add NEL, NBSP, ogham,
+# en/em spaces, line/para separators, ideographic space)
+_WS_RE = (
+    "[\\s\\u0085\\u00A0\\u1680\\u2000-\\u200A"
+    "\\u2028\\u2029\\u202F\\u205F\\u3000]+"
+)
 
 
 def normalize_text_column(
@@ -320,7 +327,7 @@ def normalize_text_column(
     lowercases and collapses ASCII whitespace -- running this first
     makes visually-identical unicode variants dedup together)."""
     out = col
-    if form:
+    if form is not None:  # '' is an error, not a silent skip
         if form not in ("NFC", "NFD", "NFKC", "NFKD"):
             raise ValueError(f"unknown unicode form {form!r}")
         out = _unicode_normalize_udf(form)(out)

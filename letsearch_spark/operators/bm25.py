@@ -215,6 +215,7 @@ def bm25_scores_many(
     query_idx_col: str = "query_idx",
     k1: float = 1.2,
     b: float = 0.75,
+    dfreq: DataFrame | None = None,
 ) -> DataFrame:
     """(query_idx, id, bm25) for a BATCH of queries in one plan.
 
@@ -224,7 +225,11 @@ def bm25_scores_many(
     queries that asked for its term; document frequencies ride a second
     broadcast. One aggregation shuffle keyed by (query_idx, id) -- the
     batched analog of the single-query join mode, with the broadcast
-    overhead amortized across the whole batch."""
+    overhead amortized across the whole batch.
+
+    Pass a prebuilt ``dfreq`` (__term, __df) table -- e.g. the cached
+    one a Collection keeps beside its postings -- to skip re-aggregating
+    document frequencies from the candidate rows."""
     pairs = [
         (int(qi), t)
         for qi, terms in query_terms.items()
@@ -239,7 +244,12 @@ def bm25_scores_many(
     all_terms = sorted({t for _, t in pairs})
 
     tf = postings.where(F.col("__term").isin(all_terms))
-    dfreq = tf.groupBy("__term").agg(F.count(F.lit(1)).alias("__df"))
+    if dfreq is None:
+        dfreq = tf.groupBy("__term").agg(F.count(F.lit(1)).alias("__df"))
+    else:
+        dfreq = dfreq.where(F.col("__term").isin(all_terms)).select(
+            "__term", "__df"
+        )
     idf = F.log(
         F.lit(1.0)
         + (F.lit(float(n_docs)) - F.col("__df") + F.lit(0.5))

@@ -32,12 +32,19 @@ def recall_at_k(
     ``exact`` is ground truth (brute-force top-k); ``approx`` the
     strategy under test. Queries the approx side missed entirely still
     appear (n_hit 0) via the left join from the exact side."""
-    e = exact.where(F.col(rank_col) <= k).select(
-        F.col(query_col).alias("__q"), F.col(key_col).alias("__k")
+    # dedup both sides: a ranking with duplicate (query, key) rows
+    # (e.g. unioned overlapping probes) would fan the join out and
+    # inflate n_exact, breaking the |approx ∩ exact| / |exact| contract
+    e = (
+        exact.where(F.col(rank_col) <= k)
+        .select(F.col(query_col).alias("__q"), F.col(key_col).alias("__k"))
+        .dropDuplicates(["__q", "__k"])
     )
-    a = approx.where(F.col(rank_col) <= k).select(
-        F.col(query_col).alias("__q"), F.col(key_col).alias("__k"),
-        F.lit(1).alias("__hit"),
+    a = (
+        approx.where(F.col(rank_col) <= k)
+        .select(F.col(query_col).alias("__q"), F.col(key_col).alias("__k"))
+        .dropDuplicates(["__q", "__k"])
+        .withColumn("__hit", F.lit(1))
     )
     return (
         e.join(a, ["__q", "__k"], "left")
@@ -63,7 +70,16 @@ def mean_recall_at_k(
     key_col: str = "_key",
     rank_col: str = "rank",
 ) -> float:
-    """Macro-averaged recall@k (one scalar; equal weight per query)."""
+    """Macro-averaged recall@k (one scalar; equal weight per query).
+
+    Raises on an empty ground-truth frame -- reporting 0.0 there would
+    disguise a broken eval input (empty exact side, ranks that never
+    pass the k cutoff) as a catastrophically bad ANN configuration."""
     per_q = recall_at_k(approx, exact, k, query_col, key_col, rank_col)
     row = per_q.agg(F.avg("recall").alias("r")).collect()[0]
-    return float(row["r"] or 0.0)
+    if row["r"] is None:
+        raise ValueError(
+            "no exact-ranking rows at or below rank "
+            f"{k}: nothing to evaluate against"
+        )
+    return float(row["r"])

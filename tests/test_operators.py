@@ -1609,11 +1609,10 @@ def test_recall_at_k_counts_and_misses(spark):
     assert {(r["query_id"], r["recall"]) for r in got2} == {(0, 1.0), (1, 0.0)}
 
 
-def test_recall_lsh_and_ivf_measured(spark, sf_dir):
-    """The ANN strategies' recall against brute force on the real
-    embeddings table: sign-LSH multiprobe and IVF probes both trade
-    recall for pruning; both must stay well above chance and IVF
-    recall must rise with nprobe (the knob's contract)."""
+def test_recall_ivf_measured(spark, sf_dir):
+    """IVF recall against brute force on the real embeddings table:
+    probes trade recall for pruning; recall must rise with nprobe (the
+    knob's contract) and probing every list is exactly brute force."""
     import os as _os
 
     from letsearch_spark.operators.ann import build_ivf, ivf_topk
@@ -1662,6 +1661,11 @@ def test_normalize_text_column(spark):
         ("Ｈｅｌｌｏ ﬁne", "Hello fine"),
         ("a​b\x07c", "abc"),  # zero-width + C0 control
         ("x 　y\n\tz", "x y z"),  # NBSP/ideographic/runs
+        # whitespace-FUNCTIONING controls (FF/VT/NEL) must become a
+        # space, not vanish -- deleting them would merge the words a
+        # page break separates
+        ("page one\x0cpage two", "page one page two"),
+        ("a\x0bb\x85c", "a b c"),
         ("  plain  ", "plain"),
         (None, None),
     ]
