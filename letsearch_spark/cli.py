@@ -97,7 +97,12 @@ def cmd_search(args) -> int:
 
     spark = _spark(args)
     coll = Collection.load(spark, _home(args), args.collection)
-    rows = coll.search(args.column, args.query, limit=args.limit).collect()
+    rows = coll.search(
+        args.column,
+        args.query,
+        limit=args.limit,
+        strategy=getattr(args, "strategy", "join"),
+    ).collect()
     # pretty-print rank/score/content like the reference CLI (main.rs:360-380)
     for i, r in enumerate(rows, 1):
         content = (r["content"] or "")[:160]
@@ -157,6 +162,12 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--column", default="text")
     s.add_argument("--query", required=True)
     s.add_argument("--limit", type=int, default=10)
+    s.add_argument(
+        "--strategy",
+        default="join",
+        choices=["join", "inlist", "local", "lsh", "ivf", "hybrid"],
+        help="serving strategy (see Collection.search)",
+    )
     s.set_defaults(fn=cmd_search)
 
     s = sub.add_parser("serve", help="HTTP API (demo shim)")

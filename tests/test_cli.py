@@ -58,6 +58,16 @@ def test_cli_roundtrip(spark, sf_dir, tmp_path, capsys):
     line = capsys.readouterr().out.strip()
     assert "cli appended doc" in line and "[1.0000]" in line
 
+    # hybrid strategy through the CLI: verbatim doc wins both legs
+    a = p.parse_args(
+        ["--home", home, "--master", "local[4]",
+         "search", "--collection", "c1", "--query", "cli appended doc",
+         "--limit", "1", "--strategy", "hybrid"]
+    )
+    assert cmd_search(a) == 0
+    line = capsys.readouterr().out.strip()
+    assert "cli appended doc" in line  # rrf score, not 1.0
+
 
 def test_cli_compact(spark, sf_dir, tmp_path, capsys):
     from letsearch_spark.cli import cmd_compact
