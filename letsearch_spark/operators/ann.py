@@ -60,6 +60,10 @@ def kmeans_fit(
     """Pure-numpy spherical k-means core (shared by the Spark trainer and
     the single-process oracle twin): normalize, seed centroids from a
     seeded choice, iterate argmax-assign / mean / renormalize."""
+    if x.size == 0:
+        raise ValueError(
+            "cannot train centroids on an empty sample (no non-null vectors)"
+        )
     norms = np.linalg.norm(x, axis=1, keepdims=True)
     norms[norms == 0] = 1.0
     x = x / norms

@@ -768,7 +768,10 @@ def semantic_dedup(
     from letsearch_spark.operators.ann import assign_lists, train_centroids
 
     clean = df.select(id_col, vec_col).where(F.col(vec_col).isNotNull())
+    out_schema = f"{id_col} long, cluster long, keep boolean"
     if centroids is None:
+        if clean.first() is None:  # empty/all-null input -> empty output
+            return df.sparkSession.createDataFrame([], out_schema)
         centroids = train_centroids(
             clean,
             nlist=nlist,
@@ -805,5 +808,4 @@ def semantic_dedup(
 
     # no output ordering: a global sort would add a corpus-sized range
     # exchange; consumers joining the keep column back don't need one
-    out_schema = f"{id_col} long, cluster long, keep boolean"
     return assigned.groupBy("__c").applyInPandas(_judge, schema=out_schema)

@@ -1218,6 +1218,18 @@ def test_new_operators_degenerate_inputs(spark):
     r = remove_duplicate_lines(one, "id", "text").collect()[0]
     assert (r["text"], r["n_removed"]) == ("hello world", 0)
 
+    # round-3 operators on empty corpora
+    from letsearch_spark.operators.dedup import semantic_dedup
+    from letsearch_spark.operators.dsir import dsir_sample
+
+    empty_vecs = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    assert (
+        semantic_dedup(empty_vecs, id_col="vec_id", vec_col="embedding").count()
+        == 0
+    )
+    tgt = spark.createDataFrame([(0, "alpha")], "doc_id long, text string")
+    assert dsir_sample(empty_docs.withColumnRenamed("id", "doc_id"), tgt, k=3).count() == 0
+
 
 def test_code_review_regressions(spark):
     """Round-3 self-review fixes, pinned:
