@@ -62,6 +62,51 @@ def recall_at_k(
     )
 
 
+def mrr_at_k(
+    approx: DataFrame,
+    exact: DataFrame,
+    k: int,
+    query_col: str = "query_id",
+    key_col: str = "_key",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """(query, first_hit_rank, rr) per query: reciprocal rank of the
+    FIRST approx result that appears anywhere in the exact top-k
+    (binary relevance). Queries with no hit get rr = 0.0 and a null
+    first_hit_rank. Macro-average the ``rr`` column for MRR@k."""
+    e = (
+        exact.where(F.col(rank_col) <= k)
+        .select(F.col(query_col).alias("__q"), F.col(key_col).alias("__k"))
+        .dropDuplicates(["__q", "__k"])
+        .withColumn("__rel", F.lit(1))
+    )
+    a = (
+        approx.where(F.col(rank_col) <= k)
+        .select(
+            F.col(query_col).alias("__q"),
+            F.col(key_col).alias("__k"),
+            F.col(rank_col).alias("__r"),
+        )
+        .dropDuplicates(["__q", "__k"])
+    )
+    # every query from the exact side survives (left join from e's
+    # distinct queries), so no-hit queries report rr = 0
+    queries = e.select("__q").distinct()
+    hits = a.join(e, ["__q", "__k"]).groupBy("__q").agg(
+        F.min("__r").alias("first_hit_rank")
+    )
+    return (
+        queries.join(hits, "__q", "left")
+        .select(
+            F.col("__q").alias(query_col),
+            F.col("first_hit_rank").cast("long").alias("first_hit_rank"),
+            F.coalesce(
+                F.lit(1.0) / F.col("first_hit_rank"), F.lit(0.0)
+            ).alias("rr"),
+        )
+    )
+
+
 def mean_recall_at_k(
     approx: DataFrame,
     exact: DataFrame,

@@ -1696,3 +1696,22 @@ def test_normalize_text_column(spark):
 
     with _pytest.raises(ValueError, match="unknown unicode form"):
         df.select(normalize_text_column(F.col("t"), form="NFX"))
+
+
+def test_mrr_at_k(spark):
+    from letsearch_spark.operators.evaluate import mrr_at_k
+
+    exact = spark.createDataFrame(
+        [(0, 10, 1), (0, 11, 2), (1, 20, 1), (2, 30, 1)],
+        "query_id long, _key long, rank int",
+    )
+    approx = spark.createDataFrame(
+        # q0: first hit at approx rank 2; q1: hit at rank 1; q2: no hit
+        [(0, 99, 1), (0, 11, 2), (1, 20, 1), (2, 98, 1)],
+        "query_id long, _key long, rank int",
+    )
+    got = {
+        r["query_id"]: (r["first_hit_rank"], r["rr"])
+        for r in mrr_at_k(approx, exact, k=3).collect()
+    }
+    assert got == {0: (2, 0.5), 1: (1, 1.0), 2: (None, 0.0)}
