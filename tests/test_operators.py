@@ -1715,3 +1715,62 @@ def test_mrr_at_k(spark):
         for r in mrr_at_k(approx, exact, k=3).collect()
     }
     assert got == {0: (2, 0.5), 1: (1, 1.0), 2: (None, 0.0)}
+
+
+def test_bm25_matches_python_twin_randomized(spark):
+    """Randomized equivalence over messy corpora: random tokens
+    (letters, digits, punctuation, unicode, empties, nulls), random
+    queries -- Spark BM25 must match the transparent single-process
+    scorer on candidate sets AND scores every trial."""
+    import math
+    import random
+    import re
+
+    from letsearch_spark.operators.bm25 import bm25_scores, tokenize_query
+
+    vocab = [
+        "alpha", "beta", "Gamma!", "d4ta", "x-y", "λambda", "連結", "42",
+        "mixedCASE", "dot.sep", "u_score", "em—dash",
+    ]
+    rng = random.Random(11)
+
+    def toks(s):
+        return [t for t in re.sub("[^a-z0-9]+", " ", s.lower()).split() if t]
+
+    for trial in range(6):
+        n_docs = rng.randint(1, 40)
+        rows = []
+        for i in range(n_docs):
+            if rng.random() < 0.1:
+                rows.append((i, rng.choice([None, "", "!!!"])))
+            else:
+                rows.append(
+                    (i, " ".join(rng.choices(vocab, k=rng.randint(1, 30))))
+                )
+        query = " ".join(rng.choices(vocab, k=rng.randint(1, 4)))
+        terms = tokenize_query(query)
+        corpus = {i: toks(t) for i, t in rows if t and toks(t)}
+        if not corpus or not terms:
+            continue
+        n, avgdl = len(corpus), sum(map(len, corpus.values())) / len(corpus)
+        k1, b = 1.2, 0.75
+        expected = {}
+        for i, ts in corpus.items():
+            s = 0.0
+            for term in terms:
+                tf = ts.count(term)
+                if not tf:
+                    continue
+                df_ = sum(term in v for v in corpus.values())
+                idf = math.log(1.0 + (n - df_ + 0.5) / (df_ + 0.5))
+                s += idf * (
+                    tf * (k1 + 1) / (tf + k1 * (1 - b + b * len(ts) / avgdl))
+                )
+            if s:
+                expected[i] = s
+
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r["doc_id"]: r["bm25"] for r in bm25_scores(df, query).collect()}
+        assert set(got) == set(expected), f"trial {trial}"
+        for i in expected:
+            assert abs(got[i] - expected[i]) < 1e-12, (trial, i)
