@@ -107,6 +107,63 @@ def mrr_at_k(
     )
 
 
+def ndcg_at_k(
+    approx: DataFrame,
+    exact: DataFrame,
+    k: int,
+    query_col: str = "query_id",
+    key_col: str = "_key",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """(query, dcg, idcg, ndcg) per query with binary relevance: an
+    approx result at rank r is relevant iff it appears in the exact
+    top-k; gain 1/log2(r+1). The ideal DCG places every exact hit at
+    the top, so ndcg = 1 exactly when the approx ranking contains the
+    whole exact set in its first |exact| positions."""
+    e = (
+        exact.where(F.col(rank_col) <= k)
+        .select(F.col(query_col).alias("__q"), F.col(key_col).alias("__k"))
+        .dropDuplicates(["__q", "__k"])
+    )
+    a = (
+        approx.where(F.col(rank_col) <= k)
+        .select(
+            F.col(query_col).alias("__q"),
+            F.col(key_col).alias("__k"),
+            F.col(rank_col).alias("__r"),
+        )
+        .dropDuplicates(["__q", "__k"])
+    )
+    gain = F.lit(1.0) / F.log2(F.col("__r") + F.lit(1.0))
+    dcg = (
+        a.join(e, ["__q", "__k"])
+        .groupBy("__q")
+        .agg(F.sum(gain).alias("dcg"))
+    )
+    # ideal: the i-th of the n_exact hits sits at rank i
+    idcg = (
+        e.groupBy("__q")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .select(
+            "__q",
+            F.aggregate(
+                F.sequence(F.lit(1), F.col("__n")),
+                F.lit(0.0),
+                lambda acc, i: acc + F.lit(1.0) / F.log2(i + F.lit(1.0)),
+            ).alias("idcg"),
+        )
+    )
+    return (
+        idcg.join(dcg, "__q", "left")
+        .select(
+            F.col("__q").alias(query_col),
+            F.coalesce("dcg", F.lit(0.0)).alias("dcg"),
+            "idcg",
+            (F.coalesce("dcg", F.lit(0.0)) / F.col("idcg")).alias("ndcg"),
+        )
+    )
+
+
 def mean_recall_at_k(
     approx: DataFrame,
     exact: DataFrame,

@@ -1774,3 +1774,28 @@ def test_bm25_matches_python_twin_randomized(spark):
         assert set(got) == set(expected), f"trial {trial}"
         for i in expected:
             assert abs(got[i] - expected[i]) < 1e-12, (trial, i)
+
+
+def test_ndcg_at_k(spark):
+    import math
+
+    from letsearch_spark.operators.evaluate import ndcg_at_k
+
+    exact = spark.createDataFrame(
+        [(0, 10, 1), (0, 11, 2), (1, 20, 1), (2, 30, 1)],
+        "query_id long, _key long, rank int",
+    )
+    approx = spark.createDataFrame(
+        # q0: perfect; q1: hit demoted to rank 3; q2: no hits
+        [(0, 10, 1), (0, 11, 2), (1, 99, 1), (1, 98, 2), (1, 20, 3), (2, 98, 1)],
+        "query_id long, _key long, rank int",
+    )
+    got = {
+        r["query_id"]: (r["dcg"], r["idcg"], r["ndcg"])
+        for r in ndcg_at_k(approx, exact, k=3).collect()
+    }
+    ideal2 = 1 / math.log2(2) + 1 / math.log2(3)
+    assert got[0] == (ideal2, ideal2, 1.0)
+    assert got[1][0] == 1 / math.log2(4) and got[1][1] == 1.0
+    assert got[1][2] == 1 / math.log2(4)
+    assert got[2] == (0.0, 1.0, 0.0)
