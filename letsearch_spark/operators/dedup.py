@@ -768,7 +768,11 @@ def semantic_dedup(
     from letsearch_spark.operators.ann import assign_lists, train_centroids
 
     clean = df.select(id_col, vec_col).where(F.col(vec_col).isNotNull())
-    out_schema = f"{id_col} long, cluster long, keep boolean"
+    # carry the caller's id type through (string ids are as legal as
+    # longs); hardcoding `long` here would surface as an opaque Arrow
+    # type error inside applyInPandas instead of just working
+    id_type = df.schema[id_col].dataType.simpleString()
+    out_schema = f"{id_col} {id_type}, cluster long, keep boolean"
     if centroids is None:
         if clean.first() is None:  # empty/all-null input -> empty output
             return df.sparkSession.createDataFrame([], out_schema)

@@ -152,10 +152,12 @@ def dsir_sample(
 
     The raw corpus's features feed BOTH the model fit (eager, here) and
     the returned weight plan; ``cache_features`` persists them
-    (MEMORY_AND_DISK) so the corpus is featurized once, not twice. The
-    persisted features stay registered until Spark evicts them or the
-    caller unpersists -- pass False to trade a second featurization
-    pass for zero cache footprint."""
+    (MEMORY_AND_DISK) so the corpus is featurized once, not twice. In
+    that mode the k-row result is eagerly materialized (localCheckpoint
+    -- k rows of three scalars, executor-resident) so the feature cache
+    can be released before returning: repeated pipeline runs do NOT
+    accumulate persisted feature tables. Pass False for a fully lazy
+    plan (featurizes twice, zero cache footprint)."""
     raw_feats = hashed_ngram_features(
         raw, id_col, text_col, num_buckets=num_buckets, seed=seed
     )
@@ -174,7 +176,7 @@ def dsir_sample(
         + F.lit(1)
     ) / F.lit(float((1 << 60) + 1))
     gumbel = -F.log(-F.log(u))
-    return (
+    sampled = (
         weights.select(
             F.col("id").alias(id_col),
             "log_w",
@@ -183,3 +185,9 @@ def dsir_sample(
         .orderBy(F.desc("gumbel_key"), F.asc(id_col))
         .limit(k)
     )
+    if cache_features:
+        # materialize the (small) sample so the corpus-sized feature
+        # cache can be dropped NOW instead of leaking across runs
+        sampled = sampled.localCheckpoint(eager=True)
+        raw_feats.unpersist()
+    return sampled

@@ -31,7 +31,15 @@ def recall_at_k(
 
     ``exact`` is ground truth (brute-force top-k); ``approx`` the
     strategy under test. Queries the approx side missed entirely still
-    appear (n_hit 0) via the left join from the exact side."""
+    appear (n_hit 0) via the left join from the exact side.
+
+    Per-query semantics: a query contributes a row iff the EXACT side
+    has at least one row for it at rank <= k. A query present only on
+    the approx side (missing/partial ground truth) is silently absent
+    from the output -- and therefore from any macro average computed
+    over it. :func:`mean_recall_at_k` checks for exactly this mismatch
+    and warns, so a partially missing ground-truth frame can't quietly
+    overstate recall."""
     # dedup both sides: a ranking with duplicate (query, key) rows
     # (e.g. unioned overlapping probes) would fan the join out and
     # inflate n_exact, breaking the |approx ∩ exact| / |exact| contract
@@ -176,7 +184,33 @@ def mean_recall_at_k(
 
     Raises on an empty ground-truth frame -- reporting 0.0 there would
     disguise a broken eval input (empty exact side, ranks that never
-    pass the k cutoff) as a catastrophically bad ANN configuration."""
+    pass the k cutoff) as a catastrophically bad ANN configuration.
+    Warns when the approx side contains queries the exact side lacks:
+    those queries are excluded from the average (see
+    :func:`recall_at_k`'s per-query semantics), which would otherwise
+    silently overstate recall under partial ground truth."""
+    import warnings
+
+    missing = (
+        approx.where(F.col(rank_col) <= k)
+        .select(F.col(query_col).alias("__q"))
+        .distinct()
+        .join(
+            exact.where(F.col(rank_col) <= k)
+            .select(F.col(query_col).alias("__q"))
+            .distinct(),
+            "__q",
+            "left_anti",
+        )
+        .count()
+    )
+    if missing:
+        warnings.warn(
+            f"{missing} approx-side quer{'y' if missing == 1 else 'ies'} "
+            "have no ground-truth rows at rank <= "
+            f"{k} and are excluded from the macro average",
+            stacklevel=2,
+        )
     per_q = recall_at_k(approx, exact, k, query_col, key_col, rank_col)
     row = per_q.agg(F.avg("recall").alias("r")).collect()[0]
     if row["r"] is None:

@@ -1443,6 +1443,23 @@ def test_semantic_dedup_null_vectors_dropped(spark):
     assert got[1] and not got[3]
 
 
+def test_semantic_dedup_string_ids(spark):
+    """The output schema carries the caller's id type; string document
+    ids must flow through applyInPandas instead of dying on an Arrow
+    long/string mismatch (ADVICE r3)."""
+    from letsearch_spark.operators.dedup import semantic_dedup
+
+    df = spark.createDataFrame(
+        [("a", [1.0, 0.0]), ("b", [1.0, 0.0]), ("c", [0.0, 1.0])],
+        "vec_id string, embedding array<double>",
+    )
+    out = semantic_dedup(df, id_col="vec_id", vec_col="embedding", nlist=1)
+    assert out.schema["vec_id"].dataType.simpleString() == "string"
+    got = {r["vec_id"]: r["keep"] for r in out.collect()}
+    # min-id keep rule sorts lexically for string ids: "a" survives
+    assert got == {"a": True, "b": False, "c": True}
+
+
 def test_bm25_df_modes_and_idf_literals_agree(spark, sf_dir):
     """All three document-frequency formulations -- window over
     candidates, groupBy+broadcast join, and driver-inlined idf literals
@@ -1595,7 +1612,45 @@ def test_dsir_deterministic_and_weight_twin(spark):
         assert abs(got[i] - expected[i]) < 1e-9, (i, got[i], expected[i])
 
 
+def test_dsir_sample_releases_feature_cache(spark):
+    """cache_features=True must not leak the corpus-sized feature cache
+    across runs (ADVICE r3): after dsir_sample returns, the SQL cache
+    holds nothing, and the eagerly-checkpointed sample still collects."""
+    from letsearch_spark.operators.dsir import dsir_sample
+
+    raw = spark.createDataFrame(
+        [(i, f"alpha beta doc {i % 3}") for i in range(20)],
+        "doc_id long, text string",
+    )
+    target = spark.createDataFrame(
+        [(0, "alpha beta focus")], "doc_id long, text string"
+    )
+    spark.catalog.clearCache()
+    picked = dsir_sample(raw, target, k=5, cache_features=True)
+    cache_mgr = spark._jsparkSession.sharedState().cacheManager()
+    assert cache_mgr.isEmpty(), "feature cache left registered"
+    assert picked.count() == 5  # survives its lineage being uncached
+
+
 # ------------------------------------------------------------ evaluation
+
+
+def test_mean_recall_warns_on_missing_ground_truth(spark):
+    """Approx-side queries absent from the exact side are excluded from
+    the macro average -- mean_recall_at_k must say so (ADVICE r3)."""
+    import pytest as _pytest
+
+    from letsearch_spark.operators.evaluate import mean_recall_at_k
+
+    exact = spark.createDataFrame(
+        [(1, 10, 1)], "query_id long, _key long, rank int"
+    )
+    approx = spark.createDataFrame(
+        [(1, 10, 1), (2, 99, 1)], "query_id long, _key long, rank int"
+    )
+    with _pytest.warns(UserWarning, match="no ground-truth rows"):
+        r = mean_recall_at_k(approx, exact, k=3)
+    assert r == 1.0  # query 2 excluded, not scored as a free hit
 
 
 def test_recall_at_k_counts_and_misses(spark):
