@@ -1,0 +1,95 @@
+"""Oracle verification for contract entries rotated OUT of the driver's
+50-slot correctness window (round 4).
+
+The driver hash-checks at most 50 queries; rotation made room for the
+formerly twin-only operators (DSIR, perplexity filter, semantic dedup,
+stateful sessions). The rotated-out capabilities -- CSV source, JSON
+extraction, percentile aggregation, anti-join set op -- keep the SAME
+Spark-vs-DuckDB comparison here: row count, sorted-column schema, and
+exact canonical value equality, identical to tools/check_oracle.py.
+"""
+
+import math
+
+import pytest
+
+
+def _canon(v) -> str:
+    if v is None:
+        return "<NULL>"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(v)
+    if isinstance(v, bool):
+        return str(bool(v)).lower()
+    if isinstance(v, bytes):
+        return v.hex()
+    return str(v)
+
+
+def _frame_to_rows(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(_canon(r[i]) for i in order) for r in rows]
+    out.sort()
+    return [cols[i] for i in order], out
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    import duckdb
+
+    from letsearch_spark.queries import TABLES
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    yield con
+    con.close()
+
+
+def _rotated_names():
+    from letsearch_spark.queries import ROTATED_OUT_QUERIES
+
+    return sorted(ROTATED_OUT_QUERIES)
+
+
+@pytest.mark.parametrize("name", _rotated_names())
+def test_rotated_out_entry_matches_oracle(spark, sf_dir, duck, name):
+    from letsearch_spark.queries import ROTATED_OUT_ORACLES, ROTATED_OUT_QUERIES
+
+    sdf = ROTATED_OUT_QUERIES[name](spark, sf_dir)
+    s_cols, s_rows = _frame_to_rows(
+        sdf.columns, [tuple(r) for r in sdf.collect()]
+    )
+    ddf = duck.sql(ROTATED_OUT_ORACLES[name])
+    d_cols, d_rows = _frame_to_rows(list(ddf.columns), ddf.fetchall())
+    assert s_cols == d_cols
+    assert len(s_rows) == len(d_rows)
+    assert s_rows == d_rows
+
+
+def test_rotation_bookkeeping():
+    """The driver window stays exactly 50, rotated-out names are gone
+    from it, and every live query has an oracle (the four new ones
+    included)."""
+    from letsearch_spark.queries import (
+        ROTATED_OUT_ORACLES,
+        ROTATED_OUT_QUERIES,
+        QUERIES,
+        oracles_with_computed,
+    )
+
+    assert len(QUERIES) == 50
+    assert set(ROTATED_OUT_QUERIES) == set(ROTATED_OUT_ORACLES)
+    assert not set(ROTATED_OUT_QUERIES) & set(QUERIES)
+    oracles = oracles_with_computed()
+    missing = set(QUERIES) - set(oracles)
+    assert not missing, f"queries without an oracle: {sorted(missing)}"
+    for new in (
+        "dsir_sample",
+        "perplexity_filter",
+        "semantic_dedup",
+        "stream_sessionize",
+    ):
+        assert new in QUERIES and new in oracles
