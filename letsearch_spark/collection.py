@@ -84,6 +84,11 @@ class Collection:
         # driver-RAM ceiling for strategy='local' serving (rows); a
         # 100x-scale collection must use the distributed strategies
         self.local_serve_max_rows: int = 1_000_000
+        # ceiling on search_many() batch size: queries embed driver-side
+        # and the N x limit hit set is broadcast back for content, so
+        # driver + executor footprint grows with N. Corpus-scale query
+        # sets belong in operators/topk.knn_join over a query DataFrame.
+        self.search_many_max_queries: int = 10_000
         # centroids of built IVF indexes (strategy='ivf'); the presence
         # of a key marks the on-disk index current -- cleared on writes
         self._ivf_centroids: dict = {}
@@ -714,6 +719,16 @@ class Collection:
             raise ValueError(f"unknown strategy {strategy!r}")
         if not queries:
             raise ValueError("queries must be non-empty")
+        if len(queries) > self.search_many_max_queries:
+            raise RuntimeError(
+                f"search_many got {len(queries)} queries -- above "
+                f"search_many_max_queries={self.search_many_max_queries}; "
+                f"queries embed driver-side and the N x limit hit set is "
+                f"broadcast, so batch in chunks, raise "
+                f"collection.search_many_max_queries explicitly, or use "
+                f"operators/topk.knn_join with a query DataFrame for "
+                f"corpus-scale query sets"
+            )
         self._require_embeddings(column)
         from letsearch_spark.operators.topk import knn_join
 

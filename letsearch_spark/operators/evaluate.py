@@ -122,17 +122,35 @@ def ndcg_at_k(
     query_col: str = "query_id",
     key_col: str = "_key",
     rank_col: str = "rank",
+    relevance_col: str | None = None,
 ) -> DataFrame:
-    """(query, dcg, idcg, ndcg) per query with binary relevance: an
-    approx result at rank r is relevant iff it appears in the exact
-    top-k; gain 1/log2(r+1). The ideal DCG places every exact hit at
-    the top, so ndcg = 1 exactly when the approx ranking contains the
-    whole exact set in its first |exact| positions."""
+    """(query, dcg, idcg, ndcg) per query.
+
+    Binary relevance (default): an approx result at rank r is relevant
+    iff it appears in the exact top-k; gain 1/log2(r+1). The ideal DCG
+    places every exact hit at the top, so ndcg = 1 exactly when the
+    approx ranking contains the whole exact set in its first |exact|
+    positions.
+
+    Graded relevance: pass ``relevance_col`` naming a non-negative gain
+    column on the EXACT side (e.g. the exact leg's similarity score);
+    an approx hit contributes rel/log2(r+1) and the ideal ranking
+    orders the exact set by descending gain. Binary is the special
+    case rel = 1. Ground truth should carry one gain per (query, key);
+    duplicate rows keep an arbitrary one."""
+    e_cols = [
+        F.col(query_col).alias("__q"),
+        F.col(key_col).alias("__k"),
+    ]
+    if relevance_col is not None:
+        e_cols.append(F.col(relevance_col).cast("double").alias("__rel"))
     e = (
         exact.where(F.col(rank_col) <= k)
-        .select(F.col(query_col).alias("__q"), F.col(key_col).alias("__k"))
+        .select(*e_cols)
         .dropDuplicates(["__q", "__k"])
     )
+    if relevance_col is None:
+        e = e.withColumn("__rel", F.lit(1.0))
     a = (
         approx.where(F.col(rank_col) <= k)
         .select(
@@ -142,23 +160,26 @@ def ndcg_at_k(
         )
         .dropDuplicates(["__q", "__k"])
     )
-    gain = F.lit(1.0) / F.log2(F.col("__r") + F.lit(1.0))
+    gain = F.col("__rel") / F.log2(F.col("__r") + F.lit(1.0))
     dcg = (
         a.join(e, ["__q", "__k"])
         .groupBy("__q")
         .agg(F.sum(gain).alias("dcg"))
     )
-    # ideal: the i-th of the n_exact hits sits at rank i
+    # ideal: the i-th highest-gain exact hit sits at rank i. posexplode
+    # of the descending-sorted gain list keeps this one aggregation per
+    # query over <= k elements -- no window, no second shuffle shape.
     idcg = (
         e.groupBy("__q")
-        .agg(F.count(F.lit(1)).alias("__n"))
-        .select(
-            "__q",
-            F.aggregate(
-                F.sequence(F.lit(1), F.col("__n")),
-                F.lit(0.0),
-                lambda acc, i: acc + F.lit(1.0) / F.log2(i + F.lit(1.0)),
-            ).alias("idcg"),
+        .agg(
+            F.sort_array(F.collect_list("__rel"), asc=False).alias("__rels")
+        )
+        .select("__q", F.posexplode("__rels").alias("__pos", "__rel"))
+        .groupBy("__q")
+        .agg(
+            F.sum(
+                F.col("__rel") / F.log2(F.col("__pos") + F.lit(2.0))
+            ).alias("idcg")
         )
     )
     return (

@@ -313,6 +313,21 @@ def test_search_many_matches_per_query(coll):
         coll.search_many("text", ["q"], limit=0)
 
 
+def test_search_many_query_count_ceiling(coll):
+    """Queries embed driver-side and the N x limit hit set broadcasts,
+    so search_many refuses loudly above search_many_max_queries (the
+    same guard shape as local_serve_max_rows)."""
+    old = coll.search_many_max_queries
+    try:
+        coll.search_many_max_queries = 2
+        with pytest.raises(RuntimeError, match="search_many_max_queries"):
+            coll.search_many("text", ["a", "b", "c"], limit=5)
+        # at the ceiling it still serves
+        assert coll.search_many("text", ["a", "b"], limit=3).count() == 6
+    finally:
+        coll.search_many_max_queries = old
+
+
 def test_search_before_embed_raises_clearly(spark, tmp_path, sf_dir):
     import os
 

@@ -1854,3 +1854,33 @@ def test_ndcg_at_k(spark):
     assert got[1][0] == 1 / math.log2(4) and got[1][1] == 1.0
     assert got[1][2] == 1 / math.log2(4)
     assert got[2] == (0.0, 1.0, 0.0)
+
+
+def test_ndcg_graded_relevance_differs_from_binary(spark):
+    """Graded gains change the verdict where binary can't see it: an
+    approx ranking that returns the whole exact set but puts the
+    low-gain hit first is perfect under binary NDCG and penalized under
+    graded. Both match hand-computed values."""
+    import math
+
+    from letsearch_spark.operators.evaluate import ndcg_at_k
+
+    exact = spark.createDataFrame(
+        [(0, 10, 1, 3.0), (0, 11, 2, 1.0)],
+        "query_id long, _key long, rank int, rel double",
+    )
+    # low-gain key 11 ranked above high-gain key 10
+    approx = spark.createDataFrame(
+        [(0, 11, 1), (0, 10, 2)], "query_id long, _key long, rank int"
+    )
+    binary = ndcg_at_k(approx, exact, k=3).collect()[0]
+    assert binary["ndcg"] == 1.0  # binary: full set retrieved -> perfect
+    graded = ndcg_at_k(
+        approx, exact, k=3, relevance_col="rel"
+    ).collect()[0]
+    dcg = 1.0 / math.log2(2) + 3.0 / math.log2(3)
+    idcg = 3.0 / math.log2(2) + 1.0 / math.log2(3)
+    assert abs(graded["dcg"] - dcg) < 1e-12
+    assert abs(graded["idcg"] - idcg) < 1e-12
+    assert abs(graded["ndcg"] - dcg / idcg) < 1e-12
+    assert graded["ndcg"] < 1.0
