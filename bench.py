@@ -28,8 +28,11 @@ CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 N_SEARCHES = int(os.environ.get("BENCH_SEARCHES", "20"))
 # the host shows bursty CPU-steal stalls (a trivial 500-row groupBy was
 # observed at 0.5s and 133s in back-to-back runs); min-of-N per stage
-# reports the machine's actual capability rather than the noise
-REPEATS = int(os.environ.get("BENCH_REPEATS", "2"))
+# reports the machine's actual capability rather than the noise.
+# Default raised 2 -> 5 in round 4: the uniform ~1.2-1.5x drift of
+# r3-vs-r2 numbers on UNCHANGED stages was host contention that
+# min-of-2 failed to filter.
+REPEATS = int(os.environ.get("BENCH_REPEATS", "5"))
 
 
 def main() -> None:
@@ -178,6 +181,25 @@ def main() -> None:
     run_stage("search_topk_hybrid", searches_hybrid, repeats=1)
     timings["hybrid_searches_per_sec"] = round(
         n_hybrid / timings["search_topk_hybrid"], 3
+    )
+
+    # 16. batched hybrid serving: 100 queries through ONE search_many
+    # plan (candidate-only knn_join dense leg + one BM25 pass over the
+    # union of query terms + distributed RRF) -- the bulk-eval shape.
+    # Contrast many_hybrid_queries_per_sec with hybrid_searches_per_sec
+    # to see what batching buys over the per-query loop.
+    many_qs = [f"spark join query window batch {i}" for i in range(100)]
+    coll.search_many("text", many_qs[:2], limit=10, strategy="hybrid").count()
+
+    run_stage(
+        "search_many_hybrid",
+        lambda: coll.search_many(
+            "text", many_qs, limit=10, strategy="hybrid"
+        ).count(),
+        repeats=2,
+    )
+    timings["many_hybrid_queries_per_sec"] = round(
+        len(many_qs) / timings["search_many_hybrid"], 3
     )
 
     total = round(
