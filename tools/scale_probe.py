@@ -268,6 +268,23 @@ def main() -> None:
         )
         lm.unpersist()
 
+        from letsearch_spark.operators.dsir import dsir_sample
+
+        # DSIR: target stays FIXED (copy-0's en slice) while raw grows --
+        # the production shape (small in-domain corpus, growing crawl).
+        # Featurization is map-side; the only corpus-sized shuffles carry
+        # (id, bucket, cnt) integer triples, so cost must track bytes.
+        tgt = (
+            docs.where(F.col("doc_id") < 1_000_000)
+            .limit(200)
+        )
+        timeit(
+            "dsir_top1k",
+            lambda: dsir_sample(
+                docs, tgt, k=1000, cache_features=False
+            ).count(),
+        )
+
         from letsearch_spark.operators.range_join import range_join
         from letsearch_spark.operators.rollup import time_rollup
 
@@ -293,6 +310,34 @@ def main() -> None:
                 ev, "ts", [], ["count(1) AS n"], granularities=("hour", "day")
             ).count(),
         )
+
+        # stateful streaming sessions: users (hence state rows and
+        # shuffle keys) scale with copies; events per user stay fixed.
+        # availableNow replay of the whole scaled table -- wall time must
+        # track events, state stays one (start, last, n) triple per user.
+        def stream_sessions():
+            import tempfile
+
+            from letsearch_spark.streaming.stateful import session_windows
+
+            src = tempfile.mkdtemp(prefix="ls_probe_sess_") + "/ev"
+            ev.write.parquet(src)
+            stream = spark.readStream.schema(
+                spark.read.parquet(src).schema
+            ).parquet(src)
+            out = session_windows(stream, gap_seconds=1800, watermark="2 hours")
+            name = f"probe_sess_{n}"
+            q = (
+                out.writeStream.outputMode("append")
+                .format("memory")
+                .queryName(name)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(600)
+            return spark.table(name).count()
+
+        timeit("stream_sessionize", stream_sessions)
         ev.unpersist()
         docs.unpersist()
         emb.unpersist()
