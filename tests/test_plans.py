@@ -334,3 +334,45 @@ def test_semantic_dedup_cluster_local_shuffle(spark, sf_dir):
     assert "hashpartitioning(__c" in plan
     assert "Join" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_dsir_topk_never_global_sorts(spark):
+    """DSIR's Gumbel-top-k must compile to TakeOrderedAndProject (k rows
+    per partition over the wire), never a corpus-wide range exchange,
+    and the 10k-bucket model must broadcast into the scoring join."""
+    from letsearch_spark.operators.dsir import dsir_sample
+
+    raw = spark.createDataFrame(
+        [(i, f"alpha beta gamma doc {i % 5}") for i in range(50)],
+        "doc_id long, text string",
+    )
+    target = spark.createDataFrame(
+        [(0, "alpha beta focus")], "doc_id long, text string"
+    )
+    # cache_features=False keeps the returned plan lazy (True checkpoints
+    # the k-row result, which hides the lineage this gate inspects)
+    picked = dsir_sample(raw, target, k=10, cache_features=False)
+    p = plan_of(picked, "simple")
+    assert "TakeOrderedAndProject" in p
+    assert "Exchange rangepartitioning" not in p
+    assert "BroadcastHashJoin" in p  # model join, never shuffled
+    assert "CartesianProduct" not in p
+
+
+def test_perplexity_model_joins_broadcast(spark):
+    """The n-gram LM is a bounded model table; both scoring joins
+    ((prefix, word) counts and prefix totals) must end up broadcast in
+    the executed plan -- a corpus-sized shuffle against the model would
+    be the 100-TB killer this operator's design avoids."""
+    from letsearch_spark.operators.ngram_lm import perplexity, train_ngram_lm
+
+    docs = spark.createDataFrame(
+        [(i, f"the cat sat on mat {i % 7}") for i in range(100)],
+        "doc_id long, text string",
+    )
+    lm = train_ngram_lm(docs, n=2)
+    scored = perplexity(docs, lm, n=2)
+    scored.collect()  # let AQE finalize join strategies
+    p = plan_of(scored, "simple")
+    assert p.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in p
