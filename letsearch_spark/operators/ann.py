@@ -41,13 +41,18 @@ def train_centroids(
     """Fit nlist k-means centroids on a bounded sample (driver-side numpy;
     vectors are L2-normalized first so euclidean k-means ~ spherical).
 
-    With ``key_col`` the collected sample is sorted by that key before
-    training, making the centroids (and every downstream assignment)
-    deterministic across partitionings and cluster sizes -- `limit`
-    alone returns rows in scan-partition order, which depends on split
-    planning. Costs one driver-side sort of <= sample_limit rows."""
+    With ``key_col`` the sample is the ``sample_limit`` SMALLEST keys
+    (orderBy + limit compiles to TakeOrderedAndProject: each partition
+    ships at most sample_limit rows, no global sort), making the
+    centroids (and every downstream assignment) deterministic across
+    partitionings and table sizes -- `limit` alone returns rows in
+    scan-partition order, which depends on split planning and, above
+    the cap, on which partitions answer first."""
     cols = [vec_col] if key_col is None else [key_col, vec_col]
-    rows = embeddings.select(*cols).limit(sample_limit).collect()
+    sel = embeddings.select(*cols)
+    if key_col is not None:
+        sel = sel.orderBy(key_col)
+    rows = sel.limit(sample_limit).collect()
     if key_col is not None:
         rows = sorted(rows, key=lambda r: r[0])
     x = np.array([r[-1] for r in rows], dtype=np.float64)

@@ -137,7 +137,10 @@ def ndcg_at_k(
     an approx hit contributes rel/log2(r+1) and the ideal ranking
     orders the exact set by descending gain. Binary is the special
     case rel = 1. Ground truth should carry one gain per (query, key);
-    duplicate rows keep an arbitrary one."""
+    duplicate rows keep an arbitrary one. A query whose gains are ALL
+    zero has idcg = 0 and ndcg is undefined -- it comes back NULL (not
+    NaN), so Spark aggregates skip it rather than poisoning the mean;
+    such a query can only arise under graded relevance."""
     e_cols = [
         F.col(query_col).alias("__q"),
         F.col(key_col).alias("__k"),
@@ -188,7 +191,10 @@ def ndcg_at_k(
             F.col("__q").alias(query_col),
             F.coalesce("dcg", F.lit(0.0)).alias("dcg"),
             "idcg",
-            (F.coalesce("dcg", F.lit(0.0)) / F.col("idcg")).alias("ndcg"),
+            F.when(
+                F.col("idcg") > 0,
+                F.coalesce("dcg", F.lit(0.0)) / F.col("idcg"),
+            ).alias("ndcg"),
         )
     )
 
@@ -200,6 +206,7 @@ def mean_recall_at_k(
     query_col: str = "query_id",
     key_col: str = "_key",
     rank_col: str = "rank",
+    check_ground_truth: bool = True,
 ) -> float:
     """Macro-averaged recall@k (one scalar; equal weight per query).
 
@@ -209,10 +216,13 @@ def mean_recall_at_k(
     Warns when the approx side contains queries the exact side lacks:
     those queries are excluded from the average (see
     :func:`recall_at_k`'s per-query semantics), which would otherwise
-    silently overstate recall under partial ground truth."""
+    silently overstate recall under partial ground truth. The check is
+    one extra (tiny) Spark job over the ranking frames; pass
+    ``check_ground_truth=False`` in tight sweep loops whose inputs are
+    known-complete."""
     import warnings
 
-    missing = (
+    missing = 0 if not check_ground_truth else (
         approx.where(F.col(rank_col) <= k)
         .select(F.col(query_col).alias("__q"))
         .distinct()

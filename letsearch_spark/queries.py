@@ -1411,21 +1411,19 @@ def q_perplexity_filter(spark, sf_dir):
     ppl <= 30 (~the median -- the cut genuinely splits the corpus at
     every sf). Scores are rounded to 6 decimals INSIDE perplexity()
     before the cutoff compare, so ulp-level aggregation-order noise
-    can't flip membership or the hashed values. Oracle: single-process
-    Counter/math twin with the identical HALF_UP rounding."""
-    from letsearch_spark.operators.ngram_lm import (
-        perplexity,
-        perplexity_filter,
-        train_ngram_lm,
-    )
+    can't flip membership or the hashed values. One scoring pass: the
+    where-clause below IS perplexity_filter's keep rule (the operator
+    adds only a join back to the doc columns;
+    test_perplexity_filter_keeps_in_distribution pins the equivalence).
+    Oracle: single-process Counter/math twin with the identical HALF_UP
+    rounding."""
+    from letsearch_spark.operators.ngram_lm import perplexity, train_ngram_lm
 
     docs = load(spark, sf_dir, "documents")
     lm = train_ngram_lm(docs.where(F.col("lang") == "en"), n=2)
-    kept = perplexity_filter(docs, lm, max_ppl=_PPL_CUTOFF, n=2)
     scored = perplexity(docs, lm, n=2)
     return (
-        kept.select("doc_id")
-        .join(scored, "doc_id")
+        scored.where(F.col("ppl") <= _PPL_CUTOFF)
         .select("doc_id", "n_grams", "ppl")
         .orderBy("doc_id")
     )
@@ -2561,6 +2559,11 @@ def _computed_oracles(sf_dir: str) -> dict[str, str]:
         doc_feats = []
         for r in docs_full:
             f = feats(r["text"])
+            if not f:
+                # hashed_ngram_features drops token-less docs before the
+                # explode (where(size(__w) > 0)): they are never scored,
+                # so they must not get a Gumbel key here either
+                continue
             doc_feats.append((r["doc_id"], f))
             for b, c in f.items():
                 r_cnt[b] = r_cnt.get(b, 0) + c
@@ -2603,9 +2606,11 @@ def _computed_oracles(sf_dir: str) -> dict[str, str]:
         )
 
     def _split_words(text: str) -> list[str]:
-        # words() twin: F.split(F.trim(F.lower(x)), '\\s+') -- Java trim
-        # strips <= U+0020, Java \s is ASCII-only
-        t = (text or "").lower().strip(" \t\n\r\x0b\x0c\x00")
+        # words() twin: F.split(F.trim(F.lower(x)), '\\s+'). Spark SQL
+        # trim strips ONLY 0x20 (so a leading tab/newline survives into
+        # split and yields a leading '' token, which the real operator
+        # keeps); Java regex \s is ASCII-only, hence re.ASCII.
+        t = (text or "").lower().strip(" ")
         return _re.split(r"\s+", t, flags=_re.ASCII) if t else [""]
 
     def _ppl_rows(cutoff: float, alpha: float = 1.0):
@@ -2647,7 +2652,7 @@ def _computed_oracles(sf_dir: str) -> dict[str, str]:
     # rule (operators/dedup.py semantic_dedup) -- same kmeans_fit core,
     # same key-sorted training sample, same per-cluster float64 matmul
     # and min-id sweep, proven bit-equal by the pytest twin. ---
-    def _semdedup_rows(nlist: int, thr: float):
+    def _semdedup_rows(nlist: int, thr: float, sample_limit: int = 100_000):
         from letsearch_spark.operators.ann import kmeans_fit
 
         etbl2 = pq.read_table(
@@ -2657,7 +2662,10 @@ def _computed_oracles(sf_dir: str) -> dict[str, str]:
         etbl2 = [r for r in etbl2 if r["embedding"] is not None]
         etbl2.sort(key=lambda r: r["vec_id"])
         x = np.array([r["embedding"] for r in etbl2], dtype=np.float64)
-        cents = kmeans_fit(x, nlist=nlist, iters=10, seed=42)
+        # train_centroids caps its training sample (key-sorted) at
+        # sample_limit; truncate identically so the twin's centroids
+        # match at ANY table size, not just below the cap
+        cents = kmeans_fit(x[:sample_limit], nlist=nlist, iters=10, seed=42)
         norms = np.linalg.norm(x, axis=1, keepdims=True)
         norms[norms == 0] = 1.0
         xn = x / norms

@@ -1884,3 +1884,25 @@ def test_ndcg_graded_relevance_differs_from_binary(spark):
     assert abs(graded["idcg"] - idcg) < 1e-12
     assert abs(graded["ndcg"] - dcg / idcg) < 1e-12
     assert graded["ndcg"] < 1.0
+
+
+def test_ndcg_all_zero_gains_is_null_not_nan(spark):
+    """A query whose graded gains are all zero has undefined NDCG: the
+    row must carry NULL (skipped by aggregates), never NaN (which would
+    poison every downstream mean)."""
+    from pyspark.sql import functions as F
+
+    from letsearch_spark.operators.evaluate import ndcg_at_k
+
+    exact = spark.createDataFrame(
+        [(0, 10, 1, 0.0), (0, 11, 2, 0.0), (1, 20, 1, 2.0)],
+        "query_id long, _key long, rank int, rel double",
+    )
+    approx = spark.createDataFrame(
+        [(0, 10, 1), (1, 20, 1)], "query_id long, _key long, rank int"
+    )
+    out = ndcg_at_k(approx, exact, k=3, relevance_col="rel")
+    got = {r["query_id"]: r["ndcg"] for r in out.collect()}
+    assert got[0] is None and got[1] == 1.0
+    mean = out.agg(F.avg("ndcg")).collect()[0][0]
+    assert mean == 1.0  # NULL skipped, not NaN-propagated

@@ -6,33 +6,16 @@ formerly twin-only operators (DSIR, perplexity filter, semantic dedup,
 stateful sessions). The rotated-out capabilities -- CSV source, JSON
 extraction, percentile aggregation, anti-join set op -- keep the SAME
 Spark-vs-DuckDB comparison here: row count, sorted-column schema, and
-exact canonical value equality, identical to tools/check_oracle.py.
+exact canonical value equality, imported straight from
+tools/check_oracle.py so the two gates cannot drift.
 """
-
-import math
 
 import pytest
 
-
-def _canon(v) -> str:
-    if v is None:
-        return "<NULL>"
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        return repr(v)
-    if isinstance(v, bool):
-        return str(bool(v)).lower()
-    if isinstance(v, bytes):
-        return v.hex()
-    return str(v)
-
-
-def _frame_to_rows(cols, rows):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = [tuple(_canon(r[i]) for i in order) for r in rows]
-    out.sort()
-    return [cols[i] for i in order], out
+# tools/ is a namespace package under the repo root (already on
+# sys.path via conftest); importing keeps ONE copy of the
+# canonicalization rules
+from tools.check_oracle import frame_to_rows as _frame_to_rows
 
 
 @pytest.fixture(scope="module")

@@ -270,14 +270,14 @@ def main() -> None:
 
         from letsearch_spark.operators.dsir import dsir_sample
 
-        # DSIR: target stays FIXED (copy-0's en slice) while raw grows --
+        # DSIR: target stays FIXED (copy-0's 200 lowest doc ids -- a
+        # deterministic slice, identical at every scale; a bare limit()
+        # would pick partition-order rows that differ between the plain
+        # read at x1 and the crossJoin output beyond) while raw grows --
         # the production shape (small in-domain corpus, growing crawl).
         # Featurization is map-side; the only corpus-sized shuffles carry
         # (id, bucket, cnt) integer triples, so cost must track bytes.
-        tgt = (
-            docs.where(F.col("doc_id") < 1_000_000)
-            .limit(200)
-        )
+        tgt = docs.where(F.col("doc_id") < 200)
         timeit(
             "dsir_top1k",
             lambda: dsir_sample(
@@ -315,16 +315,21 @@ def main() -> None:
         # shuffle keys) scale with copies; events per user stay fixed.
         # availableNow replay of the whole scaled table -- wall time must
         # track events, state stays one (start, last, n) triple per user.
-        def stream_sessions():
-            import tempfile
+        # The batch parquet write of the source happens OUTSIDE the timed
+        # region: it scales with events and would contaminate the curve.
+        import tempfile
 
+        probe_src = None
+        if only is None or "stream_sessionize" in only:
+            probe_src = tempfile.mkdtemp(prefix="ls_probe_sess_") + "/ev"
+            ev.write.parquet(probe_src)
+
+        def stream_sessions():
             from letsearch_spark.streaming.stateful import session_windows
 
-            src = tempfile.mkdtemp(prefix="ls_probe_sess_") + "/ev"
-            ev.write.parquet(src)
             stream = spark.readStream.schema(
-                spark.read.parquet(src).schema
-            ).parquet(src)
+                spark.read.parquet(probe_src).schema
+            ).parquet(probe_src)
             out = session_windows(stream, gap_seconds=1800, watermark="2 hours")
             name = f"probe_sess_{n}"
             q = (
@@ -334,7 +339,12 @@ def main() -> None:
                 .trigger(availableNow=True)
                 .start()
             )
-            q.awaitTermination(600)
+            if not q.awaitTermination(600):
+                q.stop()
+                raise RuntimeError(
+                    f"stream_sessionize probe (x{n}) did not terminate; "
+                    "a partial count would be a fake data point"
+                )
             return spark.table(name).count()
 
         timeit("stream_sessionize", stream_sessions)
