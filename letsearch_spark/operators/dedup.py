@@ -11,6 +11,12 @@ north-star operators from BASELINE.json, designed Spark-first for the
                          hashes are columns, not rows), LSH banding join
                          for candidates, optional exact-Jaccard verify.
                          The scale path for near-dup dedup.
+* incremental_minhash_dedup -- the same MinHash/LSH decision applied
+                         batch-incrementally against a PERSISTED
+                         signature store (minhash_band_table): each new
+                         batch is signed once and banded-joined against
+                         history; only colliding stored docs are ever
+                         re-shingled. First-seen-wins keep rule.
 * simhash / simhash_pairs -- 32/64-bit SimHash; pair generation is
                          banded (pigeonhole: d <= k pairs must share one
                          of k+1 bit-bands), so no all-pairs join.
@@ -223,6 +229,29 @@ def minhash_signatures(
     return base.groupBy("id").agg(*h_cols)
 
 
+def _bands_of(sig: DataFrame, num_perms: int, band_rows: int) -> DataFrame:
+    """(id, band, sig) band table from a signature frame -- the unit the
+    LSH bucket join keys on, and the persistable signature store for
+    :func:`incremental_minhash_dedup`."""
+    n_bands = num_perms // band_rows
+    band_structs = [
+        F.struct(
+            F.lit(bi).alias("band"),
+            F.concat_ws(
+                ",",
+                *[
+                    F.col(f"mh{p}").cast("string")
+                    for p in range(bi * band_rows, (bi + 1) * band_rows)
+                ],
+            ).alias("sig"),
+        )
+        for bi in range(n_bands)
+    ]
+    return sig.select(
+        "id", F.explode(F.array(*band_structs)).alias("bs")
+    ).select("id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -239,23 +268,7 @@ def minhash_lsh_pairs(
     sh = shingles(df, id_col, text_col, n).cache()
     sh.count()  # materialize once; 4 downstream consumers read the cache
     sig = minhash_signatures(sh, num_perms)
-    n_bands = num_perms // band_rows
-    band_structs = [
-        F.struct(
-            F.lit(bi).alias("band"),
-            F.concat_ws(
-                ",",
-                *[
-                    F.col(f"mh{p}").cast("string")
-                    for p in range(bi * band_rows, (bi + 1) * band_rows)
-                ],
-            ).alias("sig"),
-        )
-        for bi in range(n_bands)
-    ]
-    bands = sig.select(
-        "id", F.explode(F.array(*band_structs)).alias("bs")
-    ).select("id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+    bands = _bands_of(sig, num_perms, band_rows)
     a = bands.select(F.col("id").alias("id_a"), "band", "sig")
     b = bands.select(F.col("id").alias("id_b"), "band", "sig")
     cand = (
@@ -289,6 +302,158 @@ def minhash_lsh_pairs(
         )
         .where(F.col("jaccard") >= threshold)
     )
+
+
+def minhash_band_table(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_perms: int = 16,
+    band_rows: int = 2,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, band, sig) for every document -- the persistable signature
+    store :func:`incremental_minhash_dedup` joins new batches against.
+    Write it partitioned however the store is queried (plain parquet is
+    fine: the incremental join keys on (band, sig), both low-cardinality
+    enough to shuffle cheaply)."""
+    sh = shingles(df, id_col, text_col, n)
+    return _bands_of(minhash_signatures(sh, num_perms, seed), num_perms, band_rows)
+
+
+def incremental_minhash_dedup(
+    new_docs: DataFrame,
+    store_bands: DataFrame | None,
+    corpus_docs: DataFrame | None,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_perms: int = 16,
+    band_rows: int = 2,
+    threshold: float = 0.5,
+    seed: int = 42,
+    strict: bool = True,
+) -> dict[str, DataFrame]:
+    """Near-dup dedup of an incoming batch against everything already
+    seen -- the batch-incremental MinHash shape an append-heavy 100 TB
+    ingest needs (and the near-dup analog of streaming/stateful.py's
+    exact ``streaming_dedup``): signatures of history are PERSISTED
+    (``store_bands``, built by :func:`minhash_band_table`), so each new
+    batch costs one signature pass over the batch plus a banded join
+    against the store -- history is never re-shingled wholesale.
+
+    Decision rule ("first seen wins"): a new document is a duplicate
+    when exact Jaccard >= ``threshold`` against (a) any stored document
+    or (b) any lower-id document in the same batch. Verification
+    re-shingles ONLY the stored documents that collide in some band
+    (a semi-join of ``corpus_docs`` on the candidate ids -- bounded by
+    candidate count, not corpus size).
+
+    Contract: ids are unique across store + batch (append key
+    continuation gives this for free), and every id in ``store_bands``
+    must be resolvable in ``corpus_docs`` -- the store remembers ALL
+    previously processed docs (kept or dropped), matching the
+    first-seen-wins rule, and raw inputs are retained in practice. With
+    ``strict`` (default) an unresolvable candidate id raises instead of
+    silently failing verification as "not a duplicate"; the check is
+    one count over the (tiny) candidate id set.
+
+    Returns ``{"keep": (id, keep, dup_of), "bands": (id, band, sig)}``.
+    Append ``bands`` (all of them, not just kept) to the store for the
+    next batch; route ``keep`` wherever the keep-list goes. Two batches
+    through this function equal one :func:`minhash_lsh_pairs` run over
+    the union under the same drop-if-any-lower-id-pair rule
+    (equivalence pinned by test_incremental_minhash_matches_batch).
+    """
+    new_sh = shingles(new_docs, id_col, text_col, n).cache()
+    new_bands = _bands_of(
+        minhash_signatures(new_sh, num_perms, seed), num_perms, band_rows
+    )
+
+    a = new_bands.select(F.col("id").alias("id_new"), "band", "sig")
+    intra = (
+        a.join(
+            new_bands.select(F.col("id").alias("id_other"), "band", "sig"),
+            ["band", "sig"],
+        )
+        .where(F.col("id_other") < F.col("id_new"))
+        .select("id_new", "id_other")
+    )
+    cand = intra
+    if store_bands is not None:
+        cross = a.join(
+            store_bands.select(F.col("id").alias("id_other"), "band", "sig"),
+            ["band", "sig"],
+        ).select("id_new", "id_other")
+        cand = cand.unionByName(cross)
+    cand = cand.distinct()
+
+    # shingles for the "other" side: new ids read the cached batch
+    # shingles; stored ids re-shingle only the colliding corpus docs
+    other_sh = new_sh
+    if store_bands is not None:
+        old_needed = cand.select(F.col("id_other").alias("id")).join(
+            new_docs.select(F.col(id_col).alias("id")), "id", "left_anti"
+        )
+        if corpus_docs is None:
+            if strict and old_needed.first() is not None:
+                raise ValueError(
+                    "store_bands matched candidates but corpus_docs is "
+                    "None: stored documents cannot be verified"
+                )
+        else:
+            hit_docs = corpus_docs.join(
+                F.broadcast(old_needed.withColumnRenamed("id", id_col)),
+                id_col,
+            )
+            if strict:
+                n_needed = old_needed.count()
+                n_found = hit_docs.count()
+                if n_found < n_needed:
+                    raise ValueError(
+                        f"{n_needed - n_found} stored candidate ids are "
+                        "missing from corpus_docs; their collisions "
+                        "cannot be verified (the store must cover every "
+                        "processed document)"
+                    )
+            other_sh = new_sh.unionByName(
+                shingles(hit_docs, id_col, text_col, n)
+            )
+
+    cnt_new = new_sh.groupBy("id").agg(F.count(F.lit(1)).alias("na"))
+    cnt_other = other_sh.groupBy("id").agg(F.count(F.lit(1)).alias("nb"))
+    sa = new_sh.select(F.col("id").alias("id_new"), "s")
+    sb = other_sh.select(F.col("id").alias("id_other"), "s")
+    inter = (
+        cand.join(sa, "id_new")
+        .join(sb, ["id_other", "s"])
+        .groupBy("id_new", "id_other")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    jac = F.col("i") * 1.0 / (F.col("na") + F.col("nb") - F.col("i"))
+    dups = (
+        cand.join(inter, ["id_new", "id_other"], "left")
+        .join(cnt_new.withColumnRenamed("id", "id_new"), "id_new")
+        .join(cnt_other.withColumnRenamed("id", "id_other"), "id_other")
+        .select(
+            "id_new",
+            "id_other",
+            F.round(F.coalesce(jac, F.lit(0.0)), 6).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    matches = dups.groupBy("id_new").agg(F.min("id_other").alias("dup_of"))
+    keep = (
+        new_docs.select(F.col(id_col).alias("id"))
+        .join(matches.withColumnRenamed("id_new", "id"), "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.col("dup_of").isNull().alias("keep"),
+            "dup_of",
+        )
+    )
+    return {"keep": keep, "bands": new_bands}
 
 
 # ---------------------------------------------------------------- simhash

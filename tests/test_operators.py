@@ -1906,3 +1906,100 @@ def test_ndcg_all_zero_gains_is_null_not_nan(spark):
     assert got[0] is None and got[1] == 1.0
     mean = out.agg(F.avg("ndcg")).collect()[0][0]
     assert mean == 1.0  # NULL skipped, not NaN-propagated
+
+
+# ------------------------------------------- incremental minhash dedup
+
+
+def test_incremental_minhash_cross_batch_dup(spark):
+    """A later batch re-ingesting near-identical content must be flagged
+    against the persisted signature store (first seen wins), without
+    re-shingling the whole corpus."""
+    from letsearch_spark.operators.dedup import incremental_minhash_dedup
+
+    b1 = spark.createDataFrame(
+        [(0, "aaa bbb ccc ddd eee fff ggg"), (1, "zzz yyy xxx www vvv uuu ttt")],
+        "doc_id long, text string",
+    )
+    r1 = incremental_minhash_dedup(b1, None, None, "doc_id", "text")
+    k1 = {r["doc_id"]: (r["keep"], r["dup_of"]) for r in r1["keep"].collect()}
+    assert k1 == {0: (True, None), 1: (True, None)}
+
+    b2 = spark.createDataFrame(
+        [
+            (10, "aaa bbb ccc ddd eee fff ggg"),  # exact repeat of 0
+            (11, "completely different words appear here now"),
+        ],
+        "doc_id long, text string",
+    )
+    r2 = incremental_minhash_dedup(b2, r1["bands"], b1, "doc_id", "text")
+    k2 = {r["doc_id"]: (r["keep"], r["dup_of"]) for r in r2["keep"].collect()}
+    assert k2 == {10: (False, 0), 11: (True, None)}
+
+
+def test_incremental_minhash_matches_batch(spark, sf_dir):
+    """Two batches through the incremental path == one batch
+    minhash_lsh_pairs run over the union, under the shared
+    drop-if-any-lower-id-duplicate rule."""
+    import os as _os
+
+    from letsearch_spark.operators.dedup import (
+        incremental_minhash_dedup,
+        minhash_lsh_pairs,
+    )
+
+    docs = spark.read.parquet(_os.path.join(sf_dir, "documents.parquet")).select(
+        "doc_id", "text"
+    )
+    b1 = docs.where(F.col("doc_id") < 250)
+    b2 = docs.where(F.col("doc_id") >= 250)
+
+    r1 = incremental_minhash_dedup(b1, None, None, "doc_id", "text")
+    r2 = incremental_minhash_dedup(b2, r1["bands"], b1, "doc_id", "text")
+    inc = {
+        r["doc_id"]: (r["keep"], r["dup_of"])
+        for r in r1["keep"].unionByName(r2["keep"]).collect()
+    }
+
+    pairs = minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.5).collect()
+    assert pairs, "fixture must contain near-dup pairs for this test to bite"
+    best = {}
+    for p in pairs:  # id_a < id_b => id_b is the duplicate
+        cur = best.get(p["id_b"])
+        best[p["id_b"]] = min(cur, p["id_a"]) if cur is not None else p["id_a"]
+    expected = {
+        r["doc_id"]: (r["doc_id"] not in best, best.get(r["doc_id"]))
+        for r in docs.select("doc_id").collect()
+    }
+    assert inc == expected
+
+
+def test_incremental_minhash_strict_missing_corpus(spark):
+    """Stored ids that collide but cannot be resolved in corpus_docs
+    must raise (silently treating them as non-duplicates would
+    under-dedup), and strict=False degrades to exactly that documented
+    lenient behavior."""
+    import pytest as _pytest
+
+    from letsearch_spark.operators.dedup import (
+        incremental_minhash_dedup,
+        minhash_band_table,
+    )
+
+    b1 = spark.createDataFrame(
+        [(0, "aaa bbb ccc ddd eee fff ggg")], "doc_id long, text string"
+    )
+    store = minhash_band_table(b1, "doc_id", "text")
+    b2 = spark.createDataFrame(
+        [(10, "aaa bbb ccc ddd eee fff ggg")], "doc_id long, text string"
+    )
+    empty_corpus = b1.where(F.lit(False))
+    with _pytest.raises(ValueError, match="missing from corpus_docs"):
+        incremental_minhash_dedup(b2, store, empty_corpus, "doc_id", "text")
+    with _pytest.raises(ValueError, match="corpus_docs is None"):
+        incremental_minhash_dedup(b2, store, None, "doc_id", "text")
+    lenient = incremental_minhash_dedup(
+        b2, store, empty_corpus, "doc_id", "text", strict=False
+    )
+    got = {r["doc_id"]: r["keep"] for r in lenient["keep"].collect()}
+    assert got == {10: True}
