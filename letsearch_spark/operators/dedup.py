@@ -359,12 +359,17 @@ def incremental_minhash_dedup(
     silently failing verification as "not a duplicate"; the check is
     one count over the (tiny) candidate id set.
 
-    Returns ``{"keep": (id, keep, dup_of), "bands": (id, band, sig)}``.
-    Append ``bands`` (all of them, not just kept) to the store for the
-    next batch; route ``keep`` wherever the keep-list goes. Two batches
-    through this function equal one :func:`minhash_lsh_pairs` run over
-    the union under the same drop-if-any-lower-id-pair rule
-    (equivalence pinned by test_incremental_minhash_matches_batch).
+    Returns ``{"keep": (id, keep, dup_of), "bands": (id, band, sig),
+    "shingles": <cached batch shingle frame>}``. Append ``bands`` (all
+    of them, not just kept) to the store for the next batch; route
+    ``keep`` wherever the keep-list goes; after materializing both,
+    call ``result["shingles"].unpersist()`` -- the batch shingles are
+    cached because four plan branches read them, and a long-running
+    foreachBatch driver that never releases them would accumulate one
+    cached table per micro-batch. Two batches through this function
+    equal one :func:`minhash_lsh_pairs` run over the union under the
+    same drop-if-any-lower-id-pair rule (equivalence pinned by
+    test_incremental_minhash_matches_batch).
     """
     new_sh = shingles(new_docs, id_col, text_col, n).cache()
     new_bands = _bands_of(
@@ -453,7 +458,7 @@ def incremental_minhash_dedup(
             "dup_of",
         )
     )
-    return {"keep": keep, "bands": new_bands}
+    return {"keep": keep, "bands": new_bands, "shingles": new_sh}
 
 
 # ---------------------------------------------------------------- simhash

@@ -163,7 +163,11 @@ def streaming_dedup(docs_stream, key_col: str = "_key", text_col: str = "text"):
     State is bounded by the number of DISTINCT documents, one long each;
     at 100 TB use RocksDB state store and shard by hash (the groupBy
     already partitions state by ``h``). Emits (h, doc_key, first_seen)
-    in append mode.
+    in append mode. For NEAR-duplicate (MinHash) dedup across
+    micro-batches, drive operators/dedup.py
+    ``incremental_minhash_dedup`` from foreachBatch with a persisted
+    signature store instead (test_foreachbatch_incremental_minhash_dedup
+    shows the wiring).
     """
     from letsearch_spark.operators.dedup import md5_60, normalize_text
     from pyspark.sql import functions as F

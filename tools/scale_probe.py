@@ -285,6 +285,48 @@ def main() -> None:
             ).count(),
         )
 
+        # incremental minhash: the STORE grows with copies while the new
+        # batch stays a fixed 5000 docs (freshly salted -> no cross-store
+        # near-dups, the common ingest case). The incremental cost must
+        # track the batch + collisions; the full-recompute contrast grows
+        # with the corpus -- the gap is the operator's reason to exist.
+        if only is None or {"incr_minhash", "minhash_full"} & only:
+            from letsearch_spark.operators.dedup import (
+                incremental_minhash_dedup,
+                minhash_band_table,
+            )
+
+            store = minhash_band_table(docs, "doc_id", "text").cache()
+            row["store_bands"] = store.count()  # untimed one-time build
+            new_batch = (
+                scaled_docs(spark, 1)
+                .select(
+                    (F.col("doc_id") + 100_000_000).alias("doc_id"),
+                    F.expr(
+                        "regexp_replace(text, '(\\\\S+)', concat('$1xnew'))"
+                    ).alias("text"),
+                )
+                .cache()
+            )
+            new_batch.count()
+            timeit(
+                "incr_minhash",
+                lambda: incremental_minhash_dedup(
+                    new_batch, store, docs, "doc_id", "text"
+                )["keep"].where(~F.col("keep")).count(),
+            )
+            timeit(
+                "minhash_full",
+                lambda: minhash_lsh_pairs(
+                    docs.select("doc_id", "text").unionByName(new_batch),
+                    "doc_id",
+                    "text",
+                    threshold=0.5,
+                ).count(),
+            )
+            store.unpersist()
+            new_batch.unpersist()
+
         from letsearch_spark.operators.range_join import range_join
         from letsearch_spark.operators.rollup import time_rollup
 
