@@ -17,6 +17,10 @@ north-star operators from BASELINE.json, designed Spark-first for the
                          batch is signed once and banded-joined against
                          history; only colliding stored docs are ever
                          re-shingled. First-seen-wins keep rule.
+* incremental_embedding_dedup -- the semantic sibling: persisted
+                         sign-LSH bucket store (embedding_bucket_table),
+                         exact cosine only on colliding pairs, stored
+                         vectors fetched by candidate-id semi-join.
 * simhash / simhash_pairs -- 32/64-bit SimHash; pair generation is
                          banded (pigeonhole: d <= k pairs must share one
                          of k+1 bit-bands), so no all-pairs join.
@@ -814,6 +818,137 @@ def embedding_cosine_pairs(
         )
         .where(F.col("sim") >= threshold)
     )
+
+
+def embedding_bucket_table(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    lsh_bits: int = 8,
+    dim: int | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, bucket) sign-LSH bucket table -- the persistable store for
+    :func:`incremental_embedding_dedup`. The hyperplanes are a pure
+    function of (dim, lsh_bits, seed), so the store needs no sidecar:
+    any later batch regenerates identical planes from the same knobs."""
+    from letsearch_spark.operators.topk import _hyperplanes, lsh_signature_col
+
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    planes = _hyperplanes(dim, lsh_bits, seed)
+    return df.select(
+        F.col(id_col).alias("id"),
+        lsh_signature_col(F.col(vec_col), planes).alias("bucket"),
+    )
+
+
+def incremental_embedding_dedup(
+    new_vecs: DataFrame,
+    store_buckets: DataFrame | None,
+    corpus_vecs: DataFrame | None,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.9,
+    lsh_bits: int = 8,
+    dim: int | None = None,
+    seed: int = 42,
+    strict: bool = True,
+) -> dict[str, DataFrame]:
+    """Embedding near-dup dedup of an incoming batch against everything
+    already seen -- the semantic sibling of
+    :func:`incremental_minhash_dedup` (same store/first-seen-wins
+    contract; read that docstring for the protocol). History persists
+    as the (id, bucket) table from :func:`embedding_bucket_table`; a
+    new batch is bucketed once, joined against the store bucket-wise,
+    and exact cosine runs only on colliding pairs, with the stored
+    side's vectors fetched by a semi-join of ``corpus_vecs`` on the
+    (bounded) candidate ids.
+
+    Approximate exactly like ``embedding_cosine_pairs(method='lsh')``:
+    a near-dup whose vector lands in a different bucket is missed;
+    recall follows the same lsh_bits knob. Two batches equal one batch
+    run of that operator over the union under the shared
+    drop-if-any-lower-id-pair rule (pinned by
+    test_incremental_embedding_matches_batch).
+
+    Returns ``{"keep": (id, keep, dup_of), "buckets": (id, bucket)}``;
+    append ``buckets`` (all rows) to the store.
+    """
+    from letsearch_spark.functions.vector import dot_product, l2_norm
+
+    new_b = embedding_bucket_table(
+        new_vecs, id_col, vec_col, lsh_bits, dim, seed
+    )
+    a = new_b.select(F.col("id").alias("id_new"), "bucket")
+    intra = (
+        a.join(new_b.select(F.col("id").alias("id_other"), "bucket"), "bucket")
+        .where(F.col("id_other") < F.col("id_new"))
+        .select("id_new", "id_other")
+    )
+    cand = intra
+    if store_buckets is not None:
+        cross = a.join(
+            store_buckets.select(F.col("id").alias("id_other"), "bucket"),
+            "bucket",
+        ).select("id_new", "id_other")
+        cand = cand.unionByName(cross)
+    cand = cand.distinct()
+
+    vec_of = lambda frame: frame.select(  # noqa: E731
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        l2_norm(F.col(vec_col)).alias("nrm"),
+    )
+    vnew = vec_of(new_vecs)
+    vother = vnew
+    if store_buckets is not None:
+        old_needed = cand.select(F.col("id_other").alias("id")).join(
+            new_vecs.select(F.col(id_col).alias("id")), "id", "left_anti"
+        )
+        if corpus_vecs is None:
+            if strict and old_needed.first() is not None:
+                raise ValueError(
+                    "store_buckets matched candidates but corpus_vecs is "
+                    "None: stored vectors cannot be verified"
+                )
+        else:
+            hit_vecs = corpus_vecs.join(
+                F.broadcast(old_needed.withColumnRenamed("id", id_col)),
+                id_col,
+            )
+            if strict:
+                n_needed = old_needed.count()
+                n_found = hit_vecs.count()
+                if n_found < n_needed:
+                    raise ValueError(
+                        f"{n_needed - n_found} stored candidate ids are "
+                        "missing from corpus_vecs; their collisions "
+                        "cannot be verified (the store must cover every "
+                        "processed vector)"
+                    )
+            vother = vnew.unionByName(vec_of(hit_vecs))
+
+    sim = dot_product(F.col("a.v"), F.col("b.v")) / (
+        F.col("a.nrm") * F.col("b.nrm")
+    )
+    dups = (
+        cand.join(vnew.alias("a"), cand["id_new"] == F.col("a.id"))
+        .join(vother.alias("b"), cand["id_other"] == F.col("b.id"))
+        .select("id_new", "id_other", F.round(sim, 6).alias("sim"))
+        .where(F.col("sim") >= threshold)
+    )
+    matches = dups.groupBy("id_new").agg(F.min("id_other").alias("dup_of"))
+    keep = (
+        new_vecs.select(F.col(id_col).alias("id"))
+        .join(matches.withColumnRenamed("id_new", "id"), "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.col("dup_of").isNull().alias("keep"),
+            "dup_of",
+        )
+    )
+    return {"keep": keep, "buckets": new_b}
 
 
 # ------------------------------------------------------------ lines

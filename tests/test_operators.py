@@ -2003,3 +2003,81 @@ def test_incremental_minhash_strict_missing_corpus(spark):
     )
     got = {r["doc_id"]: r["keep"] for r in lenient["keep"].collect()}
     assert got == {10: True}
+
+
+def test_incremental_embedding_dedup_cross_batch(spark):
+    """The embedding sibling of the incremental MinHash path: a later
+    batch whose vector is near-identical to a stored one is flagged via
+    the persisted bucket table + exact-cosine verify."""
+    from letsearch_spark.operators.dedup import incremental_embedding_dedup
+
+    b1 = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    r1 = incremental_embedding_dedup(
+        b1, None, None, "vec_id", "embedding", threshold=0.95
+    )
+    assert {r["vec_id"]: r["keep"] for r in r1["keep"].collect()} == {
+        0: True,
+        1: True,
+    }
+    b2 = spark.createDataFrame(
+        [(10, [0.999, 0.001, 0.0, 0.0]), (11, [0.0, 0.0, 1.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    r2 = incremental_embedding_dedup(
+        b2, r1["buckets"], b1, "vec_id", "embedding", threshold=0.95
+    )
+    got = {r["vec_id"]: (r["keep"], r["dup_of"]) for r in r2["keep"].collect()}
+    assert got == {10: (False, 0), 11: (True, None)}
+
+
+def test_incremental_embedding_matches_batch(spark, sf_dir):
+    """Two batches through incremental_embedding_dedup == one
+    embedding_cosine_pairs(method='lsh') run over the union, under the
+    shared drop-if-any-lower-id-pair rule (same planes, same buckets)."""
+    import os as _os
+
+    from letsearch_spark.operators.dedup import (
+        embedding_cosine_pairs,
+        incremental_embedding_dedup,
+    )
+
+    emb = spark.read.parquet(_os.path.join(sf_dir, "embeddings.parquet")).select(
+        "vec_id", "embedding"
+    )
+    # plant near-dups across the batch split so the cross-store join bites
+    clones = emb.where(F.col("vec_id").isin(0, 3, 7)).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    allv = emb.union(clones)
+    b1 = allv.where(F.col("vec_id") < 250)
+    b2 = allv.where(F.col("vec_id") >= 250)
+
+    thr = 0.98
+    r1 = incremental_embedding_dedup(
+        b1, None, None, "vec_id", "embedding", threshold=thr
+    )
+    r2 = incremental_embedding_dedup(
+        b2, r1["buckets"], b1, "vec_id", "embedding", threshold=thr
+    )
+    inc = {
+        r["vec_id"]: (r["keep"], r["dup_of"])
+        for r in r1["keep"].unionByName(r2["keep"]).collect()
+    }
+
+    pairs = embedding_cosine_pairs(
+        allv, "vec_id", "embedding", threshold=thr, method="lsh"
+    ).collect()
+    assert any(p["id_b"] >= 100000 for p in pairs), "planted dups must pair"
+    best = {}
+    for p in pairs:
+        cur = best.get(p["id_b"])
+        best[p["id_b"]] = min(cur, p["id_a"]) if cur is not None else p["id_a"]
+    expected = {
+        r["vec_id"]: (r["vec_id"] not in best, best.get(r["vec_id"]))
+        for r in allv.select("vec_id").collect()
+    }
+    assert inc == expected
+    assert not inc[100000][0] and not inc[100003][0] and not inc[100007][0]
