@@ -911,14 +911,21 @@ class Collection:
     ) -> DataFrame:
         """Dense cosine leg + BM25 lexical leg, reciprocal-rank fused.
 
-        Each leg is one top-``_HYBRID_DEPTH`` Spark job (the dense one a
+        Both top-``_HYBRID_DEPTH`` legs (the dense one a
         TakeOrderedAndProject over the cached serve view, the lexical
-        one a term filter over the cached postings); both are <= 100
-        rows, so the RRF fusion itself runs driver-side -- the same
-        latency trade as strategy='inlist' -- followed by one broadcast
-        content fetch. Batch pipelines that want the fusion as a lazy
-        plan compose operators/bm25.py rrf_fuse directly (the
-        search_bm25_hybrid contract query does)."""
+        one a term filter over the cached postings) are UNIONED into a
+        single tagged plan and collected in ONE Spark action -- one
+        fewer job submission per query than running the legs
+        sequentially (A/B-measured at parity on idle local[32], ~0.7
+        s/query either way -- fixed per-stage costs dominate -- but on
+        a contended cluster scheduler each submission queues). Both
+        legs are <= 100 rows, so the RRF fusion itself runs
+        driver-side -- the same latency trade as strategy='inlist' --
+        followed by one content fetch. (Union output order is not the per-leg rank
+        order; each leg is re-sorted driver-side by (-score, key), the
+        exact ordering its orderBy declared.) Batch pipelines that want
+        the fusion as a lazy plan compose operators/bm25.py rrf_fuse
+        directly (the search_bm25_hybrid contract query does)."""
         from letsearch_spark.operators.bm25 import (
             bm25_scores_with_idf,
             tokenize_query,
@@ -927,7 +934,7 @@ class Collection:
         serve = self._serve_view(column)
         depth = self._HYBRID_DEPTH
 
-        dense = (
+        dense_top = (
             # P6 filter BEFORE ranking: a null-content row earning a
             # dense slot would be dropped by the fetch-back AFTER the
             # limit, shrinking results -- and the lexical leg (built on
@@ -936,9 +943,9 @@ class Collection:
             .select(F.col(KEY_COL), self._serve_score(qvec).alias("score"))
             .orderBy(F.desc("score"), F.asc(KEY_COL))
             .limit(depth)
-            .collect()
+            .select(F.lit("d").alias("leg"), F.col(KEY_COL), "score")
         )
-        leg_keys = [[int(r[KEY_COL]) for r in dense]]
+        plan = dense_top
         terms = tokenize_query(query)
         if terms:
             postings, dfreq, n_docs, avgdl = self._lexical_view(column)
@@ -951,16 +958,26 @@ class Collection:
                 else {}
             )
             if term_df:
-                lex = (
+                lex_top = (
                     bm25_scores_with_idf(
                         postings, term_df, n_docs, avgdl, id_col=KEY_COL
                     )
                     .select(KEY_COL, F.round("bm25", 6).alias("score"))
                     .orderBy(F.desc("score"), F.asc(KEY_COL))
                     .limit(depth)
-                    .collect()
+                    .select(F.lit("l").alias("leg"), F.col(KEY_COL), "score")
                 )
-                leg_keys.append([int(r[KEY_COL]) for r in lex])
+                plan = plan.unionByName(lex_top)
+
+        per_leg: dict[str, list[tuple[float, int]]] = {}
+        for r in plan.collect():
+            per_leg.setdefault(r["leg"], []).append(
+                (float(r["score"]), int(r[KEY_COL]))
+            )
+        leg_keys = [
+            [k for _, k in sorted(rows_, key=lambda t: (-t[0], t[1]))]
+            for rows_ in per_leg.values()
+        ]
 
         rrf: dict[int, float] = {}
         for keys in leg_keys:
