@@ -911,23 +911,29 @@ class Collection:
     ) -> DataFrame:
         """Dense cosine leg + BM25 lexical leg, reciprocal-rank fused.
 
-        Both top-``_HYBRID_DEPTH`` legs (the dense one a
-        TakeOrderedAndProject over the cached serve view, the lexical
-        one a term filter over the cached postings) are UNIONED into a
-        single tagged plan and collected in ONE Spark action -- one
-        fewer job submission per query than running the legs
-        sequentially (A/B-measured at parity on idle local[32], ~0.7
-        s/query either way -- fixed per-stage costs dominate -- but on
-        a contended cluster scheduler each submission queues). Both
-        legs are <= 100 rows, so the RRF fusion itself runs
-        driver-side -- the same latency trade as strategy='inlist' --
-        followed by one content fetch. (Union output order is not the per-leg rank
-        order; each leg is re-sorted driver-side by (-score, key), the
-        exact ordering its orderBy declared.) Batch pipelines that want
-        the fusion as a lazy plan compose operators/bm25.py rrf_fuse
-        directly (the search_bm25_hybrid contract query does)."""
+        ONE Spark action per query: the dense TakeOrderedAndProject
+        (carrying content through the top-k -- the serve view already
+        holds it) and the lexical postings leg (document frequencies
+        and content joined IN-PLAN: the df aggregation over the
+        term-filtered candidates and the content join against the
+        cached view both live inside the same job) are unioned into a
+        single tagged plan and collected once. The previous shape was
+        four sequential actions (dense top-k, dfreq lookup, lexical
+        top-k, content fetch); fixed per-action costs dominated its
+        ~0.7 s/query, so shrinking the action count is the lever that
+        moves latency, not shaving work inside a stage. Both legs are
+        <= 100 rows, so the RRF fusion runs driver-side as before.
+        (Union output order is not the per-leg rank order; each leg is
+        re-sorted driver-side by (-score, key), the exact ordering its
+        orderBy declared. Lexical idf comes from the in-plan df
+        aggregation -- F.log double math, equal to the driver-literal
+        mode within ulps per test_bm25_df_modes_and_idf_literals_agree,
+        and scores round to 6 decimals before ranking either way.)
+        Batch pipelines that want the fusion as a lazy plan compose
+        operators/bm25.py rrf_fuse directly (the search_bm25_hybrid
+        contract query does)."""
         from letsearch_spark.operators.bm25 import (
-            bm25_scores_with_idf,
+            bm25_scores_from_postings,
             tokenize_query,
         )
 
@@ -936,44 +942,50 @@ class Collection:
 
         dense_top = (
             # P6 filter BEFORE ranking: a null-content row earning a
-            # dense slot would be dropped by the fetch-back AFTER the
-            # limit, shrinking results -- and the lexical leg (built on
-            # non-null content) must rank the same population
+            # dense slot would be dropped AFTER the limit, shrinking
+            # results -- and the lexical leg (built on non-null
+            # content) must rank the same population
             serve.where(F.col("content").isNotNull())
-            .select(F.col(KEY_COL), self._serve_score(qvec).alias("score"))
+            .select(
+                F.col(KEY_COL),
+                self._serve_score(qvec).alias("score"),
+                "content",
+            )
             .orderBy(F.desc("score"), F.asc(KEY_COL))
             .limit(depth)
-            .select(F.lit("d").alias("leg"), F.col(KEY_COL), "score")
+            .select(
+                F.lit("d").alias("leg"), F.col(KEY_COL), "score", "content"
+            )
         )
         plan = dense_top
         terms = tokenize_query(query)
         if terms:
-            postings, dfreq, n_docs, avgdl = self._lexical_view(column)
-            term_df = (
-                {
-                    r["__term"]: int(r["__df"])
-                    for r in dfreq.where(F.col("__term").isin(terms)).collect()
-                }
-                if n_docs > 0 and avgdl > 0.0
-                else {}
-            )
-            if term_df:
+            postings, _dfreq, n_docs, avgdl = self._lexical_view(column)
+            if n_docs > 0 and avgdl > 0.0:
                 lex_top = (
-                    bm25_scores_with_idf(
-                        postings, term_df, n_docs, avgdl, id_col=KEY_COL
+                    bm25_scores_from_postings(
+                        postings, terms, n_docs, avgdl,
+                        id_col=KEY_COL, df_via="join",
                     )
                     .select(KEY_COL, F.round("bm25", 6).alias("score"))
                     .orderBy(F.desc("score"), F.asc(KEY_COL))
                     .limit(depth)
-                    .select(F.lit("l").alias("leg"), F.col(KEY_COL), "score")
+                    .join(serve.select(F.col(KEY_COL), "content"), KEY_COL)
+                    .select(
+                        F.lit("l").alias("leg"),
+                        F.col(KEY_COL),
+                        "score",
+                        "content",
+                    )
                 )
                 plan = plan.unionByName(lex_top)
 
         per_leg: dict[str, list[tuple[float, int]]] = {}
+        content_of: dict[int, str] = {}
         for r in plan.collect():
-            per_leg.setdefault(r["leg"], []).append(
-                (float(r["score"]), int(r[KEY_COL]))
-            )
+            k = int(r[KEY_COL])
+            per_leg.setdefault(r["leg"], []).append((float(r["score"]), k))
+            content_of[k] = r["content"]
         leg_keys = [
             [k for _, k in sorted(rows_, key=lambda t: (-t[0], t[1]))]
             for rows_ in per_leg.values()
@@ -984,7 +996,15 @@ class Collection:
             for rank, k in enumerate(keys, start=1):
                 rrf[k] = rrf.get(k, 0.0) + 1.0 / (60.0 + rank)
         top = sorted(rrf.items(), key=lambda kv: (-kv[1], kv[0]))[:limit]
-        return self._fetch_ordered(serve, top)
+        schema = "key long, content string, score double"
+        rows_out = [
+            (k, content_of[k], s)
+            for k, s in top
+            if content_of.get(k) is not None  # P6 null-content drop
+        ]
+        if not rows_out:
+            return self.spark.createDataFrame([], schema)
+        return self.spark.createDataFrame(rows_out, schema)
 
     def _fetch_ordered(self, serve: DataFrame, ordered) -> DataFrame:
         """Driver-side fetch-back shared by strategy='inlist' and
