@@ -126,6 +126,24 @@ def main() -> None:
         50 * N_SEARCHES / timings["search_topk_local"], 3
     )
 
+    # 4c. driver-local HYBRID serving (round 4): dense numpy leg +
+    # Python BM25 over an in-RAM inverted index, RRF-fused, zero Spark
+    # jobs per query -- the serving-class latency for the hybrid
+    # result set (results identical to strategy='hybrid')
+    coll.search_rows("text", "warmup", limit=10, strategy="local_hybrid")
+
+    def searches_local_hybrid():
+        for i in range(10 * N_SEARCHES):
+            coll.search_rows(
+                "text", f"spark join query window batch {i}", limit=10,
+                strategy="local_hybrid",
+            )
+
+    run_stage("search_topk_local_hybrid", searches_local_hybrid, repeats=1)
+    timings["local_hybrid_searches_per_sec"] = round(
+        10 * N_SEARCHES / timings["search_topk_local_hybrid"], 3
+    )
+
     # 5. batched k-NN join: 100 queries in ONE job, both scoring paths
     # (Catalyst expression vs per-partition numpy matmul)
     from letsearch_spark.operators.topk import knn_join

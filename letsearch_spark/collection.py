@@ -573,6 +573,7 @@ class Collection:
             self._lex_stats.clear()
         else:
             self._local_idx.pop(column, None)
+            self._local_idx.pop(f"__lex_{column}", None)
             self._embeddings_ok.discard(column)
             self._ivf_centroids.pop(column, None)
             self._lex_stats.pop(column, None)
@@ -633,18 +634,31 @@ class Collection:
         is better, bounded by n_legs/61), not 1-cos_dist; rank order is
         what hybrid serves. Falls back to dense-only when the query has
         no lexical tokens.
+
+        strategy='local_hybrid': the same hybrid results from driver
+        RAM -- dense numpy leg + Python BM25 over an in-RAM inverted
+        index, zero Spark jobs per query (strategy='local' extended to
+        hybrid; same local_serve_max_rows ceiling).
         """
         if not 1 <= limit <= 100:
             raise ValueError(f"limit must be in [1, 100], got {limit}")
         if column not in self.config.index_columns:
             raise ValueError(f"column {column!r} is not indexed")
-        if strategy not in ("join", "inlist", "local", "lsh", "ivf", "hybrid"):
+        if strategy not in (
+            "join", "inlist", "local", "lsh", "ivf", "hybrid", "local_hybrid"
+        ):
             raise ValueError(f"unknown strategy {strategy!r}")
         self._require_embeddings(column)
         qvec = self._embedder().embed([query])[0].tolist()
 
         if strategy == "hybrid":
             return self._search_hybrid(column, query, qvec, limit)
+
+        if strategy == "local_hybrid":
+            rows_out = self._local_hybrid_rows(column, query, qvec, limit)
+            return self.spark.createDataFrame(
+                rows_out, "key long, content string, score double"
+            )
 
         if strategy == "lsh":
             return self._search_lsh(column, qvec, limit)
@@ -1194,6 +1208,105 @@ class Collection:
             self._local_idx[column] = bundle
         return bundle
 
+    def _local_lex_bundle(self, column: str):
+        """Driver-RAM inverted index over the local serve bundle:
+        ({term: [(key, tf), ...]}, {key: dl}, n_docs, avgdl), tokenized
+        with the exact analyzer build_postings uses so scores reproduce
+        the distributed lexical leg. Sits under the same
+        local_serve_max_rows ceiling as the dense bundle (it is built
+        FROM it); the one-time build is a Python pass over the corpus
+        text -- driver-sized collections only, like everything
+        strategy='local'."""
+        cached = self._local_idx.get(f"__lex_{column}")
+        if cached is None:
+            import re
+            from collections import Counter
+
+            from letsearch_spark.operators.bm25 import TOKEN_PATTERN
+
+            keys, _mat, contents = self._local_bundle(column)
+            postings: dict[str, list[tuple[int, int]]] = {}
+            dl: dict[int, int] = {}
+            for k, c in zip(keys, contents):
+                if c is None:
+                    continue
+                toks = [
+                    t
+                    for t in re.sub(TOKEN_PATTERN, " ", c.lower()).split(" ")
+                    if t
+                ]
+                if not toks:
+                    continue
+                dl[int(k)] = len(toks)
+                for t, tf in Counter(toks).items():
+                    postings.setdefault(t, []).append((int(k), tf))
+            n_docs = len(dl)
+            avgdl = (sum(dl.values()) / n_docs) if n_docs else 0.0
+            cached = (postings, dl, n_docs, avgdl)
+            self._local_idx[f"__lex_{column}"] = cached
+        return cached
+
+    def _local_hybrid_rows(
+        self, column: str, query: str, qvec, limit: int
+    ) -> list[tuple]:
+        """Driver-local hybrid: dense numpy leg + Python BM25 leg over
+        the in-RAM inverted index, RRF-fused -- zero Spark jobs per
+        query once both bundles are built. Same legs, depths, rounding
+        (6 decimals before ranking) and (-score, key) tie-breaks as the
+        distributed hybrid, so results match it exactly
+        (test_search_rows_local_hybrid_matches_spark)."""
+        import math
+
+        from letsearch_spark.operators.bm25 import tokenize_query
+
+        depth = self._HYBRID_DEPTH
+        bundle = self._local_bundle(column)
+        dense = self._local_topk(bundle, qvec, depth)
+        leg_keys = [[k for k, _c, _s in dense]]
+        content_of = {k: c for k, c, _s in dense}
+
+        terms = tokenize_query(query)
+        if terms:
+            postings, dl, n_docs, avgdl = self._local_lex_bundle(column)
+            if n_docs > 0 and avgdl > 0.0:
+                scores: dict[int, float] = {}
+                k1, b = 1.2, 0.75
+                for t in terms:
+                    plist = postings.get(t)
+                    if not plist:
+                        continue
+                    df = len(plist)
+                    idf = math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                    for k, tf in plist:
+                        tf_norm = (
+                            tf
+                            * (k1 + 1.0)
+                            / (tf + k1 * (1.0 - b + b * dl[k] / avgdl))
+                        )
+                        scores[k] = scores.get(k, 0.0) + idf * tf_norm
+                if scores:
+                    lex = sorted(
+                        ((round(s, 6), k) for k, s in scores.items()),
+                        key=lambda t: (-t[0], t[1]),
+                    )[:depth]
+                    leg_keys.append([k for _s, k in lex])
+                    keys_arr, _mat, contents = bundle
+                    idx = {int(kk): i for i, kk in enumerate(keys_arr)}
+                    for _s, k in lex:
+                        if k not in content_of:
+                            content_of[k] = contents[idx[k]]
+
+        rrf: dict[int, float] = {}
+        for keys in leg_keys:
+            for rank, k in enumerate(keys, start=1):
+                rrf[k] = rrf.get(k, 0.0) + 1.0 / (60.0 + rank)
+        top = sorted(rrf.items(), key=lambda kv: (-kv[1], kv[0]))[:limit]
+        return [
+            (k, content_of[k], s)
+            for k, s in top
+            if content_of.get(k) is not None  # P6 null-content drop
+        ]
+
     def search_rerank(
         self,
         column: str,
@@ -1251,18 +1364,25 @@ class Collection:
     ) -> list[dict]:
         """Serving-layer search: plain (key, content, score) dicts.
 
-        With strategy='local' no Spark job runs at all once the bundle is
-        built -- this matches the reference's per-query cost model
-        (in-RAM index + table, serve.rs latency class). Other strategies
-        delegate to :meth:`search` and collect."""
-        if strategy == "local":
+        With strategy='local' (dense) or 'local_hybrid' (dense + BM25,
+        RRF-fused) no Spark job runs at all once the bundles are built
+        -- this matches the reference's per-query cost model (in-RAM
+        index + table, serve.rs latency class); 'local_hybrid' returns
+        the same results as the distributed strategy='hybrid'. Other
+        strategies delegate to :meth:`search` and collect."""
+        if strategy in ("local", "local_hybrid"):
             if not 1 <= limit <= 100:
                 raise ValueError(f"limit must be in [1, 100], got {limit}")
             if column not in self.config.index_columns:
                 raise ValueError(f"column {column!r} is not indexed")
             self._require_embeddings(column)
             qvec = self._embedder().embed([query])[0].tolist()
-            rows = self._local_topk(self._local_bundle(column), qvec, limit)
+            if strategy == "local":
+                rows = self._local_topk(
+                    self._local_bundle(column), qvec, limit
+                )
+            else:
+                rows = self._local_hybrid_rows(column, query, qvec, limit)
             return [
                 {"key": k, "content": c, "score": s} for k, c, s in rows
             ]

@@ -707,3 +707,66 @@ def test_search_rerank_reorders_and_validates(coll):
 
     with pytest.raises(ValueError):
         coll.search_rerank("text", "q", limit=50, retrieve_limit=10)
+
+
+def test_search_rows_local_hybrid_matches_spark(coll):
+    """Driver-local hybrid (zero Spark jobs per query) must reproduce
+    the distributed strategy='hybrid' results exactly: same legs, same
+    rounding, same RRF arithmetic and tie-breaks."""
+    coll.embed_column("text", incremental=True)
+    for q in [
+        "spark join query window batch",
+        "customer order line value",
+        "nonexistentterm qqqzzz",
+    ]:
+        local = coll.search_rows("text", q, limit=10, strategy="local_hybrid")
+        dist = [
+            {"key": r["key"], "content": r["content"], "score": r["score"]}
+            for r in coll.search("text", q, limit=10, strategy="hybrid").collect()
+        ]
+        assert [r["key"] for r in local] == [r["key"] for r in dist], q
+        for a, b in zip(local, dist):
+            assert a["content"] == b["content"]
+            assert abs(a["score"] - b["score"]) < 1e-12
+
+
+def test_search_rows_local_hybrid_no_jobs_and_fast(coll):
+    """After warmup, local_hybrid runs zero Spark jobs per query (the
+    serving property the mode exists for)."""
+    import time
+
+    coll.search_rows("text", "warm up the bundles", strategy="local_hybrid")
+    sc = coll.spark.sparkContext
+    tracker = sc.statusTracker()
+    before = tracker.getJobIdsForGroup(None)
+    t0 = time.time()
+    for i in range(50):
+        coll.search_rows("text", f"spark join batch {i}", strategy="local_hybrid")
+    dt = time.time() - t0
+    after = tracker.getJobIdsForGroup(None)
+    assert before == after, "local_hybrid ran Spark jobs per query"
+    assert dt / 50 < 0.2, f"{dt / 50 * 1000:.0f} ms/query is not serving-class"
+
+
+def test_search_rows_local_hybrid_cjk_degrades_to_dense(spark, tmp_path):
+    """An all-CJK corpus has no ASCII tokens: the lexical bundle is
+    empty and local_hybrid must degrade to the dense leg, exactly like
+    the distributed hybrid, not crash."""
+    import os
+
+    from letsearch_spark.collection import Collection
+
+    c = Collection.create(
+        spark, str(tmp_path), name="cjk", index_columns=["text"],
+        model_name="stub://16",
+    )
+    src = str(tmp_path / "cjk.jsonl")
+    with open(src, "w") as f:
+        for i, t in enumerate(["文档内容一", "另一个文档", "第三个文档"]):
+            f.write('{"doc_id": %d, "text": "%s"}\n' % (i, t))
+    c.import_jsonl(src)
+    c.embed_column("text")
+    rows = c.search_rows("text", "文档", limit=3, strategy="local_hybrid")
+    assert len(rows) == 3
+    dense = c.search_rows("text", "文档", limit=3, strategy="local")
+    assert [r["key"] for r in rows] == [r["key"] for r in dense]
