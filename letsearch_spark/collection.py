@@ -962,7 +962,10 @@ class Collection:
             serve.where(F.col("content").isNotNull())
             .select(
                 F.col(KEY_COL),
-                self._serve_score(qvec).alias("score"),
+                # round-12 ordering key: collapses numpy-vs-Catalyst ulp
+                # noise so local_hybrid ranks identically (the grid is
+                # ~1e4 finer than any meaningful score difference)
+                F.round(self._serve_score(qvec), 12).alias("score"),
                 "content",
             )
             .orderBy(F.desc("score"), F.asc(KEY_COL))
@@ -1005,11 +1008,7 @@ class Collection:
             for rows_ in per_leg.values()
         ]
 
-        rrf: dict[int, float] = {}
-        for keys in leg_keys:
-            for rank, k in enumerate(keys, start=1):
-                rrf[k] = rrf.get(k, 0.0) + 1.0 / (60.0 + rank)
-        top = sorted(rrf.items(), key=lambda kv: (-kv[1], kv[0]))[:limit]
+        top = self._rrf_ranks(leg_keys, limit)
         schema = "key long, content string, score double"
         rows_out = [
             (k, content_of[k], s)
@@ -1019,6 +1018,16 @@ class Collection:
         if not rows_out:
             return self.spark.createDataFrame([], schema)
         return self.spark.createDataFrame(rows_out, schema)
+
+    @staticmethod
+    def _rrf_ranks(leg_keys, limit: int) -> list[tuple[int, float]]:
+        """Driver-side reciprocal-rank fusion shared by the distributed
+        and local hybrid paths: (key, rrf) sorted by (-rrf, key)."""
+        rrf: dict[int, float] = {}
+        for keys in leg_keys:
+            for rank, k in enumerate(keys, start=1):
+                rrf[k] = rrf.get(k, 0.0) + 1.0 / (60.0 + rank)
+        return sorted(rrf.items(), key=lambda kv: (-kv[1], kv[0]))[:limit]
 
     def _fetch_ordered(self, serve: DataFrame, ordered) -> DataFrame:
         """Driver-side fetch-back shared by strategy='inlist' and
@@ -1158,7 +1167,11 @@ class Collection:
         return view
 
     @staticmethod
-    def _local_topk(bundle, qvec, limit: int) -> list[tuple]:
+    def _local_topk(bundle, qvec, limit: int, order_digits=None) -> list[tuple]:
+        """``order_digits`` rounds the ordering key (scores returned stay
+        raw): the hybrid legs rank on round-12 similarities in BOTH the
+        local and the distributed path, so sub-ulp float differences
+        between numpy and Catalyst dot products cannot flip a rank."""
         import numpy as np
 
         keys, mat, contents = bundle
@@ -1167,7 +1180,10 @@ class Collection:
         if qn > 0:
             q = q / qn
         sims = mat @ q
-        order = np.lexsort((keys, -sims))
+        order_key = (
+            np.round(sims, order_digits) if order_digits is not None else sims
+        )
+        order = np.lexsort((keys, -order_key))
         rows_out = []
         for i in order:
             if contents[i] is None:  # P6 null-content drop
@@ -1242,7 +1258,10 @@ class Collection:
                     postings.setdefault(t, []).append((int(k), tf))
             n_docs = len(dl)
             avgdl = (sum(dl.values()) / n_docs) if n_docs else 0.0
-            cached = (postings, dl, n_docs, avgdl)
+            # key -> row position, built once: the per-query content
+            # lookup must not rebuild an O(corpus) dict per query
+            key_pos = {int(k): i for i, k in enumerate(keys)}
+            cached = (postings, dl, n_docs, avgdl, key_pos)
             self._local_idx[f"__lex_{column}"] = cached
         return cached
 
@@ -1259,18 +1278,24 @@ class Collection:
 
         from letsearch_spark.operators.bm25 import tokenize_query
 
+        from letsearch_spark.operators.bm25 import B_DEFAULT, K1_DEFAULT
+
         depth = self._HYBRID_DEPTH
         bundle = self._local_bundle(column)
-        dense = self._local_topk(bundle, qvec, depth)
+        # order_digits=12 mirrors the distributed dense leg's round-12
+        # ordering key: both paths rank on the same quantized grid
+        dense = self._local_topk(bundle, qvec, depth, order_digits=12)
         leg_keys = [[k for k, _c, _s in dense]]
         content_of = {k: c for k, c, _s in dense}
 
         terms = tokenize_query(query)
         if terms:
-            postings, dl, n_docs, avgdl = self._local_lex_bundle(column)
+            postings, dl, n_docs, avgdl, key_pos = self._local_lex_bundle(
+                column
+            )
             if n_docs > 0 and avgdl > 0.0:
                 scores: dict[int, float] = {}
-                k1, b = 1.2, 0.75
+                k1, b = K1_DEFAULT, B_DEFAULT
                 for t in terms:
                     plist = postings.get(t)
                     if not plist:
@@ -1290,17 +1315,12 @@ class Collection:
                         key=lambda t: (-t[0], t[1]),
                     )[:depth]
                     leg_keys.append([k for _s, k in lex])
-                    keys_arr, _mat, contents = bundle
-                    idx = {int(kk): i for i, kk in enumerate(keys_arr)}
+                    _keys_arr, _mat, contents = bundle
                     for _s, k in lex:
                         if k not in content_of:
-                            content_of[k] = contents[idx[k]]
+                            content_of[k] = contents[key_pos[k]]
 
-        rrf: dict[int, float] = {}
-        for keys in leg_keys:
-            for rank, k in enumerate(keys, start=1):
-                rrf[k] = rrf.get(k, 0.0) + 1.0 / (60.0 + rank)
-        top = sorted(rrf.items(), key=lambda kv: (-kv[1], kv[0]))[:limit]
+        top = self._rrf_ranks(leg_keys, limit)
         return [
             (k, content_of[k], s)
             for k, s in top

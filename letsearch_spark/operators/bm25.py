@@ -41,6 +41,11 @@ from pyspark.sql import functions as F
 
 TOKEN_PATTERN = "[^a-z0-9]+"
 
+# Okapi BM25 shape parameters -- shared by every scorer here and by the
+# driver-local lexical leg (collection.py _local_hybrid_rows)
+K1_DEFAULT = 1.2
+B_DEFAULT = 0.75
+
 
 def tokenize(col: Column | str) -> Column:
     """array<string> of lowercase alphanumeric terms (empties removed)."""

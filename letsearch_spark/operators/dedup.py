@@ -308,6 +308,74 @@ def minhash_lsh_pairs(
     )
 
 
+
+def _incr_candidates(new_tbl, store_tbl, join_cols: list) -> DataFrame:
+    """(id_new, id_other) collision candidates for the incremental dedup
+    protocol: batch-internal pairs against LOWER ids plus cross-store
+    pairs, deduplicated. ``new_tbl``/``store_tbl`` are (id, *join_cols)
+    collision tables (MinHash bands or LSH buckets)."""
+    a = new_tbl.select(F.col("id").alias("id_new"), *join_cols)
+    intra = (
+        a.join(
+            new_tbl.select(F.col("id").alias("id_other"), *join_cols),
+            join_cols,
+        )
+        .where(F.col("id_other") < F.col("id_new"))
+        .select("id_new", "id_other")
+    )
+    cand = intra
+    if store_tbl is not None:
+        cross = a.join(
+            store_tbl.select(F.col("id").alias("id_other"), *join_cols),
+            join_cols,
+        ).select("id_new", "id_other")
+        cand = cand.unionByName(cross)
+    return cand.distinct()
+
+
+def _incr_old_hits(cand, new_ids, corpus, id_col: str, strict: bool, what: str):
+    """Corpus rows for the STORED side of the candidate pairs (None when
+    no corpus frame was given). The strict store-coverage check is ONE
+    count over the candidate id set anti-joined against the corpus."""
+    old_needed = cand.select(F.col("id_other").alias("id")).join(
+        new_ids, "id", "left_anti"
+    )
+    if corpus is None:
+        if strict and old_needed.first() is not None:
+            raise ValueError(
+                f"the store matched candidates but {what} is None: "
+                "stored entries cannot be verified"
+            )
+        return None
+    if strict:
+        missing = old_needed.join(
+            corpus.select(F.col(id_col).alias("id")), "id", "left_anti"
+        ).count()
+        if missing:
+            raise ValueError(
+                f"{missing} stored candidate ids are missing from {what}; "
+                "their collisions cannot be verified (the store must "
+                "cover every processed id)"
+            )
+    return corpus.join(
+        F.broadcast(old_needed.withColumnRenamed("id", id_col)), id_col
+    )
+
+
+def _first_seen_keep(new_ids, dups, id_col: str) -> DataFrame:
+    """(id, keep, dup_of) from verified duplicate pairs: a new id is
+    dropped when any pair names it, dup_of = the smallest partner."""
+    matches = dups.groupBy("id_new").agg(F.min("id_other").alias("dup_of"))
+    return (
+        new_ids.join(matches.withColumnRenamed("id_new", "id"), "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.col("dup_of").isNull().alias("keep"),
+            "dup_of",
+        )
+    )
+
+
 def minhash_band_table(
     df: DataFrame,
     id_col: str,
@@ -360,17 +428,18 @@ def incremental_minhash_dedup(
     previously processed docs (kept or dropped), matching the
     first-seen-wins rule, and raw inputs are retained in practice. With
     ``strict`` (default) an unresolvable candidate id raises instead of
-    silently failing verification as "not a duplicate"; the check is
-    one count over the (tiny) candidate id set.
+    silently failing verification as "not a duplicate" (one count over
+    the candidate id set), and a store whose band count contradicts the
+    num_perms/band_rows knobs raises too.
 
     Returns ``{"keep": (id, keep, dup_of), "bands": (id, band, sig),
-    "shingles": <cached batch shingle frame>}``. Append ``bands`` (all
-    of them, not just kept) to the store for the next batch; route
-    ``keep`` wherever the keep-list goes; after materializing both,
-    call ``result["shingles"].unpersist()`` -- the batch shingles are
-    cached because four plan branches read them, and a long-running
-    foreachBatch driver that never releases them would accumulate one
-    cached table per micro-batch. Two batches through this function
+    "release": <callable>}``. Append ``bands`` (all of them, not just
+    kept) to the store for the next batch; route ``keep`` wherever the
+    keep-list goes; after materializing both, call ``result["release"]()``
+    -- the batch shingles and the candidate table are cached because
+    several plan branches read them, and a long-running foreachBatch
+    driver that never releases them would accumulate cached tables
+    every micro-batch. Two batches through this function
     equal one :func:`minhash_lsh_pairs` run over the union under the
     same drop-if-any-lower-id-pair rule (equivalence pinned by
     test_incremental_minhash_matches_batch).
@@ -379,53 +448,38 @@ def incremental_minhash_dedup(
     new_bands = _bands_of(
         minhash_signatures(new_sh, num_perms, seed), num_perms, band_rows
     )
+    if store_bands is not None and strict:
+        # structural store-compat guard: a store built with different
+        # num_perms/band_rows has a different band count and can never
+        # collide correctly. One column-pruned max() per batch. (A
+        # different SEED or shingle n is structurally invisible --
+        # store and call sites must agree on those by contract.)
+        mb = store_bands.agg(F.max("band")).first()[0]
+        expected = num_perms // band_rows - 1
+        if mb is not None and int(mb) != expected:
+            raise ValueError(
+                f"store_bands has bands 0..{int(mb)} but num_perms="
+                f"{num_perms}/band_rows={band_rows} imply 0..{expected}: "
+                "the store was built with different banding knobs"
+            )
 
-    a = new_bands.select(F.col("id").alias("id_new"), "band", "sig")
-    intra = (
-        a.join(
-            new_bands.select(F.col("id").alias("id_other"), "band", "sig"),
-            ["band", "sig"],
-        )
-        .where(F.col("id_other") < F.col("id_new"))
-        .select("id_new", "id_other")
-    )
-    cand = intra
-    if store_bands is not None:
-        cross = a.join(
-            store_bands.select(F.col("id").alias("id_other"), "band", "sig"),
-            ["band", "sig"],
-        ).select("id_new", "id_other")
-        cand = cand.unionByName(cross)
-    cand = cand.distinct()
+    # cand is read by several plan branches (strict check, intersection,
+    # verify join); cache it and hand the caller a release() hook
+    cand = _incr_candidates(new_bands, store_bands, ["band", "sig"]).cache()
 
     # shingles for the "other" side: new ids read the cached batch
     # shingles; stored ids re-shingle only the colliding corpus docs
     other_sh = new_sh
     if store_bands is not None:
-        old_needed = cand.select(F.col("id_other").alias("id")).join(
-            new_docs.select(F.col(id_col).alias("id")), "id", "left_anti"
+        hit_docs = _incr_old_hits(
+            cand,
+            new_docs.select(F.col(id_col).alias("id")),
+            corpus_docs,
+            id_col,
+            strict,
+            "corpus_docs",
         )
-        if corpus_docs is None:
-            if strict and old_needed.first() is not None:
-                raise ValueError(
-                    "store_bands matched candidates but corpus_docs is "
-                    "None: stored documents cannot be verified"
-                )
-        else:
-            hit_docs = corpus_docs.join(
-                F.broadcast(old_needed.withColumnRenamed("id", id_col)),
-                id_col,
-            )
-            if strict:
-                n_needed = old_needed.count()
-                n_found = hit_docs.count()
-                if n_found < n_needed:
-                    raise ValueError(
-                        f"{n_needed - n_found} stored candidate ids are "
-                        "missing from corpus_docs; their collisions "
-                        "cannot be verified (the store must cover every "
-                        "processed document)"
-                    )
+        if hit_docs is not None:
             other_sh = new_sh.unionByName(
                 shingles(hit_docs, id_col, text_col, n)
             )
@@ -452,17 +506,15 @@ def incremental_minhash_dedup(
         )
         .where(F.col("jaccard") >= threshold)
     )
-    matches = dups.groupBy("id_new").agg(F.min("id_other").alias("dup_of"))
-    keep = (
-        new_docs.select(F.col(id_col).alias("id"))
-        .join(matches.withColumnRenamed("id_new", "id"), "id", "left")
-        .select(
-            F.col("id").alias(id_col),
-            F.col("dup_of").isNull().alias("keep"),
-            "dup_of",
-        )
+    keep = _first_seen_keep(
+        new_docs.select(F.col(id_col).alias("id")), dups, id_col
     )
-    return {"keep": keep, "bands": new_bands, "shingles": new_sh}
+
+    def release() -> None:
+        new_sh.unpersist()
+        cand.unpersist()
+
+    return {"keep": keep, "bands": new_bands, "release": release}
 
 
 # ---------------------------------------------------------------- simhash
@@ -835,7 +887,12 @@ def embedding_bucket_table(
     from letsearch_spark.operators.topk import _hyperplanes, lsh_signature_col
 
     if dim is None:
-        dim = len(df.select(vec_col).first()[0])
+        probe = df.select(vec_col).first()
+        if probe is None:
+            raise ValueError(
+                "cannot infer the vector dim from an empty frame; pass dim"
+            )
+        dim = len(probe[0])
     planes = _hyperplanes(dim, lsh_bits, seed)
     return df.select(
         F.col(id_col).alias("id"),
@@ -872,28 +929,50 @@ def incremental_embedding_dedup(
     drop-if-any-lower-id-pair rule (pinned by
     test_incremental_embedding_matches_batch).
 
-    Returns ``{"keep": (id, keep, dup_of), "buckets": (id, bucket)}``;
-    append ``buckets`` (all rows) to the store.
+    Returns ``{"keep": (id, keep, dup_of), "buckets": (id, bucket),
+    "release": <callable>}``; append ``buckets`` (all rows) to the
+    store and call ``release()`` after materializing the outputs (same
+    cache protocol as the MinHash sibling). An empty batch returns
+    empty frames instead of failing dim inference.
     """
     from letsearch_spark.functions.vector import dot_product, l2_norm
+
+    if dim is None:
+        probe = new_vecs.select(vec_col).first()
+        if probe is None:
+            # empty micro-batch (idle trigger, restart replay): nothing
+            # to judge and no vector to infer dim from -- empty outputs
+            spark = new_vecs.sparkSession
+            id_type = new_vecs.schema[id_col].dataType.simpleString()
+            return {
+                "keep": spark.createDataFrame(
+                    [], f"{id_col} {id_type}, keep boolean, dup_of {id_type}"
+                ),
+                "buckets": spark.createDataFrame(
+                    [], f"id {id_type}, bucket int"
+                ),
+                "release": lambda: None,
+            }
+        dim = len(probe[0])
 
     new_b = embedding_bucket_table(
         new_vecs, id_col, vec_col, lsh_bits, dim, seed
     )
-    a = new_b.select(F.col("id").alias("id_new"), "bucket")
-    intra = (
-        a.join(new_b.select(F.col("id").alias("id_other"), "bucket"), "bucket")
-        .where(F.col("id_other") < F.col("id_new"))
-        .select("id_new", "id_other")
-    )
-    cand = intra
-    if store_buckets is not None:
-        cross = a.join(
-            store_buckets.select(F.col("id").alias("id_other"), "bucket"),
-            "bucket",
-        ).select("id_new", "id_other")
-        cand = cand.unionByName(cross)
-    cand = cand.distinct()
+    if store_buckets is not None and strict:
+        # partial structural guard: a store built with MORE lsh_bits has
+        # bucket ids outside [0, 2^lsh_bits) and can never collide
+        # correctly. (Fewer bits, a different seed, or a different dim
+        # are structurally invisible -- by contract the store and every
+        # call share those knobs.) One column-pruned max() per batch.
+        mbkt = store_buckets.agg(F.max("bucket")).first()[0]
+        if mbkt is not None and int(mbkt) >= (1 << lsh_bits):
+            raise ValueError(
+                f"store_buckets holds bucket id {int(mbkt)} >= "
+                f"2^{lsh_bits}: the store was built with more lsh_bits "
+                "than this call"
+            )
+
+    cand = _incr_candidates(new_b, store_buckets, ["bucket"]).cache()
 
     vec_of = lambda frame: frame.select(  # noqa: E731
         F.col(id_col).alias("id"),
@@ -903,30 +982,15 @@ def incremental_embedding_dedup(
     vnew = vec_of(new_vecs)
     vother = vnew
     if store_buckets is not None:
-        old_needed = cand.select(F.col("id_other").alias("id")).join(
-            new_vecs.select(F.col(id_col).alias("id")), "id", "left_anti"
+        hit_vecs = _incr_old_hits(
+            cand,
+            new_vecs.select(F.col(id_col).alias("id")),
+            corpus_vecs,
+            id_col,
+            strict,
+            "corpus_vecs",
         )
-        if corpus_vecs is None:
-            if strict and old_needed.first() is not None:
-                raise ValueError(
-                    "store_buckets matched candidates but corpus_vecs is "
-                    "None: stored vectors cannot be verified"
-                )
-        else:
-            hit_vecs = corpus_vecs.join(
-                F.broadcast(old_needed.withColumnRenamed("id", id_col)),
-                id_col,
-            )
-            if strict:
-                n_needed = old_needed.count()
-                n_found = hit_vecs.count()
-                if n_found < n_needed:
-                    raise ValueError(
-                        f"{n_needed - n_found} stored candidate ids are "
-                        "missing from corpus_vecs; their collisions "
-                        "cannot be verified (the store must cover every "
-                        "processed vector)"
-                    )
+        if hit_vecs is not None:
             vother = vnew.unionByName(vec_of(hit_vecs))
 
     sim = dot_product(F.col("a.v"), F.col("b.v")) / (
@@ -938,17 +1002,10 @@ def incremental_embedding_dedup(
         .select("id_new", "id_other", F.round(sim, 6).alias("sim"))
         .where(F.col("sim") >= threshold)
     )
-    matches = dups.groupBy("id_new").agg(F.min("id_other").alias("dup_of"))
-    keep = (
-        new_vecs.select(F.col(id_col).alias("id"))
-        .join(matches.withColumnRenamed("id_new", "id"), "id", "left")
-        .select(
-            F.col("id").alias(id_col),
-            F.col("dup_of").isNull().alias("keep"),
-            "dup_of",
-        )
+    keep = _first_seen_keep(
+        new_vecs.select(F.col(id_col).alias("id")), dups, id_col
     )
-    return {"keep": keep, "buckets": new_b}
+    return {"keep": keep, "buckets": new_b, "release": cand.unpersist}
 
 
 # ------------------------------------------------------------ lines

@@ -119,7 +119,10 @@ def test_embed_and_search(coll):
 
 
 def test_embed_incremental_anti_join(coll, spark):
-    # appending rows then re-embedding only embeds the new rows (K5)
+    # appending rows then re-embedding only embeds the new rows (K5).
+    # Self-sufficient under -k subsets: ensure the base embed ran (no-op
+    # when an earlier test in the module already embedded)
+    coll.embed_column("text", incremental=True)
     before = coll.embeddings("text").count()
     import pyspark.sql.types as T
 

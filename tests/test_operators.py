@@ -2081,3 +2081,53 @@ def test_incremental_embedding_matches_batch(spark, sf_dir):
     }
     assert inc == expected
     assert not inc[100000][0] and not inc[100003][0] and not inc[100007][0]
+
+
+def test_incremental_dedup_empty_batch_and_knob_guards(spark):
+    """Empty micro-batches must produce empty outputs (not a dim-inference
+    crash), and a store built with different banding/bit knobs must be
+    rejected instead of silently never colliding."""
+    import pytest as _pytest
+
+    from letsearch_spark.operators.dedup import (
+        embedding_bucket_table,
+        incremental_embedding_dedup,
+        incremental_minhash_dedup,
+        minhash_band_table,
+    )
+
+    empty_v = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    r = incremental_embedding_dedup(empty_v, None, None, "vec_id", "embedding")
+    assert r["keep"].count() == 0 and r["buckets"].count() == 0
+    r["release"]()
+    with _pytest.raises(ValueError, match="empty frame"):
+        embedding_bucket_table(empty_v, "vec_id", "embedding")
+
+    empty_d = spark.createDataFrame([], "doc_id long, text string")
+    some = spark.createDataFrame(
+        [(0, "aaa bbb ccc ddd eee")], "doc_id long, text string"
+    )
+    r2 = incremental_minhash_dedup(empty_d, None, None, "doc_id", "text")
+    assert r2["keep"].count() == 0
+    r2["release"]()
+
+    # knob-mismatch guards
+    store16 = minhash_band_table(some, "doc_id", "text", num_perms=16)
+    with _pytest.raises(ValueError, match="different banding knobs"):
+        incremental_minhash_dedup(
+            some, store16, some, "doc_id", "text", num_perms=8
+        )
+    vecs = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    store_wide = embedding_bucket_table(vecs, "vec_id", "embedding", lsh_bits=12)
+    # force a high bucket id so the bit-width mismatch is detectable
+    from pyspark.sql import functions as _F
+
+    store_wide = store_wide.withColumn(
+        "bucket", _F.col("bucket") + _F.lit(1 << 10)
+    )
+    with _pytest.raises(ValueError, match="more lsh_bits"):
+        incremental_embedding_dedup(
+            vecs, store_wide, vecs, "vec_id", "embedding", lsh_bits=8
+        )

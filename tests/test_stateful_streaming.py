@@ -163,7 +163,7 @@ def test_foreachbatch_incremental_minhash_dedup(spark, tmp_path):
         res["keep"].write.mode("append").parquet(keep_path)
         res["bands"].write.mode("append").parquet(store_path)
         batch_df.write.mode("append").parquet(corpus_path)
-        res["shingles"].unpersist()
+        res["release"]()
 
     stream = spark.readStream.schema(batch1.schema).option(
         "maxFilesPerTrigger", 1

@@ -296,8 +296,12 @@ def main() -> None:
                 minhash_band_table,
             )
 
-            store = minhash_band_table(docs, "doc_id", "text").cache()
-            row["store_bands"] = store.count()  # untimed one-time build
+            store = None
+            if only is None or "incr_minhash" in only:
+                # the store build is the incr stage's (untimed) setup;
+                # don't pay it when only the full-recompute contrast runs
+                store = minhash_band_table(docs, "doc_id", "text").cache()
+                row["store_bands"] = store.count()
             new_batch = (
                 scaled_docs(spark, 1)
                 .select(
@@ -324,7 +328,8 @@ def main() -> None:
                     threshold=0.5,
                 ).count(),
             )
-            store.unpersist()
+            if store is not None:
+                store.unpersist()
             new_batch.unpersist()
 
         from letsearch_spark.operators.range_join import range_join
