@@ -38,12 +38,23 @@ class ChunkerConfig:
     max_tokens: int = 512
     overlap_tokens: int = 50
     tokenizer_path: str | None = None
+    # a BPE model trained in-repo by letsearch_spark.tokenizer.train_bpe
+    # and saved with BpeModel.save -- exact counts with zero external
+    # dependencies (mutually exclusive with tokenizer_path)
+    bpe_path: str | None = None
 
 
 class MarkdownChunker:
     def __init__(self, config: ChunkerConfig | None = None):
         self.config = config or ChunkerConfig()
         self._tokenizer = None
+        self._bpe = None
+        if self.config.tokenizer_path is not None and self.config.bpe_path is not None:
+            raise ValueError("set at most one of tokenizer_path / bpe_path")
+        if self.config.bpe_path is not None:
+            from letsearch_spark.tokenizer import BpeModel
+
+            self._bpe = BpeModel.load(self.config.bpe_path)
         if self.config.tokenizer_path is not None:
             try:
                 from tokenizers import Tokenizer  # optional dependency
@@ -79,6 +90,8 @@ class MarkdownChunker:
         (chunker.rs:106-114)."""
         if self._tokenizer is not None:
             return len(self._tokenizer.encode(text).ids)
+        if self._bpe is not None:
+            return self._bpe.token_count(text)
         words = len(text.split())
         return math.ceil(words * 1.3)
 
@@ -154,7 +167,7 @@ class MarkdownChunker:
         (whitespace joins preserve word counts), so the merged-candidate
         count is arithmetic instead of a re-join + re-split -- same result,
         O(n) instead of O(n^2)."""
-        approx = self._tokenizer is None
+        approx = self._tokenizer is None and self._bpe is None
         chunks: list[str] = []
         current = ""
         cur_wc = 0  # word count of `current`, maintained in approx mode
@@ -204,7 +217,7 @@ class MarkdownChunker:
         words = text.split()
         if not words:
             return []
-        if self._tokenizer is None:
+        if self._tokenizer is None and self._bpe is None:
             return self._split_by_tokens_fast(words)
 
         chunks: list[str] = []
