@@ -70,25 +70,46 @@ def fingerprint(col: Column) -> Column:
 # DuckDB's RE2: no lookarounds, no backrefs
 URL_RE = r"https?://[^\s]+"
 EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IP_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+# phone heuristic: optional +country, then 2-4 / 3 / 3-4 digit groups
+# with ()-. or space separators -- catches +1 (555) 123-4567,
+# 0555-123-456, 5551234567; like all regex phone matchers it can also
+# hit long bare digit runs (order ids), which is the right bias for a
+# PII scrub
+PHONE_RE = r"(\+\d{1,3}[-. ]?)?\(?\d{2,4}\)?[-. ]?\d{3}[-. ]?\d{3,4}\b"
 
 
 def scrub_text(
-    col: Column, url_token: str = "<URL>", email_token: str = "<EMAIL>"
+    col: Column,
+    url_token: str = "<URL>",
+    email_token: str = "<EMAIL>",
+    ip_token: str = "<IP>",
+    phone_token: str = "<PHONE>",
 ) -> Column:
-    """PII/noise scrubbing for training text: URLs and e-mail addresses
-    replaced by stable placeholder tokens, whitespace re-normalized.
-    Pure Catalyst regexp_replace chain -- runs inside the scan."""
+    """PII/noise scrubbing for training text: URLs, e-mail addresses,
+    IPv4 addresses, and phone-shaped numbers replaced by stable
+    placeholder tokens, whitespace re-normalized. Order matters and is
+    fixed: URLs first (they contain digits and dots), then e-mails,
+    then IPs (dotted quads would otherwise half-match the phone rule),
+    then phones. Pure Catalyst regexp_replace chain -- runs inside the
+    scan."""
     out = F.regexp_replace(col, URL_RE, url_token)
     out = F.regexp_replace(out, EMAIL_RE, email_token)
+    out = F.regexp_replace(out, IP_RE, ip_token)
+    out = F.regexp_replace(out, PHONE_RE, phone_token)
     return F.trim(F.regexp_replace(out, r"\s+", " "))
 
 
-def scrub_counts(col: Column) -> tuple[Column, Column]:
-    """(n_urls, n_emails) found in the text -- audit companion to
-    :func:`scrub_text`."""
+def scrub_counts(col: Column) -> tuple[Column, Column, Column, Column]:
+    """(n_urls, n_emails, n_ips, n_phones) found in the text -- audit
+    companion to :func:`scrub_text`. Counts are taken on the RAW text
+    independently, so a dotted quad counts as an IP even though the
+    scrub chain would have consumed it had it sat inside a URL."""
     return (
         F.size(F.regexp_extract_all(col, F.lit(URL_RE), 0)).cast("long"),
         F.size(F.regexp_extract_all(col, F.lit(EMAIL_RE), 0)).cast("long"),
+        F.size(F.regexp_extract_all(col, F.lit(IP_RE), 0)).cast("long"),
+        F.size(F.regexp_extract_all(col, F.lit(PHONE_RE), 0)).cast("long"),
     )
 
 

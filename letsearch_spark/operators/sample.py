@@ -119,6 +119,53 @@ def hash_split(
     return df.withColumn(split_col, expr)
 
 
+def temperature_weights(
+    counts: dict[str, int], temperature: float
+) -> dict[str, float]:
+    """Target mixture weights ∝ share^temperature (the multilingual
+    "temperature sampling" rule, e.g. XLM-R's alpha=0.3): temperature 1
+    keeps the natural mixture, temperature → 0 approaches uniform,
+    upweighting rare domains at the expense of dominant ones. Pure
+    driver-side arithmetic over the tiny per-domain count dict."""
+    if not 0.0 < temperature <= 1.0:
+        raise ValueError(f"temperature must be in (0, 1], got {temperature}")
+    total = sum(counts.values())
+    if total <= 0:
+        raise ValueError("counts must sum to a positive value")
+    raw = {d: (n / total) ** temperature for d, n in counts.items() if n > 0}
+    z = sum(raw.values())
+    return {d: w / z for d, w in raw.items()}
+
+
+def temperature_hash_sample(
+    df: DataFrame,
+    key_col: str,
+    domain_col: str,
+    temperature: float,
+    target_rows: int,
+    seed: int = 42,
+) -> DataFrame:
+    """Resample toward the temperature-flattened domain mixture: one
+    tiny count aggregation derives the weights (see
+    :func:`temperature_weights`), then the keep decision is the usual
+    zero-shuffle deterministic hash filter via
+    :func:`mixture_hash_sample`. Domains too small for their flattened
+    share saturate at keep-all (no duplication), exactly like an
+    explicit-weights mixture."""
+    counts = {
+        r["d"]: r["n"]
+        for r in df.groupBy(F.col(domain_col).alias("d"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    if not counts:
+        return df.where(F.lit(False))
+    weights = temperature_weights(counts, temperature)
+    return mixture_hash_sample(
+        df, key_col, domain_col, weights, target_rows, seed=seed, counts=counts
+    )
+
+
 def mixture_hash_sample(
     df: DataFrame,
     key_col: str,
@@ -126,6 +173,7 @@ def mixture_hash_sample(
     weights: dict[str, float],
     target_rows: int,
     seed: int = 42,
+    counts: dict[str, int] | None = None,
 ) -> DataFrame:
     """Resample a corpus toward a target domain mixture: keep
     ~``target_rows * weights[d]`` rows of each domain ``d`` (the
@@ -152,12 +200,13 @@ def mixture_hash_sample(
     if total <= 0:
         raise ValueError("weights must sum to a positive value")
 
-    counts = {
-        r["d"]: r["n"]
-        for r in df.groupBy(F.col(domain_col).alias("d"))
-        .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
-    }
+    if counts is None:  # callers with the counts in hand skip the re-agg
+        counts = {
+            r["d"]: r["n"]
+            for r in df.groupBy(F.col(domain_col).alias("d"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
     bucket = hash_bucket(F.col(key_col), seed)
     cut = None
     for name, wgt in weights.items():

@@ -9,6 +9,9 @@ This module is their composition -- ONE declarative recipe:
     1b. perplexity filter (operators/ngram_lm.py, CCNet-style, optional)
     2. line dedup         (operators/dedup.py remove_duplicate_lines)
     3. fuzzy dedup        (minhash_lsh_pairs -> dedup_keep_list)
+    3b. DSIR selection    (operators/dsir.py, optional)
+    3c. quality classifier (operators/classifier.py, GPT-3-style
+        positive-vs-crawl logistic regression + Pareto keep, optional)
     4. mixture resample   (operators/sample.py mixture_hash_sample)
     5. train/val/test     (operators/sample.py hash_split)
     6. sequence packing   (operators/pack.py pack_sequences)
@@ -58,6 +61,11 @@ class PrepConfig:
     # {"target": <target-corpus DataFrame>, "k": <docs to keep>, ...}
     # extra keys forward to operators/dsir.py dsir_sample
     dsir: dict | None = None
+    # stage 3c -- model-based quality filter (None disables): {"model":
+    # <QualityClassifier from fit_quality_classifier>, ...} -- extra
+    # keys (mode/threshold/pareto_alpha/seed) forward to
+    # operators/classifier.py quality_classifier_filter
+    quality_classifier: dict | None = None
     # stage 4 -- mixture (None disables; needs domain_col)
     mixture_weights: dict[str, float] | None = None
     mixture_target_rows: int = 0
@@ -158,6 +166,23 @@ def prepare_training_data(
         )
         cur = cur.join(picked.select(key), key, "left_semi")
         audit["dsir"] = cur.count()
+
+    if cfg.quality_classifier is not None:
+        from letsearch_spark.operators.classifier import (
+            quality_classifier_filter,
+        )
+
+        extra = {
+            k: v for k, v in cfg.quality_classifier.items() if k != "model"
+        }
+        cur = quality_classifier_filter(
+            cur,
+            cfg.quality_classifier["model"],
+            id_col=key,
+            text_col=text,
+            **extra,
+        )
+        audit["quality_classifier"] = cur.count()
 
     if cfg.mixture_weights is not None:
         if cfg.domain_col is None:

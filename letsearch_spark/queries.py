@@ -1023,7 +1023,7 @@ def q_text_profile(spark, sf_dir):
         F.col("doc_id").cast("string"),
         F.lit("@ex-mail.org end"),
     )
-    n_urls, n_emails = scrub_counts(noisy)
+    n_urls, n_emails, n_ips, n_phones = scrub_counts(noisy)
     return docs.select(
         "doc_id",
         n_chars.cast("long").alias("n_chars"),
@@ -1039,6 +1039,8 @@ def q_text_profile(spark, sf_dir):
         rep["dup_ngram_frac"].alias("dup_ngram_frac"),
         n_urls.alias("n_urls"),
         n_emails.alias("n_emails"),
+        n_ips.alias("n_ips"),
+        n_phones.alias("n_phones"),
         F.length(scrub_text(noisy)).cast("long").alias("scrubbed_len"),
     ).orderBy("doc_id")
 
@@ -2150,7 +2152,7 @@ def _oracles() -> dict[str, str]:
         f"len(regexp_extract_all(lower(text), '{pat}')) AS n_{k}"
         for k, pat in _STOP.items()
     )
-    from letsearch_spark.functions.text import EMAIL_RE, URL_RE
+    from letsearch_spark.functions.text import EMAIL_RE, IP_RE, PHONE_RE, URL_RE
 
     o["text_profile"] = f"""
         WITH w AS (
@@ -2196,8 +2198,13 @@ def _oracles() -> dict[str, str]:
                CAST(len(regexp_extract_all(noisy, '{URL_RE}')) AS BIGINT) AS n_urls,
                CAST(len(regexp_extract_all(noisy, '{EMAIL_RE}')) AS BIGINT)
                    AS n_emails,
+               CAST(len(regexp_extract_all(noisy, '{IP_RE}')) AS BIGINT) AS n_ips,
+               CAST(len(regexp_extract_all(noisy, '{PHONE_RE}')) AS BIGINT)
+                   AS n_phones,
                CAST(length(trim(regexp_replace(regexp_replace(regexp_replace(
+                   regexp_replace(regexp_replace(
                    noisy, '{URL_RE}', '<URL>', 'g'), '{EMAIL_RE}', '<EMAIL>', 'g'),
+                   '{IP_RE}', '<IP>', 'g'), '{PHONE_RE}', '<PHONE>', 'g'),
                    '\\s+', ' ', 'g'))) AS BIGINT) AS scrubbed_len
         FROM g ORDER BY doc_id
     """

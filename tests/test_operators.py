@@ -926,6 +926,64 @@ def test_mixture_hash_sample(spark):
         mixture_hash_sample(df, "id", "domain", {"web": 0.0}, 10)
 
 
+def test_temperature_weights_hand_computed():
+    """share^T renormalized: counts 80/20 at T=0.5 give
+    sqrt(.8)/(sqrt(.8)+sqrt(.2)) ~= 0.6667; T=1 returns the natural
+    mixture; T->0 flattens toward uniform."""
+    import math
+
+    import pytest
+
+    from letsearch_spark.operators.sample import temperature_weights
+
+    w = temperature_weights({"web": 80, "code": 20}, 0.5)
+    s8, s2 = math.sqrt(0.8), math.sqrt(0.2)
+    assert w["web"] == pytest.approx(s8 / (s8 + s2))
+    assert w["code"] == pytest.approx(s2 / (s8 + s2))
+    assert temperature_weights({"a": 3, "b": 1}, 1.0) == pytest.approx(
+        {"a": 0.75, "b": 0.25}
+    )
+    flat = temperature_weights({"a": 1000000, "b": 1}, 0.01)
+    assert abs(flat["a"] - 0.5) < 0.05  # near-uniform at tiny T
+    with pytest.raises(ValueError, match="temperature"):
+        temperature_weights({"a": 1}, 0.0)
+    with pytest.raises(ValueError, match="temperature"):
+        temperature_weights({"a": 1}, 1.5)
+    with pytest.raises(ValueError, match="positive"):
+        temperature_weights({"a": 0}, 0.5)
+
+
+def test_temperature_hash_sample(spark):
+    """The realized mixture is flatter than the corpus mixture: the
+    rare domain's share rises, and the keep-set equals an explicit
+    mixture_hash_sample with the derived weights (same hash filter)."""
+    from letsearch_spark.operators.sample import (
+        mixture_hash_sample,
+        temperature_hash_sample,
+        temperature_weights,
+    )
+
+    rows = [(i, "web") for i in range(9000)] + [
+        (i + 100000, "wiki") for i in range(1000)
+    ]
+    df = spark.createDataFrame(rows, "id long, domain string")
+    out = temperature_hash_sample(df, "id", "domain", 0.5, 4000)
+    got = {
+        r["d"]: r["n"]
+        for r in out.groupBy(F.col("domain").alias("d"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    # natural wiki share 10%; T=0.5 target share = sqrt(.9*.1 ratio) ->
+    # 0.25 of 4000 = 1000 -> wiki saturates at its full 1000 rows
+    assert got["wiki"] == 1000
+    assert abs(got["web"] - 3000) < 300
+
+    w = temperature_weights({"web": 9000, "wiki": 1000}, 0.5)
+    twin = mixture_hash_sample(df, "id", "domain", w, 4000)
+    assert {r["id"] for r in out.collect()} == {r["id"] for r in twin.collect()}
+
+
 # ------------------------------------------------------------ gopher
 
 
@@ -2131,3 +2189,246 @@ def test_incremental_dedup_empty_batch_and_knob_guards(spark):
         incremental_embedding_dedup(
             vecs, store_wide, vecs, "vec_id", "embedding", lsh_bits=8
         )
+
+
+# ------------------------------------------------------------ scrub PII
+
+
+def test_scrub_text_ip_and_phone(spark):
+    """New scrub classes: dotted-quad IPs and phone-shaped numbers get
+    placeholder tokens; order protects URLs/e-mails from partial
+    matches; counts audit the raw text."""
+    from letsearch_spark.functions.text import scrub_counts, scrub_text
+
+    rows = [
+        (1, "server at 192.168.0.1 failed"),
+        (2, "call +1 (555) 123-4567 or 555-123-4567 now"),
+        (3, "see https://ex.com/10.0.0.1/x and bob@ex.org"),
+        (4, "clean text no pii"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    cols = scrub_counts(F.col("text"))
+    out = {
+        r["id"]: r
+        for r in df.select(
+            "id",
+            scrub_text(F.col("text")).alias("scrubbed"),
+            cols[0].alias("n_urls"),
+            cols[1].alias("n_emails"),
+            cols[2].alias("n_ips"),
+            cols[3].alias("n_phones"),
+        ).collect()
+    }
+    assert out[1]["scrubbed"] == "server at <IP> failed"
+    assert out[1]["n_ips"] == 1 and out[1]["n_phones"] == 0
+    assert out[2]["scrubbed"] == "call <PHONE> or <PHONE> now"
+    assert out[2]["n_phones"] == 2
+    # the URL eats its embedded dotted quad before the IP pass runs,
+    # but the raw-text audit still counts it
+    assert out[3]["scrubbed"] == "see <URL> and <EMAIL>"
+    assert out[3]["n_urls"] == 1 and out[3]["n_emails"] == 1
+    assert out[3]["n_ips"] == 1
+    assert out[4]["scrubbed"] == "clean text no pii"
+    assert (
+        out[4]["n_urls"] == out[4]["n_emails"] == out[4]["n_ips"]
+        == out[4]["n_phones"] == 0
+    )
+
+
+# ------------------------------------------------------------ quality classifier
+
+
+def _clf_corpora(spark):
+    pos_rows = [
+        (i, "the report presents careful analysis of the measured results " + f"section {i}")
+        for i in range(12)
+    ]
+    neg_rows = [
+        (i, "buy now click here free winner casino bonus offer " + f"deal {i}")
+        for i in range(12)
+    ]
+    pos = spark.createDataFrame(pos_rows, "doc_id long, text string")
+    neg = spark.createDataFrame(neg_rows, "doc_id long, text string")
+    return pos_rows, neg_rows, pos, neg
+
+
+def test_quality_classifier_separates(spark):
+    """Training separates curated-like from spam-like text: held-out
+    variants score on the right side of 0.5 and the training loss
+    decreases."""
+    from letsearch_spark.operators.classifier import (
+        fit_quality_classifier,
+        score_quality,
+    )
+
+    _, _, pos, neg = _clf_corpora(spark)
+    model = fit_quality_classifier(pos, neg, num_buckets=256, iterations=40)
+    assert model.train_loss[0] > model.train_loss[-1]
+    assert model.train_loss[-1] < 0.3
+
+    held = spark.createDataFrame(
+        [
+            (1, "careful analysis of the measured report results"),
+            (2, "free casino bonus click now winner"),
+            (3, ""),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["quality_prob"]
+        for r in score_quality(held, model).collect()
+    }
+    assert got[1] > 0.5 > got[2]
+    # empty doc scores the prior sigmoid(bias)
+    import math
+
+    assert abs(got[3] - 1.0 / (1.0 + math.exp(-model.bias))) < 1e-12
+
+
+def test_quality_classifier_matches_numpy_twin(spark):
+    """The distributed full-batch GD equals an independent numpy twin
+    of the same arithmetic (features, sigmoid, gradient, L2, lr) to
+    float tolerance."""
+    import hashlib
+    import math
+    import re
+
+    import numpy as np
+
+    from letsearch_spark.operators.classifier import (
+        fit_quality_classifier,
+        score_quality,
+    )
+
+    pos_rows, neg_rows, pos, neg = _clf_corpora(spark)
+    B, ITERS, LR, MOM, L2 = 64, 15, 10.0, 0.9, 1e-6
+    model = fit_quality_classifier(
+        pos, neg, num_buckets=B, iterations=ITERS, lr=LR, momentum=MOM, l2=L2
+    )
+
+    def md5_60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    def feats(text):
+        w = [t for t in re.sub("[^a-z0-9]+", " ", text.lower()).split() if t]
+        grams = w + [f"{w[i]} {w[i+1]}" for i in range(len(w) - 1)]
+        out = {}
+        for g in grams:
+            b = md5_60(f"{g}#dsir42") % B
+            out[b] = out.get(b, 0) + 1
+        tot = sum(out.values())
+        return {b: c / tot for b, c in out.items()}
+
+    docs = [(feats(t), 1.0) for _, t in pos_rows] + [
+        (feats(t), 0.0) for _, t in neg_rows
+    ]
+    X = np.zeros((len(docs), B))
+    y = np.array([lab for _, lab in docs])
+    for i, (f, _) in enumerate(docs):
+        for b, v in f.items():
+            X[i, b] = v
+    w = np.zeros(B)
+    bias = 0.0
+    vw = np.zeros(B)
+    vb = 0.0
+    for _ in range(ITERS):
+        p = 1.0 / (1.0 + np.exp(-(X @ w + bias)))
+        r = p - y
+        grad = X.T @ r / len(docs) + L2 * w
+        vw = MOM * vw + grad
+        w -= LR * vw
+        vb = MOM * vb + r.sum() / len(docs)
+        bias -= LR * vb
+
+    assert abs(model.bias - bias) < 1e-9
+    for b, wv in model.weights.items():
+        assert abs(wv - w[b]) < 1e-9, (b, wv, w[b])
+
+    held = spark.createDataFrame(
+        [(7, "careful free analysis casino")], "doc_id long, text string"
+    )
+    got = score_quality(held, model).collect()[0]["quality_prob"]
+    f = feats("careful free analysis casino")
+    z = sum(w[b] * v for b, v in f.items()) + bias
+    assert abs(got - 1.0 / (1.0 + math.exp(-z))) < 1e-9
+
+
+def test_quality_classifier_filter_modes(spark):
+    """threshold mode keeps exactly score>t; pareto mode reproduces the
+    md5-uniform Pareto rule and is repartition-stable."""
+    import hashlib
+
+    import pytest
+
+    from letsearch_spark.operators.classifier import (
+        fit_quality_classifier,
+        quality_classifier_filter,
+        score_quality,
+    )
+
+    _, _, pos, neg = _clf_corpora(spark)
+    model = fit_quality_classifier(pos, neg, num_buckets=256, iterations=30)
+    mixed = spark.createDataFrame(
+        [
+            (i, "careful measured analysis of results" if i % 2 else "casino bonus click free winner now")
+            for i in range(40)
+        ],
+        "doc_id long, text string",
+    )
+    scores = {
+        r["doc_id"]: r["quality_prob"] for r in score_quality(mixed, model).collect()
+    }
+
+    kept_t = {
+        r["doc_id"]
+        for r in quality_classifier_filter(
+            mixed, model, mode="threshold", threshold=0.5
+        ).collect()
+    }
+    assert kept_t == {i for i, s in scores.items() if s > 0.5}
+
+    def md5_60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    BK = 1_000_000
+    alpha = 9.0
+    expected = set()
+    for i, s in scores.items():
+        u = (md5_60(f"{i}#42") % BK + 0.5) / BK
+        pareto = (1.0 - u) ** (-1.0 / alpha) - 1.0
+        if s > 1.0 - pareto:
+            expected.add(i)
+    kept_p = {
+        r["doc_id"]
+        for r in quality_classifier_filter(mixed, model, mode="pareto").collect()
+    }
+    assert kept_p == expected
+    # the Pareto(9) draw drops some high scorers (P[x < 1-s]) and
+    # admits some low scorers -- but curated docs must survive at a
+    # higher rate than spam, and determinism holds under repartition
+    curated_rate = len([i for i in kept_p if i % 2]) / 20
+    spam_rate = len([i for i in kept_p if not i % 2]) / 20
+    assert curated_rate > 0.5 > spam_rate
+    kept_p2 = {
+        r["doc_id"]
+        for r in quality_classifier_filter(
+            mixed.repartition(11), model, mode="pareto"
+        ).collect()
+    }
+    assert kept_p2 == kept_p
+
+    with pytest.raises(ValueError, match="mode"):
+        quality_classifier_filter(mixed, model, mode="nope")
+
+
+def test_quality_classifier_raises(spark):
+    import pytest
+
+    from letsearch_spark.operators.classifier import fit_quality_classifier
+
+    _, _, pos, neg = _clf_corpora(spark)
+    with pytest.raises(ValueError, match="iterations"):
+        fit_quality_classifier(pos, neg, iterations=0)
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    with pytest.raises(ValueError, match="no training documents"):
+        fit_quality_classifier(empty, empty, num_buckets=16, iterations=2)

@@ -164,3 +164,41 @@ def test_pipeline_dsir_stage(spark, sf_dir):
     assert audit["dsir"] == 60
     assert clean.count() == 60
     assert layout.count() > 0
+
+
+def test_pipeline_quality_classifier_stage(spark, sf_dir):
+    """Optional model-based quality filter: a classifier trained
+    good-vs-spam drops the spam-looking docs, the audit records the
+    stage, and threshold mode is deterministic."""
+    from letsearch_spark.operators.classifier import fit_quality_classifier
+    from letsearch_spark.pipeline import PrepConfig, prepare_training_data
+
+    good = spark.createDataFrame(
+        [(i, "the report presents careful analysis of measured results") for i in range(10)],
+        "doc_id long, text string",
+    )
+    spam = spark.createDataFrame(
+        [(i, "buy now click here free winner casino bonus offer") for i in range(10)],
+        "doc_id long, text string",
+    )
+    model = fit_quality_classifier(good, spam, num_buckets=256, iterations=30)
+
+    docs = spark.createDataFrame(
+        [
+            (i, "careful analysis of the measured report results" if i < 30 else "free casino bonus click now winner offer")
+            for i in range(40)
+        ],
+        "doc_id long, text string",
+    )
+    cfg = PrepConfig(
+        quality=None,
+        line_dedup=None,
+        fuzzy_dedup=None,
+        quality_classifier={"model": model, "mode": "threshold", "threshold": 0.5},
+        seq_len=128,
+        num_shards=2,
+    )
+    clean, layout, audit = prepare_training_data(docs, cfg)
+    assert audit["quality_classifier"] == 30
+    assert {r["doc_id"] for r in clean.select("doc_id").collect()} == set(range(30))
+    assert layout.count() > 0

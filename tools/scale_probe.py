@@ -285,6 +285,49 @@ def main() -> None:
             ).count(),
         )
 
+        # BPE tokenizer: UNSALTED copies on purpose -- the vocabulary
+        # stays constant while the corpus grows xN, which isolates the
+        # operator's scale claim: train_bpe's driver work and
+        # token_count_exact's Python UDF work are O(word_types), so
+        # only the word-count / explode shuffles (pure JVM) may grow
+        # with bytes. Salted copies would grow the vocabulary linearly
+        # and muddy exactly that distinction.
+        if only is None or {"bpe_train", "bpe_count"} & only:
+            from letsearch_spark.tokenizer import token_count_exact, train_bpe
+
+            base = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+            if n == 1:
+                plain = base
+            else:
+                copies = spark.range(n).select(
+                    F.col("id").cast("int").alias("copy")
+                )
+                plain = base.crossJoin(copies).select(
+                    (F.col("doc_id") + F.col("copy") * 1_000_000).alias(
+                        "doc_id"
+                    ),
+                    "text",
+                )
+            plain = plain.cache()
+            plain.count()
+            model = None
+
+            def _train():
+                nonlocal model
+                model = train_bpe(plain, "text", vocab_size=2000)
+                return len(model.merges)
+
+            timeit("bpe_train", _train)
+            if model is not None:
+                row["bpe_word_types"] = model.word_types
+                timeit(
+                    "bpe_count",
+                    lambda: token_count_exact(
+                        plain, "doc_id", "text", model
+                    ).agg(F.sum("n_tokens")).collect()[0][0],
+                )
+            plain.unpersist()
+
         # incremental minhash: the STORE grows with copies while the new
         # batch stays a fixed 5000 docs (freshly salted -> no cross-store
         # near-dups, the common ingest case). The incremental cost must
