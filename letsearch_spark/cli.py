@@ -165,7 +165,10 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument(
         "--strategy",
         default="join",
-        choices=["join", "inlist", "local", "lsh", "ivf", "hybrid", "local_hybrid"],
+        choices=[
+            "join", "inlist", "local", "lsh", "ivf", "hybrid",
+            "local_hybrid", "pq",
+        ],
         help="serving strategy (see Collection.search)",
     )
     s.set_defaults(fn=cmd_search)

@@ -92,6 +92,9 @@ class Collection:
         # centroids of built IVF indexes (strategy='ivf'); the presence
         # of a key marks the on-disk index current -- cleared on writes
         self._ivf_centroids: dict = {}
+        # per-column (PQCodebook, cached codes DataFrame) for
+        # strategy='pq'; cleared on writes
+        self._pq_index: dict = {}
         # per-column BM25 corpus stats (n_docs, avgdl) for the cached
         # lexical view (strategy='hybrid'); cleared on writes
         self._lex_stats: dict[str, tuple[int, float]] = {}
@@ -571,12 +574,24 @@ class Collection:
             self._embeddings_ok.clear()
             self._ivf_centroids.clear()
             self._lex_stats.clear()
+            for cb, coded in self._pq_index.values():
+                try:
+                    coded.unpersist()
+                except Exception:
+                    pass
+            self._pq_index.clear()
         else:
             self._local_idx.pop(column, None)
             self._local_idx.pop(f"__lex_{column}", None)
             self._embeddings_ok.discard(column)
             self._ivf_centroids.pop(column, None)
             self._lex_stats.pop(column, None)
+            pq = self._pq_index.pop(column, None)
+            if pq is not None:
+                try:
+                    pq[1].unpersist()
+                except Exception:
+                    pass
 
     def embed_all(self, incremental: bool = True) -> dict[str, int]:
         return {
@@ -639,17 +654,29 @@ class Collection:
         RAM -- dense numpy leg + Python BM25 over an in-RAM inverted
         index, zero Spark jobs per query (strategy='local' extended to
         hybrid; same local_serve_max_rows ceiling).
+
+        strategy='pq': approximate -- product-quantized codes
+        (operators/pq.py): each vector is ``pq_m`` one-byte codes
+        (32x smaller than f32 at dim 64), scored by ADC lookup sums
+        without ever decompressing. The compressed view caches where
+        the full-precision one may not fit; recall < 1 by design
+        (the memory half of IVF-PQ; compose with strategy='ivf' via
+        the operators directly for both halves).
         """
         if not 1 <= limit <= 100:
             raise ValueError(f"limit must be in [1, 100], got {limit}")
         if column not in self.config.index_columns:
             raise ValueError(f"column {column!r} is not indexed")
         if strategy not in (
-            "join", "inlist", "local", "lsh", "ivf", "hybrid", "local_hybrid"
+            "join", "inlist", "local", "lsh", "ivf", "hybrid", "local_hybrid",
+            "pq",
         ):
             raise ValueError(f"unknown strategy {strategy!r}")
         self._require_embeddings(column)
         qvec = self._embedder().embed([query])[0].tolist()
+
+        if strategy == "pq":
+            return self._search_pq(column, qvec, limit)
 
         if strategy == "hybrid":
             return self._search_hybrid(column, query, qvec, limit)
@@ -1108,6 +1135,50 @@ class Collection:
             emb, self.ivf_path(column), nlist=self.ivf_nlist, key_col=KEY_COL
         )
         self._ivf_centroids[column] = centroids
+
+    # PQ serving knobs (memory/recall trade; 8x8 = 1 byte per 8 dims)
+    pq_m = 8
+    pq_nbits = 8
+
+    def build_pq_index(self, column: str) -> None:
+        """Train the PQ codebook on the serve view and cache the coded
+        (key, pq_code) table -- ``pq_m`` bytes per row instead of the
+        float vector. Called lazily by strategy='pq'; safe to call
+        eagerly after bulk loads."""
+        from letsearch_spark.operators.pq import encode_pq, train_pq
+
+        emb = (
+            self._serve_view(column)
+            .where(F.col("content").isNotNull())
+            .select(KEY_COL, "vector")
+        )
+        cb = train_pq(
+            emb, m=self.pq_m, nbits=self.pq_nbits, key_col=KEY_COL
+        )
+        coded = (
+            encode_pq(emb, cb).select(KEY_COL, "pq_code").cache()
+        )
+        coded.count()  # materialize so per-query cost is the ADC scan only
+        self._pq_index[column] = (cb, coded)
+
+    def _search_pq(self, column: str, qvec, limit: int) -> DataFrame:
+        from letsearch_spark.operators.pq import pq_topk
+
+        if column not in self._pq_index:
+            self.build_pq_index(column)
+        cb, coded = self._pq_index[column]
+        hits = pq_topk(coded, cb, qvec, k=limit, key_col=KEY_COL)
+        docs = self.docs().select(
+            F.col(KEY_COL), F.col(column).alias("content")
+        )
+        return (
+            F.broadcast(hits)
+            .join(docs, KEY_COL)
+            .where(F.col("content").isNotNull())
+            .select(F.col(KEY_COL).alias("key"), "content", "score")
+            .orderBy(F.desc("score"), F.asc("key"))
+            .limit(limit)
+        )
 
     def _search_ivf(self, column: str, qvec, limit: int) -> DataFrame:
         from letsearch_spark.operators.ann import ivf_topk

@@ -1,0 +1,241 @@
+"""Product quantization (PQ): compressed embeddings + ADC top-k search.
+
+The memory half of the 100 TB ANN story. IVF (operators/ann.py) bounds
+how much of the index a query SCANS; PQ bounds how many bytes each
+vector COSTS: a d-dim float32 vector (4d bytes) becomes ``m`` one-byte
+codes (m bytes -- 32x compression at d=64, m=8), and queries score
+codes without decompressing via ADC (asymmetric distance computation,
+Jegou et al. 2011):
+
+* **train** -- split the (L2-normalized) vector into ``m`` contiguous
+  subspaces; fit ``2^nbits`` k-means centroids per subspace with the
+  same bounded-sample deterministic trainer as IVF (codebook is tiny:
+  m x 2^nbits x d/m doubles, broadcastable anywhere);
+* **encode** -- one Arrow-batched pass; each vector becomes ``m``
+  nearest-subcentroid ids packed into a ``binary`` column (real bytes,
+  the honest compression claim);
+* **search (ADC)** -- the query builds one (m x 2^nbits) lookup table
+  of subspace inner products; a row's score is the sum of m table
+  lookups -- no float vectors are read, so the scan traffic is the
+  codes column only. Cosine holds because vectors are normalized at
+  encode time and the LUT sums approximate q . x.
+
+Composes with IVF: assign lists (ann.py), store codes partitioned by
+list, probe nprobe lists, ADC inside -- the standard IVF-PQ layout; the
+pieces here are deliberately orthogonal so either half can be used
+alone.
+"""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Sequence
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd  # module-level so pandas_udf type hints resolve
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from letsearch_spark.operators.ann import kmeans_fit
+
+__all__ = ["PQCodebook", "train_pq", "encode_pq", "decode_pq", "pq_topk"]
+
+
+@dataclass
+class PQCodebook:
+    """codebooks[s] holds the centroids of subspace ``s``:
+    shape (m, ksub, dsub) with ksub <= 2^nbits (smaller when the
+    training sample had fewer distinct points)."""
+
+    codebooks: np.ndarray
+    dim: int
+    m: int
+    nbits: int
+
+    @property
+    def dsub(self) -> int:
+        return self.dim // self.m
+
+    @property
+    def ksub(self) -> int:
+        return int(self.codebooks.shape[1])
+
+    def save(self, path: str) -> None:
+        np.savez(
+            path,
+            codebooks=self.codebooks,
+            meta=json.dumps({"dim": self.dim, "m": self.m, "nbits": self.nbits}),
+        )
+
+    @classmethod
+    def load(cls, path: str) -> "PQCodebook":
+        z = np.load(path, allow_pickle=False)
+        meta = json.loads(str(z["meta"]))
+        return cls(codebooks=z["codebooks"], **meta)
+
+
+def _normalize(x: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(x, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return x / norms
+
+
+def _nearest(sub: np.ndarray, cent: np.ndarray) -> np.ndarray:
+    """argmin_c ||sub - cent_c||^2 via the expanded quadratic -- O(n*k)
+    memory, never the O(n*k*dsub) broadcast temporary."""
+    d2 = (
+        (sub**2).sum(axis=1, keepdims=True)
+        - 2.0 * (sub @ cent.T)
+        + (cent**2).sum(axis=1)[None, :]
+    )
+    return d2.argmin(axis=1)
+
+
+def train_pq(
+    embeddings: DataFrame,
+    m: int = 8,
+    nbits: int = 8,
+    vec_col: str = "vector",
+    key_col: str | None = None,
+    sample_limit: int = 100_000,
+    iters: int = 10,
+    seed: int = 42,
+) -> PQCodebook:
+    """Fit the per-subspace codebooks on a bounded sample.
+
+    With ``key_col`` the sample is the sample_limit smallest keys
+    (TakeOrderedAndProject -- deterministic across partitionings, same
+    contract as ann.train_centroids). ``dim % m`` must be 0; ``nbits``
+    <= 8 so codes pack one byte per subspace."""
+    if not 1 <= nbits <= 8:
+        raise ValueError(f"nbits must be in [1, 8], got {nbits}")
+    cols = [vec_col] if key_col is None else [key_col, vec_col]
+    sel = embeddings.select(*cols)
+    if key_col is not None:
+        sel = sel.orderBy(key_col)
+    rows = sel.limit(sample_limit).collect()
+    if not rows:
+        raise ValueError("cannot train PQ on an empty sample")
+    x = _normalize(np.array([r[-1] for r in rows], dtype=np.float64))
+    dim = x.shape[1]
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} is not divisible by m={m} subspaces")
+    dsub = dim // m
+    ksub = 1 << nbits
+    books = []
+    for s in range(m):
+        sub = np.ascontiguousarray(x[:, s * dsub : (s + 1) * dsub])
+        # NON-spherical subspace k-means: sub-vectors are short segments
+        # of a unit vector, not unit vectors themselves, so euclidean
+        # centroids (plain means) are the right codewords for the
+        # inner-product sum. kmeans_fit normalizes internally -- run a
+        # plain Lloyd loop here instead, seeded from kmeans-style choice.
+        rng = np.random.RandomState(seed + s)
+        k = min(ksub, len(sub))
+        cent = sub[rng.choice(len(sub), size=k, replace=False)]
+        for _ in range(iters):
+            assign = _nearest(sub, cent)
+            for c in range(k):
+                members = sub[assign == c]
+                if len(members):
+                    cent[c] = members.mean(axis=0)
+        if k < ksub:  # pad so every codebook has ksub rows (stable shape)
+            cent = np.vstack([cent, np.repeat(cent[-1:], ksub - k, axis=0)])
+        books.append(cent)
+    return PQCodebook(
+        codebooks=np.stack(books), dim=dim, m=m, nbits=nbits
+    )
+
+
+def encode_pq(
+    embeddings: DataFrame,
+    codebook: PQCodebook,
+    vec_col: str = "vector",
+    code_col: str = "pq_code",
+) -> DataFrame:
+    """Add a ``binary`` column of m bytes: the per-subspace nearest
+    codeword ids of the L2-normalized vector. One numpy pass per Arrow
+    batch; the float vector column can be dropped afterwards -- that IS
+    the compression."""
+    books = codebook.codebooks
+    m, dsub = codebook.m, codebook.dsub
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def _enc(v: pd.Series) -> pd.Series:
+        # self-contained on purpose: referencing module helpers from a
+        # UDF would make cloudpickle ship them by module reference and
+        # require the package importable on every executor worker
+        x = np.array(v.tolist(), dtype=np.float64)
+        norms = np.linalg.norm(x, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        x = x / norms
+        codes = np.empty((len(x), m), dtype=np.uint8)
+        for s in range(m):
+            sub = x[:, s * dsub : (s + 1) * dsub]
+            cent = books[s]
+            d2 = (
+                (sub**2).sum(axis=1, keepdims=True)
+                - 2.0 * (sub @ cent.T)
+                + (cent**2).sum(axis=1)[None, :]
+            )
+            codes[:, s] = d2.argmin(axis=1).astype(np.uint8)
+        return pd.Series([c.tobytes() for c in codes])
+
+    return embeddings.withColumn(code_col, _enc(F.col(vec_col)))
+
+
+def decode_pq(codes: bytes, codebook: PQCodebook) -> np.ndarray:
+    """Reconstruct the (normalized-space) vector from its codes --
+    testing/debugging helper; search never decodes."""
+    idx = np.frombuffer(codes, dtype=np.uint8)
+    return np.concatenate(
+        [codebook.codebooks[s][idx[s]] for s in range(codebook.m)]
+    )
+
+
+def pq_topk(
+    coded: DataFrame,
+    codebook: PQCodebook,
+    query_vec: Sequence[float],
+    k: int = 10,
+    key_col: str = "_key",
+    code_col: str = "pq_code",
+) -> DataFrame:
+    """ADC top-k: (key, score) of the k best approximate inner products.
+
+    The query-side lookup table (m x ksub subspace dot products) is
+    built ONCE driver-side and closure-shipped; each Arrow batch scores
+    rows with one fancy-index + sum over m lookups -- no float vectors
+    travel or decode. Result order: score desc, key asc (ties stable),
+    via TakeOrderedAndProject semantics (orderBy + limit)."""
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    q = np.asarray(list(query_vec), dtype=np.float64)
+    if q.shape[0] != codebook.dim:
+        raise ValueError(
+            f"query dim {q.shape[0]} != codebook dim {codebook.dim}"
+        )
+    qn = np.linalg.norm(q)
+    if qn > 0:
+        q = q / qn
+    m, dsub = codebook.m, codebook.dsub
+    # LUT[s, c] = <q_s, codeword_{s,c}>; score(x) = sum_s LUT[s, code_s(x)]
+    lut = np.stack(
+        [codebook.codebooks[s] @ q[s * dsub : (s + 1) * dsub] for s in range(m)]
+    )
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _adc(codes: pd.Series) -> pd.Series:
+        idx = np.frombuffer(b"".join(codes.tolist()), dtype=np.uint8).reshape(
+            len(codes), m
+        )
+        return pd.Series(lut[np.arange(m)[None, :], idx].sum(axis=1))
+
+    return (
+        coded.select(key_col, _adc(F.col(code_col)).alias("score"))
+        .orderBy(F.desc("score"), F.asc(key_col))
+        .limit(k)
+    )

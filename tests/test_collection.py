@@ -773,3 +773,45 @@ def test_search_rows_local_hybrid_cjk_degrades_to_dense(spark, tmp_path):
     assert len(rows) == 3
     dense = c.search_rows("text", "文档", limit=3, strategy="local")
     assert [r["key"] for r in rows] == [r["key"] for r in dense]
+
+
+def test_search_strategy_pq(spark, tmp_path, sf_dir):
+    """strategy='pq': lazily trains the codebook and caches the
+    m-bytes-per-row coded view; the ADC top-5 overlaps the exact top-10
+    (the stub corpus packs dozens of docs within 0.002 cosine of each
+    other, so exact self-hit rank is NOT preserved by a lossy code --
+    recall quality itself is pinned in test_pq.py on the 64-dim
+    embeddings table); writes invalidate the cached index."""
+    import os
+
+    from letsearch_spark.collection import Collection
+
+    c = Collection.create(
+        spark, str(tmp_path), name="pq", model_name="stub://16"
+    )
+    c.import_parquet(os.path.join(sf_dir, "documents.parquet"))
+    c.embed_column("text")
+
+    row = c.docs().select("_key", "text").first()
+    hits = c.search("text", row["text"], limit=5, strategy="pq").collect()
+    exact10 = {
+        h["key"]
+        for h in c.search("text", row["text"], limit=10, strategy="join").collect()
+    }
+    assert hits and len({h["key"] for h in hits} & exact10) >= 3
+    # ADC scores approximate cosine: the top hit lands near 1.0
+    assert hits[0]["score"] > 0.9
+    assert [h["key"] for h in hits] == [
+        h["key"] for h in sorted(hits, key=lambda h: (-h["score"], h["key"]))
+    ]
+    # codebook + coded cache present; codes are pq_m bytes
+    cb, coded = c._pq_index["text"]
+    assert cb.m == c.pq_m
+    assert len(coded.select("pq_code").first()["pq_code"]) == c.pq_m
+
+    # writes invalidate the pq index
+    one = c.docs().limit(1).drop("_key")
+    c._append_df(one)
+    assert "text" not in c._pq_index
+    c.embed_column("text", incremental=True)
+    assert len(c.search("text", "spark join", limit=3, strategy="pq").collect()) == 3

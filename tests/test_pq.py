@@ -1,0 +1,159 @@
+"""Product quantization: codebook shapes, compression, the
+recall/distortion knobs, determinism, and a driver-side ADC twin."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from letsearch_spark.operators.pq import (
+    PQCodebook,
+    decode_pq,
+    encode_pq,
+    pq_topk,
+    train_pq,
+)
+
+
+def _emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        F.col("vec_id").alias("_key"), F.col("embedding").alias("vector")
+    )
+
+
+def _np_vectors(rows):
+    x = np.array([r["vector"] for r in rows], dtype=np.float64)
+    return x / np.linalg.norm(x, axis=1, keepdims=True)
+
+
+def test_train_pq_shapes_and_errors(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    cb = train_pq(emb, m=8, nbits=8, key_col="_key")
+    assert cb.codebooks.shape == (8, 256, 8)
+    assert cb.dim == 64 and cb.dsub == 8 and cb.ksub == 256
+    with pytest.raises(ValueError, match="divisible"):
+        train_pq(emb, m=7, key_col="_key")
+    with pytest.raises(ValueError, match="nbits"):
+        train_pq(emb, m=8, nbits=9, key_col="_key")
+    with pytest.raises(ValueError, match="empty"):
+        train_pq(emb.where(F.lit(False)), m=8)
+
+
+def test_encode_compresses_to_m_bytes(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    cb = train_pq(emb, m=8, nbits=8, key_col="_key")
+    coded = encode_pq(emb, cb)
+    rows = coded.select("pq_code").limit(20).collect()
+    assert all(len(r["pq_code"]) == 8 for r in rows)  # 64 f32 -> 8 bytes
+
+
+def test_distortion_falls_with_m_and_nbits(spark, sf_dir):
+    """Reconstruction error must improve with more subspaces and more
+    bits -- the two knobs a user trades memory for recall with."""
+    emb = _emb(spark, sf_dir)
+    all_rows = emb.orderBy("_key").collect()
+    xn = _np_vectors(all_rows)
+
+    def distortion(m, nbits):
+        cb = train_pq(emb, m=m, nbits=nbits, key_col="_key")
+        coded = {
+            r["_key"]: r["pq_code"]
+            for r in encode_pq(emb, cb).select("_key", "pq_code").collect()
+        }
+        rec = np.array(
+            [decode_pq(coded[r["_key"]], cb) for r in all_rows]
+        )
+        return ((xn - rec) ** 2).sum(axis=1).mean()
+
+    d_8_4 = distortion(8, 4)
+    d_8_8 = distortion(8, 8)
+    d_16_8 = distortion(16, 8)
+    assert d_16_8 < d_8_8 < d_8_4
+    assert d_8_8 < 0.2  # measured 0.107 on this table
+
+
+def test_pq_topk_recall_and_twin(spark, sf_dir):
+    """ADC recall@10 vs exact cosine over 20 queries: > 0.6 at
+    m=8/nbits=8 (measured 0.73), better than nbits=4; and the Spark ADC
+    scores equal a driver-side numpy twin bit-for-bit."""
+    emb = _emb(spark, sf_dir).cache()
+    all_rows = emb.orderBy("_key").collect()
+    keys = [r["_key"] for r in all_rows]
+    xn = _np_vectors(all_rows)
+
+    def recall(nbits):
+        cb = train_pq(emb, m=8, nbits=nbits, key_col="_key")
+        coded = encode_pq(emb, cb).select("_key", "pq_code").cache()
+        hit = 0.0
+        for qi in range(20):
+            q = xn[qi]
+            exact = set(np.array(keys)[np.argsort(-(xn @ q))[:10]].tolist())
+            approx = {
+                r["_key"] for r in pq_topk(coded, cb, q.tolist(), k=10).collect()
+            }
+            hit += len(exact & approx) / 10
+        coded.unpersist()
+        return hit / 20
+
+    r8 = recall(8)
+    assert r8 > 0.6
+    assert r8 > recall(4)
+
+    # twin: ADC scores from Spark == numpy lookup sums
+    cb = train_pq(emb, m=8, nbits=8, key_col="_key")
+    coded = encode_pq(emb, cb).select("_key", "pq_code")
+    q = xn[3]
+    got = {
+        r["_key"]: r["score"]
+        for r in pq_topk(coded, cb, q.tolist(), k=500).collect()
+    }
+    codes = {
+        r["_key"]: np.frombuffer(r["pq_code"], dtype=np.uint8)
+        for r in coded.collect()
+    }
+    dsub = cb.dsub
+    lut = np.stack(
+        [cb.codebooks[s] @ q[s * dsub : (s + 1) * dsub] for s in range(cb.m)]
+    )
+    for k_, idx in codes.items():
+        want = lut[np.arange(cb.m), idx].sum()
+        assert got[k_] == pytest.approx(want, abs=1e-12)
+
+
+def test_pq_deterministic_under_repartition(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    cb1 = train_pq(emb, m=8, key_col="_key")
+    cb2 = train_pq(emb.repartition(7), m=8, key_col="_key")
+    assert np.array_equal(cb1.codebooks, cb2.codebooks)
+    c1 = sorted(
+        (r["_key"], r["pq_code"])
+        for r in encode_pq(emb, cb1).select("_key", "pq_code").collect()
+    )
+    c2 = sorted(
+        (r["_key"], r["pq_code"])
+        for r in encode_pq(emb.repartition(5), cb1)
+        .select("_key", "pq_code")
+        .collect()
+    )
+    assert c1 == c2
+
+
+def test_pq_codebook_save_load(spark, sf_dir, tmp_path):
+    emb = _emb(spark, sf_dir)
+    cb = train_pq(emb, m=4, nbits=6, key_col="_key")
+    p = str(tmp_path / "pq.npz")
+    cb.save(p)
+    loaded = PQCodebook.load(p)
+    assert loaded.dim == cb.dim and loaded.m == cb.m and loaded.nbits == cb.nbits
+    assert np.array_equal(loaded.codebooks, cb.codebooks)
+
+
+def test_pq_topk_query_validation(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    cb = train_pq(emb, m=8, key_col="_key")
+    coded = encode_pq(emb, cb)
+    with pytest.raises(ValueError, match="dim"):
+        pq_topk(coded, cb, [1.0, 2.0], k=5)
+    with pytest.raises(ValueError, match="k must be"):
+        pq_topk(coded, cb, [0.0] * 64, k=0)
