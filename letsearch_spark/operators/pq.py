@@ -37,9 +37,15 @@ import pandas as pd  # module-level so pandas_udf type hints resolve
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from letsearch_spark.operators.ann import kmeans_fit
-
-__all__ = ["PQCodebook", "train_pq", "encode_pq", "decode_pq", "pq_topk"]
+__all__ = [
+    "PQCodebook",
+    "train_pq",
+    "encode_pq",
+    "decode_pq",
+    "pq_topk",
+    "build_ivf_pq",
+    "ivf_pq_topk",
+]
 
 
 @dataclass
@@ -239,3 +245,64 @@ def pq_topk(
         .orderBy(F.desc("score"), F.asc(key_col))
         .limit(k)
     )
+
+
+def build_ivf_pq(
+    embeddings: DataFrame,
+    path: str,
+    nlist: int = 16,
+    m: int = 8,
+    nbits: int = 8,
+    vec_col: str = "vector",
+    key_col: str | None = None,
+) -> tuple[np.ndarray, PQCodebook]:
+    """The canonical IVF-PQ layout: coarse centroids bound the SCAN
+    (nprobe/nlist parquet partitions per query), PQ codes bound the
+    BYTES (m per vector). Trains both quantizers on the same bounded
+    deterministic sample, then one Arrow pass assigns lists + encodes
+    codes and persists (key, pq_code) partitioned by ``_list`` -- the
+    float vectors are NOT stored, which is the point.
+
+    Returns ``(centroids, codebook)``; persist them beside the index
+    (np.save / codebook.save) the same way build_ivf's caller does."""
+    from letsearch_spark.operators.ann import assign_lists, train_centroids
+
+    centroids = train_centroids(
+        embeddings, nlist=nlist, vec_col=vec_col, key_col=key_col
+    )
+    codebook = train_pq(
+        embeddings, m=m, nbits=nbits, vec_col=vec_col, key_col=key_col
+    )
+    coded = encode_pq(
+        assign_lists(embeddings, centroids, vec_col=vec_col), codebook,
+        vec_col=vec_col,
+    )
+    cols = ["_list", "pq_code"] if key_col is None else [key_col, "_list", "pq_code"]
+    coded.select(*cols).write.mode("overwrite").partitionBy("_list").parquet(path)
+    return centroids, codebook
+
+
+def ivf_pq_topk(
+    spark,
+    path: str,
+    centroids: np.ndarray,
+    codebook: PQCodebook,
+    query_vec: Sequence[float],
+    k: int = 10,
+    nprobe: int = 2,
+    key_col: str = "_key",
+) -> DataFrame:
+    """Probe the nprobe nearest lists (``_list IN (...)`` prunes parquet
+    partitions) and ADC-score only their codes: per query the scan
+    reads ~nprobe/nlist of an index that is already ~32x smaller than
+    the float vectors. Probing every list reproduces plain
+    :func:`pq_topk` exactly (same codes, same LUT)."""
+    q = np.asarray(list(query_vec), dtype=np.float64)
+    qn = np.linalg.norm(q)
+    if qn > 0:
+        q = q / qn
+    order = np.argsort(-(centroids @ q))[:nprobe]
+    df = spark.read.parquet(path).filter(
+        F.col("_list").isin(*[int(i) for i in order])
+    )
+    return pq_topk(df, codebook, query_vec, k=k, key_col=key_col)

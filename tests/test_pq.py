@@ -157,3 +157,53 @@ def test_pq_topk_query_validation(spark, sf_dir):
         pq_topk(coded, cb, [1.0, 2.0], k=5)
     with pytest.raises(ValueError, match="k must be"):
         pq_topk(coded, cb, [0.0] * 64, k=0)
+
+
+def test_ivf_pq_full_probe_equals_pq(spark, sf_dir, tmp_path):
+    """IVF-PQ with nprobe=nlist reproduces plain pq_topk exactly (same
+    codes, same LUT), recall rises as nprobe grows, and probes prune
+    parquet partitions in the plan."""
+    from letsearch_spark.operators.pq import build_ivf_pq, ivf_pq_topk
+
+    emb = _emb(spark, sf_dir)
+    path = str(tmp_path / "ivfpq")
+    centroids, cb = build_ivf_pq(
+        emb, path, nlist=8, m=8, nbits=8, key_col="_key"
+    )
+    assert cb.codebooks.shape == (8, 256, 8)
+
+    all_rows = emb.orderBy("_key").collect()
+    keys = [r["_key"] for r in all_rows]
+    xn = _np_vectors(all_rows)
+    q = xn[5].tolist()
+
+    full = ivf_pq_topk(
+        spark, path, centroids, cb, q, k=10, nprobe=8
+    ).collect()
+    coded = encode_pq(emb, cb).select("_key", "pq_code")
+    plain = pq_topk(coded, cb, q, k=10).collect()
+    assert [(r["_key"], r["score"]) for r in full] == [
+        (r["_key"], r["score"]) for r in plain
+    ]
+
+    def recall(nprobe):
+        hit = 0.0
+        for qi in range(15):
+            qv = xn[qi]
+            exact = set(np.array(keys)[np.argsort(-(xn @ qv))[:10]].tolist())
+            approx = {
+                r["_key"]
+                for r in ivf_pq_topk(
+                    spark, path, centroids, cb, qv.tolist(), k=10, nprobe=nprobe
+                ).collect()
+            }
+            hit += len(exact & approx) / 10
+        return hit / 15
+
+    r1, r8 = recall(1), recall(8)
+    assert r8 >= r1
+    assert r8 > 0.6  # full probe == plain PQ quality (measured 0.73)
+
+    df = ivf_pq_topk(spark, path, centroids, cb, q, k=5, nprobe=2)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "_list" in plan
