@@ -144,6 +144,36 @@ def main() -> None:
         10 * N_SEARCHES / timings["search_topk_local_hybrid"], 3
     )
 
+    # 4d. PQ serving (round 4): ADC over the cached m-bytes-per-row
+    # coded view -- no baseline row; compare against search_topk within
+    # the run for the compression-vs-latency trade
+    coll.search("text", "warmup", limit=10, strategy="pq").collect()
+
+    def searches_pq():
+        for i in range(N_SEARCHES):
+            coll.search(
+                "text", f"spark join query window batch {i}", limit=10,
+                strategy="pq",
+            ).collect()
+
+    run_stage("search_topk_pq", searches_pq, repeats=1)
+    timings["pq_searches_per_sec"] = round(
+        N_SEARCHES / timings["search_topk_pq"], 3
+    )
+
+    # 4e. BPE exact token counting (round 4): train once (not timed),
+    # then count the whole documents table at distinct-word-type cost
+    from letsearch_spark.tokenizer import token_count_exact, train_bpe
+
+    docs_tbl = load(spark, SF_DIR, "documents")
+    bpe_model = train_bpe(docs_tbl, "text", vocab_size=2000)
+    run_stage(
+        "token_count_bpe",
+        lambda: token_count_exact(docs_tbl, "doc_id", "text", bpe_model)
+        .agg(F.sum("n_tokens"))
+        .collect(),
+    )
+
     # 5. batched k-NN join: 100 queries in ONE job, both scoring paths
     # (Catalyst expression vs per-partition numpy matmul)
     from letsearch_spark.operators.topk import knn_join
