@@ -54,7 +54,11 @@ class MarkdownChunker:
         if self.config.bpe_path is not None:
             from letsearch_spark.tokenizer import BpeModel
 
-            self._bpe = BpeModel.load(self.config.bpe_path)
+            # load_cached: chunk_column builds a chunker per Arrow
+            # batch; the per-process cache keeps one parsed model (and
+            # its warm encode-word cache) instead of re-reading JSON
+            # every few thousand rows
+            self._bpe = BpeModel.load_cached(self.config.bpe_path)
         if self.config.tokenizer_path is not None:
             try:
                 from tokenizers import Tokenizer  # optional dependency

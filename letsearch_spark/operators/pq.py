@@ -87,6 +87,16 @@ def _normalize(x: np.ndarray) -> np.ndarray:
     return x / norms
 
 
+def _unit_query(query_vec: Sequence[float], dim: int | None = None) -> np.ndarray:
+    """Driver-side query prep shared by pq_topk/ivf_pq_topk (safe to
+    live at module level: it never ships inside a UDF)."""
+    q = np.asarray(list(query_vec), dtype=np.float64)
+    if dim is not None and q.shape[0] != dim:
+        raise ValueError(f"query dim {q.shape[0]} != codebook dim {dim}")
+    qn = np.linalg.norm(q)
+    return q / qn if qn > 0 else q
+
+
 def _nearest(sub: np.ndarray, cent: np.ndarray) -> np.ndarray:
     """argmin_c ||sub - cent_c||^2 via the expanded quadratic -- O(n*k)
     memory, never the O(n*k*dsub) broadcast temporary."""
@@ -218,14 +228,7 @@ def pq_topk(
     via TakeOrderedAndProject semantics (orderBy + limit)."""
     if k <= 0:
         raise ValueError(f"k must be positive, got {k}")
-    q = np.asarray(list(query_vec), dtype=np.float64)
-    if q.shape[0] != codebook.dim:
-        raise ValueError(
-            f"query dim {q.shape[0]} != codebook dim {codebook.dim}"
-        )
-    qn = np.linalg.norm(q)
-    if qn > 0:
-        q = q / qn
+    q = _unit_query(query_vec, codebook.dim)
     m, dsub = codebook.m, codebook.dsub
     # LUT[s, c] = <q_s, codeword_{s,c}>; score(x) = sum_s LUT[s, code_s(x)]
     lut = np.stack(
@@ -264,7 +267,12 @@ def build_ivf_pq(
     float vectors are NOT stored, which is the point.
 
     Returns ``(centroids, codebook)``; persist them beside the index
-    (np.save / codebook.save) the same way build_ivf's caller does."""
+    (np.save / codebook.save) the same way build_ivf's caller does.
+
+    ``key_col`` only controls deterministic training-sample selection;
+    the persisted index always carries EVERY input column except the
+    float vector (dropping the vectors is the point; dropping anything
+    else would make the index unqueryable)."""
     from letsearch_spark.operators.ann import assign_lists, train_centroids
 
     centroids = train_centroids(
@@ -276,9 +284,8 @@ def build_ivf_pq(
     coded = encode_pq(
         assign_lists(embeddings, centroids, vec_col=vec_col), codebook,
         vec_col=vec_col,
-    )
-    cols = ["_list", "pq_code"] if key_col is None else [key_col, "_list", "pq_code"]
-    coded.select(*cols).write.mode("overwrite").partitionBy("_list").parquet(path)
+    ).drop(vec_col)
+    coded.write.mode("overwrite").partitionBy("_list").parquet(path)
     return centroids, codebook
 
 
@@ -297,10 +304,7 @@ def ivf_pq_topk(
     reads ~nprobe/nlist of an index that is already ~32x smaller than
     the float vectors. Probing every list reproduces plain
     :func:`pq_topk` exactly (same codes, same LUT)."""
-    q = np.asarray(list(query_vec), dtype=np.float64)
-    qn = np.linalg.norm(q)
-    if qn > 0:
-        q = q / qn
+    q = _unit_query(query_vec, codebook.dim)
     order = np.argsort(-(centroids @ q))[:nprobe]
     df = spark.read.parquet(path).filter(
         F.col("_list").isin(*[int(i) for i in order])

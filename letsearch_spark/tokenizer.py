@@ -32,6 +32,7 @@ impossible.
 from __future__ import annotations
 
 import json
+import re
 from dataclasses import dataclass, field
 
 import pandas as pd
@@ -40,10 +41,24 @@ from pyspark.sql import functions as F
 
 END_OF_WORD = "</w>"
 
+# Pre-tokenization boundary, pinned to JAVA \s semantics (ASCII
+# whitespace only: space \t \n \x0b \f \r) on BOTH engines. Python's
+# str.split() splits on UNICODE whitespace (NBSP, ideographic space,
+# ...), which would make driver-side token_count disagree with the
+# distributed token_count_exact on scraped text -- so every Python-side
+# split in this module goes through split_text, never str.split().
+_WS = re.compile(r"[ \t\n\x0b\f\r]+")
+
+
+def split_text(text: str) -> list[str]:
+    """Driver/UDF-side twin of :func:`split_words` (Java-\\s parity)."""
+    return [w for w in _WS.split(text) if w]
+
 
 def split_words(col: Column) -> Column:
     """Whitespace pre-tokenization, case preserved (unlike
-    functions.text.words, which lowercases for quality stats)."""
+    functions.text.words, which lowercases for quality stats). Java \\s
+    is ASCII-only; :func:`split_text` mirrors that exactly."""
     return F.filter(F.split(F.trim(col), r"\s+"), lambda w: w != F.lit(""))
 
 
@@ -112,7 +127,7 @@ class BpeModel:
 
     def encode(self, text: str) -> list[str]:
         out: list[str] = []
-        for w in text.split():
+        for w in split_text(text):
             out.extend(self.encode_word(w))
         return out
 
@@ -120,7 +135,7 @@ class BpeModel:
         return "".join(tokens).replace(END_OF_WORD, " ").rstrip()
 
     def token_count(self, text: str) -> int:
-        return sum(len(self.encode_word(w)) for w in text.split())
+        return sum(len(self.encode_word(w)) for w in split_text(text))
 
     def save(self, path: str) -> None:
         with open(path, "w", encoding="utf-8") as f:
@@ -145,6 +160,22 @@ class BpeModel:
             word_types=int(d["word_types"]),
             coverage=float(d["coverage"]),
         )
+
+    @classmethod
+    def load_cached(cls, path: str) -> "BpeModel":
+        """Per-process model cache: Arrow-batched UDFs construct their
+        helper objects once per BATCH, so a bare load() would re-parse
+        the merge list and restart the encode-word cache every few
+        thousand rows. Keyed by path only -- replace the file under a
+        new name if the model changes mid-process."""
+        hit = _LOAD_CACHE.get(path)
+        if hit is None:
+            hit = cls.load(path)
+            _LOAD_CACHE[path] = hit
+        return hit
+
+
+_LOAD_CACHE: dict[str, "BpeModel"] = {}
 
 
 def _train_merges(
@@ -225,15 +256,23 @@ def train_bpe(
     number, not a mystery."""
     if vocab_size <= 0:
         raise ValueError(f"vocab_size must be positive, got {vocab_size}")
-    wc_df = word_counts(df, text_col).where(F.col("count") >= min_count)
-    top = (
-        wc_df.orderBy(F.desc("count"), F.asc("word"))
-        .limit(max_word_types)
-        .collect()
-    )
-    if not top:
-        raise ValueError(f"no words found in column {text_col!r}")
-    totals = wc_df.agg(F.sum("count").alias("t")).first()
+    # ONE corpus scan: the frequency table is persisted across its two
+    # actions (top-k collect + unfiltered total), then released
+    wc_all = word_counts(df, text_col).persist()
+    try:
+        top = (
+            wc_all.where(F.col("count") >= min_count)
+            .orderBy(F.desc("count"), F.asc("word"))
+            .limit(max_word_types)
+            .collect()
+        )
+        if not top:
+            raise ValueError(f"no words found in column {text_col!r}")
+        # denominator is the UNFILTERED occurrence mass, so both the
+        # max_word_types cap AND the min_count cut show up in coverage
+        totals = wc_all.agg(F.sum("count").alias("t")).first()
+    finally:
+        wc_all.unpersist()
     total = int(totals["t"] or 0)
     kept = sum(int(r["count"]) for r in top)
     coverage = kept / total if total else 0.0
@@ -267,13 +306,29 @@ def token_count_exact(
     Python-side work is O(word_types), not O(corpus tokens): on a
     corpus where each type recurs ~1000x, the UDF does 0.1% of the
     naive per-row work. Documents with no words keep a 0 row."""
-    merges = model.merges
-    alphabet = model.alphabet
+    ranks = {pair: i for i, pair in enumerate(model.merges)}
 
     @F.pandas_udf("long")
     def _tok_len(w: pd.Series) -> pd.Series:
-        m = BpeModel(merges=merges, alphabet=alphabet, word_types=0, coverage=0.0)
-        return w.map(lambda x: len(m.encode_word(x)))
+        # self-contained (stdlib + captured plain data only): referencing
+        # BpeModel here would make cloudpickle ship it by module
+        # reference and require letsearch_spark importable on every
+        # executor worker
+        def enc_len(word: str) -> int:
+            syms = list(word[:-1]) + [word[-1] + "</w>"]
+            while len(syms) > 1:
+                best_rank = None
+                best_i = -1
+                for i in range(len(syms) - 1):
+                    r = ranks.get((syms[i], syms[i + 1]))
+                    if r is not None and (best_rank is None or r < best_rank):
+                        best_rank, best_i = r, i
+                if best_rank is None:
+                    break
+                syms[best_i : best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+            return len(syms)
+
+        return w.map(enc_len)
 
     pairs = df.select(
         F.col(id_col), F.explode(split_words(F.col(text_col))).alias("__w")
@@ -301,12 +356,44 @@ def tokenize_column(
     with per-executor word memoization (types repeat heavily inside a
     batch); use :func:`token_count_exact` when only counts are needed --
     it does strictly less work at scale."""
-    merges = model.merges
-    alphabet = model.alphabet
+    ranks = {pair: i for i, pair in enumerate(model.merges)}
 
     @F.pandas_udf("array<string>")
     def _tok(s: pd.Series) -> pd.Series:
-        m = BpeModel(merges=merges, alphabet=alphabet, word_types=0, coverage=0.0)
-        return s.map(lambda t: m.encode(t) if isinstance(t, str) else [])
+        # self-contained: stdlib + captured plain data only (see
+        # token_count_exact); per-batch memo since word types repeat
+        import re as _re
+
+        ws = _re.compile(r"[ \t\n\x0b\f\r]+")  # Java-\s parity
+        memo: dict[str, list[str]] = {}
+
+        def enc_word(word: str) -> list[str]:
+            hit = memo.get(word)
+            if hit is not None:
+                return hit
+            syms = list(word[:-1]) + [word[-1] + "</w>"]
+            while len(syms) > 1:
+                best_rank = None
+                best_i = -1
+                for i in range(len(syms) - 1):
+                    r = ranks.get((syms[i], syms[i + 1]))
+                    if r is not None and (best_rank is None or r < best_rank):
+                        best_rank, best_i = r, i
+                if best_rank is None:
+                    break
+                syms[best_i : best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+            memo[word] = syms
+            return syms
+
+        def enc(text) -> list[str]:
+            if not isinstance(text, str):
+                return []
+            out: list[str] = []
+            for w in ws.split(text):
+                if w:
+                    out.extend(enc_word(w))
+            return out
+
+        return s.map(enc)
 
     return df.withColumn(out_col, _tok(F.col(text_col)))

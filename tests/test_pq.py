@@ -207,3 +207,20 @@ def test_ivf_pq_full_probe_equals_pq(spark, sf_dir, tmp_path):
     df = ivf_pq_topk(spark, path, centroids, cb, q, k=5, nprobe=2)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "_list" in plan
+
+
+def test_ivf_pq_default_keeps_key_columns(spark, sf_dir, tmp_path):
+    """build_ivf_pq without key_col must still persist every non-vector
+    column (key_col only controls sampling determinism) -- the index is
+    queryable by default."""
+    from letsearch_spark.operators.pq import build_ivf_pq, ivf_pq_topk
+
+    emb = _emb(spark, sf_dir)
+    path = str(tmp_path / "ivfpq_default")
+    centroids, cb = build_ivf_pq(emb, path, nlist=4, m=8, nbits=4)
+    stored = spark.read.parquet(path)
+    assert set(stored.columns) == {"_key", "_list", "pq_code"}
+    hits = ivf_pq_topk(
+        spark, path, centroids, cb, [0.1] * 64, k=5, nprobe=2
+    ).collect()
+    assert len(hits) == 5

@@ -221,3 +221,27 @@ def test_chunker_bpe_mode(spark, tmp_path):
     docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
     rows = chunk_column(docs, "text", cfg).collect()
     assert [r["chunk"] for r in sorted(rows, key=lambda r: r["chunk_idx"])] == chunks
+
+
+def test_unicode_whitespace_parity(spark):
+    """Java \\s is ASCII-only; the Python-side splits must match it, so
+    NBSP-joined words stay ONE word on BOTH engines (the scraped-HTML
+    case where str.split() would disagree with the distributed count)."""
+    model = train_bpe(_sennrich_df(spark), "text", vocab_size=30)
+    text = "tel\u00a0aviv low"  # NBSP joint
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    got = token_count_exact(docs, "doc_id", "text", model).first()["n_tokens"]
+    assert got == model.token_count(text)
+    # NBSP did NOT split: 2 words, not 3
+    from letsearch_spark.tokenizer import split_text
+
+    assert split_text(text) == ["tel\u00a0aviv", "low"]
+    toks = tokenize_column(docs, "text", model).first()["tokens"]
+    assert toks == model.encode(text)
+
+
+def test_coverage_counts_min_count_drops(spark):
+    """Occurrences removed by min_count must show up in coverage: low(5)
+    + newest(6) + widest(3) = 14 of 16 total when lower(2) is cut."""
+    model = train_bpe(_sennrich_df(spark), "text", vocab_size=50, min_count=3)
+    assert model.coverage == pytest.approx(14 / 16)

@@ -318,6 +318,10 @@ def main() -> None:
                 return len(model.merges)
 
             timeit("bpe_train", _train)
+            if model is None and (only is None or "bpe_count" in only):
+                # --ops bpe_count without bpe_train: still need a model
+                # (trained outside the timed region)
+                _train()
             if model is not None:
                 row["bpe_word_types"] = model.word_types
                 timeit(
