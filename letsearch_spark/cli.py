@@ -4,6 +4,7 @@
     python -m letsearch_spark add-docs --collection c --files more.jsonl
     python -m letsearch_spark search --collection c --column text --query "..." [--limit 10]
     python -m letsearch_spark serve [--port 7898]
+    python -m letsearch_spark train-tokenizer --collection c --out bpe.json
     python -m letsearch_spark list-models
 
 Defaults mirror the reference CLI: collection name "default", index
@@ -123,6 +124,37 @@ def cmd_serve(args) -> int:
     return 0
 
 
+def cmd_train_tokenizer(args) -> int:
+    """Train a BPE model on a collection column and save it as JSON --
+    the file plugs into ChunkerConfig(bpe_path=...) for exact chunk
+    budgets and into token_count_exact for packing."""
+    from letsearch_spark.collection import Collection
+    from letsearch_spark.tokenizer import train_bpe
+
+    spark = _spark(args)
+    coll = Collection.load(spark, _home(args), args.collection)
+    model = train_bpe(
+        coll.docs(),
+        args.column,
+        vocab_size=args.vocab_size,
+        max_word_types=args.max_word_types,
+        min_count=args.min_count,
+    )
+    model.save(args.out)
+    print(
+        json.dumps(
+            {
+                "out": args.out,
+                "merges": len(model.merges),
+                "vocab": len(model.vocab),
+                "word_types": model.word_types,
+                "coverage": round(model.coverage, 6),
+            }
+        )
+    )
+    return 0
+
+
 def cmd_list_models(args) -> int:
     from letsearch_spark.sources.hf import list_models
 
@@ -176,6 +208,17 @@ def build_parser() -> argparse.ArgumentParser:
     s = sub.add_parser("serve", help="HTTP API (demo shim)")
     s.add_argument("--port", type=int, default=7898)
     s.set_defaults(fn=cmd_serve)
+
+    s = sub.add_parser(
+        "train-tokenizer", help="train a BPE tokenizer on a collection column"
+    )
+    s.add_argument("--collection", default="default")
+    s.add_argument("--column", default="text")
+    s.add_argument("--vocab-size", type=int, default=8000)
+    s.add_argument("--max-word-types", type=int, default=1_000_000)
+    s.add_argument("--min-count", type=int, default=1)
+    s.add_argument("--out", required=True, help="output JSON model path")
+    s.set_defaults(fn=cmd_train_tokenizer)
 
     s = sub.add_parser("list-models", help="list letsearch models on HF hub")
     s.set_defaults(fn=cmd_list_models)

@@ -89,3 +89,39 @@ def test_cli_compact(spark, sf_dir, tmp_path, capsys):
     assert cmd_compact(a) == 0
     out = capsys.readouterr().out
     assert "docs_files: 1" in out and "embeddings_files:" in out
+
+
+def test_cli_train_tokenizer(spark, sf_dir, tmp_path, capsys):
+    """train-tokenizer trains on a collection column, saves a JSON model
+    that round-trips, and reports merges/coverage."""
+    from letsearch_spark.cli import cmd_index, cmd_train_tokenizer
+    from letsearch_spark.tokenizer import BpeModel
+
+    home = str(tmp_path / "home")
+    p = build_parser()
+    a = p.parse_args(
+        [
+            "--home", home, "--master", "local[4]",
+            "index", "--collection", "tok",
+            "--files", os.path.join(sf_dir, "documents.parquet"),
+        ]
+    )
+    assert cmd_index(a) == 0
+    capsys.readouterr()
+
+    out_path = str(tmp_path / "bpe.json")
+    a = p.parse_args(
+        [
+            "--home", home, "--master", "local[4]",
+            "train-tokenizer", "--collection", "tok",
+            "--vocab-size", "500", "--out", out_path,
+        ]
+    )
+    assert cmd_train_tokenizer(a) == 0
+    report = json.loads(capsys.readouterr().out.strip())
+    assert report["out"] == out_path
+    assert report["merges"] > 0 and report["coverage"] == 1.0
+
+    model = BpeModel.load(out_path)
+    assert len(model.merges) == report["merges"]
+    assert model.token_count("spark join batch") > 0
