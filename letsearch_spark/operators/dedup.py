@@ -1090,6 +1090,138 @@ def remove_duplicate_lines(
     )
 
 
+def remove_duplicate_ngrams(
+    df: DataFrame,
+    key_col: str,
+    text_col: str,
+    width: int = 50,
+    max_occurrences: int = 1,
+) -> DataFrame:
+    """Span-level exact substring dedup (Lee et al. 2021, "Deduplicating
+    Training Data Makes Language Models Better"): a ``width``-word
+    sequence that occurs in more than ``max_occurrences`` documents is
+    kept only in the lowest-key document; every word position covered by
+    such a sequence is stripped everywhere else. The span-level
+    complement of :func:`remove_duplicate_lines` -- catches boilerplate
+    that ignores line structure (flowed license text, templated intros,
+    quoted chain-mail).
+
+    Word identity is exact (case-sensitive) on ASCII-whitespace splits;
+    output text is the surviving words joined by single spaces (original
+    whitespace is NOT preserved -- span surgery has no line structure to
+    restore), one row per input document:
+    (``key_col``, ``text_col`` cleaned, ``n_words``, ``n_removed``).
+    Documents with null text are dropped (same as line dedup); documents
+    shorter than ``width`` words have no spans and pass through (words
+    re-joined).
+
+    Scale shape: the per-position ``width``-gram keys are 60-bit hashes
+    of word-hash windows, so the stats shuffle carries (hash, key)
+    pairs -- never text -- and its map-side partials absorb hot-gram
+    skew. The O(n·width) window-hash cost is the same multiplier the
+    MinHash shingler pays, all map-side. Only HOT span starts (rare by
+    definition) explode into their ``width`` covered positions; clean
+    documents never produce more than one row per word.
+    """
+    if width < 2:
+        raise ValueError(f"width must be >= 2, got {width}")
+    from letsearch_spark.tokenizer import split_words
+
+    words = df.select(
+        F.col(key_col).alias("__k"),
+        F.posexplode(split_words(F.col(text_col))).alias("__pos", "__w"),
+    )
+    # hash words first so window hashing concatenates fixed 15-char
+    # tokens instead of unbounded words
+    wh = words.withColumn(
+        "__wh", F.substring(F.md5(F.col("__w")), 1, 15)
+    )
+    # per-doc word-hash array -> one 60-bit key per window start
+    per_doc = wh.groupBy("__k").agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("__pos"), F.col("__wh")))
+        ).alias("__ws")
+    ).select(
+        "__k",
+        F.transform(F.col("__ws"), lambda s: s.getField("__wh")).alias("__hs"),
+    )
+    grams = per_doc.select(
+        "__k",
+        F.posexplode(
+            F.when(
+                F.size("__hs") >= width,
+                F.transform(
+                    F.sequence(F.lit(0), F.size("__hs") - width),
+                    lambda i: F.conv(
+                        F.substring(
+                            F.md5(
+                                F.concat_ws(
+                                    ",", F.slice(F.col("__hs"), i + 1, width)
+                                )
+                            ),
+                            1,
+                            15,
+                        ),
+                        16,
+                        10,
+                    ).cast("long"),
+                ),
+            ).otherwise(F.array().cast("array<long>")),
+        ).alias("__start", "__g"),
+    )
+    stats = (
+        grams.groupBy("__g")
+        .agg(
+            F.countDistinct("__k").alias("__n_docs"),
+            F.min("__k").alias("__keeper"),
+        )
+        .where(F.col("__n_docs") > max_occurrences)
+    )
+    hot_starts = grams.join(stats, "__g").where(
+        F.col("__k") != F.col("__keeper")
+    )
+    covered = hot_starts.select(
+        "__k",
+        F.explode(
+            F.sequence(F.col("__start"), F.col("__start") + width - 1)
+        ).alias("__pos"),
+    ).distinct()
+
+    judged = words.join(covered, ["__k", "__pos"], "left_anti")
+    totals = words.groupBy("__k").agg(F.count(F.lit(1)).alias("n_words"))
+    rebuilt = judged.groupBy("__k").agg(
+        F.count(F.lit(1)).alias("__kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("__pos"), F.col("__w")))
+                ),
+                lambda s: s.getField("__w"),
+            ),
+        ).alias("__text"),
+    )
+    # base frame keeps zero-word documents alive (empty text, 0 counts)
+    base = df.where(F.col(text_col).isNotNull()).select(
+        F.col(key_col).alias("__k")
+    )
+    return (
+        base.join(totals, "__k", "left")
+        .join(rebuilt, "__k", "left")
+        .select(
+            F.col("__k").alias(key_col),
+            F.coalesce(F.col("__text"), F.lit("")).alias(text_col),
+            F.coalesce(F.col("n_words"), F.lit(0)).cast("long").alias("n_words"),
+            (
+                F.coalesce(F.col("n_words"), F.lit(0))
+                - F.coalesce(F.col("__kept"), F.lit(0))
+            )
+            .cast("long")
+            .alias("n_removed"),
+        )
+    )
+
+
 def semantic_dedup(
     df: DataFrame,
     id_col: str = "doc_id",

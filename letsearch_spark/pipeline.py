@@ -55,6 +55,11 @@ class PrepConfig:
     ppl_filter: dict | None = None
     # stage 2 -- line dedup (None disables)
     line_dedup: dict | None = field(default_factory=dict)
+    # stage 2b -- span-level exact substring dedup (None disables, the
+    # default; kwargs to remove_duplicate_ngrams, e.g. {"width": 50}).
+    # Rewrites text like line_dedup, so it shares the token_count_col
+    # incompatibility.
+    ngram_dedup: dict | None = None
     # stage 3 -- fuzzy dedup (None disables; kwargs to minhash_lsh_pairs)
     fuzzy_dedup: dict | None = field(default_factory=lambda: {"threshold": 0.8})
     # stage 3b -- DSIR target-domain selection (None disables):
@@ -107,13 +112,15 @@ def prepare_training_data(
     from letsearch_spark.operators.sample import hash_split, mixture_hash_sample
 
     cfg = config or PrepConfig()
-    if cfg.token_count_col is not None and cfg.line_dedup is not None:
+    if cfg.token_count_col is not None and (
+        cfg.line_dedup is not None or cfg.ngram_dedup is not None
+    ):
         raise ValueError(
             "token_count_col carries counts of the ORIGINAL text; the "
-            "line-dedup stage rewrites documents, which would silently "
-            "corrupt the packed layout. Disable one: line_dedup=None to "
-            "trust the counts, or token_count_col=None to recount the "
-            "cleaned text."
+            "line-dedup/ngram-dedup stages rewrite documents, which "
+            "would silently corrupt the packed layout. Disable one: "
+            "line_dedup=None and ngram_dedup=None to trust the counts, "
+            "or token_count_col=None to recount the cleaned text."
         )
     key, text = cfg.key_col, cfg.text_col
     audit: dict[str, int] = {"input": docs.count()}
@@ -141,6 +148,15 @@ def prepare_training_data(
         # stripping boilerplate can empty a document
         cur = cur.where(F.length(F.trim(F.col(text))) > 0)
         audit["line_dedup"] = cur.count()
+
+    if cfg.ngram_dedup is not None:
+        from letsearch_spark.operators.dedup import remove_duplicate_ngrams
+
+        keep_cols = [c for c in cur.columns if c not in (text,)]
+        cleaned = remove_duplicate_ngrams(cur, key, text, **cfg.ngram_dedup)
+        cur = cur.select(*keep_cols).join(cleaned.select(key, text), key)
+        cur = cur.where(F.length(F.trim(F.col(text))) > 0)
+        audit["ngram_dedup"] = cur.count()
 
     if cfg.fuzzy_dedup is not None:
         pairs = minhash_lsh_pairs(cur, key, text, **cfg.fuzzy_dedup)

@@ -2432,3 +2432,86 @@ def test_quality_classifier_raises(spark):
     empty = spark.createDataFrame([], "doc_id long, text string")
     with pytest.raises(ValueError, match="no training documents"):
         fit_quality_classifier(empty, empty, num_buckets=16, iterations=2)
+
+
+# ------------------------------------------------------------ ngram span dedup
+
+
+def _ngram_dedup_twin(rows, width, max_occurrences):
+    """Independent Python implementation of the span-dedup semantics:
+    W-grams (exact word windows) in > max_occurrences docs are hot;
+    covered positions are stripped everywhere except the min-key doc."""
+    docs = {k: (t.split() if t is not None else None) for k, t in rows}
+    gram_docs = {}
+    for k, ws in docs.items():
+        if not ws:
+            continue
+        for p in range(len(ws) - width + 1):
+            gram_docs.setdefault(tuple(ws[p : p + width]), set()).add(k)
+    hot = {
+        g: min(ks) for g, ks in gram_docs.items() if len(ks) > max_occurrences
+    }
+    out = {}
+    for k, ws in docs.items():
+        if ws is None:
+            continue
+        covered = set()
+        for p in range(len(ws) - width + 1 if ws else 0):
+            keeper = hot.get(tuple(ws[p : p + width]))
+            if keeper is not None and k != keeper:
+                covered.update(range(p, p + width))
+        kept = [w for i, w in enumerate(ws) if i not in covered]
+        out[k] = (" ".join(kept), len(ws), len(ws) - len(kept))
+    return out
+
+
+def test_remove_duplicate_ngrams_matches_twin(spark):
+    from letsearch_spark.operators.dedup import remove_duplicate_ngrams
+
+    boiler = "this content is provided as is without warranty of any kind"
+    rows = [
+        (1, f"alpha beta {boiler} gamma delta"),
+        (2, f"epsilon {boiler} zeta"),
+        (3, f"unique words only here nothing shared at all {boiler}"),
+        (4, "short doc"),
+        (5, ""),
+        (6, None),
+        (7, "this content is provided as is"),  # shorter than width: safe
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    W, M = 8, 1
+    got = {
+        r["doc_id"]: (r["text"], r["n_words"], r["n_removed"])
+        for r in remove_duplicate_ngrams(df, "doc_id", "text", width=W).collect()
+    }
+    want = _ngram_dedup_twin(rows, W, M)
+    assert got == want
+    # the boilerplate survived only in doc 1 (lowest key)
+    assert boiler in got[1][0]
+    assert boiler not in got[2][0] and boiler not in got[3][0]
+    assert got[7][2] == 0  # sub-width doc untouched
+    assert got[5] == ("", 0, 0)  # empty doc survives
+    assert 6 not in got  # null text dropped, like line dedup
+
+
+def test_remove_duplicate_ngrams_stable_and_validated(spark, sf_dir):
+    import pytest
+
+    from letsearch_spark.operators.dedup import remove_duplicate_ngrams
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(150)
+    a = sorted(
+        (r["doc_id"], r["text"], r["n_removed"])
+        for r in remove_duplicate_ngrams(docs, "doc_id", "text", width=6).collect()
+    )
+    b = sorted(
+        (r["doc_id"], r["text"], r["n_removed"])
+        for r in remove_duplicate_ngrams(
+            docs.repartition(13), "doc_id", "text", width=6
+        ).collect()
+    )
+    assert a == b
+    total_words = sum(r[2] for r in a)
+    assert total_words >= 0
+    with pytest.raises(ValueError, match="width"):
+        remove_duplicate_ngrams(docs, "doc_id", "text", width=1)

@@ -202,3 +202,37 @@ def test_pipeline_quality_classifier_stage(spark, sf_dir):
     assert audit["quality_classifier"] == 30
     assert {r["doc_id"] for r in clean.select("doc_id").collect()} == set(range(30))
     assert layout.count() > 0
+
+
+def test_pipeline_ngram_dedup_stage(spark):
+    """Optional span-dedup stage: cross-doc boilerplate spans are
+    stripped outside the keeper doc, the audit records the stage, and
+    combining with pre-supplied token counts raises."""
+    import pytest
+
+    from letsearch_spark.pipeline import PrepConfig, prepare_training_data
+
+    boiler = "one two three four five six seven eight nine ten"
+    docs = spark.createDataFrame(
+        [(i, f"doc {i} says {boiler} and more unique text {i}") for i in range(20)],
+        "doc_id long, text string",
+    )
+    cfg = PrepConfig(
+        quality=None,
+        line_dedup=None,
+        fuzzy_dedup=None,
+        ngram_dedup={"width": 10},
+        seq_len=64,
+        num_shards=2,
+    )
+    clean, layout, audit = prepare_training_data(docs, cfg)
+    assert audit["ngram_dedup"] == 20
+    texts = {r["doc_id"]: r["text"] for r in clean.collect()}
+    assert boiler in texts[0]
+    assert all(boiler not in texts[i] for i in range(1, 20))
+
+    with pytest.raises(ValueError, match="ngram-dedup"):
+        prepare_training_data(
+            docs.withColumn("tc", docs.doc_id + 10),
+            PrepConfig(ngram_dedup={}, line_dedup=None, token_count_col="tc"),
+        )
