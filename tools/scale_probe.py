@@ -252,6 +252,19 @@ def main() -> None:
             .collect()[0][0],
         )
 
+        # span dedup: salted copies share no cross-copy spans, so hot
+        # spans (and the explode they trigger) stay per-copy -- cost
+        # must track bytes like line dedup, with the window-hash O(n*W)
+        # map-side factor on top
+        from letsearch_spark.operators.dedup import remove_duplicate_ngrams
+
+        timeit(
+            "dedup_spans",
+            lambda: remove_duplicate_ngrams(docs, "doc_id", "text", width=8)
+            .agg(F.sum("n_removed"))
+            .collect()[0][0],
+        )
+
         from letsearch_spark.operators.ngram_lm import perplexity, train_ngram_lm
 
         # CCNet-style scoring: train on the even docs, score the odd --
