@@ -91,6 +91,8 @@ def perplexity(
     text_col: str = "text",
     n: int = 2,
     alpha: float = 1.0,
+    smoothing: str = "laplace",
+    discount: float = 0.75,
 ) -> DataFrame:
     """Per-document perplexity under ``lm`` (see module doc).
 
@@ -98,9 +100,37 @@ def perplexity(
     have no n-grams and come back with ppl NULL (score them by length
     rules instead). The vocabulary size V is derived from the model
     (distinct predicted words) -- one tiny aggregation.
+
+    ``smoothing='kneser_ney'`` (bigram only, n=2) scores with
+    interpolated Kneser-Ney -- the estimator CCNet's KenLM actually
+    uses, which credits a word by how many CONTEXTS it continues
+    rather than its raw frequency (the "San Francisco" effect:
+    'Francisco' is frequent but predicts poorly outside one context):
+
+        P_KN(w2|w1) = max(c(w1 w2) - D, 0)/c(w1)
+                      + D * N1+(w1,.)/c(w1) * Pc(w2)
+        Pc(w2)      = (N1+(., w2) + 1) / (T + V + 1)
+
+    with D = ``discount``, N1+ the distinct-continuation counts, T the
+    distinct bigram types, and Pc add-one-smoothed so unseen words get
+    the uniform continuation floor; an unseen prefix backs off to
+    Pc(w2) outright. Everything stays DataFrame aggregations -- the
+    continuation tables are two extra tiny groupBys over the model.
+    Recursive higher-order KN is out of scope (use n=2 or
+    smoothing='laplace' for other n).
     """
     if alpha <= 0:
         raise ValueError(f"alpha must be > 0, got {alpha}")
+    if smoothing not in ("laplace", "kneser_ney"):
+        raise ValueError(
+            f"smoothing must be 'laplace' or 'kneser_ney', got {smoothing!r}"
+        )
+    if smoothing == "kneser_ney":
+        if n != 2:
+            raise ValueError("kneser_ney smoothing supports n=2 only")
+        if not 0.0 < discount < 1.0:
+            raise ValueError(f"discount must be in (0, 1), got {discount}")
+        return _perplexity_kn(docs, lm, key_col, text_col, discount)
     # an EMPTY model degenerates to V=0; clamp to 1 so the smoothed
     # term stays a/(0+a)=1 (ppl 1.0 for every doc) instead of dividing
     # by zero -- the well-defined "no evidence" value
@@ -137,6 +167,63 @@ def perplexity(
     )
 
 
+def _perplexity_kn(
+    docs: DataFrame,
+    lm: DataFrame,
+    key_col: str,
+    text_col: str,
+    discount: float,
+) -> DataFrame:
+    """Interpolated Kneser-Ney bigram scoring (see :func:`perplexity`).
+    Model-side statistics are three aggregations over the (prefix,
+    word, count) table; scoring is the same two hash joins as the
+    Laplace path plus one broadcast join on the continuation table."""
+    # scalars: distinct bigram types T and vocabulary V (tiny aggs)
+    t_types = lm.count()
+    vocab = lm.select("word").distinct().count()
+    # left context stats: total count + distinct continuations per prefix
+    prefix_stats = lm.groupBy("prefix").agg(
+        F.sum("count").alias("c1"),
+        F.count(F.lit(1)).alias("n1_left"),
+    )
+    # right context stats: in how many distinct contexts does w2 appear
+    cont = lm.groupBy("word").agg(F.count(F.lit(1)).alias("n1_right"))
+
+    grams = _doc_ngrams(docs, key_col, text_col, 2)
+    pc = (F.coalesce(F.col("n1_right"), F.lit(0)) + 1.0) / F.lit(
+        float(t_types + vocab + 1)
+    )
+    p_seen = (
+        F.greatest(F.coalesce(F.col("count"), F.lit(0)) - discount, F.lit(0.0))
+        / F.col("c1")
+        + F.lit(discount) * F.col("n1_left") / F.col("c1") * pc
+    )
+    joined = (
+        grams.join(lm, ["prefix", "word"], "left")
+        .join(prefix_stats, ["prefix"], "left")
+        .join(F.broadcast(cont), ["word"], "left")
+        .select(
+            key_col,
+            F.log(F.when(F.col("c1").isNotNull(), p_seen).otherwise(pc)).alias(
+                "logp"
+            ),
+        )
+    )
+    per_doc = joined.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.exp(-F.sum("logp") / F.count(F.lit(1))).alias("ppl"),
+    )
+    return (
+        docs.select(key_col)
+        .join(per_doc, key_col, "left")
+        .select(
+            key_col,
+            F.coalesce(F.col("n_grams"), F.lit(0)).cast("long").alias("n_grams"),
+            F.round(F.col("ppl"), 6).alias("ppl"),
+        )
+    )
+
+
 def perplexity_filter(
     docs: DataFrame,
     lm: DataFrame,
@@ -145,11 +232,16 @@ def perplexity_filter(
     text_col: str = "text",
     n: int = 2,
     alpha: float = 1.0,
+    smoothing: str = "laplace",
+    discount: float = 0.75,
 ) -> DataFrame:
     """Keep documents whose perplexity under ``lm`` is <= ``max_ppl``
     (the CCNet head/middle cut). Short docs (no n-grams) are dropped --
     they carry no evidence either way; screen them with length rules
     first."""
-    scored = perplexity(docs, lm, key_col, text_col, n, alpha)
+    scored = perplexity(
+        docs, lm, key_col, text_col, n, alpha,
+        smoothing=smoothing, discount=discount,
+    )
     keep = scored.where(F.col("ppl") <= max_ppl).select(key_col)
     return docs.join(keep, key_col)

@@ -2515,3 +2515,121 @@ def test_remove_duplicate_ngrams_stable_and_validated(spark, sf_dir):
     assert total_words >= 0
     with pytest.raises(ValueError, match="width"):
         remove_duplicate_ngrams(docs, "doc_id", "text", width=1)
+
+
+# ------------------------------------------------------------ kneser-ney
+
+
+def test_perplexity_kneser_ney_matches_twin(spark):
+    """Interpolated KN bigram scoring equals an independent Python twin
+    of the full estimator (discounted bigram + continuation backoff,
+    add-one continuation floor, unseen-prefix backoff)."""
+    import math
+    import re
+
+    import pytest
+
+    from letsearch_spark.operators.ngram_lm import perplexity, train_ngram_lm
+
+    corpus_rows = [
+        (0, "the cat sat on the mat"),
+        (1, "the cat ate the fish"),
+        (2, "a dog sat on a log"),
+        (3, "san francisco san francisco san francisco"),
+    ]
+    corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+    lm = train_ngram_lm(corpus, n=2)
+
+    test_rows = [
+        (10, "the cat sat on a mat"),
+        (11, "francisco the unseenword dog"),
+        (12, "x"),  # too short for a bigram -> NULL ppl
+    ]
+    docs = spark.createDataFrame(test_rows, "doc_id long, text string")
+    D = 0.75
+    got = {
+        r["doc_id"]: (r["n_grams"], r["ppl"])
+        for r in perplexity(docs, lm, smoothing="kneser_ney", discount=D).collect()
+    }
+
+    # twin
+    def toks(t):
+        return [w for w in re.sub("[^a-z0-9]+", " ", t.lower()).split() if w]
+
+    big = {}
+    for _, t in corpus_rows:
+        ws = toks(t)
+        for a, b in zip(ws, ws[1:]):
+            big[(a, b)] = big.get((a, b), 0) + 1
+    c1, n1_left, n1_right = {}, {}, {}
+    for (a, b), c in big.items():
+        c1[a] = c1.get(a, 0) + c
+        n1_left[a] = n1_left.get(a, 0) + 1
+        n1_right[b] = n1_right.get(b, 0) + 1
+    T, V = len(big), len(n1_right)
+
+    def pkn(a, b):
+        pc = (n1_right.get(b, 0) + 1.0) / (T + V + 1)
+        if a not in c1:
+            return pc
+        return max(big.get((a, b), 0) - D, 0.0) / c1[a] + D * n1_left[a] / c1[a] * pc
+
+    for k, t in test_rows:
+        ws = toks(t)
+        lps = [math.log(pkn(a, b)) for a, b in zip(ws, ws[1:])]
+        if not lps:
+            assert got[k] == (0, None)
+        else:
+            want = round(math.exp(-sum(lps) / len(lps)), 6)
+            assert got[k][0] == len(lps)
+            assert got[k][1] == pytest.approx(want, abs=1e-6)
+
+    # the "san francisco" effect: under KN, 'francisco' is discounted
+    # as a continuation (it only ever follows 'san'), so a doc using it
+    # in a NOVEL context scores worse under KN than raw-frequency
+    # smoothing would suggest -- pinned via pc ordering
+    assert n1_right["francisco"] == 1 and big[("san", "francisco")] == 3
+    assert pkn("the", "francisco") < pkn("the", "cat")
+
+    with pytest.raises(ValueError, match="n=2"):
+        perplexity(docs, lm, n=3, smoothing="kneser_ney")
+    with pytest.raises(ValueError, match="discount"):
+        perplexity(docs, lm, smoothing="kneser_ney", discount=1.5)
+    with pytest.raises(ValueError, match="smoothing"):
+        perplexity(docs, lm, smoothing="nope")
+
+
+def test_perplexity_filter_kn_mode(spark):
+    """perplexity_filter passes smoothing through: in-distribution docs
+    survive a KN cut that drops out-of-distribution ones."""
+    from letsearch_spark.operators.ngram_lm import (
+        perplexity,
+        perplexity_filter,
+        train_ngram_lm,
+    )
+
+    corpus = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon zeta") for i in range(10)],
+        "doc_id long, text string",
+    )
+    lm = train_ngram_lm(corpus, n=2)
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),
+            (2, "qq ww ee rr tt yy uu"),
+        ],
+        "doc_id long, text string",
+    )
+    scored = {
+        r["doc_id"]: r["ppl"]
+        for r in perplexity(docs, lm, smoothing="kneser_ney").collect()
+    }
+    assert scored[1] < scored[2]
+    cut = (scored[1] + scored[2]) / 2
+    kept = {
+        r["doc_id"]
+        for r in perplexity_filter(
+            docs, lm, max_ppl=cut, smoothing="kneser_ney"
+        ).collect()
+    }
+    assert kept == {1}
