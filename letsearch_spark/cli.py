@@ -199,7 +199,7 @@ def build_parser() -> argparse.ArgumentParser:
         default="join",
         choices=[
             "join", "inlist", "local", "lsh", "ivf", "hybrid",
-            "local_hybrid", "pq",
+            "local_hybrid", "pq", "ivf_pq",
         ],
         help="serving strategy (see Collection.search)",
     )

@@ -95,6 +95,9 @@ class Collection:
         # per-column (PQCodebook, cached codes DataFrame) for
         # strategy='pq'; cleared on writes
         self._pq_index: dict = {}
+        # per-column (centroids, PQCodebook) for strategy='ivf_pq'
+        # (codes live on disk); cleared on writes
+        self._ivf_pq_index: dict = {}
         # per-column BM25 corpus stats (n_docs, avgdl) for the cached
         # lexical view (strategy='hybrid'); cleared on writes
         self._lex_stats: dict[str, tuple[int, float]] = {}
@@ -580,6 +583,7 @@ class Collection:
                 except Exception:
                     pass
             self._pq_index.clear()
+            self._ivf_pq_index.clear()
         else:
             self._local_idx.pop(column, None)
             self._local_idx.pop(f"__lex_{column}", None)
@@ -592,6 +596,7 @@ class Collection:
                     pq[1].unpersist()
                 except Exception:
                     pass
+            self._ivf_pq_index.pop(column, None)
 
     def embed_all(self, incremental: bool = True) -> dict[str, int]:
         return {
@@ -660,8 +665,13 @@ class Collection:
         (32x smaller than f32 at dim 64), scored by ADC lookup sums
         without ever decompressing. The compressed view caches where
         the full-precision one may not fit; recall < 1 by design
-        (the memory half of IVF-PQ; compose with strategy='ivf' via
-        the operators directly for both halves).
+        (the memory half of IVF-PQ).
+
+        strategy='ivf_pq': both halves composed -- the on-disk index
+        holds only (key, code) partitioned by coarse list, so a query
+        scans ~nprobe/nlist parquet partitions of an index that is
+        already ~32x smaller than the vectors. The shape for
+        collections too big to cache even as codes.
         """
         if not 1 <= limit <= 100:
             raise ValueError(f"limit must be in [1, 100], got {limit}")
@@ -669,7 +679,7 @@ class Collection:
             raise ValueError(f"column {column!r} is not indexed")
         if strategy not in (
             "join", "inlist", "local", "lsh", "ivf", "hybrid", "local_hybrid",
-            "pq",
+            "pq", "ivf_pq",
         ):
             raise ValueError(f"unknown strategy {strategy!r}")
         self._require_embeddings(column)
@@ -677,6 +687,9 @@ class Collection:
 
         if strategy == "pq":
             return self._search_pq(column, qvec, limit)
+
+        if strategy == "ivf_pq":
+            return self._search_ivf_pq(column, qvec, limit)
 
         if strategy == "hybrid":
             return self._search_hybrid(column, query, qvec, limit)
@@ -1168,6 +1181,59 @@ class Collection:
             self.build_pq_index(column)
         cb, coded = self._pq_index[column]
         hits = pq_topk(coded, cb, qvec, k=limit, key_col=KEY_COL)
+        docs = self.docs().select(
+            F.col(KEY_COL), F.col(column).alias("content")
+        )
+        return (
+            F.broadcast(hits)
+            .join(docs, KEY_COL)
+            .where(F.col("content").isNotNull())
+            .select(F.col(KEY_COL).alias("key"), "content", "score")
+            .orderBy(F.desc("score"), F.asc("key"))
+            .limit(limit)
+        )
+
+    def ivf_pq_path(self, column: str) -> str:
+        return os.path.join(self.home, "ivf_pq", f"column={column}")
+
+    def build_ivf_pq_index(self, column: str) -> None:
+        """Train coarse centroids + PQ codebook and persist the coded
+        index partitioned by list (operators/pq.py build_ivf_pq) --
+        (key, pq_code) only, no float vectors on disk. Reuses the
+        ivf_nlist / pq_m / pq_nbits knobs. Lazy via strategy='ivf_pq'."""
+        from letsearch_spark.operators.pq import build_ivf_pq
+
+        emb = (
+            self._serve_view(column)
+            .where(F.col("content").isNotNull())
+            .select(KEY_COL, "vector")
+        )
+        centroids, cb = build_ivf_pq(
+            emb,
+            self.ivf_pq_path(column),
+            nlist=self.ivf_nlist,
+            m=self.pq_m,
+            nbits=self.pq_nbits,
+            key_col=KEY_COL,
+        )
+        self._ivf_pq_index[column] = (centroids, cb)
+
+    def _search_ivf_pq(self, column: str, qvec, limit: int) -> DataFrame:
+        from letsearch_spark.operators.pq import ivf_pq_topk
+
+        if column not in self._ivf_pq_index:
+            self.build_ivf_pq_index(column)
+        centroids, cb = self._ivf_pq_index[column]
+        hits = ivf_pq_topk(
+            self.spark,
+            self.ivf_pq_path(column),
+            centroids,
+            cb,
+            qvec,
+            k=limit,
+            nprobe=self.ivf_nprobe,
+            key_col=KEY_COL,
+        )
         docs = self.docs().select(
             F.col(KEY_COL), F.col(column).alias("content")
         )

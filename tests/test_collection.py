@@ -815,3 +815,44 @@ def test_search_strategy_pq(spark, tmp_path, sf_dir):
     assert "text" not in c._pq_index
     c.embed_column("text", incremental=True)
     assert len(c.search("text", "spark join", limit=3, strategy="pq").collect()) == 3
+
+
+def test_search_strategy_ivf_pq(spark, tmp_path, sf_dir):
+    """strategy='ivf_pq': lazily builds the on-disk coded index (no
+    float vectors stored, partitioned by coarse list), probes prune
+    parquet partitions, results overlap the exact top-10, and writes
+    invalidate."""
+    import os
+
+    from letsearch_spark.collection import Collection
+
+    c = Collection.create(
+        spark, str(tmp_path), name="ivfpq", model_name="stub://16"
+    )
+    c.import_parquet(os.path.join(sf_dir, "documents.parquet"))
+    c.embed_column("text")
+
+    row = c.docs().select("_key", "text").first()
+    hits = c.search("text", row["text"], limit=5, strategy="ivf_pq").collect()
+    exact10 = {
+        h["key"]
+        for h in c.search("text", row["text"], limit=10, strategy="join").collect()
+    }
+    assert hits and len({h["key"] for h in hits} & exact10) >= 2
+    assert hits[0]["score"] > 0.9
+
+    # on-disk layout: partitioned by _list, codes only -- no vectors
+    stored = spark.read.parquet(c.ivf_pq_path("text"))
+    assert set(stored.columns) == {"_key", "_list", "pq_code"}
+
+    # probes prune partitions
+    df = c.search("text", "spark join", limit=5, strategy="ivf_pq")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "_list" in plan
+
+    # writes invalidate
+    one = c.docs().limit(1).drop("_key")
+    c._append_df(one)
+    assert "text" not in c._ivf_pq_index
+    c.embed_column("text", incremental=True)
+    assert len(c.search("text", "spark", limit=3, strategy="ivf_pq").collect()) == 3
