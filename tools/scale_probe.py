@@ -298,6 +298,29 @@ def main() -> None:
             ).count(),
         )
 
+        # quality classifier: positive = copy-0's first 500 docs,
+        # negative = a growing slice of the salted corpus. Each GD
+        # iteration broadcasts the <=num_buckets weight table and
+        # shuffles only per-bucket gradients, so cost must track the
+        # map-side featurization (bytes), never iterations x corpus
+        # shuffles of text
+        if only is None or "quality_clf" in only:
+            from letsearch_spark.operators.classifier import (
+                fit_quality_classifier,
+            )
+
+            pos = docs.where(F.col("doc_id") < 500)
+            neg = docs.where(F.col("doc_id") >= 500)
+            timeit(
+                "quality_clf",
+                lambda: len(
+                    fit_quality_classifier(
+                        pos, neg, id_col="doc_id", text_col="text",
+                        num_buckets=4096, iterations=10,
+                    ).weights
+                ),
+            )
+
         # BPE tokenizer: UNSALTED copies on purpose -- the vocabulary
         # stays constant while the corpus grows xN, which isolates the
         # operator's scale claim: train_bpe's driver work and
