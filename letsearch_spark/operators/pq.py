@@ -45,6 +45,7 @@ __all__ = [
     "pq_topk",
     "build_ivf_pq",
     "ivf_pq_topk",
+    "pq_knn_join",
 ]
 
 
@@ -310,3 +311,87 @@ def ivf_pq_topk(
         F.col("_list").isin(*[int(i) for i in order])
     )
     return pq_topk(df, codebook, query_vec, k=k, key_col=key_col)
+
+
+def pq_knn_join(
+    coded: DataFrame,
+    codebook: PQCodebook,
+    queries: DataFrame,
+    k: int = 10,
+    key_col: str = "_key",
+    code_col: str = "pq_code",
+    query_key_col: str = "query_id",
+    query_vec_col: str = "qvec",
+) -> DataFrame:
+    """Batched ADC search: top-k (by compressed-code score) for every
+    query row in ONE plan -- the shape for bulk recall evaluation of a
+    PQ index (feed the result and an exact knn_join into
+    operators/evaluate.py).
+
+    Same candidate-only geometry as topk.knn_join(method='numpy'):
+    queries collect driver-side (they are the small side), ONE stacked
+    LUT tensor (q x m x ksub subspace inner products) ships in the
+    closure, each partition scores its codes against every query with m
+    fancy-index adds and emits only its local top-k per query
+    (boundary-tie-complete); a final per-query window ranks the
+    (partitions x k) survivors. No float vectors are read anywhere.
+
+    Output: (query_key_col, key_col, score, rank), rank 1..k per query.
+    """
+    from pyspark.sql import Window
+
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    qrows = queries.select(query_key_col, query_vec_col).collect()
+    if not qrows:
+        raise ValueError("queries frame is empty")
+    qids = np.array([r[0] for r in qrows], dtype=np.int64)
+    Q = np.array([r[1] for r in qrows], dtype=np.float64)
+    if Q.shape[1] != codebook.dim:
+        raise ValueError(
+            f"query dim {Q.shape[1]} != codebook dim {codebook.dim}"
+        )
+    qn = np.linalg.norm(Q, axis=1, keepdims=True)
+    qn[qn == 0] = 1.0
+    Qn = Q / qn
+    m, dsub = codebook.m, codebook.dsub
+    # luts[qi, s, c] = <query_qi restricted to subspace s, codeword c>
+    Qsub = Qn.reshape(len(Qn), m, dsub)
+    luts = np.einsum("mkd,qmd->qmk", codebook.codebooks, Qsub)
+    kk = k
+
+    schema = f"{query_key_col} long, {key_col} long, score double"
+
+    def score_partition(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            codes = np.frombuffer(
+                b"".join(pdf[code_col].tolist()), dtype=np.uint8
+            ).reshape(len(pdf), m)
+            keys = pdf[key_col].values
+            S = np.zeros((len(pdf), len(qids)))
+            for s in range(m):
+                S += luts[:, s, codes[:, s]].T  # (rows, queries)
+            top = min(kk, S.shape[0])
+            part = np.argpartition(-S, top - 1, axis=0)[:top]
+            out_q, out_k, out_s = [], [], []
+            for j in range(S.shape[1]):
+                thresh = S[part[:, j], j].min()
+                rows = np.nonzero(S[:, j] >= thresh)[0]
+                out_q.extend([qids[j]] * len(rows))
+                out_k.extend(keys[rows])
+                out_s.extend(S[rows, j])
+            yield pd.DataFrame(
+                {query_key_col: out_q, key_col: out_k, "score": out_s}
+            )
+
+    candidates = coded.select(key_col, code_col).mapInPandas(
+        score_partition, schema=schema
+    )
+    w = Window.partitionBy(query_key_col).orderBy(
+        F.desc("score"), F.asc(key_col)
+    )
+    return candidates.withColumn(
+        "rank", F.row_number().over(w).cast("long")
+    ).where(F.col("rank") <= k)
