@@ -119,6 +119,89 @@ def hash_split(
     return df.withColumn(split_col, expr)
 
 
+def mixture_with_epochs(
+    df: DataFrame,
+    key_col: str,
+    domain_col: str,
+    weights: dict[str, float],
+    target_rows: int,
+    max_epochs: float = 4.0,
+    seed: int = 42,
+    epoch_col: str = "epoch",
+) -> DataFrame:
+    """Domain mixture with TRUE upsampling: a domain whose corpus share
+    is below its target share is replicated (the multi-epoch treatment
+    scarce domains get in real pretraining mixes -- e.g. Wikipedia at
+    3x epochs while Common Crawl is subsampled) instead of saturating
+    at keep-all like :func:`mixture_hash_sample`.
+
+    Per domain the target rate r = target_rows * w_d / n_d becomes
+    floor(r) full copies plus one hash-filtered frac(r) partial copy,
+    clamped at ``max_epochs`` (upsampling beyond a few epochs is
+    memorization risk, so the cap is explicit and the realized shortfall
+    is visible in the output counts). Rows gain an ``epoch_col``
+    (0-based copy index) so downstream dedup/splitting can distinguish
+    replicas; the (key, epoch) pair stays unique.
+
+    Determinism: full copies come from an explode over a literal
+    sequence; the partial copy reuses the shared md5 hash cut with the
+    epoch index salted into the seed. Zero shuffles."""
+    if target_rows < 0:
+        raise ValueError(f"target_rows must be >= 0, got {target_rows}")
+    if max_epochs < 1.0:
+        raise ValueError(f"max_epochs must be >= 1, got {max_epochs}")
+    total = sum(weights.values())
+    if total <= 0:
+        raise ValueError("weights must sum to a positive value")
+
+    counts = {
+        r["d"]: r["n"]
+        for r in df.groupBy(F.col(domain_col).alias("d"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    full_expr = None  # number of guaranteed copies per domain
+    cut_expr = None  # bucket cut for the one partial copy
+    for name, wgt in weights.items():
+        n_d = counts.get(name, 0)
+        if n_d == 0:
+            continue
+        rate = min(max_epochs, target_rows * (wgt / total) / n_d)
+        full = int(rate)
+        frac_cut = int((rate - full) * _BUCKETS)  # floor, oracle-stable
+        cond = F.col(domain_col) == name
+        full_expr = (
+            F.when(cond, full) if full_expr is None else full_expr.when(cond, full)
+        )
+        cut_expr = (
+            F.when(cond, frac_cut)
+            if cut_expr is None
+            else cut_expr.when(cond, frac_cut)
+        )
+    if full_expr is None:
+        return df.withColumn(epoch_col, F.lit(0).cast("long")).where(F.lit(False))
+
+    out = df.withColumn("__full", full_expr.otherwise(F.lit(-1))).where(
+        F.col("__full") >= 0
+    )
+    # epochs 0..full-1 are unconditional; epoch `full` keeps the hash
+    # fraction. sequence(0, full) emits full+1 candidates; the last one
+    # survives only under the cut (salted per-epoch so partial copies
+    # of different epochs would be independent draws).
+    out = out.withColumn(
+        epoch_col, F.explode(F.sequence(F.lit(0), F.col("__full")))
+    )
+    partial = hash_bucket(
+        F.concat(F.col(key_col).cast("string"), F.col(epoch_col).cast("string")),
+        seed,
+    ) < cut_expr.otherwise(F.lit(0))
+    return (
+        out.where((F.col(epoch_col) < F.col("__full")) | partial)
+        .drop("__full")
+        .withColumn(epoch_col, F.col(epoch_col).cast("long"))
+    )
+
+
 def temperature_weights(
     counts: dict[str, int], temperature: float
 ) -> dict[str, float]:

@@ -2633,3 +2633,66 @@ def test_perplexity_filter_kn_mode(spark):
         ).collect()
     }
     assert kept == {1}
+
+
+def test_mixture_with_epochs_upsamples(spark):
+    """True upsampling: a scarce domain gets floor(rate) full copies
+    plus a hash-filtered partial; realized counts match the arithmetic;
+    (key, epoch) is unique; determinism under repartition; the
+    max_epochs clamp binds."""
+    import pytest
+
+    from letsearch_spark.operators.sample import mixture_with_epochs
+
+    rows = [(i, "web") for i in range(8000)] + [
+        (i + 100000, "wiki") for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "id long, domain string")
+    # targets: web 5000 (rate .625), wiki 1000 (rate 2.5 -> 2 full + .5)
+    out = mixture_with_epochs(
+        df, "id", "domain", {"web": 5.0, "wiki": 1.0}, 6000
+    ).cache()
+    got = {
+        r["d"]: r["n"]
+        for r in out.groupBy(F.col("domain").alias("d"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert abs(got["web"] - 5000) < 300
+    assert 400 * 2 <= got["wiki"] <= 400 * 3
+    assert abs(got["wiki"] - 1000) < 120
+    # epochs: wiki rows appear 2 or 3 times; (id, epoch) unique
+    assert out.groupBy("id", "epoch").count().where("count > 1").count() == 0
+    per_id = {
+        r["id"]: r["n"]
+        for r in out.where("domain = 'wiki'").groupBy("id").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+    }
+    assert set(per_id.values()) <= {2, 3}
+    assert len(per_id) == 400  # every wiki doc survives at >=2 epochs
+
+    a = {(r["id"], r["epoch"]) for r in out.collect()}
+    b = {
+        (r["id"], r["epoch"])
+        for r in mixture_with_epochs(
+            df.repartition(11), "id", "domain", {"web": 5.0, "wiki": 1.0}, 6000
+        ).collect()
+    }
+    assert a == b
+    out.unpersist()
+
+    # clamp: rate 10 with max_epochs=3 -> exactly 3 copies each
+    clamped = mixture_with_epochs(
+        df.where("domain = 'wiki'"), "id", "domain", {"wiki": 1.0},
+        4000, max_epochs=3.0,
+    )
+    assert clamped.count() == 400 * 3
+
+    with pytest.raises(ValueError, match="max_epochs"):
+        mixture_with_epochs(df, "id", "domain", {"web": 1.0}, 10, max_epochs=0.5)
+    with pytest.raises(ValueError, match="positive"):
+        mixture_with_epochs(df, "id", "domain", {"web": 0.0}, 10)
+    # unknown-only weights -> empty frame with the epoch column
+    empty = mixture_with_epochs(df, "id", "domain", {"nope": 1.0}, 10)
+    assert empty.count() == 0 and "epoch" in empty.columns
