@@ -584,6 +584,8 @@ class Collection:
                     pass
             self._pq_index.clear()
             self._ivf_pq_index.clear()
+            for c in self.config.index_columns:
+                self._drop_ivf_pq_meta(c)
         else:
             self._local_idx.pop(column, None)
             self._local_idx.pop(f"__lex_{column}", None)
@@ -597,6 +599,7 @@ class Collection:
                 except Exception:
                     pass
             self._ivf_pq_index.pop(column, None)
+            self._drop_ivf_pq_meta(column)
 
     def embed_all(self, incremental: bool = True) -> dict[str, int]:
         return {
@@ -1181,6 +1184,15 @@ class Collection:
             self.build_pq_index(column)
         cb, coded = self._pq_index[column]
         hits = pq_topk(coded, cb, qvec, k=limit, key_col=KEY_COL)
+        return self._fetch_back_hits(hits, column, limit)
+
+    def ivf_pq_path(self, column: str) -> str:
+        return os.path.join(self.home, "ivf_pq", f"column={column}")
+
+    def _fetch_back_hits(self, hits, column: str, limit: int) -> DataFrame:
+        """Shared <=100-row fetch-back: broadcast the hit set against
+        the docs table, drop null content (P6), serve in (score desc,
+        key asc) order -- used by the ivf / pq / ivf_pq strategies."""
         docs = self.docs().select(
             F.col(KEY_COL), F.col(column).alias("content")
         )
@@ -1193,14 +1205,15 @@ class Collection:
             .limit(limit)
         )
 
-    def ivf_pq_path(self, column: str) -> str:
-        return os.path.join(self.home, "ivf_pq", f"column={column}")
-
     def build_ivf_pq_index(self, column: str) -> None:
         """Train coarse centroids + PQ codebook and persist the coded
         index partitioned by list (operators/pq.py build_ivf_pq) --
-        (key, pq_code) only, no float vectors on disk. Reuses the
-        ivf_nlist / pq_m / pq_nbits knobs. Lazy via strategy='ivf_pq'."""
+        (key, pq_code) only, no float vectors on disk. Both models are
+        saved as underscore-prefixed files INSIDE the index dir (Spark
+        readers ignore them), so a fresh process reuses the index
+        instead of retraining. Lazy via strategy='ivf_pq'."""
+        import numpy as np
+
         from letsearch_spark.operators.pq import build_ivf_pq
 
         emb = (
@@ -1216,12 +1229,45 @@ class Collection:
             nbits=self.pq_nbits,
             key_col=KEY_COL,
         )
+        np.save(
+            os.path.join(self.ivf_pq_path(column), "_centroids.npy"), centroids
+        )
+        cb.save(os.path.join(self.ivf_pq_path(column), "_codebook.npz"))
         self._ivf_pq_index[column] = (centroids, cb)
+
+    def _drop_ivf_pq_meta(self, column: str) -> None:
+        """Writes invalidate the on-disk ivf_pq models too -- otherwise
+        a later search would reload a stale index that predates the
+        write (the in-memory dict alone only protects THIS process)."""
+        for name in ("_centroids.npy", "_codebook.npz"):
+            p = os.path.join(self.ivf_pq_path(column), name)
+            try:
+                if os.path.exists(p):
+                    os.remove(p)
+            except OSError:
+                pass
+
+    def _load_ivf_pq_meta(self, column: str) -> bool:
+        """Reload persisted (centroids, codebook) from a prior build --
+        avoids re-encoding the whole collection on the first ivf_pq
+        query of a new process. False when no valid index exists."""
+        import numpy as np
+
+        from letsearch_spark.operators.pq import PQCodebook
+
+        cpath = os.path.join(self.ivf_pq_path(column), "_centroids.npy")
+        bpath = os.path.join(self.ivf_pq_path(column), "_codebook.npz")
+        if not (os.path.exists(cpath) and os.path.exists(bpath)):
+            return False
+        self._ivf_pq_index[column] = (np.load(cpath), PQCodebook.load(bpath))
+        return True
 
     def _search_ivf_pq(self, column: str, qvec, limit: int) -> DataFrame:
         from letsearch_spark.operators.pq import ivf_pq_topk
 
-        if column not in self._ivf_pq_index:
+        if column not in self._ivf_pq_index and not self._load_ivf_pq_meta(
+            column
+        ):
             self.build_ivf_pq_index(column)
         centroids, cb = self._ivf_pq_index[column]
         hits = ivf_pq_topk(
@@ -1234,17 +1280,7 @@ class Collection:
             nprobe=self.ivf_nprobe,
             key_col=KEY_COL,
         )
-        docs = self.docs().select(
-            F.col(KEY_COL), F.col(column).alias("content")
-        )
-        return (
-            F.broadcast(hits)
-            .join(docs, KEY_COL)
-            .where(F.col("content").isNotNull())
-            .select(F.col(KEY_COL).alias("key"), "content", "score")
-            .orderBy(F.desc("score"), F.asc("key"))
-            .limit(limit)
-        )
+        return self._fetch_back_hits(hits, column, limit)
 
     def _search_ivf(self, column: str, qvec, limit: int) -> DataFrame:
         from letsearch_spark.operators.ann import ivf_topk
@@ -1260,18 +1296,8 @@ class Collection:
             nprobe=self.ivf_nprobe,
             key_col=KEY_COL,
         )
-        docs = self.docs().select(
-            F.col(KEY_COL), F.col(column).alias("content")
-        )
         # <=100 hits: broadcast fetch-back, same shape as strategy='join'
-        return (
-            F.broadcast(hits)
-            .join(docs, KEY_COL)
-            .where(F.col("content").isNotNull())
-            .select(F.col(KEY_COL).alias("key"), "content", "score")
-            .orderBy(F.desc("score"), F.asc("key"))
-            .limit(limit)
-        )
+        return self._fetch_back_hits(hits, column, limit)
 
     def _lsh_view(self, column: str) -> DataFrame:
         """Serve view + sign-LSH bucket, repartitioned by bucket and

@@ -121,7 +121,12 @@ def build_ivf(
         embeddings, nlist=nlist, vec_col=vec_col, key_col=key_col
     )
     assigned = assign_lists(embeddings, centroids, vec_col=vec_col)
-    assigned.write.mode("overwrite").partitionBy("_list").parquet(path)
+    # static overwrite: under the session-wide dynamic mode embed_column
+    # sets, a rebuild would keep the files of any list absent from the
+    # new assignment -- stale vectors with the OLD centroid geometry
+    assigned.write.mode("overwrite").option(
+        "partitionOverwriteMode", "static"
+    ).partitionBy("_list").parquet(path)
     return centroids
 
 

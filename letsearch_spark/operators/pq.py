@@ -286,7 +286,14 @@ def build_ivf_pq(
         assign_lists(embeddings, centroids, vec_col=vec_col), codebook,
         vec_col=vec_col,
     ).drop(vec_col)
-    coded.write.mode("overwrite").partitionBy("_list").parquet(path)
+    # STATIC overwrite, explicitly: a session that ran embed_column has
+    # partitionOverwriteMode=dynamic, under which a rebuild would only
+    # replace lists present in the NEW assignment -- a coarse list that
+    # comes back empty after retraining would keep its previous files,
+    # leaving stale codes (and duplicate keys) in the index
+    coded.write.mode("overwrite").option(
+        "partitionOverwriteMode", "static"
+    ).partitionBy("_list").parquet(path)
     return centroids, codebook
 
 

@@ -150,6 +150,9 @@ def mixture_with_epochs(
         raise ValueError(f"target_rows must be >= 0, got {target_rows}")
     if max_epochs < 1.0:
         raise ValueError(f"max_epochs must be >= 1, got {max_epochs}")
+    for name, wgt in weights.items():
+        if wgt < 0:
+            raise ValueError(f"weight for {name!r} must be >= 0, got {wgt}")
     total = sum(weights.values())
     if total <= 0:
         raise ValueError("weights must sum to a positive value")

@@ -856,3 +856,34 @@ def test_search_strategy_ivf_pq(spark, tmp_path, sf_dir):
     assert "text" not in c._ivf_pq_index
     c.embed_column("text", incremental=True)
     assert len(c.search("text", "spark", limit=3, strategy="ivf_pq").collect()) == 3
+
+
+def test_ivf_pq_meta_persists_across_processes(spark, tmp_path, sf_dir):
+    """A fresh process (simulated by a re-loaded Collection) reuses the
+    persisted centroids/codebook instead of retraining -- and a write
+    deletes the on-disk models so no process can serve the stale index."""
+    import os
+
+    import numpy as np
+
+    from letsearch_spark.collection import Collection
+
+    c = Collection.create(spark, str(tmp_path), name="meta", model_name="stub://16")
+    c.import_parquet(os.path.join(sf_dir, "documents.parquet"))
+    c.embed_column("text")
+    c.search("text", "warm", limit=3, strategy="ivf_pq").collect()
+    cpath = os.path.join(c.ivf_pq_path("text"), "_centroids.npy")
+    assert os.path.exists(cpath)
+    saved = np.load(cpath)
+
+    c2 = Collection.load(spark, str(tmp_path), "meta")
+    assert c2._ivf_pq_index == {}
+    hits = c2.search("text", "warm", limit=3, strategy="ivf_pq").collect()
+    assert len(hits) == 3
+    # loaded, not retrained: identical centroids object contents
+    assert np.array_equal(c2._ivf_pq_index["text"][0], saved)
+
+    # a write removes the on-disk models (stale-index protection)
+    one = c2.docs().limit(1).drop("_key")
+    c2._append_df(one)
+    assert not os.path.exists(cpath)
