@@ -1222,6 +1222,117 @@ def remove_duplicate_ngrams(
     )
 
 
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al. 2003, the MOSS
+    algorithm): hash every ``k``-word gram, then keep the MINIMUM hash
+    of each sliding window of ``w`` consecutive gram hashes. The
+    selected value set is a sparse signature with the winnowing
+    guarantee: any shared run of at least ``w + k - 1`` words produces
+    at least one shared fingerprint -- a detection GUARANTEE where
+    MinHash gives a probability.
+
+    Output: (id, fp) distinct pairs, ~1/w the density of full
+    shingling. All Catalyst: the gram hashes and window minima are
+    array transforms over the per-doc word-hash array (O(words·(k+w))
+    map-side work, same multiplier family as the MinHash shingler);
+    docs shorter than k + w - 1 words emit nothing."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if w < 1:
+        raise ValueError(f"w must be >= 1, got {w}")
+    from letsearch_spark.tokenizer import split_words
+
+    words_df = df.select(
+        F.col(id_col).alias("__k"),
+        F.posexplode(split_words(F.col(text_col))).alias("__pos", "__w"),
+    ).withColumn("__wh", F.substring(F.md5(F.col("__w")), 1, 15))
+    per_doc = (
+        words_df.groupBy("__k")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("__pos"), F.col("__wh")))
+            ).alias("__ws")
+        )
+        .select(
+            "__k",
+            F.transform(F.col("__ws"), lambda s: s.getField("__wh")).alias(
+                "__hs"
+            ),
+        )
+        .where(F.size("__hs") >= k + w - 1)
+    )
+    grams = per_doc.select(
+        "__k",
+        F.transform(
+            F.sequence(F.lit(0), F.size("__hs") - k),
+            lambda i: F.conv(
+                F.substring(
+                    F.md5(F.concat_ws(",", F.slice(F.col("__hs"), i + 1, k))),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long"),
+        ).alias("__gs"),
+    )
+    mins = grams.select(
+        "__k",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("__gs") - w),
+                lambda j: F.array_min(F.slice(F.col("__gs"), j + 1, w)),
+            )
+        ).alias("fp"),
+    ).distinct()
+    return mins.select(F.col("__k").alias(id_col), "fp")
+
+
+def winnow_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    w: int = 4,
+    min_shared: int = 2,
+    max_fp_docs: int = 1000,
+) -> DataFrame:
+    """Candidate near-dup pairs by shared winnowing fingerprints:
+    (id_a, id_b, n_shared) with id_a < id_b and at least ``min_shared``
+    common fingerprints. ``max_fp_docs`` drops fingerprints present in
+    more documents than that (the hot-shingle skew guard this module
+    uses everywhere -- a boilerplate fingerprint in 10^6 docs would
+    otherwise square)."""
+    fps = winnow_fingerprints(df, id_col, text_col, k=k, w=w)
+    hot = (
+        fps.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .where(F.col("__n") > max_fp_docs)
+        .select("fp")
+    )
+    cold = fps.join(hot, "fp", "left_anti")
+    a = cold.select(F.col("fp"), F.col(id_col).alias("__a"))
+    b = cold.select(F.col("fp"), F.col(id_col).alias("__b"))
+    return (
+        a.join(b, "fp")
+        .where(F.col("__a") < F.col("__b"))
+        .groupBy("__a", "__b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+        .select(
+            F.col("__a").alias(f"{id_col}_a"),
+            F.col("__b").alias(f"{id_col}_b"),
+            F.col("n_shared").cast("long").alias("n_shared"),
+        )
+    )
+
+
 def semantic_dedup(
     df: DataFrame,
     id_col: str = "doc_id",

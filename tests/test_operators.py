@@ -2696,3 +2696,83 @@ def test_mixture_with_epochs_upsamples(spark):
     # unknown-only weights -> empty frame with the epoch column
     empty = mixture_with_epochs(df, "id", "domain", {"nope": 1.0}, 10)
     assert empty.count() == 0 and "epoch" in empty.columns
+
+
+# ------------------------------------------------------------ winnowing
+
+
+def _winnow_twin(rows, k, w):
+    """Independent Python winnowing: k-gram hashes over word-hash
+    tokens, min of each w-window, distinct values per doc."""
+    import hashlib
+
+    def h15(s):
+        return hashlib.md5(s.encode()).hexdigest()[:15]
+
+    out = {}
+    for key, text in rows:
+        ws = (text or "").split()
+        whs = [h15(x) for x in ws]
+        if len(whs) < k + w - 1:
+            out[key] = set()
+            continue
+        grams = [
+            int(h15(",".join(whs[i : i + k])), 16) for i in range(len(whs) - k + 1)
+        ]
+        out[key] = {min(grams[j : j + w]) for j in range(len(grams) - w + 1)}
+    return out
+
+
+def test_winnow_fingerprints_match_twin_and_guarantee(spark):
+    from letsearch_spark.operators.dedup import winnow_fingerprints, winnow_pairs
+
+    shared = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (1, f"intro one {shared} outro alpha"),
+        (2, f"different beginning here {shared} and a different end"),
+        (3, "completely unrelated words in this document entirely"),
+        (4, "too short"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    K, W = 3, 4
+    got = {}
+    for r in winnow_fingerprints(df, "doc_id", "text", k=K, w=W).collect():
+        got.setdefault(r["doc_id"], set()).add(r["fp"])
+    want = _winnow_twin(rows, K, W)
+    for key, fps in want.items():
+        assert got.get(key, set()) == fps, key
+    # density: ~1/w of full shingling
+    n_words1 = len(rows[0][1].split())
+    assert len(got[1]) < n_words1 - K + 1
+
+    # the winnowing GUARANTEE: docs 1 and 2 share a >= w+k-1 word run
+    # -> at least one common fingerprint -> a candidate pair
+    pairs = {
+        (r["doc_id_a"], r["doc_id_b"], r["n_shared"])
+        for r in winnow_pairs(df, "doc_id", "text", k=K, w=W, min_shared=1).collect()
+    }
+    assert any(p[:2] == (1, 2) for p in pairs)
+    assert not any(3 in p[:2] or 4 in p[:2] for p in pairs)
+
+    import pytest
+
+    with pytest.raises(ValueError, match="k must"):
+        winnow_fingerprints(df, "doc_id", "text", k=0)
+    with pytest.raises(ValueError, match="w must"):
+        winnow_fingerprints(df, "doc_id", "text", w=0)
+
+
+def test_winnow_pairs_hot_fp_guard(spark):
+    """A fingerprint present in more than max_fp_docs documents is
+    dropped before the self-join -- boilerplate cannot square."""
+    from letsearch_spark.operators.dedup import winnow_pairs
+
+    boiler = "standard footer text appears in every single document here"
+    rows = [(i, f"unique{i} lead {boiler}") for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    allp = winnow_pairs(df, "doc_id", "text", k=3, w=3, min_shared=1)
+    none = winnow_pairs(
+        df, "doc_id", "text", k=3, w=3, min_shared=1, max_fp_docs=5
+    )
+    assert allp.count() > 0
+    assert none.count() == 0  # every shared fp is in all 30 docs -> hot
