@@ -141,7 +141,10 @@ def mixture_with_epochs(
     memorization risk, so the cap is explicit and the realized shortfall
     is visible in the output counts). Rows gain an ``epoch_col``
     (0-based copy index) so downstream dedup/splitting can distinguish
-    replicas; the (key, epoch) pair stays unique.
+    replicas; the (key, epoch) pair stays unique. For
+    ``pack_sequences`` (whose layout is deterministic only under unique
+    keys) derive a composite key first, e.g.
+    ``F.col(key) * int(max_epochs + 1) + F.col("epoch")``.
 
     Determinism: full copies come from an explode over a literal
     sequence; the partial copy reuses the shared md5 hash cut with the
