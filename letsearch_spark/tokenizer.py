@@ -132,6 +132,14 @@ class BpeModel:
         return out
 
     def decode(self, tokens: list[str]) -> str:
+        """Inverse of :meth:`encode` -- debug/inspection helper.
+
+        Caveat (inherent to sentinel-suffix BPE): a word whose TEXT
+        contains the literal ``</w>`` substring decodes with a spurious
+        space, because the in-band marker is indistinguishable from
+        data. Counting and encoding are unaffected; pipelines never
+        decode. Byte-level BPE would remove the ambiguity at the cost
+        of unicode-opaque merges -- documented trade, not taken."""
         return "".join(tokens).replace(END_OF_WORD, " ").rstrip()
 
     def token_count(self, text: str) -> int:

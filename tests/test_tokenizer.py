@@ -245,3 +245,53 @@ def test_coverage_counts_min_count_drops(spark):
     + newest(6) + widest(3) = 14 of 16 total when lower(2) is cut."""
     model = train_bpe(_sennrich_df(spark), "text", vocab_size=50, min_count=3)
     assert model.coverage == pytest.approx(14 / 16)
+
+
+# ---------------------------------------------------- property tests
+
+
+def test_bpe_properties_random_words(spark):
+    """Hypothesis over the pure-Python model (one Spark training, many
+    driver-side examples): for ANY word -- including ones the trainer
+    never saw, unicode, punctuation -- the symbol concatenation equals
+    word + sentinel, counts are additive over whitespace joins, and
+    encode_word is idempotent w.r.t. the cache."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    model = train_bpe(_sennrich_df(spark), "text", vocab_size=40)
+
+    word = st.text(
+        st.characters(
+            blacklist_categories=("Zs", "Cc", "Cs"), blacklist_characters=" "
+        ),
+        min_size=1,
+        max_size=24,
+    )
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.lists(word, min_size=0, max_size=8))
+    def check(words):
+        text = " ".join(words)
+        toks = model.encode(text)
+        assert "".join(toks) == "".join(w + "</w>" for w in words if w)
+        assert model.token_count(text) == len(toks)
+        # additivity: count(text) == sum of per-word counts
+        assert model.token_count(text) == sum(
+            len(model.encode_word(w)) for w in words if w
+        )
+        for w in words:
+            assert model.encode_word(w) == model.encode_word(w)
+
+    check()
+
+
+def test_decode_sentinel_caveat_documented():
+    """The documented in-band-sentinel ambiguity: decode of a word
+    whose text contains the literal marker produces a spurious space.
+    Encoding and counting stay exact."""
+    m = BpeModel(merges=[], alphabet=["a"], word_types=0, coverage=0.0)
+    w = "a</w>b"
+    toks = m.encode_word(w)
+    assert "".join(toks) == w + "</w>"  # encode round-trips at symbol level
+    assert m.decode(toks) != w  # decode cannot distinguish data from marker
