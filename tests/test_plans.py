@@ -376,3 +376,63 @@ def test_perplexity_model_joins_broadcast(spark):
     p = plan_of(scored, "simple")
     assert p.count("BroadcastHashJoin") >= 2
     assert "CartesianProduct" not in p
+
+
+def test_pq_knn_join_single_exchange(spark, sf_dir):
+    """Batched ADC's candidate-only claim, plan-gated: the ONLY
+    exchange is the final per-query window over (partitions x k)
+    candidates -- the code scan feeds mapInPandas with no shuffle."""
+    import re
+
+    from letsearch_spark.operators.pq import encode_pq, pq_knn_join, train_pq
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        F.col("vec_id").alias("_key"), F.col("embedding").alias("vector")
+    )
+    cb = train_pq(emb, m=8, key_col="_key")
+    coded = encode_pq(emb, cb).select("_key", "pq_code")
+    q = emb.limit(3).select(
+        F.col("_key").alias("query_id"), F.col("vector").alias("qvec")
+    )
+    plan = (
+        pq_knn_join(coded, cb, q, k=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "MapInPandas" in plan
+    assert len(re.findall(r"Exchange", plan)) == 1
+
+
+def test_classifier_margins_reuse_cached_partitioning(spark, sf_dir):
+    """The classifier's per-iteration scale claim, plan-gated: with the
+    feature table cached repartition('id'), the per-doc margin groupBy
+    runs WITHOUT a new exchange (everything above the InMemoryTableScan
+    is exchange-free; the broadcast weight join is map-side)."""
+    from letsearch_spark.operators.dsir import hashed_ngram_features
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(200)
+    feats = (
+        hashed_ngram_features(docs, "doc_id", "text", num_buckets=256)
+        .select("id", "bucket", (F.col("cnt") * 1.0).alias("x"))
+        .repartition("id")
+        .persist()
+    )
+    feats.count()
+    try:
+        w_df = spark.createDataFrame([(1, 0.5)], "bucket long, w double")
+        margins = (
+            feats.join(F.broadcast(w_df), "bucket", "left")
+            .groupBy("id")
+            .agg(
+                F.sum(F.col("x") * F.coalesce(F.col("w"), F.lit(0.0))).alias(
+                    "z"
+                )
+            )
+        )
+        plan = margins._jdf.queryExecution().executedPlan().toString()
+        above_cache = plan.split("InMemoryRelation")[0]
+        assert "Exchange" not in above_cache
+        assert "BroadcastHashJoin" in above_cache
+    finally:
+        feats.unpersist()
