@@ -8,6 +8,8 @@ This module is their composition -- ONE declarative recipe:
     1. quality filter     (functions/text.py gopher_flags)
     1b. perplexity filter (operators/ngram_lm.py, CCNet-style, optional)
     2. line dedup         (operators/dedup.py remove_duplicate_lines)
+    2c. decontamination   (ngram_containment_pairs vs an eval set,
+        optional -- benchmark-leakage removal)
     3. fuzzy dedup        (minhash_lsh_pairs -> dedup_keep_list)
     3b. DSIR selection    (operators/dsir.py, optional)
     3c. quality classifier (operators/classifier.py, GPT-3-style
@@ -60,6 +62,14 @@ class PrepConfig:
     # Rewrites text like line_dedup, so it shares the token_count_col
     # incompatibility.
     ngram_dedup: dict | None = None
+    # stage 2c -- benchmark decontamination (None disables, the default):
+    # {"probes": <eval-set DataFrame>, "probe_id": ..., "probe_text": ...}
+    # -- extra keys (n/threshold/max_shingle_freq) forward to
+    # operators/dedup.py ngram_containment_pairs. Drops every corpus
+    # document whose shingles COVER any probe at >= threshold
+    # containment (asymmetric on purpose: a long training document
+    # embedding a short benchmark item verbatim must score ~1.0).
+    decontaminate: dict | None = None
     # stage 3 -- fuzzy dedup (None disables; kwargs to minhash_lsh_pairs)
     fuzzy_dedup: dict | None = field(default_factory=lambda: {"threshold": 0.8})
     # stage 3b -- DSIR target-domain selection (None disables):
@@ -158,6 +168,27 @@ def prepare_training_data(
         cur = cur.where(F.length(F.trim(F.col(text))) > 0)
         audit["ngram_dedup"] = cur.count()
 
+    if cfg.decontaminate is not None:
+        from letsearch_spark.operators.dedup import ngram_containment_pairs
+
+        extra = {
+            k: v
+            for k, v in cfg.decontaminate.items()
+            if k not in ("probes", "probe_id", "probe_text")
+        }
+        hits = ngram_containment_pairs(
+            cur,
+            cfg.decontaminate["probes"],
+            corpus_id=key,
+            corpus_text=text,
+            probe_id=cfg.decontaminate["probe_id"],
+            probe_text=cfg.decontaminate["probe_text"],
+            **extra,
+        )
+        contaminated = hits.select(F.col("corpus_id").alias(key)).distinct()
+        cur = cur.join(contaminated, key, "left_anti")
+        audit["decontaminate"] = cur.count()
+
     if cfg.fuzzy_dedup is not None:
         pairs = minhash_lsh_pairs(cur, key, text, **cfg.fuzzy_dedup)
         keep = dedup_keep_list(cur, pairs, key)
@@ -224,6 +255,66 @@ def prepare_training_data(
     )
     audit["train_docs"] = cur.where(F.col("split") == "train").count()
     return cur, layout, audit
+
+
+def corpus_report(
+    docs: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    domain_col: str | None = None,
+) -> DataFrame:
+    """One-pass corpus data card: the per-domain and corpus-total stats
+    a dataset release documents (doc/char/word/approx-token counts,
+    mean and max document length).
+
+    Shape: a single scan feeding one ROLLUP aggregation -- per-domain
+    rows plus an ``ALL`` grand-total row in the same shuffle (no second
+    pass over the text). With ``domain_col=None`` only the total row is
+    produced. At 100 TB this is exactly one map-side-combined
+    aggregation over however many domains exist (tiny result), so it is
+    safe to run after every pipeline stage for audit trails.
+
+    Columns: (domain, n_docs, total_chars, total_words, total_tokens,
+    avg_words, max_chars); avg_words is rounded to 6 for cross-engine
+    stability.
+    """
+    from letsearch_spark.functions.text import token_count_approx, word_count
+
+    base = docs.select(
+        (
+            F.coalesce(F.col(domain_col), F.lit("<null>"))
+            if domain_col is not None
+            else F.lit("ALL")
+        ).alias("__domain"),
+        F.length(F.col(text_col)).cast("long").alias("__chars"),
+        word_count(F.col(text_col)).cast("long").alias("__words"),
+        token_count_approx(F.col(text_col)).cast("long").alias("__tokens"),
+    )
+    grouped = (
+        base.rollup("__domain") if domain_col is not None else base.groupBy()
+    )
+    agg = grouped.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("__chars").alias("total_chars"),
+        F.sum("__words").alias("total_words"),
+        F.sum("__tokens").alias("total_tokens"),
+        F.round(F.avg("__words"), 6).alias("avg_words"),
+        F.max("__chars").alias("max_chars"),
+    )
+    domain = (
+        F.coalesce(F.col("__domain"), F.lit("ALL"))
+        if domain_col is not None
+        else F.lit("ALL")
+    )
+    return agg.select(
+        domain.alias("domain"),
+        "n_docs",
+        "total_chars",
+        "total_words",
+        "total_tokens",
+        "avg_words",
+        "max_chars",
+    ).orderBy("domain")
 
 
 def write_training_shards(

@@ -236,3 +236,93 @@ def test_pipeline_ngram_dedup_stage(spark):
             docs.withColumn("tc", docs.doc_id + 10),
             PrepConfig(ngram_dedup={}, line_dedup=None, token_count_col="tc"),
         )
+
+
+def test_pipeline_decontaminate_stage(spark):
+    """Optional benchmark-decontamination stage: a corpus document that
+    embeds an eval probe verbatim is dropped, clean documents survive,
+    and the audit records the stage."""
+    from letsearch_spark.pipeline import PrepConfig, prepare_training_data
+
+    probe = "the quick brown fox jumps over the lazy dog tonight"
+    uniq = [
+        f"document {i} carries its own distinct prose about topic {i} "
+        f"with nothing shared beyond ordinary words {i}"
+        for i in range(12)
+    ]
+    # doc 0 embeds the probe verbatim inside a longer document
+    texts = [f"intro text then {probe} and a long tail of filler"] + uniq[1:]
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    probes = spark.createDataFrame([(100, probe)], "pid long, ptext string")
+    cfg = PrepConfig(
+        quality=None,
+        line_dedup=None,
+        fuzzy_dedup=None,
+        decontaminate={
+            "probes": probes,
+            "probe_id": "pid",
+            "probe_text": "ptext",
+            "n": 3,
+            "threshold": 0.8,
+        },
+        seq_len=64,
+        num_shards=2,
+    )
+    clean, layout, audit = prepare_training_data(docs, cfg)
+    kept = {r["doc_id"] for r in clean.select("doc_id").collect()}
+    assert 0 not in kept
+    assert kept == set(range(1, 12))
+    assert audit["decontaminate"] == 11
+    assert audit["input"] == 12
+
+
+def test_corpus_report_matches_python_twin(spark, sf_dir):
+    """corpus_report's per-domain rows and ALL total must equal an
+    independent Python aggregation over the same documents (same word
+    split, same ceil(words*1.3) token rule, same HALF_UP round-6)."""
+    import math
+    import re
+    from collections import defaultdict
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from letsearch_spark.pipeline import corpus_report
+
+    docs = _docs(spark, sf_dir).select("doc_id", "lang", "text")
+    got = {
+        r["domain"]: r.asDict()
+        for r in corpus_report(docs, domain_col="lang").collect()
+    }
+
+    acc = defaultdict(lambda: [0, 0, 0, 0, 0])  # n, chars, words, toks, maxc
+    for r in docs.collect():
+        t = r["text"]
+        w = len(re.split(r"\s+", t.strip().lower()))
+        for dom in (r["lang"], "ALL"):
+            a = acc[dom]
+            a[0] += 1
+            a[1] += len(t)
+            a[2] += w
+            a[3] += math.ceil(w * 1.3)
+            a[4] = max(a[4], len(t))
+
+    assert set(got) == set(acc)
+    for dom, (n, chars, wsum, toks, maxc) in acc.items():
+        g = got[dom]
+        assert g["n_docs"] == n
+        assert g["total_chars"] == chars
+        assert g["total_words"] == wsum
+        assert g["total_tokens"] == toks
+        assert g["max_chars"] == maxc
+        want_avg = float(
+            Decimal(repr(wsum / n)).quantize(
+                Decimal("0.000001"), ROUND_HALF_UP
+            )
+        )
+        assert abs(g["avg_words"] - want_avg) < 1e-9
+
+    # domain_col=None: exactly the one ALL row
+    total = corpus_report(docs).collect()
+    assert len(total) == 1 and total[0]["domain"] == "ALL"
+    assert total[0]["n_docs"] == acc["ALL"][0]
