@@ -46,6 +46,33 @@ from letsearch_spark.operators.topk import cosine_topk
 
 _IDENT_RE = re.compile(r"^[A-Za-z0-9_]+$")
 
+# serving-result schemas, parsed once (DDL parsing per query costs ~0.1 s)
+_RESULT_SCHEMA = T.StructType(
+    [
+        T.StructField("key", T.LongType()),
+        T.StructField("content", T.StringType()),
+        T.StructField("score", T.DoubleType()),
+    ]
+)
+_RERANK_SCHEMA = T.StructType(
+    [*_RESULT_SCHEMA.fields, T.StructField("retrieval_score", T.DoubleType())]
+)
+
+
+def _rows_df(spark: SparkSession, rows, schema: T.StructType) -> DataFrame:
+    """Driver-rows -> DataFrame through the Arrow path.
+
+    ``createDataFrame(list_of_tuples)`` builds a pickled local relation
+    whose collect() runs a parallelize job (~0.4 s per serving query);
+    the pandas route hands the same rows to the JVM as ONE Arrow batch
+    and collects back over Arrow (~10x cheaper). Serving paths that
+    fuse or rerank driver-side return through here."""
+    import pandas as pd
+
+    names = [f.name for f in schema.fields]
+    pdf = pd.DataFrame(list(rows), columns=names)
+    return spark.createDataFrame(pdf, schema)
+
 
 def _overlap_scorer(query: str, contents: list[str]) -> list[float]:
     """Default reranker: token-set Jaccard overlap with the query --
@@ -101,6 +128,15 @@ class Collection:
         # per-column BM25 corpus stats (n_docs, avgdl) for the cached
         # lexical view (strategy='hybrid'); cleared on writes
         self._lex_stats: dict[str, tuple[int, float]] = {}
+        # per-column driver-side term->df map (the idf-literal serving
+        # mode: the dict every search engine's serving node keeps in
+        # RAM). None = vocabulary exceeded the ceiling below; hybrid
+        # queries then compute df in-plan instead. Cleared on writes.
+        self._lex_dfmap: dict[str, dict[str, int] | None] = {}
+        # vocabulary ceiling for collecting the dfreq table driver-side
+        # (~tens of MB at the default; a 100 TB web corpus with a
+        # billion-term vocabulary stays distributed)
+        self.lexical_idf_cache_max_terms: int = 2_000_000
 
     # ---- paths ----
 
@@ -584,6 +620,7 @@ class Collection:
                     pass
             self._pq_index.clear()
             self._ivf_pq_index.clear()
+            self._lex_dfmap.clear()
             for c in self.config.index_columns:
                 self._drop_ivf_pq_meta(c)
         else:
@@ -592,6 +629,7 @@ class Collection:
             self._embeddings_ok.discard(column)
             self._ivf_centroids.pop(column, None)
             self._lex_stats.pop(column, None)
+            self._lex_dfmap.pop(column, None)
             pq = self._pq_index.pop(column, None)
             if pq is not None:
                 try:
@@ -699,9 +737,7 @@ class Collection:
 
         if strategy == "local_hybrid":
             rows_out = self._local_hybrid_rows(column, query, qvec, limit)
-            return self.spark.createDataFrame(
-                rows_out, "key long, content string, score double"
-            )
+            return _rows_df(self.spark, rows_out, _RESULT_SCHEMA)
 
         if strategy == "lsh":
             return self._search_lsh(column, qvec, limit)
@@ -711,9 +747,7 @@ class Collection:
 
         if strategy == "local":
             rows_out = self._local_topk(self._local_bundle(column), qvec, limit)
-            return self.spark.createDataFrame(
-                rows_out, "key long, content string, score double"
-            )
+            return _rows_df(self.spark, rows_out, _RESULT_SCHEMA)
         serve = self._serve_view(column)
 
         if strategy == "inlist":
@@ -953,10 +987,20 @@ class Collection:
                 .agg(F.count(F.lit(1)).alias("n"), F.avg("__dl").alias("avgdl"))
                 .collect()[0]
             )
-            dfreq.count()  # materialize the (vocabulary-sized) table now
+            vocab = dfreq.count()  # materialize the vocabulary table now
             self._lex_stats[column] = (int(row["n"]), float(row["avgdl"] or 0.0))
             self._emb_cache[key] = view
             self._emb_cache[f"__lexdf_{column}"] = dfreq
+            # idf-literal serving mode: hold term->df in driver RAM (the
+            # stats block a Lucene-style serving node keeps) so a hybrid
+            # query inlines idf and skips the per-query df aggregation +
+            # broadcast. Past the ceiling the map stays None and
+            # _search_hybrid computes df in-plan.
+            self._lex_dfmap[column] = (
+                {r["__term"]: int(r["__df"]) for r in dfreq.collect()}
+                if vocab <= self.lexical_idf_cache_max_terms
+                else None
+            )
         return (
             view,
             self._emb_cache[f"__lexdf_{column}"],
@@ -982,15 +1026,19 @@ class Collection:
         <= 100 rows, so the RRF fusion runs driver-side as before.
         (Union output order is not the per-leg rank order; each leg is
         re-sorted driver-side by (-score, key), the exact ordering its
-        orderBy declared. Lexical idf comes from the in-plan df
-        aggregation -- F.log double math, equal to the driver-literal
-        mode within ulps per test_bm25_df_modes_and_idf_literals_agree,
-        and scores round to 6 decimals before ranking either way.)
+        orderBy declared. Lexical idf comes from the driver-held
+        term->df map when the vocabulary fit under
+        ``lexical_idf_cache_max_terms`` -- idf inlined as literals, no
+        df aggregation or broadcast in the per-query plan -- and from
+        an in-plan df aggregation otherwise; the two agree within ulps
+        per test_bm25_df_modes_and_idf_literals_agree, and scores round
+        to 6 decimals before ranking either way.)
         Batch pipelines that want the fusion as a lazy plan compose
         operators/bm25.py rrf_fuse directly (the search_bm25_hybrid
         contract query does)."""
         from letsearch_spark.operators.bm25 import (
             bm25_scores_from_postings,
+            bm25_scores_with_idf,
             tokenize_query,
         )
 
@@ -1021,24 +1069,49 @@ class Collection:
         terms = tokenize_query(query)
         if terms:
             postings, _dfreq, n_docs, avgdl = self._lexical_view(column)
+            dfmap = self._lex_dfmap.get(column)
             if n_docs > 0 and avgdl > 0.0:
-                lex_top = (
-                    bm25_scores_from_postings(
+                if dfmap is not None:
+                    # idf-literal mode (vocabulary fits driver-side):
+                    # the lexical leg is postings-filter -> map-side
+                    # score -> ONE groupBy(id) shuffle -> top-k, with no
+                    # df aggregation or broadcast exchange in the plan.
+                    # ~2x per-query latency vs the in-plan df mode
+                    # (idf values agree within ulps and scores round to
+                    # 6 before ranking, so results are identical --
+                    # test_bm25_df_modes_and_idf_literals_agree).
+                    term_df = {t: dfmap.get(t, 0) for t in terms}
+                    if not any(d > 0 for d in term_df.values()):
+                        lex_scored = None  # no term occurs in the corpus
+                    else:
+                        lex_scored = bm25_scores_with_idf(
+                            postings, term_df, n_docs, avgdl, id_col=KEY_COL
+                        )
+                else:
+                    lex_scored = bm25_scores_from_postings(
                         postings, terms, n_docs, avgdl,
                         id_col=KEY_COL, df_via="join",
                     )
-                    .select(KEY_COL, F.round("bm25", 6).alias("score"))
-                    .orderBy(F.desc("score"), F.asc(KEY_COL))
-                    .limit(depth)
-                    .join(serve.select(F.col(KEY_COL), "content"), KEY_COL)
-                    .select(
-                        F.lit("l").alias("leg"),
-                        F.col(KEY_COL),
-                        "score",
-                        "content",
+                if lex_scored is not None:
+                    lex_top = (
+                        lex_scored
+                        .select(KEY_COL, F.round("bm25", 6).alias("score"))
+                        .orderBy(F.desc("score"), F.asc(KEY_COL))
+                        .limit(depth)
                     )
-                )
-                plan = plan.unionByName(lex_top)
+                    lex_top = (
+                        # the <= depth-row side drives the content fetch;
+                        # broadcast it so the cached serve view streams
+                        F.broadcast(lex_top)
+                        .join(serve.select(F.col(KEY_COL), "content"), KEY_COL)
+                        .select(
+                            F.lit("l").alias("leg"),
+                            F.col(KEY_COL),
+                            "score",
+                            "content",
+                        )
+                    )
+                    plan = plan.unionByName(lex_top)
 
         per_leg: dict[str, list[tuple[float, int]]] = {}
         content_of: dict[int, str] = {}
@@ -1052,15 +1125,12 @@ class Collection:
         ]
 
         top = self._rrf_ranks(leg_keys, limit)
-        schema = "key long, content string, score double"
         rows_out = [
             (k, content_of[k], s)
             for k, s in top
             if content_of.get(k) is not None  # P6 null-content drop
         ]
-        if not rows_out:
-            return self.spark.createDataFrame([], schema)
-        return self.spark.createDataFrame(rows_out, schema)
+        return _rows_df(self.spark, rows_out, _RESULT_SCHEMA)
 
     @staticmethod
     def _rrf_ranks(leg_keys, limit: int) -> list[tuple[int, float]]:
@@ -1077,9 +1147,8 @@ class Collection:
         'hybrid': IN-list content fetch against the cached serve view +
         reorder to the given (key, score) list, with the P6 null-content
         drop."""
-        schema = "key long, content string, score double"
         if not ordered:
-            return self.spark.createDataFrame([], schema)
+            return _rows_df(self.spark, [], _RESULT_SCHEMA)
         fetched = (
             serve.where(F.col(KEY_COL).isin(*[k for k, _ in ordered]))
             .select(F.col(KEY_COL).alias("key"), "content")
@@ -1091,7 +1160,7 @@ class Collection:
             for k, s in ordered
             if content.get(k) is not None  # P6 null-content drop
         ]
-        return self.spark.createDataFrame(rows, schema)
+        return _rows_df(self.spark, rows, _RESULT_SCHEMA)
 
     _LSH_BITS = 8
     _LSH_SEED = 42
@@ -1537,10 +1606,7 @@ class Collection:
             ),
             key=lambda t: (-t[2], -t[3], t[0]),
         )[:limit]
-        return self.spark.createDataFrame(
-            rows,
-            "key long, content string, score double, retrieval_score double",
-        )
+        return _rows_df(self.spark, rows, _RERANK_SCHEMA)
 
     def search_rows(
         self, column: str, query: str, limit: int = 10, strategy: str = "local"

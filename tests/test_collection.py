@@ -617,6 +617,33 @@ def test_search_hybrid_strategy(coll):
     assert fallback == dense
 
 
+def test_search_hybrid_idf_modes_agree_and_invalidate(coll):
+    """The idf-literal serving mode (driver-held term->df map) must rank
+    and score identically to the in-plan df-aggregation fallback, and
+    the map must be rebuilt after a write invalidates the lexical
+    view."""
+    coll.embed_column("text", incremental=True)
+    q = "alpha document text with common words"
+    lit = [
+        (r["key"], r["score"])
+        for r in coll.search("text", q, limit=10, strategy="hybrid").collect()
+    ]
+    assert coll._lex_dfmap.get("text") is not None  # literal mode served
+    # force the huge-vocabulary fallback: df computed in-plan
+    coll._lex_dfmap["text"] = None
+    inplan = [
+        (r["key"], r["score"])
+        for r in coll.search("text", q, limit=10, strategy="hybrid").collect()
+    ]
+    assert lit == inplan
+    # a write must invalidate the map alongside the lexical view
+    coll._invalidate_cache("text")
+    assert "text" not in coll._lex_dfmap
+    # ...and a subsequent hybrid search rebuilds it
+    coll.search("text", q, limit=5, strategy="hybrid").collect()
+    assert coll._lex_dfmap.get("text")
+
+
 def test_search_hybrid_excludes_unembedded_appends(spark, sf_dir, tmp_path):
     """Regression: the lexical leg must rank the SERVE population
     (embedded docs), not the raw docs table -- an appended-but-not-yet-
