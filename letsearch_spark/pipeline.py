@@ -353,3 +353,77 @@ def write_training_shards(
         .parquet(path)
     )
     return clean_docs.sparkSession.read.parquet(path).count()
+
+
+def write_token_shards(
+    clean_docs: DataFrame,
+    layout: DataFrame,
+    path: str,
+    model,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    unk_id: int = -1,
+) -> int:
+    """Materialize the packed layout as TOKEN-ID shards -- the terminal
+    egress of a pretraining pipeline: parquet partitioned by ``shard``,
+    each row one (seq, seq_offset)-addressed span carrying its slice of
+    the document's BPE token ids (``token_ids array<int>``), rows
+    sorted by (seq, seq_offset) within each shard so a trainer streams
+    each sequence's ids in order with zero further processing.
+
+    REQUIRES the layout's token counts to be BPE-exact under the SAME
+    ``model`` (tokenizer.token_count_exact fed through PrepConfig's
+    ``token_count_col``, with the text-rewriting stages disabled): a
+    span addresses [tok_begin, tok_begin + tok_len) of the document's
+    token stream, which only exists if count == len(encode(text)). The
+    plan guards this span-by-span and raises mid-job on the first
+    document whose re-tokenization disagrees with its layout span
+    (rather than silently truncating sequences).
+
+    Shape at 100 TB: each surviving document is re-tokenized ONCE
+    (Arrow-batched, word-memoized -- the same kernel the counting pass
+    used), the span join co-shuffles on the key, and the shard write is
+    the same single repartition as :func:`write_training_shards`.
+    Returns the span count written.
+    """
+    from letsearch_spark.tokenizer import encode_ids_column
+
+    ids = encode_ids_column(
+        clean_docs.select(F.col(key_col), F.col(text_col)),
+        text_col,
+        model,
+        out_col="__ids",
+        unk_id=unk_id,
+    )
+    spans = layout.join(ids.select(key_col, "__ids"), key_col)
+    in_range = (F.col("tok_begin") + F.col("tok_len")) <= F.size("__ids")
+    span_ids = F.when(
+        in_range,
+        F.slice(F.col("__ids"), F.col("tok_begin") + F.lit(1), F.col("tok_len")),
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "write_token_shards: layout span exceeds the "
+                    "re-tokenized stream for key "
+                ),
+                F.col(key_col).cast("string"),
+                F.lit(
+                    " -- the layout's token counts were not produced by "
+                    "token_count_exact with this model (or the text was "
+                    "rewritten after counting)"
+                ),
+            )
+        )
+    )
+    out_cols = [c for c in layout.columns] + ["token_ids"]
+    (
+        spans.withColumn("token_ids", span_ids)
+        .select(*out_cols)
+        .repartition(F.col("shard"))
+        .sortWithinPartitions("seq", "seq_offset")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )
+    return clean_docs.sparkSession.read.parquet(path).count()

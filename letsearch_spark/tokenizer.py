@@ -354,6 +354,64 @@ def token_count_exact(
     )
 
 
+def encode_ids_column(
+    df: DataFrame,
+    text_col: str,
+    model: BpeModel,
+    out_col: str = "token_ids",
+    unk_id: int = -1,
+) -> DataFrame:
+    """Add an ``array<int>`` column of BPE token IDS (positions in
+    ``model.vocab``) -- the trainer-facing form of
+    :func:`tokenize_column`. Symbols outside the vocabulary (characters
+    the trainer never saw) map to ``unk_id``; the default -1 keeps them
+    distinguishable so a caller can remap or assert none exist. Same
+    Arrow-batched, word-memoized kernel as tokenize_column."""
+    ranks = {pair: i for i, pair in enumerate(model.merges)}
+    id_of = {tok: i for i, tok in enumerate(model.vocab)}
+
+    @F.pandas_udf("array<int>")
+    def _ids(s: pd.Series) -> pd.Series:
+        # self-contained: stdlib + captured plain data only (see
+        # token_count_exact); per-batch memo since word types repeat
+        import re as _re
+
+        ws = _re.compile(r"[ \t\n\x0b\f\r]+")  # Java-\s parity
+        memo: dict[str, list[int]] = {}
+
+        def enc_word(word: str) -> list[int]:
+            hit = memo.get(word)
+            if hit is not None:
+                return hit
+            syms = list(word[:-1]) + [word[-1] + "</w>"]
+            while len(syms) > 1:
+                best_rank = None
+                best_i = -1
+                for i in range(len(syms) - 1):
+                    r = ranks.get((syms[i], syms[i + 1]))
+                    if r is not None and (best_rank is None or r < best_rank):
+                        best_rank, best_i = r, i
+                if best_rank is None:
+                    break
+                syms[best_i : best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+            ids = [id_of.get(t, unk_id) for t in syms]
+            memo[word] = ids
+            return ids
+
+        def enc(text) -> list[int]:
+            if not isinstance(text, str):
+                return []
+            out: list[int] = []
+            for w in ws.split(text):
+                if w:
+                    out.extend(enc_word(w))
+            return out
+
+        return s.map(enc)
+
+    return df.withColumn(out_col, _ids(F.col(text_col)))
+
+
 def tokenize_column(
     df: DataFrame,
     text_col: str,

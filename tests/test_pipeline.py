@@ -326,3 +326,71 @@ def test_corpus_report_matches_python_twin(spark, sf_dir):
     total = corpus_report(docs).collect()
     assert len(total) == 1 and total[0]["domain"] == "ALL"
     assert total[0]["n_docs"] == acc["ALL"][0]
+
+
+def test_write_token_shards_roundtrip(spark, tmp_path):
+    """Token-id shard egress: spans reconstruct every document's exact
+    BPE id stream, each (shard, seq) streams in order, and a layout
+    whose counts disagree with the model raises instead of truncating."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from letsearch_spark.operators.pack import pack_sequences
+    from letsearch_spark.pipeline import write_token_shards
+    from letsearch_spark.tokenizer import token_count_exact, train_bpe
+
+    docs = spark.createDataFrame(
+        [
+            (i, f"doc {i} low lower lowest new newer newest wide "
+                f"widest word{i % 7} " + "pad " * (i % 5))
+            for i in range(40)
+        ],
+        "doc_id long, text string",
+    )
+    model = train_bpe(docs, "text", vocab_size=80)
+    counted = docs.join(
+        token_count_exact(docs, "doc_id", "text", model), "doc_id"
+    )
+    layout = pack_sequences(counted, "doc_id", "n_tokens", seq_len=32, num_shards=3)
+    out = str(tmp_path / "tok_shards")
+    n = write_token_shards(counted, layout, out, model)
+    assert n == layout.count()
+
+    back = spark.read.parquet(out)
+    rows = back.collect()
+    # per-document reconstruction: spans ordered by tok_begin tile the
+    # exact driver-side encoding
+    id_of = {t: i for i, t in enumerate(model.vocab)}
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for r in docs.collect():
+        want = [id_of[t] for t in model.encode(r["text"])]
+        if not want:
+            continue
+        got = []
+        for s in sorted(by_doc[r["doc_id"]], key=lambda x: x["tok_begin"]):
+            got.extend(s["token_ids"])
+        assert got == want, r["doc_id"]
+    # every (shard, seq) except a shard's last tiles [0, 32)
+    by_seq = {}
+    for r in rows:
+        by_seq.setdefault((r["shard"], r["seq"]), []).append(r)
+    for (sh, sq), spans in by_seq.items():
+        spans.sort(key=lambda x: x["seq_offset"])
+        pos = 0
+        for s in spans:
+            assert s["seq_offset"] == pos
+            assert len(s["token_ids"]) == s["tok_len"]
+            pos += s["tok_len"]
+        last_seq = max(q for (h, q) in by_seq if h == sh)
+        if sq != last_seq:
+            assert pos == 32
+
+    # approximate counts != exact ids -> loud failure, not truncation
+    from letsearch_spark.functions.text import token_count_approx
+
+    bad = docs.withColumn("n_tokens", token_count_approx(F.col("text")))
+    bad_layout = pack_sequences(bad, "doc_id", "n_tokens", seq_len=32, num_shards=2)
+    with pytest.raises(Exception, match="token_count_exact|exceeds"):
+        write_token_shards(bad, bad_layout, str(tmp_path / "bad"), model)
