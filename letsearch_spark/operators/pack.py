@@ -45,6 +45,7 @@ def pack_sequences(
     seq_len: int,
     num_shards: int = 32,
     seed: int = 42,
+    shuffle_seed: int | None = None,
 ) -> DataFrame:
     """Compute the packed-sequence layout for ``df``.
 
@@ -61,6 +62,16 @@ def pack_sequences(
     order; spans of one (shard, seq) tile [0, seq_len) except the final
     partial sequence of the shard; sum(tok_len) == sum(tokens).
     Documents with a non-positive token count are dropped.
+
+    ``shuffle_seed`` (optional) concatenates each shard's documents in
+    DETERMINISTIC PSEUDO-RANDOM order -- md5(key, shuffle_seed) with
+    key as tiebreak -- instead of key order. Pretraining wants
+    adjacent-document decorrelation (ingestion order is correlated:
+    same crawl, same source, same day); a seeded hash order gives every
+    epoch/run a reproducible permutation at ZERO extra cost (same
+    single shuffle, the within-shard sort just uses another key), and
+    distinct seeds give distinct orders for epoch replicas. None (the
+    default) keeps key order.
     """
     if seq_len <= 0:
         raise ValueError(f"seq_len must be positive, got {seq_len}")
@@ -79,9 +90,17 @@ def pack_sequences(
     # stream (each row gets its own running offset; their relative order
     # is undefined, so layouts are deterministic only for unique keys --
     # which collection keys are).
+    order = (
+        [F.asc(key_col)]
+        if shuffle_seed is None
+        else [
+            F.asc(hash_bucket(F.col(key_col), seed=shuffle_seed)),
+            F.asc(key_col),
+        ]
+    )
     w = (
         Window.partitionBy("shard")
-        .orderBy(key_col)
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     # stream offset of the document's first token within its shard

@@ -89,6 +89,11 @@ class PrepConfig:
     # stage 6 -- packing
     seq_len: int = 2048
     num_shards: int = 32
+    # None: concatenate each shard's documents in key order; an int:
+    # deterministic pseudo-random order (adjacent-document
+    # decorrelation for pretraining; distinct seeds -> distinct epoch
+    # permutations at zero extra cost)
+    pack_shuffle_seed: int | None = None
     # pre-supplied token counts (e.g. a real tokenizer's) -- only valid
     # when line_dedup is None: stripping lines invalidates counts taken
     # on the original text, so that combination raises
@@ -252,6 +257,7 @@ def prepare_training_data(
         "tokens",
         seq_len=cfg.seq_len,
         num_shards=cfg.num_shards,
+        shuffle_seed=cfg.pack_shuffle_seed,
     )
     audit["train_docs"] = cur.where(F.col("split") == "train").count()
     return cur, layout, audit

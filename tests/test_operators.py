@@ -803,6 +803,70 @@ def test_pack_sequences_tiling_invariants(spark):
             assert 0 < pos <= L
 
 
+def test_pack_sequences_shuffle_seed(spark):
+    """shuffle_seed permutes each shard's document order
+    deterministically: invariants and token totals hold, the stream
+    order differs from key order, distinct seeds give distinct orders,
+    and the layout is repartition-stable."""
+    from collections import defaultdict
+
+    from letsearch_spark.operators.pack import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(i, (i * 37) % 190 + 1) for i in range(1, 101)], "id long, tokens long"
+    )
+    L = 128
+
+    def stream_order(rows):
+        """Per shard: doc ids in stream order (by first span position)."""
+        first = defaultdict(dict)
+        for r in rows:
+            pos = r["seq"] * L + r["seq_offset"] - r["tok_begin"]
+            cur = first[r["shard"]].get(r["id"])
+            first[r["shard"]][r["id"]] = min(pos, cur) if cur is not None else pos
+        return {
+            sh: [i for i, _ in sorted(d.items(), key=lambda kv: kv[1])]
+            for sh, d in first.items()
+        }
+
+    plain = pack_sequences(docs, "id", "tokens", seq_len=L, num_shards=4).collect()
+    shuf = pack_sequences(
+        docs, "id", "tokens", seq_len=L, num_shards=4, shuffle_seed=7
+    ).collect()
+    shuf2 = pack_sequences(
+        docs.repartition(13), "id", "tokens", seq_len=L, num_shards=4, shuffle_seed=7
+    ).collect()
+    other = pack_sequences(
+        docs, "id", "tokens", seq_len=L, num_shards=4, shuffle_seed=8
+    ).collect()
+
+    # same work, same totals, same shard membership -- only order moves
+    assert sum(r["tok_len"] for r in shuf) == sum(r["tok_len"] for r in plain)
+    o_plain, o_shuf = stream_order(plain), stream_order(shuf)
+    assert {s: sorted(v) for s, v in o_plain.items()} == {
+        s: sorted(v) for s, v in o_shuf.items()
+    }
+    assert all(o_plain[s] == sorted(o_plain[s]) for s in o_plain)  # key order
+    assert any(o_shuf[s] != sorted(o_shuf[s]) for s in o_shuf)  # permuted
+    assert stream_order(other) != o_shuf  # seed changes the permutation
+    assert {tuple(r) for r in shuf2} == {tuple(r) for r in shuf}  # stable
+
+    # tiling invariants survive the permutation
+    per_seq = defaultdict(list)
+    for r in shuf:
+        per_seq[(r["shard"], r["seq"])].append(r)
+    last_seq = defaultdict(int)
+    for (sh, sq) in per_seq:
+        last_seq[sh] = max(last_seq[sh], sq)
+    for (sh, sq), spans in per_seq.items():
+        spans.sort(key=lambda r: r["seq_offset"])
+        pos = 0
+        for s in spans:
+            assert s["seq_offset"] == pos
+            pos += s["tok_len"]
+        assert pos == L or sq == last_seq[sh]
+
+
 def test_pack_sequences_deterministic_and_validated(spark):
     from letsearch_spark.operators.pack import pack_sequences
 
