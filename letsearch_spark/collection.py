@@ -130,13 +130,19 @@ class Collection:
         self._lex_stats: dict[str, tuple[int, float]] = {}
         # per-column driver-side term->df map (the idf-literal serving
         # mode: the dict every search engine's serving node keeps in
-        # RAM). None = vocabulary exceeded the ceiling below; hybrid
-        # queries then compute df in-plan instead. Cleared on writes.
+        # RAM), built LAZILY on the first per-query hybrid search --
+        # batch paths (search_many) never pay the collect. None =
+        # vocabulary exceeded the ceiling below; per-query hybrid then
+        # computes df in-plan instead. Cleared on writes.
         self._lex_dfmap: dict[str, dict[str, int] | None] = {}
+        # vocabulary sizes observed at lexical-view build (gates the
+        # lazy collect above)
+        self._lex_vocab: dict[str, int] = {}
         # vocabulary ceiling for collecting the dfreq table driver-side
-        # (~tens of MB at the default; a 100 TB web corpus with a
-        # billion-term vocabulary stays distributed)
-        self.lexical_idf_cache_max_terms: int = 2_000_000
+        # (a str->int dict costs ~100-150 MB of driver RAM per million
+        # terms; a 100 TB web corpus with a billion-term vocabulary
+        # stays distributed)
+        self.lexical_idf_cache_max_terms: int = 1_000_000
 
     # ---- paths ----
 
@@ -621,6 +627,7 @@ class Collection:
             self._pq_index.clear()
             self._ivf_pq_index.clear()
             self._lex_dfmap.clear()
+            self._lex_vocab.clear()
             for c in self.config.index_columns:
                 self._drop_ivf_pq_meta(c)
         else:
@@ -630,6 +637,7 @@ class Collection:
             self._ivf_centroids.pop(column, None)
             self._lex_stats.pop(column, None)
             self._lex_dfmap.pop(column, None)
+            self._lex_vocab.pop(column, None)
             pq = self._pq_index.pop(column, None)
             if pq is not None:
                 try:
@@ -989,23 +997,32 @@ class Collection:
             )
             vocab = dfreq.count()  # materialize the vocabulary table now
             self._lex_stats[column] = (int(row["n"]), float(row["avgdl"] or 0.0))
+            self._lex_vocab[column] = int(vocab)
             self._emb_cache[key] = view
             self._emb_cache[f"__lexdf_{column}"] = dfreq
-            # idf-literal serving mode: hold term->df in driver RAM (the
-            # stats block a Lucene-style serving node keeps) so a hybrid
-            # query inlines idf and skips the per-query df aggregation +
-            # broadcast. Past the ceiling the map stays None and
-            # _search_hybrid computes df in-plan.
-            self._lex_dfmap[column] = (
-                {r["__term"]: int(r["__df"]) for r in dfreq.collect()}
-                if vocab <= self.lexical_idf_cache_max_terms
-                else None
-            )
         return (
             view,
             self._emb_cache[f"__lexdf_{column}"],
             *self._lex_stats[column],
         )
+
+    def _lex_idf_map(self, column: str) -> dict[str, int] | None:
+        """Lazy driver-side term->df map for the idf-literal serving
+        mode (the stats block a Lucene-style serving node keeps in
+        RAM). Collected from the cached dfreq table on the FIRST
+        per-query hybrid search -- batch paths never pay it -- and only
+        when the vocabulary fits under lexical_idf_cache_max_terms;
+        otherwise None and the caller computes df in-plan."""
+        if column in self._lex_dfmap:
+            return self._lex_dfmap[column]
+        _view, dfreq, *_ = self._lexical_view(column)
+        if self._lex_vocab.get(column, 0) > self.lexical_idf_cache_max_terms:
+            self._lex_dfmap[column] = None
+        else:
+            self._lex_dfmap[column] = {
+                r["__term"]: int(r["__df"]) for r in dfreq.collect()
+            }
+        return self._lex_dfmap[column]
 
     def _search_hybrid(
         self, column: str, query: str, qvec, limit: int
@@ -1069,7 +1086,7 @@ class Collection:
         terms = tokenize_query(query)
         if terms:
             postings, _dfreq, n_docs, avgdl = self._lexical_view(column)
-            dfmap = self._lex_dfmap.get(column)
+            dfmap = self._lex_idf_map(column)
             if n_docs > 0 and avgdl > 0.0:
                 if dfmap is not None:
                     # idf-literal mode (vocabulary fits driver-side):

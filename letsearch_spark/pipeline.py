@@ -274,33 +274,51 @@ def corpus_report(
     mean and max document length).
 
     Shape: a single scan feeding one ROLLUP aggregation -- per-domain
-    rows plus an ``ALL`` grand-total row in the same shuffle (no second
-    pass over the text). With ``domain_col=None`` only the total row is
+    rows plus a grand-total row in the same shuffle (no second pass
+    over the text). With ``domain_col=None`` only the total row is
     produced. At 100 TB this is exactly one map-side-combined
     aggregation over however many domains exist (tiny result), so it is
     safe to run after every pipeline stage for audit trails.
 
-    Columns: (domain, n_docs, total_chars, total_words, total_tokens,
-    avg_words, max_chars); avg_words is rounded to 6 for cross-engine
-    stability.
+    Columns: (domain, is_total, n_docs, n_empty, total_chars,
+    total_words, total_tokens, avg_words, max_chars). The grand-total
+    row is marked by ``is_total`` (from GROUPING(), not a sentinel
+    domain value -- a real domain named 'ALL' stays unambiguous); its
+    ``domain`` is null, and a null source domain is reported as its own
+    null-domain row. Null-or-blank text counts as a document with zero
+    chars/words/tokens (and into ``n_empty``), so
+    avg_words == total_words / n_docs always holds; avg_words is
+    rounded to 6 for cross-engine stability.
     """
     from letsearch_spark.functions.text import token_count_approx, word_count
 
+    text = F.col(text_col)
+    blank = F.length(F.trim(F.coalesce(text, F.lit("")))) == 0
     base = docs.select(
         (
-            F.coalesce(F.col(domain_col), F.lit("<null>"))
-            if domain_col is not None
-            else F.lit("ALL")
+            F.col(domain_col) if domain_col is not None else F.lit(None)
         ).alias("__domain"),
-        F.length(F.col(text_col)).cast("long").alias("__chars"),
-        word_count(F.col(text_col)).cast("long").alias("__words"),
-        token_count_approx(F.col(text_col)).cast("long").alias("__tokens"),
+        blank.cast("long").alias("__empty"),
+        F.coalesce(F.length(text), F.lit(0)).cast("long").alias("__chars"),
+        F.when(blank, F.lit(0))
+        .otherwise(word_count(text))
+        .cast("long")
+        .alias("__words"),
+        F.when(blank, F.lit(0))
+        .otherwise(token_count_approx(text))
+        .cast("long")
+        .alias("__tokens"),
     )
-    grouped = (
-        base.rollup("__domain") if domain_col is not None else base.groupBy()
-    )
+    if domain_col is not None:
+        grouped = base.rollup("__domain")
+        is_total = (F.grouping("__domain") == 1).alias("is_total")
+    else:
+        grouped = base.groupBy()
+        is_total = F.lit(True).alias("is_total")
     agg = grouped.agg(
+        is_total,
         F.count(F.lit(1)).alias("n_docs"),
+        F.sum("__empty").alias("n_empty"),
         F.sum("__chars").alias("total_chars"),
         F.sum("__words").alias("total_words"),
         F.sum("__tokens").alias("total_tokens"),
@@ -308,19 +326,19 @@ def corpus_report(
         F.max("__chars").alias("max_chars"),
     )
     domain = (
-        F.coalesce(F.col("__domain"), F.lit("ALL"))
-        if domain_col is not None
-        else F.lit("ALL")
+        F.col("__domain") if domain_col is not None else F.lit(None).cast("string")
     )
     return agg.select(
         domain.alias("domain"),
+        "is_total",
         "n_docs",
+        "n_empty",
         "total_chars",
         "total_words",
         "total_tokens",
         "avg_words",
         "max_chars",
-    ).orderBy("domain")
+    ).orderBy(F.asc("is_total"), F.asc_nulls_last("domain"))
 
 
 def write_training_shards(
@@ -382,9 +400,10 @@ def write_token_shards(
     ``token_count_col``, with the text-rewriting stages disabled): a
     span addresses [tok_begin, tok_begin + tok_len) of the document's
     token stream, which only exists if count == len(encode(text)). The
-    plan guards this span-by-span and raises mid-job on the first
-    document whose re-tokenization disagrees with its layout span
-    (rather than silently truncating sequences).
+    plan guards this per document in BOTH directions (an over-count
+    would slice past the stream; an under-count would silently drop
+    trailing tokens) and raises mid-job on the first document whose
+    re-tokenization disagrees with its layout count.
 
     Shape at 100 TB: each surviving document is re-tokenized ONCE
     (Arrow-batched, word-memoized -- the same kernel the counting pass
@@ -401,17 +420,27 @@ def write_token_shards(
         out_col="__ids",
         unk_id=unk_id,
     )
+    from pyspark.sql import Window
+
     spans = layout.join(ids.select(key_col, "__ids"), key_col)
-    in_range = (F.col("tok_begin") + F.col("tok_len")) <= F.size("__ids")
+    # the layout's spans tile [0, count) exactly (pack_sequences
+    # invariant), so the document's layout count is the max span end --
+    # compare it with the re-tokenized length in BOTH directions: an
+    # over-count would slice past the stream, an UNDER-count would
+    # silently drop the document's trailing tokens. The window reuses
+    # the join's key partitioning (no extra shuffle).
+    layout_count = F.max(F.col("tok_begin") + F.col("tok_len")).over(
+        Window.partitionBy(key_col)
+    )
     span_ids = F.when(
-        in_range,
+        layout_count == F.size("__ids"),
         F.slice(F.col("__ids"), F.col("tok_begin") + F.lit(1), F.col("tok_len")),
     ).otherwise(
         F.raise_error(
             F.concat(
                 F.lit(
-                    "write_token_shards: layout span exceeds the "
-                    "re-tokenized stream for key "
+                    "write_token_shards: layout token count disagrees "
+                    "with the re-tokenized stream for key "
                 ),
                 F.col(key_col).cast("string"),
                 F.lit(

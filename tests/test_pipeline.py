@@ -279,9 +279,12 @@ def test_pipeline_decontaminate_stage(spark):
 
 
 def test_corpus_report_matches_python_twin(spark, sf_dir):
-    """corpus_report's per-domain rows and ALL total must equal an
+    """corpus_report's per-domain rows and grand total must equal an
     independent Python aggregation over the same documents (same word
-    split, same ceil(words*1.3) token rule, same HALF_UP round-6)."""
+    split, same ceil(words*1.3) token rule, same HALF_UP round-6);
+    null/blank text counts as a zero-word document so
+    avg == total/n always holds, and a real domain literally named
+    'ALL' stays distinct from the is_total row."""
     import math
     import re
     from collections import defaultdict
@@ -290,27 +293,44 @@ def test_corpus_report_matches_python_twin(spark, sf_dir):
     from letsearch_spark.pipeline import corpus_report
 
     docs = _docs(spark, sf_dir).select("doc_id", "lang", "text")
-    got = {
-        r["domain"]: r.asDict()
-        for r in corpus_report(docs, domain_col="lang").collect()
-    }
+    # adversarial rows: a null-text doc, a blank-text doc, a null
+    # domain, and a domain literally named 'ALL'
+    extra = spark.createDataFrame(
+        [
+            (100001, "en", None),
+            (100002, "de", "   "),
+            (100003, None, "null domain words here"),
+            (100004, "ALL", "domain named all words"),
+        ],
+        docs.schema,
+    )
+    docs = docs.unionByName(extra)
+    rows = corpus_report(docs, domain_col="lang").collect()
+    got = {(r["domain"], r["is_total"]): r.asDict() for r in rows}
+    assert len(got) == len(rows)  # (domain, is_total) is unambiguous
 
-    acc = defaultdict(lambda: [0, 0, 0, 0, 0])  # n, chars, words, toks, maxc
+    TOTAL = ("__total__",)  # local marker, can't collide with a domain
+    acc = defaultdict(lambda: [0, 0, 0, 0, 0, 0])
     for r in docs.collect():
         t = r["text"]
-        w = len(re.split(r"\s+", t.strip().lower()))
-        for dom in (r["lang"], "ALL"):
+        blank = t is None or t.strip() == ""
+        w = 0 if blank else len(re.split(r"\s+", t.strip().lower()))
+        for dom in (r["lang"], TOTAL):
             a = acc[dom]
             a[0] += 1
-            a[1] += len(t)
-            a[2] += w
-            a[3] += math.ceil(w * 1.3)
-            a[4] = max(a[4], len(t))
+            a[1] += 1 if blank else 0
+            a[2] += 0 if t is None else len(t)
+            a[3] += w
+            a[4] += math.ceil(w * 1.3)
+            a[5] = max(a[5], 0 if t is None else len(t))
 
-    assert set(got) == set(acc)
-    for dom, (n, chars, wsum, toks, maxc) in acc.items():
-        g = got[dom]
+    assert set(got) == {
+        (d, False) for d in acc if d != TOTAL
+    } | {(None, True)}
+    for dom, (n, empty, chars, wsum, toks, maxc) in acc.items():
+        g = got[(None, True) if dom == TOTAL else (dom, False)]
         assert g["n_docs"] == n
+        assert g["n_empty"] == empty
         assert g["total_chars"] == chars
         assert g["total_words"] == wsum
         assert g["total_tokens"] == toks
@@ -321,11 +341,13 @@ def test_corpus_report_matches_python_twin(spark, sf_dir):
             )
         )
         assert abs(g["avg_words"] - want_avg) < 1e-9
+        # internal consistency the data card promises
+        assert abs(g["avg_words"] - round(g["total_words"] / g["n_docs"], 6)) < 1e-6
 
-    # domain_col=None: exactly the one ALL row
+    # domain_col=None: exactly the one total row
     total = corpus_report(docs).collect()
-    assert len(total) == 1 and total[0]["domain"] == "ALL"
-    assert total[0]["n_docs"] == acc["ALL"][0]
+    assert len(total) == 1 and total[0]["is_total"] and total[0]["domain"] is None
+    assert total[0]["n_docs"] == acc[TOTAL][0]
 
 
 def test_write_token_shards_roundtrip(spark, tmp_path):
@@ -392,5 +414,14 @@ def test_write_token_shards_roundtrip(spark, tmp_path):
 
     bad = docs.withColumn("n_tokens", token_count_approx(F.col("text")))
     bad_layout = pack_sequences(bad, "doc_id", "n_tokens", seq_len=32, num_shards=2)
-    with pytest.raises(Exception, match="token_count_exact|exceeds"):
+    with pytest.raises(Exception, match="token_count_exact|disagrees"):
         write_token_shards(bad, bad_layout, str(tmp_path / "bad"), model)
+
+    # UNDER-counts must also raise (they would silently drop each
+    # document's trailing tokens, not slice out of range)
+    under = counted.withColumn("n_tokens", F.col("n_tokens") - 1)
+    under_layout = pack_sequences(
+        under, "doc_id", "n_tokens", seq_len=32, num_shards=2
+    )
+    with pytest.raises(Exception, match="token_count_exact|disagrees"):
+        write_token_shards(under, under_layout, str(tmp_path / "under"), model)
