@@ -436,3 +436,53 @@ def test_classifier_margins_reuse_cached_partitioning(spark, sf_dir):
         assert "BroadcastHashJoin" in above_cache
     finally:
         feats.unpersist()
+
+
+def test_bm25_idf_literal_leg_single_exchange(spark, sf_dir):
+    """The idf-literal hybrid serving leg (bm25_scores_with_idf over
+    prebuilt postings) must be: postings filter -> map-side score ->
+    ONE groupBy(id) exchange -- no join, no window, no broadcast, and
+    no second aggregation for document frequencies (idf is inlined as
+    literals from the driver-held map)."""
+    from letsearch_spark.operators.bm25 import bm25_scores_with_idf, build_postings
+
+    docs = spark.read.parquet(
+        os.path.join(sf_dir, "documents.parquet")
+    ).select("doc_id", "text")
+    # the serve path queries CACHED postings (Collection._lexical_view);
+    # inline postings would add the build's own aggregation exchange
+    postings = build_postings(docs, id_col="doc_id", text_col="text").cache()
+    try:
+        postings.count()
+        out = bm25_scores_with_idf(
+            postings, {"spark": 40, "join": 35, "window": 25}, 500, 80.0,
+            id_col="doc_id",
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "InMemoryTableScan" in plan, plan
+        # the cached relation prints its own build lineage (including
+        # the build's exchanges) BELOW the InMemoryTableScan; only the
+        # part above it executes per query
+        serving = plan.split("InMemoryTableScan", 1)[0]
+        assert "Join" not in serving, plan
+        assert "Window" not in serving, plan
+        assert "BroadcastExchange" not in serving, plan
+        assert serving.count("Exchange") == 1, plan
+    finally:
+        postings.unpersist()
+
+
+def test_corpus_report_single_aggregation_scan(spark, sf_dir):
+    """The data card must stay ONE scan feeding ONE rollup aggregation
+    (Expand + partial/final HashAggregate around a single exchange) --
+    no joins, no second pass over the text."""
+    from letsearch_spark.pipeline import corpus_report
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    out = corpus_report(docs, domain_col="lang")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1, plan
+    assert "Join" not in plan, plan
+    assert "Expand" in plan, plan  # the ROLLUP grouping sets
+    # one aggregation exchange + the final tiny orderBy exchange only
+    assert plan.count("Exchange hashpartitioning") == 1, plan

@@ -366,6 +366,37 @@ def main() -> None:
                         plain, "doc_id", "text", model
                     ).agg(F.sum("n_tokens")).collect()[0][0],
                 )
+            # token-id shard egress: re-tokenize + one co-keyed span
+            # join + shard write; must track corpus bytes like bpe_count
+            # (the guard window reuses the join's key partitioning)
+            if only is None or "token_shards" in only:
+                import shutil
+                import tempfile
+
+                from letsearch_spark.operators.pack import pack_sequences
+                from letsearch_spark.pipeline import write_token_shards
+
+                if model is None:
+                    _train()
+                counted = plain.join(
+                    token_count_exact(plain, "doc_id", "text", model),
+                    "doc_id",
+                )
+                layout = pack_sequences(
+                    counted, "doc_id", "n_tokens", seq_len=2048,
+                    num_shards=int(CPUS),
+                )
+                out_dir = tempfile.mkdtemp(prefix="ls_probe_tok_")
+
+                def _egress():
+                    n_spans = write_token_shards(
+                        counted, layout, out_dir + "/shards", model,
+                        key_col="doc_id", text_col="text",
+                    )
+                    return n_spans
+
+                timeit("token_shards", _egress)
+                shutil.rmtree(out_dir, ignore_errors=True)
             plain.unpersist()
 
         # incremental minhash: the STORE grows with copies while the new
