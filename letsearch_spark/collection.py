@@ -125,6 +125,11 @@ class Collection:
         # per-column (centroids, PQCodebook) for strategy='ivf_pq'
         # (codes live on disk); cleared on writes
         self._ivf_pq_index: dict = {}
+        # extra docs-table columns copied into the serve view so
+        # search(where=...) predicates can evaluate on the cached view
+        # (pre-filter-then-score; no per-query join). Changing this
+        # after a view is built triggers a rebuild on next use.
+        self.serve_filter_columns: list[str] = []
         # per-column BM25 corpus stats (n_docs, avgdl) for the cached
         # lexical view (strategy='hybrid'); cleared on writes
         self._lex_stats: dict[str, tuple[int, float]] = {}
@@ -656,12 +661,27 @@ class Collection:
     # ---- search (K1/K3 + P3/P4, serve.rs API semantics) ----
 
     def search(
-        self, column: str, query: str, limit: int = 10, strategy: str = "join"
+        self,
+        column: str,
+        query: str,
+        limit: int = 10,
+        strategy: str = "join",
+        where: str | None = None,
     ) -> DataFrame:
         """Top-k semantic search returning (key, content, score) in score
         order -- the A4/A5 surface (serve.rs:148-183, main.rs:314-385).
 
         limit validation 1..=100 mirrors serve.rs:155-161.
+
+        ``where`` (strategy='join' only): a Spark SQL predicate over the
+        serve view's columns, applied BEFORE scoring (pre-filter-then-
+        score -- the top-k is exact over the filtered population, never
+        a post-filter that can return fewer than limit hits). Metadata
+        columns referenced by the predicate must be listed in
+        ``serve_filter_columns`` BEFORE serving (they are copied into
+        the cached view at build; the view auto-rebuilds if the list
+        grew). Evaluates against cached in-memory batches with min/max
+        batch pruning -- no per-query join against the docs table.
 
         strategy='join' (default): fetch-back as a broadcast join of the
         <=100 hits against the docs table -- one declarative plan, the
@@ -731,6 +751,12 @@ class Collection:
             "pq", "ivf_pq",
         ):
             raise ValueError(f"unknown strategy {strategy!r}")
+        if where is not None and strategy != "join":
+            raise ValueError(
+                "where= is supported with strategy='join' (the filtered "
+                "population changes the exact top-k; the approximate / "
+                "driver-local strategies do not pre-filter)"
+            )
         self._require_embeddings(column)
         qvec = self._embedder().embed([query])[0].tolist()
 
@@ -775,9 +801,11 @@ class Collection:
         # single-job path: score + top-k + content projection in ONE
         # TakeOrderedAndProject over the cached serve view -- the Spark
         # analog of one usearch lookup + row fetch
+        base = serve.where(F.col("content").isNotNull())  # P6 null drop
+        if where is not None:
+            base = base.where(F.expr(where))
         return (
-            serve.where(F.col("content").isNotNull())  # P6 null-content drop
-            .select(
+            base.select(
                 F.col(KEY_COL).alias("key"),
                 F.col("content"),
                 self._serve_score(qvec).alias("score"),
@@ -1662,9 +1690,21 @@ class Collection:
         analog of the reference holding index + table open while serving
         (collection_actor.rs:143-159). Built once, invalidated on writes."""
         view = self._emb_cache.get(f"__serve_{column}")
+        if view is not None and any(
+            c not in view.columns for c in self.serve_filter_columns
+        ):
+            # serve_filter_columns grew since the build: rebuild so
+            # search(where=...) predicates can see the new columns
+            self._emb_cache.pop(f"__serve_{column}").unpersist()
+            view = None
         if view is None:
+            extra = [
+                c
+                for c in self.serve_filter_columns
+                if c not in (KEY_COL, "content", "vector", "_vnorm", column)
+            ]
             docs = self.docs().select(
-                F.col(KEY_COL), F.col(column).alias("content")
+                F.col(KEY_COL), F.col(column).alias("content"), *extra
             )
             emb = self.embeddings(column).select(KEY_COL, "vector")
             if self.config.model_variant != "f32":

@@ -914,3 +914,50 @@ def test_ivf_pq_meta_persists_across_processes(spark, tmp_path, sf_dir):
     one = c2.docs().limit(1).drop("_key")
     c2._append_df(one)
     assert not os.path.exists(cpath)
+
+
+def test_search_where_filter(coll):
+    """Filtered dense search: the predicate pre-filters the serve view
+    (exact top-k over the filtered population, always `limit` hits when
+    enough match), the view auto-rebuilds when serve_filter_columns
+    grows, and non-'join' strategies refuse the parameter."""
+    import numpy as np
+
+    coll.embed_column("text", incremental=True)
+    # unfiltered search first: the serve view is built WITHOUT lang
+    all_keys = {
+        r["key"] for r in coll.search("text", "alpha words", limit=10).collect()
+    }
+    assert all_keys
+
+    coll.serve_filter_columns = ["lang"]
+    got = coll.search(
+        "text", "alpha words", limit=5, where="lang = 'es'"
+    ).collect()
+    langs = {
+        r["lang"]
+        for r in coll.docs()
+        .where(F.col("_key").isin([g["key"] for g in got]))
+        .select("lang")
+        .collect()
+    }
+    assert langs == {"es"}
+
+    # exactness: equals brute force over the filtered population
+    qvec = np.array(coll._embedder().embed(["alpha words"])[0], dtype=float)
+    rows = [
+        (r["_key"], np.array(r["vector"], dtype=float))
+        for r in coll.docs()
+        .where("lang = 'es'")
+        .join(coll.embeddings("text").select("_key", "vector"), "_key")
+        .collect()
+    ]
+    def cos(v):
+        d = float(np.linalg.norm(v)) * float(np.linalg.norm(qvec))
+        return float(v @ qvec) / d if d else 0.0
+    want = sorted(((cos(v), k) for k, v in rows), key=lambda t: (-t[0], t[1]))[:5]
+    assert [r["key"] for r in got] == [k for _, k in want]
+
+    with pytest.raises(ValueError, match="strategy='join'"):
+        coll.search("text", "x", limit=3, strategy="hybrid", where="lang='es'")
+    coll.serve_filter_columns = []  # module-scoped fixture: reset
