@@ -820,6 +820,7 @@ class Collection:
         queries: Sequence[str],
         limit: int = 10,
         strategy: str = "dense",
+        where: str | None = None,
     ) -> DataFrame:
         """Batched search: every query scored in ONE plan instead of one
         job per query -- the serving-throughput path. Queries embed
@@ -837,13 +838,24 @@ class Collection:
         Returns (query_idx, rank, key, content, score) ordered by
         (query_idx, rank). Dense scores differ from :meth:`search` only
         in float summation order (pairwise vs sequential); hybrid scores
-        are RRF scores as in :meth:`search` strategy='hybrid'."""
+        are RRF scores as in :meth:`search` strategy='hybrid'.
+
+        ``where`` (strategy='dense' only, same contract as
+        :meth:`search`): a Spark SQL predicate over the serve view's
+        columns (opt in via ``serve_filter_columns``), applied before
+        scoring so every query's top-k is exact over the filtered
+        population."""
         if not 1 <= limit <= 100:
             raise ValueError(f"limit must be in [1, 100], got {limit}")
         if column not in self.config.index_columns:
             raise ValueError(f"column {column!r} is not indexed")
         if strategy not in ("dense", "hybrid"):
             raise ValueError(f"unknown strategy {strategy!r}")
+        if where is not None and strategy != "dense":
+            raise ValueError(
+                "where= is supported with strategy='dense' (the hybrid "
+                "lexical leg ranks over unfiltered postings)"
+            )
         if not queries:
             raise ValueError("queries must be non-empty")
         if len(queries) > self.search_many_max_queries:
@@ -865,6 +877,8 @@ class Collection:
             "query_idx long, qvec array<float>",
         )
         serve = self._serve_view(column).where(F.col("content").isNotNull())
+        if where is not None:
+            serve = serve.where(F.expr(where))
         depth = self._HYBRID_DEPTH if strategy == "hybrid" else limit
         hits = knn_join(
             serve,

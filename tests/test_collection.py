@@ -961,3 +961,34 @@ def test_search_where_filter(coll):
     with pytest.raises(ValueError, match="strategy='join'"):
         coll.search("text", "x", limit=3, strategy="hybrid", where="lang='es'")
     coll.serve_filter_columns = []  # module-scoped fixture: reset
+
+
+def test_search_many_where_filter(coll):
+    """Batched filtered search must rank exactly like the per-query
+    filtered path for every query, and hybrid refuses the parameter."""
+    coll.embed_column("text", incremental=True)
+    coll.serve_filter_columns = ["lang"]
+    qs = ["alpha words", "spark join window", "gamma delta"]
+    try:
+        batched = coll.search_many(
+            "text", qs, limit=5, where="lang = 'de'"
+        ).collect()
+        per_q = {
+            i: [
+                r["key"]
+                for r in coll.search(
+                    "text", q, limit=5, where="lang = 'de'"
+                ).collect()
+            ]
+            for i, q in enumerate(qs)
+        }
+        got = {}
+        for r in batched:
+            got.setdefault(r["query_idx"], []).append(r["key"])
+        assert got == per_q
+        with pytest.raises(ValueError, match="strategy='dense'"):
+            coll.search_many(
+                "text", qs, limit=3, strategy="hybrid", where="lang='de'"
+            )
+    finally:
+        coll.serve_filter_columns = []  # module-scoped fixture: reset
