@@ -98,11 +98,16 @@ def cmd_search(args) -> int:
 
     spark = _spark(args)
     coll = Collection.load(spark, _home(args), args.collection)
+    if getattr(args, "filter_columns", None):
+        coll.serve_filter_columns = [
+            c.strip() for c in args.filter_columns.split(",") if c.strip()
+        ]
     rows = coll.search(
         args.column,
         args.query,
         limit=args.limit,
         strategy=getattr(args, "strategy", "join"),
+        where=getattr(args, "where", None),
     ).collect()
     # pretty-print rank/score/content like the reference CLI (main.rs:360-380)
     for i, r in enumerate(rows, 1):
@@ -202,6 +207,18 @@ def build_parser() -> argparse.ArgumentParser:
             "local_hybrid", "pq", "ivf_pq",
         ],
         help="serving strategy (see Collection.search)",
+    )
+    s.add_argument(
+        "--where",
+        default=None,
+        help="SQL predicate over serve-view columns (strategy=join; "
+        "combine with --filter-columns)",
+    )
+    s.add_argument(
+        "--filter-columns",
+        default=None,
+        help="comma-separated docs columns copied into the serve view "
+        "for --where predicates",
     )
     s.set_defaults(fn=cmd_search)
 

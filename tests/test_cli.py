@@ -68,6 +68,18 @@ def test_cli_roundtrip(spark, sf_dir, tmp_path, capsys):
     line = capsys.readouterr().out.strip()
     assert "cli appended doc" in line  # rrf score, not 1.0
 
+    # filtered search through the CLI: lang predicate excludes the
+    # appended 'en' doc even for its verbatim query
+    a = p.parse_args(
+        ["--home", home, "--master", "local[4]",
+         "search", "--collection", "c1", "--query", "cli appended doc",
+         "--limit", "1", "--where", "lang = 'zh'",
+         "--filter-columns", "lang"]
+    )
+    assert cmd_search(a) == 0
+    line = capsys.readouterr().out.strip()
+    assert "cli appended doc" not in line and line  # a zh doc instead
+
 
 def test_cli_compact(spark, sf_dir, tmp_path, capsys):
     from letsearch_spark.cli import cmd_compact
