@@ -1139,13 +1139,14 @@ class Collection:
                     # (idf values agree within ulps and scores round to
                     # 6 before ranking, so results are identical --
                     # test_bm25_df_modes_and_idf_literals_agree).
-                    term_df = {t: dfmap.get(t, 0) for t in terms}
-                    if not any(d > 0 for d in term_df.values()):
-                        lex_scored = None  # no term occurs in the corpus
-                    else:
-                        lex_scored = bm25_scores_with_idf(
+                    term_df = {t: dfmap[t] for t in terms if t in dfmap}
+                    lex_scored = (
+                        bm25_scores_with_idf(
                             postings, term_df, n_docs, avgdl, id_col=KEY_COL
                         )
+                        if term_df  # else: no term occurs in the corpus
+                        else None
+                    )
                 else:
                     lex_scored = bm25_scores_from_postings(
                         postings, terms, n_docs, avgdl,

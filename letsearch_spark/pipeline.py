@@ -290,7 +290,7 @@ def corpus_report(
     avg_words == total_words / n_docs always holds; avg_words is
     rounded to 6 for cross-engine stability.
     """
-    from letsearch_spark.functions.text import token_count_approx, word_count
+    from letsearch_spark.functions.text import word_count
 
     text = F.col(text_col)
     blank = F.length(F.trim(F.coalesce(text, F.lit("")))) == 0
@@ -304,10 +304,11 @@ def corpus_report(
         .otherwise(word_count(text))
         .cast("long")
         .alias("__words"),
-        F.when(blank, F.lit(0))
-        .otherwise(token_count_approx(text))
-        .cast("long")
-        .alias("__tokens"),
+    ).withColumn(
+        # token_count_approx == ceil(words * 1.3); derive from __words so
+        # the word split evaluates once per row
+        "__tokens",
+        F.ceil(F.col("__words") * 1.3).cast("long"),
     )
     if domain_col is not None:
         grouped = base.rollup("__domain")
@@ -411,6 +412,8 @@ def write_token_shards(
     the same single repartition as :func:`write_training_shards`.
     Returns the span count written.
     """
+    from pyspark.sql import Window
+
     from letsearch_spark.tokenizer import encode_ids_column
 
     ids = encode_ids_column(
@@ -420,8 +423,6 @@ def write_token_shards(
         out_col="__ids",
         unk_id=unk_id,
     )
-    from pyspark.sql import Window
-
     spans = layout.join(ids.select(key_col, "__ids"), key_col)
     # the layout's spans tile [0, count) exactly (pack_sequences
     # invariant), so the document's layout count is the max span end --
