@@ -295,3 +295,29 @@ def test_decode_sentinel_caveat_documented():
     toks = m.encode_word(w)
     assert "".join(toks) == w + "</w>"  # encode round-trips at symbol level
     assert m.decode(toks) != w  # decode cannot distinguish data from marker
+
+
+def test_encode_ids_column_matches_encode_and_unks(spark):
+    """Token ids are the positions of model.encode's tokens in
+    model.vocab; symbols the trainer never saw (an emoji word) map to
+    the unk id; null/empty text encodes to an empty array."""
+    from letsearch_spark.tokenizer import encode_ids_column
+
+    model = train_bpe(_sennrich_df(spark), "text", vocab_size=30)
+    id_of = {t: i for i, t in enumerate(model.vocab)}
+    docs = spark.createDataFrame(
+        [(1, "newest low"), (2, None), (3, ""), (4, "low ☃")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["token_ids"]
+        for r in encode_ids_column(docs, "text", model).collect()
+    }
+    assert got[1] == [id_of[t] for t in model.encode("newest low")]
+    assert got[2] == [] and got[3] == []
+    # the snowman word's symbols are outside the trained alphabet
+    snow = got[4]
+    assert snow[: len(model.encode_word("low"))] == [
+        id_of[t] for t in model.encode_word("low")
+    ]
+    assert snow[-1] == -1  # unk id for the unseen symbol
