@@ -31,7 +31,9 @@ N_SEARCHES = int(os.environ.get("BENCH_SEARCHES", "20"))
 # reports the machine's actual capability rather than the noise.
 # Default raised 2 -> 5 in round 4: the uniform ~1.2-1.5x drift of
 # r3-vs-r2 numbers on UNCHANGED stages was host contention that
-# min-of-2 failed to filter.
+# min-of-2 failed to filter. The per-query search LOOPS (N queries per
+# repeat) run min-of-2 instead -- each repeat is already an N-query
+# aggregate, and min-of-5 would double the bench wall again.
 REPEATS = int(os.environ.get("BENCH_REPEATS", "5"))
 
 
@@ -92,7 +94,7 @@ def main() -> None:
         for i in range(N_SEARCHES):
             coll.search("text", f"spark join query window batch {i}", limit=10).collect()
 
-    run_stage("search_topk", searches, repeats=1)
+    run_stage("search_topk", searches, repeats=2)
     timings["searches_per_sec"] = round(N_SEARCHES / timings["search_topk"], 3)
 
     # 4a. approximate serving (sign-LSH bucket pruning over the cached
@@ -107,7 +109,7 @@ def main() -> None:
                 strategy="lsh",
             ).collect()
 
-    run_stage("search_topk_lsh", searches_lsh, repeats=1)
+    run_stage("search_topk_lsh", searches_lsh, repeats=2)
     timings["lsh_searches_per_sec"] = round(
         N_SEARCHES / timings["search_topk_lsh"], 3
     )
@@ -121,7 +123,7 @@ def main() -> None:
         for i in range(50 * N_SEARCHES):
             coll.search_rows("text", f"local {i}", limit=10)
 
-    run_stage("search_topk_local", searches_local, repeats=1)
+    run_stage("search_topk_local", searches_local, repeats=2)
     timings["local_searches_per_sec"] = round(
         50 * N_SEARCHES / timings["search_topk_local"], 3
     )
@@ -139,7 +141,7 @@ def main() -> None:
                 strategy="local_hybrid",
             )
 
-    run_stage("search_topk_local_hybrid", searches_local_hybrid, repeats=1)
+    run_stage("search_topk_local_hybrid", searches_local_hybrid, repeats=2)
     timings["local_hybrid_searches_per_sec"] = round(
         10 * N_SEARCHES / timings["search_topk_local_hybrid"], 3
     )
@@ -156,7 +158,7 @@ def main() -> None:
                 strategy="pq",
             ).collect()
 
-    run_stage("search_topk_pq", searches_pq, repeats=1)
+    run_stage("search_topk_pq", searches_pq, repeats=2)
     timings["pq_searches_per_sec"] = round(
         N_SEARCHES / timings["search_topk_pq"], 3
     )
@@ -226,7 +228,7 @@ def main() -> None:
                 strategy="hybrid",
             ).collect()
 
-    run_stage("search_topk_hybrid", searches_hybrid, repeats=1)
+    run_stage("search_topk_hybrid", searches_hybrid, repeats=2)
     timings["hybrid_searches_per_sec"] = round(
         n_hybrid / timings["search_topk_hybrid"], 3
     )
