@@ -265,9 +265,15 @@ class Collection:
         existing = self.docs()
         cols = [c for c in existing.columns if c != KEY_COL]
         start = next_key_start(existing, KEY_COL)
+        # cast to the EXISTING column types: a bare lit(None) writes a
+        # void-typed parquet column that the vectorized reader cannot
+        # reconcile with the table's real type on a later scan, and a
+        # JSONL batch may read e.g. int where the table holds long
         incoming = df.select(
             *[
-                (F.col(c) if c in df.columns else F.lit(None)).alias(c)
+                (F.col(c) if c in df.columns else F.lit(None))
+                .cast(existing.schema[c].dataType)
+                .alias(c)
                 for c in cols
             ]
         )

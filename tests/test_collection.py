@@ -992,3 +992,27 @@ def test_search_many_where_filter(coll):
             )
     finally:
         coll.serve_filter_columns = []  # module-scoped fixture: reset
+
+
+def test_append_missing_column_stays_readable(spark, sf_dir, tmp_path):
+    """Regression: appending a batch that lacks one of the table's
+    columns must write a NULL of the column's real type -- a bare
+    untyped null wrote a void-typed parquet column that crashed the
+    vectorized reader on any later scan projecting it."""
+    import pyspark.sql.types as T
+
+    root = str(tmp_path / "r")
+    c = Collection.create(
+        spark, root, name="voidfix", index_columns=["text"], model_name="stub://16"
+    )
+    c.import_parquet(os.path.join(sf_dir, "documents.parquet"))
+    c._append_df(
+        spark.createDataFrame(
+            [("appended doc without metadata",)],
+            T.StructType([T.StructField("text", T.StringType())]),
+        )
+    )
+    # projecting the filled column across old + appended files must work
+    langs = c.docs().select("lang").collect()
+    assert sum(1 for r in langs if r["lang"] is None) == 1
+    assert c.docs().schema["lang"].dataType.simpleString() == "string"
