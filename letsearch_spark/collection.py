@@ -261,7 +261,19 @@ class Collection:
         key continuation (collection_actor.rs:222-291). Returns the number
         of rows APPENDED -- the key assigner already counted the batch, so
         no post-write re-scan of the whole table is needed (at 100 TB that
-        re-scan would cost more than the append itself)."""
+        re-scan would cost more than the append itself).
+
+        Appending into an EMPTY collection (no docs table yet -- e.g. a
+        streaming ingest whose first micro-batch arrives before any bulk
+        import) degenerates to the import path: the batch's schema
+        becomes the table schema, keys start at 1."""
+        if not self._docs_exist():
+            keyed, n = add_dense_key_with_count(
+                df, KEY_COL, start=1, if_absent=False
+            )
+            keyed.write.mode("overwrite").parquet(self.docs_path)
+            self._invalidate_cache()
+            return n if n is not None else self.count()
         existing = self.docs()
         cols = [c for c in existing.columns if c != KEY_COL]
         start = next_key_start(existing, KEY_COL)

@@ -105,3 +105,128 @@ def windowed_event_counts(
             "sum_value",
         )
     )
+
+
+def stream_prep_collection(
+    spark,
+    coll,
+    source_dir: str,
+    schema,
+    checkpoint_dir: str,
+    state_dir: str,
+    text_col: str = "text",
+    quality: dict | None = None,
+    dedup: dict | None = None,
+    max_files_per_trigger: int = 10,
+    embed: bool = True,
+):
+    """Streaming ingest with the prep pipeline's front stages: each
+    micro-batch is quality-filtered (functions/text.py gopher_flags),
+    near-dup-deduplicated against EVERYTHING previously seen
+    (operators/dedup.py incremental_minhash_dedup over a persisted
+    signature store), and only then appended + incrementally embedded
+    -- `prepare_training_data`'s stages 1+3 running continuously in
+    front of the reference's add-docs verb.
+
+    ``state_dir`` holds the dedup memory between micro-batches (and
+    restarts): ``bands/`` (the signature store) and ``corpus/`` (every
+    PROCESSED document with its provisional id -- kept or dropped,
+    because first-seen-wins must verify future candidates against
+    dropped docs too; duplicate-of-a-duplicate is not transitive at a
+    fixed threshold). Provisional ids continue from the archive's max,
+    so they are unique across history; collection keys are assigned
+    only to KEPT rows by the normal append path.
+
+    ``quality``/``dedup``: None disables the stage; a dict forwards
+    kwargs (gopher_flags / incremental_minhash_dedup). Exactly-once per
+    micro-batch comes from the checkpoint; the state writes are atomic
+    only per completed batch (same single-writer contract as the append
+    path) -- a crash mid-batch can leave archived-but-unappended rows
+    whose re-run is then flagged duplicate against the orphans; recover
+    by trimming ``corpus/``/``bands/`` above the collection's max key
+    before restarting. Write order inside a batch is load-bearing: the
+    keyed batch is archived to ``corpus/`` FIRST and read back
+    (positional id assignment is only stable within one
+    materialization, and foreachBatch re-plans the micro-batch source
+    per action -- the parquet round-trip pins each row's provisional
+    id), while the batch's ``bands`` are appended LAST (the store is a
+    lazy scan of ``bands/`` that the keep plan reads; appending before
+    it executes would re-list the directory and pair every document
+    with itself). Returns the StreamingQuery.
+
+    At 100 TB-ingest scale each batch costs: one Catalyst scan for the
+    quality flags, one signature pass over the batch + a banded join
+    against the store (history is never re-shingled wholesale -- cost
+    tracks the batch, SCALING.md's incr_minhash probe), and the
+    append/embed of survivors.
+    """
+    import os
+
+    from letsearch_spark.keys import add_dense_key
+    from letsearch_spark.operators.dedup import incremental_minhash_dedup
+
+    bands_path = os.path.join(state_dir, "bands")
+    corpus_path = os.path.join(state_dir, "corpus")
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_dir)
+    )
+
+    def process_batch(batch_df, batch_id: int):
+        cur = batch_df
+        if quality is not None:
+            from letsearch_spark.functions.text import gopher_flags
+
+            cur = cur.where(gopher_flags(F.col(text_col), **quality)["passes"])
+        if dedup is not None:
+            try:
+                store = spark.read.parquet(bands_path)
+                corpus = spark.read.parquet(corpus_path)
+            except Exception:  # first batch: no state yet
+                store, corpus = None, None
+            start = 1
+            if corpus is not None:
+                start = int(
+                    corpus.agg(F.max("__prep_id")).first()[0] or 0
+                ) + 1
+            # archive the keyed batch FIRST and read it back: positional
+            # id assignment is only stable within one materialization,
+            # and inside foreachBatch the micro-batch source re-evaluates
+            # per action -- the parquet round-trip pins each row's
+            # provisional id before any plan branches on it
+            add_dense_key(
+                cur, "__prep_id", start=start, if_absent=False
+            ).write.mode("append").parquet(corpus_path)
+            archive = spark.read.parquet(corpus_path)
+            keyed = archive.where(F.col("__prep_id") >= start)
+            if corpus is not None:
+                # re-derive history from the same post-write listing so
+                # the lazily-read pre-write frame can't drift
+                corpus = archive.where(F.col("__prep_id") < start)
+            res = incremental_minhash_dedup(
+                keyed, store, corpus, "__prep_id", text_col, **dedup
+            )
+            kept_ids = res["keep"].where("keep").select("__prep_id")
+            kept = keyed.join(kept_ids, "__prep_id")
+            cur = kept.drop("__prep_id")
+        if not cur.isEmpty():
+            coll._append_df(cur)
+        if dedup is not None:
+            # bands LAST: ``store`` is a lazy scan of bands_path, and the
+            # keep/kept plans read it -- appending this batch's bands
+            # before they execute would re-list the directory and pair
+            # every batch document with itself
+            res["bands"].write.mode("append").parquet(bands_path)
+            res["release"]()
+        if embed:
+            for col in coll.config.index_columns:
+                coll.embed_column(col, incremental=True)
+
+    return (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

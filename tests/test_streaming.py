@@ -91,3 +91,64 @@ def test_windowed_counts_match_batch_twin(spark, sf_dir, tmp_path):
     mismatches = joined.where(F.col("g.n") != F.col("b.n")).count()
     assert mismatches == 0
     assert got.count() > 0
+
+
+def test_stream_prep_collection(spark, tmp_path):
+    """Streaming prep ingest: a low-quality row is filtered, a
+    cross-micro-batch NEAR-duplicate is dropped against the persisted
+    signature store, survivors land in the collection with continued
+    keys and incremental embeddings."""
+    import pyspark.sql.types as T
+
+    from letsearch_spark.collection import Collection
+    from letsearch_spark.streaming.incremental import stream_prep_collection
+
+    base = (
+        "the alpha signal and the beta channel of gamma systems carry "
+        "delta payloads for epsilon consumers that zeta brokers route "
+        "through eta queues in theta clusters with iota replicas and "
+        "kappa shards holding lambda segments of steady traffic flows"
+    )
+    near = base.replace("kappa", "sigma")  # 1 word off: near-dup
+    uniq = (
+        "completely different prose about streams windows states and "
+        "checkpoints carrying enough words to clear the gopher length "
+        "gate with room to spare for the minimum word count threshold "
+        "plus some extra filler tokens near the end of this document"
+    )
+    low_q = "tiny"  # fails min_words
+    schema = T.StructType([T.StructField("text", T.StringType())])
+    src = str(tmp_path / "src")
+    spark.createDataFrame([(base,), (low_q,)], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    spark.createDataFrame([(near,), (uniq,)], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    coll = Collection.create(
+        spark, str(tmp_path / "root"), name="prep",
+        index_columns=["text"], model_name="stub://8",
+    )
+    q = stream_prep_collection(
+        spark,
+        coll,
+        src,
+        schema,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        state_dir=str(tmp_path / "state"),
+        quality={"min_words": 10},
+        dedup={"threshold": 0.5},
+        max_files_per_trigger=1,
+    )
+    assert q.awaitTermination(300)
+
+    texts = sorted(r["text"] for r in coll.docs().select("text").collect())
+    assert texts == sorted([base, uniq])  # near-dup and low-quality gone
+    assert coll.embeddings("text").count() == 2  # embedded incrementally
+    keys = sorted(r["_key"] for r in coll.docs().select("_key").collect())
+    assert keys == [1, 2]
+    # the store remembered BOTH processed survivors of the dedup stage
+    # (base and near arrived, near was dropped but is archived)
+    corpus = spark.read.parquet(str(tmp_path / "state" / "corpus"))
+    assert corpus.count() == 3  # base, near, uniq (low_q died before dedup)
