@@ -214,6 +214,34 @@ def main() -> None:
     for name in ("quality_filter_gopher", "dedup_lines", "pack_sequences"):
         run_stage(name, lambda name=name: QUERIES[name](spark, SF_DIR).count())
 
+    # 14b. the full prep composition (round 4): quality -> line dedup ->
+    # MinHash fuzzy dedup -> split -> pack over the whole documents
+    # table in one recipe -- the end-to-end number a training-data user
+    # sees (audit counts force each stage; repeats=2, the stage is the
+    # sum of its parts)
+    from letsearch_spark.pipeline import (
+        PrepConfig,
+        prepare_training_data,
+        release_training_data,
+    )
+
+    docs_tbl2 = load(spark, SF_DIR, "documents")
+
+    def prep_pipeline():
+        clean, layout, _audit = prepare_training_data(
+            docs_tbl2,
+            PrepConfig(
+                quality={"min_words": 25},
+                fuzzy_dedup={"threshold": 0.8},
+                seq_len=2048,
+                num_shards=int(CPUS),
+            ),
+        )
+        layout.count()
+        release_training_data(clean)
+
+    run_stage("prep_pipeline", prep_pipeline, repeats=2)
+
     # 15. hybrid retrieval (BM25 lexical leg over cached postings +
     # dense cosine leg, RRF-fused driver-side): half the search count --
     # each query is 3-4 sequential Spark jobs; the per-sec rate is the

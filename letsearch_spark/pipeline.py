@@ -36,8 +36,17 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
+import weakref
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+# prepare_training_data result -> its persisted intermediates (weak keys:
+# a dropped result lets Spark evict the persist on GC pressure instead of
+# pinning it forever)
+_RELEASABLE: "weakref.WeakKeyDictionary[DataFrame, list[DataFrame]]" = (
+    weakref.WeakKeyDictionary()
+)
 
 
 @dataclass
@@ -98,6 +107,13 @@ class PrepConfig:
     # when line_dedup is None: stripping lines invalidates counts taken
     # on the original text, so that combination raises
     token_count_col: str | None = None  # None: ceil(words * 1.3)
+    # persist the surviving corpus after the expensive text-rewriting /
+    # dedup stages (MEMORY_AND_DISK): every later stage's audit count
+    # and both returned frames re-read it, so without this each count
+    # re-executes the whole upstream lineage (measured ~5x the
+    # sum-of-stages cost at sf0.1). The final persisted frame backs the
+    # returned clean/layout; release_training_data() frees it.
+    persist_intermediates: bool = True
 
 
 def prepare_training_data(
@@ -115,7 +131,13 @@ def prepare_training_data(
       data card reports).
 
     The audit forces one count per enabled stage; pass a cached input
-    if the scan is expensive.
+    if the scan is expensive. With ``persist_intermediates`` (default)
+    the rewrite/dedup stage outputs persist MEMORY_AND_DISK while the
+    recipe runs -- otherwise every later count re-executes the whole
+    upstream lineage (measured ~5x the sum-of-stages cost) -- and the
+    final stage's persist keeps backing the returned frames; call
+    :func:`release_training_data` on ``clean_docs`` when done with
+    them.
     """
     from letsearch_spark.functions.text import gopher_flags, token_count_approx
     from letsearch_spark.operators.dedup import (
@@ -141,6 +163,24 @@ def prepare_training_data(
     audit: dict[str, int] = {"input": docs.count()}
     cur = docs
 
+    # staged persistence (persist_intermediates): the rewrite/dedup
+    # stages are re-read by every later audit count AND the returned
+    # frames; persist each, and drop the superseded one once the next
+    # stage's count has materialized its successor
+    persisted: list[DataFrame] = []
+
+    def _persist_stage(df: DataFrame) -> DataFrame:
+        if not cfg.persist_intermediates:
+            return df
+        from pyspark import StorageLevel
+
+        persisted.append(df.persist(StorageLevel.MEMORY_AND_DISK))
+        return persisted[-1]
+
+    def _drop_superseded() -> None:
+        while len(persisted) > 1:
+            persisted.pop(0).unpersist()
+
     if cfg.quality is not None:
         flags = gopher_flags(F.col(text), **cfg.quality)
         cur = cur.where(flags["passes"])
@@ -161,8 +201,9 @@ def prepare_training_data(
             cleaned.select(key, text), key
         )
         # stripping boilerplate can empty a document
-        cur = cur.where(F.length(F.trim(F.col(text))) > 0)
+        cur = _persist_stage(cur.where(F.length(F.trim(F.col(text))) > 0))
         audit["line_dedup"] = cur.count()
+        _drop_superseded()
 
     if cfg.ngram_dedup is not None:
         from letsearch_spark.operators.dedup import remove_duplicate_ngrams
@@ -170,8 +211,9 @@ def prepare_training_data(
         keep_cols = [c for c in cur.columns if c not in (text,)]
         cleaned = remove_duplicate_ngrams(cur, key, text, **cfg.ngram_dedup)
         cur = cur.select(*keep_cols).join(cleaned.select(key, text), key)
-        cur = cur.where(F.length(F.trim(F.col(text))) > 0)
+        cur = _persist_stage(cur.where(F.length(F.trim(F.col(text))) > 0))
         audit["ngram_dedup"] = cur.count()
+        _drop_superseded()
 
     if cfg.decontaminate is not None:
         from letsearch_spark.operators.dedup import ngram_containment_pairs
@@ -197,10 +239,13 @@ def prepare_training_data(
     if cfg.fuzzy_dedup is not None:
         pairs = minhash_lsh_pairs(cur, key, text, **cfg.fuzzy_dedup)
         keep = dedup_keep_list(cur, pairs, key)
-        cur = cur.join(
-            keep.where("is_kept").select(F.col("id").alias(key)), key
+        cur = _persist_stage(
+            cur.join(
+                keep.where("is_kept").select(F.col("id").alias(key)), key
+            )
         )
         audit["fuzzy_dedup"] = cur.count()
+        _drop_superseded()
 
     if cfg.dsir is not None:
         from letsearch_spark.operators.dsir import dsir_sample
@@ -260,7 +305,20 @@ def prepare_training_data(
         shuffle_seed=cfg.pack_shuffle_seed,
     )
     audit["train_docs"] = cur.where(F.col("split") == "train").count()
+    if persisted:
+        _RELEASABLE[cur] = list(persisted)
     return cur, layout, audit
+
+
+def release_training_data(clean_docs: DataFrame) -> None:
+    """Unpersist the intermediates backing a prepare_training_data
+    result (no-op if none were persisted or already released). Call
+    after the clean/layout frames have been written out."""
+    for p in _RELEASABLE.pop(clean_docs, []):
+        try:
+            p.unpersist()
+        except Exception:
+            pass
 
 
 def corpus_report(
