@@ -59,6 +59,36 @@ _RERANK_SCHEMA = T.StructType(
 )
 
 
+# append-path type reconciliation: widenings that can never lose a value.
+# NullType widens to anything (an all-null JSONL column reads as void).
+_LOSSLESS_WIDENINGS: dict[type, tuple[type, ...]] = {
+    T.ByteType: (T.ShortType, T.IntegerType, T.LongType),
+    T.ShortType: (T.IntegerType, T.LongType),
+    T.IntegerType: (T.LongType,),
+    T.FloatType: (T.DoubleType,),
+    T.DateType: (T.TimestampType, T.TimestampNTZType),
+}
+
+
+def _require_lossless_append_cast(name: str, src, dst) -> None:
+    """Raise unless casting ``src`` -> ``dst`` cannot lose values.
+
+    Equal types and whitelisted widenings pass; anything else (e.g. a
+    JSONL batch that read a column as string where the table holds
+    long) raises -- non-ANSI Spark would otherwise null out
+    unconvertible values silently on the append."""
+    if src == dst or isinstance(src, T.NullType):
+        return
+    if isinstance(dst, tuple(_LOSSLESS_WIDENINGS.get(type(src), ()))):
+        return
+    raise ValueError(
+        f"append column {name!r} has type {src.simpleString()} but the "
+        f"table holds {dst.simpleString()}; cast it explicitly before "
+        "appending (implicit casts can silently null unconvertible "
+        "values)"
+    )
+
+
 def _rows_df(spark: SparkSession, rows, schema: T.StructType) -> DataFrame:
     """Driver-rows -> DataFrame through the Arrow path.
 
@@ -280,7 +310,16 @@ class Collection:
         # cast to the EXISTING column types: a bare lit(None) writes a
         # void-typed parquet column that the vectorized reader cannot
         # reconcile with the table's real type on a later scan, and a
-        # JSONL batch may read e.g. int where the table holds long
+        # JSONL batch may read e.g. int where the table holds long.
+        # Present columns are only cast along LOSSLESS widenings -- under
+        # non-ANSI Spark a mismatched cast (string -> long, say) silently
+        # nullifies unconvertible values, so incompatible types stay a
+        # loud error the caller resolves with an explicit cast
+        for c in cols:
+            if c in df.columns:
+                _require_lossless_append_cast(
+                    c, df.schema[c].dataType, existing.schema[c].dataType
+                )
         incoming = df.select(
             *[
                 (F.col(c) if c in df.columns else F.lit(None))
@@ -1722,20 +1761,23 @@ class Collection:
         """Cached denormalized serving view (key, vector, content) -- the
         analog of the reference holding index + table open while serving
         (collection_actor.rs:143-159). Built once, invalidated on writes."""
+        # the built view never carries these names (the indexed column is
+        # aliased to 'content'), so the rebuild check below must apply the
+        # SAME exclusion as the build -- otherwise listing e.g. the indexed
+        # column in serve_filter_columns would read as a perpetual cache
+        # miss and rebuild the view on every search
+        extra = [
+            c
+            for c in self.serve_filter_columns
+            if c not in (KEY_COL, "content", "vector", "_vnorm", column)
+        ]
         view = self._emb_cache.get(f"__serve_{column}")
-        if view is not None and any(
-            c not in view.columns for c in self.serve_filter_columns
-        ):
+        if view is not None and any(c not in view.columns for c in extra):
             # serve_filter_columns grew since the build: rebuild so
             # search(where=...) predicates can see the new columns
             self._emb_cache.pop(f"__serve_{column}").unpersist()
             view = None
         if view is None:
-            extra = [
-                c
-                for c in self.serve_filter_columns
-                if c not in (KEY_COL, "content", "vector", "_vnorm", column)
-            ]
             docs = self.docs().select(
                 F.col(KEY_COL), F.col(column).alias("content"), *extra
             )

@@ -41,9 +41,11 @@ import weakref
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-# prepare_training_data result -> its persisted intermediates (weak keys:
-# a dropped result lets Spark evict the persist on GC pressure instead of
-# pinning it forever)
+# prepare_training_data result -> its persisted intermediates. Weak keys
+# bound THIS registry; Spark's CacheManager still holds cached plans by
+# strong reference until unpersist, so explicit release_training_data is
+# the documented path -- a weakref.finalize on the result (registered at
+# build time) backstops callers who drop it without releasing
 _RELEASABLE: "weakref.WeakKeyDictionary[DataFrame, list[DataFrame]]" = (
     weakref.WeakKeyDictionary()
 )
@@ -307,18 +309,27 @@ def prepare_training_data(
     audit["train_docs"] = cur.where(F.col("split") == "train").count()
     if persisted:
         _RELEASABLE[cur] = list(persisted)
+        # safety net: if the caller drops the result without calling
+        # release_training_data, unpersist on GC of the result frame
+        # (the CacheManager would otherwise pin the blocks for the
+        # whole session). Explicit release stays the documented path.
+        weakref.finalize(cur, _unpersist_quietly, list(persisted))
     return cur, layout, audit
+
+
+def _unpersist_quietly(frames: list[DataFrame]) -> None:
+    for p in frames:
+        try:
+            p.unpersist()
+        except Exception:
+            pass
 
 
 def release_training_data(clean_docs: DataFrame) -> None:
     """Unpersist the intermediates backing a prepare_training_data
     result (no-op if none were persisted or already released). Call
     after the clean/layout frames have been written out."""
-    for p in _RELEASABLE.pop(clean_docs, []):
-        try:
-            p.unpersist()
-        except Exception:
-            pass
+    _unpersist_quietly(_RELEASABLE.pop(clean_docs, []))
 
 
 def corpus_report(

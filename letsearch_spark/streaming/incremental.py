@@ -61,12 +61,20 @@ def stream_append_collection(
     )
 
     def process_batch(batch_df, batch_id: int):
-        if batch_df.isEmpty():
-            return
-        coll._append_df(batch_df)
-        if embed:
-            for col in coll.config.index_columns:
-                coll.embed_column(col, incremental=True)
+        # pin the micro-batch: isEmpty + the append's key-offset job +
+        # the write are three actions, and a re-planned source could
+        # redistribute rows between them (positional key assignment is
+        # only stable within one materialization)
+        batch_df = batch_df.persist()
+        try:
+            if batch_df.isEmpty():
+                return
+            coll._append_df(batch_df)
+            if embed:
+                for col in coll.config.index_columns:
+                    coll.embed_column(col, incremental=True)
+        finally:
+            batch_df.unpersist()
 
     return (
         stream.writeStream.foreachBatch(process_batch)
@@ -138,21 +146,27 @@ def stream_prep_collection(
     only to KEPT rows by the normal append path.
 
     ``quality``/``dedup``: None disables the stage; a dict forwards
-    kwargs (gopher_flags / incremental_minhash_dedup). Exactly-once per
-    micro-batch comes from the checkpoint; the state writes are atomic
-    only per completed batch (same single-writer contract as the append
-    path) -- a crash mid-batch can leave archived-but-unappended rows
-    whose re-run is then flagged duplicate against the orphans; recover
-    by trimming ``corpus/``/``bands/`` above the collection's max key
-    before restarting. Write order inside a batch is load-bearing: the
-    keyed batch is archived to ``corpus/`` FIRST and read back
-    (positional id assignment is only stable within one
-    materialization, and foreachBatch re-plans the micro-batch source
-    per action -- the parquet round-trip pins each row's provisional
-    id), while the batch's ``bands`` are appended LAST (the store is a
-    lazy scan of ``bands/`` that the keep plan reads; appending before
-    it executes would re-list the directory and pair every document
-    with itself). Returns the StreamingQuery.
+    kwargs (gopher_flags / incremental_minhash_dedup).
+
+    Crash recovery (checkpoint replays the batch; per-batch markers
+    under ``state_dir`` make the replay idempotent): ``archived/<id>``
+    records the batch's provisional-id range once ``corpus/`` holds it,
+    so a replay reuses the pinned rows instead of re-keying (orphan rows
+    from an attempt that died mid-archive are inert -- they carry no
+    bands, so they are never dedup candidates, and the id range excludes
+    them from the batch); ``appended/<id>`` marks the collection append
+    done, so a replay skips it; the batch's bands land in their own
+    ``bands/batch=<id>/`` partition via an overwrite (idempotent), and
+    the candidate store scan partition-prunes the current batch out, so
+    a half-written self-partition can never pair a document with itself;
+    ``applied/<id>`` (written last) short-circuits the whole batch. The
+    one residual non-idempotent window is a crash BETWEEN the collection
+    append committing and the ``appended/<id>`` marker write -- a replay
+    then appends the survivors twice; closing it needs a transactional
+    table format, which plain parquet is not. Write order inside a batch
+    is load-bearing: corpus first (pins provisional ids via the parquet
+    round-trip), append + marker next, bands after (a band id must
+    always be resolvable in ``corpus/``), applied marker last.
 
     At 100 TB-ingest scale each batch costs: one Catalyst scan for the
     quality flags, one signature pass over the batch + a banded join
@@ -160,6 +174,72 @@ def stream_prep_collection(
     tracks the batch, SCALING.md's incr_minhash probe), and the
     append/embed of survivors.
     """
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_dir)
+    )
+    process_batch = _make_prep_batch_processor(
+        spark, coll, state_dir, text_col, quality, dedup, embed
+    )
+    return (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def _hadoop_fs(spark, path: str):
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
+    return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jpath
+
+
+def _marker_read(spark, path: str) -> str | None:
+    """Contents of a marker file, or None if absent (Hadoop FS, so any
+    scheme the state_dir lives on works)."""
+    fs, jp = _hadoop_fs(spark, path)
+    if not fs.exists(jp):
+        return None
+    stream = fs.open(jp)
+    try:
+        out = spark._jvm.java.io.ByteArrayOutputStream()
+        spark._jvm.org.apache.hadoop.io.IOUtils.copyBytes(
+            stream, out, 4096, False
+        )
+        return out.toString("UTF-8")
+    finally:
+        stream.close()
+
+
+def _marker_write(spark, path: str, text: str = "") -> None:
+    fs, jp = _hadoop_fs(spark, path)
+    fs.mkdirs(jp.getParent())
+    out = fs.create(jp, True)
+    try:
+        if text:
+            out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+
+
+def _prior_band_batches(spark, bands_path: str, batch_id: int) -> bool:
+    """True if ``bands/`` holds a partition from any OTHER batch."""
+    fs, jp = _hadoop_fs(spark, bands_path)
+    if not fs.exists(jp):
+        return False
+    for st in fs.listStatus(jp):
+        name = st.getPath().getName()
+        if name.startswith("batch=") and name != f"batch={batch_id}":
+            return True
+    return False
+
+
+def _make_prep_batch_processor(
+    spark, coll, state_dir, text_col, quality, dedup, embed
+):
+    """The foreachBatch body of :func:`stream_prep_collection`, built
+    standalone so tests can drive (and replay) batches directly."""
     import os
 
     from letsearch_spark.keys import add_dense_key
@@ -168,65 +248,90 @@ def stream_prep_collection(
     bands_path = os.path.join(state_dir, "bands")
     corpus_path = os.path.join(state_dir, "corpus")
 
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", max_files_per_trigger)
-        .parquet(source_dir)
-    )
-
     def process_batch(batch_df, batch_id: int):
+        applied_marker = os.path.join(state_dir, "applied", str(batch_id))
+        appended_marker = os.path.join(state_dir, "appended", str(batch_id))
+        archived_marker = os.path.join(state_dir, "archived", str(batch_id))
+        if _marker_read(spark, applied_marker) is not None:
+            return  # checkpoint replay of a fully applied batch
         cur = batch_df
         if quality is not None:
             from letsearch_spark.functions.text import gopher_flags
 
             cur = cur.where(gopher_flags(F.col(text_col), **quality)["passes"])
+        res = None
         if dedup is not None:
+            archived = _marker_read(spark, archived_marker)
+            if archived is not None:
+                # replay of a batch whose corpus rows are already pinned:
+                # reuse the recorded id range -- re-keying would collide
+                start, n = (int(v) for v in archived.split())
+            else:
+                # pin the survivors BEFORE key assignment: the keying
+                # write runs two jobs (per-partition counts, then the
+                # write) and a re-planned source could redistribute rows
+                # between them, scrambling positional ids
+                cur = cur.persist()
+                n = cur.count()
+                start = 1
+                if coll._fs_nonempty(corpus_path):
+                    start = int(
+                        spark.read.parquet(corpus_path)
+                        .agg(F.max("__prep_id"))
+                        .first()[0]
+                        or 0
+                    ) + 1
+                if n:
+                    add_dense_key(
+                        cur, "__prep_id", start=start, if_absent=False
+                    ).write.mode("append").parquet(corpus_path)
+                cur.unpersist()
+                _marker_write(spark, archived_marker, f"{start} {n}")
+            if n:
+                archive = spark.read.parquet(corpus_path)
+                keyed = archive.where(
+                    (F.col("__prep_id") >= start)
+                    & (F.col("__prep_id") < start + n)
+                )
+                store = hist = None
+                if _prior_band_batches(spark, bands_path, batch_id):
+                    # partition-prune this batch's own (possibly half-
+                    # written) bands out of the candidate store
+                    store = (
+                        spark.read.parquet(bands_path)
+                        .where(F.col("batch") != batch_id)
+                        .drop("batch")
+                    )
+                    hist = archive.where(F.col("__prep_id") < start)
+                res = incremental_minhash_dedup(
+                    keyed, store, hist, "__prep_id", text_col, **dedup
+                )
+                kept_ids = res["keep"].where("keep").select("__prep_id")
+                cur = keyed.join(kept_ids, "__prep_id").drop("__prep_id")
+            else:
+                cur = cur.limit(0)
+        if _marker_read(spark, appended_marker) is None:
+            # pin the survivors once: isEmpty + the append's key-offset
+            # job + the write would otherwise re-execute the banded join
+            # and exact-Jaccard verify three times
+            cur = cur.persist()
             try:
-                store = spark.read.parquet(bands_path)
-                corpus = spark.read.parquet(corpus_path)
-            except Exception:  # first batch: no state yet
-                store, corpus = None, None
-            start = 1
-            if corpus is not None:
-                start = int(
-                    corpus.agg(F.max("__prep_id")).first()[0] or 0
-                ) + 1
-            # archive the keyed batch FIRST and read it back: positional
-            # id assignment is only stable within one materialization,
-            # and inside foreachBatch the micro-batch source re-evaluates
-            # per action -- the parquet round-trip pins each row's
-            # provisional id before any plan branches on it
-            add_dense_key(
-                cur, "__prep_id", start=start, if_absent=False
-            ).write.mode("append").parquet(corpus_path)
-            archive = spark.read.parquet(corpus_path)
-            keyed = archive.where(F.col("__prep_id") >= start)
-            if corpus is not None:
-                # re-derive history from the same post-write listing so
-                # the lazily-read pre-write frame can't drift
-                corpus = archive.where(F.col("__prep_id") < start)
-            res = incremental_minhash_dedup(
-                keyed, store, corpus, "__prep_id", text_col, **dedup
+                if not cur.isEmpty():
+                    coll._append_df(cur)
+                # marker only after the append succeeded -- writing it on
+                # failure would make the replay skip the rows entirely
+                _marker_write(spark, appended_marker)
+            finally:
+                cur.unpersist()
+        if res is not None:
+            # per-batch partition + overwrite = idempotent under replay
+            res["bands"].write.mode("overwrite").parquet(
+                os.path.join(bands_path, f"batch={batch_id}")
             )
-            kept_ids = res["keep"].where("keep").select("__prep_id")
-            kept = keyed.join(kept_ids, "__prep_id")
-            cur = kept.drop("__prep_id")
-        if not cur.isEmpty():
-            coll._append_df(cur)
-        if dedup is not None:
-            # bands LAST: ``store`` is a lazy scan of bands_path, and the
-            # keep/kept plans read it -- appending this batch's bands
-            # before they execute would re-list the directory and pair
-            # every batch document with itself
-            res["bands"].write.mode("append").parquet(bands_path)
             res["release"]()
-        if embed:
+        if embed and coll._docs_exist():
             for col in coll.config.index_columns:
                 coll.embed_column(col, incremental=True)
+        _marker_write(spark, applied_marker)
 
-    return (
-        stream.writeStream.foreachBatch(process_batch)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
+    return process_batch

@@ -1016,3 +1016,61 @@ def test_append_missing_column_stays_readable(spark, sf_dir, tmp_path):
     langs = c.docs().select("lang").collect()
     assert sum(1 for r in langs if r["lang"] is None) == 1
     assert c.docs().schema["lang"].dataType.simpleString() == "string"
+
+
+def test_append_incompatible_type_raises(spark, sf_dir, tmp_path):
+    """Present-column casts on append are restricted to lossless
+    widenings: under non-ANSI Spark a string->long cast silently nulls
+    unconvertible values, so an incompatible batch must fail loudly."""
+    import pyspark.sql.types as T
+
+    root = str(tmp_path / "r")
+    c = Collection.create(
+        spark, root, name="casts", index_columns=["text"], model_name="stub://16"
+    )
+    c.import_parquet(os.path.join(sf_dir, "documents.parquet"))
+
+    bad = spark.createDataFrame(
+        [("doc with stringy count", "12abc")],
+        T.StructType(
+            [
+                T.StructField("text", T.StringType()),
+                T.StructField("n_chars", T.StringType()),
+            ]
+        ),
+    )
+    with pytest.raises(ValueError, match="n_chars.*cast it explicitly"):
+        c._append_df(bad)
+
+    # lossless widening (int -> long) still appends fine
+    ok = spark.createDataFrame(
+        [("doc with int count", 17)],
+        T.StructType(
+            [
+                T.StructField("text", T.StringType()),
+                T.StructField("n_chars", T.IntegerType()),
+            ]
+        ),
+    )
+    before = c.count()
+    c._append_df(ok)
+    assert c.count() == before + 1
+    got = c.docs().where(F.col("text") == "doc with int count").collect()
+    assert got[0]["n_chars"] == 17
+
+
+def test_serve_view_stable_when_indexed_column_listed(coll):
+    """Listing the indexed column in serve_filter_columns must not read
+    as a perpetual cache miss: the built view aliases it to 'content',
+    so the rebuild check has to apply the same exclusion as the build
+    (a mismatch silently rebuilt the cached view on EVERY search)."""
+    coll.embed_column("text", incremental=True)
+    coll.serve_filter_columns = ["lang", "text"]
+    try:
+        coll.search("text", "alpha words", limit=3).collect()
+        v1 = coll._emb_cache.get("__serve_text")
+        assert v1 is not None
+        coll.search("text", "beta rows", limit=3).collect()
+        assert coll._emb_cache.get("__serve_text") is v1
+    finally:
+        coll.serve_filter_columns = []  # module-scoped fixture: reset

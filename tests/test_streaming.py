@@ -152,3 +152,105 @@ def test_stream_prep_collection(spark, tmp_path):
     # (base and near arrived, near was dropped but is archived)
     corpus = spark.read.parquet(str(tmp_path / "state" / "corpus"))
     assert corpus.count() == 3  # base, near, uniq (low_q died before dedup)
+
+
+_PREP_TEXTS = {
+    1: (
+        "the alpha signal and the beta channel of gamma systems carry "
+        "delta payloads for epsilon consumers that zeta brokers route "
+        "through eta queues in theta clusters with iota replicas and "
+        "kappa shards holding lambda segments of steady traffic flows"
+    ),
+    2: (
+        "completely different prose about streams windows states and "
+        "checkpoints carrying enough words to clear the gopher length "
+        "gate with room to spare for the minimum word count threshold "
+        "plus some extra filler tokens near the end of this document"
+    ),
+}
+
+
+def _prep_text(i: int) -> str:
+    return _PREP_TEXTS[i]
+
+
+def test_stream_prep_zero_survivor_first_batch(spark, tmp_path):
+    """A first micro-batch whose rows ALL fail quality must not crash
+    the stream: no docs table exists yet, so the incremental embed has
+    to be skipped, and the next batch proceeds normally."""
+    import pyspark.sql.types as T
+
+    from letsearch_spark.collection import Collection
+    from letsearch_spark.streaming.incremental import (
+        _make_prep_batch_processor,
+    )
+
+    schema = T.StructType([T.StructField("text", T.StringType())])
+    coll = Collection.create(
+        spark, str(tmp_path / "root"), name="zprep",
+        index_columns=["text"], model_name="stub://8",
+    )
+    process = _make_prep_batch_processor(
+        spark, coll, str(tmp_path / "state"), "text",
+        quality={"min_words": 10}, dedup={"threshold": 0.5}, embed=True,
+    )
+    process(spark.createDataFrame([("tiny",)], schema), 0)  # must not raise
+    assert not coll._docs_exist()
+    process(spark.createDataFrame([(_prep_text(1),)], schema), 1)
+    assert coll.docs().count() == 1
+    assert coll.embeddings("text").count() == 1
+
+
+def test_stream_prep_replay_is_idempotent(spark, tmp_path):
+    """Checkpoint replays of a prep batch must not duplicate rows,
+    bands, or keys -- both the fully-applied replay (applied marker
+    short-circuit) and the crashed-before-applied replay (archived ids
+    reused, append skipped via its marker, bands overwritten in place)."""
+    import os
+
+    import pyspark.sql.types as T
+
+    from letsearch_spark.collection import Collection
+    from letsearch_spark.streaming.incremental import (
+        _make_prep_batch_processor,
+    )
+
+    schema = T.StructType([T.StructField("text", T.StringType())])
+    state = str(tmp_path / "state")
+    coll = Collection.create(
+        spark, str(tmp_path / "root"), name="rprep",
+        index_columns=["text"], model_name="stub://8",
+    )
+    process = _make_prep_batch_processor(
+        spark, coll, state, "text",
+        quality={"min_words": 10}, dedup={"threshold": 0.5}, embed=True,
+    )
+    b0 = spark.createDataFrame(
+        [(_prep_text(1),), (_prep_text(2),)], schema
+    )
+    process(b0, 0)
+    assert coll.docs().count() == 2
+    bands0 = spark.read.parquet(state + "/bands").where("batch = 0").count()
+    assert bands0 > 0
+
+    # replay of a fully applied batch: everything short-circuits
+    process(b0, 0)
+    assert coll.docs().count() == 2
+    assert spark.read.parquet(state + "/bands").where("batch = 0").count() == bands0
+
+    # crash right before the applied marker: append already marked done,
+    # ids already archived -- the replay must reuse both and only
+    # rewrite the (idempotent) bands partition
+    os.remove(os.path.join(state, "applied", "0"))
+    process(b0, 0)
+    assert coll.docs().count() == 2
+    assert spark.read.parquet(state + "/bands").where("batch = 0").count() == bands0
+    corpus = spark.read.parquet(state + "/corpus")
+    assert corpus.count() == 2  # no re-keyed duplicate archive rows
+
+    # dedup memory still works after the recovery: a near-dup of a
+    # batch-0 doc arriving in batch 1 is dropped against the store
+    near = _prep_text(1).replace("kappa", "sigma")
+    process(spark.createDataFrame([(near,)], schema), 1)
+    assert coll.docs().count() == 2
+    assert spark.read.parquet(state + "/corpus").count() == 3  # archived

@@ -328,7 +328,7 @@ def main() -> None:
         # only the word-count / explode shuffles (pure JVM) may grow
         # with bytes. Salted copies would grow the vocabulary linearly
         # and muddy exactly that distinction.
-        if only is None or {"bpe_train", "bpe_count"} & only:
+        if only is None or {"bpe_train", "bpe_count", "token_shards"} & only:
             from letsearch_spark.tokenizer import token_count_exact, train_bpe
 
             base = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
