@@ -62,9 +62,11 @@ _RERANK_SCHEMA = T.StructType(
 # append-path type reconciliation: widenings that can never lose a value.
 # NullType widens to anything (an all-null JSONL column reads as void).
 _LOSSLESS_WIDENINGS: dict[type, tuple[type, ...]] = {
-    T.ByteType: (T.ShortType, T.IntegerType, T.LongType),
-    T.ShortType: (T.IntegerType, T.LongType),
-    T.IntegerType: (T.LongType,),
+    # byte/short fit float's 24-bit mantissa; every int32 is exact in
+    # double. int->float and long->double/float stay forbidden (lossy).
+    T.ByteType: (T.ShortType, T.IntegerType, T.LongType, T.FloatType, T.DoubleType),
+    T.ShortType: (T.IntegerType, T.LongType, T.FloatType, T.DoubleType),
+    T.IntegerType: (T.LongType, T.DoubleType),
     T.FloatType: (T.DoubleType,),
     T.DateType: (T.TimestampType, T.TimestampNTZType),
 }

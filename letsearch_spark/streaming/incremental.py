@@ -168,6 +168,17 @@ def stream_prep_collection(
     round-trip), append + marker next, bands after (a band id must
     always be resolvable in ``corpus/``), applied marker last.
 
+    ``state_dir`` is bound to ``checkpoint_dir``'s lineage (an ``owner``
+    marker): batch ids restart per checkpoint, so resuming old prep
+    state under a new checkpoint raises instead of silently skipping
+    batches whose ids collide with applied markers. State grows with
+    batch count (three tiny markers + one bands partition each);
+    markers for batches the checkpoint has committed are dead weight
+    and may be pruned offline, and very long-running ingests should
+    periodically fold old ``bands/batch=N`` partitions together (any
+    relabeling that keeps rows intact preserves dedup semantics) to
+    bound partition-discovery cost on object stores.
+
     At 100 TB-ingest scale each batch costs: one Catalyst scan for the
     quality flags, one signature pass over the batch + a banded join
     against the store (history is never re-shingled wholesale -- cost
@@ -180,7 +191,8 @@ def stream_prep_collection(
         .parquet(source_dir)
     )
     process_batch = _make_prep_batch_processor(
-        spark, coll, state_dir, text_col, quality, dedup, embed
+        spark, coll, state_dir, text_col, quality, dedup, embed,
+        checkpoint_tag=checkpoint_dir,
     )
     return (
         stream.writeStream.foreachBatch(process_batch)
@@ -213,33 +225,59 @@ def _marker_read(spark, path: str) -> str | None:
 
 
 def _marker_write(spark, path: str, text: str = "") -> None:
+    """Write a marker via temp-then-rename so a crash mid-write leaves
+    either no marker (safe: the work regenerates) or a complete one --
+    never a truncated file a replay would trip over."""
     fs, jp = _hadoop_fs(spark, path)
     fs.mkdirs(jp.getParent())
-    out = fs.create(jp, True)
+    tmp = spark._jvm.org.apache.hadoop.fs.Path(path + "._tmp")
+    out = fs.create(tmp, True)
     try:
         if text:
             out.write(bytearray(text.encode("utf-8")))
     finally:
         out.close()
+    fs.delete(jp, False)
+    if not fs.rename(tmp, jp):
+        raise IOError(f"marker rename failed: {path}")
 
 
 def _prior_band_batches(spark, bands_path: str, batch_id: int) -> bool:
-    """True if ``bands/`` holds a partition from any OTHER batch."""
+    """True if ``bands/`` holds a partition from any OTHER batch.
+
+    Raises on a flat (non-``batch=``-partitioned) layout: silently
+    ignoring it would forget all dedup memory, and the next partition
+    write would corrupt the directory for every later read."""
     fs, jp = _hadoop_fs(spark, bands_path)
     if not fs.exists(jp):
         return False
+    found = False
     for st in fs.listStatus(jp):
         name = st.getPath().getName()
-        if name.startswith("batch=") and name != f"batch={batch_id}":
-            return True
-    return False
+        if name.startswith("batch="):
+            if name != f"batch={batch_id}":
+                found = True
+        elif not name.startswith(("_", ".")):
+            raise RuntimeError(
+                f"bands state at {bands_path!r} is not batch-partitioned "
+                "(legacy or foreign layout); rebuild the prep state "
+                "(fresh state_dir + checkpoint_dir) before resuming"
+            )
+    return found
 
 
 def _make_prep_batch_processor(
-    spark, coll, state_dir, text_col, quality, dedup, embed
+    spark, coll, state_dir, text_col, quality, dedup, embed,
+    checkpoint_tag: str | None = None,
 ):
     """The foreachBatch body of :func:`stream_prep_collection`, built
-    standalone so tests can drive (and replay) batches directly."""
+    standalone so tests can drive (and replay) batches directly.
+
+    ``checkpoint_tag`` binds the state_dir to one checkpoint lineage:
+    batch ids (the marker keys) only mean anything relative to the
+    checkpoint that assigned them, so reusing prep state under a
+    DIFFERENT checkpoint must fail loudly instead of silently skipping
+    new batches whose ids collide with applied markers."""
     import os
 
     from letsearch_spark.keys import add_dense_key
@@ -249,6 +287,19 @@ def _make_prep_batch_processor(
     corpus_path = os.path.join(state_dir, "corpus")
 
     def process_batch(batch_df, batch_id: int):
+        if checkpoint_tag is not None:
+            owner_marker = os.path.join(state_dir, "owner")
+            owner = _marker_read(spark, owner_marker)
+            if owner is None or not owner:
+                _marker_write(spark, owner_marker, checkpoint_tag)
+            elif owner != checkpoint_tag:
+                raise RuntimeError(
+                    f"prep state at {state_dir!r} belongs to checkpoint "
+                    f"{owner!r}, not {checkpoint_tag!r}: batch ids restart "
+                    "per checkpoint, so reusing the state would replay "
+                    "stale markers against different batches (silent data "
+                    "loss). Use a fresh state_dir with the new checkpoint."
+                )
         applied_marker = os.path.join(state_dir, "applied", str(batch_id))
         appended_marker = os.path.join(state_dir, "appended", str(batch_id))
         archived_marker = os.path.join(state_dir, "archived", str(batch_id))
@@ -262,11 +313,19 @@ def _make_prep_batch_processor(
         res = None
         if dedup is not None:
             archived = _marker_read(spark, archived_marker)
-            if archived is not None:
-                # replay of a batch whose corpus rows are already pinned:
-                # reuse the recorded id range -- re-keying would collide
-                start, n = (int(v) for v in archived.split())
-            else:
+            start = n = None
+            if archived:
+                try:
+                    # replay of a batch whose corpus rows are pinned:
+                    # reuse the recorded id range -- re-keying would
+                    # collide with rows the range already covers
+                    start, n = (int(v) for v in archived.split())
+                except ValueError:
+                    # truncated by a crash mid-write: fall through to
+                    # re-keying -- rows from the partial attempt are
+                    # inert (no bands) and outside the fresh id range
+                    start = n = None
+            if start is None:
                 # pin the survivors BEFORE key assignment: the keying
                 # write runs two jobs (per-partition counts, then the
                 # write) and a re-planned source could redistribute rows

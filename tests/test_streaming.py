@@ -254,3 +254,51 @@ def test_stream_prep_replay_is_idempotent(spark, tmp_path):
     process(spark.createDataFrame([(near,)], schema), 1)
     assert coll.docs().count() == 2
     assert spark.read.parquet(state + "/corpus").count() == 3  # archived
+
+
+def test_stream_prep_truncated_marker_and_ownership(spark, tmp_path):
+    """A marker truncated by a crash mid-write must not wedge the
+    stream (the replay re-keys; partial-attempt rows are inert), and
+    reusing prep state under a different checkpoint must fail loudly
+    instead of silently skipping batches."""
+    import os
+
+    import pyspark.sql.types as T
+
+    from letsearch_spark.collection import Collection
+    from letsearch_spark.streaming.incremental import (
+        _make_prep_batch_processor,
+    )
+
+    schema = T.StructType([T.StructField("text", T.StringType())])
+    state = str(tmp_path / "state")
+    coll = Collection.create(
+        spark, str(tmp_path / "root"), name="tprep",
+        index_columns=["text"], model_name="stub://8",
+    )
+    process = _make_prep_batch_processor(
+        spark, coll, state, "text",
+        quality={"min_words": 10}, dedup={"threshold": 0.5}, embed=True,
+        checkpoint_tag="ckpt-A",
+    )
+    process(spark.createDataFrame([(_prep_text(1),)], schema), 0)
+    near = _prep_text(1).replace("kappa", "sigma")
+    process(spark.createDataFrame([(near,)], schema), 1)
+    assert coll.docs().count() == 1  # near-dup dropped
+
+    # crash left a zero-byte archived marker: replay must re-key and
+    # converge, not raise on every restart
+    with open(os.path.join(state, "archived", "1"), "w") as f:
+        f.write("")
+    os.remove(os.path.join(state, "applied", "1"))
+    process(spark.createDataFrame([(near,)], schema), 1)
+    assert coll.docs().count() == 1  # still deduped, stream progressed
+
+    # same state under a different checkpoint: loud refusal
+    p2 = _make_prep_batch_processor(
+        spark, coll, state, "text",
+        quality={"min_words": 10}, dedup={"threshold": 0.5}, embed=True,
+        checkpoint_tag="ckpt-B",
+    )
+    with pytest.raises(RuntimeError, match="belongs to checkpoint"):
+        p2(spark.createDataFrame([(_prep_text(2),)], schema), 0)
