@@ -288,24 +288,32 @@ class Collection:
 
         return resolve_data_path(path)
 
-    def _append_df(self, df: DataFrame) -> int:
-        """S3/S4 core: column-list alignment minus ``_key`` then insert with
-        key continuation (collection_actor.rs:222-291). Returns the number
-        of rows APPENDED -- the key assigner already counted the batch, so
-        no post-write re-scan of the whole table is needed (at 100 TB that
-        re-scan would cost more than the append itself).
-
-        Appending into an EMPTY collection (no docs table yet -- e.g. a
-        streaming ingest whose first micro-batch arrives before any bulk
-        import) degenerates to the import path: the batch's schema
-        becomes the table schema, keys start at 1."""
+    def _keyed_batch(self, df: DataFrame) -> tuple[DataFrame, int | None, bool]:
+        """Schema-aligned, densely-keyed batch ready to land in the docs
+        table: ``(keyed, n, bootstrap)``. ``bootstrap`` means no docs
+        table exists yet (the batch's schema becomes the table schema,
+        keys start at 1). Shared by :meth:`_append_df` (direct write)
+        and :meth:`append_staged` (crash-idempotent staged publish)."""
         if not self._docs_exist():
+            # the first batch's schema BECOMES the table schema; a batch
+            # missing an index column would mint a docs table that only
+            # fails later in embed_column/search with a confusing
+            # missing-column error -- refuse loudly now
+            missing = [
+                c for c in self.config.index_columns if c not in df.columns
+            ]
+            if missing:
+                raise ValueError(
+                    f"first batch into empty collection "
+                    f"{self.config.name!r} is missing index column(s) "
+                    f"{missing}; its schema would become the table schema "
+                    "and break embed_column/search later. Include the "
+                    "column(s) (even as empty strings) in the first batch."
+                )
             keyed, n = add_dense_key_with_count(
                 df, KEY_COL, start=1, if_absent=False
             )
-            keyed.write.mode("overwrite").parquet(self.docs_path)
-            self._invalidate_cache()
-            return n if n is not None else self.count()
+            return keyed, n, True
         existing = self.docs()
         cols = [c for c in existing.columns if c != KEY_COL]
         start = next_key_start(existing, KEY_COL)
@@ -333,9 +341,91 @@ class Collection:
         keyed, n = add_dense_key_with_count(
             incoming, KEY_COL, start=start, if_absent=False
         )
-        keyed.select(existing.columns).write.mode("append").parquet(self.docs_path)
+        return keyed.select(existing.columns), n, False
+
+    def _append_df(self, df: DataFrame) -> int:
+        """S3/S4 core: column-list alignment minus ``_key`` then insert with
+        key continuation (collection_actor.rs:222-291). Returns the number
+        of rows APPENDED -- the key assigner already counted the batch, so
+        no post-write re-scan of the whole table is needed (at 100 TB that
+        re-scan would cost more than the append itself).
+
+        Appending into an EMPTY collection (no docs table yet -- e.g. a
+        streaming ingest whose first micro-batch arrives before any bulk
+        import) degenerates to the import path: the batch's schema
+        becomes the table schema, keys start at 1."""
+        keyed, n, bootstrap = self._keyed_batch(df)
+        keyed.write.mode("overwrite" if bootstrap else "append").parquet(
+            self.docs_path
+        )
         self._invalidate_cache()
-        return n if n is not None else keyed.count()
+        if n is not None:
+            return n
+        return self.count() if bootstrap else keyed.count()
+
+    def append_staged(self, df: DataFrame, staging_dir: str, tag: str) -> None:
+        """Crash-idempotent append for replayed writers (the streaming
+        prep path): stage the keyed batch as parquet under
+        ``staging_dir``, then publish each staged part file into the
+        docs table under a deterministic ``<tag>-<original-name>`` name
+        via rename, skipping files whose destination already exists.
+        A replay after a crash at ANY point converges with no double
+        rows:
+
+        * crash mid-stage: no ``_SUCCESS``, nothing published -- the
+          replay rewrites the staging dir and republishes;
+        * crash mid-publish: ``_SUCCESS`` present -- the replay reuses
+          the staged files AS IS (keys stay pinned; destination names
+          derive from the stable staged filenames, never a positional
+          index) and renames only the files still missing;
+        * crash after the last rename, before the caller's done-marker:
+          the replay's publish is a complete no-op.
+
+        This closes the plain-parquet append-vs-marker durability window
+        without a transactional table format: publish IS a set of
+        idempotent renames. The caller deletes ``staging_dir`` only once
+        its own done-marker is durable; ``tag`` must be unique per
+        logical batch (the prep path uses the micro-batch id).
+        Single-writer, like every other write here."""
+        jvm = self.spark._jvm
+
+        def p(x):
+            return jvm.org.apache.hadoop.fs.Path(x)
+
+        fs = p(staging_dir).getFileSystem(self.spark._jsc.hadoopConfiguration())
+        staged_ready = fs.exists(p(os.path.join(staging_dir, "_SUCCESS")))
+        if not staged_ready:
+            # a complete staging dir is only deleted after the caller's
+            # done-marker is durable, and publish only starts from a
+            # complete stage -- so incomplete-stage + published files
+            # means external tampering; re-keying would double rows
+            if fs.exists(p(self.docs_path)) and any(
+                st.getPath().getName().startswith(tag + "-")
+                for st in fs.listStatus(p(self.docs_path))
+            ):
+                raise RuntimeError(
+                    f"staged append {tag!r}: the docs table already holds "
+                    f"published '{tag}-*' files but the staging dir at "
+                    f"{staging_dir!r} is incomplete; refusing to re-key "
+                    "(state was modified outside the append protocol)"
+                )
+            keyed, _n, _bootstrap = self._keyed_batch(df)
+            keyed.write.mode("overwrite").parquet(staging_dir)
+        parts = sorted(
+            st.getPath().getName()
+            for st in fs.listStatus(p(staging_dir))
+            if not st.getPath().getName().startswith(("_", "."))
+        )
+        fs.mkdirs(p(self.docs_path))
+        for name in parts:
+            dest = os.path.join(self.docs_path, f"{tag}-{name}")
+            if fs.exists(p(dest)):
+                continue
+            if not fs.rename(p(os.path.join(staging_dir, name)), p(dest)):
+                raise RuntimeError(
+                    f"staged append {tag!r}: publish rename of {name} failed"
+                )
+        self._invalidate_cache()
 
     def append_parquet(self, path: str) -> int:
         return self._append_df(self.spark.read.parquet(self._resolve(path)))

@@ -109,32 +109,17 @@ def _nearest(sub: np.ndarray, cent: np.ndarray) -> np.ndarray:
     return d2.argmin(axis=1)
 
 
-def train_pq(
-    embeddings: DataFrame,
-    m: int = 8,
+def pq_fit(
+    x: np.ndarray,
+    m: int,
     nbits: int = 8,
-    vec_col: str = "vector",
-    key_col: str | None = None,
-    sample_limit: int = 100_000,
     iters: int = 10,
     seed: int = 42,
 ) -> PQCodebook:
-    """Fit the per-subspace codebooks on a bounded sample.
-
-    With ``key_col`` the sample is the sample_limit smallest keys
-    (TakeOrderedAndProject -- deterministic across partitionings, same
-    contract as ann.train_centroids). ``dim % m`` must be 0; ``nbits``
-    <= 8 so codes pack one byte per subspace."""
-    if not 1 <= nbits <= 8:
-        raise ValueError(f"nbits must be in [1, 8], got {nbits}")
-    cols = [vec_col] if key_col is None else [key_col, vec_col]
-    sel = embeddings.select(*cols)
-    if key_col is not None:
-        sel = sel.orderBy(key_col)
-    rows = sel.limit(sample_limit).collect()
-    if not rows:
-        raise ValueError("cannot train PQ on an empty sample")
-    x = _normalize(np.array([r[-1] for r in rows], dtype=np.float64))
+    """Numpy codebook fit over ALREADY-normalized float64 vectors -- the
+    single-process core shared by :func:`train_pq` and its oracle/test
+    twins (same pattern as ann.kmeans_fit), so both sides are bit-equal
+    by construction."""
     dim = x.shape[1]
     if dim % m != 0:
         raise ValueError(f"dim {dim} is not divisible by m={m} subspaces")
@@ -163,6 +148,35 @@ def train_pq(
     return PQCodebook(
         codebooks=np.stack(books), dim=dim, m=m, nbits=nbits
     )
+
+
+def train_pq(
+    embeddings: DataFrame,
+    m: int = 8,
+    nbits: int = 8,
+    vec_col: str = "vector",
+    key_col: str | None = None,
+    sample_limit: int = 100_000,
+    iters: int = 10,
+    seed: int = 42,
+) -> PQCodebook:
+    """Fit the per-subspace codebooks on a bounded sample.
+
+    With ``key_col`` the sample is the sample_limit smallest keys
+    (TakeOrderedAndProject -- deterministic across partitionings, same
+    contract as ann.train_centroids). ``dim % m`` must be 0; ``nbits``
+    <= 8 so codes pack one byte per subspace."""
+    if not 1 <= nbits <= 8:
+        raise ValueError(f"nbits must be in [1, 8], got {nbits}")
+    cols = [vec_col] if key_col is None else [key_col, vec_col]
+    sel = embeddings.select(*cols)
+    if key_col is not None:
+        sel = sel.orderBy(key_col)
+    rows = sel.limit(sample_limit).collect()
+    if not rows:
+        raise ValueError("cannot train PQ on an empty sample")
+    x = _normalize(np.array([r[-1] for r in rows], dtype=np.float64))
+    return pq_fit(x, m=m, nbits=nbits, iters=iters, seed=seed)
 
 
 def encode_pq(

@@ -235,8 +235,13 @@ def prepare_training_data(
             **extra,
         )
         contaminated = hits.select(F.col("corpus_id").alias(key)).distinct()
-        cur = cur.join(contaminated, key, "left_anti")
+        # persist like the other dedup stages: the containment anti-join
+        # is expensive, and without pinning it here the fuzzy-dedup stage
+        # and every later audit count would re-execute it from the last
+        # persisted frame
+        cur = _persist_stage(cur.join(contaminated, key, "left_anti"))
         audit["decontaminate"] = cur.count()
+        _drop_superseded()
 
     if cfg.fuzzy_dedup is not None:
         pairs = minhash_lsh_pairs(cur, key, text, **cfg.fuzzy_dedup)

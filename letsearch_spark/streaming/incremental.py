@@ -160,13 +160,16 @@ def stream_prep_collection(
     the candidate store scan partition-prunes the current batch out, so
     a half-written self-partition can never pair a document with itself;
     ``applied/<id>`` (written last) short-circuits the whole batch. The
-    one residual non-idempotent window is a crash BETWEEN the collection
-    append committing and the ``appended/<id>`` marker write -- a replay
-    then appends the survivors twice; closing it needs a transactional
-    table format, which plain parquet is not. Write order inside a batch
+    collection append itself goes through
+    :meth:`Collection.append_staged`: survivors stage into
+    ``state_dir/staged/<id>/`` and publish into the docs table as
+    idempotent per-file renames with batch-deterministic names, so a
+    crash at ANY point -- including between the publish completing and
+    the ``appended/<id>`` marker write -- replays to exactly-once
+    without a transactional table format. Write order inside a batch
     is load-bearing: corpus first (pins provisional ids via the parquet
-    round-trip), append + marker next, bands after (a band id must
-    always be resolvable in ``corpus/``), applied marker last.
+    round-trip), staged append + marker next, bands after (a band id
+    must always be resolvable in ``corpus/``), applied marker last.
 
     ``state_dir`` is bound to ``checkpoint_dir``'s lineage (an ``owner``
     marker): batch ids restart per checkpoint, so resuming old prep
@@ -200,6 +203,24 @@ def stream_prep_collection(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def _normalize_owner_tag(path: str) -> str:
+    """Canonical form of a checkpoint path for the state_dir ownership
+    marker: equivalent spellings across restarts (trailing slash,
+    relative vs absolute, ``file:`` URI vs plain path) must compare
+    equal, or a legitimate resume wedges on the 'belongs to checkpoint'
+    guard. Non-local schemes (hdfs://, s3a://) only lose the trailing
+    slash -- their authority/path is already canonical."""
+    import os
+    import re
+
+    m = re.match(r"^file:(//)?(/.*)$", path)
+    if m:
+        path = m.group(2)
+    if re.match(r"^[A-Za-z][A-Za-z0-9+.-]*://", path):
+        return path.rstrip("/")
+    return os.path.abspath(path).rstrip("/")
 
 
 def _hadoop_fs(spark, path: str):
@@ -288,11 +309,15 @@ def _make_prep_batch_processor(
 
     def process_batch(batch_df, batch_id: int):
         if checkpoint_tag is not None:
+            tag = _normalize_owner_tag(checkpoint_tag)
             owner_marker = os.path.join(state_dir, "owner")
             owner = _marker_read(spark, owner_marker)
             if owner is None or not owner:
-                _marker_write(spark, owner_marker, checkpoint_tag)
-            elif owner != checkpoint_tag:
+                _marker_write(spark, owner_marker, tag)
+            # normalize the stored side too: markers written before the
+            # normalization (or by a caller spelling the path differently)
+            # must not wedge a legitimate resume
+            elif _normalize_owner_tag(owner) != tag:
                 raise RuntimeError(
                     f"prep state at {state_dir!r} belongs to checkpoint "
                     f"{owner!r}, not {checkpoint_tag!r}: batch ids restart "
@@ -369,6 +394,7 @@ def _make_prep_batch_processor(
                 cur = keyed.join(kept_ids, "__prep_id").drop("__prep_id")
             else:
                 cur = cur.limit(0)
+        staged_dir = os.path.join(state_dir, "staged", str(batch_id))
         if _marker_read(spark, appended_marker) is None:
             # pin the survivors once: isEmpty + the append's key-offset
             # job + the write would otherwise re-execute the banded join
@@ -376,12 +402,19 @@ def _make_prep_batch_processor(
             cur = cur.persist()
             try:
                 if not cur.isEmpty():
-                    coll._append_df(cur)
+                    # staged publish: idempotent renames close the crash
+                    # window between append and marker -- a replay after
+                    # a crash at ANY point converges with no double rows
+                    coll.append_staged(
+                        cur, staged_dir, tag=f"prep-{batch_id}"
+                    )
                 # marker only after the append succeeded -- writing it on
                 # failure would make the replay skip the rows entirely
                 _marker_write(spark, appended_marker)
             finally:
                 cur.unpersist()
+        # the staging dir is dead weight once the marker is durable
+        coll._fs_delete(staged_dir)
         if res is not None:
             # per-batch partition + overwrite = idempotent under replay
             res["bands"].write.mode("overwrite").parquet(

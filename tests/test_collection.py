@@ -1074,3 +1074,77 @@ def test_serve_view_stable_when_indexed_column_listed(coll):
         assert coll._emb_cache.get("__serve_text") is v1
     finally:
         coll.serve_filter_columns = []  # module-scoped fixture: reset
+
+
+def test_append_bootstrap_requires_index_columns(spark, tmp_path):
+    """The first batch into an EMPTY collection mints the table schema;
+    a batch missing an index column must be refused loudly up front,
+    not fail later in embed/search with a missing-column error."""
+    coll = Collection.create(
+        spark, str(tmp_path / "root"), name="boot",
+        index_columns=["text"], model_name="stub://8",
+    )
+    bad = spark.createDataFrame([(1,)], "doc_id long")
+    with pytest.raises(ValueError, match="missing index column"):
+        coll._append_df(bad)
+    assert not coll._docs_exist()  # nothing written
+    ok = spark.createDataFrame([(1, "hello world")], "doc_id long, text string")
+    assert coll._append_df(ok) == 1
+
+
+def test_append_staged_mid_publish_replay(spark, tmp_path):
+    """append_staged: a replay after a crash mid-publish (some staged
+    files already renamed into the table) completes the publish without
+    double rows -- destination names derive from the staged filenames,
+    so the already-renamed file is skipped, never shadowed."""
+    coll = Collection.create(
+        spark, str(tmp_path / "root"), name="stg",
+        index_columns=["text"], model_name="stub://8",
+    )
+    coll.import_df(
+        spark.createDataFrame([("seed doc",)], "text string")
+    )
+    batch = spark.createDataFrame(
+        [(f"doc {i}",) for i in range(9)], "text string"
+    ).repartition(3)
+    staged = str(tmp_path / "staged" / "0")
+    keyed, n, bootstrap = coll._keyed_batch(batch)
+    assert not bootstrap and n == 9
+    # force a multi-file stage (AQE would otherwise coalesce to one)
+    keyed.repartition(3).write.mode("overwrite").parquet(staged)
+    parts = sorted(
+        f for f in os.listdir(staged) if not f.startswith(("_", "."))
+    )
+    assert len(parts) >= 2
+    # simulate a crash after ONE rename
+    os.rename(
+        os.path.join(staged, parts[0]),
+        os.path.join(coll.docs_path, f"b0-{parts[0]}"),
+    )
+    coll.append_staged(batch, staged, tag="b0")  # replay completes
+    assert coll.count() == 10
+    keys = sorted(r["_key"] for r in coll.docs().select("_key").collect())
+    assert keys == list(range(1, 11))
+    # full replay after publish finished: a no-op
+    coll.append_staged(batch, staged, tag="b0")
+    assert coll.count() == 10
+
+
+def test_append_staged_tamper_guard(spark, tmp_path):
+    """Published files with no complete staging dir means the protocol
+    was violated (a complete stage is only deleted after the caller's
+    marker is durable) -- re-keying would double rows, so refuse."""
+    import shutil
+
+    coll = Collection.create(
+        spark, str(tmp_path / "root"), name="stg2",
+        index_columns=["text"], model_name="stub://8",
+    )
+    coll.import_df(spark.createDataFrame([("seed",)], "text string"))
+    batch = spark.createDataFrame([("one",), ("two",)], "text string")
+    staged = str(tmp_path / "staged" / "1")
+    coll.append_staged(batch, staged, tag="b1")
+    assert coll.count() == 3
+    shutil.rmtree(staged)
+    with pytest.raises(RuntimeError, match="refusing to re-key"):
+        coll.append_staged(batch, staged, tag="b1")

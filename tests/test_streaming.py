@@ -302,3 +302,102 @@ def test_stream_prep_truncated_marker_and_ownership(spark, tmp_path):
     )
     with pytest.raises(RuntimeError, match="belongs to checkpoint"):
         p2(spark.createDataFrame([(_prep_text(2),)], schema), 0)
+
+
+def test_stream_prep_crash_between_append_and_marker(spark, tmp_path, monkeypatch):
+    """The formerly-documented durability window: a crash AFTER the
+    collection append committed but BEFORE the ``appended/<id>`` marker
+    write. With the staged publish (Collection.append_staged) the
+    replay must converge to exactly-once -- no double rows."""
+    import pyspark.sql.types as T
+
+    import letsearch_spark.streaming.incremental as inc
+    from letsearch_spark.collection import Collection
+    from letsearch_spark.streaming.incremental import (
+        _make_prep_batch_processor,
+    )
+
+    schema = T.StructType([T.StructField("text", T.StringType())])
+    state = str(tmp_path / "state")
+    coll = Collection.create(
+        spark, str(tmp_path / "root"), name="cprep",
+        index_columns=["text"], model_name="stub://8",
+    )
+    process = _make_prep_batch_processor(
+        spark, coll, state, "text",
+        quality={"min_words": 10}, dedup={"threshold": 0.5}, embed=True,
+    )
+    process(spark.createDataFrame([(_prep_text(1),)], schema), 0)
+    assert coll.docs().count() == 1
+
+    real = inc._marker_write
+    boom = {"armed": True}
+
+    def crash_on_appended(sp, path, text=""):
+        if boom["armed"] and "appended" in path.replace("\\", "/").split("/"):
+            boom["armed"] = False
+            raise RuntimeError("injected crash after append publish")
+        real(sp, path, text)
+
+    monkeypatch.setattr(inc, "_marker_write", crash_on_appended)
+    b1 = spark.createDataFrame([(_prep_text(2),)], schema)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        process(b1, 1)
+    # the append itself PUBLISHED before the crash -- the old design
+    # would now double the rows on replay
+    assert coll.docs().count() == 2
+
+    process(b1, 1)  # checkpoint replay
+    assert coll.docs().count() == 2  # exactly-once
+    keys = sorted(r["_key"] for r in coll.docs().select("_key").collect())
+    assert keys == [1, 2]  # keys stayed dense, no phantom range
+    assert coll.embeddings("text").count() == 2
+    # staging dir cleaned up once the marker is durable
+    import os as _os
+
+    staged = _os.path.join(state, "staged", "1")
+    assert not _os.path.exists(staged)
+
+
+def test_stream_prep_owner_tag_path_spellings(spark, tmp_path):
+    """Equivalent checkpoint-path spellings (trailing slash, file: URI,
+    relative vs absolute) must all resume against the same state_dir;
+    a genuinely different checkpoint still raises."""
+    import pyspark.sql.types as T
+
+    from letsearch_spark.collection import Collection
+    from letsearch_spark.streaming.incremental import (
+        _make_prep_batch_processor,
+    )
+
+    schema = T.StructType([T.StructField("text", T.StringType())])
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    coll = Collection.create(
+        spark, str(tmp_path / "root"), name="oprep",
+        index_columns=["text"], model_name="stub://8",
+    )
+
+    def make(tag):
+        return _make_prep_batch_processor(
+            spark, coll, state, "text",
+            quality={"min_words": 10}, dedup={"threshold": 0.5},
+            embed=False, checkpoint_tag=tag,
+        )
+
+    make(ckpt)(spark.createDataFrame([(_prep_text(1),)], schema), 0)
+    # same path, different spellings: trailing slash, file: URI -- resume OK
+    make(ckpt + "/")(spark.createDataFrame([(_prep_text(2),)], schema), 1)
+    third = (
+        "a wholly separate narrative covering orchard harvests and the "
+        "seasonal logistics of moving crates between valley farms and "
+        "market towns with enough distinct vocabulary to clear both the "
+        "quality gate and the near duplicate detector by a wide margin"
+    )
+    make("file:" + ckpt)(spark.createDataFrame([(third,)], schema), 2)
+    assert coll.docs().count() == 3
+    # a different checkpoint still refuses
+    with pytest.raises(RuntimeError, match="belongs to checkpoint"):
+        make(str(tmp_path / "other_ckpt"))(
+            spark.createDataFrame([(_prep_text(1),)], schema), 0
+        )
