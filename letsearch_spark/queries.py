@@ -1488,6 +1488,127 @@ def q_stream_sessionize(spark, sf_dir):
     return spark.table(name).orderBy("user_id", "session_start")
 
 
+# ======================================================================
+# round-5 contract rotation: driver rows for the round-4 twin-only
+# flagships (BPE exact token counts, PQ/ADC top-k, span-level substring
+# dedup, quality-classifier keep-list)
+# ======================================================================
+
+_BPE_VOCAB = 200
+_PQ_M = 8
+_PQ_K = 10
+_SPAN_WIDTH = 10
+_SPAN_BOILER = (
+    "this document is provided as is without warranty of any kind "
+    "express or implied"
+)  # 14 words; every width-10 window inside it goes hot when planted
+_CLF_ITERS = 12
+
+
+def q_token_count_bpe(spark, sf_dir):
+    """BPE-exact token counts (tokenizer.py train_bpe +
+    token_count_exact): train a 200-symbol BPE on the documents table
+    (distributed word-count shuffle, driver-side merge training over
+    the bounded type table), then count tokens at DISTINCT-WORD cost
+    (each type encoded once in an Arrow batch, per-type lengths
+    broadcast back). Counts are integers -- hash-stable. Oracle: a
+    Counter + the same pure-Python merge trainer/encoder, emitted as a
+    VALUES literal (merge selection is order-independent: max count,
+    lexicographically-smallest tie-break)."""
+    from letsearch_spark.tokenizer import token_count_exact, train_bpe
+
+    docs = load(spark, sf_dir, "documents")
+    model = train_bpe(docs, "text", vocab_size=_BPE_VOCAB)
+    return token_count_exact(docs, "doc_id", "text", model).orderBy("doc_id")
+
+
+def q_pq_adc_topk(spark, sf_dir):
+    """PQ/ADC top-k (operators/pq.py): codebooks trained on the
+    key-sorted sample (pq_fit numpy core, deterministic across
+    partitionings), vectors encoded to m=8 one-byte codes, the vec_id-0
+    query scored by ADC lookup sums -- no float vector travels or
+    decodes. Ranks derive from the unrounded ADC scores (ties by
+    vec_id); the emitted score is rounded to 6 decimals. Oracle: the
+    same pq_fit + expanded-quadratic encode + LUT sum in single-process
+    numpy (bit-equal by construction; pinned in tests/test_pq.py)."""
+    from letsearch_spark.operators.pq import encode_pq, pq_topk, train_pq
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").alias("vector")
+    )
+    cb = train_pq(emb, m=_PQ_M, nbits=8, key_col="vec_id")
+    coded = encode_pq(emb, cb).select("vec_id", "pq_code")
+    qvec = emb.where(F.col("vec_id") == 0).select("vector").collect()[0][0]
+    hits = pq_topk(
+        coded, cb, [float(x) for x in qvec], k=_PQ_K, key_col="vec_id"
+    )
+    w = Window.orderBy(F.desc("score"), F.asc("vec_id"))
+    return hits.select(
+        F.row_number().over(w).cast("long").alias("rank"),
+        "vec_id",
+        F.round("score", 6).alias("score"),
+    )
+
+
+def q_dedup_substring_spans(spark, sf_dir):
+    """Span-level exact substring dedup (operators/dedup.py
+    remove_duplicate_ngrams, Lee et al. 2021): a 14-word boilerplate
+    span planted at the head of every 3rd document, width-10 windows --
+    every window inside the span goes hot, so non-keeper planted docs
+    lose exactly the boilerplate while the lowest-key doc keeps it.
+    Compared by md5 of the rebuilt text plus per-doc removed-word
+    counts, so the oracle checks exact span surgery, not just counts.
+    Oracle: an independent single-process twin over exact word-tuple
+    windows (no hashing -- the operator's 60-bit window hashes are
+    collision-free at any tested scale)."""
+    from letsearch_spark.operators.dedup import remove_duplicate_ngrams
+
+    docs = load(spark, sf_dir, "documents")
+    built = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit(_SPAN_BOILER + " "), F.coalesce("text", F.lit(""))
+            ),
+        )
+        .otherwise(F.coalesce("text", F.lit("")))
+        .alias("text"),
+    )
+    out = remove_duplicate_ngrams(built, "doc_id", "text", width=_SPAN_WIDTH)
+    return out.select(
+        "doc_id",
+        F.md5("text").alias("cleaned_md5"),
+        "n_words",
+        "n_removed",
+    ).orderBy("doc_id")
+
+
+def q_quality_classifier_keep(spark, sf_dir):
+    """GPT-3-style quality-classifier keep-list (operators/classifier.py):
+    logistic regression on hashed n-gram features, positive = the
+    lang='en' slice, negative = the rest, trained by 12 full-batch
+    momentum-GD iterations where only the <=1e4-row weight table and
+    per-bucket gradients travel; filtered with the deterministic
+    md5-Pareto rule (keep iff score > 1 - Pareto(9) variate drawn from
+    an md5 uniform on the id). Keep-list only -- scores never surface
+    (their last ulps are aggregation-order-dependent; the keep margins
+    are orders of magnitude wider, measured in the classifier margin
+    test). Oracle: a pure-Python featurize/GD/score/Pareto twin as a
+    VALUES literal."""
+    from letsearch_spark.operators.classifier import (
+        fit_quality_classifier,
+        quality_classifier_filter,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    pos = docs.where(F.col("lang") == "en")
+    neg = docs.where(F.col("lang") != "en")
+    model = fit_quality_classifier(pos, neg, iterations=_CLF_ITERS)
+    kept = quality_classifier_filter(docs, model, mode="pareto")
+    return kept.select("doc_id", "lang").orderBy("doc_id")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- flagship spine: chunk -> embed -> search, ingest formats,
     #    streaming, multimodal --
@@ -1505,8 +1626,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "s2_ingest_dense_key": q_s2_ingest_dense_key,
     "s3_append_key_continuation": q_s3_append_key_continuation,
     "p1_projection": q_p1_projection,
-    "p5_schema_introspection": q_p5_schema_introspection,
-    "p2_rowcount": q_p2_rowcount,
     "p3_key_lookup": q_p3_key_lookup,
     # -- vector search --
     "k1_topk_label_filtered": q_k1_topk_label_filtered,
@@ -1514,6 +1633,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_join": q_knn_join,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_assign": q_ann_ivf_assign,
+    "pq_adc_topk": q_pq_adc_topk,
     "quantize_f16_roundtrip": q_quantize_f16_roundtrip,
     # -- dedup / decontamination family --
     "dedup_exact": q_dedup_exact,
@@ -1524,16 +1644,17 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "dedup_embedding_cosine_lsh": q_dedup_embedding_cosine_lsh,
     "dedup_lines": q_dedup_lines,
+    "dedup_substring_spans": q_dedup_substring_spans,
     "semantic_dedup": q_semantic_dedup,
-    # -- text analysis --
+    # -- text analysis / tokenization / model-based filtering --
     "text_profile": q_text_profile,
     "quality_filter_gopher": q_quality_filter_gopher,
+    "token_count_bpe": q_token_count_bpe,
+    "quality_classifier_keep": q_quality_classifier_keep,
     # -- relational / OLAP --
     "agg_pricing_summary": q_agg_pricing_summary,
     "join_top_orders": q_join_top_orders,
     "join_nation_volume": q_join_nation_volume,
-    "agg_rollup": q_agg_rollup,
-    "scalar_functions": q_scalar_functions,
     "window_top_orders_per_customer": q_window_top_orders_per_customer,
     "events_sessionize": q_events_sessionize,
     "events_asof_last_order": q_events_asof_last_order,
@@ -1550,17 +1671,27 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 
-# Entries rotated OUT of the driver's 50-slot correctness window in
-# round 4 to make room for the formerly twin-only operators. The
-# capability (CSV source, JSON extraction, percentiles, anti-join set
-# op) remains implemented and oracle-verified -- tests/
-# test_rotated_contract.py runs this exact Spark-vs-DuckDB comparison
-# in pytest, so rotation costs a driver row, not verification.
+# Entries rotated OUT of the driver's 50-slot correctness window
+# (rounds 4 + 5) to make room for the formerly twin-only operators.
+# The capability (CSV source, JSON extraction, percentiles, anti-join
+# set op; round 5: row count, schema introspection, ROLLUP, the scalar
+# battery) remains implemented and oracle-verified --
+# tests/test_rotated_contract.py runs this exact Spark-vs-DuckDB
+# comparison in pytest, so rotation costs a driver row, not
+# verification.
 ROTATED_OUT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "s_csv_roundtrip": q_s_csv_roundtrip,
     "events_json_extract": q_events_json_extract,
     "events_value_percentiles": q_events_value_percentiles,
     "setop_customers_without_orders": q_setop_customers_without_orders,
+    # round 5 (displaced by token_count_bpe / pq_adc_topk /
+    # dedup_substring_spans / quality_classifier_keep): p2/p5 are
+    # one-expression checks, rollup/scalar overlap events_time_rollup
+    # and the relational substrate
+    "p2_rowcount": q_p2_rowcount,
+    "p5_schema_introspection": q_p5_schema_introspection,
+    "agg_rollup": q_agg_rollup,
+    "scalar_functions": q_scalar_functions,
 }
 
 ROTATED_OUT_ORACLES: dict[str, str] = {
@@ -1586,6 +1717,36 @@ ROTATED_OUT_ORACLES: dict[str, str] = {
     "setop_customers_without_orders": """
         SELECT c_custkey FROM customer
         WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    """,
+    "p2_rowcount": "SELECT count(*) AS n FROM documents",
+    "p5_schema_introspection": """
+        SELECT column_name FROM (DESCRIBE documents) ORDER BY column_name
+    """,
+    "agg_rollup": """
+        SELECT coalesce(o_orderstatus, 'ALL') AS status,
+               coalesce(o_orderpriority, 'ALL') AS priority,
+               count(*) AS n,
+               sum(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 100.0 AS total
+        FROM orders
+        GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        ORDER BY status, priority
+    """,
+    "scalar_functions": """
+        SELECT o_orderkey,
+               upper(substr(o_orderpriority, 1, 3)) AS prio3,
+               CAST(length(o_orderstatus) AS INT) AS status_len,
+               concat_ws('-', o_orderstatus, o_orderpriority) AS tag,
+               CAST(year(o_orderdate) AS INT) AS yr,
+               CAST(month(o_orderdate) AS INT) AS mo,
+               CAST(day(o_orderdate) AS INT) AS dom,
+               round(sqrt(o_totalprice), 6) AS sqrt_price,
+               round(ln(o_totalprice + 1.0), 6) AS log_price,
+               abs(o_totalprice - 1000.0) AS abs_diff,
+               o_orderkey % 7 AS mod7,
+               CASE WHEN o_totalprice > 1000 THEN 'high' ELSE 'low' END AS bucket
+        FROM orders
+        WHERE o_orderkey <= 2000
+        ORDER BY o_orderkey
     """,
 }
 
@@ -1616,13 +1777,9 @@ def _oracles() -> dict[str, str]:
     o["s1_jsonl_ingest"] = """
         SELECT doc_id, text, lang, source, n_chars FROM documents
     """
-    o["p5_schema_introspection"] = """
-        SELECT column_name FROM (DESCRIBE documents) ORDER BY column_name
-    """
     o["p1_projection"] = """
         SELECT doc_id AS _key, coalesce(text, '') AS text FROM documents
     """
-    o["p2_rowcount"] = "SELECT count(*) AS n FROM documents"
     o["p3_key_lookup"] = """
         SELECT doc_id, text FROM documents
         WHERE doc_id IN (3, 17, 42, 99, 123, 256, 404, 499)
@@ -1660,32 +1817,6 @@ def _oracles() -> dict[str, str]:
         WHERE r_name = 'ASIA'
         GROUP BY n_name
         ORDER BY n_name
-    """
-    o["agg_rollup"] = f"""
-        SELECT coalesce(o_orderstatus, 'ALL') AS status,
-               coalesce(o_orderpriority, 'ALL') AS priority,
-               count(*) AS n,
-               sum({cents.format(x='o_totalprice')}) / 100.0 AS total
-        FROM orders
-        GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
-        ORDER BY status, priority
-    """
-    o["scalar_functions"] = """
-        SELECT o_orderkey,
-               upper(substr(o_orderpriority, 1, 3)) AS prio3,
-               CAST(length(o_orderstatus) AS INT) AS status_len,
-               concat_ws('-', o_orderstatus, o_orderpriority) AS tag,
-               CAST(year(o_orderdate) AS INT) AS yr,
-               CAST(month(o_orderdate) AS INT) AS mo,
-               CAST(day(o_orderdate) AS INT) AS dom,
-               round(sqrt(o_totalprice), 6) AS sqrt_price,
-               round(ln(o_totalprice + 1.0), 6) AS log_price,
-               abs(o_totalprice - 1000.0) AS abs_diff,
-               o_orderkey % 7 AS mod7,
-               CASE WHEN o_totalprice > 1000 THEN 'high' ELSE 'low' END AS bucket
-        FROM orders
-        WHERE o_orderkey <= 2000
-        ORDER BY o_orderkey
     """
     o["window_top_orders_per_customer"] = """
         SELECT o_custkey, rnk, o_orderkey FROM (
@@ -2690,6 +2821,229 @@ def _computed_oracles(sf_dir: str) -> dict[str, str]:
     o["semantic_dedup"] = _values_literal(
         _semdedup_rows(nlist=8, thr=0.9),
         [("vec_id", "BIGINT"), ("cluster", "BIGINT"), ("keep", "BOOLEAN")],
+    )
+
+    # --- token_count_bpe: Counter word counts + the SAME pure-Python
+    # merge trainer/encoder the distributed path drives
+    # (tokenizer.py _train_merges is driver-side in both worlds; merge
+    # selection is order-independent -- max count, lexicographically
+    # smallest tie-break -- so equal word-count multisets give equal
+    # models). Counts are integers: hash-stable. ---
+    from collections import Counter as _Counter
+
+    from letsearch_spark.tokenizer import (
+        END_OF_WORD,
+        BpeModel,
+        _train_merges,
+        split_text,
+    )
+
+    def _bpe_rows(vocab_size: int):
+        wc = _Counter(
+            w for r in docs for w in split_text(r["text"] or "")
+        )
+        top = sorted(wc.items(), key=lambda kv: (-kv[1], kv[0]))[:1_000_000]
+        alpha_size = len(
+            {
+                s
+                for w, _ in top
+                for s in (list(w[:-1]) + [w[-1] + END_OF_WORD])
+            }
+        )
+        merges, alphabet = _train_merges(
+            top, max(0, vocab_size - alpha_size)
+        )
+        model = BpeModel(
+            merges=merges,
+            alphabet=alphabet,
+            word_types=len(top),
+            coverage=1.0,
+        )
+        return [
+            (r["doc_id"], model.token_count(r["text"] or "")) for r in docs
+        ]
+
+    o["token_count_bpe"] = _values_literal(
+        _bpe_rows(_BPE_VOCAB),
+        [("doc_id", "BIGINT"), ("n_tokens", "BIGINT")],
+    )
+
+    # --- pq_adc_topk: the same pq_fit numpy core on the key-sorted
+    # sample, the same expanded-quadratic encode, the same LUT sum --
+    # bit-equal to the Spark ADC path by construction (pinned in
+    # tests/test_pq.py: codes stable under repartitioning, scores to
+    # 1e-12). Ranks from the unrounded scores, score emitted at the
+    # Spark HALF_UP round-6. ---
+    def _pq_rows(m: int, k: int):
+        from letsearch_spark.operators.pq import pq_fit
+
+        x = np.array([r["embedding"] for r in etbl], dtype=np.float64)
+        norms = np.linalg.norm(x, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        xn = x / norms
+        cb = pq_fit(xn[:100_000], m=m, nbits=8, iters=10, seed=42)
+        dsub = cb.dsub
+        codes = np.empty((len(xn), m), dtype=np.uint8)
+        for s in range(m):
+            sub = xn[:, s * dsub : (s + 1) * dsub]
+            cent = cb.codebooks[s]
+            d2 = (
+                (sub**2).sum(axis=1, keepdims=True)
+                - 2.0 * (sub @ cent.T)
+                + (cent**2).sum(axis=1)[None, :]
+            )
+            codes[:, s] = d2.argmin(axis=1).astype(np.uint8)
+        q0 = np.asarray(etbl[0]["embedding"], dtype=np.float64)
+        assert etbl[0]["vec_id"] == 0
+        qn = np.linalg.norm(q0)
+        q0 = q0 / qn if qn > 0 else q0
+        lut = np.stack(
+            [cb.codebooks[s] @ q0[s * dsub : (s + 1) * dsub] for s in range(m)]
+        )
+        scores = lut[np.arange(m)[None, :], codes].sum(axis=1)
+        order = sorted(
+            range(len(etbl)), key=lambda i: (-scores[i], etbl[i]["vec_id"])
+        )[:k]
+        return [
+            (rank + 1, etbl[i]["vec_id"], _spark_round6(float(scores[i])))
+            for rank, i in enumerate(order)
+        ]
+
+    o["pq_adc_topk"] = _values_literal(
+        _pq_rows(_PQ_M, _PQ_K),
+        [("rank", "BIGINT"), ("vec_id", "BIGINT"), ("score", "DOUBLE")],
+    )
+
+    # --- dedup_substring_spans: independent twin over EXACT word-tuple
+    # windows (the operator hashes windows; 60-bit keys are
+    # collision-free at tested scales, so exact tuples give the same
+    # hot set). Same split semantics as tokenizer.split_words. ---
+    def _span_rows(width: int):
+        import hashlib as _hl
+
+        per_doc: dict[int, list[str]] = {}
+        for r in docs:
+            t = r["text"] or ""
+            if r["doc_id"] % 3 == 0:
+                t = _SPAN_BOILER + " " + t
+            per_doc[r["doc_id"]] = split_text(t)
+        stats: dict[tuple, tuple[set, int]] = {}
+        for did, ws in per_doc.items():
+            for s in range(len(ws) - width + 1):
+                g = tuple(ws[s : s + width])
+                hit = stats.get(g)
+                if hit is None:
+                    stats[g] = ({did}, did)
+                else:
+                    hit[0].add(did)
+                    stats[g] = (hit[0], min(hit[1], did))
+        rows = []
+        for did in sorted(per_doc):
+            ws = per_doc[did]
+            covered: set[int] = set()
+            for s in range(len(ws) - width + 1):
+                ds, keeper = stats[tuple(ws[s : s + width])]
+                if len(ds) > 1 and did != keeper:
+                    covered.update(range(s, s + width))
+            kept = [w for i, w in enumerate(ws) if i not in covered]
+            cleaned = " ".join(kept)
+            rows.append(
+                (
+                    did,
+                    _hl.md5(cleaned.encode()).hexdigest(),
+                    len(ws),
+                    len(ws) - len(kept),
+                )
+            )
+        return rows
+
+    o["dedup_substring_spans"] = _values_literal(
+        _span_rows(_SPAN_WIDTH),
+        [
+            ("doc_id", "BIGINT"),
+            ("cleaned_md5", "VARCHAR"),
+            ("n_words", "BIGINT"),
+            ("n_removed", "BIGINT"),
+        ],
+    )
+
+    # --- quality_classifier_keep: pure-Python featurize / momentum-GD /
+    # score / md5-Pareto twin (operators/classifier.py). Float sums run
+    # in document order here vs Spark's partial-aggregation order --
+    # drift is ulp-level while the keep margins are >= 1e-4 (measured,
+    # see the classifier margin test), so the keep SET is identical. ---
+    def _clf_keep_rows(
+        iterations: int,
+        lr: float = 10.0,
+        momentum: float = 0.9,
+        l2: float = 1e-6,
+        num_buckets: int = 10_000,
+        seed: int = 42,
+        pareto_alpha: float = 9.0,
+    ):
+        def feats(text: str) -> dict[int, int]:
+            w = _bm25_tokens(text or "")
+            grams = w + [f"{w[i]} {w[i + 1]}" for i in range(len(w) - 1)]
+            out: dict[int, int] = {}
+            for g in grams:
+                b = _h60(f"{g}#dsir{seed}") % num_buckets
+                out[b] = out.get(b, 0) + 1
+            return out
+
+        # training set: pos = lang='en', neg = lang is not null and not
+        # 'en' (the != predicate drops nulls, mirroring Spark)
+        train = []
+        for r in docs_full:
+            if r["lang"] is None:
+                continue
+            y = 1.0 if r["lang"] == "en" else 0.0
+            f = feats(r["text"])
+            tot = sum(f.values())
+            x = {b: c / tot for b, c in f.items()} if tot else {}
+            train.append((x, y))
+        n_docs = len(train)
+        weights: dict[int, float] = {}
+        bias = 0.0
+        vel: dict[int, float] = {}
+        v_bias = 0.0
+        for _ in range(iterations):
+            grad: dict[int, float] = {}
+            sr = 0.0
+            for x, y in train:
+                z = sum(xv * weights.get(b, 0.0) for b, xv in x.items())
+                p_ = 1.0 / (1.0 + math.exp(-(z + bias)))
+                r_ = p_ - y
+                sr += r_
+                for b, xv in x.items():
+                    grad[b] = grad.get(b, 0.0) + xv * r_
+            for b, g in grad.items():
+                g2 = g / n_docs + l2 * weights.get(b, 0.0)
+                vel[b] = momentum * vel.get(b, 0.0) + g2
+                weights[b] = weights.get(b, 0.0) - lr * vel[b]
+            v_bias = momentum * v_bias + sr / n_docs
+            bias -= lr * v_bias
+        rows = []
+        for r in docs_full:
+            f = feats(r["text"])
+            tot = sum(f.values())
+            z = (
+                sum((c / tot) * weights.get(b, 0.0) for b, c in f.items())
+                if tot
+                else 0.0
+            )
+            q_ = 1.0 / (1.0 + math.exp(-(z + bias)))
+            u = (
+                _h60(f"{r['doc_id']}#{seed}") % 1_000_000 + 0.5
+            ) / 1_000_000.0
+            pareto = (1.0 - u) ** (-1.0 / pareto_alpha) - 1.0
+            if q_ > 1.0 - pareto:
+                rows.append((r["doc_id"], r["lang"]))
+        rows.sort()
+        return rows
+
+    o["quality_classifier_keep"] = _values_literal(
+        _clf_keep_rows(iterations=_CLF_ITERS),
+        [("doc_id", "BIGINT"), ("lang", "VARCHAR")],
     )
     return o
 

@@ -2840,3 +2840,38 @@ def test_winnow_pairs_hot_fp_guard(spark):
     )
     assert allp.count() > 0
     assert none.count() == 0  # every shared fp is in all 30 docs -> hot
+
+
+def test_quality_classifier_keep_margin(spark, sf_dir):
+    """The contract keep-list (q_quality_classifier_keep) is exact-hash
+    compared against a pure-Python GD twin whose float sums run in a
+    different order, so the keep decision must sit far from the Pareto
+    cutoff: min |q - (1 - pareto)| >= 1e-6 (measured 8.2e-3 at sf0.001,
+    1.8e-3 at sf0.01, 2.5e-4 at sf0.1 -- at least 9 orders above
+    aggregation-order ulp drift)."""
+    from pyspark.sql import functions as F
+
+    from letsearch_spark.operators.classifier import (
+        fit_quality_classifier,
+        score_quality,
+    )
+    from letsearch_spark.operators.sample import _BUCKETS, hash_bucket
+    from letsearch_spark.queries import _CLF_ITERS
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pos = docs.where(F.col("lang") == "en")
+    neg = docs.where(F.col("lang") != "en")
+    model = fit_quality_classifier(pos, neg, iterations=_CLF_ITERS)
+    scored = score_quality(docs, model, out_col="q")
+    u = (hash_bucket(F.col("doc_id"), seed=42) + F.lit(0.5)) / F.lit(
+        float(_BUCKETS)
+    )
+    pareto = F.pow(F.lit(1.0) - u, F.lit(-1.0 / 9.0)) - F.lit(1.0)
+    m = (
+        scored.select(
+            F.abs(F.col("q") - (F.lit(1.0) - pareto)).alias("margin")
+        )
+        .agg(F.min("margin"))
+        .first()[0]
+    )
+    assert m >= 1e-6, f"keep margin {m} too small for cross-engine hashing"

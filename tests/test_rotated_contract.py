@@ -1,13 +1,16 @@
 """Oracle verification for contract entries rotated OUT of the driver's
-50-slot correctness window (round 4).
+50-slot correctness window (rounds 4 + 5).
 
 The driver hash-checks at most 50 queries; rotation made room for the
-formerly twin-only operators (DSIR, perplexity filter, semantic dedup,
-stateful sessions). The rotated-out capabilities -- CSV source, JSON
-extraction, percentile aggregation, anti-join set op -- keep the SAME
-Spark-vs-DuckDB comparison here: row count, sorted-column schema, and
-exact canonical value equality, imported straight from
-tools/check_oracle.py so the two gates cannot drift.
+formerly twin-only operators (round 4: DSIR, perplexity filter,
+semantic dedup, stateful sessions; round 5: BPE exact counts, PQ/ADC
+top-k, span-level substring dedup, classifier keep-list). The
+rotated-out capabilities -- CSV source, JSON extraction, percentile
+aggregation, anti-join set op, row count, schema introspection, ROLLUP,
+the scalar battery -- keep the SAME Spark-vs-DuckDB comparison here:
+row count, sorted-column schema, and exact canonical value equality,
+imported straight from tools/check_oracle.py so the two gates cannot
+drift.
 """
 
 import pytest
@@ -74,5 +77,10 @@ def test_rotation_bookkeeping():
         "perplexity_filter",
         "semantic_dedup",
         "stream_sessionize",
+        # round-5 rotation
+        "token_count_bpe",
+        "pq_adc_topk",
+        "dedup_substring_spans",
+        "quality_classifier_keep",
     ):
         assert new in QUERIES and new in oracles
