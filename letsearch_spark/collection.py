@@ -180,6 +180,18 @@ class Collection:
         # terms; a 100 TB web corpus with a billion-term vocabulary
         # stays distributed)
         self.lexical_idf_cache_max_terms: int = 1_000_000
+        # strategy='auto' thresholds, from the measured crossovers in
+        # SCALING.md: exact cosine beats every approximate path below
+        # ~200k rows (LSH bucket pruning only pays off once the probed
+        # fraction of a big cache undercuts one full scan; ADC's
+        # per-query overhead dominates small scans); past the cache
+        # ceiling the on-disk IVF-PQ index (codes ~32x smaller, probes
+        # partition-pruned) is the shape that still serves
+        self.auto_exact_max_rows: int = 200_000
+        self.auto_cached_max_rows: int = 5_000_000
+        # per-column serve-view row counts backing the auto policy;
+        # cleared on writes
+        self._col_rows: dict[str, int] = {}
 
     # ---- paths ----
 
@@ -773,6 +785,7 @@ class Collection:
             self._embeddings_ok.clear()
             self._ivf_centroids.clear()
             self._lex_stats.clear()
+            self._col_rows.clear()
             for cb, coded in self._pq_index.values():
                 try:
                     coded.unpersist()
@@ -789,6 +802,7 @@ class Collection:
             self._local_idx.pop(f"__lex_{column}", None)
             self._embeddings_ok.discard(column)
             self._ivf_centroids.pop(column, None)
+            self._col_rows.pop(column, None)
             self._lex_stats.pop(column, None)
             self._lex_dfmap.pop(column, None)
             self._lex_vocab.pop(column, None)
@@ -808,6 +822,42 @@ class Collection:
         }
 
     # ---- search (K1/K3 + P3/P4, serve.rs API semantics) ----
+
+    def _column_rows(self, column: str) -> int:
+        """Indexed-row count for ``column`` (one partition-pruned count
+        on first use, cached until a write invalidates it) -- the size
+        signal the auto strategy policy reads."""
+        n = self._col_rows.get(column)
+        if n is None:
+            n = self.embeddings(column).count()
+            self._col_rows[column] = n
+        return n
+
+    def resolve_strategy(self, column: str) -> str:
+        """The ``strategy='auto'`` policy: pick the serving shape from
+        the indexed size against the measured SCALING.md crossovers.
+
+        * <= ``auto_exact_max_rows`` (default 200k): ``'join'`` --
+          exact single-job top-k; every approximate path is SLOWER here
+          (LSH bucket pruning saves nothing on a scan this small, PQ's
+          per-query ADC overhead dominates -- the measured footgun this
+          policy exists to prevent);
+        * <= ``auto_cached_max_rows`` (default 5M): ``'lsh'`` -- the
+          cache still fits, bucket pruning now wins (measured 3.4x at
+          200k docs);
+        * above: ``'ivf_pq'`` -- codes-on-disk, partition-pruned
+          probes; the shape that still serves when the full-precision
+          cache no longer fits.
+
+        Approximate tiers trade recall for latency by design; callers
+        needing exact results above the crossover should pass
+        ``strategy='join'`` explicitly."""
+        n = self._column_rows(column)
+        if n <= self.auto_exact_max_rows:
+            return "join"
+        if n <= self.auto_cached_max_rows:
+            return "lsh"
+        return "ivf_pq"
 
     def search(
         self,
@@ -831,6 +881,12 @@ class Collection:
         the cached view at build; the view auto-rebuilds if the list
         grew). Evaluates against cached in-memory batches with min/max
         batch pruning -- no per-query join against the docs table.
+
+        strategy='auto': size-based selection via
+        :meth:`resolve_strategy` -- exact 'join' below the ~200k-row
+        LSH crossover, 'lsh' while the cache fits, 'ivf_pq' beyond
+        (SCALING.md crossovers), so a small collection never silently
+        pays an approximate path's overhead.
 
         strategy='join' (default): fetch-back as a broadcast join of the
         <=100 hits against the docs table -- one declarative plan, the
@@ -896,8 +952,8 @@ class Collection:
         if column not in self.config.index_columns:
             raise ValueError(f"column {column!r} is not indexed")
         if strategy not in (
-            "join", "inlist", "local", "lsh", "ivf", "hybrid", "local_hybrid",
-            "pq", "ivf_pq",
+            "auto", "join", "inlist", "local", "lsh", "ivf", "hybrid",
+            "local_hybrid", "pq", "ivf_pq",
         ):
             raise ValueError(f"unknown strategy {strategy!r}")
         if where is not None and strategy != "join":
@@ -907,6 +963,8 @@ class Collection:
                 "driver-local strategies do not pre-filter)"
             )
         self._require_embeddings(column)
+        if strategy == "auto":
+            strategy = self.resolve_strategy(column)
         qvec = self._embedder().embed([query])[0].tolist()
 
         if strategy == "pq":

@@ -1148,3 +1148,51 @@ def test_append_staged_tamper_guard(spark, tmp_path):
     shutil.rmtree(staged)
     with pytest.raises(RuntimeError, match="refusing to re-key"):
         coll.append_staged(batch, staged, tag="b1")
+
+
+def test_search_strategy_auto(spark, tmp_path, sf_dir):
+    """strategy='auto' picks exact below the LSH crossover, 'lsh' while
+    the cache fits, 'ivf_pq' beyond -- and returns the SAME rows as the
+    explicitly chosen strategy at each tier (thresholds shrunk around
+    the 500-row fixture to exercise all three)."""
+    coll = Collection.create(
+        spark, str(tmp_path / "root"), name="auto",
+        index_columns=["text"], model_name="stub://16",
+    )
+    coll.import_parquet(os.path.join(sf_dir, "documents.parquet"))
+    coll.embed_column("text")
+    q = "spark join query window batch data"
+
+    def rows(df):
+        return [(r["key"], r["score"]) for r in df.collect()]
+
+    # tier 1: small collection -> exact join (the default thresholds
+    # already put 500 rows far below the 200k crossover)
+    assert coll.resolve_strategy("text") == "join"
+    assert rows(coll.search("text", q, limit=5, strategy="auto")) == rows(
+        coll.search("text", q, limit=5, strategy="join")
+    )
+
+    # tier 2: shrink the exact ceiling below the table -> lsh
+    coll.auto_exact_max_rows = 100
+    coll.auto_cached_max_rows = 1_000
+    assert coll.resolve_strategy("text") == "lsh"
+    assert rows(coll.search("text", q, limit=5, strategy="auto")) == rows(
+        coll.search("text", q, limit=5, strategy="lsh")
+    )
+
+    # tier 3: shrink the cache ceiling too -> ivf_pq (codes on disk)
+    coll.auto_cached_max_rows = 100
+    assert coll.resolve_strategy("text") == "ivf_pq"
+    assert rows(coll.search("text", q, limit=5, strategy="auto")) == rows(
+        coll.search("text", q, limit=5, strategy="ivf_pq")
+    )
+
+    # the size signal is cached (no recount) and invalidated on writes
+    assert coll._col_rows["text"] == 500
+    coll.add_chunks(["a brand new chunk of text"], column="text")
+    assert "text" not in coll._col_rows
+    coll.embed_column("text")
+    coll.auto_exact_max_rows = 200_000
+    assert coll.resolve_strategy("text") == "join"
+    assert coll._col_rows["text"] == 501
