@@ -176,11 +176,11 @@ def stream_prep_collection(
     state under a new checkpoint raises instead of silently skipping
     batches whose ids collide with applied markers. State grows with
     batch count (three tiny markers + one bands partition each);
-    markers for batches the checkpoint has committed are dead weight
-    and may be pruned offline, and very long-running ingests should
-    periodically fold old ``bands/batch=N`` partitions together (any
-    relabeling that keeps rows intact preserves dedup semantics) to
-    bound partition-discovery cost on object stores.
+    run :func:`prune_prep_state` periodically to drop markers for
+    batches the checkpoint has committed and fold their
+    ``bands/batch=N`` partitions into one history partition
+    (:func:`fold_band_partitions`), bounding partition-discovery cost
+    on object stores.
 
     At 100 TB-ingest scale each batch costs: one Catalyst scan for the
     quality flags, one signature pass over the batch + a banded join
@@ -285,6 +285,121 @@ def _prior_band_batches(spark, bands_path: str, batch_id: int) -> bool:
                 "(fresh state_dir + checkpoint_dir) before resuming"
             )
     return found
+
+
+def fold_band_partitions(spark, state_dir: str, up_to: int) -> int:
+    """Fold ``bands/batch=N`` partitions with ``0 <= N < up_to`` (plus
+    any previous fold) into ONE history partition, bounding
+    partition-discovery cost for long-running ingests (object-store
+    listings are per-directory). Returns the number of partitions
+    folded away.
+
+    Dedup semantics are preserved by construction: candidates join on
+    (band, sig) regardless of which partition a row lives in, and the
+    current batch's self-exclusion (``batch != batch_id``) only ever
+    targets its own LIVE id -- history partitions carry negative labels
+    live batches never use. Crash-safe with no memory-loss window: the
+    folded rows are staged OUTSIDE ``bands/``, renamed in under a fresh
+    negative label, and only then are the superseded partitions
+    deleted -- a crash in between leaves duplicate band rows, which
+    only produce already-deduplicated candidate pairs (tested)."""
+    import os
+
+    bands = os.path.join(state_dir, "bands")
+    fs, jp = _hadoop_fs(spark, bands)
+    if not fs.exists(jp):
+        return 0
+    live, negs = [], []
+    for st in fs.listStatus(jp):
+        name = st.getPath().getName()
+        if not name.startswith("batch="):
+            continue
+        b = int(name.split("=", 1)[1])
+        if b < 0:
+            negs.append(b)
+        elif b < up_to:
+            live.append(b)
+    if not live:
+        return 0
+    new_label = min(negs) - 1 if negs else -1
+    store = spark.read.parquet(bands)
+    folded = store.where(F.col("batch") < up_to).drop("batch")
+    staging = os.path.join(state_dir, "bands.fold")
+    _fs_rm(spark, staging)
+    folded.write.parquet(staging)
+    dest = os.path.join(bands, f"batch={new_label}")
+    fs_b, jdest = _hadoop_fs(spark, dest)
+    if not fs_b.rename(
+        spark._jvm.org.apache.hadoop.fs.Path(staging), jdest
+    ):
+        raise IOError(f"band fold rename failed: {staging} -> {dest}")
+    for b in negs + live:
+        _fs_rm(spark, os.path.join(bands, f"batch={b}"))
+    return len(live) + len(negs)
+
+
+def prune_prep_state(
+    spark, state_dir: str, committed_up_to: int, fold: bool = True
+) -> dict:
+    """Housekeeping for :func:`stream_prep_collection` state: drop the
+    dead per-batch artifacts of batches the CHECKPOINT has already
+    committed (ids ``< committed_up_to`` -- Structured Streaming never
+    replays a committed batch): the ``applied``/``appended``/
+    ``archived`` markers and leftover ``staged/<id>`` dirs. The
+    ``corpus/`` archive and the band store are dedup MEMORY and are
+    never pruned -- with ``fold`` (default) the pruned batches' band
+    partitions are first folded into one history partition
+    (:func:`fold_band_partitions`), which additionally makes even an
+    out-of-contract replay of a pruned batch converge: its rows dedup
+    against their own archived selves (self-exclusion no longer hides
+    them once folded) instead of double-appending. Returns counts:
+    ``{"markers": n, "staged": n, "folded": n}``."""
+    import os
+
+    if committed_up_to < 0:
+        raise ValueError(
+            f"committed_up_to must be >= 0, got {committed_up_to}"
+        )
+    folded = (
+        fold_band_partitions(spark, state_dir, committed_up_to)
+        if fold
+        else 0
+    )
+    markers = staged = 0
+    for kind in ("applied", "appended", "archived"):
+        d = os.path.join(state_dir, kind)
+        fs, jp = _hadoop_fs(spark, d)
+        if not fs.exists(jp):
+            continue
+        for st in fs.listStatus(jp):
+            name = st.getPath().getName()
+            try:
+                bid = int(name)
+            except ValueError:
+                continue
+            if bid < committed_up_to:
+                fs.delete(st.getPath(), False)
+                markers += 1
+    sd = os.path.join(state_dir, "staged")
+    fs, jp = _hadoop_fs(spark, sd)
+    if fs.exists(jp):
+        for st in fs.listStatus(jp):
+            name = st.getPath().getName()
+            try:
+                bid = int(name)
+            except ValueError:
+                continue
+            if bid < committed_up_to:
+                fs.delete(st.getPath(), True)
+                staged += 1
+    return {"markers": markers, "staged": staged, "folded": folded}
+
+
+def _fs_rm(spark, path: str) -> None:
+    """Recursive delete via the Hadoop FS (no-op when absent)."""
+    fs, jp = _hadoop_fs(spark, path)
+    if fs.exists(jp):
+        fs.delete(jp, True)
 
 
 def _make_prep_batch_processor(

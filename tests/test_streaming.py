@@ -401,3 +401,68 @@ def test_stream_prep_owner_tag_path_spellings(spark, tmp_path):
         make(str(tmp_path / "other_ckpt"))(
             spark.createDataFrame([(_prep_text(1),)], schema), 0
         )
+
+
+def test_prune_prep_state_and_band_fold(spark, tmp_path):
+    """Housekeeping: pruning drops committed batches' markers + staged
+    leftovers, folds their band partitions into one history partition,
+    and dedup memory SURVIVES -- a later near-dup is still dropped, and
+    even an out-of-contract replay of a pruned batch converges (its
+    rows dedup against their own archived selves) instead of
+    double-appending."""
+    import os
+
+    import pyspark.sql.types as T
+
+    from letsearch_spark.collection import Collection
+    from letsearch_spark.streaming.incremental import (
+        _make_prep_batch_processor,
+        fold_band_partitions,
+        prune_prep_state,
+    )
+
+    schema = T.StructType([T.StructField("text", T.StringType())])
+    state = str(tmp_path / "state")
+    coll = Collection.create(
+        spark, str(tmp_path / "root"), name="hkprep",
+        index_columns=["text"], model_name="stub://8",
+    )
+    process = _make_prep_batch_processor(
+        spark, coll, state, "text",
+        quality={"min_words": 10}, dedup={"threshold": 0.5}, embed=False,
+    )
+    b0 = spark.createDataFrame([(_prep_text(1),)], schema)
+    process(b0, 0)
+    process(spark.createDataFrame([(_prep_text(2),)], schema), 1)
+    assert coll.docs().count() == 2
+
+    stats = prune_prep_state(spark, state, committed_up_to=2)
+    assert stats == {"markers": 6, "staged": 0, "folded": 2}
+    assert not os.path.exists(os.path.join(state, "applied", "0"))
+    parts = sorted(os.listdir(os.path.join(state, "bands")))
+    assert [p for p in parts if p.startswith("batch=")] == ["batch=-1"]
+
+    # dedup memory survived the fold: a near-dup of a folded batch's
+    # doc arriving in a NEW batch is still dropped
+    near = _prep_text(1).replace("kappa", "sigma")
+    process(spark.createDataFrame([(near,)], schema), 2)
+    assert coll.docs().count() == 2
+
+    # out-of-contract replay of the pruned batch 0: no markers remain,
+    # so it re-keys -- but the folded store no longer hides batch 0's
+    # own bands behind the self-exclusion, so every row dedups against
+    # its archived self and nothing double-appends
+    process(b0, 0)
+    assert coll.docs().count() == 2
+
+    # idempotent / no-op cases (the replay above recreated batch 0's
+    # three markers; pruning them again converges to zero)
+    assert fold_band_partitions(spark, state, up_to=0) == 0
+    again = prune_prep_state(spark, state, committed_up_to=2)
+    assert again["markers"] == 3 and again["staged"] == 0
+    third = prune_prep_state(spark, state, committed_up_to=2)
+    assert third == {"markers": 0, "staged": 0, "folded": 0}
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="committed_up_to"):
+        prune_prep_state(spark, state, committed_up_to=-1)
