@@ -203,10 +203,11 @@ def build_parser() -> argparse.ArgumentParser:
         "--strategy",
         default="join",
         choices=[
-            "join", "inlist", "local", "lsh", "ivf", "hybrid",
+            "auto", "join", "inlist", "local", "lsh", "ivf", "hybrid",
             "local_hybrid", "pq", "ivf_pq",
         ],
-        help="serving strategy (see Collection.search)",
+        help="serving strategy (see Collection.search); 'auto' picks "
+        "from the indexed size via the measured crossovers",
     )
     s.add_argument(
         "--where",

@@ -370,7 +370,9 @@ class Collection:
         keyed.write.mode("overwrite" if bootstrap else "append").parquet(
             self.docs_path
         )
-        self._invalidate_cache()
+        # append-only: embeddings (and their indexes) are untouched --
+        # the refresh paths can top indexes up incrementally
+        self._invalidate_cache(drop_index_meta=False)
         if n is not None:
             return n
         return self.count() if bootstrap else keyed.count()
@@ -437,7 +439,7 @@ class Collection:
                 raise RuntimeError(
                     f"staged append {tag!r}: publish rename of {name} failed"
                 )
-        self._invalidate_cache()
+        self._invalidate_cache(drop_index_meta=False)
 
     def append_parquet(self, path: str) -> int:
         return self._append_df(self.spark.read.parquet(self._resolve(path)))
@@ -504,7 +506,9 @@ class Collection:
             self._fs_replace(staged, self.embeddings_path)
             out["embeddings_files"] = self._fs_count_files(self.embeddings_path)
 
-        self._invalidate_cache()
+        # identical rows in fewer files: indexes stay valid, refresh
+        # will report 'current'
+        self._invalidate_cache(drop_index_meta=False)
         return out
 
     def _fs_replace(self, src: str, dest: str) -> None:
@@ -631,8 +635,12 @@ class Collection:
         fs = jpath.getFileSystem(self.spark._jsc.hadoopConfiguration())
         if not fs.exists(jpath):
             return False
+        # same hidden-entry rule as Spark's file index: "_"/"." prefixes
+        # are metadata (_SUCCESS, ._COPYING_) EXCEPT partition dirs --
+        # an underscore-named partition column ("_list=0") is data
         return any(
-            not st.getPath().getName().startswith(("_", "."))
+            "=" in st.getPath().getName()
+            or not st.getPath().getName().startswith(("_", "."))
             for st in fs.listStatus(jpath)
         )
 
@@ -757,10 +765,21 @@ class Collection:
             .partitionBy("column_name")
             .parquet(self.embeddings_path)
         )
-        self._invalidate_cache(column)
+        # incremental mode only ADDS keys (anti-join), so the on-disk
+        # index quantizers stay valid and refresh appends at batch cost;
+        # a full overwrite may re-vector EXISTING keys -> force rebuild
+        self._invalidate_cache(column, drop_index_meta=not incremental)
         return self.embeddings(column).count()
 
-    def _invalidate_cache(self, column: str | None = None) -> None:
+    def _invalidate_cache(
+        self, column: str | None = None, drop_index_meta: bool = True
+    ) -> None:
+        """Drop serve-path caches after a write. ``drop_index_meta``
+        additionally removes the on-disk ANN quantizer files, forcing a
+        full index rebuild on next use -- required when existing keys
+        may carry DIFFERENT data (full re-embed / re-import); pass
+        False for append-only writes so the refresh paths can top the
+        indexes up incrementally instead."""
         cols = (
             [
                 column,
@@ -795,8 +814,9 @@ class Collection:
             self._ivf_pq_index.clear()
             self._lex_dfmap.clear()
             self._lex_vocab.clear()
-            for c in self.config.index_columns:
-                self._drop_ivf_pq_meta(c)
+            if drop_index_meta:
+                for c in self.config.index_columns:
+                    self._drop_index_meta(c)
         else:
             self._local_idx.pop(column, None)
             self._local_idx.pop(f"__lex_{column}", None)
@@ -813,7 +833,8 @@ class Collection:
                 except Exception:
                     pass
             self._ivf_pq_index.pop(column, None)
-            self._drop_ivf_pq_meta(column)
+            if drop_index_meta:
+                self._drop_index_meta(column)
 
     def embed_all(self, incremental: bool = True) -> dict[str, int]:
         return {
@@ -1464,29 +1485,101 @@ class Collection:
     # IVF serving knobs (FAISS-style recall/latency trade)
     ivf_nlist = 16
     ivf_nprobe = 2
+    # incremental index maintenance: append new keys under the FROZEN
+    # quantizers while the un-indexed fraction stays at or below this;
+    # past it, retrain (frozen centroids/codebooks lose recall once the
+    # new data dominates). 0.0 forces a rebuild on any change.
+    ivf_rebuild_fraction = 0.5
 
     def ivf_path(self, column: str) -> str:
         return os.path.join(self.home, "ivf", f"column={column}")
+
+    def _index_serve_frame(self, column: str) -> DataFrame:
+        # null-content rows never serve (P6 drop) -- exclude them at
+        # BUILD time so they cannot consume top-k slots in a probe
+        return (
+            self._serve_view(column)
+            .where(F.col("content").isNotNull())
+            .select(KEY_COL, "vector")
+        )
+
+    def _plan_index_refresh(self, column: str, path: str):
+        """Compare an on-disk (key-carrying) index at ``path`` with the
+        serve view: ``('missing'|'current'|'append'|'rebuild', frame)``
+        where frame is the NEW rows for 'append' and None otherwise.
+        'rebuild' when indexed keys vanished (full replace / compaction
+        of a different corpus) or when the un-indexed fraction exceeds
+        ``ivf_rebuild_fraction`` (frozen quantizers would drift). Three
+        key-column-only jobs, paid once per refresh -- never per query."""
+        serve = self._index_serve_frame(column)
+        if not self._fs_nonempty(path):
+            return "missing", None
+        idx_keys = self.spark.read.parquet(path).select(KEY_COL)
+        gone = idx_keys.join(serve, KEY_COL, "left_anti").limit(1).count()
+        if gone:
+            return "rebuild", None
+        new = serve.join(idx_keys, KEY_COL, "left_anti")
+        n_new = new.count()
+        if n_new == 0:
+            return "current", None
+        n_idx = idx_keys.count()
+        if n_new > self.ivf_rebuild_fraction * (n_idx + n_new):
+            return "rebuild", None
+        return "append", new
 
     def build_ivf_index(self, column: str) -> None:
         """Train + assign + persist the IVF-Flat index for ``column``
         (operators/ann.py build_ivf) from the dequantized serve view;
         partitioned by ``_list`` so probes prune parquet partitions.
-        Called lazily by strategy='ivf'; safe to call eagerly after
-        bulk loads to move the build off the first query."""
+        Centroids persist beside the index (underscore file, invisible
+        to the parquet reader) so restarts and incremental refreshes
+        reuse them. Full (re)build -- prefer :meth:`refresh_ivf_index`,
+        which only falls back here when it must."""
+        import numpy as np
+
         from letsearch_spark.operators.ann import build_ivf
 
-        # null-content rows never serve (P6 drop) -- exclude them at
-        # BUILD time so they cannot consume top-k slots in a probe
-        emb = (
-            self._serve_view(column)
-            .where(F.col("content").isNotNull())
-            .select(KEY_COL, "vector")
-        )
+        emb = self._index_serve_frame(column)
         centroids = build_ivf(
             emb, self.ivf_path(column), nlist=self.ivf_nlist, key_col=KEY_COL
         )
+        np.save(
+            os.path.join(self.ivf_path(column), "_centroids.npy"), centroids
+        )
         self._ivf_centroids[column] = centroids
+
+    def refresh_ivf_index(self, column: str) -> str:
+        """Bring the on-disk IVF-Flat index up to date with the
+        embeddings at BATCH cost: no-op when current, append-assign
+        only the new keys under the frozen centroids while the
+        un-indexed fraction stays within ``ivf_rebuild_fraction``, full
+        retrain+rebuild otherwise (or when keys vanished / the
+        quantizer file is gone -- a full overwrite drops it on purpose,
+        see ``_drop_index_meta``). Returns the action taken:
+        'built' | 'current' | 'appended' | 'rebuilt'."""
+        import numpy as np
+
+        from letsearch_spark.operators.ann import append_ivf
+
+        path = self.ivf_path(column)
+        cpath = os.path.join(path, "_centroids.npy")
+        action, new = self._plan_index_refresh(column, path)
+        cent = None
+        if action in ("current", "append"):
+            cent = self._ivf_centroids.get(column)
+            if cent is None and os.path.exists(cpath):
+                cent = np.load(cpath)
+            if cent is None:
+                action = "rebuild"  # index data without its quantizer
+        if action == "current":
+            self._ivf_centroids[column] = cent
+            return "current"
+        if action == "append":
+            append_ivf(new, path, cent)
+            self._ivf_centroids[column] = cent
+            return "appended"
+        self.build_ivf_index(column)
+        return "built" if action == "missing" else "rebuilt"
 
     # PQ serving knobs (memory/recall trade; 8x8 = 1 byte per 8 dims)
     pq_m = 8
@@ -1541,22 +1634,46 @@ class Collection:
             .limit(limit)
         )
 
+    def refresh_ivf_pq_index(self, column: str) -> str:
+        """:meth:`refresh_ivf_index`'s sibling for the compressed index:
+        append-assign + encode only the NEW keys under the frozen
+        coarse centroids and codebook while the un-indexed fraction
+        stays within ``ivf_rebuild_fraction``; retrain + re-encode
+        otherwise. Returns 'built' | 'current' | 'appended' |
+        'rebuilt'."""
+        from letsearch_spark.operators.pq import append_ivf_pq
+
+        path = self.ivf_pq_path(column)
+        action, new = self._plan_index_refresh(column, path)
+        meta = None
+        if action in ("current", "append"):
+            meta = self._ivf_pq_index.get(column)
+            if meta is None and self._load_ivf_pq_meta(column):
+                meta = self._ivf_pq_index[column]
+            if meta is None:
+                action = "rebuild"  # index data without its quantizers
+        if action == "current":
+            return "current"
+        if action == "append":
+            centroids, cb = meta
+            append_ivf_pq(new, path, centroids, cb)
+            return "appended"
+        self.build_ivf_pq_index(column)
+        return "built" if action == "missing" else "rebuilt"
+
     def build_ivf_pq_index(self, column: str) -> None:
         """Train coarse centroids + PQ codebook and persist the coded
         index partitioned by list (operators/pq.py build_ivf_pq) --
         (key, pq_code) only, no float vectors on disk. Both models are
         saved as underscore-prefixed files INSIDE the index dir (Spark
         readers ignore them), so a fresh process reuses the index
-        instead of retraining. Lazy via strategy='ivf_pq'."""
+        instead of retraining. Full (re)build -- prefer
+        :meth:`refresh_ivf_pq_index`."""
         import numpy as np
 
         from letsearch_spark.operators.pq import build_ivf_pq
 
-        emb = (
-            self._serve_view(column)
-            .where(F.col("content").isNotNull())
-            .select(KEY_COL, "vector")
-        )
+        emb = self._index_serve_frame(column)
         centroids, cb = build_ivf_pq(
             emb,
             self.ivf_pq_path(column),
@@ -1571,17 +1688,25 @@ class Collection:
         cb.save(os.path.join(self.ivf_pq_path(column), "_codebook.npz"))
         self._ivf_pq_index[column] = (centroids, cb)
 
-    def _drop_ivf_pq_meta(self, column: str) -> None:
-        """Writes invalidate the on-disk ivf_pq models too -- otherwise
-        a later search would reload a stale index that predates the
-        write (the in-memory dict alone only protects THIS process)."""
-        for name in ("_centroids.npy", "_codebook.npz"):
-            p = os.path.join(self.ivf_pq_path(column), name)
-            try:
-                if os.path.exists(p):
-                    os.remove(p)
-            except OSError:
-                pass
+    def _drop_index_meta(self, column: str) -> None:
+        """Full-overwrite writes (re-embed, re-import) drop the on-disk
+        quantizer files: existing keys may now carry DIFFERENT vectors,
+        which the refresh key-diff cannot see, so the quantizer-missing
+        path forces the rebuild (the in-memory dicts only protect THIS
+        process). Append-only writes skip this (drop_index_meta=False)
+        and let :meth:`refresh_ivf_index`/:meth:`refresh_ivf_pq_index`
+        top the index up at batch cost."""
+        for path, names in (
+            (self.ivf_pq_path(column), ("_centroids.npy", "_codebook.npz")),
+            (self.ivf_path(column), ("_centroids.npy",)),
+        ):
+            for name in names:
+                p = os.path.join(path, name)
+                try:
+                    if os.path.exists(p):
+                        os.remove(p)
+                except OSError:
+                    pass
 
     def _load_ivf_pq_meta(self, column: str) -> bool:
         """Reload persisted (centroids, codebook) from a prior build --
@@ -1601,10 +1726,10 @@ class Collection:
     def _search_ivf_pq(self, column: str, qvec, limit: int) -> DataFrame:
         from letsearch_spark.operators.pq import ivf_pq_topk
 
-        if column not in self._ivf_pq_index and not self._load_ivf_pq_meta(
-            column
-        ):
-            self.build_ivf_pq_index(column)
+        if column not in self._ivf_pq_index:
+            # validates freshness against the embeddings and tops the
+            # index up incrementally (or rebuilds when it must)
+            self.refresh_ivf_pq_index(column)
         centroids, cb = self._ivf_pq_index[column]
         hits = ivf_pq_topk(
             self.spark,
@@ -1622,7 +1747,7 @@ class Collection:
         from letsearch_spark.operators.ann import ivf_topk
 
         if column not in self._ivf_centroids:
-            self.build_ivf_index(column)
+            self.refresh_ivf_index(column)
         hits = ivf_topk(
             self.spark,
             self.ivf_path(column),

@@ -130,6 +130,25 @@ def build_ivf(
     return centroids
 
 
+def append_ivf(
+    new_embeddings: DataFrame,
+    path: str,
+    centroids: np.ndarray,
+    vec_col: str = "vector",
+) -> None:
+    """Assign ONLY the new vectors to the EXISTING (frozen) centroids
+    and append them into the partitioned index -- the K5 anti-join
+    shape applied to index maintenance. Appending a batch costs one
+    map-side assignment pass over the batch; at 100 TB a full rebuild
+    per append would dominate the ingest, so this is the default
+    maintenance path (Collection.refresh_ivf_index) with a rebuild
+    threshold bounding quantizer drift: frozen centroids lose recall
+    if the new data's distribution shifts, so callers rebuild once the
+    un-indexed fraction crosses ``ivf_rebuild_fraction``."""
+    assigned = assign_lists(new_embeddings, centroids, vec_col=vec_col)
+    assigned.write.mode("append").partitionBy("_list").parquet(path)
+
+
 def ivf_topk(
     spark,
     path: str,

@@ -311,6 +311,30 @@ def build_ivf_pq(
     return centroids, codebook
 
 
+def append_ivf_pq(
+    new_embeddings: DataFrame,
+    path: str,
+    centroids: np.ndarray,
+    codebook: PQCodebook,
+    vec_col: str = "vector",
+) -> None:
+    """Assign + encode ONLY the new vectors under the FROZEN coarse
+    centroids and codebook, appending to the partitioned index --
+    maintenance at batch cost instead of a full re-encode of the
+    collection (ann.append_ivf's sibling for the compressed index).
+    Same scan/compression geometry as :func:`build_ivf_pq`; quantizer
+    drift under distribution shift is bounded by the caller's rebuild
+    threshold (Collection.refresh_ivf_pq_index)."""
+    from letsearch_spark.operators.ann import assign_lists
+
+    coded = encode_pq(
+        assign_lists(new_embeddings, centroids, vec_col=vec_col),
+        codebook,
+        vec_col=vec_col,
+    ).drop(vec_col)
+    coded.write.mode("append").partitionBy("_list").parquet(path)
+
+
 def ivf_pq_topk(
     spark,
     path: str,

@@ -119,7 +119,9 @@ class PrepConfig:
 
 
 def prepare_training_data(
-    docs: DataFrame, config: PrepConfig | None = None
+    docs: DataFrame,
+    config: PrepConfig | None = None,
+    stage_seconds: dict[str, float] | None = None,
 ) -> tuple[DataFrame, DataFrame, dict[str, int]]:
     """Run the filter -> dedup -> mix -> split -> pack recipe.
 
@@ -150,6 +152,20 @@ def prepare_training_data(
     from letsearch_spark.operators.pack import pack_sequences
     from letsearch_spark.operators.sample import hash_split, mixture_hash_sample
 
+    import time as _time
+
+    _t0 = [_time.time()]
+
+    def _lap(name: str) -> None:
+        # per-stage wall seconds (stage start -> audited count), filled
+        # into the caller's ``stage_seconds`` dict so a bench/regression
+        # harness can attribute a slowdown to ONE stage instead of the
+        # end-to-end number
+        now = _time.time()
+        if stage_seconds is not None:
+            stage_seconds[name] = round(now - _t0[0], 3)
+        _t0[0] = now
+
     cfg = config or PrepConfig()
     if cfg.token_count_col is not None and (
         cfg.line_dedup is not None or cfg.ngram_dedup is not None
@@ -163,6 +179,7 @@ def prepare_training_data(
         )
     key, text = cfg.key_col, cfg.text_col
     audit: dict[str, int] = {"input": docs.count()}
+    _lap("input")
     cur = docs
 
     # staged persistence (persist_intermediates): the rewrite/dedup
@@ -187,6 +204,7 @@ def prepare_training_data(
         flags = gopher_flags(F.col(text), **cfg.quality)
         cur = cur.where(flags["passes"])
         audit["quality_filter"] = cur.count()
+        _lap("quality_filter")
 
     if cfg.ppl_filter is not None:
         from letsearch_spark.operators.ngram_lm import perplexity_filter
@@ -195,6 +213,7 @@ def prepare_training_data(
             cur, key_col=key, text_col=text, **cfg.ppl_filter
         )
         audit["ppl_filter"] = cur.count()
+        _lap("ppl_filter")
 
     if cfg.line_dedup is not None:
         keep_cols = [c for c in cur.columns if c not in (text,)]
@@ -205,6 +224,7 @@ def prepare_training_data(
         # stripping boilerplate can empty a document
         cur = _persist_stage(cur.where(F.length(F.trim(F.col(text))) > 0))
         audit["line_dedup"] = cur.count()
+        _lap("line_dedup")
         _drop_superseded()
 
     if cfg.ngram_dedup is not None:
@@ -215,6 +235,7 @@ def prepare_training_data(
         cur = cur.select(*keep_cols).join(cleaned.select(key, text), key)
         cur = _persist_stage(cur.where(F.length(F.trim(F.col(text))) > 0))
         audit["ngram_dedup"] = cur.count()
+        _lap("ngram_dedup")
         _drop_superseded()
 
     if cfg.decontaminate is not None:
@@ -241,6 +262,7 @@ def prepare_training_data(
         # persisted frame
         cur = _persist_stage(cur.join(contaminated, key, "left_anti"))
         audit["decontaminate"] = cur.count()
+        _lap("decontaminate")
         _drop_superseded()
 
     if cfg.fuzzy_dedup is not None:
@@ -252,6 +274,7 @@ def prepare_training_data(
             )
         )
         audit["fuzzy_dedup"] = cur.count()
+        _lap("fuzzy_dedup")
         _drop_superseded()
 
     if cfg.dsir is not None:
@@ -270,6 +293,7 @@ def prepare_training_data(
         )
         cur = cur.join(picked.select(key), key, "left_semi")
         audit["dsir"] = cur.count()
+        _lap("dsir")
 
     if cfg.quality_classifier is not None:
         from letsearch_spark.operators.classifier import (
@@ -287,6 +311,7 @@ def prepare_training_data(
             **extra,
         )
         audit["quality_classifier"] = cur.count()
+        _lap("quality_classifier")
 
     if cfg.mixture_weights is not None:
         if cfg.domain_col is None:
@@ -295,6 +320,7 @@ def prepare_training_data(
             cur, key, cfg.domain_col, cfg.mixture_weights, cfg.mixture_target_rows
         )
         audit["mixture"] = cur.count()
+        _lap("mixture")
 
     cur = hash_split(cur, key, weights=cfg.split_weights)
 
@@ -312,6 +338,7 @@ def prepare_training_data(
         shuffle_seed=cfg.pack_shuffle_seed,
     )
     audit["train_docs"] = cur.where(F.col("split") == "train").count()
+    _lap("split_pack")
     if persisted:
         _RELEASABLE[cur] = list(persisted)
         # safety net: if the caller drops the result without calling

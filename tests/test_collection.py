@@ -887,8 +887,10 @@ def test_search_strategy_ivf_pq(spark, tmp_path, sf_dir):
 
 def test_ivf_pq_meta_persists_across_processes(spark, tmp_path, sf_dir):
     """A fresh process (simulated by a re-loaded Collection) reuses the
-    persisted centroids/codebook instead of retraining -- and a write
-    deletes the on-disk models so no process can serve the stale index."""
+    persisted centroids/codebook instead of retraining. Append-only
+    writes keep the on-disk models (r5: refresh tops the index up
+    incrementally); a full re-embed may change vectors behind existing
+    keys, so THAT drops them -- no process can serve the stale index."""
     import os
 
     import numpy as np
@@ -910,10 +912,19 @@ def test_ivf_pq_meta_persists_across_processes(spark, tmp_path, sf_dir):
     # loaded, not retrained: identical centroids object contents
     assert np.array_equal(c2._ivf_pq_index["text"][0], saved)
 
-    # a write removes the on-disk models (stale-index protection)
+    # append-only write: in-memory serve caches drop, but the on-disk
+    # quantizers survive for the incremental refresh path
     one = c2.docs().limit(1).drop("_key")
     c2._append_df(one)
+    assert c2._ivf_pq_index == {}
+    assert os.path.exists(cpath)
+
+    # full re-embed may re-vector EXISTING keys -> models are dropped
+    # (stale-index protection), next use retrains
+    c2.embed_column("text", incremental=False)
     assert not os.path.exists(cpath)
+    assert len(c2.search("text", "warm", limit=3, strategy="ivf_pq").collect()) == 3
+    assert os.path.exists(cpath)
 
 
 def test_search_where_filter(coll):
@@ -1196,3 +1207,108 @@ def test_search_strategy_auto(spark, tmp_path, sf_dir):
     coll.auto_exact_max_rows = 200_000
     assert coll.resolve_strategy("text") == "join"
     assert coll._col_rows["text"] == 501
+
+
+def _index_data_files(path):
+    import glob as _glob
+
+    return sorted(
+        f
+        for f in _glob.glob(os.path.join(path, "_list=*", "*.parquet"))
+    )
+
+
+def test_ivf_pq_incremental_refresh(spark, tmp_path, sf_dir):
+    """Index maintenance at batch cost: after an incremental embed
+    append, refresh_ivf_pq_index appends only the NEW keys under the
+    frozen quantizers (old data files untouched), a no-change refresh
+    is a no-op, and the new doc is servable. A full overwrite re-embed
+    drops the quantizers and forces a rebuild (stale-vector guard)."""
+    import numpy as np
+
+    coll = Collection.create(
+        spark, str(tmp_path / "root"), name="incidx",
+        index_columns=["text"], model_name="stub://16",
+    )
+    coll.import_parquet(os.path.join(sf_dir, "documents.parquet"))
+    coll.embed_column("text")
+    n0 = coll.count()
+
+    assert coll.refresh_ivf_pq_index("text") == "built"
+    assert coll.refresh_ivf_pq_index("text") == "current"
+    path = coll.ivf_pq_path("text")
+    files_before = _index_data_files(path)
+    idx_n0 = spark.read.parquet(path).count()
+    cb_before = np.load(
+        os.path.join(path, "_centroids.npy")
+    )
+
+    # append + incremental embed: refresh must APPEND, not rebuild
+    target = "a very distinctive fresh document about quasar harmonics"
+    coll.add_chunks([target], column="text")
+    coll.embed_column("text", incremental=True)
+    assert coll.refresh_ivf_pq_index("text") == "appended"
+    assert spark.read.parquet(path).count() == idx_n0 + 1
+    # frozen quantizers + untouched old files = no re-encode of history
+    assert set(files_before) <= set(_index_data_files(path))
+    assert np.array_equal(
+        cb_before, np.load(os.path.join(path, "_centroids.npy"))
+    )
+    # the appended doc serves through the compressed index
+    hit = coll.search("text", target, limit=1, strategy="ivf_pq").first()
+    assert hit["content"] == target
+    assert coll.refresh_ivf_pq_index("text") == "current"
+
+    # rebuild threshold: fraction 0 forces a retrain on any new key
+    coll.ivf_rebuild_fraction = 0.0
+    coll.add_chunks(["another new doc entirely about tidal basins"], column="text")
+    coll.embed_column("text", incremental=True)
+    assert coll.refresh_ivf_pq_index("text") == "rebuilt"
+    assert spark.read.parquet(path).count() == n0 + 2
+    coll.ivf_rebuild_fraction = 0.5
+
+    # full re-embed may change vectors behind existing keys: quantizer
+    # files are dropped, so the next refresh REBUILDS (never serves
+    # stale codes)
+    coll.embed_column("text", incremental=False)
+    assert not os.path.exists(os.path.join(path, "_centroids.npy"))
+    assert coll.refresh_ivf_pq_index("text") == "rebuilt"
+
+
+def test_ivf_incremental_refresh_and_replace_guard(spark, tmp_path, sf_dir):
+    """The IVF-Flat twin of the test above, plus the full-replace path:
+    import_df nukes the embeddings, and the refresh detects vanished
+    keys and rebuilds instead of serving the stale index."""
+    coll = Collection.create(
+        spark, str(tmp_path / "root"), name="incivf",
+        index_columns=["text"], model_name="stub://16",
+    )
+    coll.import_parquet(os.path.join(sf_dir, "documents.parquet"))
+    coll.embed_column("text")
+    assert coll.refresh_ivf_index("text") == "built"
+    path = coll.ivf_path("text")
+    idx_n0 = spark.read.parquet(path).count()
+
+    target = "unique prose about glacier meltwater chemistry"
+    coll.add_chunks([target], column="text")
+    coll.embed_column("text", incremental=True)
+    assert coll.refresh_ivf_index("text") == "appended"
+    assert spark.read.parquet(path).count() == idx_n0 + 1
+    hit = coll.search("text", target, limit=1, strategy="ivf").first()
+    assert hit["content"] == target
+
+    # survives a process restart: a fresh Collection object reloads the
+    # persisted centroids instead of retraining
+    coll2 = Collection.load(spark, str(tmp_path / "root"), "incivf")
+    assert coll2.refresh_ivf_index("text") == "current"
+
+    # full replace: old keys vanish -> stale index must rebuild
+    import pyspark.sql.types as T
+
+    schema = T.StructType([T.StructField("text", T.StringType())])
+    coll.import_df(
+        spark.createDataFrame([(f"replacement doc {i}",) for i in range(8)], schema)
+    )
+    coll.embed_column("text")
+    assert coll.refresh_ivf_index("text") == "rebuilt"
+    assert spark.read.parquet(path).count() == 8

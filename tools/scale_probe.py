@@ -297,6 +297,16 @@ def main() -> None:
                 docs, tgt, k=1000, cache_features=False
             ).count(),
         )
+        # the DEFAULT path: raw features persisted across the fit and
+        # the weight pass (featurized once, not twice); the ratio of
+        # this row to the uncached one above is what a production run
+        # actually pays
+        timeit(
+            "dsir_top1k_cached",
+            lambda: dsir_sample(
+                docs, tgt, k=1000, cache_features=True
+            ).count(),
+        )
 
         # quality classifier: positive = copy-0's first 500 docs,
         # negative = a growing slice of the salted corpus. Each GD
