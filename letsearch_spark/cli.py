@@ -160,6 +160,114 @@ def cmd_train_tokenizer(args) -> int:
     return 0
 
 
+def _read_any(spark, path: str):
+    if path.endswith((".jsonl", ".json")):
+        return spark.read.json(path)
+    if path.endswith(".csv"):
+        return spark.read.option("header", "true").csv(path)
+    return spark.read.parquet(path)
+
+
+def cmd_prep(args) -> int:
+    """Config-driven training-data preparation: run the full
+    prepare_training_data recipe over an input table and materialize
+    clean corpus + packed layout (+ optional text shards / data card).
+
+    The JSON config carries PrepConfig fields verbatim, except that
+    DataFrame-valued knobs are spelled as input paths and resolved
+    here: ``ppl_filter.train_corpus`` (an in-distribution corpus; an
+    n-gram LM is trained on it, CCNet-style), ``decontaminate.probes``
+    (the eval set), ``dsir.target`` (the target domain), and
+    ``quality_classifier`` as {"positive": path, "fit": {...},
+    "filter": {...}} (negative examples default to the raw input --
+    the GPT-3 curated-vs-crawl recipe). Everything else forwards
+    unchanged, so the CLI exposes exactly the library's knobs."""
+    from letsearch_spark.pipeline import (
+        PrepConfig,
+        corpus_report,
+        prepare_training_data,
+        release_training_data,
+        write_training_shards,
+    )
+
+    spark = _spark(args)
+    docs = _read_any(spark, args.input)
+    cfg_dict = {}
+    if args.config:
+        with open(args.config) as fh:
+            cfg_dict = json.load(fh)
+
+    if "ppl_filter" in cfg_dict and cfg_dict["ppl_filter"] is not None:
+        from letsearch_spark.operators.ngram_lm import train_ngram_lm
+
+        ppl = dict(cfg_dict["ppl_filter"])
+        corpus_path = ppl.pop("train_corpus")
+        train_kwargs = {
+            k: ppl.pop(k) for k in ("min_count",) if k in ppl
+        }
+        ppl["lm"] = train_ngram_lm(
+            _read_any(spark, corpus_path),
+            text_col=cfg_dict.get("text_col", "text"),
+            n=ppl.get("n", 2),
+            **train_kwargs,
+        )
+        cfg_dict["ppl_filter"] = ppl
+    if "decontaminate" in cfg_dict and cfg_dict["decontaminate"] is not None:
+        dec = dict(cfg_dict["decontaminate"])
+        dec["probes"] = _read_any(spark, dec["probes"])
+        cfg_dict["decontaminate"] = dec
+    if "dsir" in cfg_dict and cfg_dict["dsir"] is not None:
+        ds = dict(cfg_dict["dsir"])
+        ds["target"] = _read_any(spark, ds["target"])
+        cfg_dict["dsir"] = ds
+    if (
+        "quality_classifier" in cfg_dict
+        and cfg_dict["quality_classifier"] is not None
+    ):
+        from letsearch_spark.operators.classifier import fit_quality_classifier
+
+        qc = dict(cfg_dict["quality_classifier"])
+        model = fit_quality_classifier(
+            _read_any(spark, qc.pop("positive")),
+            docs,
+            id_col=cfg_dict.get("key_col", "doc_id"),
+            text_col=cfg_dict.get("text_col", "text"),
+            **qc.pop("fit", {}),
+        )
+        cfg_dict["quality_classifier"] = {"model": model, **qc.pop("filter", {})}
+
+    cfg = PrepConfig(**cfg_dict)
+    laps: dict[str, float] = {}
+    clean, layout, audit = prepare_training_data(
+        docs, cfg, stage_seconds=laps
+    )
+    clean.write.mode("overwrite").parquet(os.path.join(args.out, "clean"))
+    layout.write.mode("overwrite").parquet(os.path.join(args.out, "layout"))
+    out = {"audit": audit, "stage_seconds": laps}
+    if args.shards:
+        out["spans_written"] = write_training_shards(
+            clean,
+            layout,
+            os.path.join(args.out, "shards"),
+            key_col=cfg.key_col,
+            text_col=cfg.text_col,
+        )
+    if args.data_card:
+        card = corpus_report(
+            clean,
+            key_col=cfg.key_col,
+            text_col=cfg.text_col,
+            domain_col=cfg.domain_col,
+        )
+        card.write.mode("overwrite").parquet(
+            os.path.join(args.out, "data_card")
+        )
+        out["data_card"] = [r.asDict() for r in card.collect()]
+    release_training_data(clean)
+    print(json.dumps(out, default=str))
+    return 0
+
+
 def cmd_list_models(args) -> int:
     from letsearch_spark.sources.hf import list_models
 
@@ -237,6 +345,28 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--min-count", type=int, default=1)
     s.add_argument("--out", required=True, help="output JSON model path")
     s.set_defaults(fn=cmd_train_tokenizer)
+
+    s = sub.add_parser(
+        "prep",
+        help="run the training-data prep pipeline from a JSON config",
+    )
+    s.add_argument("--input", required=True, help="corpus (parquet/jsonl/csv)")
+    s.add_argument("--out", required=True, help="output dir (clean/ layout/)")
+    s.add_argument(
+        "--config", default=None,
+        help="JSON of PrepConfig fields; DataFrame knobs are paths "
+        "(ppl_filter.train_corpus, decontaminate.probes, dsir.target, "
+        "quality_classifier.positive)",
+    )
+    s.add_argument(
+        "--shards", action="store_true",
+        help="also write text training shards (out/shards)",
+    )
+    s.add_argument(
+        "--data-card", action="store_true",
+        help="also write + print the corpus data card (out/data_card)",
+    )
+    s.set_defaults(fn=cmd_prep)
 
     s = sub.add_parser("list-models", help="list letsearch models on HF hub")
     s.set_defaults(fn=cmd_list_models)

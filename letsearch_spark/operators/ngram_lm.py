@@ -224,6 +224,68 @@ def _perplexity_kn(
     )
 
 
+def perplexity_buckets(
+    docs: DataFrame,
+    lm: DataFrame,
+    fractions: tuple[float, float] = (1.0 / 3.0, 1.0 / 3.0),
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+    alpha: float = 1.0,
+    smoothing: str = "laplace",
+    discount: float = 0.75,
+    exact: bool = False,
+) -> DataFrame:
+    """CCNet's corpus split (Wenzek et al. 2020 §4.3): label every
+    document ``head`` / ``middle`` / ``tail`` by its perplexity rank
+    under ``lm`` -- head is the most in-distribution ``fractions[0]``
+    of the scored corpus, middle the next ``fractions[1]``, tail the
+    rest. Downstream recipes then train on head+middle or sample the
+    buckets at different rates instead of hard-dropping at one cutoff
+    (the :func:`perplexity_filter` shape).
+
+    Returns ``docs`` + ``(n_grams, ppl, ppl_bucket)``. Documents too
+    short to produce an n-gram carry no evidence; they get bucket
+    ``short`` (ppl NULL) so callers decide their fate explicitly.
+
+    Scale: scoring dominates (the same two hash joins per doc as
+    :func:`perplexity`); the cutoffs are ONE extra aggregation over the
+    (key, ppl) frame collecting exactly two doubles, and the label is a
+    literal comparison -- no extra shuffle, no sort of the corpus.
+    ``exact=False`` (default) uses ``percentile_approx`` (a fixed-size
+    sketch per partition -- the only choice at 100 TB);
+    ``exact=True`` uses the exact interpolated percentile for
+    small-corpus / oracle-parity runs."""
+    if len(fractions) != 2 or min(fractions) <= 0 or sum(fractions) >= 1:
+        raise ValueError(
+            "fractions must be two positive head/middle shares summing to < 1, "
+            f"got {fractions!r}"
+        )
+    scored = perplexity(
+        docs, lm, key_col, text_col, n, alpha,
+        smoothing=smoothing, discount=discount,
+    )
+    p1, p2 = fractions[0], fractions[0] + fractions[1]
+    pctile = F.percentile if exact else F.percentile_approx
+    cuts = (
+        scored.where(F.col("ppl").isNotNull())
+        .agg(
+            pctile("ppl", F.lit(p1)).alias("c1"),
+            pctile("ppl", F.lit(p2)).alias("c2"),
+        )
+        .first()
+    )
+    c1 = cuts["c1"] if cuts["c1"] is not None else float("inf")
+    c2 = cuts["c2"] if cuts["c2"] is not None else float("inf")
+    bucket = (
+        F.when(F.col("ppl").isNull(), F.lit("short"))
+        .when(F.col("ppl") <= F.lit(c1), F.lit("head"))
+        .when(F.col("ppl") <= F.lit(c2), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return docs.join(scored, key_col).withColumn("ppl_bucket", bucket)
+
+
 def perplexity_filter(
     docs: DataFrame,
     lm: DataFrame,

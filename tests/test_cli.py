@@ -137,3 +137,48 @@ def test_cli_train_tokenizer(spark, sf_dir, tmp_path, capsys):
     model = BpeModel.load(out_path)
     assert len(model.merges) == report["merges"]
     assert model.token_count("spark join batch") > 0
+
+
+def test_cli_prep(spark, sf_dir, tmp_path, capsys):
+    """prep runs the config-driven pipeline end-to-end: DataFrame knobs
+    resolve from paths (dsir.target here), clean/layout land on disk,
+    and the printed JSON carries the per-stage audit + lap seconds and
+    the data card."""
+    import json as _json
+
+    from letsearch_spark.cli import cmd_prep
+
+    docs_path = os.path.join(sf_dir, "documents.parquet")
+    cfg = {
+        "fuzzy_dedup": {"threshold": 0.8},
+        "dsir": {"target": docs_path, "k": 100},
+        "seq_len": 256,
+        "num_shards": 4,
+    }
+    cfg_path = tmp_path / "prep.json"
+    cfg_path.write_text(_json.dumps(cfg))
+    out_dir = str(tmp_path / "prep_out")
+
+    p = build_parser()
+    a = p.parse_args(
+        [
+            "--master", "local[4]",
+            "prep", "--input", docs_path, "--out", out_dir,
+            "--config", str(cfg_path), "--shards", "--data-card",
+        ]
+    )
+    assert cmd_prep(a) == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    audit = out["audit"]
+    assert audit["input"] == 500
+    assert audit["dsir"] == 100
+    assert set(out["stage_seconds"]) >= {"input", "quality_filter", "dsir"}
+    clean = spark.read.parquet(os.path.join(out_dir, "clean"))
+    assert clean.count() == audit["dsir"]
+    layout = spark.read.parquet(os.path.join(out_dir, "layout"))
+    assert layout.count() == out["spans_written"]
+    assert os.path.isdir(os.path.join(out_dir, "shards"))
+    # data card: one total row whose doc count matches the clean corpus
+    card = [r for r in out["data_card"] if r["is_total"]]
+    assert len(card) == 1 and int(card[0]["n_docs"]) == audit["dsir"]

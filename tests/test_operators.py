@@ -1311,6 +1311,76 @@ def test_perplexity_filter_keeps_in_distribution(spark):
     assert kept == {1}
 
 
+def test_perplexity_buckets_matches_twin(spark):
+    """CCNet head/middle/tail split: exact-percentile bucketing must
+    reproduce a numpy twin's assignment for every document, short docs
+    land in 'short', and the approx path yields the same cutoff-ordered
+    partition with roughly the requested shares."""
+    import numpy as np
+    import pytest
+
+    from letsearch_spark.operators.ngram_lm import (
+        perplexity,
+        perplexity_buckets,
+        train_ngram_lm,
+    )
+
+    corpus = spark.createDataFrame(
+        [("the cat sat on the mat",), ("the dog sat on the rug",),
+         ("the cat ran to the dog",)],
+        "text string",
+    )
+    lm = train_ngram_lm(corpus, n=2)
+    # 30 docs sliding from fully in-distribution to fully OOV -> a
+    # spread of distinct perplexities, plus two too-short docs
+    base = "the cat sat on the mat the dog sat on the rug".split()
+    oov = "zq{} wx{} kj{} vb{} mn{} pq{}".format(*range(6)).split()
+    rows = []
+    for i in range(30):
+        k = (i * len(base)) // 30
+        rows.append((i, " ".join(base[: len(base) - k] + oov[: min(k, 6)])))
+    rows += [(100, "one"), (101, "")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    out = {
+        r["doc_id"]: r
+        for r in perplexity_buckets(
+            docs, lm, fractions=(0.25, 0.5), exact=True
+        ).collect()
+    }
+    assert len(out) == 32
+    assert out[100]["ppl_bucket"] == "short" and out[101]["ppl_bucket"] == "short"
+
+    ppls = {
+        r["doc_id"]: r["ppl"]
+        for r in perplexity(docs, lm).collect()
+        if r["ppl"] is not None
+    }
+    vals = np.array(sorted(ppls.values()))
+    c1 = float(np.percentile(vals, 25.0))  # linear interpolation ==
+    c2 = float(np.percentile(vals, 75.0))  # Spark's exact percentile
+    for doc_id, p in ppls.items():
+        want = "head" if p <= c1 else ("middle" if p <= c2 else "tail")
+        assert out[doc_id]["ppl_bucket"] == want, (doc_id, p, c1, c2)
+        assert out[doc_id]["ppl"] == pytest.approx(p)
+
+    # approx path: cutoff-ordered partition (max head ppl <= min middle
+    # ppl <= ... ) with shares within sketch error of the request
+    approx = perplexity_buckets(docs, lm, fractions=(0.25, 0.5)).collect()
+    by_bucket = {}
+    for r in approx:
+        if r["ppl_bucket"] != "short":
+            by_bucket.setdefault(r["ppl_bucket"], []).append(r["ppl"])
+    assert set(by_bucket) == {"head", "middle", "tail"}
+    assert max(by_bucket["head"]) <= min(by_bucket["middle"])
+    assert max(by_bucket["middle"]) <= min(by_bucket["tail"])
+    assert 4 <= len(by_bucket["head"]) <= 11
+    assert len(by_bucket["tail"]) <= 11
+
+    with pytest.raises(ValueError, match="fractions"):
+        perplexity_buckets(docs, lm, fractions=(0.5, 0.6))
+
+
 def test_new_operators_degenerate_inputs(spark):
     """Empty/degenerate corpora must yield empty (not crash): the
     shapes a scheduled pipeline hits on an empty partition day."""

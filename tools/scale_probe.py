@@ -308,6 +308,45 @@ def main() -> None:
             ).count(),
         )
 
+        # incremental index maintenance: append a FIXED 200-vector
+        # batch under frozen centroids vs a full rebuild of base+batch.
+        # Append cost must track the BATCH (near-flat as the base
+        # grows); rebuild tracks the BASE -- the widening gap is the
+        # 100 TB argument for refresh_ivf_index over rebuild-per-append
+        if only is None or {"ivf_append", "ivf_rebuild"} & only:
+            import shutil
+            import tempfile
+
+            from letsearch_spark.operators.ann import append_ivf, build_ivf
+
+            newb = emb.limit(200).select(
+                (F.col("_key") + 900_000_000).alias("_key"), "vector"
+            )
+            idx_dir = tempfile.mkdtemp(prefix="ivf_probe_")
+            try:
+                centroids = build_ivf(
+                    emb, os.path.join(idx_dir, "base"), nlist=16,
+                    key_col="_key",
+                )
+                def _append():
+                    append_ivf(newb, os.path.join(idx_dir, "base"), centroids)
+                    return 200
+
+                def _rebuild():
+                    return len(
+                        build_ivf(
+                            emb.unionByName(newb),
+                            os.path.join(idx_dir, "rebuild"),
+                            nlist=16,
+                            key_col="_key",
+                        )
+                    )
+
+                timeit("ivf_append", _append)
+                timeit("ivf_rebuild", _rebuild)
+            finally:
+                shutil.rmtree(idx_dir, ignore_errors=True)
+
         # quality classifier: positive = copy-0's first 500 docs,
         # negative = a growing slice of the salted corpus. Each GD
         # iteration broadcasts the <=num_buckets weight table and
