@@ -264,6 +264,84 @@ def gopher_flags(
     return flags
 
 
+# ---------------- C4-style cleaning ----------------
+
+# a line "ends in a sentence" if it closes with terminal punctuation,
+# optionally followed by a straight/curly quote; plain classes so Java
+# (Spark) and RE2 (DuckDB) agree
+C4_TERMINAL_RE = "[.!?][\"”']?\\s*$"
+
+
+def c4_clean_lines(col: Column, min_line_words: int = 5) -> Column:
+    """C4's LINE-level cleaning (Raffel et al. 2020 §2.2) as one
+    Catalyst expression: keep only lines that end in terminal
+    punctuation, carry at least ``min_line_words`` words, and do not
+    mention 'javascript' (the cookie/JS-warning boilerplate tell);
+    return the kept lines re-joined with newlines.
+
+    Pure per-row array work over the line split -- map-side only, no
+    shuffle, no UDF; at 100 TB this is a free pass fused into whatever
+    scan follows. Compose with page-level :func:`c4_flags` for the
+    full C4 recipe (the two halves are separable on purpose: line
+    cleaning REWRITES text, page flags only filter)."""
+    lines = F.split(col, r"\n")
+    kept = F.filter(
+        lines,
+        lambda x: x.rlike(C4_TERMINAL_RE)
+        & (F.size(words(x)) >= min_line_words)
+        & ~F.lower(x).contains("javascript"),
+    )
+    return F.array_join(kept, "\n")
+
+
+def c4_flags(
+    col: Column,
+    min_sentences: int = 3,
+    blocklist: tuple[str, ...] = (),
+) -> dict[str, Column]:
+    """C4's PAGE-level filters (Raffel et al. 2020 §2.2) as pure
+    Catalyst columns, same shape as :func:`gopher_flags`: sentence
+    floor (terminal-punctuation count), no 'lorem ipsum' placeholder
+    text, no curly brace (code tell), and no word from ``blocklist``
+    (C4 uses the public "dirty/naughty" word list; supply your own --
+    the default is empty so the rule passes vacuously).
+
+    Returns measured metrics, one boolean per rule, and the
+    conjunction ``passes``. Run on :func:`c4_clean_lines` output to
+    reproduce the C4 order (lines first, then pages). Every expression
+    has an exact DuckDB twin, so the filter is oracle-verifiable."""
+    low = F.lower(col)
+    n_sentences = F.size(
+        F.regexp_extract_all(col, F.lit("[.!?][\"”']?(\\s|$)"), 0)
+    )
+    has_lorem = low.contains("lorem ipsum")
+    has_brace = col.contains("{")
+    if blocklist:
+        has_blocked = F.arrays_overlap(
+            F.array_distinct(words(col)),
+            F.array(*[F.lit(w.lower()) for w in blocklist]),
+        )
+    else:
+        has_blocked = F.lit(False)
+    flags = {
+        "n_sentences": n_sentences.cast("long"),
+        "has_lorem_ipsum": has_lorem,
+        "has_curly_brace": has_brace,
+        "has_blocked_word": has_blocked,
+        "ok_sentences": n_sentences >= min_sentences,
+        "ok_lorem": ~has_lorem,
+        "ok_brace": ~has_brace,
+        "ok_blocklist": ~has_blocked,
+    }
+    flags["passes"] = (
+        flags["ok_sentences"]
+        & flags["ok_lorem"]
+        & flags["ok_brace"]
+        & flags["ok_blocklist"]
+    )
+    return flags
+
+
 # ---------------- URL canonicalization ----------------
 
 # tracking parameters stripped by normalize_url (the web-corpus dedup

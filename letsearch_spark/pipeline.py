@@ -7,6 +7,8 @@ This module is their composition -- ONE declarative recipe:
 
     1. quality filter     (functions/text.py gopher_flags)
     1b. perplexity filter (operators/ngram_lm.py, CCNet-style, optional)
+    1c. C4 cleaning       (functions/text.py c4_clean_lines + c4_flags,
+        optional -- line rewrite then page filter, Raffel et al. 2020)
     2. line dedup         (operators/dedup.py remove_duplicate_lines)
     2c. decontamination   (ngram_containment_pairs vs an eval set,
         optional -- benchmark-leakage removal)
@@ -66,6 +68,14 @@ class PrepConfig:
     # kwargs for operators/ngram_lm.py perplexity_filter, minus the
     # key/text columns -- e.g. {"lm": <trained model>, "max_ppl": 500.0}
     ppl_filter: dict | None = None
+    # stage 1c -- C4 cleaning (None disables, the default): line-level
+    # rewrite (terminal punctuation / min_line_words / no 'javascript')
+    # then page-level flags (sentence floor, lorem ipsum, curly brace,
+    # blocklist). {} enables the paper defaults; extra keys
+    # (min_line_words, min_sentences, blocklist) forward to
+    # functions/text.py c4_clean_lines / c4_flags. Rewrites text, so it
+    # shares line_dedup's token_count_col incompatibility.
+    c4: dict | None = None
     # stage 2 -- line dedup (None disables)
     line_dedup: dict | None = field(default_factory=dict)
     # stage 2b -- span-level exact substring dedup (None disables, the
@@ -168,14 +178,16 @@ def prepare_training_data(
 
     cfg = config or PrepConfig()
     if cfg.token_count_col is not None and (
-        cfg.line_dedup is not None or cfg.ngram_dedup is not None
+        cfg.line_dedup is not None
+        or cfg.ngram_dedup is not None
+        or cfg.c4 is not None
     ):
         raise ValueError(
             "token_count_col carries counts of the ORIGINAL text; the "
-            "line-dedup/ngram-dedup stages rewrite documents, which "
+            "c4/line-dedup/ngram-dedup stages rewrite documents, which "
             "would silently corrupt the packed layout. Disable one: "
-            "line_dedup=None and ngram_dedup=None to trust the counts, "
-            "or token_count_col=None to recount the cleaned text."
+            "c4=None, line_dedup=None and ngram_dedup=None to trust the "
+            "counts, or token_count_col=None to recount the cleaned text."
         )
     key, text = cfg.key_col, cfg.text_col
     audit: dict[str, int] = {"input": docs.count()}
@@ -205,6 +217,20 @@ def prepare_training_data(
         cur = cur.where(flags["passes"])
         audit["quality_filter"] = cur.count()
         _lap("quality_filter")
+
+    if cfg.c4 is not None:
+        from letsearch_spark.functions.text import c4_clean_lines, c4_flags
+
+        c4_cfg = dict(cfg.c4)
+        min_line_words = c4_cfg.pop("min_line_words", 5)
+        if "blocklist" in c4_cfg:
+            c4_cfg["blocklist"] = tuple(c4_cfg["blocklist"])
+        # C4's order: rewrite lines first, then judge the cleaned page
+        cur = cur.withColumn(text, c4_clean_lines(F.col(text), min_line_words))
+        cur = _persist_stage(cur.where(c4_flags(F.col(text), **c4_cfg)["passes"]))
+        audit["c4"] = cur.count()
+        _lap("c4")
+        _drop_superseded()
 
     if cfg.ppl_filter is not None:
         from letsearch_spark.operators.ngram_lm import perplexity_filter

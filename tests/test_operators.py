@@ -1051,6 +1051,72 @@ def test_temperature_hash_sample(spark):
 # ------------------------------------------------------------ gopher
 
 
+def test_c4_clean_lines_and_flags(spark):
+    """C4 recipe, both halves: the line rewrite keeps exactly the lines
+    a Python twin keeps (terminal punctuation, >=5 words, no
+    'javascript'), and each page rule triggers on the document built to
+    violate it."""
+    import re
+
+    from letsearch_spark.functions.text import c4_clean_lines, c4_flags
+
+    page = "\n".join(
+        [
+            "This is a perfectly normal first sentence of prose.",   # keep
+            "Short line.",                                           # <5 words
+            "Navigation menu",                                       # no punct
+            "Please enable JavaScript to view the comments!",        # js
+            'He said "it ends with a quote after punctuation."',     # keep
+            "Is this a question with enough words in it?",           # keep
+        ]
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, page),
+            (2, "Too few sentences here."),
+            (3, "One full sentence stands here today. " * 3 + "lorem ipsum dolor."),
+            (4, "A code sample follows this brace { now. " * 3),
+            (5, "This page mentions a BadWord openly today. " * 3),
+        ],
+        "id long, text string",
+    )
+    cleaned = {
+        r["id"]: r["c"]
+        for r in docs.select(
+            "id", c4_clean_lines(F.col("text")).alias("c")
+        ).collect()
+    }
+
+    def twin(text):
+        out = []
+        for ln in text.split("\n"):
+            if not re.search(r'[.!?]["”\']?\s*$', ln):
+                continue
+            if len(ln.lower().split()) < 5:
+                continue
+            if "javascript" in ln.lower():
+                continue
+            out.append(ln)
+        return "\n".join(out)
+
+    for i, text in [(1, page)]:
+        assert cleaned[i] == twin(text)
+    assert len(cleaned[1].split("\n")) == 3
+
+    flags = c4_flags(F.col("text"), blocklist=("badword",))
+    out = {
+        r["id"]: r
+        for r in docs.select(
+            "id", *[c.alias(n) for n, c in flags.items()]
+        ).collect()
+    }
+    assert out[1]["passes"] and out[1]["n_sentences"] >= 3
+    assert not out[2]["ok_sentences"]
+    assert not out[3]["ok_lorem"] and out[3]["ok_sentences"]
+    assert not out[4]["ok_brace"]
+    assert not out[5]["ok_blocklist"] and out[5]["ok_lorem"]
+
+
 def test_gopher_flags(spark):
     """Each rule triggers on the document built to violate it and only
     that rule (plus whatever its pathology implies); a normal paragraph

@@ -145,6 +145,54 @@ def test_pipeline_perplexity_stage(spark, sf_dir):
     assert audit["line_dedup"] <= audit["ppl_filter"]
 
 
+def test_pipeline_c4_stage(spark, sf_dir):
+    """Optional C4 stage: lines are rewritten before the page filter,
+    the audit records the stage, and combining c4 with pre-supplied
+    token counts raises (rewritten text invalidates the counts)."""
+    import pytest
+
+    from letsearch_spark.pipeline import PrepConfig, prepare_training_data
+
+    # the synthetic corpus has no punctuation (C4 would rightly drop it
+    # all); stamp sentence structure on: a period per 10 words, a line
+    # break per 3 sentences
+    docs = (
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id",
+            "lang",
+            F.regexp_replace(
+                F.regexp_replace("text", r"((\S+\s+){9}\S+)\s*", "$1. "),
+                r"(([^.]+\.\s*){3})",
+                "$1\n",
+            ).alias("text"),
+        )
+        .limit(150)
+    )
+    cfg = PrepConfig(
+        quality=None,
+        fuzzy_dedup=None,
+        c4={"min_line_words": 2, "min_sentences": 1},
+        seq_len=256,
+        num_shards=2,
+    )
+    clean, layout, audit = prepare_training_data(docs, cfg)
+    assert 0 < audit["c4"] <= audit["input"]
+    assert audit["line_dedup"] <= audit["c4"]
+    # every surviving line obeys the line rules (spot the rewrite)
+    import re
+
+    for r in clean.select("text").limit(20).collect():
+        for ln in r["text"].split("\n"):
+            assert re.search(r'[.!?]["”\']?\s*$', ln), ln
+
+    with pytest.raises(ValueError, match="token_count_col"):
+        prepare_training_data(
+            docs.withColumn("tc", F.lit(10)),
+            PrepConfig(c4={}, line_dedup=None, token_count_col="tc"),
+        )
+
+
 def test_pipeline_dsir_stage(spark, sf_dir):
     """Optional DSIR stage: selecting against a target corpus of 'en'
     docs keeps exactly k docs and the audit records the stage."""
