@@ -1751,6 +1751,240 @@ ROTATED_OUT_ORACLES: dict[str, str] = {
 }
 
 
+# Round-5 operators STAGED for the next window rotation: full
+# Spark-vs-DuckDB parity already runs in pytest
+# (tests/test_rotated_contract.py::test_staged_entry_matches_oracle,
+# same canonicalization as the driver gate), so promoting one of these
+# into the 50-slot window is a registry swap, not new verification
+# work. Oracle values may be a SQL string or a callable(sf_dir) -> SQL
+# (computed-literal twins).
+
+
+def q_c4_page_filter(spark, sf_dir):
+    """C4 cleaning (functions/text.py c4_clean_lines + c4_flags): the
+    synthetic corpus carries no punctuation, so sentence structure is
+    stamped on IN-PLAN first (a period per 10 words, a line break per 3
+    sentences -- RE2/Java-portable regexps), then lines are rewritten
+    and pages judged. Output: per-doc cleaned length, sentence count,
+    and the page verdict. Oracle: the same stamping + lambda line
+    filter in DuckDB SQL (list_filter over the newline split)."""
+    from letsearch_spark.functions.text import c4_clean_lines, c4_flags
+
+    docs = load(spark, sf_dir, "documents")
+    styled = docs.select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_replace(
+                F.coalesce("text", F.lit("")),
+                r"((\S+\s+){9}\S+)\s*",
+                "$1. ",
+            ),
+            r"(([^.]+\.[ ]*){3})",
+            "$1\n",
+        ).alias("text"),
+    )
+    cleaned = styled.select(
+        "doc_id", c4_clean_lines(F.col("text"), min_line_words=5).alias("text")
+    )
+    fl = c4_flags(F.col("text"), min_sentences=3)
+    return cleaned.select(
+        "doc_id",
+        F.length("text").cast("long").alias("clean_len"),
+        fl["n_sentences"].alias("n_sentences"),
+        fl["passes"].alias("passes"),
+    ).orderBy("doc_id")
+
+
+def q_events_attribution_join(spark, sf_dir):
+    """Event-time interval join (streaming/join.py stream_interval_join
+    on batch frames -- the identical plan the streaming form runs minus
+    watermarks, equivalence pinned by
+    test_stream_interval_join_matches_batch): even events are
+    impressions, odd are clicks, attribute clicks within 2 hours."""
+    from letsearch_spark.streaming.join import stream_interval_join
+
+    ev = load(spark, sf_dir, "events")
+    imps = ev.where(F.col("event_id") % 2 == 0).select(
+        "user_id",
+        F.col("event_id").alias("imp_id"),
+        F.col("ts").alias("imp_ts"),
+    )
+    clicks = ev.where(F.col("event_id") % 2 == 1).select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    out = stream_interval_join(
+        imps, clicks, "user_id", "imp_ts", "click_ts", max_delay="2 hours"
+    )
+    return out.select("user_id", "imp_id", "click_id").orderBy(
+        "user_id", "imp_id", "click_id"
+    )
+
+
+def q_perplexity_buckets(spark, sf_dir):
+    """CCNet head/middle/tail corpus split (operators/ngram_lm.py
+    perplexity_buckets, exact percentiles): same lang='en' bigram LM as
+    q_perplexity_filter, fractions (1/3, 1/3). Bucket membership is
+    robust to cross-engine float noise: cutoffs interpolate between
+    round-6 score endpoints, so a doc AT an endpoint compares the same
+    way in both engines (strictly-inside cutoff or bit-equal endpoint).
+    Oracle: the proven Counter/math scoring twin + Spark's exact
+    percentile formula in Python."""
+    from letsearch_spark.operators.ngram_lm import (
+        perplexity_buckets,
+        train_ngram_lm,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    lm = train_ngram_lm(docs.where(F.col("lang") == "en"), n=2)
+    out = perplexity_buckets(
+        docs, lm, fractions=(1.0 / 3.0, 1.0 / 3.0), exact=True
+    )
+    return out.select("doc_id", "n_grams", "ppl", "ppl_bucket").orderBy(
+        "doc_id"
+    )
+
+
+STAGED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "c4_page_filter": q_c4_page_filter,
+    "events_attribution_join": q_events_attribution_join,
+    "perplexity_buckets": q_perplexity_buckets,
+}
+
+_C4_ORACLE_SQL = r"""
+    WITH styled AS (
+        SELECT doc_id,
+               regexp_replace(
+                   regexp_replace(coalesce(text, ''),
+                                  '((\S+\s+){9}\S+)\s*', '\1. ', 'g'),
+                   '(([^.]+\.[ ]*){3})', '\1' || chr(10), 'g') AS text
+        FROM documents
+    ), cleaned AS (
+        SELECT doc_id,
+               -- array_to_string([]) is NULL in DuckDB but '' in Spark
+               coalesce(array_to_string(
+                   list_filter(string_split(text, chr(10)), x ->
+                       regexp_matches(x, '[.!?]["”'']?\s*$')
+                       AND len(regexp_split_to_array(trim(lower(x)), '\s+')) >= 5
+                       AND NOT contains(lower(x), 'javascript')),
+                   chr(10)), '') AS text
+        FROM styled
+    ), judged AS (
+        SELECT doc_id,
+               CAST(length(text) AS BIGINT) AS clean_len,
+               CAST(len(regexp_extract_all(text, '[.!?]["”'']?(\s|$)'))
+                    AS BIGINT) AS n_sentences,
+               contains(lower(text), 'lorem ipsum') AS has_lorem,
+               contains(text, '{') AS has_brace
+        FROM cleaned
+    )
+    SELECT doc_id, clean_len, n_sentences,
+           (n_sentences >= 3 AND NOT has_lorem AND NOT has_brace) AS passes
+    FROM judged ORDER BY doc_id
+"""
+
+_ATTRIBUTION_ORACLE_SQL = """
+    SELECT i.user_id, i.imp_id, c.click_id
+    FROM (SELECT user_id, event_id AS imp_id, ts AS imp_ts
+          FROM events WHERE event_id % 2 = 0) i
+    JOIN (SELECT user_id, event_id AS click_id, ts AS click_ts
+          FROM events WHERE event_id % 2 = 1) c
+      ON i.user_id = c.user_id
+     AND c.click_ts >= i.imp_ts
+     AND c.click_ts <= i.imp_ts + INTERVAL 2 HOUR
+    ORDER BY i.user_id, i.imp_id, c.click_id
+"""
+
+
+def _ppl_buckets_oracle(sf_dir: str) -> str:
+    """Computed-literal oracle for q_perplexity_buckets: the
+    q_perplexity_filter Counter/math scoring twin (HALF_UP round-6),
+    then Spark's exact-percentile interpolation
+    (lower + (higher - lower) * (position - floor(position))) and the
+    head/middle/tail label rule in pure Python."""
+    import math
+    import re as _re
+    from collections import Counter
+    from decimal import ROUND_HALF_UP, Decimal
+
+    docs_full = _read_documents_cols(sf_dir, ["doc_id", "text", "lang"])
+
+    def _round6(x: float) -> float:
+        return float(
+            Decimal(repr(x)).quantize(Decimal("0.000001"), ROUND_HALF_UP)
+        )
+
+    def _wsplit(text: str) -> list[str]:
+        t = (text or "").lower().strip(" ")
+        return _re.split(r"\s+", t, flags=_re.ASCII) if t else [""]
+
+    def grams(t: str) -> list[tuple[str, str]]:
+        ws = _wsplit(t)
+        return [(ws[i], ws[i + 1]) for i in range(len(ws) - 1)]
+
+    counts: Counter = Counter(
+        g for r in docs_full if r["lang"] == "en" for g in grams(r["text"])
+    )
+    ptot: Counter = Counter()
+    for (p, _w), c in counts.items():
+        ptot[p] += c
+    vocab = max(1, len({w for (_p, w) in counts}))
+
+    scored: dict[int, tuple[int, float | None]] = {}
+    for r in docs_full:
+        gs = grams(r["text"])
+        if not gs:
+            scored[r["doc_id"]] = (0, None)
+            continue
+        s = sum(
+            math.log(
+                (counts.get(g, 0) + 1.0) / (ptot.get(g[0], 0) + 1.0 * vocab)
+            )
+            for g in gs
+        )
+        scored[r["doc_id"]] = (len(gs), _round6(math.exp(-s / len(gs))))
+
+    vals = sorted(p for (_n, p) in scored.values() if p is not None)
+
+    def _spark_percentile(p: float) -> float:
+        pos = p * (len(vals) - 1)
+        lo = math.floor(pos)
+        hi = math.ceil(pos)
+        return vals[lo] + (vals[hi] - vals[lo]) * (pos - lo)
+
+    c1 = _spark_percentile(1.0 / 3.0)
+    c2 = _spark_percentile(2.0 / 3.0)
+    rows = []
+    for doc_id in sorted(scored):
+        n, p = scored[doc_id]
+        if p is None:
+            bucket = "short"
+        elif p <= c1:
+            bucket = "head"
+        elif p <= c2:
+            bucket = "middle"
+        else:
+            bucket = "tail"
+        rows.append((doc_id, n, p, bucket))
+    return _values_literal(
+        rows,
+        [
+            ("doc_id", "BIGINT"),
+            ("n_grams", "BIGINT"),
+            ("ppl", "DOUBLE"),
+            ("ppl_bucket", "VARCHAR"),
+        ],
+    )
+
+
+STAGED_ORACLES: dict[str, object] = {
+    "c4_page_filter": _C4_ORACLE_SQL,
+    "events_attribution_join": _ATTRIBUTION_ORACLE_SQL,
+    "perplexity_buckets": _ppl_buckets_oracle,
+}
+
+
 def _oracles() -> dict[str, str]:
     md5_60 = _MD5_60_SQL
     words = _WORDS_SQL.format(x="text")

@@ -55,6 +55,34 @@ def test_rotated_out_entry_matches_oracle(spark, sf_dir, duck, name):
     assert s_rows == d_rows
 
 
+def _staged_names():
+    from letsearch_spark.queries import STAGED_QUERIES
+
+    return sorted(STAGED_QUERIES)
+
+
+@pytest.mark.parametrize("name", _staged_names())
+def test_staged_entry_matches_oracle(spark, sf_dir, duck, name):
+    """Round-5 operators staged for the NEXT window rotation (C4
+    cleaning, event-time attribution join, perplexity buckets): the
+    exact driver comparison -- row count, sorted-column schema,
+    canonical value equality -- runs here until a slot opens, so
+    promotion is a registry swap, not new verification."""
+    from letsearch_spark.queries import STAGED_ORACLES, STAGED_QUERIES
+
+    sdf = STAGED_QUERIES[name](spark, sf_dir)
+    s_cols, s_rows = _frame_to_rows(
+        sdf.columns, [tuple(r) for r in sdf.collect()]
+    )
+    oracle = STAGED_ORACLES[name]
+    sql = oracle(sf_dir) if callable(oracle) else oracle
+    ddf = duck.sql(sql)
+    d_cols, d_rows = _frame_to_rows(list(ddf.columns), ddf.fetchall())
+    assert s_cols == d_cols
+    assert len(s_rows) == len(d_rows)
+    assert s_rows == d_rows
+
+
 def test_rotation_bookkeeping():
     """The driver window stays exactly 50, rotated-out names are gone
     from it, and every live query has an oracle (the four new ones
