@@ -1846,10 +1846,65 @@ def q_perplexity_buckets(spark, sf_dir):
     )
 
 
+def q_corpus_data_card(spark, sf_dir):
+    """Corpus data card (pipeline.py corpus_report): per-domain rows
+    plus a GROUPING()-marked grand total from ONE rollup aggregation
+    over a single scan. Oracle: the same ROLLUP in DuckDB SQL."""
+    from letsearch_spark.pipeline import corpus_report
+
+    docs = load(spark, sf_dir, "documents")
+    return corpus_report(docs, key_col="doc_id", domain_col="lang")
+
+
+_EPOCH_WEIGHTS = {"en": 1.0, "fr": 6.0, "de": 1.0}
+
+
+def q_mixture_epochs(spark, sf_dir):
+    """Domain mixture with TRUE upsampling (operators/sample.py
+    mixture_with_epochs): target = the corpus size with fr weighted 6/8
+    -> fr's rate exceeds 1 (multiple epochs; clamped at 4), en/de are
+    subsampled, es is unlisted and dropped. The oracle reproduces the
+    rate arithmetic (same IEEE op order), the epoch explode, and the
+    shared md5-bucket partial-copy cut per (key, epoch)."""
+    from letsearch_spark.operators.sample import mixture_with_epochs
+
+    docs = load(spark, sf_dir, "documents")
+    target = docs.count()
+    return (
+        mixture_with_epochs(
+            docs, "doc_id", "lang", _EPOCH_WEIGHTS, target, max_epochs=4.0
+        )
+        .select("doc_id", "lang", "epoch")
+        .orderBy("doc_id", "epoch")
+    )
+
+
+_WINNOW_K, _WINNOW_W, _WINNOW_MAX_ID = 5, 4, 120
+
+
+def q_winnow_fingerprints(spark, sf_dir):
+    """Winnowing fingerprints (operators/dedup.py winnow_fingerprints,
+    Schleimer et al. 2003): distinct (doc, fp) pairs over a fixed
+    120-doc slice (constant output size at every sf -- the literal
+    oracle stays bounded). Oracle: independent Python md5/window-min
+    twin of the full hash pipeline."""
+    from letsearch_spark.operators.dedup import winnow_fingerprints
+
+    docs = load(spark, sf_dir, "documents").where(
+        F.col("doc_id") < _WINNOW_MAX_ID
+    )
+    return winnow_fingerprints(
+        docs, "doc_id", "text", k=_WINNOW_K, w=_WINNOW_W
+    ).orderBy("doc_id", "fp")
+
+
 STAGED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "c4_page_filter": q_c4_page_filter,
     "events_attribution_join": q_events_attribution_join,
     "perplexity_buckets": q_perplexity_buckets,
+    "corpus_data_card": q_corpus_data_card,
+    "mixture_epochs": q_mixture_epochs,
+    "winnow_fingerprints": q_winnow_fingerprints,
 }
 
 _C4_ORACLE_SQL = r"""
@@ -1978,10 +2033,116 @@ def _ppl_buckets_oracle(sf_dir: str) -> str:
     )
 
 
+_DATA_CARD_ORACLE_SQL = r"""
+    WITH base AS (
+        SELECT lang AS domain,
+               CAST(length(trim(coalesce(text, ''))) = 0 AS BIGINT) AS e,
+               CAST(coalesce(length(text), 0) AS BIGINT) AS ch,
+               CAST(CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN 0
+                    ELSE len(regexp_split_to_array(trim(lower(text)), '\s+'))
+                    END AS BIGINT) AS wd
+        FROM documents
+    ), base2 AS (
+        SELECT *, CAST(ceil(wd * 1.3) AS BIGINT) AS tk FROM base
+    )
+    SELECT domain,
+           (GROUPING(domain) = 1) AS is_total,
+           count(*) AS n_docs,
+           sum(e) AS n_empty,
+           sum(ch) AS total_chars,
+           sum(wd) AS total_words,
+           sum(tk) AS total_tokens,
+           round(avg(wd), 6) AS avg_words,
+           max(ch) AS max_chars
+    FROM base2
+    GROUP BY ROLLUP (domain)
+    ORDER BY is_total, domain NULLS LAST
+"""
+
+
+def _mixture_epochs_oracle(sf_dir: str) -> str:
+    """SQL oracle for q_mixture_epochs, parameterized by the corpus
+    size (= the target): replays the per-domain rate
+    least(max_epochs, target * (w / total) / n), the floor/frac split
+    into full copies + one hash-filtered partial, the epoch explode,
+    and the md5 bucket cut salted with the epoch index."""
+    import pyarrow.parquet as pq
+
+    target = pq.read_metadata(
+        os.path.join(sf_dir, "documents.parquet")
+    ).num_rows
+    total = sum(_EPOCH_WEIGHTS.values())
+    w_case = " ".join(
+        f"WHEN '{d}' THEN {w!r}" for d, w in sorted(_EPOCH_WEIGHTS.items())
+    )
+    langs = ", ".join(f"'{d}'" for d in sorted(_EPOCH_WEIGHTS))
+    bucket = _MD5_60_SQL.format(
+        x="(CAST(doc_id AS VARCHAR) || CAST(ep AS VARCHAR) || '#42')"
+    )
+    return f"""
+        WITH cnt AS (
+            SELECT lang AS d, count(*) AS n FROM documents GROUP BY lang
+        ), rates AS (
+            SELECT d, least(4.0::DOUBLE,
+                       {target} * ((CASE d {w_case} ELSE 0.0 END) / {total!r})
+                       / n) AS rate
+            FROM cnt WHERE d IN ({langs})
+        ), cuts AS (
+            SELECT d,
+                   CAST(floor(rate) AS BIGINT) AS fullc,
+                   CAST(floor((rate - CAST(floor(rate) AS BIGINT)) * 1000000)
+                        AS BIGINT) AS cut
+            FROM rates
+        )
+        SELECT doc_id, lang, CAST(ep AS BIGINT) AS epoch
+        FROM documents
+        JOIN cuts ON lang = cuts.d,
+        unnest(range(0, fullc + 1)) AS u(ep)
+        WHERE ep < fullc OR ({bucket}) % 1000000 < cut
+        ORDER BY doc_id, epoch
+    """
+
+
+def _winnow_oracle(sf_dir: str) -> str:
+    """Computed-literal oracle for q_winnow_fingerprints: independent
+    Python twin (per-word md5-15 hex, k-gram md5 over the comma-joined
+    word hashes -> 60-bit int, min of each w-window, distinct)."""
+    import hashlib
+    import re as _re
+
+    def h15(s: str) -> str:
+        return hashlib.md5(s.encode()).hexdigest()[:15]
+
+    k, w = _WINNOW_K, _WINNOW_W
+    rows = []
+    for r in _read_documents(sf_dir):
+        if r["doc_id"] >= _WINNOW_MAX_ID:
+            continue
+        ws = [
+            t
+            for t in _re.split(r"\s+", (r["text"] or "").strip(), flags=_re.ASCII)
+            if t
+        ]
+        whs = [h15(x) for x in ws]
+        if len(whs) < k + w - 1:
+            continue
+        grams = [
+            int(h15(",".join(whs[i : i + k])), 16)
+            for i in range(len(whs) - k + 1)
+        ]
+        fps = {min(grams[j : j + w]) for j in range(len(grams) - w + 1)}
+        rows.extend((r["doc_id"], fp) for fp in sorted(fps))
+    rows.sort()
+    return _values_literal(rows, [("doc_id", "BIGINT"), ("fp", "BIGINT")])
+
+
 STAGED_ORACLES: dict[str, object] = {
     "c4_page_filter": _C4_ORACLE_SQL,
     "events_attribution_join": _ATTRIBUTION_ORACLE_SQL,
     "perplexity_buckets": _ppl_buckets_oracle,
+    "corpus_data_card": _DATA_CARD_ORACLE_SQL,
+    "mixture_epochs": _mixture_epochs_oracle,
+    "winnow_fingerprints": _winnow_oracle,
 }
 
 
