@@ -214,6 +214,21 @@ def main() -> None:
     for name in ("quality_filter_gopher", "dedup_lines", "pack_sequences"):
         run_stage(name, lambda name=name: QUERIES[name](spark, SF_DIR).count())
 
+    # 14a. round-5 staged operators (STAGED_QUERIES, oracle parity in
+    # tests/test_rotated_contract.py): C4 cleaning (map-side array
+    # expressions), the event-time attribution join (100k events), and
+    # CCNet perplexity bucketing (LM train + score + one percentile agg)
+    from letsearch_spark.queries import STAGED_QUERIES
+
+    for name in (
+        "c4_page_filter",
+        "events_attribution_join",
+        "perplexity_buckets",
+    ):
+        run_stage(
+            name, lambda name=name: STAGED_QUERIES[name](spark, SF_DIR).count()
+        )
+
     # 14b. the full prep composition (round 4): quality -> line dedup ->
     # MinHash fuzzy dedup -> split -> pack over the whole documents
     # table in one recipe -- the end-to-end number a training-data user

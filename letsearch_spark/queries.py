@@ -1898,6 +1898,81 @@ def q_winnow_fingerprints(spark, sf_dir):
     ).orderBy("doc_id", "fp")
 
 
+_EVAL_K, _EVAL_NQ = 10, 20
+
+
+def q_eval_lsh_recall(spark, sf_dir):
+    """Retrieval evaluation (operators/evaluate.py recall_at_k +
+    mrr_at_k) of a radius-1 LSH probe ranking against the exact
+    brute-force ranking, 20 queries drawn from the embeddings table.
+    The approx leg is the batched LSH shape: per-query probe buckets
+    exploded (signature + every 1-bit flip), equi-joined to the
+    bucketed base -- each (query, key) candidate appears at most once
+    because a vector lives in exactly ONE bucket. Oracle: the whole
+    thing in SQL (rank windows over the same double cosine, bucket
+    CASE-sum signatures, LEFT-join recall and min-rank MRR)."""
+    from letsearch_spark.functions.vector import dot_product, l2_norm
+    from letsearch_spark.operators.evaluate import mrr_at_k, recall_at_k
+    from letsearch_spark.operators.topk import (
+        _hyperplanes,
+        knn_join,
+        lsh_signature_col,
+    )
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("_key"), F.col("embedding").alias("vector")
+    )
+    queries = emb.where(F.col("_key") < _EVAL_NQ).select(
+        F.col("_key").alias("query_id"), F.col("vector").alias("qvec")
+    )
+    exact = knn_join(emb, queries, k=_EVAL_K, method="expr")
+
+    planes = _hyperplanes(_EMB_DIM, _LSH_BITS, seed=42)
+    base_b = emb.withColumn(
+        "_bucket", lsh_signature_col(F.col("vector"), planes)
+    )
+    probes = queries.withColumn(
+        "_qsig", lsh_signature_col(F.col("qvec"), planes)
+    ).select(
+        "query_id",
+        "qvec",
+        F.explode(
+            F.array(
+                F.col("_qsig"),
+                *[
+                    F.col("_qsig").bitwiseXOR(F.lit(1 << i))
+                    for i in range(_LSH_BITS)
+                ],
+            )
+        ).alias("_bucket"),
+    )
+    sim = dot_product(F.col("vector"), F.col("qvec")) / (
+        l2_norm(F.col("vector")) * l2_norm(F.col("qvec"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("_key"))
+    approx = (
+        base_b.join(probes, "_bucket")
+        .select("query_id", "_key", sim.alias("score"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= _EVAL_K)
+    )
+
+    rec = recall_at_k(approx, exact, k=_EVAL_K)
+    rr = mrr_at_k(approx, exact, k=_EVAL_K)
+    return (
+        rec.join(rr, "query_id")
+        .select(
+            "query_id",
+            "n_exact",
+            "n_hit",
+            F.round("recall", 6).alias("recall"),
+            "first_hit_rank",
+            F.round("rr", 6).alias("rr"),
+        )
+        .orderBy("query_id")
+    )
+
+
 STAGED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "c4_page_filter": q_c4_page_filter,
     "events_attribution_join": q_events_attribution_join,
@@ -1905,6 +1980,7 @@ STAGED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_data_card": q_corpus_data_card,
     "mixture_epochs": q_mixture_epochs,
     "winnow_fingerprints": q_winnow_fingerprints,
+    "eval_lsh_recall": q_eval_lsh_recall,
 }
 
 _C4_ORACLE_SQL = r"""
@@ -2136,6 +2212,84 @@ def _winnow_oracle(sf_dir: str) -> str:
     return _values_literal(rows, [("doc_id", "BIGINT"), ("fp", "BIGINT")])
 
 
+def _eval_lsh_recall_oracle(sf_dir: str) -> str:
+    """SQL oracle for q_eval_lsh_recall: exact and LSH-probe rankings
+    as rank windows over the same sequential-double cosine, then the
+    recall LEFT join and min-first-hit-rank MRR in plain aggregation
+    SQL. The hyperplanes are seed-deterministic, inlined as double
+    literals exactly like the ann_lsh_topk oracle."""
+    from letsearch_spark.operators.topk import _hyperplanes
+
+    cos = (
+        "list_dot_product(({a})::DOUBLE[], ({b})::DOUBLE[]) / "
+        "(sqrt(list_dot_product(({a})::DOUBLE[], ({a})::DOUBLE[])) * "
+        "sqrt(list_dot_product(({b})::DOUBLE[], ({b})::DOUBLE[])))"
+    )
+    planes = _hyperplanes(_EMB_DIM, _LSH_BITS, seed=42)
+
+    def bucket(col: str) -> str:
+        terms = " + ".join(
+            f"(CASE WHEN list_dot_product(({col})::DOUBLE[], "
+            f"[{', '.join(repr(float(p)) for p in plane)}]::DOUBLE[]) >= 0 "
+            f"THEN {1 << i} ELSE 0 END)"
+            for i, plane in enumerate(planes)
+        )
+        return f"CAST({terms} AS INT)"
+
+    probe_list = ", ".join(
+        ["qsig"] + [f"xor(qsig, {1 << i})" for i in range(_LSH_BITS)]
+    )
+    return f"""
+        WITH q AS (
+            SELECT vec_id AS query_id, embedding AS qvec
+            FROM embeddings WHERE vec_id < {_EVAL_NQ}
+        ), exact AS (
+            SELECT query_id, vec_id, rank FROM (
+                SELECT q.query_id, e.vec_id,
+                       CAST(row_number() OVER (PARTITION BY q.query_id
+                            ORDER BY {cos.format(a="e.embedding", b="q.qvec")} DESC,
+                                     e.vec_id ASC) AS BIGINT) AS rank
+                FROM embeddings e CROSS JOIN q
+            ) WHERE rank <= {_EVAL_K}
+        ), bv AS (
+            SELECT vec_id, embedding, {bucket("embedding")} AS bucket
+            FROM embeddings
+        ), probes AS (
+            SELECT query_id, qvec,
+                   unnest([{probe_list}]) AS bucket
+            FROM (SELECT query_id, qvec, {bucket("qvec")} AS qsig FROM q)
+        ), approx AS (
+            SELECT query_id, vec_id, rank FROM (
+                SELECT p.query_id, b.vec_id,
+                       CAST(row_number() OVER (PARTITION BY p.query_id
+                            ORDER BY {cos.format(a="b.embedding", b="p.qvec")} DESC,
+                                     b.vec_id ASC) AS BIGINT) AS rank
+                FROM bv b JOIN probes p ON b.bucket = p.bucket
+            ) WHERE rank <= {_EVAL_K}
+        ), rec AS (
+            SELECT e.query_id,
+                   count(*) AS n_exact,
+                   CAST(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_hit
+            FROM exact e
+            LEFT JOIN approx a
+              ON e.query_id = a.query_id AND e.vec_id = a.vec_id
+            GROUP BY e.query_id
+        ), firsthit AS (
+            SELECT a.query_id, min(a.rank) AS first_hit_rank
+            FROM approx a
+            JOIN exact e ON a.query_id = e.query_id AND a.vec_id = e.vec_id
+            GROUP BY a.query_id
+        )
+        SELECT r.query_id, r.n_exact, r.n_hit,
+               round(r.n_hit / r.n_exact, 6) AS recall,
+               f.first_hit_rank,
+               round(coalesce(1.0 / f.first_hit_rank, 0.0), 6) AS rr
+        FROM rec r LEFT JOIN firsthit f ON r.query_id = f.query_id
+        ORDER BY r.query_id
+    """
+
+
 STAGED_ORACLES: dict[str, object] = {
     "c4_page_filter": _C4_ORACLE_SQL,
     "events_attribution_join": _ATTRIBUTION_ORACLE_SQL,
@@ -2143,6 +2297,7 @@ STAGED_ORACLES: dict[str, object] = {
     "corpus_data_card": _DATA_CARD_ORACLE_SQL,
     "mixture_epochs": _mixture_epochs_oracle,
     "winnow_fingerprints": _winnow_oracle,
+    "eval_lsh_recall": _eval_lsh_recall_oracle,
 }
 
 

@@ -185,8 +185,10 @@ def test_no_accidental_cartesian_in_contract_queries(spark, sf_dir):
     # shuffle. The production numpy path has its own candidates-only gate
     # (test_knn_join_shuffles_candidates_only).
     ALLOWED: set[str] = {"knn_join"}
+    from letsearch_spark.queries import STAGED_QUERIES
+
     flagged = {}
-    for name, fn in QUERIES.items():
+    for name, fn in {**QUERIES, **STAGED_QUERIES}.items():
         df = fn(spark, sf_dir)
         plan = df._jdf.queryExecution().executedPlan().toString()
         hits = [
@@ -197,6 +199,40 @@ def test_no_accidental_cartesian_in_contract_queries(spark, sf_dir):
         if hits and name not in ALLOWED:
             flagged[name] = hits
     assert not flagged, flagged
+
+
+def test_c4_clean_is_scan_only_codegen(spark, sf_dir):
+    """C4 line cleaning + page flags: one projection over the scan --
+    no shuffle, no Python eval, inside whole-stage codegen (the
+    free-at-any-scale property the operator claims)."""
+    from letsearch_spark.functions.text import c4_clean_lines, c4_flags
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    cleaned = docs.select(
+        "doc_id", c4_clean_lines(F.coalesce("text", F.lit(""))).alias("text")
+    )
+    out = cleaned.where(c4_flags(F.col("text"))["passes"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # higher-order array functions are CodegenFallback (no WSCG span),
+    # but they stay JVM-side single-pass projections over the scan
+    assert "FileScan parquet" in plan
+
+
+def test_stream_interval_join_batch_plan_shape(spark, sf_dir):
+    """The attribution join's batch plan: an equi-join on the key with
+    the time range as residual condition (SortMergeJoin or broadcast
+    hash -- never a nested-loop over the cross product), and the
+    perplexity-bucket plan never global-sorts the corpus (cutoffs come
+    from an aggregation, not an orderBy)."""
+    from letsearch_spark.queries import STAGED_QUERIES
+
+    df = STAGED_QUERIES["events_attribution_join"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
 
 
 def test_bucketed_join_is_exchange_free(spark, sf_dir, tmp_path):
