@@ -1898,6 +1898,82 @@ def q_winnow_fingerprints(spark, sf_dir):
     ).orderBy("doc_id", "fp")
 
 
+_TEMP_T = 0.5
+
+
+def q_temperature_mixture(spark, sf_dir):
+    """Temperature-flattened mixture (operators/sample.py
+    temperature_weights -> mixture_hash_sample, the XLM-R multilingual
+    sampling rule at T=0.5): weights derive share^T-normalized from the
+    per-language counts, then the usual zero-shuffle md5 hash filter
+    keeps ~half the corpus at the flattened mixture. The counts dict is
+    built in sorted-language order so the driver-side float sums (z,
+    total) are order-deterministic and the oracle replays the identical
+    IEEE arithmetic; the derived weights are inlined as 17-digit double
+    literals, exactly like the sample_mixture oracle."""
+    from letsearch_spark.operators.sample import (
+        mixture_hash_sample,
+        temperature_weights,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    counts = {
+        r["d"]: r["n"]
+        for r in sorted(
+            docs.groupBy(F.col("lang").alias("d"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect(),
+            key=lambda r: r["d"],
+        )
+    }
+    weights = temperature_weights(counts, _TEMP_T)
+    target = sum(counts.values()) // 2
+    return (
+        mixture_hash_sample(
+            docs, "doc_id", "lang", weights, target, counts=counts
+        )
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )
+
+
+def _temperature_mixture_oracle(sf_dir: str) -> str:
+    """SQL oracle for q_temperature_mixture: the share^T weight
+    derivation replicated in pure Python (same sorted iteration order,
+    same IEEE op order as temperature_weights), the derived w/total
+    rates inlined as 17-digit literals, and the shared md5 bucket cut
+    replayed in SQL."""
+    import pyarrow.parquet as pq
+
+    langs = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["lang"]
+    ).column("lang").to_pylist()
+    counts: dict[str, int] = {}
+    for d in sorted(set(langs)):
+        counts[d] = sum(1 for x in langs if x == d)
+    tot = sum(counts.values())
+    raw = {d: (n / tot) ** _TEMP_T for d, n in counts.items() if n > 0}
+    z = sum(raw.values())
+    weights = {d: w / z for d, w in raw.items()}
+    total = sum(weights.values())
+    target = tot // 2
+    case = " ".join(
+        f"WHEN '{d}' THEN {w / total:.17e}" for d, w in weights.items()
+    )
+    b42 = _MD5_60_SQL.format(x="CAST(doc_id AS VARCHAR) || '#42'")
+    return f"""
+        WITH cnt AS (
+            SELECT lang AS d, count(*) AS n FROM documents GROUP BY lang
+        )
+        SELECT doc_id, lang
+        FROM documents JOIN cnt ON lang = cnt.d
+        WHERE ({b42}) % 1000000 < CAST(floor(least(1.0::DOUBLE,
+            {target} * (CASE lang {case} ELSE 0.0 END) / n)
+            * 1000000) AS BIGINT)
+        ORDER BY doc_id
+    """
+
+
 _EVAL_K, _EVAL_NQ = 10, 20
 
 
@@ -1981,6 +2057,7 @@ STAGED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mixture_epochs": q_mixture_epochs,
     "winnow_fingerprints": q_winnow_fingerprints,
     "eval_lsh_recall": q_eval_lsh_recall,
+    "temperature_mixture": q_temperature_mixture,
 }
 
 _C4_ORACLE_SQL = r"""
@@ -2298,6 +2375,7 @@ STAGED_ORACLES: dict[str, object] = {
     "mixture_epochs": _mixture_epochs_oracle,
     "winnow_fingerprints": _winnow_oracle,
     "eval_lsh_recall": _eval_lsh_recall_oracle,
+    "temperature_mixture": _temperature_mixture_oracle,
 }
 
 

@@ -514,6 +514,65 @@ def main() -> None:
 
         timeit("range_join_bin", lambda: rj("bin"))
         timeit("range_join_naive", lambda: rj("range"))
+
+        # event-time attribution join (streaming/join.py, batch form):
+        # even events = impressions, odd = clicks, 2-hour window. An
+        # equi-join on user_id with a residual range condition -- cost
+        # must track events like any key-shuffled join, never the
+        # per-user cross product (pairs stay linear because per-user
+        # activity is fixed as copies grow)
+        if only is None or "attribution_join" in only:
+            from letsearch_spark.streaming.join import stream_interval_join
+
+            imps = ev.where(F.col("event_id") % 2 == 0).select(
+                "user_id",
+                F.col("event_id").alias("imp_id"),
+                F.col("ts").alias("imp_ts"),
+            )
+            clicks = ev.where(F.col("event_id") % 2 == 1).select(
+                "user_id",
+                F.col("event_id").alias("click_id"),
+                F.col("ts").alias("click_ts"),
+            )
+            timeit(
+                "attribution_join",
+                lambda: stream_interval_join(
+                    imps, clicks, "user_id", "imp_ts", "click_ts",
+                    max_delay="2 hours",
+                ).count(),
+            )
+
+        # C4 cleaning: sentence structure stamped on (the synthetic
+        # corpus has no punctuation), then line rewrite + page judge.
+        # Pure map-side array expressions -- cost must track bytes with
+        # zero shuffle at every scale
+        if only is None or "c4_clean" in only:
+            from letsearch_spark.functions.text import (
+                c4_clean_lines,
+                c4_flags,
+            )
+
+            styled = docs.select(
+                "doc_id",
+                F.regexp_replace(
+                    F.regexp_replace(
+                        F.coalesce("text", F.lit("")),
+                        r"((\S+\s+){9}\S+)\s*",
+                        "$1. ",
+                    ),
+                    r"(([^.]+\.[ ]*){3})",
+                    "$1\n",
+                ).alias("text"),
+            )
+            cleaned = styled.select(
+                "doc_id", c4_clean_lines(F.col("text")).alias("text")
+            )
+            timeit(
+                "c4_clean",
+                lambda: cleaned.where(
+                    c4_flags(F.col("text"))["passes"]
+                ).count(),
+            )
         timeit(
             "time_rollup_2tier",
             lambda: time_rollup(
