@@ -164,7 +164,14 @@ def _read_any(spark, path: str):
     if path.endswith((".jsonl", ".json")):
         return spark.read.json(path)
     if path.endswith(".csv"):
-        return spark.read.option("header", "true").csv(path)
+        # inferSchema so ids/numerics arrive typed like the other
+        # formats (header-only CSV reads every column as string, which
+        # would mint string-keyed tables and mixed-type joins)
+        return (
+            spark.read.option("header", "true")
+            .option("inferSchema", "true")
+            .csv(path)
+        )
     return spark.read.parquet(path)
 
 

@@ -406,7 +406,19 @@ class Collection:
         def p(x):
             return jvm.org.apache.hadoop.fs.Path(x)
 
-        fs = p(staging_dir).getFileSystem(self.spark._jsc.hadoopConfiguration())
+        conf = self.spark._jsc.hadoopConfiguration()
+        sfs = p(staging_dir).getFileSystem(conf)
+        fs = p(self.docs_path).getFileSystem(conf)
+        # publish-by-rename is atomic only WITHIN one filesystem; a
+        # staging dir on a different FS than the table would force a
+        # non-atomic copy and silently void the replay guarantee above
+        if str(sfs.getUri()) != str(fs.getUri()):
+            raise ValueError(
+                f"staged append {tag!r}: staging_dir {staging_dir!r} is on "
+                f"{sfs.getUri()} but the collection lives on "
+                f"{fs.getUri()}; stage on the collection's filesystem so "
+                "publish renames stay atomic"
+            )
         staged_ready = fs.exists(p(os.path.join(staging_dir, "_SUCCESS")))
         if not staged_ready:
             # a complete staging dir is only deleted after the caller's
@@ -651,6 +663,35 @@ class Collection:
         fs = jpath.getFileSystem(self.spark._jsc.hadoopConfiguration())
         if fs.exists(jpath):
             fs.delete(jpath, True)
+
+    def _fs_write_bytes(self, path: str, data: bytes) -> None:
+        """Write small sidecar bytes (index quantizer files) through the
+        Hadoop FS, so collection homes on hdfs/s3a/gs work the same as
+        local paths -- a bare open()/np.save would only ever hit the
+        local disk."""
+        jvm = self.spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = jpath.getFileSystem(self.spark._jsc.hadoopConfiguration())
+        out = fs.create(jpath, True)
+        try:
+            out.write(data)
+        finally:
+            out.close()
+
+    def _fs_read_bytes(self, path: str) -> bytes | None:
+        """Read a sidecar file through the Hadoop FS; None when absent."""
+        jvm = self.spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = jpath.getFileSystem(self.spark._jsc.hadoopConfiguration())
+        if not fs.exists(jpath):
+            return None
+        stream = fs.open(jpath)
+        baos = jvm.java.io.ByteArrayOutputStream()
+        try:
+            jvm.org.apache.hadoop.io.IOUtils.copyBytes(stream, baos, 4096, False)
+        finally:
+            stream.close()
+        return bytes(baos.toByteArray())
 
     def _docs_exist(self) -> bool:
         return self._fs_nonempty(self.docs_path)
@@ -977,6 +1018,10 @@ class Collection:
             "local_hybrid", "pq", "ivf_pq",
         ):
             raise ValueError(f"unknown strategy {strategy!r}")
+        if where is not None and strategy == "auto":
+            # a filter changes the exact top-k population, so 'auto'
+            # must land on the one strategy that pre-filters
+            strategy = "join"
         if where is not None and strategy != "join":
             raise ValueError(
                 "where= is supported with strategy='join' (the filtered "
@@ -1539,12 +1584,17 @@ class Collection:
 
         from letsearch_spark.operators.ann import build_ivf
 
+        import io
+
         emb = self._index_serve_frame(column)
         centroids = build_ivf(
             emb, self.ivf_path(column), nlist=self.ivf_nlist, key_col=KEY_COL
         )
-        np.save(
-            os.path.join(self.ivf_path(column), "_centroids.npy"), centroids
+        buf = io.BytesIO()
+        np.save(buf, centroids)
+        self._fs_write_bytes(
+            os.path.join(self.ivf_path(column), "_centroids.npy"),
+            buf.getvalue(),
         )
         self._ivf_centroids[column] = centroids
 
@@ -1561,14 +1611,18 @@ class Collection:
 
         from letsearch_spark.operators.ann import append_ivf
 
+        import io
+
         path = self.ivf_path(column)
         cpath = os.path.join(path, "_centroids.npy")
         action, new = self._plan_index_refresh(column, path)
         cent = None
         if action in ("current", "append"):
             cent = self._ivf_centroids.get(column)
-            if cent is None and os.path.exists(cpath):
-                cent = np.load(cpath)
+            if cent is None:
+                raw = self._fs_read_bytes(cpath)
+                if raw is not None:
+                    cent = np.load(io.BytesIO(raw))
             if cent is None:
                 action = "rebuild"  # index data without its quantizer
         if action == "current":
@@ -1701,17 +1755,21 @@ class Collection:
             (self.ivf_path(column), ("_centroids.npy",)),
         ):
             for name in names:
-                p = os.path.join(path, name)
                 try:
-                    if os.path.exists(p):
-                        os.remove(p)
-                except OSError:
+                    self._fs_delete(os.path.join(path, name))
+                except Exception:
                     pass
 
     def _load_ivf_pq_meta(self, column: str) -> bool:
         """Reload persisted (centroids, codebook) from a prior build --
         avoids re-encoding the whole collection on the first ivf_pq
-        query of a new process. False when no valid index exists."""
+        query of a new process. False when no valid index exists.
+
+        KNOWN LIMIT: the PQ codebook round-trips through numpy's npz
+        path API, so ivf_pq quantizer persistence requires a
+        locally-mounted collection home (remote homes still work --
+        the build just retrains per process). The IVF-Flat centroids
+        go through the Hadoop FS helpers and persist anywhere."""
         import numpy as np
 
         from letsearch_spark.operators.pq import PQCodebook

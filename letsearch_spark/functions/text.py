@@ -267,9 +267,10 @@ def gopher_flags(
 # ---------------- C4-style cleaning ----------------
 
 # a line "ends in a sentence" if it closes with terminal punctuation,
-# optionally followed by a straight/curly quote; plain classes so Java
-# (Spark) and RE2 (DuckDB) agree
-C4_TERMINAL_RE = "[.!?][\"”']?\\s*$"
+# optionally followed by a straight/curly quote (double or single --
+# smart-quoted text ends ".’"); plain classes so Java (Spark) and
+# RE2 (DuckDB) agree
+C4_TERMINAL_RE = "[.!?][\"”'’]?\\s*$"
 
 
 def c4_clean_lines(col: Column, min_line_words: int = 5) -> Column:
@@ -312,17 +313,27 @@ def c4_flags(
     has an exact DuckDB twin, so the filter is oracle-verifiable."""
     low = F.lower(col)
     n_sentences = F.size(
-        F.regexp_extract_all(col, F.lit("[.!?][\"”']?(\\s|$)"), 0)
+        F.regexp_extract_all(col, F.lit("[.!?][\"”'’]?(\\s|$)"), 0)
     )
     has_lorem = low.contains("lorem ipsum")
     has_brace = col.contains("{")
-    if blocklist:
-        has_blocked = F.arrays_overlap(
-            F.array_distinct(words(col)),
-            F.array(*[F.lit(w.lower()) for w in blocklist]),
+    single = [w.lower() for w in blocklist if " " not in w]
+    phrases = [w.lower() for w in blocklist if " " in w]
+    # single words match whitespace tokens with edge punctuation
+    # stripped (a sentence-final 'badword.' must still match); phrases
+    # match as substrings -- C4's public blocklist mixes both kinds
+    has_blocked = F.lit(False)
+    if single:
+        stripped = F.transform(
+            words(col),
+            lambda w: F.regexp_replace(w, r"^[^a-z0-9]+|[^a-z0-9]+$", ""),
         )
-    else:
-        has_blocked = F.lit(False)
+        has_blocked = F.arrays_overlap(
+            F.array_distinct(stripped),
+            F.array(*[F.lit(w) for w in single]),
+        )
+    for ph in phrases:
+        has_blocked = has_blocked | low.contains(ph)
     flags = {
         "n_sentences": n_sentences.cast("long"),
         "has_lorem_ipsum": has_lorem,

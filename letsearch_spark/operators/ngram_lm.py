@@ -261,10 +261,19 @@ def perplexity_buckets(
             "fractions must be two positive head/middle shares summing to < 1, "
             f"got {fractions!r}"
         )
+    from pyspark import StorageLevel
+
+    # the cutoff aggregation AND the returned frame both read the
+    # scored corpus; without pinning it, the full LM scoring (n-gram
+    # explode + two hash joins + per-doc agg) would execute twice --
+    # the dominant cost at corpus scale. The persist is released when
+    # Spark evicts it (MEMORY_AND_DISK, the same policy as the prep
+    # pipeline's staged persistence); callers streaming the result can
+    # unpersist via scored's lineage once written.
     scored = perplexity(
         docs, lm, key_col, text_col, n, alpha,
         smoothing=smoothing, discount=discount,
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     p1, p2 = fractions[0], fractions[0] + fractions[1]
     pctile = F.percentile if exact else F.percentile_approx
     cuts = (

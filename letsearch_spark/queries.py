@@ -2073,7 +2073,7 @@ _C4_ORACLE_SQL = r"""
                -- array_to_string([]) is NULL in DuckDB but '' in Spark
                coalesce(array_to_string(
                    list_filter(string_split(text, chr(10)), x ->
-                       regexp_matches(x, '[.!?]["”'']?\s*$')
+                       regexp_matches(x, '[.!?]["”''’]?\s*$')
                        AND len(regexp_split_to_array(trim(lower(x)), '\s+')) >= 5
                        AND NOT contains(lower(x), 'javascript')),
                    chr(10)), '') AS text
@@ -2081,7 +2081,7 @@ _C4_ORACLE_SQL = r"""
     ), judged AS (
         SELECT doc_id,
                CAST(length(text) AS BIGINT) AS clean_len,
-               CAST(len(regexp_extract_all(text, '[.!?]["”'']?(\s|$)'))
+               CAST(len(regexp_extract_all(text, '[.!?]["”''’]?(\s|$)'))
                     AS BIGINT) AS n_sentences,
                contains(lower(text), 'lorem ipsum') AS has_lorem,
                contains(text, '{') AS has_brace

@@ -350,9 +350,17 @@ def prune_prep_state(
     never pruned -- with ``fold`` (default) the pruned batches' band
     partitions are first folded into one history partition
     (:func:`fold_band_partitions`), which additionally makes even an
-    out-of-contract replay of a pruned batch converge: its rows dedup
-    against their own archived selves (self-exclusion no longer hides
-    them once folded) instead of double-appending. Returns counts:
+    out-of-contract replay of a pruned batch converge ON THE DOCS
+    TABLE: its rows dedup against their own archived selves
+    (self-exclusion no longer hides them once folded) instead of
+    double-appending. The archive itself does NOT stay minimal under
+    such a replay -- with the ``archived`` marker pruned, the replay
+    re-keys the batch and appends a second copy of its rows to
+    ``corpus/``/``bands/`` (store growth only: first-seen-wins keeps
+    picking the ORIGINAL lower-id copy, so dedup decisions are
+    unchanged). A replay of a batch the checkpoint committed is
+    outside Structured Streaming's contract in the first place; prune
+    only ids the checkpoint has durably passed. Returns counts:
     ``{"markers": n, "staged": n, "folded": n}``."""
     import os
 

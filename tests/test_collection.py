@@ -969,6 +969,13 @@ def test_search_where_filter(coll):
     want = sorted(((cos(v), k) for k, v in rows), key=lambda t: (-t[0], t[1]))[:5]
     assert [r["key"] for r in got] == [k for _, k in want]
 
+    # strategy='auto' + where resolves to the one strategy that
+    # pre-filters (join) instead of refusing
+    got_auto = coll.search(
+        "text", "alpha words", limit=5, strategy="auto", where="lang = 'es'"
+    ).collect()
+    assert [r["key"] for r in got_auto] == [r["key"] for r in got]
+
     with pytest.raises(ValueError, match="strategy='join'"):
         coll.search("text", "x", limit=3, strategy="hybrid", where="lang='es'")
     coll.serve_filter_columns = []  # module-scoped fixture: reset

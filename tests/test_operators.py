@@ -1068,6 +1068,7 @@ def test_c4_clean_lines_and_flags(spark):
             "Please enable JavaScript to view the comments!",        # js
             'He said "it ends with a quote after punctuation."',     # keep
             "Is this a question with enough words in it?",           # keep
+            "She replied ‘that is fine by me.’",           # keep (curly quote)
         ]
     )
     docs = spark.createDataFrame(
@@ -1076,7 +1077,8 @@ def test_c4_clean_lines_and_flags(spark):
             (2, "Too few sentences here."),
             (3, "One full sentence stands here today. " * 3 + "lorem ipsum dolor."),
             (4, "A code sample follows this brace { now. " * 3),
-            (5, "This page mentions a BadWord openly today. " * 3),
+            (5, "This page openly ends with badword. " * 3),         # blocked + punct
+            (6, "This page contains the bad phrase here openly. " * 3),
         ],
         "id long, text string",
     )
@@ -1090,7 +1092,7 @@ def test_c4_clean_lines_and_flags(spark):
     def twin(text):
         out = []
         for ln in text.split("\n"):
-            if not re.search(r'[.!?]["”\']?\s*$', ln):
+            if not re.search(r'[.!?]["”\'’]?\s*$', ln):
                 continue
             if len(ln.lower().split()) < 5:
                 continue
@@ -1101,9 +1103,13 @@ def test_c4_clean_lines_and_flags(spark):
 
     for i, text in [(1, page)]:
         assert cleaned[i] == twin(text)
-    assert len(cleaned[1].split("\n")) == 3
+    # the curly-quoted line survives alongside the three plain keeps
+    assert len(cleaned[1].split("\n")) == 4
+    assert cleaned[1].endswith("’")
 
-    flags = c4_flags(F.col("text"), blocklist=("badword",))
+    # blocklist: a sentence-final 'badword.' must match (edge
+    # punctuation stripped) and multi-word phrases match as substrings
+    flags = c4_flags(F.col("text"), blocklist=("badword", "bad phrase"))
     out = {
         r["id"]: r
         for r in docs.select(
@@ -1115,6 +1121,7 @@ def test_c4_clean_lines_and_flags(spark):
     assert not out[3]["ok_lorem"] and out[3]["ok_sentences"]
     assert not out[4]["ok_brace"]
     assert not out[5]["ok_blocklist"] and out[5]["ok_lorem"]
+    assert not out[6]["ok_blocklist"]
 
 
 def test_gopher_flags(spark):

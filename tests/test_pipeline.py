@@ -184,7 +184,7 @@ def test_pipeline_c4_stage(spark, sf_dir):
 
     for r in clean.select("text").limit(20).collect():
         for ln in r["text"].split("\n"):
-            assert re.search(r'[.!?]["”\']?\s*$', ln), ln
+            assert re.search(r'[.!?]["”\'’]?\s*$', ln), ln
 
     with pytest.raises(ValueError, match="token_count_col"):
         prepare_training_data(

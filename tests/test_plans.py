@@ -184,7 +184,9 @@ def test_no_accidental_cartesian_in_contract_queries(spark, sf_dir):
     # whose broadcast side is |queries| rows, not an accidental all-pairs
     # shuffle. The production numpy path has its own candidates-only gate
     # (test_knn_join_shuffles_candidates_only).
-    ALLOWED: set[str] = {"knn_join"}
+    # eval_lsh_recall's exact leg IS knn_join(method='expr') -- the same
+    # deliberate tiny-broadcast shape
+    ALLOWED: set[str] = {"knn_join", "eval_lsh_recall"}
     from letsearch_spark.queries import STAGED_QUERIES
 
     flagged = {}
