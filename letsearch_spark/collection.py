@@ -1736,10 +1736,20 @@ class Collection:
             nbits=self.pq_nbits,
             key_col=KEY_COL,
         )
-        np.save(
-            os.path.join(self.ivf_pq_path(column), "_centroids.npy"), centroids
+        import io
+
+        buf = io.BytesIO()
+        np.save(buf, centroids)
+        self._fs_write_bytes(
+            os.path.join(self.ivf_pq_path(column), "_centroids.npy"),
+            buf.getvalue(),
         )
-        cb.save(os.path.join(self.ivf_pq_path(column), "_codebook.npz"))
+        cbuf = io.BytesIO()
+        cb.save(cbuf)  # np.savez writes straight to the file object
+        self._fs_write_bytes(
+            os.path.join(self.ivf_pq_path(column), "_codebook.npz"),
+            cbuf.getvalue(),
+        )
         self._ivf_pq_index[column] = (centroids, cb)
 
     def _drop_index_meta(self, column: str) -> None:
@@ -1763,22 +1773,27 @@ class Collection:
     def _load_ivf_pq_meta(self, column: str) -> bool:
         """Reload persisted (centroids, codebook) from a prior build --
         avoids re-encoding the whole collection on the first ivf_pq
-        query of a new process. False when no valid index exists.
+        query of a new process. False when no valid index exists. Both
+        sidecars round-trip through the Hadoop FS helpers, so remote
+        collection homes (hdfs/s3a/gs) persist like local paths."""
+        import io
 
-        KNOWN LIMIT: the PQ codebook round-trips through numpy's npz
-        path API, so ivf_pq quantizer persistence requires a
-        locally-mounted collection home (remote homes still work --
-        the build just retrains per process). The IVF-Flat centroids
-        go through the Hadoop FS helpers and persist anywhere."""
         import numpy as np
 
         from letsearch_spark.operators.pq import PQCodebook
 
-        cpath = os.path.join(self.ivf_pq_path(column), "_centroids.npy")
-        bpath = os.path.join(self.ivf_pq_path(column), "_codebook.npz")
-        if not (os.path.exists(cpath) and os.path.exists(bpath)):
+        craw = self._fs_read_bytes(
+            os.path.join(self.ivf_pq_path(column), "_centroids.npy")
+        )
+        braw = self._fs_read_bytes(
+            os.path.join(self.ivf_pq_path(column), "_codebook.npz")
+        )
+        if craw is None or braw is None:
             return False
-        self._ivf_pq_index[column] = (np.load(cpath), PQCodebook.load(bpath))
+        self._ivf_pq_index[column] = (
+            np.load(io.BytesIO(craw)),
+            PQCodebook.load(io.BytesIO(braw)),
+        )
         return True
 
     def _search_ivf_pq(self, column: str, qvec, limit: int) -> DataFrame:

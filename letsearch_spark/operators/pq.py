@@ -68,7 +68,10 @@ class PQCodebook:
     def ksub(self) -> int:
         return int(self.codebooks.shape[1])
 
-    def save(self, path: str) -> None:
+    def save(self, path) -> None:
+        """``path``: filename or binary file object (np.savez passes
+        both through; Collection streams the bytes via the Hadoop FS
+        so remote homes persist too)."""
         np.savez(
             path,
             codebooks=self.codebooks,
@@ -76,7 +79,7 @@ class PQCodebook:
         )
 
     @classmethod
-    def load(cls, path: str) -> "PQCodebook":
+    def load(cls, path) -> "PQCodebook":
         z = np.load(path, allow_pickle=False)
         meta = json.loads(str(z["meta"]))
         return cls(codebooks=z["codebooks"], **meta)
