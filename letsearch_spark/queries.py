@@ -2049,6 +2049,52 @@ def q_eval_lsh_recall(spark, sf_dir):
     )
 
 
+_HN_NQ, _HN_K, _HN_NNEG, _HN_MARGIN = 8, 10, 5, 0.05
+
+
+def q_mine_hard_negatives(spark, sf_dir):
+    """Hard-negative mining for retrieval training pairs
+    (operators/mining.py mine_hard_negatives): 8 queries drawn from the
+    embeddings table, gold positive = each query's nearest non-self
+    neighbor (a rank-1 knn_join — an arbitrary pos_key would leave the
+    margin filter with nothing to keep on this synthetic corpus: every
+    candidate outranks a random positive), candidate depth 10,
+    margin-denoised at 0.05, 5 negatives kept — 48-58 survivors
+    pre-cut at sf0.001-0.1, so the entry exercises both the filter and
+    the partial-fill case. The staged entry runs method='expr'
+    (sequential-double cosine, bit-identical to DuckDB — the knn_join
+    precedent); the numpy production path is equivalence-tested in
+    tests/test_mining.py. Scores round to 6 for hash stability (k1
+    pattern), ranks are computed on raw doubles."""
+    from letsearch_spark.operators.mining import mine_hard_negatives
+    from letsearch_spark.operators.topk import knn_join
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("_key"), F.col("embedding").alias("vector")
+    )
+    queries = emb.where(F.col("_key") < _HN_NQ).select(
+        F.col("_key").alias("query_id"), F.col("vector").alias("qvec")
+    )
+    nn1 = knn_join(emb, queries, k=1, method="expr", exclude_self=True)
+    pairs = queries.join(
+        nn1.select("query_id", F.col("_key").alias("pos_key")), "query_id"
+    )
+    out = mine_hard_negatives(
+        emb,
+        pairs,
+        k=_HN_K,
+        num_negatives=_HN_NNEG,
+        margin=_HN_MARGIN,
+        method="expr",
+    )
+    return out.select(
+        "query_id",
+        "neg_key",
+        F.round("score", 6).alias("score"),
+        "neg_rank",
+    ).orderBy("query_id", "neg_rank")
+
+
 STAGED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "c4_page_filter": q_c4_page_filter,
     "events_attribution_join": q_events_attribution_join,
@@ -2058,6 +2104,7 @@ STAGED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "winnow_fingerprints": q_winnow_fingerprints,
     "eval_lsh_recall": q_eval_lsh_recall,
     "temperature_mixture": q_temperature_mixture,
+    "mine_hard_negatives": q_mine_hard_negatives,
 }
 
 _C4_ORACLE_SQL = r"""
@@ -2367,6 +2414,48 @@ def _eval_lsh_recall_oracle(sf_dir: str) -> str:
     """
 
 
+_HN_COS = (
+    "list_dot_product(({a})::DOUBLE[], ({b})::DOUBLE[]) / "
+    "(sqrt(list_dot_product(({a})::DOUBLE[], ({a})::DOUBLE[])) * "
+    "sqrt(list_dot_product(({b})::DOUBLE[], ({b})::DOUBLE[])))"
+)
+
+# mine_hard_negatives replayed in SQL: one ranked cross-join CTE feeds
+# both the rank-1 positive (the pair construction) and the top-k
+# candidate cut; then gold exclusion + margin filter against the
+# exactly-computed positive score, then the final re-rank window — the
+# same stage order as the operator.
+_HARD_NEGATIVES_ORACLE_SQL = f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding AS qvec
+        FROM embeddings WHERE vec_id < {_HN_NQ}
+    ), ranked AS (
+        SELECT q.query_id, e.vec_id,
+               {_HN_COS.format(a="e.embedding", b="q.qvec")} AS score,
+               row_number() OVER (PARTITION BY q.query_id
+                    ORDER BY {_HN_COS.format(a="e.embedding", b="q.qvec")} DESC,
+                             e.vec_id ASC) AS rnk
+        FROM embeddings e CROSS JOIN q
+        WHERE e.vec_id != q.query_id
+    ), pos AS (
+        SELECT query_id, vec_id AS pos_key, score AS pos_score
+        FROM ranked WHERE rnk = 1
+    )
+    SELECT query_id, neg_key, score, neg_rank FROM (
+        SELECT c.query_id, c.vec_id AS neg_key,
+               round(c.score, 6) AS score,
+               CAST(row_number() OVER (PARTITION BY c.query_id
+                    ORDER BY c.score DESC, c.vec_id ASC) AS BIGINT)
+                   AS neg_rank
+        FROM ranked c JOIN pos ON c.query_id = pos.query_id
+        WHERE c.rnk <= {_HN_K}
+          AND c.vec_id != pos.pos_key
+          AND c.score <= pos.pos_score - {_HN_MARGIN}
+    )
+    WHERE neg_rank <= {_HN_NNEG}
+    ORDER BY query_id, neg_rank
+"""
+
 STAGED_ORACLES: dict[str, object] = {
     "c4_page_filter": _C4_ORACLE_SQL,
     "events_attribution_join": _ATTRIBUTION_ORACLE_SQL,
@@ -2376,6 +2465,7 @@ STAGED_ORACLES: dict[str, object] = {
     "winnow_fingerprints": _winnow_oracle,
     "eval_lsh_recall": _eval_lsh_recall_oracle,
     "temperature_mixture": _temperature_mixture_oracle,
+    "mine_hard_negatives": _HARD_NEGATIVES_ORACLE_SQL,
 }
 
 
