@@ -203,6 +203,30 @@ def main() -> None:
             lambda: knn_join(emb, queries, k=10, method="numpy").count(),
         )
 
+        from letsearch_spark.operators.mining import mine_hard_negatives
+
+        # hard-negative mining, end-to-end production shape: rank-1
+        # knn_join picks each query's genuine positive (a random pos_key
+        # would leave the margin filter nothing to keep), then the mine
+        # itself = second knn_join + two broadcast joins (gold
+        # exclusion, exact pos score). Cost must track two knn100_numpy
+        # corpus scans, the candidate set staying |queries| x k
+        # regardless of corpus size
+        def _mine():
+            nn1 = knn_join(
+                emb, queries, k=1, method="numpy", exclude_self=True
+            )
+            pairs = queries.join(
+                nn1.select("query_id", F.col("_key").alias("pos_key")),
+                "query_id",
+            )
+            return mine_hard_negatives(
+                emb, pairs, k=20, num_negatives=5, margin=0.05,
+                method="numpy",
+            ).count()
+
+        timeit("mine_negatives100", _mine)
+
         from letsearch_spark.operators.bm25 import bm25_topk
         from letsearch_spark.operators.dedup import semantic_dedup
 
