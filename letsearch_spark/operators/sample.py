@@ -119,6 +119,51 @@ def hash_split(
     return df.withColumn(split_col, expr)
 
 
+def leakage_safe_split(
+    df: DataFrame,
+    components: DataFrame,
+    key_col: str,
+    weights: dict[str, float] | None = None,
+    seed: int = 42,
+    split_col: str = "split",
+    component_id_col: str = "id",
+    component_col: str = "component",
+) -> DataFrame:
+    """Train/val/test split that near-duplicates cannot straddle.
+
+    A plain ``hash_split`` on the document key leaks: a near-duplicate
+    pair (MinHash Jaccard >= threshold) can land one copy in train and
+    one in test, inflating eval scores (Lee et al. 2021 measured this
+    on C4/Wiki40B). The fix is structural: hash the *dedup component
+    representative*, not the document key -- every member of a
+    near-dup cluster then shares a bucket and lands on the same side,
+    whatever the weights.
+
+    ``components`` is the (id, component) frame produced by
+    ``operators.dedup.dedup_keep_list`` (min-id representative per
+    connected component). Rows of ``df`` absent from ``components``
+    fall back to hashing their own key -- a singleton is its own
+    representative, so a partial components table degrades gracefully
+    instead of dropping rows (LEFT join + coalesce).
+
+    Scale shape: ONE equi-join on the document key (both sides keyed
+    by id -- co-partitionable, and at 100 TB the components frame is
+    the dedup pipeline's existing output, not a new computation), then
+    the same zero-shuffle hash expression as ``hash_split``.
+    """
+    comp = components.select(
+        F.col(component_id_col).alias("__cid"),
+        F.col(component_col).alias("__comp"),
+    )
+    joined = df.join(comp, F.col(key_col) == F.col("__cid"), "left")
+    grouped = joined.withColumn(
+        "__group", F.coalesce(F.col("__comp"), F.col(key_col))
+    ).drop("__cid", "__comp")
+    return hash_split(grouped, "__group", weights, seed, split_col).drop(
+        "__group"
+    )
+
+
 def mixture_with_epochs(
     df: DataFrame,
     key_col: str,

@@ -920,6 +920,63 @@ _N_PERMS = 16
 _BAND_ROWS = 2  # 8 bands of 2 rows
 
 
+def _mh_pairs_oracle_sql() -> str:
+    """DuckDB replay of minhash_lsh_pairs (banded candidates -> exact
+    Jaccard verify at threshold 0.5) -- shared by the dedup_minhash_lsh
+    / dedup_minhash_components oracles and the leakage-safe split's
+    staged oracle, so the pair semantics can't drift between them."""
+    from letsearch_spark.operators.dedup import (
+        MINHASH_BASE_P,
+        MINHASH_PERM_P,
+        minhash_perm_params,
+    )
+
+    md5_60 = _MD5_60_SQL
+    perm = minhash_perm_params(_N_PERMS)
+    mh_cols = ", ".join(
+        f"min(({a} * h + {b}) % {MINHASH_PERM_P}) AS mh{p}"
+        for p, (a, b) in enumerate(perm)
+    )
+    band_selects = " UNION ALL ".join(
+        "SELECT doc_id, {band} AS band, {sig} AS sig FROM mh".format(
+            band=bi,
+            sig=" || ',' || ".join(
+                f"CAST(mh{p} AS VARCHAR)"
+                for p in range(bi * _BAND_ROWS, (bi + 1) * _BAND_ROWS)
+            ),
+        )
+        for bi in range(_N_PERMS // _BAND_ROWS)
+    )
+    return f"""
+        WITH sh AS ({_SHINGLES_SQL}),
+        base AS (
+            SELECT doc_id, {md5_60.format(x='s')} % {MINHASH_BASE_P} AS h FROM sh
+        ),
+        mh AS (SELECT doc_id, {mh_cols} FROM base GROUP BY doc_id),
+        bands AS ({band_selects}),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
+                 AND a.doc_id < b.doc_id
+        ),
+        cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT c.id_a, c.id_b, count(*) AS i
+            FROM cand c
+            JOIN sh a ON a.doc_id = c.id_a
+            JOIN sh b ON b.doc_id = c.id_b AND b.s = a.s
+            GROUP BY 1, 2
+        )
+        SELECT c.id_a AS id_a, c.id_b AS id_b,
+               round(coalesce(i.i * 1.0 / (ca.n + cb.n - i.i), 0.0), 6) AS jaccard
+        FROM cand c
+        LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+        JOIN cnt ca ON ca.doc_id = c.id_a
+        JOIN cnt cb ON cb.doc_id = c.id_b
+        WHERE round(coalesce(i.i * 1.0 / (ca.n + cb.n - i.i), 0.0), 6) >= 0.5
+    """
+
+
 def q_dedup_minhash_lsh(spark, sf_dir):
     """MinHash + LSH banding near-dup candidates, verified by true Jaccard.
 
@@ -2095,6 +2152,39 @@ def q_mine_hard_negatives(spark, sf_dir):
     ).orderBy("query_id", "neg_rank")
 
 
+def q_split_leakage_safe(spark, sf_dir):
+    """Leakage-safe train/val/test split (operators/sample.py
+    leakage_safe_split): the full MinHash dedup pipeline supplies the
+    connected-component representatives, and the split hashes the
+    REPRESENTATIVE instead of the document key, so a near-dup pair can
+    never straddle train/test (Lee et al. 2021's eval-inflation leak,
+    closed structurally). Oracle: the recursive-CTE closure over the
+    shared banded-pairs SQL + the same md5 bucket cut on the component
+    id."""
+    from letsearch_spark.operators.dedup import (
+        dedup_keep_list,
+        minhash_lsh_pairs,
+    )
+    from letsearch_spark.operators.sample import leakage_safe_split
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        docs,
+        "doc_id",
+        "text",
+        n=3,
+        num_perms=_N_PERMS,
+        band_rows=_BAND_ROWS,
+        threshold=0.5,
+    )
+    comps = dedup_keep_list(docs, pairs, "doc_id").select("id", "component")
+    return (
+        leakage_safe_split(docs, comps, "doc_id")
+        .select("doc_id", "split")
+        .orderBy("doc_id")
+    )
+
+
 STAGED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "c4_page_filter": q_c4_page_filter,
     "events_attribution_join": q_events_attribution_join,
@@ -2105,6 +2195,7 @@ STAGED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "eval_lsh_recall": q_eval_lsh_recall,
     "temperature_mixture": q_temperature_mixture,
     "mine_hard_negatives": q_mine_hard_negatives,
+    "split_leakage_safe": q_split_leakage_safe,
 }
 
 _C4_ORACLE_SQL = r"""
@@ -2456,6 +2547,38 @@ _HARD_NEGATIVES_ORACLE_SQL = f"""
     ORDER BY query_id, neg_rank
 """
 
+def _leak_split_oracle(sf_dir: str) -> str:
+    """SQL oracle for q_split_leakage_safe: components via the shared
+    banded-pairs SQL + recursive closure (the dedup_minhash_components
+    oracle's shape), then the hash_split CASE on the component id with
+    the same md5 bucket formula as sample_train_test_split's oracle."""
+    bucket = (
+        _MD5_60_SQL.format(x="CAST(comp.component AS VARCHAR) || '#42'")
+        + " % 1000000"
+    )
+    return f"""
+        WITH RECURSIVE
+        pairs AS ({_mh_pairs_oracle_sql()}),
+        edges AS (
+            SELECT id_a AS src, id_b AS dst FROM pairs
+            UNION
+            SELECT id_b AS src, id_a AS dst FROM pairs
+        ),
+        reach(a, b) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
+        ),
+        comp AS (SELECT a AS id, min(b) AS component FROM reach GROUP BY a)
+        SELECT d.doc_id,
+               CASE WHEN ({bucket}) < 900000 THEN 'train'
+                    WHEN ({bucket}) < 950000 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents d JOIN comp ON d.doc_id = comp.id
+        ORDER BY d.doc_id
+    """
+
+
 STAGED_ORACLES: dict[str, object] = {
     "c4_page_filter": _C4_ORACLE_SQL,
     "events_attribution_join": _ATTRIBUTION_ORACLE_SQL,
@@ -2466,6 +2589,7 @@ STAGED_ORACLES: dict[str, object] = {
     "eval_lsh_recall": _eval_lsh_recall_oracle,
     "temperature_mixture": _temperature_mixture_oracle,
     "mine_hard_negatives": _HARD_NEGATIVES_ORACLE_SQL,
+    "split_leakage_safe": _leak_split_oracle,
 }
 
 
@@ -2901,55 +3025,7 @@ def _oracles() -> dict[str, str]:
         WHERE round(i * 1.0 / np, 6) >= 0.5
         ORDER BY corpus_id, probe_id
     """
-    from letsearch_spark.operators.dedup import (
-        MINHASH_BASE_P,
-        MINHASH_PERM_P,
-        minhash_perm_params,
-    )
-
-    perm = minhash_perm_params(_N_PERMS)
-    mh_cols = ", ".join(
-        f"min(({a} * h + {b}) % {MINHASH_PERM_P}) AS mh{p}"
-        for p, (a, b) in enumerate(perm)
-    )
-    band_selects = " UNION ALL ".join(
-        "SELECT doc_id, {band} AS band, {sig} AS sig FROM mh".format(
-            band=bi,
-            sig=" || ',' || ".join(
-                f"CAST(mh{p} AS VARCHAR)"
-                for p in range(bi * _BAND_ROWS, (bi + 1) * _BAND_ROWS)
-            ),
-        )
-        for bi in range(_N_PERMS // _BAND_ROWS)
-    )
-    mh_pairs_sql = f"""
-        WITH sh AS ({_SHINGLES_SQL}),
-        base AS (
-            SELECT doc_id, {md5_60.format(x='s')} % {MINHASH_BASE_P} AS h FROM sh
-        ),
-        mh AS (SELECT doc_id, {mh_cols} FROM base GROUP BY doc_id),
-        bands AS ({band_selects}),
-        cand AS (
-            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-            FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
-                 AND a.doc_id < b.doc_id
-        ),
-        cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-        inter AS (
-            SELECT c.id_a, c.id_b, count(*) AS i
-            FROM cand c
-            JOIN sh a ON a.doc_id = c.id_a
-            JOIN sh b ON b.doc_id = c.id_b AND b.s = a.s
-            GROUP BY 1, 2
-        )
-        SELECT c.id_a AS id_a, c.id_b AS id_b,
-               round(coalesce(i.i * 1.0 / (ca.n + cb.n - i.i), 0.0), 6) AS jaccard
-        FROM cand c
-        LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
-        JOIN cnt ca ON ca.doc_id = c.id_a
-        JOIN cnt cb ON cb.doc_id = c.id_b
-        WHERE round(coalesce(i.i * 1.0 / (ca.n + cb.n - i.i), 0.0), 6) >= 0.5
-    """
+    mh_pairs_sql = _mh_pairs_oracle_sql()
     o["dedup_minhash_lsh"] = f"""
         SELECT * FROM ({mh_pairs_sql}) ORDER BY id_a, id_b
     """

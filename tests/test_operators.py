@@ -404,6 +404,70 @@ def test_hash_split_and_sample(spark):
         hash_split(df, "k", weights={"a": 0.5, "b": 0.6})
 
 
+def test_leakage_safe_split(spark):
+    from letsearch_spark.operators.sample import hash_split, leakage_safe_split
+
+    df = spark.range(0, 500).withColumnRenamed("id", "k")
+    # components: docs {i, i+250} are near-dup pairs with representative i
+    comps = spark.createDataFrame(
+        [(int(i), int(i % 250)) for i in range(500)], "id long, component long"
+    )
+    out = leakage_safe_split(df, comps, "k")
+    by_key = {r["k"]: r["split"] for r in out.collect()}
+    assert len(by_key) == 500
+    # the leak guarantee: every near-dup pair lands on ONE side
+    for i in range(250):
+        assert by_key[i] == by_key[i + 250], f"pair ({i},{i+250}) straddles"
+    # representatives get exactly the split a plain hash_split gives them
+    plain = {
+        r["k"]: r["split"]
+        for r in hash_split(df.where(F.col("k") < 250), "k").collect()
+    }
+    assert all(by_key[i] == plain[i] for i in range(250))
+    # rows missing from components fall back to their own key (LEFT join)
+    partial = leakage_safe_split(df, comps.where(F.col("id") < 100), "k")
+    assert partial.count() == 500
+    pk = {r["k"]: r["split"] for r in partial.collect()}
+    full_plain = {r["k"]: r["split"] for r in hash_split(df, "k").collect()}
+    assert all(pk[i] == full_plain[i] for i in range(100, 500))
+    # stable under repartitioning
+    again = {
+        r["k"]: r["split"]
+        for r in leakage_safe_split(df.repartition(13), comps, "k").collect()
+    }
+    assert again == by_key
+
+
+def test_leakage_safe_split_no_pair_straddles_testdata(spark, sf_dir):
+    """End-to-end guarantee on the real corpus: after the staged
+    split_leakage_safe entry, NO verified MinHash near-dup pair has its
+    two docs in different splits (the exact leak a doc-key hash_split
+    permits -- and this corpus does contain cross-split pairs under a
+    plain split, so the assertion is not vacuous)."""
+    from letsearch_spark.operators.dedup import minhash_lsh_pairs
+    from letsearch_spark.operators.sample import hash_split
+    from letsearch_spark.queries import STAGED_QUERIES, load
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        docs, "doc_id", "text", n=3, num_perms=16, band_rows=2, threshold=0.5
+    ).select("id_a", "id_b")
+    split = {
+        r["doc_id"]: r["split"]
+        for r in STAGED_QUERIES["split_leakage_safe"](spark, sf_dir).collect()
+    }
+    prows = pairs.collect()
+    assert prows, "corpus has no near-dup pairs; guard is vacuous"
+    for r in prows:
+        assert split[r.id_a] == split[r.id_b]
+    # counter-evidence: the plain doc-key split DOES leak on this corpus
+    plain = {
+        r["doc_id"]: r["split"]
+        for r in hash_split(docs.select("doc_id"), "doc_id").collect()
+    }
+    assert any(plain[r.id_a] != plain[r.id_b] for r in prows)
+
+
 def test_range_join_bin_equals_range(spark):
     import datetime as dt
 
