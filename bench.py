@@ -196,6 +196,22 @@ def main() -> None:
         lambda: knn_join(knn_base, knn_q, k=10, method="numpy").count(),
     )
 
+    # 5b. hard-negative mining (round 5): rank-1 positives + margin-
+    # denoised negatives for the same 100 queries, production numpy path
+    from letsearch_spark.operators.mining import mine_hard_negatives
+
+    def _mine_stage():
+        nn1 = knn_join(knn_base, knn_q, k=1, method="numpy", exclude_self=True)
+        pairs = knn_q.join(
+            nn1.select("query_id", F.col("_key").alias("pos_key")), "query_id"
+        )
+        return mine_hard_negatives(
+            knn_base, pairs, k=20, num_negatives=5, margin=0.05,
+            method="numpy",
+        ).count()
+
+    run_stage("mine_negatives100", _mine_stage)
+
     # 6-9. relational volume queries over lineitem/orders/events
     for name in (
         "agg_pricing_summary",

@@ -122,3 +122,160 @@ def pack_sequences(
         (tok_end - tok_begin).alias("tok_len"),
         (F.col("__start") + tok_begin - seq_start).alias("seq_offset"),
     )
+
+
+def pack_documents_bins(
+    df: DataFrame,
+    key_col: str,
+    token_count_col: str,
+    seq_len: int,
+    num_shards: int = 32,
+    seed: int = 42,
+    on_oversize: str = "error",
+) -> DataFrame:
+    """Whole-document packing: first-fit-decreasing bins (the SFT shape).
+
+    ``pack_sequences`` implements the pretraining layout (concatenate,
+    split at every seq_len, documents cross cuts). Instruction-tuning
+    and any loss that must not see two half-documents needs the other
+    layout: each document lands WHOLE in exactly one sequence, the
+    sequence padded to ``seq_len`` -- and the packer's job is to
+    minimize that padding. Best-fit-decreasing gives <= 11/9 OPT + 1
+    bins (Johnson 1973, same asymptotic bound as FFD); in practice
+    ~1-2% padding where the naive one-doc-per-sequence layout wastes
+    50%+. The bin search is a bisect over a sorted capacity index --
+    O(n log n) per shard, not the naive first-fit's O(n * bins) scan
+    (quadratic exactly when a shard is large, which is the case that
+    matters).
+
+    Same scale contract as ``pack_sequences``: ONE shuffle, keyed by
+    the same hash shard; the FFD loop runs per shard inside
+    ``applyInPandas`` over (key, token_count) pairs only -- text never
+    travels, and a shard's layout is a pure function of its members, so
+    retries/repartitioning cannot change it. Bins are local to a shard
+    (global FFD would serialize the corpus through one node for a ~1%
+    efficiency delta; per-shard keeps it embarrassingly parallel --
+    with hash-balanced shards the padding penalty vs global is noise).
+
+    ``on_oversize``: documents with tokens > seq_len either ``'error'``
+    (default -- almost always an upstream chunking bug), ``'drop'``
+    (excluded from the layout), or ``'own_seq'`` (emitted alone in a
+    dedicated sequence with tok_len = tokens; downstream truncates --
+    the layout stays honest about the real length).
+
+    Returns one row per document: (shard, seq, <key_col>, seq_offset,
+    tok_len). Within a sequence, documents tile [0, sum_of_lens) in
+    insertion order; sum(tok_len) per (shard, seq) <= seq_len except
+    ``'own_seq'`` singletons.
+    """
+    import pandas as pd
+
+    if seq_len <= 0:
+        raise ValueError(f"seq_len must be positive, got {seq_len}")
+    if num_shards <= 0:
+        raise ValueError(f"num_shards must be positive, got {num_shards}")
+    if on_oversize not in ("error", "drop", "own_seq"):
+        raise ValueError(
+            f"on_oversize must be error|drop|own_seq, got {on_oversize!r}"
+        )
+
+    key_type = dict(df.dtypes)[key_col]
+    tok = F.col(token_count_col).cast("long")
+    d = (
+        df.select(F.col(key_col), tok.alias("__tok"))
+        .where(F.col("__tok") > 0)
+        .withColumn(
+            "shard",
+            (hash_bucket(F.col(key_col), seed=seed) % num_shards).cast("long"),
+        )
+    )
+
+    schema = (
+        f"shard long, seq long, {key_col} {key_type}, "
+        "seq_offset long, tok_len long"
+    )
+    slen, oversize = seq_len, on_oversize
+
+    def bfd(pdf: pd.DataFrame) -> pd.DataFrame:
+        from bisect import bisect_left, insort
+
+        shard = int(pdf["shard"].iloc[0])
+        rows = sorted(
+            zip(pdf[key_col], pdf["__tok"]), key=lambda r: (-r[1], r[0])
+        )
+        out_seq, out_key, out_off, out_len = [], [], [], []
+        rem: list[int] = []  # remaining capacity per bin index
+        # sorted (capacity, bin_idx) index of OPEN bins; best fit = the
+        # smallest adequate capacity, ties to the oldest bin -- both
+        # resolved by one bisect, so the layout is deterministic
+        caps: list[list[int]] = []
+        for key, n in rows:
+            n = int(n)
+            if n > slen:
+                if oversize == "error":
+                    raise ValueError(
+                        f"document {key!r} has {n} tokens > seq_len {slen}; "
+                        "chunk upstream or pass on_oversize='drop'/'own_seq'"
+                    )
+                if oversize == "drop":
+                    continue
+                out_seq.append(len(rem))
+                out_key.append(key)
+                out_off.append(0)
+                out_len.append(n)
+                rem.append(0)  # full: nothing else joins this bin
+                continue
+            i = bisect_left(caps, [n, -1])
+            if i < len(caps):
+                _, b = caps.pop(i)
+            else:
+                b = len(rem)
+                rem.append(slen)
+            out_seq.append(b)
+            out_key.append(key)
+            out_off.append(slen - rem[b])
+            out_len.append(n)
+            rem[b] -= n
+            if rem[b] > 0:  # cap-0 bins can't take any further doc
+                insort(caps, [rem[b], b])
+        return pd.DataFrame(
+            {
+                "shard": shard,
+                "seq": out_seq,
+                key_col: out_key,
+                "seq_offset": out_off,
+                "tok_len": out_len,
+            }
+        )
+
+    return d.groupBy("shard").applyInPandas(bfd, schema=schema)
+
+
+def packing_efficiency(
+    layout: DataFrame, seq_len: int
+) -> DataFrame:
+    """Padding audit of a ``pack_documents_bins`` layout: per shard,
+    the bin count, token total, and padding fraction
+    (1 - tokens / (bins * seq_len)); plus an 'ALL' grand-total row.
+    One map-side-combined aggregation -- run it after every pack to
+    catch an upstream token-count regression inflating padding."""
+    per_seq = layout.groupBy("shard", "seq").agg(
+        F.sum("tok_len").alias("__fill")
+    )
+    per_shard = per_seq.groupBy("shard").agg(
+        F.count("*").alias("n_seqs"), F.sum("__fill").alias("n_tokens")
+    )
+    total = per_shard.agg(
+        F.lit(-1).cast("long").alias("shard"),
+        F.sum("n_seqs").alias("n_seqs"),
+        F.sum("n_tokens").alias("n_tokens"),
+    )
+    both = per_shard.unionByName(total)
+    return both.select(
+        "shard",
+        "n_seqs",
+        "n_tokens",
+        F.round(
+            1.0 - F.col("n_tokens") / (F.col("n_seqs") * F.lit(seq_len)), 6
+        ).alias("padding_frac"),
+    )

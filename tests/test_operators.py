@@ -958,6 +958,107 @@ def test_pack_sequences_deterministic_and_validated(spark):
         pack_sequences(docs, "id", "tokens", seq_len=10, num_shards=0)
 
 
+def _bfd_twin(rows, seq_len):
+    """Independent best-fit-decreasing replica (linear scan, no bisect
+    index): (key, tokens) -> {key: (seq, seq_offset)}."""
+    out = {}
+    rem = []
+    for key, n in sorted(rows, key=lambda r: (-r[1], r[0])):
+        best = None
+        for b, cap in enumerate(rem):
+            if cap >= n and (best is None or cap < rem[best]):
+                best = b
+        if best is None:
+            best = len(rem)
+            rem.append(seq_len)
+        out[key] = (best, seq_len - rem[best])
+        rem[best] -= n
+    return out
+
+
+def test_pack_documents_bins_matches_twin_and_tiles(spark):
+    import random
+
+    from letsearch_spark.operators.pack import (
+        pack_documents_bins,
+        packing_efficiency,
+    )
+
+    rng = random.Random(5)
+    data = [(i, rng.randint(1, 90)) for i in range(300)]
+    docs = spark.createDataFrame(data, "id long, tokens long")
+    L = 128
+    # num_shards=1: the whole corpus is one BFD instance the twin replays
+    out = pack_documents_bins(docs, "id", "tokens", seq_len=L, num_shards=1)
+    got = {r["id"]: (r["seq"], r["seq_offset"], r["tok_len"]) for r in out.collect()}
+    want = _bfd_twin(data, L)
+    assert len(got) == 300
+    for key, n in data:
+        seq, off = want[key]
+        assert got[key] == (seq, off, n), key
+
+    # multi-shard: every doc exactly once, bins never overflow, docs
+    # tile each bin contiguously, layout repartition-stable
+    out4 = pack_documents_bins(docs, "id", "tokens", seq_len=L, num_shards=4)
+    rows = out4.collect()
+    assert sorted(r["id"] for r in rows) == [i for i, _ in data]
+    per_bin = {}
+    for r in rows:
+        per_bin.setdefault((r["shard"], r["seq"]), []).append(r)
+    for spans in per_bin.values():
+        spans.sort(key=lambda r: r["seq_offset"])
+        pos = 0
+        for s in spans:
+            assert s["seq_offset"] == pos
+            pos += s["tok_len"]
+        assert pos <= L
+    again = pack_documents_bins(
+        docs.repartition(11), "id", "tokens", seq_len=L, num_shards=4
+    ).collect()
+    assert {tuple(r) for r in again} == {tuple(r) for r in rows}
+
+    # padding audit: grand-total row agrees with a manual computation
+    eff = {r["shard"]: r for r in packing_efficiency(out4, L).collect()}
+    n_bins = len(per_bin)
+    n_tok = sum(n for _, n in data)
+    assert eff[-1]["n_seqs"] == n_bins
+    assert eff[-1]["n_tokens"] == n_tok
+    assert abs(eff[-1]["padding_frac"] - (1 - n_tok / (n_bins * L))) < 1e-6
+    # BFD must beat one-doc-per-sequence by a wide margin here
+    assert eff[-1]["padding_frac"] < 0.1
+    assert n_bins < 300 / 2
+
+
+def test_pack_documents_bins_oversize_modes(spark):
+    import pytest
+
+    from letsearch_spark.operators.pack import pack_documents_bins
+
+    docs = spark.createDataFrame(
+        [(1, 50), (2, 200), (3, 60)], "id long, tokens long"
+    )
+    with pytest.raises(Exception, match="seq_len"):
+        pack_documents_bins(
+            docs, "id", "tokens", seq_len=100, num_shards=1
+        ).collect()
+
+    dropped = pack_documents_bins(
+        docs, "id", "tokens", seq_len=100, num_shards=1, on_oversize="drop"
+    ).collect()
+    assert sorted(r["id"] for r in dropped) == [1, 3]
+
+    own = pack_documents_bins(
+        docs, "id", "tokens", seq_len=100, num_shards=1, on_oversize="own_seq"
+    ).collect()
+    big = [r for r in own if r["id"] == 2]
+    assert len(big) == 1 and big[0]["tok_len"] == 200 and big[0]["seq_offset"] == 0
+    # nothing shares the oversize doc's bin
+    assert sum(r["seq"] == big[0]["seq"] for r in own) == 1
+
+    with pytest.raises(ValueError, match="on_oversize"):
+        pack_documents_bins(docs, "id", "tokens", seq_len=100, on_oversize="pad")
+
+
 # ------------------------------------------------------------ lines
 
 

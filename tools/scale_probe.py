@@ -266,6 +266,20 @@ def main() -> None:
                 toks, "doc_id", "tokens", seq_len=256, num_shards=int(CPUS)
             ).count(),
         )
+
+        from letsearch_spark.operators.pack import pack_documents_bins
+
+        # whole-document BFD bins (r5): same single (key, tokens)
+        # shuffle, the per-shard bisect loop is O(n log n) in shard
+        # size -- the ratio must track pack_seq, not blow up with the
+        # per-shard doc count
+        timeit(
+            "pack_bins",
+            lambda: pack_documents_bins(
+                toks, "doc_id", "tokens", seq_len=256,
+                num_shards=int(CPUS), on_oversize="own_seq",
+            ).count(),
+        )
         lined = docs.select(
             "doc_id", F.regexp_replace("text", r"((\S+\s+){7}\S+)\s+", "$1\n").alias("text")
         )
