@@ -163,10 +163,13 @@ def pack_documents_bins(
     dedicated sequence with tok_len = tokens; downstream truncates --
     the layout stays honest about the real length).
 
-    Returns one row per document: (shard, seq, <key_col>, seq_offset,
-    tok_len). Within a sequence, documents tile [0, sum_of_lens) in
-    insertion order; sum(tok_len) per (shard, seq) <= seq_len except
-    ``'own_seq'`` singletons.
+    Returns one row per document with the SAME schema as
+    ``pack_sequences`` -- (shard, seq, <key_col>, tok_begin, tok_len,
+    seq_offset), ``tok_begin`` always 0 because documents are whole --
+    so ``write_training_shards`` / ``write_token_shards`` consume
+    either layout unchanged. Within a sequence, documents tile
+    [0, sum_of_lens) in insertion order; sum(tok_len) per (shard, seq)
+    <= seq_len except ``'own_seq'`` singletons.
     """
     import pandas as pd
 
@@ -192,7 +195,7 @@ def pack_documents_bins(
 
     schema = (
         f"shard long, seq long, {key_col} {key_type}, "
-        "seq_offset long, tok_len long"
+        "tok_begin long, tok_len long, seq_offset long"
     )
     slen, oversize = seq_len, on_oversize
 
@@ -243,8 +246,9 @@ def pack_documents_bins(
                 "shard": shard,
                 "seq": out_seq,
                 key_col: out_key,
-                "seq_offset": out_off,
+                "tok_begin": 0,
                 "tok_len": out_len,
+                "seq_offset": out_off,
             }
         )
 

@@ -18,7 +18,9 @@ This module is their composition -- ONE declarative recipe:
         positive-vs-crawl logistic regression + Pareto keep, optional)
     4. mixture resample   (operators/sample.py mixture_hash_sample)
     5. train/val/test     (operators/sample.py hash_split)
-    6. sequence packing   (operators/pack.py pack_sequences)
+    6. sequence packing   (operators/pack.py: pack_sequences concat-
+       split layout, or pack_documents_bins whole-document BFD bins
+       via pack_layout='bins')
 
 Every stage is the scale shape (banded joins, hash filters, single
 shuffles) -- the composition inherits the operators' 100 TB designs and
@@ -115,6 +117,13 @@ class PrepConfig:
     # decorrelation for pretraining; distinct seeds -> distinct epoch
     # permutations at zero extra cost)
     pack_shuffle_seed: int | None = None
+    # 'split': concat-then-split pretraining layout (pack_sequences);
+    # 'bins': whole-document best-fit bins, the SFT layout
+    # (pack_documents_bins; oversize docs land alone in their own
+    # sequence -- the pipeline never silently drops a survivor).
+    # pack_shuffle_seed only applies to 'split' (bins have no stream
+    # order), so combining it with 'bins' raises.
+    pack_layout: str = "split"
     # pre-supplied token counts (e.g. a real tokenizer's) -- only valid
     # when line_dedup is None: stripping lines invalidates counts taken
     # on the original text, so that combination raises
@@ -159,7 +168,10 @@ def prepare_training_data(
         minhash_lsh_pairs,
         remove_duplicate_lines,
     )
-    from letsearch_spark.operators.pack import pack_sequences
+    from letsearch_spark.operators.pack import (
+        pack_documents_bins,
+        pack_sequences,
+    )
     from letsearch_spark.operators.sample import hash_split, mixture_hash_sample
 
     import time as _time
@@ -188,6 +200,15 @@ def prepare_training_data(
             "would silently corrupt the packed layout. Disable one: "
             "c4=None, line_dedup=None and ngram_dedup=None to trust the "
             "counts, or token_count_col=None to recount the cleaned text."
+        )
+    if cfg.pack_layout not in ("split", "bins"):
+        raise ValueError(
+            f"pack_layout must be 'split' or 'bins', got {cfg.pack_layout!r}"
+        )
+    if cfg.pack_layout == "bins" and cfg.pack_shuffle_seed is not None:
+        raise ValueError(
+            "pack_shuffle_seed applies only to pack_layout='split' "
+            "(bins have no stream order)"
         )
     key, text = cfg.key_col, cfg.text_col
     audit: dict[str, int] = {"input": docs.count()}
@@ -355,14 +376,24 @@ def prepare_training_data(
     else:
         cur = cur.withColumn("tokens", F.col(cfg.token_count_col).cast("long"))
 
-    layout = pack_sequences(
-        cur.where(F.col("split") == "train"),
-        key,
-        "tokens",
-        seq_len=cfg.seq_len,
-        num_shards=cfg.num_shards,
-        shuffle_seed=cfg.pack_shuffle_seed,
-    )
+    if cfg.pack_layout == "split":
+        layout = pack_sequences(
+            cur.where(F.col("split") == "train"),
+            key,
+            "tokens",
+            seq_len=cfg.seq_len,
+            num_shards=cfg.num_shards,
+            shuffle_seed=cfg.pack_shuffle_seed,
+        )
+    else:  # 'bins' -- validated on entry
+        layout = pack_documents_bins(
+            cur.where(F.col("split") == "train"),
+            key,
+            "tokens",
+            seq_len=cfg.seq_len,
+            num_shards=cfg.num_shards,
+            on_oversize="own_seq",
+        )
     audit["train_docs"] = cur.where(F.col("split") == "train").count()
     _lap("split_pack")
     if persisted:

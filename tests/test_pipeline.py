@@ -50,6 +50,55 @@ def test_prepare_training_data_end_to_end(spark, sf_dir):
     )
 
 
+def test_prepare_training_data_bins_layout(spark, sf_dir, tmp_path):
+    """pack_layout='bins': every surviving train doc lands WHOLE in
+    exactly one sequence, bins never overflow, and the layout feeds
+    write_training_shards unchanged (schema parity with 'split')."""
+    from letsearch_spark.pipeline import (
+        PrepConfig,
+        prepare_training_data,
+        release_training_data,
+        write_training_shards,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "lang", "text")
+    cfg = PrepConfig(
+        quality={"min_words": 25},
+        fuzzy_dedup={"threshold": 0.8},
+        seq_len=256,
+        num_shards=4,
+        pack_layout="bins",
+    )
+    clean, layout, audit = prepare_training_data(docs, cfg)
+    rows = clean.collect()
+    spans = layout.collect()
+    train = {r["doc_id"]: r["tokens"] for r in rows if r["split"] == "train"}
+    # exactly-once, whole-document, schema parity with pack_sequences
+    assert sorted(r["doc_id"] for r in spans) == sorted(train)
+    assert all(r["tok_begin"] == 0 for r in spans)
+    assert all(r["tok_len"] == train[r["doc_id"]] for r in spans)
+    per_bin = {}
+    for r in spans:
+        per_bin.setdefault((r["shard"], r["seq"]), 0)
+        per_bin[(r["shard"], r["seq"])] += r["tok_len"]
+    # no overflow (corpus docs fit 256 after the min_words filter, so
+    # no own_seq singleton is expected either way)
+    assert all(v <= 256 for v in per_bin.values())
+    # egress consumes the bins layout unchanged
+    out = str(tmp_path / "bin_shards")
+    n = write_training_shards(clean, layout, out)
+    assert n == len(spans)
+    release_training_data(clean)
+
+    with pytest.raises(ValueError, match="pack_shuffle_seed"):
+        prepare_training_data(
+            docs,
+            PrepConfig(pack_layout="bins", pack_shuffle_seed=7),
+        )
+    with pytest.raises(ValueError, match="pack_layout"):
+        prepare_training_data(docs, PrepConfig(pack_layout="nope"))
+
+
 def test_prepare_training_data_is_deterministic(spark, sf_dir):
     from letsearch_spark.pipeline import PrepConfig, prepare_training_data
 
