@@ -2152,6 +2152,45 @@ def q_mine_hard_negatives(spark, sf_dir):
     ).orderBy("query_id", "neg_rank")
 
 
+def q_training_pairs(spark, sf_dir):
+    """Contrastive training-pair assembly (operators/mining.py
+    build_training_pairs) on top of the staged mining entry: the mined
+    negatives and the gold positives fetch their text back from the
+    documents table (vec_id == doc_id, the search_fetchback_join
+    identity) and each query becomes one (anchor, positive_text,
+    negative_texts[]) row, negatives ordered by mined rank. Oracle:
+    the mining SQL extended with two text joins and a
+    list(text ORDER BY neg_rank) aggregation."""
+    from letsearch_spark.operators.mining import (
+        build_training_pairs,
+        mine_hard_negatives,
+    )
+    from letsearch_spark.operators.topk import knn_join
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("_key"), F.col("embedding").alias("vector")
+    )
+    queries = emb.where(F.col("_key") < _HN_NQ).select(
+        F.col("_key").alias("query_id"), F.col("vector").alias("qvec")
+    )
+    nn1 = knn_join(emb, queries, k=1, method="expr", exclude_self=True)
+    pairs = queries.join(
+        nn1.select("query_id", F.col("_key").alias("pos_key")), "query_id"
+    )
+    negs = mine_hard_negatives(
+        emb,
+        pairs,
+        k=_HN_K,
+        num_negatives=_HN_NNEG,
+        margin=_HN_MARGIN,
+        method="expr",
+    )
+    docs = load(spark, sf_dir, "documents")
+    return build_training_pairs(negs, docs, pairs, key_col="doc_id").orderBy(
+        "query_id"
+    )
+
+
 def q_split_leakage_safe(spark, sf_dir):
     """Leakage-safe train/val/test split (operators/sample.py
     leakage_safe_split): the full MinHash dedup pipeline supplies the
@@ -2196,6 +2235,7 @@ STAGED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "temperature_mixture": q_temperature_mixture,
     "mine_hard_negatives": q_mine_hard_negatives,
     "split_leakage_safe": q_split_leakage_safe,
+    "training_pairs": q_training_pairs,
 }
 
 _C4_ORACLE_SQL = r"""
@@ -2579,6 +2619,47 @@ def _leak_split_oracle(sf_dir: str) -> str:
     """
 
 
+# the mining stages (shared with _HARD_NEGATIVES_ORACLE_SQL's body) +
+# two text fetch-backs + rank-ordered list aggregation
+_TRAINING_PAIRS_ORACLE_SQL = f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding AS qvec
+        FROM embeddings WHERE vec_id < {_HN_NQ}
+    ), ranked AS (
+        SELECT q.query_id, e.vec_id,
+               {_HN_COS.format(a="e.embedding", b="q.qvec")} AS score,
+               row_number() OVER (PARTITION BY q.query_id
+                    ORDER BY {_HN_COS.format(a="e.embedding", b="q.qvec")} DESC,
+                             e.vec_id ASC) AS rnk
+        FROM embeddings e CROSS JOIN q
+        WHERE e.vec_id != q.query_id
+    ), pos AS (
+        SELECT query_id, vec_id AS pos_key, score AS pos_score
+        FROM ranked WHERE rnk = 1
+    ), negs AS (
+        SELECT query_id, neg_key, neg_rank FROM (
+            SELECT c.query_id, c.vec_id AS neg_key,
+                   row_number() OVER (PARTITION BY c.query_id
+                        ORDER BY c.score DESC, c.vec_id ASC) AS neg_rank
+            FROM ranked c JOIN pos ON c.query_id = pos.query_id
+            WHERE c.rnk <= {_HN_K}
+              AND c.vec_id != pos.pos_key
+              AND c.score <= pos.pos_score - {_HN_MARGIN}
+        ) WHERE neg_rank <= {_HN_NNEG}
+    ), ntxt AS (
+        SELECT n.query_id, list(d.text ORDER BY n.neg_rank) AS negative_texts
+        FROM negs n JOIN documents d ON d.doc_id = n.neg_key
+        GROUP BY n.query_id
+    )
+    SELECT p.query_id, dp.text AS positive_text,
+           coalesce(ntxt.negative_texts, CAST([] AS VARCHAR[]))
+               AS negative_texts
+    FROM pos p
+    JOIN documents dp ON dp.doc_id = p.pos_key
+    LEFT JOIN ntxt ON ntxt.query_id = p.query_id
+    ORDER BY p.query_id
+"""
+
 STAGED_ORACLES: dict[str, object] = {
     "c4_page_filter": _C4_ORACLE_SQL,
     "events_attribution_join": _ATTRIBUTION_ORACLE_SQL,
@@ -2590,6 +2671,7 @@ STAGED_ORACLES: dict[str, object] = {
     "temperature_mixture": _temperature_mixture_oracle,
     "mine_hard_negatives": _HARD_NEGATIVES_ORACLE_SQL,
     "split_leakage_safe": _leak_split_oracle,
+    "training_pairs": _TRAINING_PAIRS_ORACLE_SQL,
 }
 
 
