@@ -2224,7 +2224,35 @@ def q_split_leakage_safe(spark, sf_dir):
     )
 
 
+def q_decontaminate_bloom(spark, sf_dir):
+    """Decontamination through the broadcast-Bloom pre-filter
+    (operators/bloom.py decontaminate_with_bloom): same split and
+    parameters as q_decontaminate_containment, but the corpus side is
+    scan + vectorized bit-test with NO corpus-wide shuffle -- only
+    Bloom-hit shingles enter the exact verify join. Output is
+    bit-identical to the join path (false positives die in the equi-join,
+    no false negatives exist), so the oracle is the same containment
+    SQL."""
+    from letsearch_spark.operators.bloom import decontaminate_with_bloom
+
+    docs = load(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") % 2 == 0)
+    probes = docs.where(F.col("doc_id") % 2 == 1)
+    return decontaminate_with_bloom(
+        corpus,
+        probes,
+        "doc_id",
+        "text",
+        "doc_id",
+        "text",
+        n=3,
+        threshold=0.5,
+        max_shingle_freq=_MAX_SHINGLE_FREQ,
+    ).orderBy("corpus_id", "probe_id")
+
+
 STAGED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "decontaminate_bloom": q_decontaminate_bloom,
     "c4_page_filter": q_c4_page_filter,
     "events_attribution_join": q_events_attribution_join,
     "perplexity_buckets": q_perplexity_buckets,
@@ -2660,7 +2688,31 @@ _TRAINING_PAIRS_ORACLE_SQL = f"""
     ORDER BY p.query_id
 """
 
+# identical to the decontaminate_containment oracle: the Bloom path is
+# an execution strategy, not a semantics change
+_DECON_BLOOM_ORACLE_SQL = f"""
+    WITH sh AS ({_SHINGLES_SQL}),
+    ca0 AS (SELECT doc_id AS corpus_id, s FROM sh WHERE doc_id % 2 = 0),
+    ca AS (
+        SELECT corpus_id, s FROM (
+            SELECT corpus_id, s, count(*) OVER (PARTITION BY s) AS df_
+            FROM ca0
+        ) WHERE df_ <= {_MAX_SHINGLE_FREQ}
+    ),
+    pb AS (SELECT doc_id AS probe_id, s FROM sh WHERE doc_id % 2 = 1),
+    pcnt AS (SELECT probe_id, count(*) AS np FROM pb GROUP BY probe_id),
+    inter AS (
+        SELECT corpus_id, probe_id, count(*) AS i
+        FROM ca JOIN pb USING (s) GROUP BY 1, 2
+    )
+    SELECT corpus_id, probe_id, round(i * 1.0 / np, 6) AS containment
+    FROM inter JOIN pcnt USING (probe_id)
+    WHERE round(i * 1.0 / np, 6) >= 0.5
+    ORDER BY corpus_id, probe_id
+"""
+
 STAGED_ORACLES: dict[str, object] = {
+    "decontaminate_bloom": _DECON_BLOOM_ORACLE_SQL,
     "c4_page_filter": _C4_ORACLE_SQL,
     "events_attribution_join": _ATTRIBUTION_ORACLE_SQL,
     "perplexity_buckets": _ppl_buckets_oracle,
