@@ -1,0 +1,138 @@
+"""Curriculum ordering via exact distributed ranking.
+
+Training curricula (short->long, clean->noisy, easy->hard) need every
+document's exact global position under a total order -- but the naive
+``row_number() OVER (ORDER BY score)`` collapses to a SINGLE partition
+in Spark (empty ``partitionBy``), the classic scale-killer this repo
+bans elsewhere (see VERDICT r4 "oracle-only global windows").
+
+``distributed_rank`` computes the same rank scalably, the way
+``zipWithIndex`` does but staying in the DataFrame API:
+
+1. ``repartitionByRange`` on the order key -- non-overlapping sorted
+   ranges across P partitions (the range sampler only affects partition
+   BOUNDARIES, never the result: rank is a function of the total order);
+2. ``sortWithinPartitions`` + ``row_number`` partitioned by
+   ``spark_partition_id()`` -- a window WITHIN each partition, no extra
+   shuffle;
+3. per-partition counts -> driver prefix sum (P integers, not rows) ->
+   broadcast-joined offsets; rank = offset + local row_number.
+
+The tiebreak column makes the order total, so the rank is deterministic
+and engine-reproducible -- the DuckDB oracle replays it with a plain
+``row_number() OVER (ORDER BY ...)``.
+
+``curriculum_shards`` layers contiguous equal-ish shard assignment on
+top (SQL NTILE semantics: first ``n % k`` shards get the extra row), so
+a training loader can stream shard 1..k in curriculum order.
+
+No reference analog (SURVEY.md §2.7 north-star family).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def distributed_rank(
+    df: DataFrame,
+    order_cols: list[str],
+    ascending: bool = True,
+    rank_col: str = "rank",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact 1-based global rank under ``ORDER BY order_cols`` without a
+    single-partition window. ``order_cols`` must form a total order
+    (include a unique tiebreak column last) for a deterministic result.
+    """
+    if not order_cols:
+        raise ValueError("order_cols must name at least one column")
+    p = num_partitions or int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
+    keys = [
+        F.col(c).asc() if ascending else F.col(c).desc() for c in order_cols
+    ]
+    ranged = (
+        df.repartitionByRange(p, *keys)
+        .sortWithinPartitions(*keys)
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    ranged = ranged.persist()
+    try:
+        # P rows to the driver -- partition COUNTS, never data
+        counts = {
+            r["_pid"]: r["n"]
+            for r in ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        offsets, acc = {}, 0
+        for pid in sorted(counts):
+            offsets[pid] = acc
+            acc += counts[pid]
+        offset_expr = F.lit(0)
+        if offsets:
+            mapping = F.create_map(
+                *[F.lit(x) for kv in offsets.items() for x in kv]
+            )
+            offset_expr = mapping[F.col("_pid")]
+        local = F.row_number().over(
+            Window.partitionBy("_pid").orderBy(*keys)
+        )
+        out = ranged.withColumn(
+            rank_col, (offset_expr + local).cast("long")
+        ).drop("_pid")
+        # materialize before releasing the ranged cache the plan reads
+        out = out.localCheckpoint(eager=True)
+        return out
+    finally:
+        ranged.unpersist()
+
+
+def ntile_of_rank(rank, n: int, num_tiles: int):
+    """SQL NTILE bucket for a 1-based ``rank`` among ``n`` rows: the
+    first ``n % num_tiles`` buckets hold ``n // num_tiles + 1`` rows.
+    Column-expression form shared by operator and oracle."""
+    q, r = divmod(n, num_tiles)
+    if q == 0:
+        return rank.cast("int")
+    big = F.lit((q + 1) * r)
+    return (
+        F.when(rank <= big, (rank - 1) / (q + 1))
+        .otherwise(F.lit(r) + (rank - 1 - big) / q)
+        .cast("int")
+        + 1
+    )
+
+
+def curriculum_shards(
+    df: DataFrame,
+    score_col: str,
+    id_col: str,
+    num_shards: int,
+    ascending: bool = True,
+    shard_col: str = "shard",
+    rank_col: str = "rank",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Assign each row a curriculum ``rank`` (exact global position by
+    ``score_col`` then ``id_col``) and a contiguous ``shard`` in
+    [1, num_shards] with NTILE size semantics. A loader that reads shard
+    1, 2, ... k consumes the corpus in curriculum order; within a shard,
+    rank gives the exact sequence."""
+    if num_shards < 1:
+        raise ValueError(f"num_shards must be >= 1, got {num_shards}")
+    ranked = distributed_rank(
+        df,
+        [score_col, id_col],
+        ascending=ascending,
+        rank_col=rank_col,
+        num_partitions=num_partitions,
+    )
+    n = ranked.count()
+    if n == 0:
+        return ranked.withColumn(shard_col, F.lit(None).cast("int"))
+    return ranked.withColumn(
+        shard_col, ntile_of_rank(F.col(rank_col), n, num_shards)
+    )

@@ -2251,8 +2251,33 @@ def q_decontaminate_bloom(spark, sf_dir):
     ).orderBy("corpus_id", "probe_id")
 
 
+def q_curriculum_order(spark, sf_dir):
+    """Length curriculum over documents (operators/curriculum.py): exact
+    global rank by (word count, doc_id) via distributed ranking -- range
+    partitions + per-partition offsets, never a single-partition window
+    -- then NTILE(8) shard assignment. Oracle replays it with DuckDB's
+    row_number/ntile over the same total order."""
+    from letsearch_spark.operators.curriculum import curriculum_shards
+
+    docs = load(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        F.size(
+            F.split(F.trim(F.coalesce(F.col("text"), F.lit(""))), r"\s+")
+        )
+        .cast("long")
+        .alias("wc"),
+    )
+    return (
+        curriculum_shards(scored, "wc", "doc_id", num_shards=8)
+        .select("doc_id", "wc", "rank", "shard")
+        .orderBy("rank")
+    )
+
+
 STAGED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decontaminate_bloom": q_decontaminate_bloom,
+    "curriculum_order": q_curriculum_order,
     "c4_page_filter": q_c4_page_filter,
     "events_attribution_join": q_events_attribution_join,
     "perplexity_buckets": q_perplexity_buckets,
@@ -2711,8 +2736,21 @@ _DECON_BLOOM_ORACLE_SQL = f"""
     ORDER BY corpus_id, probe_id
 """
 
+_CURRICULUM_ORACLE_SQL = r"""
+    SELECT doc_id, wc,
+           row_number() OVER (ORDER BY wc, doc_id) AS rank,
+           ntile(8) OVER (ORDER BY wc, doc_id) AS shard
+    FROM (
+        SELECT doc_id,
+               len(regexp_split_to_array(trim(coalesce(text, '')), '\s+')) AS wc
+        FROM documents
+    )
+    ORDER BY rank
+"""
+
 STAGED_ORACLES: dict[str, object] = {
     "decontaminate_bloom": _DECON_BLOOM_ORACLE_SQL,
+    "curriculum_order": _CURRICULUM_ORACLE_SQL,
     "c4_page_filter": _C4_ORACLE_SQL,
     "events_attribution_join": _ATTRIBUTION_ORACLE_SQL,
     "perplexity_buckets": _ppl_buckets_oracle,

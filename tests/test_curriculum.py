@@ -1,0 +1,98 @@
+"""Curriculum ordering (operators/curriculum.py): the distributed rank
+must equal a single-partition global window exactly, in both directions,
+and the shard arithmetic must match SQL NTILE."""
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+@pytest.fixture(scope="module")
+def scored(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("wc"),
+    ).persist()
+
+
+def test_distributed_rank_matches_global_window(spark, scored):
+    from letsearch_spark.operators.curriculum import distributed_rank
+
+    got = {
+        r["doc_id"]: r["rank"]
+        for r in distributed_rank(
+            scored, ["wc", "doc_id"], num_partitions=7
+        ).collect()
+    }
+    want = {
+        r["doc_id"]: r["rank"]
+        for r in scored.withColumn(
+            "rank", F.row_number().over(Window.orderBy("wc", "doc_id"))
+        ).collect()
+    }
+    assert got == want
+
+
+def test_distributed_rank_descending(spark, scored):
+    from letsearch_spark.operators.curriculum import distributed_rank
+
+    got = {
+        r["doc_id"]: r["rank"]
+        for r in distributed_rank(
+            scored, ["wc", "doc_id"], ascending=False, num_partitions=5
+        ).collect()
+    }
+    want = {
+        r["doc_id"]: r["rank"]
+        for r in scored.withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(F.col("wc").desc(), F.col("doc_id").desc())
+            ),
+        ).collect()
+    }
+    assert got == want
+
+
+@pytest.mark.parametrize("k", [1, 3, 8])
+def test_curriculum_shards_match_sql_ntile(spark, scored, k):
+    from letsearch_spark.operators.curriculum import curriculum_shards
+
+    got = {
+        r["doc_id"]: r["shard"]
+        for r in curriculum_shards(scored, "wc", "doc_id", k).collect()
+    }
+    want = {
+        r["doc_id"]: r["shard"]
+        for r in scored.withColumn(
+            "shard", F.ntile(k).over(Window.orderBy("wc", "doc_id"))
+        ).collect()
+    }
+    assert got == want
+
+
+def test_curriculum_more_partitions_than_rows(spark, scored):
+    """Empty range partitions must not perturb offsets."""
+    from letsearch_spark.operators.curriculum import curriculum_shards
+
+    tiny = scored.orderBy("doc_id").limit(3)
+    rows = sorted(
+        (r["rank"], r["shard"])
+        for r in curriculum_shards(
+            tiny, "wc", "doc_id", 8, num_partitions=16
+        ).collect()
+    )
+    assert rows == [(1, 1), (2, 2), (3, 3)]
+
+
+def test_curriculum_rejects_bad_args(spark, scored):
+    from letsearch_spark.operators.curriculum import (
+        curriculum_shards,
+        distributed_rank,
+    )
+
+    with pytest.raises(ValueError, match="order_cols"):
+        distributed_rank(scored, [])
+    with pytest.raises(ValueError, match="num_shards"):
+        curriculum_shards(scored, "wc", "doc_id", 0)
