@@ -2275,9 +2275,21 @@ def q_curriculum_order(spark, sf_dir):
     )
 
 
+def q_vocab_coverage(spark, sf_dir):
+    """Zipf coverage curve (operators/vocab.py vocab_coverage): token
+    share covered by the top-{10,100,1000} most frequent word types.
+    Type ranking goes through distributed_rank (no single-partition
+    window); the oracle replays it with a plain row_number."""
+    from letsearch_spark.operators.vocab import vocab_coverage
+
+    docs = load(spark, sf_dir, "documents")
+    return vocab_coverage(docs, "text", ks=(10, 100, 1000))
+
+
 STAGED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decontaminate_bloom": q_decontaminate_bloom,
     "curriculum_order": q_curriculum_order,
+    "vocab_coverage": q_vocab_coverage,
     "c4_page_filter": q_c4_page_filter,
     "events_attribution_join": q_events_attribution_join,
     "perplexity_buckets": q_perplexity_buckets,
@@ -2748,9 +2760,27 @@ _CURRICULUM_ORACLE_SQL = r"""
     ORDER BY rank
 """
 
+_VOCAB_COVERAGE_ORACLE_SQL = r"""
+    WITH wd AS (
+        SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+        FROM documents
+    ), counts AS (
+        SELECT w, count(*) AS cnt FROM wd WHERE w <> '' GROUP BY w
+    ), ranked AS (
+        SELECT w, cnt, row_number() OVER (ORDER BY cnt DESC, w) AS rank
+        FROM counts
+    ), tot AS (SELECT sum(cnt) AS total FROM counts)
+    SELECT k, count(*) AS vocab_k, sum(cnt) AS covered_tokens,
+           (SELECT total FROM tot) AS total_tokens,
+           round(sum(cnt) * 1.0 / (SELECT total FROM tot), 6) AS coverage
+    FROM ranked CROSS JOIN (VALUES (10), (100), (1000)) AS ks(k)
+    WHERE rank <= k GROUP BY k ORDER BY k
+"""
+
 STAGED_ORACLES: dict[str, object] = {
     "decontaminate_bloom": _DECON_BLOOM_ORACLE_SQL,
     "curriculum_order": _CURRICULUM_ORACLE_SQL,
+    "vocab_coverage": _VOCAB_COVERAGE_ORACLE_SQL,
     "c4_page_filter": _C4_ORACLE_SQL,
     "events_attribution_join": _ATTRIBUTION_ORACLE_SQL,
     "perplexity_buckets": _ppl_buckets_oracle,

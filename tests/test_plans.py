@@ -185,8 +185,16 @@ def test_no_accidental_cartesian_in_contract_queries(spark, sf_dir):
     # shuffle. The production numpy path has its own candidates-only gate
     # (test_knn_join_shuffles_candidates_only).
     # eval_lsh_recall's exact leg IS knn_join(method='expr') -- the same
-    # deliberate tiny-broadcast shape
-    ALLOWED: set[str] = {"knn_join", "eval_lsh_recall"}
+    # deliberate tiny-broadcast shape; mine_hard_negatives and
+    # training_pairs route their candidate stage through
+    # knn_join(method='expr') too (the broadcast side is the
+    # driver-bounded training-pair batch, not corpus data)
+    ALLOWED: set[str] = {
+        "knn_join",
+        "eval_lsh_recall",
+        "mine_hard_negatives",
+        "training_pairs",
+    }
     from letsearch_spark.queries import STAGED_QUERIES
 
     flagged = {}
