@@ -286,14 +286,29 @@ def prepare_training_data(
         _drop_superseded()
 
     if cfg.decontaminate is not None:
-        from letsearch_spark.operators.dedup import ngram_containment_pairs
+        # method='bloom' swaps in the broadcast-Bloom pre-filter
+        # (operators/bloom.py) -- bit-identical hits with no corpus-side
+        # shuffle; the default stays the join path
+        method = cfg.decontaminate.get("method", "join")
+        if method == "bloom":
+            from letsearch_spark.operators.bloom import (
+                decontaminate_with_bloom as _decon,
+            )
+        elif method == "join":
+            from letsearch_spark.operators.dedup import (
+                ngram_containment_pairs as _decon,
+            )
+        else:
+            raise ValueError(
+                f"decontaminate method must be 'join' or 'bloom', got {method!r}"
+            )
 
         extra = {
             k: v
             for k, v in cfg.decontaminate.items()
-            if k not in ("probes", "probe_id", "probe_text")
+            if k not in ("probes", "probe_id", "probe_text", "method")
         }
-        hits = ngram_containment_pairs(
+        hits = _decon(
             cur,
             cfg.decontaminate["probes"],
             corpus_id=key,

@@ -374,6 +374,24 @@ def test_pipeline_decontaminate_stage(spark):
     assert audit["decontaminate"] == 11
     assert audit["input"] == 12
 
+    # the broadcast-Bloom path must make the identical decision
+    import dataclasses
+
+    bloom_cfg = dataclasses.replace(
+        cfg, decontaminate={**cfg.decontaminate, "method": "bloom"}
+    )
+    clean_b, _, audit_b = prepare_training_data(docs, bloom_cfg)
+    assert {r["doc_id"] for r in clean_b.select("doc_id").collect()} == kept
+    assert audit_b["decontaminate"] == 11
+
+    with pytest.raises(ValueError, match="method"):
+        prepare_training_data(
+            docs,
+            dataclasses.replace(
+                cfg, decontaminate={**cfg.decontaminate, "method": "nope"}
+            ),
+        )
+
 
 def test_corpus_report_matches_python_twin(spark, sf_dir):
     """corpus_report's per-domain rows and grand total must equal an
