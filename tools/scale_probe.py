@@ -346,6 +346,74 @@ def main() -> None:
             ).count(),
         )
 
+        # decontamination, join vs Bloom (r5): the probe set is FIXED
+        # (copy-0's odd docs -- the benchmark suite doesn't grow with
+        # the crawl) while the corpus side grows. The join path
+        # shuffles corpus shingles; the Bloom path is corpus scan +
+        # broadcast bit-test, with only Bloom-hit shingles shuffling
+        # (constant here: salted copies share nothing with copy-0
+        # probes) -- the gap between the two curves is the operator's
+        # 100 TB argument
+        if only is None or {"decon_join", "decon_bloom"} & only:
+            from letsearch_spark.operators.bloom import (
+                decontaminate_with_bloom,
+            )
+            from letsearch_spark.operators.dedup import (
+                ngram_containment_pairs,
+            )
+
+            corpus_side = docs.where(F.col("doc_id") % 2 == 0)
+            probe_side = docs.where(
+                (F.col("doc_id") % 2 == 1) & (F.col("doc_id") < 1_000_000)
+            )
+            decon_kw = dict(n=3, threshold=0.5, max_shingle_freq=100)
+            timeit(
+                "decon_join",
+                lambda: ngram_containment_pairs(
+                    corpus_side, probe_side, "doc_id", "text",
+                    "doc_id", "text", **decon_kw,
+                ).count(),
+            )
+            timeit(
+                "decon_bloom",
+                lambda: decontaminate_with_bloom(
+                    corpus_side, probe_side, "doc_id", "text",
+                    "doc_id", "text", **decon_kw,
+                ).count(),
+            )
+
+        # curriculum ranking (r5): exact global rank via range
+        # partitions + offsets -- one range shuffle of (id, score)
+        # pairs, cost must track rows, never collapse to one partition
+        if only is None or "curriculum_rank" in only:
+            from letsearch_spark.operators.curriculum import (
+                curriculum_shards,
+            )
+
+            scored = docs.select(
+                "doc_id",
+                F.size(F.split(F.trim("text"), r"\s+")).alias("wc"),
+            )
+            timeit(
+                "curriculum_rank",
+                lambda: curriculum_shards(
+                    scored, "wc", "doc_id", num_shards=64
+                ).count(),
+            )
+
+        # vocab coverage (r5): salted copies grow the TYPE table
+        # linearly with the corpus (the worst case) -- the explode
+        # shuffle plus the distributed type ranking must track bytes
+        if only is None or "vocab_coverage" in only:
+            from letsearch_spark.operators.vocab import vocab_coverage
+
+            timeit(
+                "vocab_coverage",
+                lambda: vocab_coverage(
+                    docs, "text", ks=(100, 10_000, 1_000_000)
+                ).count(),
+            )
+
         # incremental index maintenance: append a FIXED 200-vector
         # batch under frozen centroids vs a full rebuild of base+batch.
         # Append cost must track the BATCH (near-flat as the base
