@@ -114,7 +114,10 @@ def build_shingle_bloom(
     num_bits, num_hashes = _bloom_geometry(n_shingles, fpp)
     bitmap = np.zeros((num_bits + 7) // 8, dtype=np.uint8)
     if n_shingles:
-        pos_rows = (
+        # Arrow collect of the single int64 position column: ~16 bytes/
+        # position on the driver instead of ~150+ bytes/py4j Row, so the
+        # 2M-shingle x k<=16 ceiling costs ~200 MB, not multiple GB.
+        pos_pdf = (
             pb.select("s")
             .distinct()
             .select(
@@ -123,9 +126,9 @@ def build_shingle_bloom(
                 ).alias("p")
             )
             .distinct()
-            .collect()
+            .toPandas()
         )
-        pos = np.fromiter((r["p"] for r in pos_rows), dtype=np.int64)
+        pos = pos_pdf["p"].to_numpy(dtype=np.int64)
         np.bitwise_or.at(
             bitmap, pos >> 3, (1 << (pos & 7)).astype(np.uint8)
         )

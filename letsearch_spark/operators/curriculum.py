@@ -42,13 +42,36 @@ def distributed_rank(
     ascending: bool = True,
     rank_col: str = "rank",
     num_partitions: int | None = None,
+    pin: str = "local",
 ) -> DataFrame:
     """Exact 1-based global rank under ``ORDER BY order_cols`` without a
     single-partition window. ``order_cols`` must form a total order
     (include a unique tiebreak column last) for a deterministic result.
+
+    The result must be PINNED before this function releases the ranged
+    cache: ``repartitionByRange`` samples partition boundaries, so a
+    lineage recomputation could assign different ``_pid``s than the
+    collected counts and corrupt ranks. ``pin`` picks how:
+
+    - ``'local'`` (default): ``localCheckpoint(eager=True)`` -- fast, but
+      checkpoint blocks live only on executors; an executor loss after
+      this call makes the result unrecoverable mid-job. Right for
+      short-lived jobs and local mode.
+    - ``'reliable'``: ``checkpoint(eager=True)`` to the reliable
+      checkpoint directory (``spark.sparkContext.setCheckpointDir`` --
+      HDFS/S3 on a cluster). Survives executor loss; the right choice for
+      long-running 100 TB jobs. Raises a clear error when no checkpoint
+      dir is configured.
     """
     if not order_cols:
         raise ValueError("order_cols must name at least one column")
+    if pin not in ("local", "reliable"):
+        raise ValueError(f"pin must be 'local' or 'reliable', got {pin!r}")
+    if pin == "reliable" and df.sparkSession.sparkContext.getCheckpointDir() is None:
+        raise ValueError(
+            "pin='reliable' needs a checkpoint directory: call "
+            "spark.sparkContext.setCheckpointDir(<HDFS/S3 path>) first"
+        )
     p = num_partitions or int(
         df.sparkSession.conf.get("spark.sql.shuffle.partitions")
     )
@@ -84,7 +107,11 @@ def distributed_rank(
             rank_col, (offset_expr + local).cast("long")
         ).drop("_pid")
         # materialize before releasing the ranged cache the plan reads
-        out = out.localCheckpoint(eager=True)
+        # (see the ``pin`` docstring for why this is mandatory)
+        if pin == "reliable":
+            out = out.checkpoint(eager=True)
+        else:
+            out = out.localCheckpoint(eager=True)
         return out
     finally:
         ranged.unpersist()
@@ -115,6 +142,7 @@ def curriculum_shards(
     shard_col: str = "shard",
     rank_col: str = "rank",
     num_partitions: int | None = None,
+    pin: str = "local",
 ) -> DataFrame:
     """Assign each row a curriculum ``rank`` (exact global position by
     ``score_col`` then ``id_col``) and a contiguous ``shard`` in
@@ -129,6 +157,7 @@ def curriculum_shards(
         ascending=ascending,
         rank_col=rank_col,
         num_partitions=num_partitions,
+        pin=pin,
     )
     n = ranked.count()
     if n == 0:

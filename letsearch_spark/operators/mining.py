@@ -72,6 +72,16 @@ def mine_hard_negatives(
     dense per query over the surviving candidates, ``score`` the raw
     cosine similarity. Rows with no surviving candidate simply emit
     fewer than ``num_negatives`` negatives (possibly zero).
+
+    ``pairs`` MAY hold several positives per query (multi-positive
+    training sets): the query side is deduplicated before the knn scan
+    (``query_vec_col`` must be functionally dependent on
+    ``query_key_col``), NO positive of a query is ever served as its
+    negative (anti-join against the full positive set, not a per-row
+    check), and margin denoising measures against the query's LEAST
+    similar positive -- the conservative bound, since a candidate inside
+    the margin of any positive is a suspected unlabeled positive.
+    Output stays one ranked candidate list per query.
     """
     if num_negatives < 1:
         raise ValueError(f"num_negatives must be >= 1, got {num_negatives}")
@@ -83,7 +93,9 @@ def mine_hard_negatives(
 
     cand = knn_join(
         emb,
-        pairs.select(query_key_col, query_vec_col),
+        pairs.select(query_key_col, query_vec_col).dropDuplicates(
+            [query_key_col]
+        ),
         k=k,
         key_col=key_col,
         vec_col=vec_col,
@@ -93,10 +105,13 @@ def mine_hard_negatives(
         exclude_self=exclude_self,
     ).select(query_key_col, key_col, "score")
 
-    gold = pairs.select(query_key_col, pos_key_col)
-    cand = cand.join(F.broadcast(gold), query_key_col, "inner").where(
-        F.col(key_col) != F.col(pos_key_col)
-    )
+    # anti-join against the FULL positive set per query: a sibling
+    # pair's positive never leaks through as a negative, and multi-row
+    # pairs cannot duplicate candidates (the join adds no rows)
+    gold = pairs.select(
+        query_key_col, F.col(pos_key_col).alias(key_col)
+    ).distinct()
+    cand = cand.join(F.broadcast(gold), [query_key_col, key_col], "left_anti")
 
     if margin is not None:
         from letsearch_spark.functions.vector import dot_product, l2_norm
@@ -114,6 +129,10 @@ def mine_hard_negatives(
         pos_scores = (
             emb.join(F.broadcast(pos_side), F.col(key_col) == F.col("__pk"))
             .select(F.col(query_key_col), pos_sim.alias("__pos_score"))
+            # multi-positive queries: denoise against the least similar
+            # positive (one row per query keeps the join duplicate-free)
+            .groupBy(query_key_col)
+            .agg(F.min("__pos_score").alias("__pos_score"))
         )
         cand = cand.join(F.broadcast(pos_scores), query_key_col, "inner").where(
             F.col("score") <= F.col("__pos_score") - F.lit(float(margin))
@@ -175,7 +194,10 @@ def build_training_pairs(
             F.col("__ns.neg_text").alias("negative_texts"),
         )
     )
-    pos_txt = pairs.select(query_key_col, pos_key_col).join(
+    # multi-positive queries produce one training row per (query,
+    # positive), all sharing the query's mined negative list; exact
+    # duplicate pair rows collapse to one
+    pos_txt = pairs.select(query_key_col, pos_key_col).distinct().join(
         docs, F.col(pos_key_col) == F.col("__dk")
     ).select(query_key_col, F.col("__dtext").alias("positive_text"))
     return pos_txt.join(neg_txt, query_key_col, "left").select(

@@ -101,3 +101,55 @@ def test_bloom_empty_probes(spark, sf_dir):
     )
     assert out.columns == ["corpus_id", "probe_id", "containment"]
     assert out.count() == 0
+
+
+def test_bloom_build_at_scale_arrow_collect(spark):
+    """The bitmap build collects bit positions through Arrow, not py4j
+    Rows (ADVICE r5): exercise it at a few hundred thousand distinct
+    shingles and verify every probe shingle's k bits are set (no false
+    negatives by construction)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from letsearch_spark.operators.bloom import (
+        _position_cols,
+        build_shingle_bloom,
+    )
+
+    # 3000 probe docs x 35 unique words -> ~99k distinct 3-gram shingles
+    probes = (
+        spark.range(3000)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.concat_ws(
+                " ",
+                *[
+                    F.concat(F.lit(f"w{j}_"), F.col("id"))
+                    for j in range(35)
+                ],
+            ).alias("text"),
+        )
+    )
+    bloom, num_bits, num_hashes, pb = build_shingle_bloom(
+        probes, "doc_id", "text", n=3, fpp=0.01
+    )
+    try:
+        n_shingles = pb.select("s").distinct().count()
+        assert n_shingles == 3000 * 33
+        bits = bloom.value
+        # every probe shingle must test positive against the bitmap
+        pos = (
+            pb.select("s")
+            .distinct()
+            .select(
+                F.explode(
+                    F.array(*_position_cols(num_bits, num_hashes))
+                ).alias("p")
+            )
+            .toPandas()["p"]
+            .to_numpy(dtype=np.int64)
+        )
+        assert bool(np.all(bits[pos >> 3] >> (pos & 7) & 1))
+    finally:
+        pb.unpersist()
+        bloom.unpersist()

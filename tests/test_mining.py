@@ -145,9 +145,9 @@ def test_staged_entry_non_degenerate(spark, sf_dir):
     (the first draft of the entry did exactly that: a random positive
     puts every candidate above pos_score - margin). Pin that the
     NN-positive construction leaves real survivors at this SF."""
-    from letsearch_spark.queries import STAGED_QUERIES
+    from letsearch_spark.queries import QUERIES
 
-    out = STAGED_QUERIES["mine_hard_negatives"](spark, sf_dir).collect()
+    out = QUERIES["mine_hard_negatives"](spark, sf_dir).collect()
     assert len(out) >= 8
     assert {r.query_id for r in out} == set(range(8))
 
@@ -191,3 +191,67 @@ def test_build_training_pairs_empty_negatives(spark):
     assert len(out) == 1
     assert out[0].positive_text == "pos"
     assert out[0].negative_texts == []
+
+
+def test_multi_positive_pairs(spark):
+    """A query with SEVERAL positives (multi-positive training sets):
+    candidates must not duplicate, NO positive may be served as a
+    negative (the round-5 draft excluded per-row, letting a sibling
+    pair's positive through), and margin denoising measures against the
+    least similar positive."""
+    from letsearch_spark.operators.mining import (
+        build_training_pairs,
+        mine_hard_negatives,
+    )
+
+    emb, _ = _toy_frames(spark)
+    rows = {r["_key"]: r["vector"] for r in emb.collect()}
+    # two positives for query 0: key 1 (near-dup of the query, sim~1) and
+    # key 5, re-engineered to moderate similarity so the margin bound
+    # (min over positives) still leaves survivors below it
+    q = np.array(rows[0])
+    rng = np.random.RandomState(99)
+    rows[5] = [
+        float(x) for x in (q * 0.6 + rng.normal(scale=0.7, size=len(q)))
+    ]
+    emb = spark.createDataFrame(
+        [(int(k), rows[k]) for k in sorted(rows)],
+        "_key long, vector array<double>",
+    )
+    pairs = spark.createDataFrame(
+        [(0, rows[0], 1), (0, rows[0], 5)],
+        "query_id long, qvec array<double>, pos_key long",
+    )
+    negs = mine_hard_negatives(
+        emb, pairs, k=10, num_negatives=8, margin=None, method="expr"
+    ).collect()
+    keys = [r.neg_key for r in sorted(negs, key=lambda r: r.neg_rank)]
+    assert len(keys) == len(set(keys)), "duplicate negatives from pair fan-out"
+    assert 1 not in keys and 5 not in keys, "a positive leaked as negative"
+    assert [r.neg_rank for r in sorted(negs, key=lambda r: r.neg_rank)] == list(
+        range(1, len(keys) + 1)
+    ), "neg_rank must stay dense"
+
+    # margin: exclusion bound is the LEAST similar positive (key 5 here),
+    # so every survivor scores below key 5's similarity minus the margin
+    X = np.array([rows[i] for i in sorted(rows)])
+    sims = X @ q / (np.linalg.norm(X, axis=1) * np.linalg.norm(q))
+    min_pos = min(sims[1], sims[5])
+    denoised = mine_hard_negatives(
+        emb, pairs, k=10, num_negatives=8, margin=0.05, method="expr"
+    ).collect()
+    assert denoised, "margin filter emptied the candidate list"
+    for r in denoised:
+        assert r.score <= min_pos - 0.05 + 1e-9
+
+    # training rows: one per (query, positive), sharing the negatives
+    docs = spark.createDataFrame(
+        [(int(i), f"doc-{i}") for i in range(30)], "_key long, text string"
+    )
+    tp = build_training_pairs(
+        spark.createDataFrame(denoised, "query_id long, neg_key long, score double, neg_rank long"),
+        docs,
+        pairs,
+    ).collect()
+    assert sorted(r.positive_text for r in tp) == ["doc-1", "doc-5"]
+    assert tp[0].negative_texts == tp[1].negative_texts

@@ -446,7 +446,7 @@ def test_leakage_safe_split_no_pair_straddles_testdata(spark, sf_dir):
     plain split, so the assertion is not vacuous)."""
     from letsearch_spark.operators.dedup import minhash_lsh_pairs
     from letsearch_spark.operators.sample import hash_split
-    from letsearch_spark.queries import STAGED_QUERIES, load
+    from letsearch_spark.queries import QUERIES, load
 
     docs = load(spark, sf_dir, "documents")
     pairs = minhash_lsh_pairs(
@@ -454,7 +454,7 @@ def test_leakage_safe_split_no_pair_straddles_testdata(spark, sf_dir):
     ).select("id_a", "id_b")
     split = {
         r["doc_id"]: r["split"]
-        for r in STAGED_QUERIES["split_leakage_safe"](spark, sf_dir).collect()
+        for r in QUERIES["split_leakage_safe"](spark, sf_dir).collect()
     }
     prows = pairs.collect()
     assert prows, "corpus has no near-dup pairs; guard is vacuous"

@@ -110,5 +110,17 @@ def test_rotation_bookkeeping():
         "pq_adc_topk",
         "dedup_substring_spans",
         "quality_classifier_keep",
+        # round-6 rotation
+        "decontaminate_bloom",
+        "curriculum_order",
+        "mine_hard_negatives",
+        "split_leakage_safe",
     ):
         assert new in QUERIES and new in oracles
+    for displaced in (
+        "p1_projection",
+        "p3_key_lookup",
+        "dedup_exact",
+        "dedup_lines",
+    ):
+        assert displaced in ROTATED_OUT_QUERIES and displaced not in QUERIES
