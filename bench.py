@@ -225,10 +225,14 @@ def main() -> None:
     for name in ("dedup_minhash_lsh", "dedup_simhash_pairs"):
         run_stage(name, lambda name=name: QUERIES[name](spark, SF_DIR).count())
 
-    # 12-14. round-3 training-pipeline stages (no baseline rows -- see
-    # BASELINE.md ledger; compare across rounds per-stage)
+    # 12-14. round-3 training-pipeline stages (dedup_lines rotated out
+    # of the driver window in round 6 but keeps its gated bench row --
+    # the registry move does not change the code under test)
+    from letsearch_spark.queries import ROTATED_OUT_QUERIES
+
     for name in ("quality_filter_gopher", "dedup_lines", "pack_sequences"):
-        run_stage(name, lambda name=name: QUERIES[name](spark, SF_DIR).count())
+        q = QUERIES.get(name) or ROTATED_OUT_QUERIES[name]
+        run_stage(name, lambda q=q: q(spark, SF_DIR).count())
 
     # 14a. round-5 staged operators (STAGED_QUERIES, oracle parity in
     # tests/test_rotated_contract.py): C4 cleaning (map-side array

@@ -54,6 +54,15 @@ _RELEASABLE: "weakref.WeakKeyDictionary[DataFrame, list[DataFrame]]" = (
     weakref.WeakKeyDictionary()
 )
 
+# Corpus size (rows) at which decontaminate method='auto' switches from
+# the shingle-join path to the broadcast-Bloom path. SCALING.md's probe
+# (fixed probe set, corpus grown x1/x4/x16 from the 5k-doc sf0.1 base)
+# measured join cheaper through x4 (20k docs) and Bloom cheaper by x16
+# (80k docs); the midpoint rounds to 40k. Local-mode shuffle understates
+# the cluster-side gap (join shuffles EVERY corpus shingle), so past the
+# midpoint Bloom is the safe choice.
+DECON_AUTO_THRESHOLD_DOCS = 40_000
+
 
 @dataclass
 class PrepConfig:
@@ -87,11 +96,15 @@ class PrepConfig:
     ngram_dedup: dict | None = None
     # stage 2c -- benchmark decontamination (None disables, the default):
     # {"probes": <eval-set DataFrame>, "probe_id": ..., "probe_text": ...}
-    # -- extra keys (n/threshold/max_shingle_freq) forward to
-    # operators/dedup.py ngram_containment_pairs. Drops every corpus
+    # -- extra keys (n/threshold/max_shingle_freq; fpp for the Bloom
+    # path) forward to the chosen operator. Drops every corpus
     # document whose shingles COVER any probe at >= threshold
     # containment (asymmetric on purpose: a long training document
     # embedding a short benchmark item verbatim must score ~1.0).
+    # "method": 'join' | 'bloom' | 'auto' (default) -- auto picks
+    # Bloom once the corpus reaches "auto_threshold_docs" rows
+    # (DECON_AUTO_THRESHOLD_DOCS), per SCALING.md's measured crossover;
+    # both paths return identical hits, so auto never changes results.
     decontaminate: dict | None = None
     # stage 3 -- fuzzy dedup (None disables; kwargs to minhash_lsh_pairs)
     fuzzy_dedup: dict | None = field(default_factory=lambda: {"threshold": 0.8})
@@ -288,8 +301,28 @@ def prepare_training_data(
     if cfg.decontaminate is not None:
         # method='bloom' swaps in the broadcast-Bloom pre-filter
         # (operators/bloom.py) -- bit-identical hits with no corpus-side
-        # shuffle; the default stays the join path
-        method = cfg.decontaminate.get("method", "join")
+        # shuffle. method='auto' (the default) picks per run from the
+        # corpus size against the measured crossover: SCALING.md's
+        # decon_join/decon_bloom probe shows join cheaper at x1-x4 of
+        # the 5k-doc bench corpus (Bloom pays a fixed probe-side
+        # construction cost) and Bloom cheaper by x16, with the
+        # crossover between 20k and 80k docs -- and the join path's
+        # full-corpus shingle shuffle is the term that explodes on a
+        # network-bound cluster, so auto errs toward Bloom past the
+        # midpoint. Mirrors serving's resolve_strategy
+        # (collection.py:898): size-driven, overridable, loud in the
+        # audit.
+        method = cfg.decontaminate.get("method", "auto")
+        if method == "auto":
+            threshold = int(
+                cfg.decontaminate.get(
+                    "auto_threshold_docs", DECON_AUTO_THRESHOLD_DOCS
+                )
+            )
+            # cur is the previous stage's persisted frame; the count is
+            # a cached-scan aggregate, not a recompute
+            method = "bloom" if cur.count() >= threshold else "join"
+            audit["decontaminate_method"] = method
         if method == "bloom":
             from letsearch_spark.operators.bloom import (
                 decontaminate_with_bloom as _decon,
@@ -303,10 +336,17 @@ def prepare_training_data(
                 f"decontaminate method must be 'join' or 'bloom', got {method!r}"
             )
 
+        import inspect
+
+        # drop path-specific knobs the chosen function doesn't take
+        # (e.g. fpp set for the Bloom path while auto resolved to join)
+        valid = set(inspect.signature(_decon).parameters)
         extra = {
             k: v
             for k, v in cfg.decontaminate.items()
-            if k not in ("probes", "probe_id", "probe_text", "method")
+            if k
+            not in ("probes", "probe_id", "probe_text", "method", "auto_threshold_docs")
+            and k in valid
         }
         hits = _decon(
             cur,

@@ -540,3 +540,62 @@ def test_write_token_shards_roundtrip(spark, tmp_path):
     )
     with pytest.raises(Exception, match="token_count_exact|disagrees"):
         write_token_shards(under, under_layout, str(tmp_path / "under"), model)
+
+
+def test_decontaminate_method_auto(spark):
+    """method='auto' (the round-6 default): the corpus row count picks
+    join below the crossover and Bloom at/above it, the chosen path is
+    recorded in the audit, and results are identical to BOTH explicit
+    methods regardless of which side of the threshold the corpus is on
+    (the two paths are bit-identical by construction). Path-specific
+    knobs (fpp) must not leak into the join call when auto lands there.
+    """
+    import dataclasses
+
+    from letsearch_spark.pipeline import PrepConfig, prepare_training_data
+
+    probe = "the quick brown fox jumps over the lazy dog tonight"
+    texts = [f"intro text then {probe} and a long tail of filler"] + [
+        f"document {i} carries its own distinct prose about topic {i} "
+        f"with nothing shared beyond ordinary words {i}"
+        for i in range(1, 12)
+    ]
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    probes = spark.createDataFrame([(100, probe)], "pid long, ptext string")
+    base = PrepConfig(
+        quality=None,
+        line_dedup=None,
+        fuzzy_dedup=None,
+        decontaminate={
+            "probes": probes,
+            "probe_id": "pid",
+            "probe_text": "ptext",
+            "n": 3,
+            "threshold": 0.8,
+            "fpp": 0.01,  # Bloom-only knob: filtered out on the join path
+        },
+        seq_len=64,
+        num_shards=2,
+    )
+
+    def run(**decon_extra):
+        cfg = dataclasses.replace(
+            base, decontaminate={**base.decontaminate, **decon_extra}
+        )
+        clean, _, audit = prepare_training_data(docs, cfg)
+        return {r["doc_id"] for r in clean.select("doc_id").collect()}, audit
+
+    # 12-doc corpus: below a 1000-doc threshold -> join, at/above a
+    # 5-doc threshold -> bloom
+    kept_lo, audit_lo = run(method="auto", auto_threshold_docs=1000)
+    assert audit_lo["decontaminate_method"] == "join"
+    kept_hi, audit_hi = run(method="auto", auto_threshold_docs=5)
+    assert audit_hi["decontaminate_method"] == "bloom"
+
+    kept_join, audit_join = run(method="join")
+    kept_bloom, _ = run(method="bloom")
+    assert kept_lo == kept_hi == kept_join == kept_bloom == set(range(1, 12))
+    # explicit methods don't record an auto decision
+    assert "decontaminate_method" not in audit_join
