@@ -244,6 +244,12 @@ def main() -> None:
         "c4_page_filter",
         "events_attribution_join",
         "perplexity_buckets",
+        # round 6: scan-only HTML extraction, hash-join snapshot diff,
+        # seeded global shuffle rank (no baseline rows yet -- compare
+        # across rounds per-stage)
+        "html_extract",
+        "dataset_diff",
+        "shuffle_order",
     ):
         run_stage(
             name, lambda name=name: STAGED_QUERIES[name](spark, SF_DIR).count()

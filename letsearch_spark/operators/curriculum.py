@@ -117,6 +117,43 @@ def distributed_rank(
         ranged.unpersist()
 
 
+def shuffle_order(
+    df: DataFrame,
+    id_col: str,
+    seed: int = 42,
+    rank_col: str = "shuffle_rank",
+    num_partitions: int | None = None,
+    pin: str = "local",
+) -> DataFrame:
+    """Deterministic global RANDOM order -- the counterpart of the
+    curriculum rank for plain training epochs: every row gets its exact
+    1-based position under a seeded pseudo-random permutation, so a
+    loader reading rank order streams the corpus in a shuffled but
+    REPRODUCIBLE sequence, and ``seed=epoch`` gives independent
+    per-epoch permutations without materializing anything new.
+
+    The permutation key is ``md5(id || '#seed')`` -- the same
+    cross-engine hash family ``hash_split``/``hash_sample`` use
+    (operators/sample.py), so a DuckDB oracle replays the exact order
+    with a plain ``ORDER BY md5(...)``. Ranking goes through
+    :func:`distributed_rank` (ONE range shuffle of (id, 44-byte hash)
+    pairs, no single-partition window); ``id_col`` breaks the
+    (astronomically unlikely) hash ties to keep the order total.
+    """
+    keyed = df.withColumn(
+        "__sk",
+        F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f"#{seed}"))),
+    )
+    return distributed_rank(
+        keyed,
+        ["__sk", id_col],
+        ascending=True,
+        rank_col=rank_col,
+        num_partitions=num_partitions,
+        pin=pin,
+    ).drop("__sk")
+
+
 def ntile_of_rank(rank, n: int, num_tiles: int):
     """SQL NTILE bucket for a 1-based ``rank`` among ``n`` rows: the
     first ``n % num_tiles`` buckets hold ``n // num_tiles + 1`` rows.

@@ -2291,7 +2291,108 @@ def q_vocab_coverage(spark, sf_dir):
     return vocab_coverage(docs, "text", ks=(10, 100, 1000))
 
 
+def _synth_html(doc_id, text):
+    """Deterministic HTML page around a document (Spark side): title
+    with an entity, a script whose content must vanish, a bold inline
+    tag mid-text, a comment, a link-bearing footer div. The DuckDB
+    oracle builds the identical string (_HTML_SYNTH_SQL)."""
+    return F.concat(
+        F.lit("<html><head><title>Doc "),
+        doc_id.cast("string"),
+        F.lit(" &amp; notes</title><script>var x = 1 < 2;</script>"),
+        F.lit("</head><body><p>"),
+        F.replace(
+            F.coalesce(text, F.lit("")),
+            F.lit(" the "),
+            F.lit(" <b>the</b> "),
+        ),
+        F.lit("</p><!-- id "),
+        doc_id.cast("string"),
+        F.lit(' --><div>footer&nbsp;notes</div><a href="http://x">x</a>'),
+        F.lit("</body></html>"),
+    )
+
+
+def q_html_extract(spark, sf_dir):
+    """HTML -> text extraction (functions/html.py): documents wrapped in
+    deterministic synthetic pages (scripts, comments, inline tags,
+    entities, a link-bearing footer), then the scan-only regexp chain
+    extracts text/title/link stats. The oracle rebuilds the SAME page in
+    SQL and replays the identical regex chain
+    (html.oracle_sql_chain keeps the two side by side)."""
+    from letsearch_spark.functions.html import (
+        html_link_count,
+        html_title,
+        html_to_text,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    page = _synth_html(F.col("doc_id"), F.col("text"))
+    clean = html_to_text(page)
+    return docs.select(
+        "doc_id",
+        html_title(page).alias("title"),
+        html_link_count(page).alias("n_links"),
+        F.length(clean).cast("long").alias("clean_len"),
+        F.md5(clean).alias("clean_md5"),
+    ).orderBy("doc_id")
+
+
+def q_dataset_diff(spark, sf_dir):
+    """Snapshot diff (operators/diff.py dataset_diff): 'new' is the
+    documents table with every doc_id%10==0 dropped, every doc_id%7==0
+    suffixed ' v2', and five fresh keys appended -- the per-key
+    added/removed/changed/unchanged ledger a release gate reads. Hashes
+    travel, text does not; the oracle replays the mutation and a full
+    outer join in SQL."""
+    from letsearch_spark.operators.diff import dataset_diff
+
+    old = load(spark, sf_dir, "documents")
+    mutated = (
+        old.where(F.col("doc_id") % 10 != 0)
+        .withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(F.coalesce(F.col("text"), F.lit("")), F.lit(" v2")),
+            ).otherwise(F.col("text")),
+        )
+    )
+    fresh = old.where(F.col("doc_id") < 5).select(
+        (F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"),
+        F.lit("brand new document").alias("text"),
+        *[
+            F.col(c)
+            for c in old.columns
+            if c not in ("doc_id", "text")
+        ],
+    )
+    new = mutated.unionByName(fresh)
+    return dataset_diff(old, new, "doc_id", ["text"]).orderBy("doc_id")
+
+
+def q_shuffle_order(spark, sf_dir):
+    """Seeded global shuffle (operators/curriculum.py shuffle_order):
+    every document's exact position under the md5(id#42) permutation --
+    reproducible epoch shuffling through distributed_rank's range
+    shuffle, never a single-partition window. The oracle is a plain
+    row_number over the same md5 order."""
+    from letsearch_spark.operators.curriculum import shuffle_order
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    return (
+        shuffle_order(docs, "doc_id", seed=42)
+        .select("doc_id", "shuffle_rank")
+        .orderBy("doc_id")
+    )
+
+
 STAGED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # round 6
+    "html_extract": q_html_extract,
+    "dataset_diff": q_dataset_diff,
+    "shuffle_order": q_shuffle_order,
+    # round 5
     "vocab_coverage": q_vocab_coverage,
     "c4_page_filter": q_c4_page_filter,
     "events_attribution_join": q_events_attribution_join,
@@ -2791,7 +2892,84 @@ _VOCAB_COVERAGE_ORACLE_SQL = r"""
     WHERE rank <= k GROUP BY k ORDER BY k
 """
 
+
+def _html_extract_oracle_sql() -> str:
+    """DuckDB replay of q_html_extract: the synthetic page is rebuilt
+    with the same concatenation, then functions/html.py's own
+    oracle_sql_chain (kept beside the Spark chain so they cannot drift)
+    extracts the text; title/link expressions mirror html_title /
+    html_link_count."""
+    from letsearch_spark.functions.html import (
+        _ENTITIES,
+        _LINK_RE,
+        _TITLE_RE,
+        oracle_sql_chain,
+    )
+
+    title = f"regexp_extract(page, '{_TITLE_RE}', 1)"
+    for ent, repl in _ENTITIES:
+        r = repl.replace("'", "''")
+        title = f"replace({title}, '{ent}', '{r}')"
+    title = f"trim(regexp_replace({title}, '\\s+', ' ', 'g'))"
+    return f"""
+        WITH pages AS (
+            SELECT doc_id,
+                   '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
+                   || ' &amp; notes</title><script>var x = 1 < 2;</script>'
+                   || '</head><body><p>'
+                   || replace(coalesce(text, ''), ' the ', ' <b>the</b> ')
+                   || '</p><!-- id ' || CAST(doc_id AS VARCHAR)
+                   || ' --><div>footer&nbsp;notes</div><a href="http://x">x</a>'
+                   || '</body></html>' AS page
+            FROM documents
+        ), ex AS (
+            SELECT doc_id,
+                   {oracle_sql_chain("page")} AS clean,
+                   {title} AS title,
+                   CAST(len(regexp_extract_all(page, '{_LINK_RE}'))
+                        AS BIGINT) AS n_links
+            FROM pages
+        )
+        SELECT doc_id, title, n_links,
+               CAST(length(clean) AS BIGINT) AS clean_len,
+               md5(clean) AS clean_md5
+        FROM ex ORDER BY doc_id
+    """
+
+
+_DATASET_DIFF_ORACLE_SQL = """
+    WITH old_snap AS (SELECT doc_id, text FROM documents),
+    new_snap AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 7 = 0 THEN coalesce(text, '') || ' v2'
+                    ELSE text END AS text
+        FROM documents WHERE doc_id % 10 <> 0
+        UNION ALL
+        SELECT doc_id + 1000000, 'brand new document'
+        FROM documents WHERE doc_id < 5
+    )
+    SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+           CASE WHEN o.doc_id IS NULL THEN 'added'
+                WHEN n.doc_id IS NULL THEN 'removed'
+                WHEN o.text IS DISTINCT FROM n.text THEN 'changed'
+                ELSE 'unchanged' END AS status
+    FROM old_snap o FULL JOIN new_snap n ON o.doc_id = n.doc_id
+    ORDER BY doc_id
+"""
+
+_SHUFFLE_ORDER_ORACLE_SQL = """
+    SELECT doc_id,
+           CAST(row_number() OVER (
+               ORDER BY md5(CAST(doc_id AS VARCHAR) || '#42'), doc_id
+           ) AS BIGINT) AS shuffle_rank
+    FROM documents ORDER BY doc_id
+"""
+
 STAGED_ORACLES: dict[str, object] = {
+    # round 6
+    "html_extract": _html_extract_oracle_sql(),
+    "dataset_diff": _DATASET_DIFF_ORACLE_SQL,
+    "shuffle_order": _SHUFFLE_ORDER_ORACLE_SQL,
     "vocab_coverage": _VOCAB_COVERAGE_ORACLE_SQL,
     "c4_page_filter": _C4_ORACLE_SQL,
     "events_attribution_join": _ATTRIBUTION_ORACLE_SQL,

@@ -119,3 +119,43 @@ def test_reliable_checkpoint_pin(spark, scored, tmp_path):
 
     with pytest.raises(ValueError, match="pin"):
         distributed_rank(scored, ["wc"], pin="nope")
+
+
+def test_shuffle_order_is_seeded_permutation(spark, scored):
+    """shuffle_order: ranks form an exact 1..n permutation, reproduce
+    for a fixed seed, differ across seeds, and match a single-process
+    md5 twin (the same cross-engine hash family hash_split uses)."""
+    import hashlib
+
+    from letsearch_spark.operators.curriculum import shuffle_order
+
+    ids = scored.select("doc_id")
+    a = {
+        r["doc_id"]: r["shuffle_rank"]
+        for r in shuffle_order(ids, "doc_id", seed=7).collect()
+    }
+    n = len(a)
+    assert sorted(a.values()) == list(range(1, n + 1))
+
+    again = {
+        r["doc_id"]: r["shuffle_rank"]
+        for r in shuffle_order(ids, "doc_id", seed=7).collect()
+    }
+    assert again == a
+    other = {
+        r["doc_id"]: r["shuffle_rank"]
+        for r in shuffle_order(ids, "doc_id", seed=8).collect()
+    }
+    assert other != a
+
+    want = {
+        k: rank
+        for rank, k in enumerate(
+            sorted(a, key=lambda k: (hashlib.md5(f"{k}#7".encode()).hexdigest(), k)),
+            start=1,
+        )
+    }
+    assert a == want
+    # the epoch story: seed=epoch gives decorrelated orders over the
+    # same materialized corpus
+    assert "__sk" not in shuffle_order(ids, "doc_id").columns

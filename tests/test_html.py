@@ -1,0 +1,99 @@
+"""HTML -> text extraction (functions/html.py): hand-built pages pin
+each rule (script/style content dropped, comments, block tags to
+newlines, inline tags to spaces, single-pass entity decode order,
+title/link stats); the cross-engine chain itself is hash-verified by
+the html_extract staged oracle in test_rotated_contract.py."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _extract(spark, html):
+    from letsearch_spark.functions.html import html_to_text
+
+    df = spark.createDataFrame([(html,)], "page string")
+    return df.select(html_to_text(F.col("page")).alias("t")).first()["t"]
+
+
+def test_script_style_content_dropped(spark):
+    out = _extract(
+        spark,
+        "<p>keep</p><script>var x = 1 < 2;</script>"
+        "<STYLE type='x'>p { color: red }</style><p>also</p>",
+    )
+    assert out == "keep\nalso"
+    assert "color" not in out and "var" not in out
+
+
+def test_comments_and_block_tags(spark):
+    out = _extract(
+        spark,
+        "<!-- top\nsecret --><h1>Title</h1><ul><li>a</li><li>b</li></ul>",
+    )
+    assert out == "Title\na\nb"
+
+
+def test_inline_tags_do_not_glue_words(spark):
+    assert (
+        _extract(spark, "hello<b>world</b> <em>x</em>y")
+        == "hello world x y"
+    )
+
+
+def test_entity_decode_single_pass(spark):
+    # &amp; decodes LAST: '&amp;lt;' must become the literal '&lt;',
+    # never '<' (double-decode would re-open a tag)
+    out = _extract(spark, "<p>a &amp;lt; b &amp; c &lt;tag&gt; &nbsp;d</p>")
+    assert out == "a &lt; b & c <tag> d"
+
+
+def test_null_and_empty(spark):
+    from letsearch_spark.functions.html import html_link_count, html_to_text
+
+    df = spark.createDataFrame([(None,), ("",)], "page string")
+    rows = df.select(
+        html_to_text(F.col("page")).alias("t"),
+        html_link_count(F.col("page")).alias("n"),
+    ).collect()
+    assert [(r["t"], r["n"]) for r in rows] == [("", 0), ("", 0)]
+
+
+def test_title_and_links(spark):
+    from letsearch_spark.functions.html import (
+        html_link_count,
+        html_link_density,
+        html_title,
+    )
+
+    page = (
+        "<html><head><title> The &amp; Title \n here </title></head>"
+        '<body>one two three four<a href="/a">a</a>'
+        "<a class=x href='/b'>b</a><a name=no-href>c</a></body></html>"
+    )
+    df = spark.createDataFrame([(page,)], "page string")
+    row = df.select(
+        html_title(F.col("page")).alias("title"),
+        html_link_count(F.col("page")).alias("n"),
+        html_link_density(F.col("page")).alias("d"),
+    ).first()
+    assert row["title"] == "The & Title here"
+    assert row["n"] == 2  # href-less anchor doesn't count
+    # words: 'The & Title here one two three four a b c' -> density 2/11
+    assert row["d"] == pytest.approx(round(2 / 11, 6))
+
+
+def test_extraction_is_scan_only(spark, sf_dir):
+    """Like c4_page_filter: the whole chain must stay inside the scan
+    projection -- no exchange, no UDF (100 TB shape: extraction cost is
+    per-byte, shuffle cost zero)."""
+    from letsearch_spark.functions.html import html_to_text
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = (
+        docs.select("doc_id", html_to_text(F.col("text")).alias("t"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
