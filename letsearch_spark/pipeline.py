@@ -5,6 +5,8 @@ The reference stops at search (collection_actor.rs:764-885); the
 north-star scope (BASELINE.json) adds the LLM-data-pipeline operators.
 This module is their composition -- ONE declarative recipe:
 
+    0. HTML extraction    (functions/html.py html_to_text, optional --
+       crawl pages in, visible text + link-density page drop out)
     1. quality filter     (functions/text.py gopher_flags)
     1b. perplexity filter (operators/ngram_lm.py, CCNet-style, optional)
     1c. C4 cleaning       (functions/text.py c4_clean_lines + c4_flags,
@@ -84,6 +86,12 @@ class PrepConfig:
     # then page-level flags (sentence floor, lorem ipsum, curly brace,
     # blocklist). {} enables the paper defaults; extra keys
     # (min_line_words, min_sentences, blocklist) forward to
+    # stage 0 -- HTML extraction (None disables, the default): {} runs
+    # plain html_to_text over text_col; optional "max_link_density"
+    # drops link-dense pages (nav/footer farms) BEFORE extraction cost
+    # is spent downstream. Rewrites text, so it shares token_count_col's
+    # incompatibility (counts of raw HTML would corrupt packing).
+    html: dict | None = None
     # functions/text.py c4_clean_lines / c4_flags. Rewrites text, so it
     # shares line_dedup's token_count_col incompatibility.
     c4: dict | None = None
@@ -206,13 +214,15 @@ def prepare_training_data(
         cfg.line_dedup is not None
         or cfg.ngram_dedup is not None
         or cfg.c4 is not None
+        or cfg.html is not None
     ):
         raise ValueError(
             "token_count_col carries counts of the ORIGINAL text; the "
-            "c4/line-dedup/ngram-dedup stages rewrite documents, which "
-            "would silently corrupt the packed layout. Disable one: "
-            "c4=None, line_dedup=None and ngram_dedup=None to trust the "
-            "counts, or token_count_col=None to recount the cleaned text."
+            "html/c4/line-dedup/ngram-dedup stages rewrite documents, "
+            "which would silently corrupt the packed layout. Disable "
+            "one: html=None, c4=None, line_dedup=None and "
+            "ngram_dedup=None to trust the counts, or "
+            "token_count_col=None to recount the cleaned text."
         )
     if cfg.pack_layout not in ("split", "bins"):
         raise ValueError(
@@ -245,6 +255,30 @@ def prepare_training_data(
     def _drop_superseded() -> None:
         while len(persisted) > 1:
             persisted.pop(0).unpersist()
+
+    if cfg.html is not None:
+        from letsearch_spark.functions.html import (
+            html_link_density,
+            html_to_text,
+        )
+
+        html_cfg = dict(cfg.html)
+        max_ld = html_cfg.pop("max_link_density", None)
+        if html_cfg:
+            raise ValueError(
+                f"unknown html options: {sorted(html_cfg)} "
+                "(supported: max_link_density)"
+            )
+        if max_ld is not None:
+            ld = html_link_density(F.col(text))
+            # empty pages have NULL density; they drop on the length
+            # guard below, not here
+            cur = cur.where(ld.isNull() | (ld <= float(max_ld)))
+        cur = cur.withColumn(text, html_to_text(F.col(text)))
+        cur = _persist_stage(cur.where(F.length(F.col(text)) > 0))
+        audit["html"] = cur.count()
+        _lap("html")
+        _drop_superseded()
 
     if cfg.quality is not None:
         flags = gopher_flags(F.col(text), **cfg.quality)

@@ -599,3 +599,51 @@ def test_decontaminate_method_auto(spark):
     assert kept_lo == kept_hi == kept_join == kept_bloom == set(range(1, 12))
     # explicit methods don't record an auto decision
     assert "decontaminate_method" not in audit_join
+
+
+def test_pipeline_html_stage(spark):
+    """Optional stage 0 (round 6): raw crawl HTML in -> extracted text
+    through the rest of the recipe. Link-dense pages drop when
+    max_link_density is set, tag-empty pages drop on the length guard,
+    the audit records the stage, and token_count_col refuses the
+    combination (extraction rewrites text)."""
+    import pytest as _pytest
+
+    from letsearch_spark.pipeline import PrepConfig, prepare_training_data
+
+    body = " ".join(
+        f"the word{i} of common prose and a line that is fine" for i in range(6)
+    )
+    pages = [
+        (0, f"<html><head><title>ok</title></head><body><p>{body}</p></body></html>"),
+        (1, "<html><body>" + "".join(f'<a href="/l{i}">l{i}</a>' for i in range(40)) + " nav only</body></html>"),
+        (2, "<html><body><script>var x=1;</script></body></html>"),
+        (3, f"<div>{body} two</div>"),
+    ]
+    docs = spark.createDataFrame(pages, "doc_id long, text string")
+    cfg = PrepConfig(
+        html={"max_link_density": 0.5},
+        quality={"min_words": 5},
+        line_dedup=None,
+        fuzzy_dedup=None,
+        seq_len=64,
+        num_shards=2,
+    )
+    clean, _, audit = prepare_training_data(docs, cfg)
+    kept = {r["doc_id"] for r in clean.select("doc_id").collect()}
+    assert kept == {0, 3}  # 1 = link farm, 2 = tag-empty
+    assert audit["html"] == 2
+    texts = {r["doc_id"]: r["text"] for r in clean.collect()}
+    assert "<" not in texts[0] and "title" not in texts[0]
+
+    with _pytest.raises(ValueError, match="token_count_col"):
+        prepare_training_data(
+            docs,
+            PrepConfig(
+                html={}, token_count_col="tc", fuzzy_dedup=None, seq_len=64
+            ),
+        )
+    with _pytest.raises(ValueError, match="unknown html options"):
+        prepare_training_data(
+            docs, PrepConfig(html={"nope": 1}, fuzzy_dedup=None, seq_len=64)
+        )

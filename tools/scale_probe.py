@@ -401,6 +401,60 @@ def main() -> None:
                 ).count(),
             )
 
+        # round-6 ops: HTML extraction must track BYTES with zero
+        # shuffles (pure scan chain); the snapshot diff must track ROWS
+        # (one (key, 32-byte-hash) join, text never shuffles); the
+        # seeded shuffle rank shares curriculum_rank's range-shuffle
+        # geometry so its curve should match
+        if only is None or "html_extract" in only:
+            from letsearch_spark.functions.html import html_to_text
+
+            wrapped = docs.select(
+                "doc_id",
+                F.concat(
+                    F.lit("<html><body><p>"),
+                    F.replace(
+                        F.col("text"), F.lit(" a"), F.lit(" <b>a</b>")
+                    ),
+                    F.lit('</p><a href="http://x">x</a></body></html>'),
+                ).alias("page"),
+            )
+            timeit(
+                "html_extract",
+                lambda: wrapped.select(
+                    F.length(html_to_text(F.col("page"))).alias("L")
+                )
+                .where(F.col("L") > 0)
+                .count(),
+            )
+
+        if only is None or "dataset_diff" in only:
+            from letsearch_spark.operators.diff import dataset_diff
+
+            new_snap = docs.where(F.col("doc_id") % 10 != 0).withColumn(
+                "text",
+                F.when(
+                    F.col("doc_id") % 7 == 0,
+                    F.concat(F.col("text"), F.lit(" v2")),
+                ).otherwise(F.col("text")),
+            )
+            timeit(
+                "dataset_diff",
+                lambda: dataset_diff(
+                    docs, new_snap, "doc_id", ["text"]
+                ).count(),
+            )
+
+        if only is None or "shuffle_rank" in only:
+            from letsearch_spark.operators.curriculum import shuffle_order
+
+            timeit(
+                "shuffle_rank",
+                lambda: shuffle_order(
+                    docs.select("doc_id"), "doc_id", seed=3
+                ).count(),
+            )
+
         # vocab coverage (r5): salted copies grow the TYPE table
         # linearly with the corpus (the worst case) -- the explode
         # shuffle plus the distributed type ranking must track bytes
