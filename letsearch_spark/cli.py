@@ -275,6 +275,29 @@ def cmd_prep(args) -> int:
     return 0
 
 
+def cmd_diff(args) -> int:
+    """Snapshot diff (operators/diff.py): compare two parquet corpus
+    versions by key, print the 4-row status summary as JSON lines and
+    optionally write the per-key ledger for release tooling."""
+    from letsearch_spark.operators.diff import (
+        dataset_diff,
+        dataset_diff_summary,
+    )
+
+    spark = _spark(args)
+    old = spark.read.parquet(args.old)
+    new = spark.read.parquet(args.new)
+    compare = [c.strip() for c in args.compare.split(",") if c.strip()]
+    summary = dataset_diff_summary(old, new, args.key, compare)
+    for r in sorted(summary.collect(), key=lambda r: r["status"]):
+        print(json.dumps({"status": r["status"], "n": r["n"]}))
+    if args.out:
+        dataset_diff(old, new, args.key, compare).write.mode(
+            "overwrite"
+        ).parquet(args.out)
+    return 0
+
+
 def cmd_list_models(args) -> int:
     from letsearch_spark.sources.hf import list_models
 
@@ -374,6 +397,22 @@ def build_parser() -> argparse.ArgumentParser:
         help="also write + print the corpus data card (out/data_card)",
     )
     s.set_defaults(fn=cmd_prep)
+
+    s = sub.add_parser(
+        "diff", help="compare two parquet corpus snapshots by key"
+    )
+    s.add_argument("--old", required=True, help="previous snapshot path")
+    s.add_argument("--new", required=True, help="current snapshot path")
+    s.add_argument("--key", default="doc_id")
+    s.add_argument(
+        "--compare", default="text",
+        help="comma-separated columns whose change flips a key to 'changed'",
+    )
+    s.add_argument(
+        "--out", default=None,
+        help="optional parquet path for the per-key status ledger",
+    )
+    s.set_defaults(fn=cmd_diff)
 
     s = sub.add_parser("list-models", help="list letsearch models on HF hub")
     s.set_defaults(fn=cmd_list_models)

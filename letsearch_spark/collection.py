@@ -249,7 +249,18 @@ class Collection:
     # ---- document table ----
 
     def docs(self) -> DataFrame:
-        return self.spark.read.parquet(self.docs_path)
+        """Docs-table DataFrame. The analyzed plan (including the
+        parquet file listing) is cached: serving paths reference it per
+        query, and rebuilding it each time costs ~80 ms of py4j +
+        analysis round-trips (measured in the search_topk_pq A/B).
+        Every write path runs ``_invalidate_cache``, which drops this
+        along with the serve caches, so appended files are never
+        missed."""
+        df = getattr(self, "_docs_df", None)
+        if df is None:
+            df = self.spark.read.parquet(self.docs_path)
+            self._docs_df = df
+        return df
 
     def count(self) -> int:
         """Row count (P2). The reference's COUNT('<col>') literal-count quirk
@@ -821,6 +832,9 @@ class Collection:
         may carry DIFFERENT data (full re-embed / re-import); pass
         False for append-only writes so the refresh paths can top the
         indexes up incrementally instead."""
+        # the cached docs plan pins the parquet file listing; any write
+        # (import, append, embed bookkeeping) must refresh it
+        self._docs_df = None
         cols = (
             [
                 column,

@@ -182,3 +182,56 @@ def test_cli_prep(spark, sf_dir, tmp_path, capsys):
     # data card: one total row whose doc count matches the clean corpus
     card = [r for r in out["data_card"] if r["is_total"]]
     assert len(card) == 1 and int(card[0]["n_docs"]) == audit["dsir"]
+
+
+def test_cli_diff(spark, sf_dir, tmp_path, capsys):
+    """diff prints the 4-status summary as JSON lines and writes the
+    per-key ledger parquet when --out is given."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from letsearch_spark.cli import build_parser
+
+    old_path = os.path.join(sf_dir, "documents.parquet")
+    new_path = str(tmp_path / "new_snap")
+    (
+        spark.read.parquet(old_path)
+        .where(F.col("doc_id") % 10 != 0)
+        .withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(F.coalesce(F.col("text"), F.lit("")), F.lit(" v2")),
+            ).otherwise(F.col("text")),
+        )
+        .write.parquet(new_path)
+    )
+    ledger = str(tmp_path / "ledger")
+    p = build_parser()
+    a = p.parse_args(
+        [
+            "--master", "local[4]",
+            "diff", "--old", old_path, "--new", new_path,
+            "--key", "doc_id", "--compare", "text", "--out", ledger,
+        ]
+    )
+    assert a.fn(a) == 0
+    got = {
+        d["status"]: d["n"]
+        for d in map(_json.loads, capsys.readouterr().out.splitlines())
+    }
+    n = spark.read.parquet(old_path).count()
+    removed = spark.read.parquet(old_path).where(F.col("doc_id") % 10 == 0).count()
+    changed = (
+        spark.read.parquet(old_path)
+        .where((F.col("doc_id") % 7 == 0) & (F.col("doc_id") % 10 != 0))
+        .count()
+    )
+    assert got.get("removed", 0) == removed
+    assert got.get("changed", 0) == changed
+    assert got.get("unchanged", 0) == n - removed - changed
+    assert "added" not in got  # no fresh keys in this mutation
+    led = spark.read.parquet(ledger)
+    assert led.count() == n
+    assert set(led.columns) == {"doc_id", "status"}
