@@ -40,19 +40,30 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+# The common subset is narrower than it looks: \b is UNICODE-word-aware
+# in Java but ASCII in RE2 ('<div世界>' matches RE2's <div\b but not
+# Java's -- found by the cross-engine fuzz test), and \s includes \x0B
+# in Java but not RE2. So tag-name ends are spelled as an explicit
+# (>|[separator][^>]*>) branch -- no \b, no lookahead (RE2 has
+# neither backreferences nor lookahead) -- and whitespace inside tag
+# patterns is the explicit class below.
+_WS = r"[ \t\n\r\f]"
+# tag name followed by an immediate '>' or a separator + attributes
+_TAG_END = rf"(?:>|[{_WS[1:-1]}/][^>]*>)"
+
 # Elements whose CONTENT is noise, not text. RE2 has no backreferences,
 # so each element gets its own literal close-tag pattern.
 _DROP_CONTENT_RES = [
-    r"(?is)<script\b[^>]*>.*?</script\s*>",
-    r"(?is)<style\b[^>]*>.*?</style\s*>",
+    rf"(?is)<script{_TAG_END}.*?</script{_WS}*>",
+    rf"(?is)<style{_TAG_END}.*?</style{_WS}*>",
 ]
 _COMMENT_RE = r"(?s)<!--.*?-->"
 # Tags that end a text block in every browser's default stylesheet --
 # enough structure for the downstream line-based cleaners.
 _BLOCK_TAG_RE = (
-    r"(?i)</?(p|div|br|li|ul|ol|h1|h2|h3|h4|h5|h6|tr|td|th|table|"
+    r"(?i)</?(?:p|div|br|li|ul|ol|h1|h2|h3|h4|h5|h6|tr|td|th|table|"
     r"blockquote|pre|section|article|header|footer|nav|aside|form|"
-    r"fieldset|hr|dl|dt|dd)\b[^>]*>"
+    rf"fieldset|hr|dl|dt|dd){_TAG_END}"
 )
 _ANY_TAG_RE = r"(?s)<[^>]+>"
 # (entity, replacement) in decode order; &amp; must stay LAST
@@ -65,8 +76,8 @@ _ENTITIES = [
     ("&amp;", "&"),
 ]
 
-_TITLE_RE = r"(?is)<title[^>]*>(.*?)</title\s*>"
-_LINK_RE = r"(?i)<a\s[^>]*href\s*="
+_TITLE_RE = rf"(?is)<title{_TAG_END}(.*?)</title{_WS}*>"
+_LINK_RE = rf"(?i)<a{_WS}[^>]*href{_WS}*="
 
 
 def html_to_text(col: Column) -> Column:

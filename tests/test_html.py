@@ -97,3 +97,63 @@ def test_extraction_is_scan_only(spark, sf_dir):
     )
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_fuzz_cross_engine_parity(spark):
+    """Adversarial fuzz of the extraction chain: 300 generated pages
+    (nested/unclosed/attribute-laden tags, scripts, comments, entities,
+    unicode, stray '>' ) must extract IDENTICALLY in Spark (Java regex)
+    and DuckDB (RE2) -- the property the whole module stakes its oracle
+    on. Entities that decode to angle brackets are excluded: decode is
+    deliberately single-pass AFTER tag stripping, so '&lt;b&gt;' becomes
+    the literal text '<b>' in both engines (covered by the example test)
+    but would trip the no-tags scan here."""
+    import random
+
+    import duckdb
+
+    from letsearch_spark.functions.html import html_to_text, oracle_sql_chain
+
+    rng = random.Random(0)
+    words = ["alpha", "bravo", "café", "世界", "x1", ">", "a.b", "tail"]
+    tags = [
+        "<p>", "</p>", "<div class='x y'>", "</div>", "<br/>", "<BR>",
+        "<span>", "</span>", "<b>", "</b>", "<li>", "</li>",
+        "<script>", "</script>", "<style>", "</style>",
+        "<script type='text/js'>var a=1;</script>",
+        "<!-- c -->", "<!--", "-->", "<div", "<h2 >", "</h2>",
+        "<a href='/x'>", "</a>", "<td>", "</td>",
+    ]
+    entities = ["&amp;", "&nbsp;", "&quot;", "&#39;", "&amp;lt;"]
+    pages = []
+    for i in range(300):
+        parts = []
+        for _ in range(rng.randint(0, 30)):
+            r = rng.random()
+            if r < 0.45:
+                parts.append(rng.choice(words))
+            elif r < 0.85:
+                parts.append(rng.choice(tags))
+            else:
+                parts.append(rng.choice(entities))
+            if rng.random() < 0.3:
+                parts.append(" ")
+        pages.append((i, "".join(parts)))
+
+    from pyspark.sql import functions as F
+
+    sdf = spark.createDataFrame(pages, "i long, page string")
+    got = {
+        r["i"]: r["t"]
+        for r in sdf.select("i", html_to_text(F.col("page")).alias("t")).collect()
+    }
+
+    con = duckdb.connect()
+    con.register("pages_tbl", __import__("pandas").DataFrame(pages, columns=["i", "page"]))
+    want = dict(
+        con.sql(
+            f"SELECT i, {oracle_sql_chain('page')} AS t FROM pages_tbl"
+        ).fetchall()
+    )
+    mismatches = {i: (got[i], want[i]) for i in got if got[i] != want[i]}
+    assert not mismatches, list(mismatches.items())[:3]
