@@ -1122,6 +1122,12 @@ class Collection:
         (operators/bm25.py rrf_fuse with a query group key) -- N hybrid
         searches for roughly the cost of one.
 
+        strategy='pq' scores every query against the compressed coded
+        view in one batched ADC plan (operators/pq.py pq_knn_join, one
+        stacked LUT tensor in the closure) -- the bulk form of
+        :meth:`search` strategy='pq', reading m bytes per vector
+        instead of the float vectors.
+
         Returns (query_idx, rank, key, content, score) ordered by
         (query_idx, rank). Dense scores differ from :meth:`search` only
         in float summation order (pairwise vs sequential); hybrid scores
@@ -1136,12 +1142,13 @@ class Collection:
             raise ValueError(f"limit must be in [1, 100], got {limit}")
         if column not in self.config.index_columns:
             raise ValueError(f"column {column!r} is not indexed")
-        if strategy not in ("dense", "hybrid"):
+        if strategy not in ("dense", "hybrid", "pq"):
             raise ValueError(f"unknown strategy {strategy!r}")
         if where is not None and strategy != "dense":
             raise ValueError(
                 "where= is supported with strategy='dense' (the hybrid "
-                "lexical leg ranks over unfiltered postings)"
+                "lexical leg ranks over unfiltered postings; the pq "
+                "coded view carries no filter columns)"
             )
         if not queries:
             raise ValueError("queries must be non-empty")
@@ -1166,19 +1173,40 @@ class Collection:
         serve = self._serve_view(column).where(F.col("content").isNotNull())
         if where is not None:
             serve = serve.where(F.expr(where))
-        depth = self._HYBRID_DEPTH if strategy == "hybrid" else limit
-        hits = knn_join(
-            serve,
-            qdf,
-            k=depth,
-            key_col=KEY_COL,
-            vec_col="vector",
-            query_key_col="query_idx",
-            query_vec_col="qvec",
-            method="numpy",
-        )
-        if strategy == "hybrid":
-            hits = self._fuse_many(column, queries, hits, limit)
+        if strategy == "pq":
+            # batched ADC: one pq_knn_join plan over the coded view
+            # (operators/pq.py) -- N compressed searches for one scan of
+            # the codes; scores/ranks match per-query strategy='pq',
+            # null-content keys drop in the fetch-back (P6), which like
+            # _search_pq happens after ranking
+            from letsearch_spark.operators.pq import pq_knn_join
+
+            if column not in self._pq_index:
+                self.build_pq_index(column)
+            cb, coded = self._pq_index[column]
+            hits = pq_knn_join(
+                coded,
+                cb,
+                qdf,
+                k=limit,
+                key_col=KEY_COL,
+                query_key_col="query_idx",
+                query_vec_col="qvec",
+            )
+        else:
+            depth = self._HYBRID_DEPTH if strategy == "hybrid" else limit
+            hits = knn_join(
+                serve,
+                qdf,
+                k=depth,
+                key_col=KEY_COL,
+                vec_col="vector",
+                query_key_col="query_idx",
+                query_vec_col="qvec",
+                method="numpy",
+            )
+            if strategy == "hybrid":
+                hits = self._fuse_many(column, queries, hits, limit)
         return (
             serve.select(F.col(KEY_COL), "content")
             .join(F.broadcast(hits), KEY_COL)

@@ -1319,3 +1319,28 @@ def test_ivf_incremental_refresh_and_replace_guard(spark, tmp_path, sf_dir):
     coll.embed_column("text")
     assert coll.refresh_ivf_index("text") == "rebuilt"
     assert spark.read.parquet(path).count() == 8
+
+
+def test_search_many_pq_matches_per_query(coll):
+    """strategy='pq' (round 6): the batched ADC plan must reproduce the
+    per-query strategy='pq' results exactly -- same keys, same
+    compressed-code scores -- and reject where= (the coded view has no
+    filter columns)."""
+    coll.embed_column("text", incremental=True)
+    qs = [f"spark join query window batch {i}" for i in range(4)]
+    batched = {}
+    for r in coll.search_many("text", qs, limit=5, strategy="pq").collect():
+        batched.setdefault(r["query_idx"], []).append(
+            (r["rank"], r["key"], round(r["score"], 6))
+        )
+    for i, q in enumerate(qs):
+        single = [
+            (j + 1, r["key"], round(r["score"], 6))
+            for j, r in enumerate(
+                coll.search("text", q, limit=5, strategy="pq").collect()
+            )
+        ]
+        assert sorted(batched[i]) == single, i
+
+    with pytest.raises(ValueError, match="where"):
+        coll.search_many("text", qs, limit=5, strategy="pq", where="_key > 1")
