@@ -123,6 +123,7 @@ def stream_prep_collection(
     checkpoint_dir: str,
     state_dir: str,
     text_col: str = "text",
+    html: dict | None = None,
     quality: dict | None = None,
     dedup: dict | None = None,
     max_files_per_trigger: int = 10,
@@ -145,8 +146,10 @@ def stream_prep_collection(
     so they are unique across history; collection keys are assigned
     only to KEPT rows by the normal append path.
 
-    ``quality``/``dedup``: None disables the stage; a dict forwards
-    kwargs (gopher_flags / incremental_minhash_dedup).
+    ``html``/``quality``/``dedup``: None disables the stage; a dict
+    forwards kwargs (html_to_text + optional max_link_density page
+    drop / gopher_flags / incremental_minhash_dedup). The html stage
+    runs FIRST, mirroring the batch pipeline's stage 0.
 
     Crash recovery (checkpoint replays the batch; per-batch markers
     under ``state_dir`` make the replay idempotent): ``archived/<id>``
@@ -195,7 +198,7 @@ def stream_prep_collection(
     )
     process_batch = _make_prep_batch_processor(
         spark, coll, state_dir, text_col, quality, dedup, embed,
-        checkpoint_tag=checkpoint_dir,
+        checkpoint_tag=checkpoint_dir, html=html,
     )
     return (
         stream.writeStream.foreachBatch(process_batch)
@@ -413,6 +416,7 @@ def _fs_rm(spark, path: str) -> None:
 def _make_prep_batch_processor(
     spark, coll, state_dir, text_col, quality, dedup, embed,
     checkpoint_tag: str | None = None,
+    html: dict | None = None,
 ):
     """The foreachBatch body of :func:`stream_prep_collection`, built
     standalone so tests can drive (and replay) batches directly.
@@ -454,6 +458,27 @@ def _make_prep_batch_processor(
         if _marker_read(spark, applied_marker) is not None:
             return  # checkpoint replay of a fully applied batch
         cur = batch_df
+        if html is not None:
+            # batch pipeline's stage 0 (pipeline.py): extract page text
+            # before judging quality; link farms drop pre-extraction.
+            # Pure map-side -- no dedup-state or marker implications.
+            from letsearch_spark.functions.html import (
+                html_link_density,
+                html_to_text,
+            )
+
+            h = dict(html)
+            max_ld = h.pop("max_link_density", None)
+            if h:
+                raise ValueError(
+                    f"unknown html options: {sorted(h)} "
+                    "(supported: max_link_density)"
+                )
+            if max_ld is not None:
+                ld = html_link_density(F.col(text_col))
+                cur = cur.where(ld.isNull() | (ld <= float(max_ld)))
+            cur = cur.withColumn(text_col, html_to_text(F.col(text_col)))
+            cur = cur.where(F.length(F.col(text_col)) > 0)
         if quality is not None:
             from letsearch_spark.functions.text import gopher_flags
 

@@ -548,3 +548,50 @@ def test_stream_interval_join_matches_batch(spark, sf_dir, tmp_path):
         stream_interval_join(
             imps, clicks, "user_id", "imp_ts", "click_ts", join_type="full"
         )
+
+
+def test_stream_prep_html_stage(spark, tmp_path):
+    """Round 6: the streaming prep front can start from raw crawl HTML
+    (batch pipeline stage 0): pages extract before the quality judge,
+    link farms drop on max_link_density, tag-empty pages drop on the
+    length guard, and the kept document lands extracted (no tags) in
+    the collection."""
+    import pyspark.sql.types as T
+
+    from letsearch_spark.collection import Collection
+    from letsearch_spark.streaming.incremental import (
+        _make_prep_batch_processor,
+    )
+
+    schema = T.StructType([T.StructField("text", T.StringType())])
+    coll = Collection.create(
+        spark, str(tmp_path / "root"), name="hprep",
+        index_columns=["text"], model_name="stub://8",
+    )
+    process = _make_prep_batch_processor(
+        spark, coll, str(tmp_path / "state"), "text",
+        quality={"min_words": 10}, dedup={"threshold": 0.5}, embed=True,
+        html={"max_link_density": 0.5},
+    )
+    body = _prep_text(1)
+    batch = spark.createDataFrame(
+        [
+            (f"<html><body><p>{body}</p></body></html>",),
+            ("<html><body>" + "".join(f'<a href="/l{i}">l{i}</a>' for i in range(40)) + " nav page</body></html>",),
+            ("<div><script>var x=1;</script></div>",),
+        ],
+        schema,
+    )
+    process(batch, 0)
+    rows = coll.docs().collect()
+    assert len(rows) == 1
+    assert rows[0]["text"] == body and "<" not in rows[0]["text"]
+
+    import pytest as _pytest
+
+    bad = _make_prep_batch_processor(
+        spark, coll, str(tmp_path / "state2"), "text",
+        quality=None, dedup=None, embed=False, html={"nope": 1},
+    )
+    with _pytest.raises(ValueError, match="unknown html options"):
+        bad(batch, 0)
