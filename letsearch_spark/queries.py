@@ -73,6 +73,10 @@ def _words(col):
     return F.split(F.trim(F.lower(col)), r"\s+")
 
 
+# exact cross-engine twin of _words for the corpora these oracles run
+# on; the KNOWN residual divergences of lower()/\s/\b between Java and
+# DuckDB (Turkish İ, Greek final sigma, \x0B, unicode \b) are pinned as
+# failing-loudly boundary tests in tests/test_cross_engine.py
 _WORDS_SQL = "regexp_split_to_array(trim(lower({x})), '\\s+')"
 
 # stopword sets for the lang-id heuristic (deterministic tie-break en>de>es>fr)

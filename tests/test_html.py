@@ -157,3 +157,77 @@ def test_fuzz_cross_engine_parity(spark):
     )
     mismatches = {i: (got[i], want[i]) for i in got if got[i] != want[i]}
     assert not mismatches, list(mismatches.items())[:3]
+
+
+def test_fuzz_c4_cross_engine_parity(spark):
+    """Same fuzz discipline for the C4 chain (functions/text.py
+    c4_clean_lines + c4_flags vs the DuckDB replay inside the
+    c4_page_filter oracle): 300 generated pages of sentences,
+    fragments, javascript/lorem/brace tells, curly quotes, and unicode
+    words must clean and judge identically. Generator excludes \\x0B:
+    Java's \\s contains it, RE2's does not -- the same documented
+    engine-class gap as \\b (functions/text.py scrub note)."""
+    import random
+
+    import duckdb
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from letsearch_spark.functions.text import c4_clean_lines, c4_flags
+
+    rng = random.Random(1)
+    enders = [".", "!", "?", '."', ".”", ".'", ".’", "", " .", ". "]
+    fillers = [
+        "the quick fox", "a line of prose here", "short", "深度 学习 语料",
+        "click here to enable javascript", "JavaScript required",
+        "lorem ipsum dolor", "code { braces }", "tail words go on and on",
+    ]
+    pages = []
+    for i in range(300):
+        lines = []
+        for _ in range(rng.randint(0, 8)):
+            lines.append(rng.choice(fillers) + rng.choice(enders))
+        pages.append((i, "\n".join(lines)))
+
+    sdf = spark.createDataFrame(pages, "i long, text string")
+    cleaned = c4_clean_lines(F.col("text"), min_line_words=3)
+    flags = c4_flags(cleaned, min_sentences=2)
+    got = {
+        r["i"]: (r["t"], r["n"], r["p"])
+        for r in sdf.select(
+            "i",
+            cleaned.alias("t"),
+            flags["n_sentences"].cast("long").alias("n"),
+            flags["passes"].alias("p"),
+        ).collect()
+    }
+
+    con = duckdb.connect()
+    con.register("fuzz_pages", pd.DataFrame(pages, columns=["i", "text"]))
+    want = {
+        r[0]: (r[1], r[2], r[3])
+        for r in con.sql(r"""
+            WITH cleaned AS (
+                SELECT i,
+                       coalesce(array_to_string(
+                           list_filter(string_split(text, chr(10)), x ->
+                               regexp_matches(x, '[.!?]["”''’]?\s*$')
+                               AND len(regexp_split_to_array(trim(lower(x)), '\s+')) >= 3
+                               AND NOT contains(lower(x), 'javascript')),
+                           chr(10)), '') AS text
+                FROM fuzz_pages
+            ), judged AS (
+                SELECT i, text,
+                       CAST(len(regexp_extract_all(text, '[.!?]["”''’]?(\s|$)'))
+                            AS BIGINT) AS n_sentences,
+                       contains(lower(text), 'lorem ipsum') AS has_lorem,
+                       contains(text, '{') AS has_brace
+                FROM cleaned
+            )
+            SELECT i, text, n_sentences,
+                   (n_sentences >= 2 AND NOT has_lorem AND NOT has_brace) AS passes
+            FROM judged
+        """).fetchall()
+    }
+    mismatches = {i: (got[i], want[i]) for i in got if got[i] != want[i]}
+    assert not mismatches, list(mismatches.items())[:3]
