@@ -47,6 +47,7 @@ def stream_append_collection(
     checkpoint_dir: str,
     max_files_per_trigger: int = 10,
     embed: bool = True,
+    refresh_index: str | None = None,
 ):
     """Stream parquet files from ``source_dir`` into ``coll``.
 
@@ -73,6 +74,7 @@ def stream_append_collection(
             if embed:
                 for col in coll.config.index_columns:
                     coll.embed_column(col, incremental=True)
+                    _maybe_refresh_index(coll, col, refresh_index)
         finally:
             batch_df.unpersist()
 
@@ -82,6 +84,26 @@ def stream_append_collection(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def _maybe_refresh_index(coll, col: str, refresh_index: str | None) -> None:
+    """Keep the ANN index fresh at BATCH cost after an incremental
+    embed: the refresh paths (collection.py refresh_ivf_index /
+    refresh_ivf_pq_index) append new keys under frozen quantizers and
+    retrain only past ``ivf_rebuild_fraction`` -- a per-batch full
+    rebuild would be quadratic in total ingested data (SCALING.md's
+    ivf_append-vs-rebuild probe)."""
+    if refresh_index is None:
+        return
+    if refresh_index == "ivf":
+        coll.refresh_ivf_index(col)
+    elif refresh_index == "ivf_pq":
+        coll.refresh_ivf_pq_index(col)
+    else:
+        raise ValueError(
+            f"refresh_index must be None, 'ivf' or 'ivf_pq', got "
+            f"{refresh_index!r}"
+        )
 
 
 def windowed_event_counts(
@@ -128,6 +150,7 @@ def stream_prep_collection(
     dedup: dict | None = None,
     max_files_per_trigger: int = 10,
     embed: bool = True,
+    refresh_index: str | None = None,
 ):
     """Streaming ingest with the prep pipeline's front stages: each
     micro-batch is quality-filtered (functions/text.py gopher_flags),
@@ -199,6 +222,7 @@ def stream_prep_collection(
     process_batch = _make_prep_batch_processor(
         spark, coll, state_dir, text_col, quality, dedup, embed,
         checkpoint_tag=checkpoint_dir, html=html,
+        refresh_index=refresh_index,
     )
     return (
         stream.writeStream.foreachBatch(process_batch)
@@ -417,6 +441,7 @@ def _make_prep_batch_processor(
     spark, coll, state_dir, text_col, quality, dedup, embed,
     checkpoint_tag: str | None = None,
     html: dict | None = None,
+    refresh_index: str | None = None,
 ):
     """The foreachBatch body of :func:`stream_prep_collection`, built
     standalone so tests can drive (and replay) batches directly.
@@ -433,6 +458,12 @@ def _make_prep_batch_processor(
 
     bands_path = os.path.join(state_dir, "bands")
     corpus_path = os.path.join(state_dir, "corpus")
+
+    if refresh_index not in (None, "ivf", "ivf_pq"):
+        raise ValueError(
+            f"refresh_index must be None, 'ivf' or 'ivf_pq', got "
+            f"{refresh_index!r}"
+        )
 
     def process_batch(batch_df, batch_id: int):
         if checkpoint_tag is not None:
@@ -572,6 +603,7 @@ def _make_prep_batch_processor(
         if embed and coll._docs_exist():
             for col in coll.config.index_columns:
                 coll.embed_column(col, incremental=True)
+                _maybe_refresh_index(coll, col, refresh_index)
         _marker_write(spark, applied_marker)
 
     return process_batch

@@ -595,3 +595,43 @@ def test_stream_prep_html_stage(spark, tmp_path):
     )
     with _pytest.raises(ValueError, match="unknown html options"):
         bad(batch, 0)
+
+
+def test_stream_refresh_index(spark, tmp_path):
+    """refresh_index='ivf' (round 6): every embedded micro-batch tops
+    the IVF index up at batch cost (append under frozen centroids;
+    rebuild only past the drift threshold), so strategy='ivf' serves
+    fresh data between batches without a manual rebuild step."""
+    import pyspark.sql.types as T
+
+    from letsearch_spark.collection import Collection
+    from letsearch_spark.streaming.incremental import (
+        _make_prep_batch_processor,
+    )
+
+    schema = T.StructType([T.StructField("text", T.StringType())])
+    coll = Collection.create(
+        spark, str(tmp_path / "root"), name="iprep",
+        index_columns=["text"], model_name="stub://8",
+    )
+    process = _make_prep_batch_processor(
+        spark, coll, str(tmp_path / "state"), "text",
+        quality=None, dedup=None, embed=True, refresh_index="ivf",
+    )
+    b0 = [(f"first batch doc {i} about spark and joins and windows",) for i in range(6)]
+    b1 = [(f"second batch doc {i} on packing and dedup and tokens",) for i in range(6)]
+    process(spark.createDataFrame(b0, schema), 0)
+    assert os.path.isdir(coll.ivf_path("text"))
+    process(spark.createDataFrame(b1, schema), 1)
+    # all 12 docs are searchable through the refreshed IVF index
+    probe = coll.docs().where("_key = 10").select("text").first()[0]
+    top = coll.search("text", probe, limit=1, strategy="ivf").first()
+    assert top["key"] == 10 and top["score"] > 0.999
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="refresh_index"):
+        _make_prep_batch_processor(
+            spark, coll, str(tmp_path / "state2"), "text",
+            quality=None, dedup=None, embed=True, refresh_index="nope",
+        )
