@@ -42,6 +42,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
+import os
 import weakref
 
 from pyspark.sql import DataFrame
@@ -138,6 +139,21 @@ class PrepConfig:
     # decorrelation for pretraining; distinct seeds -> distinct epoch
     # permutations at zero extra cost)
     pack_shuffle_seed: int | None = None
+    # resumable checkpointing (None disables, the default): a directory
+    # where every enabled stage materializes its output parquet plus a
+    # marker carrying a CHAINED fingerprint (md5 over input row count,
+    # stage order, and each stage's config fragment). A rerun with the
+    # same workdir loads each stage whose fingerprint still matches
+    # instead of recomputing it -- so a crash at hour 20 of a 100 TB
+    # recipe resumes after the last completed stage, and editing, say,
+    # the dsir config recomputes dsir and later stages while every
+    # earlier stage loads from parquet. Stage determinism (module
+    # docstring) is what makes the loaded outputs equal recomputed
+    # ones. CAVEAT: DataFrame/model-valued knobs (decontaminate.probes,
+    # dsir.target, quality_classifier model) fingerprint by schema, not
+    # content -- changing their CONTENT without changing any config
+    # requires a fresh workdir.
+    workdir: str | None = None
     # 'split': concat-then-split pretraining layout (pack_sequences);
     # 'bins': whole-document best-fit bins, the SFT layout
     # (pack_documents_bins; oversize docs land alone in their own
@@ -245,7 +261,9 @@ def prepare_training_data(
     persisted: list[DataFrame] = []
 
     def _persist_stage(df: DataFrame) -> DataFrame:
-        if not cfg.persist_intermediates:
+        # with a workdir the stage parquet IS the persistence; an extra
+        # MEMORY_AND_DISK copy would only double the footprint
+        if cfg.workdir is not None or not cfg.persist_intermediates:
             return df
         from pyspark import StorageLevel
 
@@ -256,83 +274,199 @@ def prepare_training_data(
         while len(persisted) > 1:
             persisted.pop(0).unpersist()
 
-    if cfg.html is not None:
-        from letsearch_spark.functions.html import (
-            html_link_density,
-            html_to_text,
-        )
+    # ---- resumable stage checkpointing (cfg.workdir) ----
+    # Make-style chained fingerprints: fp_i = md5(fp_{i-1} + name +
+    # json(stage config fragment)); fp_0 covers the input row count.
+    # A marker whose fp matches means this stage AND every stage before
+    # it ran with identical configuration over the same-size input, so
+    # its parquet can substitute for recomputation (stages are
+    # deterministic -- module docstring). Changing stage k's config
+    # shifts fp_k..fp_n, so k and everything after recompute while
+    # 1..k-1 still load.
+    import hashlib
+    import json as _json
 
-        html_cfg = dict(cfg.html)
-        max_ld = html_cfg.pop("max_link_density", None)
-        if html_cfg:
-            raise ValueError(
-                f"unknown html options: {sorted(html_cfg)} "
-                "(supported: max_link_density)"
+    _chain_fp = [hashlib.md5(str(audit["input"]).encode()).hexdigest()]
+    resumed: list[str] = []
+
+    def _fp_value(o):
+        if isinstance(o, DataFrame):
+            return f"df:{o.schema.simpleString()}"
+        if isinstance(o, (dict, list, tuple, str, int, float, bool)) or o is None:
+            return o
+        return f"{type(o).__name__}"
+
+    def _advance_fp(name: str, fragment) -> None:
+        frag = _json.dumps(fragment, default=_fp_value, sort_keys=True)
+        _chain_fp[0] = hashlib.md5(
+            (_chain_fp[0] + name + frag).encode()
+        ).hexdigest()
+
+    def _stage_paths(name: str) -> tuple[str, str]:
+        d = os.path.join(cfg.workdir, f"stage_{name}")
+        return d, os.path.join(cfg.workdir, f"stage_{name}.json")
+
+    # markers go through the Hadoop FS (temp-then-rename, crash-safe),
+    # so a cluster can point workdir at HDFS/S3, not just local disk
+    from letsearch_spark.streaming.incremental import (
+        _marker_read,
+        _marker_write,
+    )
+
+    _spark = docs.sparkSession
+
+    def _stage_load(name: str, fragment) -> DataFrame | None:
+        """None = must (re)compute; a DataFrame = valid checkpoint."""
+        if cfg.workdir is None:
+            return None
+        _advance_fp(name, fragment)
+        data_dir, meta_path = _stage_paths(name)
+        raw = _marker_read(_spark, meta_path)
+        if raw is None:
+            return None
+        try:
+            meta = _json.loads(raw)
+        except ValueError:
+            return None
+        if meta.get("fp") != _chain_fp[0]:
+            return None
+        df = _spark.read.parquet(data_dir)
+        audit[name] = int(meta["count"])
+        for k, v in (meta.get("audit_extra") or {}).items():
+            audit[k] = v
+        resumed.append(name)
+        _lap(name)
+        return df
+
+    def _stage_store(
+        name: str, df: DataFrame, audit_extra: dict | None = None
+    ) -> DataFrame:
+        """Finish a computed stage: audit count + lap, and with a
+        workdir also materialize + write the marker LAST (a crash
+        between the two leaves an ignorable orphan parquet the next
+        run overwrites)."""
+        if cfg.workdir is None:
+            audit[name] = df.count()
+            _lap(name)
+            return df
+        data_dir, meta_path = _stage_paths(name)
+        df.write.mode("overwrite").parquet(data_dir)
+        out = _spark.read.parquet(data_dir)
+        audit[name] = out.count()
+        _marker_write(
+            _spark,
+            meta_path,
+            _json.dumps(
+                {
+                    "fp": _chain_fp[0],
+                    "count": audit[name],
+                    "audit_extra": audit_extra or {},
+                }
+            ),
+        )
+        _lap(name)
+        return out
+
+    if cfg.html is not None:
+        _loaded = _stage_load("html", cfg.html)
+        if _loaded is not None:
+            cur = _loaded
+        else:
+            from letsearch_spark.functions.html import (
+                html_link_density,
+                html_to_text,
             )
-        if max_ld is not None:
-            ld = html_link_density(F.col(text))
-            # empty pages have NULL density; they drop on the length
-            # guard below, not here
-            cur = cur.where(ld.isNull() | (ld <= float(max_ld)))
-        cur = cur.withColumn(text, html_to_text(F.col(text)))
-        cur = _persist_stage(cur.where(F.length(F.col(text)) > 0))
-        audit["html"] = cur.count()
-        _lap("html")
-        _drop_superseded()
+
+            html_cfg = dict(cfg.html)
+            max_ld = html_cfg.pop("max_link_density", None)
+            if html_cfg:
+                raise ValueError(
+                    f"unknown html options: {sorted(html_cfg)} "
+                    "(supported: max_link_density)"
+                )
+            if max_ld is not None:
+                ld = html_link_density(F.col(text))
+                # empty pages have NULL density; they drop on the length
+                # guard below, not here
+                cur = cur.where(ld.isNull() | (ld <= float(max_ld)))
+            cur = cur.withColumn(text, html_to_text(F.col(text)))
+            cur = _persist_stage(cur.where(F.length(F.col(text)) > 0))
+            cur = _stage_store("html", cur)
+            _drop_superseded()
 
     if cfg.quality is not None:
-        flags = gopher_flags(F.col(text), **cfg.quality)
-        cur = cur.where(flags["passes"])
-        audit["quality_filter"] = cur.count()
-        _lap("quality_filter")
+        _loaded = _stage_load("quality_filter", cfg.quality)
+        if _loaded is not None:
+            cur = _loaded
+        else:
+            flags = gopher_flags(F.col(text), **cfg.quality)
+            cur = _stage_store("quality_filter", cur.where(flags["passes"]))
 
     if cfg.c4 is not None:
-        from letsearch_spark.functions.text import c4_clean_lines, c4_flags
+        _loaded = _stage_load("c4", cfg.c4)
+        if _loaded is not None:
+            cur = _loaded
+        else:
+            from letsearch_spark.functions.text import c4_clean_lines, c4_flags
 
-        c4_cfg = dict(cfg.c4)
-        min_line_words = c4_cfg.pop("min_line_words", 5)
-        if "blocklist" in c4_cfg:
-            c4_cfg["blocklist"] = tuple(c4_cfg["blocklist"])
-        # C4's order: rewrite lines first, then judge the cleaned page
-        cur = cur.withColumn(text, c4_clean_lines(F.col(text), min_line_words))
-        cur = _persist_stage(cur.where(c4_flags(F.col(text), **c4_cfg)["passes"]))
-        audit["c4"] = cur.count()
-        _lap("c4")
-        _drop_superseded()
+            c4_cfg = dict(cfg.c4)
+            min_line_words = c4_cfg.pop("min_line_words", 5)
+            if "blocklist" in c4_cfg:
+                c4_cfg["blocklist"] = tuple(c4_cfg["blocklist"])
+            # C4's order: rewrite lines first, then judge the cleaned page
+            cur = cur.withColumn(text, c4_clean_lines(F.col(text), min_line_words))
+            cur = _persist_stage(cur.where(c4_flags(F.col(text), **c4_cfg)["passes"]))
+            cur = _stage_store("c4", cur)
+            _drop_superseded()
 
     if cfg.ppl_filter is not None:
-        from letsearch_spark.operators.ngram_lm import perplexity_filter
+        _loaded = _stage_load("ppl_filter", cfg.ppl_filter)
+        if _loaded is not None:
+            cur = _loaded
+        else:
+            from letsearch_spark.operators.ngram_lm import perplexity_filter
 
-        cur = perplexity_filter(
-            cur, key_col=key, text_col=text, **cfg.ppl_filter
-        )
-        audit["ppl_filter"] = cur.count()
-        _lap("ppl_filter")
+            cur = _stage_store(
+                "ppl_filter",
+                perplexity_filter(
+                    cur, key_col=key, text_col=text, **cfg.ppl_filter
+                ),
+            )
 
     if cfg.line_dedup is not None:
-        keep_cols = [c for c in cur.columns if c not in (text,)]
-        cleaned = remove_duplicate_lines(cur, key, text, **cfg.line_dedup)
-        cur = cur.select(*keep_cols).join(
-            cleaned.select(key, text), key
-        )
-        # stripping boilerplate can empty a document
-        cur = _persist_stage(cur.where(F.length(F.trim(F.col(text))) > 0))
-        audit["line_dedup"] = cur.count()
-        _lap("line_dedup")
-        _drop_superseded()
+        _loaded = _stage_load("line_dedup", cfg.line_dedup)
+        if _loaded is not None:
+            cur = _loaded
+        else:
+            keep_cols = [c for c in cur.columns if c not in (text,)]
+            cleaned = remove_duplicate_lines(cur, key, text, **cfg.line_dedup)
+            cur = cur.select(*keep_cols).join(
+                cleaned.select(key, text), key
+            )
+            # stripping boilerplate can empty a document
+            cur = _persist_stage(cur.where(F.length(F.trim(F.col(text))) > 0))
+            cur = _stage_store("line_dedup", cur)
+            _drop_superseded()
 
     if cfg.ngram_dedup is not None:
-        from letsearch_spark.operators.dedup import remove_duplicate_ngrams
+        _loaded = _stage_load("ngram_dedup", cfg.ngram_dedup)
+        if _loaded is not None:
+            cur = _loaded
+        else:
+            from letsearch_spark.operators.dedup import remove_duplicate_ngrams
 
-        keep_cols = [c for c in cur.columns if c not in (text,)]
-        cleaned = remove_duplicate_ngrams(cur, key, text, **cfg.ngram_dedup)
-        cur = cur.select(*keep_cols).join(cleaned.select(key, text), key)
-        cur = _persist_stage(cur.where(F.length(F.trim(F.col(text))) > 0))
-        audit["ngram_dedup"] = cur.count()
-        _lap("ngram_dedup")
-        _drop_superseded()
+            keep_cols = [c for c in cur.columns if c not in (text,)]
+            cleaned = remove_duplicate_ngrams(cur, key, text, **cfg.ngram_dedup)
+            cur = cur.select(*keep_cols).join(cleaned.select(key, text), key)
+            cur = _persist_stage(cur.where(F.length(F.trim(F.col(text))) > 0))
+            cur = _stage_store("ngram_dedup", cur)
+            _drop_superseded()
 
-    if cfg.decontaminate is not None:
+    if cfg.decontaminate is not None and (
+        _loaded := _stage_load("decontaminate", cfg.decontaminate)
+    ) is not None:
+        cur = _loaded
+    elif cfg.decontaminate is not None:
         # method='bloom' swaps in the broadcast-Bloom pre-filter
         # (operators/bloom.py) -- bit-identical hits with no corpus-side
         # shuffle. method='auto' (the default) picks per run from the
@@ -397,66 +531,97 @@ def prepare_training_data(
         # and every later audit count would re-execute it from the last
         # persisted frame
         cur = _persist_stage(cur.join(contaminated, key, "left_anti"))
-        audit["decontaminate"] = cur.count()
-        _lap("decontaminate")
+        cur = _stage_store(
+            "decontaminate",
+            cur,
+            audit_extra=(
+                {"decontaminate_method": audit["decontaminate_method"]}
+                if "decontaminate_method" in audit
+                else None
+            ),
+        )
         _drop_superseded()
 
     if cfg.fuzzy_dedup is not None:
-        pairs = minhash_lsh_pairs(cur, key, text, **cfg.fuzzy_dedup)
-        keep = dedup_keep_list(cur, pairs, key)
-        cur = _persist_stage(
-            cur.join(
-                keep.where("is_kept").select(F.col("id").alias(key)), key
+        _loaded = _stage_load("fuzzy_dedup", cfg.fuzzy_dedup)
+        if _loaded is not None:
+            cur = _loaded
+        else:
+            pairs = minhash_lsh_pairs(cur, key, text, **cfg.fuzzy_dedup)
+            keep = dedup_keep_list(cur, pairs, key)
+            cur = _persist_stage(
+                cur.join(
+                    keep.where("is_kept").select(F.col("id").alias(key)), key
+                )
             )
-        )
-        audit["fuzzy_dedup"] = cur.count()
-        _lap("fuzzy_dedup")
-        _drop_superseded()
+            cur = _stage_store("fuzzy_dedup", cur)
+            _drop_superseded()
 
     if cfg.dsir is not None:
-        from letsearch_spark.operators.dsir import dsir_sample
+        _loaded = _stage_load("dsir", cfg.dsir)
+        if _loaded is not None:
+            cur = _loaded
+        else:
+            from letsearch_spark.operators.dsir import dsir_sample
 
-        extra = {
-            k: v for k, v in cfg.dsir.items() if k not in ("target", "k")
-        }
-        picked = dsir_sample(
-            cur,
-            cfg.dsir["target"],
-            k=cfg.dsir["k"],
-            id_col=key,
-            text_col=text,
-            **extra,
-        )
-        cur = cur.join(picked.select(key), key, "left_semi")
-        audit["dsir"] = cur.count()
-        _lap("dsir")
+            extra = {
+                k: v for k, v in cfg.dsir.items() if k not in ("target", "k")
+            }
+            picked = dsir_sample(
+                cur,
+                cfg.dsir["target"],
+                k=cfg.dsir["k"],
+                id_col=key,
+                text_col=text,
+                **extra,
+            )
+            cur = _stage_store(
+                "dsir", cur.join(picked.select(key), key, "left_semi")
+            )
 
     if cfg.quality_classifier is not None:
-        from letsearch_spark.operators.classifier import (
-            quality_classifier_filter,
-        )
+        _loaded = _stage_load("quality_classifier", cfg.quality_classifier)
+        if _loaded is not None:
+            cur = _loaded
+        else:
+            from letsearch_spark.operators.classifier import (
+                quality_classifier_filter,
+            )
 
-        extra = {
-            k: v for k, v in cfg.quality_classifier.items() if k != "model"
-        }
-        cur = quality_classifier_filter(
-            cur,
-            cfg.quality_classifier["model"],
-            id_col=key,
-            text_col=text,
-            **extra,
-        )
-        audit["quality_classifier"] = cur.count()
-        _lap("quality_classifier")
+            extra = {
+                k: v for k, v in cfg.quality_classifier.items() if k != "model"
+            }
+            cur = _stage_store(
+                "quality_classifier",
+                quality_classifier_filter(
+                    cur,
+                    cfg.quality_classifier["model"],
+                    id_col=key,
+                    text_col=text,
+                    **extra,
+                ),
+            )
 
     if cfg.mixture_weights is not None:
         if cfg.domain_col is None:
             raise ValueError("mixture_weights needs domain_col")
-        cur = mixture_hash_sample(
-            cur, key, cfg.domain_col, cfg.mixture_weights, cfg.mixture_target_rows
+        _loaded = _stage_load(
+            "mixture",
+            [cfg.mixture_weights, cfg.mixture_target_rows, cfg.domain_col],
         )
-        audit["mixture"] = cur.count()
-        _lap("mixture")
+        if _loaded is not None:
+            cur = _loaded
+        else:
+            cur = _stage_store(
+                "mixture",
+                mixture_hash_sample(
+                    cur,
+                    key,
+                    cfg.domain_col,
+                    cfg.mixture_weights,
+                    cfg.mixture_target_rows,
+                ),
+            )
 
     cur = hash_split(cur, key, weights=cfg.split_weights)
 
@@ -485,6 +650,10 @@ def prepare_training_data(
         )
     audit["train_docs"] = cur.where(F.col("split") == "train").count()
     _lap("split_pack")
+    if cfg.workdir is not None:
+        # which stages loaded from the workdir instead of recomputing
+        # (a list, not a count -- the audit is the data-card record)
+        audit["resumed"] = list(resumed)
     if persisted:
         _RELEASABLE[cur] = list(persisted)
         # safety net: if the caller drops the result without calling

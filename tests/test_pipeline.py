@@ -647,3 +647,105 @@ def test_pipeline_html_stage(spark):
         prepare_training_data(
             docs, PrepConfig(html={"nope": 1}, fuzzy_dedup=None, seq_len=64)
         )
+
+
+def test_workdir_resume(spark, sf_dir, tmp_path):
+    """Resumable checkpointing (round 6): a rerun with the same workdir
+    loads every stage from parquet (audit['resumed']), outputs equal
+    the fresh run bit-for-bit, editing a LATE stage's config recomputes
+    only it and its downstream, and editing an EARLY stage invalidates
+    the whole chain."""
+    import dataclasses
+
+    from letsearch_spark.pipeline import (
+        PrepConfig,
+        prepare_training_data,
+        release_training_data,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    wd = str(tmp_path / "wd")
+    cfg = PrepConfig(
+        quality={"min_words": 25},
+        fuzzy_dedup={"threshold": 0.8},
+        seq_len=256,
+        num_shards=4,
+        workdir=wd,
+    )
+
+    def snap(clean, layout):
+        rows = sorted(
+            (r["doc_id"], r["split"], r["tokens"]) for r in clean.collect()
+        )
+        lay = sorted(tuple(r) for r in layout.collect())
+        return rows, lay
+
+    clean1, layout1, audit1 = prepare_training_data(docs, cfg)
+    s1 = snap(clean1, layout1)
+    assert audit1["resumed"] == []
+
+    clean2, layout2, audit2 = prepare_training_data(docs, cfg)
+    s2 = snap(clean2, layout2)
+    assert audit2["resumed"] == ["quality_filter", "line_dedup", "fuzzy_dedup"]
+    assert s2 == s1
+    assert {k: v for k, v in audit2.items() if k != "resumed"} == {
+        k: v for k, v in audit1.items() if k != "resumed"
+    }
+
+    # no-workdir reference run: identical outputs
+    clean0, layout0, audit0 = prepare_training_data(
+        docs, dataclasses.replace(cfg, workdir=None)
+    )
+    assert snap(clean0, layout0) == s1
+    release_training_data(clean0)
+
+    # late-stage edit: quality + line_dedup load, fuzzy recomputes
+    cfg_late = dataclasses.replace(cfg, fuzzy_dedup={"threshold": 0.6})
+    _, _, audit3 = prepare_training_data(docs, cfg_late)
+    assert audit3["resumed"] == ["quality_filter", "line_dedup"]
+    assert audit3["fuzzy_dedup"] <= audit1["fuzzy_dedup"]
+
+    # early-stage edit: the chain shifts, nothing loads
+    cfg_early = dataclasses.replace(cfg, quality={"min_words": 30})
+    _, _, audit4 = prepare_training_data(docs, cfg_early)
+    assert audit4["resumed"] == []
+
+
+def test_workdir_resume_restores_decon_method(spark, tmp_path):
+    """The auto-chosen decontamination method is part of the audit; a
+    resumed run must restore it from the stage marker instead of
+    re-deciding (the count that drives 'auto' is never recomputed)."""
+    from letsearch_spark.pipeline import PrepConfig, prepare_training_data
+
+    probe = "the quick brown fox jumps over the lazy dog tonight"
+    texts = [f"intro text then {probe} and a long tail of filler"] + [
+        f"document {i} carries the distinct prose of a topic {i} "
+        f"and is about nothing shared beyond ordinary words {i}"
+        for i in range(1, 12)
+    ]
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    probes = spark.createDataFrame([(100, probe)], "pid long, ptext string")
+    cfg = PrepConfig(
+        quality=None,
+        line_dedup=None,
+        fuzzy_dedup=None,
+        decontaminate={
+            "probes": probes,
+            "probe_id": "pid",
+            "probe_text": "ptext",
+            "threshold": 0.8,
+            "method": "auto",
+            "auto_threshold_docs": 5,
+        },
+        seq_len=64,
+        num_shards=2,
+        workdir=str(tmp_path / "wd"),
+    )
+    _, _, a1 = prepare_training_data(docs, cfg)
+    assert a1["decontaminate_method"] == "bloom" and a1["resumed"] == []
+    _, _, a2 = prepare_training_data(docs, cfg)
+    assert a2["resumed"] == ["decontaminate"]
+    assert a2["decontaminate_method"] == "bloom"
+    assert a2["decontaminate"] == a1["decontaminate"]
