@@ -8,6 +8,12 @@ formatting). Exact-string equality is intentionally stricter than any
 tolerance the driver might use.
 
 Usage: python tools/check_oracle.py [--sf-dir DIR] [--only name1,name2]
+       [--registry window|rotated|staged|all]
+
+``--registry`` widens the sweep beyond the driver's 50-slot window to
+the rotated-out and staged registries (the same comparison pytest runs
+in tests/test_rotated_contract.py), so an auditor can re-verify EVERY
+oracle-backed entry from one command.
 """
 
 from __future__ import annotations
@@ -46,6 +52,11 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     ap.add_argument("--only", default=None)
+    ap.add_argument(
+        "--registry",
+        default="window",
+        choices=("window", "rotated", "staged", "all"),
+    )
     args = ap.parse_args()
     # computed VALUES-literal oracles must be generated at the same scale
     os.environ["LETSEARCH_ORACLE_SF_DIR"] = args.sf_dir
@@ -63,8 +74,26 @@ def main() -> int:
             f"CREATE VIEW {t} AS SELECT * FROM '{args.sf_dir}/{t}.parquet'"
         )
 
-    qs = entrymod.queries()
-    oracles = entrymod.oracle_sql()
+    qs = dict(entrymod.queries()) if args.registry in ("window", "all") else {}
+    oracles = dict(entrymod.oracle_sql()) if qs else {}
+    if args.registry in ("rotated", "all"):
+        from letsearch_spark.queries import (
+            ROTATED_OUT_ORACLES,
+            ROTATED_OUT_QUERIES,
+        )
+
+        qs.update(ROTATED_OUT_QUERIES)
+        oracles.update(ROTATED_OUT_ORACLES)
+    if args.registry in ("staged", "all"):
+        from letsearch_spark.queries import STAGED_ORACLES, STAGED_QUERIES
+
+        qs.update(STAGED_QUERIES)
+        oracles.update(
+            {
+                k: (v(args.sf_dir) if callable(v) else v)
+                for k, v in STAGED_ORACLES.items()
+            }
+        )
     only = set(args.only.split(",")) if args.only else None
 
     n_pass = n_fail = n_rows_only = 0
