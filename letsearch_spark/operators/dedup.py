@@ -816,6 +816,62 @@ def dedup_keep_list(
     )
 
 
+def dedup_keep_best(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    score_col: str,
+    max_iter: int = 20,
+    algorithm: str = "minlabel",
+) -> DataFrame:
+    """Quality-aware survivor selection: (id, component, is_kept) over
+    ALL docs where the survivor of each near-dup cluster is the member
+    with the HIGHEST ``score_col`` (ties -> lowest id), instead of
+    :func:`dedup_keep_list`'s arbitrary min-id rule. This is what
+    production web pipelines actually do -- when a page and its mirror
+    collide, keep the longer / higher-quality copy, not whichever got
+    the smaller ingest key (FineWeb and RefinedWeb both pick cluster
+    representatives by quality signals, not key order).
+
+    ``score_col`` is any per-doc quality signal already in ``docs``
+    (char count, classifier score, perplexity negated...). Null scores
+    lose to any non-null score (coalesced to -inf).
+
+    Scale shape: components run over PAIR MEMBERS only (the dup subset,
+    not the corpus); the score join and the per-component argmax touch
+    only that subset, and the argmax is ``max_by`` over a (score, -id)
+    struct -- a real aggregate with map-side partials, so a mega-cluster
+    never single-tasks. The corpus-sized step is one hash-only
+    left-anti join that emits singletons as their own survivors.
+    """
+    comp = connected_components(
+        pairs, nodes=None, max_iter=max_iter, algorithm=algorithm
+    )
+    scores = docs.select(
+        F.col(id_col).alias("id"),
+        F.coalesce(F.col(score_col).cast("double"), F.lit(float("-inf"))).alias(
+            "_score"
+        ),
+    )
+    scored = comp.join(scores, "id").withColumn(
+        "_ord", F.struct(F.col("_score"), (-F.col("id")).cast("long").alias("_neg"))
+    )
+    best = scored.groupBy("component").agg(F.max_by("id", "_ord").alias("_best"))
+    dup_rows = scored.join(best, "component").select(
+        "id", "component", (F.col("id") == F.col("_best")).alias("is_kept")
+    )
+    singles = (
+        docs.select(F.col(id_col).alias("id"))
+        .join(comp.select("id"), "id", "left_anti")
+        .select(
+            "id",
+            F.col("id").alias("component"),
+            F.lit(True).alias("is_kept"),
+        )
+    )
+    return dup_rows.unionByName(singles)
+
+
 # ------------------------------------------------------------ embeddings
 
 

@@ -2391,8 +2391,64 @@ def q_shuffle_order(spark, sf_dir):
     )
 
 
+def q_dedup_survivor_quality(spark, sf_dir):
+    """Quality-aware dedup survivor selection (operators/dedup.py
+    dedup_keep_best): the same banded MinHash candidates -> exact-Jaccard
+    verify -> connected components as dedup_minhash_components, but each
+    cluster's survivor is its highest-``n_chars`` member (tie -> lowest
+    id) instead of the min id -- the FineWeb/RefinedWeb keep rule (keep
+    the best copy, not the first-ingested one). The oracle reuses the
+    shared banded-pair SQL and recursive closure, then picks survivors
+    with a (score DESC, id ASC) window rank."""
+    from letsearch_spark.operators.dedup import dedup_keep_best, minhash_lsh_pairs
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        docs,
+        "doc_id",
+        "text",
+        n=3,
+        num_perms=_N_PERMS,
+        band_rows=_BAND_ROWS,
+        threshold=0.5,
+    )
+    return dedup_keep_best(docs, pairs, "doc_id", "n_chars").orderBy("id")
+
+
+def _survivor_quality_oracle_sql() -> str:
+    mh = _mh_pairs_oracle_sql()
+    return f"""
+        WITH RECURSIVE
+        pairs AS ({mh}),
+        edges AS (
+            SELECT id_a AS src, id_b AS dst FROM pairs
+            UNION
+            SELECT id_b AS src, id_a AS dst FROM pairs
+        ),
+        reach(a, b) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
+        ),
+        comp AS (SELECT a AS id, min(b) AS component FROM reach GROUP BY a),
+        scored AS (
+            SELECT c.id, c.component, d.n_chars AS score
+            FROM comp c JOIN documents d ON d.doc_id = c.id
+        ),
+        ranked AS (
+            SELECT id, component,
+                   row_number() OVER (
+                       PARTITION BY component ORDER BY score DESC, id ASC
+                   ) AS rn
+            FROM scored
+        )
+        SELECT id, component, (rn = 1) AS is_kept FROM ranked ORDER BY id
+    """
+
+
 STAGED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # round 6
+    "dedup_survivor_quality": q_dedup_survivor_quality,
     "html_extract": q_html_extract,
     "dataset_diff": q_dataset_diff,
     "shuffle_order": q_shuffle_order,
@@ -2971,6 +3027,7 @@ _SHUFFLE_ORDER_ORACLE_SQL = """
 
 STAGED_ORACLES: dict[str, object] = {
     # round 6
+    "dedup_survivor_quality": _survivor_quality_oracle_sql(),
     "html_extract": _html_extract_oracle_sql(),
     "dataset_diff": _DATASET_DIFF_ORACLE_SQL,
     "shuffle_order": _SHUFFLE_ORDER_ORACLE_SQL,

@@ -293,6 +293,36 @@ def test_connected_components_chain_and_singletons(spark):
     assert keep.count() == 8
 
 
+def test_dedup_keep_best_quality_survivors(spark):
+    from letsearch_spark.operators.dedup import dedup_keep_best
+
+    # chain 1-2-3 (best score in the middle), pair 10-11 tied on score
+    # (lowest id wins), pair 30-31 where the higher id has a NULL score
+    # (null loses), singleton 20 (kept, never joins the dup subset)
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (30, 31)], "id_a long, id_b long"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, 5.0),
+            (2, 9.0),
+            (3, 7.0),
+            (10, 4.0),
+            (11, 4.0),
+            (20, 0.5),
+            (30, None),
+            (31, 2.0),
+        ],
+        "doc_id long, score double",
+    )
+    keep = dedup_keep_best(docs, pairs, "doc_id", "score")
+    rows = {r["id"]: (r["component"], r["is_kept"]) for r in keep.collect()}
+    assert len(rows) == 8
+    assert sorted(i for i, (_, k) in rows.items() if k) == [2, 10, 20, 31]
+    assert rows[1][0] == rows[2][0] == rows[3][0] == 1
+    assert rows[20] == (20, True)
+
+
 def test_asof_join_directions_tolerance(spark):
     import datetime as dt
 
