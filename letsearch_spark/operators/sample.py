@@ -19,7 +19,7 @@ codegen'd, pushdown-friendly.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from letsearch_spark.operators.dedup import md5_60
@@ -90,6 +90,46 @@ def stratified_keep_col(
     default_cut = F.lit(int(round(default_fraction * _BUCKETS)))
     cut = default_cut if cut is None else cut.otherwise(default_cut)
     return bucket < cut
+
+
+def stratified_topk_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    k: int,
+    seed: int = 42,
+    rank_col: str | None = None,
+) -> DataFrame:
+    """EXACTLY ``min(k, |stratum|)`` rows per stratum, deterministically
+    chosen by key hash -- the exact-count sibling of
+    :func:`stratified_hash_sample` (which is rate-based and only
+    approximately sized). The training-data use cases are hard
+    per-source caps ("at most k docs from any one domain", the
+    RefinedWeb/C4 anti-head-domination rule) and balanced eval subsets
+    ("exactly k per language"), where a rate cannot promise the count.
+
+    Selection order is (md5(key#seed), key): reproducible across
+    engines, partitionings, and reruns, and appending one stratum never
+    disturbs another. ``rank_col`` optionally keeps the 1-based
+    selection rank (cast long). ``key_col`` should be unique per row --
+    duplicate keys make the order among those rows undefined.
+
+    Scale shape: this is the one place a per-stratum window is RIGHT.
+    A rank-limit filter over a window is rewritten by Catalyst (Spark
+    >= 3.5) into WindowGroupLimit: every task pre-prunes to its local
+    top-k BEFORE the shuffle, so a billion-row hot stratum ships
+    ~partitions*k rows to its reducer, not a billion -- the two-phase
+    threshold dance is already built into the optimizer (plan-gated in
+    tests/test_plans.py).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    h = md5_60(F.concat(F.col(key_col).cast("string"), F.lit(f"#{seed}")))
+    w = Window.partitionBy(strata_col).orderBy(h.asc(), F.col(key_col).asc())
+    out = df.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") <= k)
+    if rank_col is None:
+        return out.drop("__rn")
+    return out.withColumn(rank_col, F.col("__rn").cast("long")).drop("__rn")
 
 
 def hash_split(

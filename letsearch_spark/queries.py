@@ -2391,6 +2391,36 @@ def q_shuffle_order(spark, sf_dir):
     )
 
 
+def q_sample_stratified_exact(spark, sf_dir):
+    """Exact k-per-stratum sampling (operators/sample.py
+    stratified_topk_sample): exactly 25 documents per source, chosen by
+    the md5(doc_id#42) hash order -- the hard per-domain cap / balanced
+    eval-subset rule a rate-based sampler can't promise. The rank-limit
+    window compiles to WindowGroupLimit (map-side top-k before the
+    shuffle; plan-gated in tests/test_plans.py); the oracle is the same
+    row_number QUALIFY in DuckDB."""
+    from letsearch_spark.operators.sample import stratified_topk_sample
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
+    return stratified_topk_sample(
+        docs, "doc_id", "source", k=25, seed=42, rank_col="sample_rank"
+    ).orderBy("source", "sample_rank")
+
+
+_STRATIFIED_EXACT_ORACLE_SQL = f"""
+    SELECT doc_id, source, rn AS sample_rank FROM (
+        SELECT doc_id, source,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY {_MD5_60_SQL.format(x="CAST(doc_id AS VARCHAR) || '#42'")} ASC,
+                            doc_id ASC
+               ) AS rn
+        FROM documents
+    ) WHERE rn <= 25
+    ORDER BY source, sample_rank
+"""
+
+
 def q_dedup_survivor_quality(spark, sf_dir):
     """Quality-aware dedup survivor selection (operators/dedup.py
     dedup_keep_best): the same banded MinHash candidates -> exact-Jaccard
@@ -2449,6 +2479,7 @@ def _survivor_quality_oracle_sql() -> str:
 STAGED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # round 6
     "dedup_survivor_quality": q_dedup_survivor_quality,
+    "sample_stratified_exact": q_sample_stratified_exact,
     "html_extract": q_html_extract,
     "dataset_diff": q_dataset_diff,
     "shuffle_order": q_shuffle_order,
@@ -3028,6 +3059,7 @@ _SHUFFLE_ORDER_ORACLE_SQL = """
 STAGED_ORACLES: dict[str, object] = {
     # round 6
     "dedup_survivor_quality": _survivor_quality_oracle_sql(),
+    "sample_stratified_exact": _STRATIFIED_EXACT_ORACLE_SQL,
     "html_extract": _html_extract_oracle_sql(),
     "dataset_diff": _DATASET_DIFF_ORACLE_SQL,
     "shuffle_order": _SHUFFLE_ORDER_ORACLE_SQL,

@@ -434,6 +434,41 @@ def test_hash_split_and_sample(spark):
         hash_split(df, "k", weights={"a": 0.5, "b": 0.6})
 
 
+def test_stratified_topk_sample_exact_counts(spark):
+    from letsearch_spark.operators.sample import stratified_topk_sample
+
+    # strata of very different sizes: 400 'a', 50 'b', 3 'c'
+    df = spark.range(0, 453).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") < 400, "a")
+        .when(F.col("id") < 450, "b")
+        .otherwise("c")
+        .alias("g"),
+    )
+    out = stratified_topk_sample(df, "k", "g", k=10, rank_col="rnk")
+    counts = {
+        r["g"]: r["n"]
+        for r in out.groupBy("g").agg(F.count("*").alias("n")).collect()
+    }
+    assert counts == {"a": 10, "b": 10, "c": 3}  # min(k, |stratum|)
+    # ranks are 1..n within each stratum
+    ranks = sorted(r["rnk"] for r in out.where("g = 'b'").collect())
+    assert ranks == list(range(1, 11))
+    # deterministic under repartitioning
+    a = sorted((r["g"], r["rnk"], r["k"]) for r in out.collect())
+    b = sorted(
+        (r["g"], r["rnk"], r["k"])
+        for r in stratified_topk_sample(
+            df.repartition(13), "k", "g", k=10, rank_col="rnk"
+        ).collect()
+    )
+    assert a == b
+    # rank_col=None drops the helper column entirely
+    assert stratified_topk_sample(df, "k", "g", k=2).columns == ["k", "g"]
+    with pytest.raises(ValueError):
+        stratified_topk_sample(df, "k", "g", k=0)
+
+
 def test_leakage_safe_split(spark):
     from letsearch_spark.operators.sample import hash_split, leakage_safe_split
 

@@ -532,3 +532,22 @@ def test_corpus_report_single_aggregation_scan(spark, sf_dir):
     assert "Expand" in plan, plan  # the ROLLUP grouping sets
     # one aggregation exchange + the final tiny orderBy exchange only
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_stratified_topk_sample_window_group_limit(spark, sf_dir):
+    """The exact k-per-stratum sampler's rank-limit window must compile
+    to WindowGroupLimit with a Partial map-side pass: each task prunes
+    to its local top-k BEFORE the stratum shuffle, so a hot stratum
+    ships ~partitions*k rows, never its full membership."""
+    from letsearch_spark.operators.sample import stratified_topk_sample
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    out = stratified_topk_sample(
+        docs.select("doc_id", "source"), "doc_id", "source", k=25
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan, plan
+    exch = plan.split("Exchange hashpartitioning", 1)[1]
+    below = exch  # everything below the stratum shuffle
+    assert "WindowGroupLimit" in below and "Partial" in below, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
