@@ -1,0 +1,135 @@
+"""Distributed elementwise vector pooling.
+
+North-star operator (SURVEY.md §2.7, not in the reference): aggregate an
+``array<float>`` column elementwise per group -- chunk embeddings pooled
+to document embeddings, per-cluster centroids over the FULL corpus (the
+driver-sampled trainer in operators/ann.py caps at ``sample_limit``
+vectors; this has no cap), per-label prototypes for classification.
+
+Two implementations, same contract:
+
+* ``method='explode'`` (default, the 100 TB shape): posexplode ->
+  partial-aggregated avg per (group, position) -> sorted re-assembly.
+  Every stage is a real hash aggregate with map-side partials, so a
+  mega-group (one cluster holding half the corpus) spreads across ALL
+  tasks of the (group, pos) aggregation instead of single-tasking -- the
+  dimension count multiplies the key space, which is exactly what kills
+  the skew.
+* ``method='pandas'``: groupBy().applyInPandas with one ``np.mean`` per
+  group -- one shuffle instead of two and far fewer keys, the right
+  trade when groups are many, small, and wide (768+ dims). Buffers each
+  group's vectors in one task: bounded-group-size inputs only.
+
+``exact_units`` switches the mean to fixed-point integer accumulation
+(``sum(round(v * units)) / (units * n)``): integer sums are
+order-independent, so results are bit-stable across partitionings,
+retries, AND engines -- the same micro-cents trick queries.py uses for
+money sums, here so the DuckDB oracle can hash-match the pooled floats
+exactly. Costs a 1/units quantization of each input element.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from letsearch_spark.functions.vector import l2_normalize
+
+
+def mean_pool_vectors(
+    df: DataFrame,
+    group_cols: list[str] | str,
+    vec_col: str,
+    out_col: str = "pooled",
+    normalize: bool = False,
+    method: str = "explode",
+    exact_units: int | None = None,
+) -> DataFrame:
+    """Per-group elementwise mean of ``vec_col``: one row per group with
+    ``out_col`` (array<double>) and ``n_vecs`` (group size). Vectors must
+    share one dimensionality within a group; null vectors are dropped by
+    the explode. ``normalize=True`` L2-normalizes the pooled vector
+    (zero vector stays zero, matching cosine_similarity's convention).
+    """
+    if isinstance(group_cols, str):
+        group_cols = [group_cols]
+    if method == "explode":
+        out = _pool_explode(df, group_cols, vec_col, out_col, exact_units)
+    elif method == "pandas":
+        out = _pool_pandas(df, group_cols, vec_col, out_col, exact_units)
+    else:
+        raise ValueError(f"method must be explode|pandas, got {method!r}")
+    if normalize:
+        out = out.withColumn(out_col, l2_normalize(F.col(out_col)))
+    return out
+
+
+def _pool_explode(
+    df: DataFrame,
+    group_cols: list[str],
+    vec_col: str,
+    out_col: str,
+    exact_units: int | None,
+) -> DataFrame:
+    ex = df.select(
+        *group_cols, F.posexplode(F.col(vec_col)).alias("_pos", "_v")
+    )
+    if exact_units is not None:
+        units = float(exact_units)
+        q = F.round(F.col("_v").cast("double") * units).cast("long")
+        per = ex.groupBy(*group_cols, "_pos").agg(
+            F.sum(q).alias("_s"), F.count(q).alias("_n")
+        )
+        mean = F.col("_s") / (F.lit(units) * F.col("_n"))
+    else:
+        per = ex.groupBy(*group_cols, "_pos").agg(
+            F.avg(F.col("_v").cast("double")).alias("_m"),
+            F.count("_v").alias("_n"),
+        )
+        mean = F.col("_m")
+    per = per.select(*group_cols, "_pos", mean.alias("_m"), "_n")
+    return per.groupBy(*group_cols).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("_pos", "_m"))),
+            lambda s: s.getField("_m"),
+        ).alias(out_col),
+        F.max("_n").alias("n_vecs"),
+    )
+
+
+def _pool_pandas(
+    df: DataFrame,
+    group_cols: list[str],
+    vec_col: str,
+    out_col: str,
+    exact_units: int | None,
+) -> DataFrame:
+    group_fields = [df.schema[c] for c in group_cols]
+    schema = T.StructType(
+        [
+            *group_fields,
+            T.StructField(out_col, T.ArrayType(T.DoubleType())),
+            T.StructField("n_vecs", T.LongType()),
+        ]
+    )
+    units = None if exact_units is None else float(exact_units)
+
+    def pool(pdf: pd.DataFrame) -> pd.DataFrame:
+        vecs = pdf[vec_col].dropna()
+        x = np.array(vecs.tolist(), dtype=np.float64)
+        if units is not None:
+            # mirror the fixed-point path: away-from-zero half rounding
+            # (np.round is half-even, so round via floor(|x|+0.5))
+            q = np.sign(x * units) * np.floor(np.abs(x * units) + 0.5)
+            m = q.sum(axis=0) / (units * len(x))
+        else:
+            m = x.mean(axis=0)
+        row = {c: [pdf[c].iloc[0]] for c in group_cols}
+        row[out_col] = [m.tolist()]
+        row["n_vecs"] = [len(x)]
+        return pd.DataFrame(row)
+
+    return df.groupBy(*group_cols).applyInPandas(pool, schema)

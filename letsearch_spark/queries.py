@@ -2391,6 +2391,45 @@ def q_shuffle_order(spark, sf_dir):
     )
 
 
+def q_embed_mean_pool(spark, sf_dir):
+    """Distributed elementwise vector pooling (operators/pool.py
+    mean_pool_vectors): per-label mean embedding over the FULL table --
+    chunk->doc pooling / full-corpus centroids the driver-sampled
+    k-means trainer can't see. Runs the fixed-point path
+    (exact_units=1e6) so the pooled floats are order-independent integer
+    sums, hash-matching the oracle's identical accumulation exactly."""
+    from letsearch_spark.operators.pool import mean_pool_vectors
+
+    emb = load(spark, sf_dir, "embeddings")
+    pooled = mean_pool_vectors(
+        emb, "label", "embedding", out_col="pooled", exact_units=1_000_000
+    )
+    return pooled.select(
+        "label",
+        F.transform(F.col("pooled"), lambda x: F.round(x, 6)).alias("pooled"),
+        "n_vecs",
+    ).orderBy("label")
+
+
+_MEAN_POOL_ORACLE_SQL = """
+    WITH ex AS (
+        SELECT label, u.pos AS pos, CAST(embedding[u.pos] AS DOUBLE) AS v
+        FROM embeddings,
+             LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS pos) u
+    ),
+    per AS (
+        SELECT label, pos,
+               sum(CAST(round(v * 1000000) AS BIGINT)) AS s,
+               count(*) AS n
+        FROM ex GROUP BY label, pos
+    )
+    SELECT label,
+           list(round(s / (1000000.0 * n), 6) ORDER BY pos) AS pooled,
+           max(n) AS n_vecs
+    FROM per GROUP BY label ORDER BY label
+"""
+
+
 def q_sample_stratified_exact(spark, sf_dir):
     """Exact k-per-stratum sampling (operators/sample.py
     stratified_topk_sample): exactly 25 documents per source, chosen by
@@ -2480,6 +2519,7 @@ STAGED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # round 6
     "dedup_survivor_quality": q_dedup_survivor_quality,
     "sample_stratified_exact": q_sample_stratified_exact,
+    "embed_mean_pool": q_embed_mean_pool,
     "html_extract": q_html_extract,
     "dataset_diff": q_dataset_diff,
     "shuffle_order": q_shuffle_order,
@@ -3060,6 +3100,7 @@ STAGED_ORACLES: dict[str, object] = {
     # round 6
     "dedup_survivor_quality": _survivor_quality_oracle_sql(),
     "sample_stratified_exact": _STRATIFIED_EXACT_ORACLE_SQL,
+    "embed_mean_pool": _MEAN_POOL_ORACLE_SQL,
     "html_extract": _html_extract_oracle_sql(),
     "dataset_diff": _DATASET_DIFF_ORACLE_SQL,
     "shuffle_order": _SHUFFLE_ORDER_ORACLE_SQL,

@@ -434,6 +434,50 @@ def test_hash_split_and_sample(spark):
         hash_split(df, "k", weights={"a": 0.5, "b": 0.6})
 
 
+def test_mean_pool_vectors_methods_agree(spark):
+    import numpy as np
+
+    from letsearch_spark.operators.pool import mean_pool_vectors
+
+    rows = [
+        ("a", [1.0, 2.0, 3.0]),
+        ("a", [3.0, 0.0, -1.0]),
+        ("a", [2.0, 4.0, 1.0]),
+        ("b", [10.0, -10.0, 0.5]),
+        ("b", None),  # null vectors drop out of the mean
+    ]
+    df = spark.createDataFrame(rows, "g string, v array<double>")
+    expect = {"a": [2.0, 2.0, 1.0], "b": [10.0, -10.0, 0.5]}
+
+    for method in ("explode", "pandas"):
+        got = {
+            r["g"]: (r["pooled"], r["n_vecs"])
+            for r in mean_pool_vectors(
+                df, "g", "v", method=method
+            ).collect()
+        }
+        assert got["a"][1] == 3 and got["b"][1] == 1, method
+        for g, exp in expect.items():
+            assert np.allclose(got[g][0], exp, atol=1e-12), (method, g)
+
+    # fixed-point path: both methods produce the IDENTICAL doubles
+    ex = mean_pool_vectors(df, "g", "v", exact_units=10**6).collect()
+    pa = mean_pool_vectors(
+        df, "g", "v", method="pandas", exact_units=10**6
+    ).collect()
+    assert sorted((r["g"], r["pooled"]) for r in ex) == sorted(
+        (r["g"], r["pooled"]) for r in pa
+    )
+
+    # normalize: unit norm out
+    nrm = mean_pool_vectors(df, "g", "v", normalize=True).collect()
+    for r in nrm:
+        assert abs(np.linalg.norm(r["pooled"]) - 1.0) < 1e-12
+
+    with pytest.raises(ValueError):
+        mean_pool_vectors(df, "g", "v", method="nope")
+
+
 def test_stratified_topk_sample_exact_counts(spark):
     from letsearch_spark.operators.sample import stratified_topk_sample
 

@@ -551,3 +551,18 @@ def test_stratified_topk_sample_window_group_limit(spark, sf_dir):
     below = exch  # everything below the stratum shuffle
     assert "WindowGroupLimit" in below and "Partial" in below, plan
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_mean_pool_explode_partial_aggregates(spark, sf_dir):
+    """The skew-safe pooling path must be two real hash aggregates with
+    map-side partials (keys multiplied by the position dimension), never
+    a per-group window or a collect-then-average single task."""
+    from letsearch_spark.operators.pool import mean_pool_vectors
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    out = mean_pool_vectors(emb, "label", "embedding")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    first = plan.split("Exchange hashpartitioning", 2)[2]
+    assert "partial" in first.lower(), plan  # map-side combine below the shuffle
+    assert "Window" not in plan, plan
