@@ -108,6 +108,110 @@ def assign_lists(
     return embeddings.withColumn(list_col, _assign(F.col(vec_col)))
 
 
+def _unit(vec: Sequence[float]) -> list[float]:
+    """L2-normalize with a SEQUENTIAL double fold (zero vector stays
+    zero). Shared by the distributed k-means driver step and its numpy
+    oracle twin, so the renormalization cannot diverge between them."""
+    acc = 0.0
+    for v in vec:
+        acc += float(v) * float(v)
+    n = acc**0.5
+    if n == 0.0:
+        return [float(v) for v in vec]
+    return [float(v) / n for v in vec]
+
+
+def kmeans_fit_full(
+    embeddings: DataFrame,
+    nlist: int = 8,
+    vec_col: str = "vector",
+    key_col: str | None = None,
+    iters: int = 3,
+    units: int = 10**9,
+) -> np.ndarray:
+    """Full-corpus Lloyd iterations -- the scale path past
+    :func:`train_centroids`'s bounded driver sample. A 100 TB corpus
+    whose distribution the first ``sample_limit`` keys don't represent
+    needs centroids trained on ALL vectors; here every iteration is two
+    distributed passes and one tiny driver step:
+
+    * assign: nearest-centroid id per vector (one numpy matmul per
+      Arrow batch -- :func:`assign_lists`, map-side only);
+    * pool: elementwise mean per cluster via
+      ``mean_pool_vectors(exact_units=units)`` -- fixed-point integer
+      sums, so the pooled means are ORDER-INDEPENDENT: bit-identical
+      across partitionings, retries, and engines (what makes the
+      result oracle-checkable at all);
+    * update: renormalize the nlist x dim pooled means on the driver
+      (tiny); empty clusters keep their previous centroid.
+
+    Init is the ``nlist`` smallest-key vectors normalized (deterministic
+    TakeOrderedAndProject), or the first ``nlist`` rows if ``key_col``
+    is None (partition-order dependent -- pass a key for reproducibility).
+    Returns the (nlist, dim) centroid matrix; feed it to
+    :func:`assign_lists` / :func:`build_ivf` for the final index.
+    """
+    cols = [vec_col] if key_col is None else [key_col, vec_col]
+    sel = embeddings.select(*cols).where(F.col(vec_col).isNotNull())
+    if key_col is not None:
+        sel = sel.orderBy(key_col)
+    seed_rows = sel.limit(nlist).collect()
+    if len(seed_rows) < nlist:
+        raise ValueError(
+            f"need at least nlist={nlist} non-null vectors, got {len(seed_rows)}"
+        )
+    cent = np.array([_unit(r[-1]) for r in seed_rows], dtype=np.float64)
+
+    from letsearch_spark.operators.pool import mean_pool_vectors
+
+    vecs = embeddings.select(F.col(vec_col).alias("_v")).where(
+        F.col("_v").isNotNull()
+    )
+    vecs = vecs.persist()
+    try:
+        for _ in range(iters):
+            assigned = assign_lists(vecs, cent, vec_col="_v")
+            pooled = mean_pool_vectors(
+                assigned, "_list", "_v", out_col="_m", exact_units=units
+            ).collect()
+            new = cent.copy()
+            for r in pooled:
+                new[r["_list"]] = _unit(r["_m"])
+            cent = new
+    finally:
+        vecs.unpersist()
+    return cent
+
+
+def kmeans_fit_full_twin(
+    x: np.ndarray, nlist: int = 8, iters: int = 3, units: int = 10**9
+) -> np.ndarray:
+    """Single-process numpy twin of :func:`kmeans_fit_full` (rows must
+    arrive in ``key_col`` order): same init, same matmul assignment,
+    same fixed-point pooled means, same shared ``_unit`` renorm --
+    bit-identical output, used by the unit test and the DuckDB
+    computed oracle."""
+    x = np.asarray(x, dtype=np.float64)
+    cent = np.array([_unit(v) for v in x[:nlist]], dtype=np.float64)
+    norms = np.linalg.norm(x, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    xn = x / norms  # assign_lists' internal normalization
+    for _ in range(iters):
+        assign = (xn @ cent.T).argmax(axis=1)
+        new = cent.copy()
+        for c in range(nlist):
+            members = x[assign == c]
+            if not len(members):
+                continue
+            scaled = members * float(units)
+            q = np.sign(scaled) * np.floor(np.abs(scaled) + 0.5)
+            s = q.sum(axis=0)  # integer-valued doubles, exact < 2^53
+            mean = s / (float(units) * len(members))
+            new[c] = _unit(mean)
+        cent = new
+    return cent
+
+
 def build_ivf(
     embeddings: DataFrame,
     path: str,

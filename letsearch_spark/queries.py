@@ -2391,6 +2391,44 @@ def q_shuffle_order(spark, sf_dir):
     )
 
 
+def _py_round6(x: float) -> float:
+    """Driver-side HALF_UP round to 6 (same rule as F.round(double, 6));
+    shared by q_ann_kmeans_full and its computed oracle twin."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(Decimal(repr(float(x))).quantize(Decimal("0.000001"), ROUND_HALF_UP))
+
+
+def q_ann_kmeans_full(spark, sf_dir):
+    """Full-corpus distributed k-means (operators/ann.py kmeans_fit_full):
+    3 Lloyd iterations over EVERY vector -- assignment is a map-side
+    matmul, per-cluster means are fixed-point integer sums
+    (order-independent, hence engine-exact), renorm is a tiny driver
+    step. Output: one row per (cluster, dimension) with the trained
+    centroid value plus the cluster's final member count; the oracle is
+    the bit-identical single-process twin (kmeans_fit_full_twin)."""
+    from letsearch_spark.operators.ann import assign_lists, kmeans_fit_full
+
+    emb = load(spark, sf_dir, "embeddings")
+    cent = kmeans_fit_full(
+        emb, nlist=8, vec_col="embedding", key_col="vec_id", iters=3
+    )
+    counts = (
+        assign_lists(emb, cent, vec_col="embedding")
+        .groupBy(F.col("_list").cast("long").alias("list_id"))
+        .agg(F.count(F.lit(1)).alias("n_members"))
+    )
+    rows = [
+        (int(i), int(p), _py_round6(v))
+        for i, c in enumerate(cent)
+        for p, v in enumerate(c)
+    ]
+    cdf = spark.createDataFrame(rows, "list_id long, pos long, val double")
+    return cdf.join(counts, "list_id", "left").select(
+        "list_id", "pos", "val", F.coalesce("n_members", F.lit(0)).alias("n_members")
+    ).orderBy("list_id", "pos")
+
+
 def q_embed_mean_pool(spark, sf_dir):
     """Distributed elementwise vector pooling (operators/pool.py
     mean_pool_vectors): per-label mean embedding over the FULL table --
@@ -2520,6 +2558,7 @@ STAGED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_survivor_quality": q_dedup_survivor_quality,
     "sample_stratified_exact": q_sample_stratified_exact,
     "embed_mean_pool": q_embed_mean_pool,
+    "ann_kmeans_full": q_ann_kmeans_full,
     "html_extract": q_html_extract,
     "dataset_diff": q_dataset_diff,
     "shuffle_order": q_shuffle_order,
@@ -3096,9 +3135,46 @@ _SHUFFLE_ORDER_ORACLE_SQL = """
     FROM documents ORDER BY doc_id
 """
 
+def _kmeans_full_oracle(sf_dir: str) -> str:
+    """Computed VALUES-literal twin of q_ann_kmeans_full: the numpy
+    single-process replay of the same 3 Lloyd iterations (identical
+    init, matmul assignment, fixed-point pooled means, shared _unit
+    renorm), then the same final assignment counts."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from letsearch_spark.operators.ann import kmeans_fit_full_twin
+
+    etbl = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    ).to_pylist()
+    etbl.sort(key=lambda r: r["vec_id"])
+    x = np.array([r["embedding"] for r in etbl], dtype=np.float64)
+    cent = kmeans_fit_full_twin(x, nlist=8, iters=3)
+    norms = np.linalg.norm(x, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    assign = ((x / norms) @ cent.T).argmax(axis=1)
+    counts = {c: int((assign == c).sum()) for c in range(8)}
+    rows = [
+        (int(i), int(p), _py_round6(v), counts.get(int(i), 0))
+        for i, c in enumerate(cent)
+        for p, v in enumerate(c)
+    ]
+    return _values_literal(
+        rows,
+        [
+            ("list_id", "BIGINT"),
+            ("pos", "BIGINT"),
+            ("val", "DOUBLE"),
+            ("n_members", "BIGINT"),
+        ],
+    )
+
+
 STAGED_ORACLES: dict[str, object] = {
     # round 6
     "dedup_survivor_quality": _survivor_quality_oracle_sql(),
+    "ann_kmeans_full": _kmeans_full_oracle,
     "sample_stratified_exact": _STRATIFIED_EXACT_ORACLE_SQL,
     "embed_mean_pool": _MEAN_POOL_ORACLE_SQL,
     "html_extract": _html_extract_oracle_sql(),

@@ -434,6 +434,39 @@ def test_hash_split_and_sample(spark):
         hash_split(df, "k", weights={"a": 0.5, "b": 0.6})
 
 
+def test_kmeans_fit_full_matches_twin_bitwise(spark, sf_dir):
+    import os
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from letsearch_spark.operators.ann import kmeans_fit_full, kmeans_fit_full_twin
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    cent = kmeans_fit_full(
+        emb, nlist=4, vec_col="embedding", key_col="vec_id", iters=2
+    )
+    etbl = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+    ).to_pylist()
+    etbl.sort(key=lambda r: r["vec_id"])
+    x = np.array([r["embedding"] for r in etbl], dtype=np.float64)
+    twin = kmeans_fit_full_twin(x, nlist=4, iters=2)
+    # fixed-point pooling makes the distributed result BIT-identical to
+    # the sequential twin -- not just close
+    assert (cent == twin).all()
+    # ... and partitioning-independent
+    cent13 = kmeans_fit_full(
+        emb.repartition(13), nlist=4, vec_col="embedding", key_col="vec_id", iters=2
+    )
+    assert (cent13 == cent).all()
+    # centroids are unit vectors
+    assert np.allclose(np.linalg.norm(cent, axis=1), 1.0, atol=1e-12)
+    with pytest.raises(ValueError):
+        kmeans_fit_full(emb.limit(2), nlist=4, vec_col="embedding", key_col="vec_id")
+
+
 def test_mean_pool_vectors_methods_agree(spark):
     import numpy as np
 
