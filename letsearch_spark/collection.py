@@ -1572,6 +1572,11 @@ class Collection:
     # IVF serving knobs (FAISS-style recall/latency trade)
     ivf_nlist = 16
     ivf_nprobe = 2
+    # 'sample': driver-side k-means on the bounded smallest-key sample;
+    # 'full': distributed Lloyd iterations over every vector
+    # (operators/ann.py kmeans_fit_full) for corpora whose head keys
+    # don't represent the distribution
+    ivf_train = "sample"
     # incremental index maintenance: append new keys under the FROZEN
     # quantizers while the un-indexed fraction stays at or below this;
     # past it, retrain (frozen centroids/codebooks lose recall once the
@@ -1630,7 +1635,11 @@ class Collection:
 
         emb = self._index_serve_frame(column)
         centroids = build_ivf(
-            emb, self.ivf_path(column), nlist=self.ivf_nlist, key_col=KEY_COL
+            emb,
+            self.ivf_path(column),
+            nlist=self.ivf_nlist,
+            key_col=KEY_COL,
+            train=self.ivf_train,
         )
         buf = io.BytesIO()
         np.save(buf, centroids)

@@ -218,12 +218,26 @@ def build_ivf(
     nlist: int = 16,
     vec_col: str = "vector",
     key_col: str | None = None,
+    train: str = "sample",
 ) -> np.ndarray:
     """Train + assign + persist partitioned by list id; returns centroids
-    (caller persists them beside the index, e.g. np.save)."""
-    centroids = train_centroids(
-        embeddings, nlist=nlist, vec_col=vec_col, key_col=key_col
-    )
+    (caller persists them beside the index, e.g. np.save).
+
+    ``train='sample'`` (default): driver-side k-means on the bounded
+    smallest-key sample (:func:`train_centroids`). ``train='full'``:
+    distributed Lloyd iterations over every vector
+    (:func:`kmeans_fit_full`) -- for corpora whose head keys don't
+    represent the distribution."""
+    if train == "full":
+        centroids = kmeans_fit_full(
+            embeddings, nlist=nlist, vec_col=vec_col, key_col=key_col
+        )
+    elif train == "sample":
+        centroids = train_centroids(
+            embeddings, nlist=nlist, vec_col=vec_col, key_col=key_col
+        )
+    else:
+        raise ValueError(f"train must be sample|full, got {train!r}")
     assigned = assign_lists(embeddings, centroids, vec_col=vec_col)
     # static overwrite: under the session-wide dynamic mode embed_column
     # sets, a rebuild would keep the files of any list absent from the

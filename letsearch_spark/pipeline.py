@@ -14,7 +14,8 @@ This module is their composition -- ONE declarative recipe:
     2. line dedup         (operators/dedup.py remove_duplicate_lines)
     2c. decontamination   (ngram_containment_pairs vs an eval set,
         optional -- benchmark-leakage removal)
-    3. fuzzy dedup        (minhash_lsh_pairs -> dedup_keep_list)
+    3. fuzzy dedup        (minhash_lsh_pairs -> dedup_keep_list, or
+                           dedup_keep_best via "keep_best_col")
     3b. DSIR selection    (operators/dsir.py, optional)
     3c. quality classifier (operators/classifier.py, GPT-3-style
         positive-vs-crawl logistic regression + Pareto keep, optional)
@@ -115,7 +116,11 @@ class PrepConfig:
     # (DECON_AUTO_THRESHOLD_DOCS), per SCALING.md's measured crossover;
     # both paths return identical hits, so auto never changes results.
     decontaminate: dict | None = None
-    # stage 3 -- fuzzy dedup (None disables; kwargs to minhash_lsh_pairs)
+    # stage 3 -- fuzzy dedup (None disables; kwargs to minhash_lsh_pairs).
+    # Optional "keep_best_col": <column name> switches the survivor rule
+    # from min-id (dedup_keep_list) to highest-score-per-cluster
+    # (dedup_keep_best) -- e.g. a length or classifier-score column,
+    # the FineWeb/RefinedWeb keep rule
     fuzzy_dedup: dict | None = field(default_factory=lambda: {"threshold": 0.8})
     # stage 3b -- DSIR target-domain selection (None disables):
     # {"target": <target-corpus DataFrame>, "k": <docs to keep>, ...}
@@ -547,8 +552,15 @@ def prepare_training_data(
         if _loaded is not None:
             cur = _loaded
         else:
-            pairs = minhash_lsh_pairs(cur, key, text, **cfg.fuzzy_dedup)
-            keep = dedup_keep_list(cur, pairs, key)
+            fuzzy_cfg = dict(cfg.fuzzy_dedup)
+            keep_best_col = fuzzy_cfg.pop("keep_best_col", None)
+            pairs = minhash_lsh_pairs(cur, key, text, **fuzzy_cfg)
+            if keep_best_col is not None:
+                from letsearch_spark.operators.dedup import dedup_keep_best
+
+                keep = dedup_keep_best(cur, pairs, key, keep_best_col)
+            else:
+                keep = dedup_keep_list(cur, pairs, key)
             cur = _persist_stage(
                 cur.join(
                     keep.where("is_kept").select(F.col("id").alias(key)), key

@@ -492,6 +492,26 @@ def test_search_strategy_ivf(spark, tmp_path, sf_dir):
     assert len(c.search("text", "spark join", limit=3, strategy="ivf").collect()) == 3
 
 
+def test_search_strategy_ivf_full_training(spark, tmp_path, sf_dir):
+    """ivf_train='full' routes index training through the distributed
+    full-corpus k-means; serving behaves identically (self-hit rank 1)."""
+    import os
+
+    from letsearch_spark.collection import Collection
+
+    c = Collection.create(
+        spark, str(tmp_path), name="ivff", model_name="stub://16"
+    )
+    c.ivf_train = "full"
+    c.import_parquet(os.path.join(sf_dir, "documents.parquet"))
+    c.embed_column("text")
+    row = c.docs().select("_key", "text").first()
+    hits = c.search("text", row["text"], limit=5, strategy="ivf").collect()
+    assert hits and hits[0]["key"] == row["_key"]
+    assert abs(hits[0]["score"] - 1.0) < 1e-9
+    assert os.path.isdir(c.ivf_path("text"))
+
+
 def test_collection_full_lifecycle(spark, tmp_path, sf_dir):
     """The whole collection lifetime in one pass: create -> import ->
     embed -> search -> append -> incremental embed -> compact -> search

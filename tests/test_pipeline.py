@@ -335,6 +335,44 @@ def test_pipeline_ngram_dedup_stage(spark):
         )
 
 
+def test_pipeline_fuzzy_keep_best(spark):
+    """fuzzy_dedup with keep_best_col keeps each near-dup cluster's
+    highest-score member instead of the lowest id."""
+    from letsearch_spark.pipeline import PrepConfig, prepare_training_data
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (1, f"{base} end", 10.0),
+        (2, f"{base} end longer", 99.0),
+        (3, "completely different content about spark shuffles and joins", 1.0),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, score double")
+    cfg = PrepConfig(
+        quality=None,
+        line_dedup=None,
+        fuzzy_dedup={"threshold": 0.5, "keep_best_col": "score"},
+        split_weights=None,
+        seq_len=64,
+        num_shards=1,
+    )
+    clean, _, audit = prepare_training_data(docs, cfg)
+    kept = sorted(r["doc_id"] for r in clean.select("doc_id").collect())
+    assert kept == [2, 3]  # doc 2 outranks its near-dup doc 1 on score
+    assert audit["fuzzy_dedup"] == 2
+
+    # default min-id rule on the same corpus keeps doc 1 instead
+    cfg2 = PrepConfig(
+        quality=None,
+        line_dedup=None,
+        fuzzy_dedup={"threshold": 0.5},
+        split_weights=None,
+        seq_len=64,
+        num_shards=1,
+    )
+    clean2, _, _ = prepare_training_data(docs, cfg2)
+    assert sorted(r["doc_id"] for r in clean2.select("doc_id").collect()) == [1, 3]
+
+
 def test_pipeline_decontaminate_stage(spark):
     """Optional benchmark-decontamination stage: a corpus document that
     embeds an eval probe verbatim is dropped, clean documents survive,
