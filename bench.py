@@ -250,6 +250,14 @@ def main() -> None:
         "html_extract",
         "dataset_diff",
         "shuffle_order",
+        # round 6 tail: quality-aware dedup survivors (MinHash pairs ->
+        # components -> per-cluster argmax), exact k-per-stratum
+        # sampling (WindowGroupLimit), elementwise mean pooling
+        # (fixed-point), and 3-iteration full-corpus k-means
+        "dedup_survivor_quality",
+        "sample_stratified_exact",
+        "embed_mean_pool",
+        "ann_kmeans_full",
     ):
         run_stage(
             name, lambda name=name: STAGED_QUERIES[name](spark, SF_DIR).count()

@@ -19,6 +19,8 @@ This module is their composition -- ONE declarative recipe:
     3b. DSIR selection    (operators/dsir.py, optional)
     3c. quality classifier (operators/classifier.py, GPT-3-style
         positive-vs-crawl logistic regression + Pareto keep, optional)
+    3d. per-domain cap    (operators/sample.py stratified_topk_sample,
+        optional -- at most k docs per domain, hash-deterministic)
     4. mixture resample   (operators/sample.py mixture_hash_sample)
     5. train/val/test     (operators/sample.py hash_split)
     6. sequence packing   (operators/pack.py: pack_sequences concat-
@@ -131,6 +133,11 @@ class PrepConfig:
     # keys (mode/threshold/pareto_alpha/seed) forward to
     # operators/classifier.py quality_classifier_filter
     quality_classifier: dict | None = None
+    # stage 3d -- hard per-domain cap (None disables): {"k": N,
+    # optional "strata_col" (default domain_col), "seed"} -- at most k
+    # docs per domain, chosen by key hash (stratified_topk_sample's
+    # WindowGroupLimit shape); the RefinedWeb anti-head-domination rule
+    domain_cap: dict | None = None
     # stage 4 -- mixture (None disables; needs domain_col)
     mixture_weights: dict[str, float] | None = None
     mixture_target_rows: int = 0
@@ -611,6 +618,29 @@ def prepare_training_data(
                     id_col=key,
                     text_col=text,
                     **extra,
+                ),
+            )
+
+    if cfg.domain_cap is not None:
+        strata = cfg.domain_cap.get("strata_col") or cfg.domain_col
+        if strata is None:
+            raise ValueError("domain_cap needs strata_col or domain_col")
+        _loaded = _stage_load("domain_cap", [cfg.domain_cap, strata])
+        if _loaded is not None:
+            cur = _loaded
+        else:
+            from letsearch_spark.operators.sample import (
+                stratified_topk_sample,
+            )
+
+            cur = _stage_store(
+                "domain_cap",
+                stratified_topk_sample(
+                    cur,
+                    key,
+                    strata,
+                    k=cfg.domain_cap["k"],
+                    seed=cfg.domain_cap.get("seed", 42),
                 ),
             )
 

@@ -335,6 +335,44 @@ def test_pipeline_ngram_dedup_stage(spark):
         )
 
 
+def test_pipeline_domain_cap_stage(spark, sf_dir):
+    """Optional per-domain cap: at most k survivors per domain, audited,
+    and requiring a strata column."""
+    import os
+
+    import pytest
+
+    from letsearch_spark.pipeline import PrepConfig, prepare_training_data
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    cfg = PrepConfig(
+        quality=None,
+        line_dedup=None,
+        fuzzy_dedup=None,
+        domain_col="source",
+        domain_cap={"k": 5},
+        split_weights=None,
+        seq_len=128,
+        num_shards=2,
+    )
+    clean, _, audit = prepare_training_data(docs, cfg)
+    counts = {
+        r["source"]: r["n"]
+        for r in clean.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert counts and all(n <= 5 for n in counts.values())
+    assert audit["domain_cap"] == sum(counts.values())
+
+    with pytest.raises(ValueError, match="domain_cap"):
+        prepare_training_data(
+            docs,
+            PrepConfig(
+                quality=None, line_dedup=None, fuzzy_dedup=None,
+                domain_cap={"k": 5},
+            ),
+        )
+
+
 def test_pipeline_fuzzy_keep_best(spark):
     """fuzzy_dedup with keep_best_col keeps each near-dup cluster's
     highest-score member instead of the lowest id."""

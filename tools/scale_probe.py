@@ -468,6 +468,71 @@ def main() -> None:
                 ).count(),
             )
 
+        # round-6 tail ops. survivor_best: components + per-cluster
+        # argmax touch only pair members (pairs stay per-copy under the
+        # salting, so linear); the corpus-sized step is one hash-only
+        # anti-join -- cost must track minhash_lsh, never blow up on
+        # the score join
+        if only is None or "survivor_best" in only:
+            from letsearch_spark.operators.dedup import dedup_keep_best
+
+            scored_docs = docs.withColumn("q", F.length("text").cast("double"))
+            timeit(
+                "survivor_best",
+                lambda: dedup_keep_best(
+                    scored_docs,
+                    minhash_lsh_pairs(scored_docs, "doc_id", "text", threshold=0.5),
+                    "doc_id",
+                    "q",
+                ).where("is_kept").count(),
+            )
+
+        # stratified_topk: WindowGroupLimit prunes each task to its
+        # local top-k before the stratum shuffle -- the shuffle carries
+        # ~tasks*k*strata rows REGARDLESS of corpus size, so cost must
+        # track the scan (bytes), staying well under a full sort
+        if only is None or "stratified_topk" in only:
+            from letsearch_spark.operators.sample import stratified_topk_sample
+
+            src_docs = docs.withColumn(
+                "src", (F.col("doc_id") % 20).cast("string")
+            )
+            timeit(
+                "stratified_topk",
+                lambda: stratified_topk_sample(
+                    src_docs.select("doc_id", "src"), "doc_id", "src", k=100
+                ).count(),
+            )
+
+        # mean_pool: fixed label space (10 x dim keys) -- the
+        # (group, pos) partial aggregation absorbs growth map-side, so
+        # cost must track vector bytes
+        if only is None or "mean_pool" in only:
+            from letsearch_spark.operators.pool import mean_pool_vectors
+
+            lab = emb.withColumn("lab", (F.col("_key") % 10).cast("int"))
+            timeit(
+                "mean_pool",
+                lambda: mean_pool_vectors(lab, "lab", "vector").count(),
+            )
+
+        # kmeans_full: 2 Lloyd iterations = 2 x (map-side assign +
+        # pooled fixed-point agg) -- cost must track 2 passes over the
+        # vectors, with the driver step constant (nlist x dim)
+        if only is None or "kmeans_full" in only:
+            from letsearch_spark.operators.ann import kmeans_fit_full
+
+            keyed = emb.select(F.col("_key").alias("vec_id"), "vector")
+            timeit(
+                "kmeans_full",
+                lambda: len(
+                    kmeans_fit_full(
+                        keyed, nlist=8, vec_col="vector",
+                        key_col="vec_id", iters=2,
+                    )
+                ),
+            )
+
         # incremental index maintenance: append a FIXED 200-vector
         # batch under frozen centroids vs a full rebuild of base+batch.
         # Append cost must track the BATCH (near-flat as the base
