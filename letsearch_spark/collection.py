@@ -1786,6 +1786,7 @@ class Collection:
             m=self.pq_m,
             nbits=self.pq_nbits,
             key_col=KEY_COL,
+            train=self.ivf_train,
         )
         import io
 

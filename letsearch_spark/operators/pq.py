@@ -276,6 +276,7 @@ def build_ivf_pq(
     nbits: int = 8,
     vec_col: str = "vector",
     key_col: str | None = None,
+    train: str = "sample",
 ) -> tuple[np.ndarray, PQCodebook]:
     """The canonical IVF-PQ layout: coarse centroids bound the SCAN
     (nprobe/nlist parquet partitions per query), PQ codes bound the
@@ -290,12 +291,28 @@ def build_ivf_pq(
     ``key_col`` only controls deterministic training-sample selection;
     the persisted index always carries EVERY input column except the
     float vector (dropping the vectors is the point; dropping anything
-    else would make the index unqueryable)."""
-    from letsearch_spark.operators.ann import assign_lists, train_centroids
+    else would make the index unqueryable).
 
-    centroids = train_centroids(
-        embeddings, nlist=nlist, vec_col=vec_col, key_col=key_col
+    ``train='full'`` routes the COARSE quantizer through the
+    distributed full-corpus k-means (ann.kmeans_fit_full); the PQ
+    codebooks stay sample-trained (per-subspace residual structure is
+    far less distribution-sensitive than the coarse partition)."""
+    from letsearch_spark.operators.ann import (
+        assign_lists,
+        kmeans_fit_full,
+        train_centroids,
     )
+
+    if train == "full":
+        centroids = kmeans_fit_full(
+            embeddings, nlist=nlist, vec_col=vec_col, key_col=key_col
+        )
+    elif train == "sample":
+        centroids = train_centroids(
+            embeddings, nlist=nlist, vec_col=vec_col, key_col=key_col
+        )
+    else:
+        raise ValueError(f"train must be sample|full, got {train!r}")
     codebook = train_pq(
         embeddings, m=m, nbits=nbits, vec_col=vec_col, key_col=key_col
     )

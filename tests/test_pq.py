@@ -209,6 +209,41 @@ def test_ivf_pq_full_probe_equals_pq(spark, sf_dir, tmp_path):
     assert "PartitionFilters" in plan and "_list" in plan
 
 
+def test_ivf_pq_full_training(spark, sf_dir, tmp_path):
+    """train='full' routes the coarse quantizer through the distributed
+    k-means; the index still serves (full probe == plain PQ) and the
+    centroids match the sequential twin bitwise."""
+    import os
+
+    import pyarrow.parquet as pq_
+
+    from letsearch_spark.operators.ann import kmeans_fit_full_twin
+    from letsearch_spark.operators.pq import build_ivf_pq, ivf_pq_topk
+
+    emb = _emb(spark, sf_dir)
+    path = str(tmp_path / "ivfpq_full")
+    centroids, cb = build_ivf_pq(
+        emb, path, nlist=8, m=8, nbits=8, key_col="_key", train="full"
+    )
+    etbl = pq_.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+    ).to_pylist()
+    etbl.sort(key=lambda r: r["vec_id"])
+    x = np.array([r["embedding"] for r in etbl], dtype=np.float64)
+    assert (centroids == kmeans_fit_full_twin(x, nlist=8, iters=3)).all()
+
+    q = emb.orderBy("_key").limit(6).collect()[5]["vector"]
+    full = ivf_pq_topk(spark, path, centroids, cb, q, k=10, nprobe=8).collect()
+    coded = encode_pq(emb, cb).select("_key", "pq_code")
+    plain = pq_topk(coded, cb, q, k=10).collect()
+    assert [(r["_key"], r["score"]) for r in full] == [
+        (r["_key"], r["score"]) for r in plain
+    ]
+    with pytest.raises(ValueError):
+        build_ivf_pq(emb, path, nlist=8, key_col="_key", train="nope")
+
+
 def test_ivf_pq_default_keeps_key_columns(spark, sf_dir, tmp_path):
     """build_ivf_pq without key_col must still persist every non-vector
     column (key_col only controls sampling determinism) -- the index is
