@@ -1595,6 +1595,35 @@ class Collection:
             .select(KEY_COL, "vector")
         )
 
+    def pooled_embeddings(
+        self,
+        column: str,
+        group_col: str,
+        normalize: bool = True,
+        method: str = "explode",
+    ) -> DataFrame:
+        """Group-level embeddings pooled elementwise from ``column``'s
+        per-row vectors (operators/pool.py mean_pool_vectors): one row
+        per ``group_col`` value with (pooled array<double>, n_vecs).
+
+        The chunked-ingest use case: chunks inserted with an identifier
+        column (S6) pool to ONE vector per source document for
+        doc-level retrieval or semantic curation (SemDeDup-style
+        cluster-then-prune works on these); ``normalize`` (default)
+        matches the cosine serving convention. Null-content rows are
+        excluded like every serving path (P6)."""
+        emb = self._index_serve_frame(column)
+        groups = self.docs().select(KEY_COL, group_col)
+        from letsearch_spark.operators.pool import mean_pool_vectors
+
+        return mean_pool_vectors(
+            emb.join(groups, KEY_COL),
+            group_col,
+            "vector",
+            normalize=normalize,
+            method=method,
+        )
+
     def _plan_index_refresh(self, column: str, path: str):
         """Compare an on-disk (key-carrying) index at ``path`` with the
         serve view: ``('missing'|'current'|'append'|'rebuild', frame)``

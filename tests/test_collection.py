@@ -492,6 +492,29 @@ def test_search_strategy_ivf(spark, tmp_path, sf_dir):
     assert len(c.search("text", "spark join", limit=3, strategy="ivf").collect()) == 3
 
 
+def test_pooled_embeddings_by_group(spark, tmp_path, sf_dir):
+    """pooled_embeddings returns one unit vector per group whose member
+    counts sum to the embedded corpus."""
+    import os
+
+    import numpy as np
+
+    from letsearch_spark.collection import Collection
+
+    c = Collection.create(
+        spark, str(tmp_path), name="pool", model_name="stub://16"
+    )
+    c.import_parquet(os.path.join(sf_dir, "documents.parquet"))
+    c.embed_column("text")
+    pooled = c.pooled_embeddings("text", "source").collect()
+    assert len(pooled) > 1
+    n_embedded = c.docs().where(F.col("text").isNotNull()).count()
+    assert sum(r["n_vecs"] for r in pooled) == n_embedded
+    for r in pooled:
+        assert len(r["pooled"]) == 16
+        assert abs(float(np.linalg.norm(r["pooled"])) - 1.0) < 1e-9
+
+
 def test_search_strategy_ivf_full_training(spark, tmp_path, sf_dir):
     """ivf_train='full' routes index training through the distributed
     full-corpus k-means; serving behaves identically (self-hit rank 1)."""
