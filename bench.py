@@ -258,6 +258,11 @@ def main() -> None:
         "sample_stratified_exact",
         "embed_mean_pool",
         "ann_kmeans_full",
+        # round 6 late session: sign-bit Hamming ANN (bit_count scan +
+        # top-40 cosine rescore) and multi-vector MaxSim retrieval (one
+        # partial-aggregated groupBy; no baseline rows yet)
+        "ann_hamming_topk",
+        "search_maxsim",
     ):
         run_stage(
             name, lambda name=name: STAGED_QUERIES[name](spark, SF_DIR).count()

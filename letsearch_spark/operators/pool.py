@@ -100,6 +100,62 @@ def _pool_explode(
     )
 
 
+def maxsim_topk(
+    df: DataFrame,
+    query_vecs,
+    k: int = 10,
+    group_col: str = "doc_id",
+    vec_col: str = "vector",
+    score_col: str = "score",
+) -> DataFrame:
+    """Multi-vector late-interaction retrieval (the ColBERT MaxSim rule,
+    Khattab & Zaharia 2020): score(doc) = sum over the query's vectors of
+    the max cosine against any of the doc's chunk vectors, then top-k
+    docs.
+
+    Mean-pooling (``mean_pool_vectors``) collapses a document to one
+    vector and loses which chunk matched; MaxSim keeps per-chunk
+    granularity at query time without a per-chunk result join: each
+    chunk row computes its |Q| cosines scan-side (Catalyst expressions,
+    no UDF), ONE groupBy reduces them with per-query-vector MAX -- a
+    partial-aggregated hash aggregate, so a mega-document spreads over
+    its scan partitions map-side and only |docs| x |Q| maxes shuffle --
+    and the final score is the fixed-order sum of the maxes (m0 + m1 +
+    ... in query order, deterministic and engine-exact). Top-k is
+    TakeOrderedAndProject over one row per doc.
+
+    ``query_vecs`` is a sequence of query vectors (1..~32 in practice --
+    they become plan literals). Null chunk vectors are dropped. Returns
+    (group, score, n_chunks) ordered by (score DESC, group ASC), k rows.
+    """
+    from letsearch_spark.functions.vector import cosine_similarity
+
+    qvecs = [[float(x) for x in q] for q in query_vecs]
+    if not qvecs:
+        raise ValueError("query_vecs must be non-empty")
+    if not 1 <= k <= 100:
+        raise ValueError(f"k must be in [1, 100], got {k}")
+    rows = df.where(F.col(vec_col).isNotNull()).select(
+        group_col,
+        *[
+            cosine_similarity(F.col(vec_col), q).alias(f"_c{i}")
+            for i, q in enumerate(qvecs)
+        ],
+    )
+    agg = rows.groupBy(group_col).agg(
+        *[F.max(f"_c{i}").alias(f"_m{i}") for i in range(len(qvecs))],
+        F.count(F.lit(1)).alias("n_chunks"),
+    )
+    score = F.col("_m0")
+    for i in range(1, len(qvecs)):
+        score = score + F.col(f"_m{i}")
+    return (
+        agg.select(group_col, score.alias(score_col), "n_chunks")
+        .orderBy(F.desc(score_col), F.asc(group_col))
+        .limit(k)
+    )
+
+
 def _pool_pandas(
     df: DataFrame,
     group_cols: list[str],

@@ -2553,7 +2553,127 @@ def _survivor_quality_oracle_sql() -> str:
     """
 
 
+def q_ann_hamming_topk(spark, sf_dir):
+    """Binary sign-bit ANN (operators/hamming.py): 1-bit-per-dimension
+    signatures (32x smaller than f32), candidates ranked by
+    bit_count(xor) Hamming distance in a TakeOrderedAndProject scan,
+    then an exact cosine rescore of ONLY the top-40 candidates via a
+    broadcast fetch-back -- the memory-bound serving path when even the
+    embedding table outgrows the cluster. The oracle replays the exact
+    packing (bit j set iff v > 0), the same two-word Hamming rank, and
+    the same rescore in SQL."""
+    from letsearch_spark.operators.hamming import build_signbit_index, hamming_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    qvec = emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    idx = build_signbit_index(emb, dim=64, vec_col="embedding", key_col="vec_id")
+    out = hamming_topk(
+        idx,
+        emb,
+        qvec,
+        k=10,
+        rescore=40,
+        key_col="vec_id",
+        vec_col="embedding",
+    )
+    return out.select("vec_id", "hamming", F.round("score", 6).alias("score"))
+
+
+def _signbit_word_sql(col: str, lo: int, hi: int) -> str:
+    """SQL twin of one signature word: bits lo..hi-1 of the packing
+    (DuckDB arrays are 1-indexed; bit set iff element strictly > 0)."""
+    terms = " + ".join(
+        f"(CASE WHEN ({col})[{i + 1}] > 0 THEN CAST({1 << (i - lo)} AS BIGINT)"
+        " ELSE CAST(0 AS BIGINT) END)"
+        for i in range(lo, hi)
+    )
+    return f"({terms})"
+
+
+def _hamming_oracle_sql() -> str:
+    cos = (
+        "list_dot_product(({a})::DOUBLE[], ({b})::DOUBLE[]) / "
+        "(sqrt(list_dot_product(({a})::DOUBLE[], ({a})::DOUBLE[])) * "
+        "sqrt(list_dot_product(({b})::DOUBLE[], ({b})::DOUBLE[])))"
+    )
+    return f"""
+        WITH sig AS (
+            SELECT vec_id, embedding,
+                   {_signbit_word_sql("embedding", 0, 32)} AS w0,
+                   {_signbit_word_sql("embedding", 32, 64)} AS w1
+            FROM embeddings
+        ), q AS (
+            SELECT w0 AS qw0, w1 AS qw1, embedding AS qvec
+            FROM sig WHERE vec_id = 0
+        ), cand AS (
+            SELECT vec_id, ham FROM (
+                SELECT s.vec_id,
+                       CAST(bit_count(xor(s.w0, q.qw0))
+                            + bit_count(xor(s.w1, q.qw1)) AS BIGINT) AS ham
+                FROM sig s CROSS JOIN q
+            ) QUALIFY row_number() OVER (ORDER BY ham ASC, vec_id ASC) <= 40
+        )
+        SELECT vec_id, hamming, round(cosim, 6) AS score FROM (
+            SELECT c.vec_id, c.ham AS hamming,
+                   {cos.format(a="s.embedding", b="q.qvec")} AS cosim
+            FROM cand c JOIN sig s ON s.vec_id = c.vec_id CROSS JOIN q
+        ) ORDER BY cosim DESC, vec_id ASC LIMIT 10
+    """
+
+
+def q_search_maxsim(spark, sf_dir):
+    """Multi-vector late-interaction retrieval (operators/pool.py
+    maxsim_topk, the ColBERT MaxSim rule): three query vectors, each
+    group's score = m0 + m1 + m2 where m_i is the group's best cosine
+    against query vector i -- ONE partial-aggregated groupBy, fixed-order
+    sum, TakeOrdered top-5 groups. The oracle pivots the same per-(group,
+    qvec) maxes with CASE aggregation and sums them in the identical
+    order."""
+    from letsearch_spark.operators.pool import maxsim_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    qvecs = [
+        r["embedding"]
+        for r in emb.where(F.col("vec_id") < 3).orderBy("vec_id").collect()
+    ]
+    out = maxsim_topk(emb, qvecs, k=5, group_col="label", vec_col="embedding")
+    return out.select("label", F.round("score", 6).alias("score"), "n_chunks")
+
+
+def _maxsim_oracle_sql() -> str:
+    cos = (
+        "list_dot_product(({a})::DOUBLE[], ({b})::DOUBLE[]) / "
+        "(sqrt(list_dot_product(({a})::DOUBLE[], ({a})::DOUBLE[])) * "
+        "sqrt(list_dot_product(({b})::DOUBLE[], ({b})::DOUBLE[])))"
+    )
+    return f"""
+        WITH q AS (
+            SELECT vec_id AS qid, embedding AS qvec
+            FROM embeddings WHERE vec_id < 3
+        ), per AS (
+            SELECT e.label, q.qid,
+                   max({cos.format(a="e.embedding", b="q.qvec")}) AS m
+            FROM embeddings e CROSS JOIN q
+            GROUP BY e.label, q.qid
+        ), pivoted AS (
+            SELECT label,
+                   max(CASE WHEN qid = 0 THEN m END) AS m0,
+                   max(CASE WHEN qid = 1 THEN m END) AS m1,
+                   max(CASE WHEN qid = 2 THEN m END) AS m2
+            FROM per GROUP BY label
+        )
+        SELECT p.label, round(p.m0 + p.m1 + p.m2, 6) AS score, c.n_chunks
+        FROM pivoted p
+        JOIN (SELECT label, count(*) AS n_chunks
+              FROM embeddings GROUP BY label) c ON c.label = p.label
+        ORDER BY (p.m0 + p.m1 + p.m2) DESC, p.label ASC LIMIT 5
+    """
+
+
 STAGED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # round 6 (late session: memory-bound ANN + late-interaction serving)
+    "ann_hamming_topk": q_ann_hamming_topk,
+    "search_maxsim": q_search_maxsim,
     # round 6
     "dedup_survivor_quality": q_dedup_survivor_quality,
     "sample_stratified_exact": q_sample_stratified_exact,
@@ -3172,6 +3292,9 @@ def _kmeans_full_oracle(sf_dir: str) -> str:
 
 
 STAGED_ORACLES: dict[str, object] = {
+    # round 6 (late session)
+    "ann_hamming_topk": _hamming_oracle_sql(),
+    "search_maxsim": _maxsim_oracle_sql(),
     # round 6
     "dedup_survivor_quality": _survivor_quality_oracle_sql(),
     "ann_kmeans_full": _kmeans_full_oracle,

@@ -1,0 +1,187 @@
+"""Binary sign-bit Hamming ANN (operators/hamming.py) and multi-vector
+MaxSim retrieval (operators/pool.py maxsim_topk)."""
+
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from letsearch_spark.operators.hamming import (
+    build_signbit_index,
+    hamming_topk,
+    pack_signbits,
+    signbits_col,
+)
+from letsearch_spark.operators.pool import maxsim_topk
+
+
+def _emb(spark, sf_dir):
+    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).select(
+        F.col("vec_id").alias("_key"), F.col("embedding").alias("vector"), "label"
+    )
+
+
+def test_pack_signbits_twin_matches_catalyst(spark):
+    rng = np.random.RandomState(7)
+    vecs = rng.normal(size=(40, 10)).round(3)
+    vecs[3, :] = 0.0  # all-zero vector: signature must be all zero words
+    vecs[5, 2] = 0.0  # exact zero element: bit NOT set (strictly > 0)
+    df = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vecs)], "id long, v array<double>"
+    )
+    for word_bits in (3, 32):
+        got = {
+            r["id"]: r["sig"]
+            for r in df.select(
+                "id", signbits_col("v", 10, word_bits).alias("sig")
+            ).collect()
+        }
+        for i, v in enumerate(vecs):
+            assert got[i] == pack_signbits(v, word_bits), (i, word_bits)
+
+
+def test_signbits_validation(spark):
+    df = spark.createDataFrame([(1, [0.1, 0.2])], "id long, v array<double>")
+    for bad in (0, 63):
+        with pytest.raises(ValueError):
+            signbits_col("v", 2, word_bits=bad)
+        with pytest.raises(ValueError):
+            pack_signbits([0.1], word_bits=bad)
+    with pytest.raises(ValueError):
+        signbits_col("v", 0)
+
+
+def test_build_signbit_index_shape_and_nulls(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, -1.0, 2.0]), (2, None), (3, [-1.0, -1.0, -1.0])],
+        "_key long, vector array<double>",
+    )
+    idx = build_signbit_index(df, dim=3, word_bits=2)
+    rows = {r["_key"]: r["_sig"] for r in idx.collect()}
+    assert set(idx.columns) == {"_key", "_sig"}  # vectors dropped: 32x view
+    assert set(rows) == {1, 3}  # null vector dropped
+    assert rows[1] == [0b01, 0b1] and rows[3] == [0, 0]
+
+
+def test_hamming_topk_full_rescore_equals_exact(spark, sf_dir):
+    from letsearch_spark.operators.topk import cosine_topk
+
+    emb = _emb(spark, sf_dir)
+    q = emb.where(F.col("_key") == 0).select("vector").collect()[0][0]
+    idx = build_signbit_index(emb, dim=64)
+    exact = cosine_topk(emb, q, k=10).collect()
+    got = hamming_topk(idx, emb, q, k=10, rescore=emb.count()).collect()
+    assert [r["_key"] for r in got] == [r["_key"] for r in exact]
+    for g, e in zip(got, exact):
+        assert g["score"] == pytest.approx(e["score"], abs=1e-12)
+    # self-match is hamming 0 and rank 1
+    assert got[0]["_key"] == 0 and got[0]["hamming"] == 0
+
+
+def test_hamming_topk_recall_at_partial_rescore(spark, sf_dir):
+    """rescore=60 of 500 vectors must recover most of the exact top-10:
+    sign-bit Hamming tracks angular order (E[ham]/dim = theta/pi)."""
+    from letsearch_spark.operators.topk import cosine_topk
+
+    emb = _emb(spark, sf_dir)
+    idx = build_signbit_index(emb, dim=64)
+    hits = total = 0
+    for qid in (0, 7, 123):
+        q = emb.where(F.col("_key") == qid).select("vector").collect()[0][0]
+        exact = {r["_key"] for r in cosine_topk(emb, q, k=10).collect()}
+        got = {r["_key"] for r in hamming_topk(idx, emb, q, k=10, rescore=60).collect()}
+        hits += len(exact & got)
+        total += len(exact)
+    assert hits / total >= 0.5, f"recall {hits}/{total}"
+
+
+def test_hamming_topk_validation(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    idx = build_signbit_index(emb, dim=64)
+    q = [0.1] * 64
+    with pytest.raises(ValueError):
+        hamming_topk(idx, emb, q, k=0)
+    with pytest.raises(ValueError):
+        hamming_topk(idx, emb, q, k=101)
+    with pytest.raises(ValueError):
+        hamming_topk(idx, emb, q, k=10, rescore=5)
+
+
+def test_hamming_candidates_take_ordered_and_broadcast(spark, sf_dir):
+    """Plan gate: stage 1 is TakeOrderedAndProject over the bit-math scan
+    (only `rescore` rows ship), stage 2 joins via broadcast -- never a
+    shuffle of the corpus keyed by candidate."""
+    emb = _emb(spark, sf_dir)
+    idx = build_signbit_index(emb, dim=64)
+    q = emb.where(F.col("_key") == 0).select("vector").collect()[0][0]
+    plan = (
+        hamming_topk(idx, emb, q, k=10, rescore=50)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_maxsim_topk_matches_numpy_twin(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    rows = emb.orderBy("_key").collect()
+    mat = np.array([r["vector"] for r in rows], dtype=np.float64)
+    labels = np.array([r["label"] for r in rows])
+    qvecs = [mat[0], mat[1], mat[2]]
+
+    norms = np.linalg.norm(mat, axis=1)
+    expected = {}
+    for lab in np.unique(labels):
+        sub = mat[labels == lab]
+        subn = norms[labels == lab]
+        score = 0.0
+        for q in qvecs:
+            score += float(np.max(sub @ q / (subn * np.linalg.norm(q))))
+        expected[int(lab)] = score
+    order = sorted(expected, key=lambda g: (-expected[g], g))[:5]
+
+    got = maxsim_topk(
+        emb, [q.tolist() for q in qvecs], k=5, group_col="label", vec_col="vector"
+    ).collect()
+    assert [r["label"] for r in got] == order
+    for r in got:
+        assert r["score"] == pytest.approx(expected[r["label"]], abs=1e-9)
+        assert r["n_chunks"] == int((labels == r["label"]).sum())
+
+
+def test_maxsim_single_vector_is_grouped_cosine_max(spark, sf_dir):
+    """With one query vector MaxSim degenerates to max-cosine per group --
+    pinned exactly against the same Catalyst expression."""
+    from letsearch_spark.functions.vector import cosine_similarity
+
+    emb = _emb(spark, sf_dir)
+    q = emb.where(F.col("_key") == 5).select("vector").collect()[0][0]
+    direct = {
+        r["label"]: r["m"]
+        for r in emb.groupBy("label")
+        .agg(F.max(cosine_similarity(F.col("vector"), q)).alias("m"))
+        .collect()
+    }
+    got = maxsim_topk(emb, [q], k=10, group_col="label", vec_col="vector").collect()
+    assert len(got) == 10
+    for r in got:
+        assert r["score"] == direct[r["label"]]  # bit-identical, same expr
+
+
+def test_maxsim_validation_and_null_vectors(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (1, None), (2, None)],
+        "doc long, vector array<double>",
+    )
+    with pytest.raises(ValueError):
+        maxsim_topk(df, [], k=5, group_col="doc")
+    with pytest.raises(ValueError):
+        maxsim_topk(df, [[1.0, 0.0]], k=0, group_col="doc")
+    out = maxsim_topk(df, [[1.0, 0.0]], k=5, group_col="doc").collect()
+    # doc 2 had only a null vector: no row; doc 1's null dropped from count
+    assert [(r["doc"], r["n_chunks"]) for r in out] == [(1, 1)]
+    assert out[0]["score"] == 1.0
