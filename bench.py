@@ -163,7 +163,25 @@ def main() -> None:
         N_SEARCHES / timings["search_topk_pq"], 3
     )
 
-    # 4e. BPE exact token counting (round 4): train once (not timed),
+    # 4e. sign-bit Hamming serving (round 6): bit_count(xor) scan over
+    # the cached 1-bit/dim signature view + exact cosine rescore of the
+    # top-100 -- no baseline row; compare against search_topk (exact)
+    # and search_topk_pq (the trained memory play) within the run
+    coll.search("text", "warmup", limit=10, strategy="hamming").collect()
+
+    def searches_hamming():
+        for i in range(N_SEARCHES):
+            coll.search(
+                "text", f"spark join query window batch {i}", limit=10,
+                strategy="hamming",
+            ).collect()
+
+    run_stage("search_topk_hamming", searches_hamming, repeats=2)
+    timings["hamming_searches_per_sec"] = round(
+        N_SEARCHES / timings["search_topk_hamming"], 3
+    )
+
+    # 4f. BPE exact token counting (round 4): train once (not timed),
     # then count the whole documents table at distinct-word-type cost
     from letsearch_spark.tokenizer import token_count_exact, train_bpe
 

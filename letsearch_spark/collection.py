@@ -157,6 +157,13 @@ class Collection:
         # per-column (centroids, PQCodebook) for strategy='ivf_pq'
         # (codes live on disk); cleared on writes
         self._ivf_pq_index: dict = {}
+        # per-column cached sign-bit signature view (key, sig) for
+        # strategy='hamming' -- 1 bit/dim, ~32x smaller than the float
+        # serve view; cleared on writes
+        self._hamming_index: dict = {}
+        # candidate depth for the hamming exact-cosine rescore (recall
+        # knob: rescore >= corpus rows degenerates to exact search)
+        self.hamming_rescore: int = 100
         # extra docs-table columns copied into the serve view so
         # search(where=...) predicates can evaluate on the cached view
         # (pre-filter-then-score; no per-query join). Changing this
@@ -867,6 +874,12 @@ class Collection:
                     pass
             self._pq_index.clear()
             self._ivf_pq_index.clear()
+            for sig in self._hamming_index.values():
+                try:
+                    sig.unpersist()
+                except Exception:
+                    pass
+            self._hamming_index.clear()
             self._lex_dfmap.clear()
             self._lex_vocab.clear()
             if drop_index_meta:
@@ -888,6 +901,12 @@ class Collection:
                 except Exception:
                     pass
             self._ivf_pq_index.pop(column, None)
+            sig = self._hamming_index.pop(column, None)
+            if sig is not None:
+                try:
+                    sig.unpersist()
+                except Exception:
+                    pass
             if drop_index_meta:
                 self._drop_index_meta(column)
 
@@ -1022,6 +1041,14 @@ class Collection:
         scans ~nprobe/nlist parquet partitions of an index that is
         already ~32x smaller than the vectors. The shape for
         collections too big to cache even as codes.
+
+        strategy='hamming': approximate -- a cached sign-bit signature
+        view (1 bit/dim, ~32x smaller than the float serve view) ranks
+        every row by bit_count(xor) Hamming distance, then the top
+        ``hamming_rescore`` candidates get an exact cosine rescore via
+        broadcast fetch-back. Like 'pq' a memory play, but with no
+        training step and a single recall knob; ``hamming_rescore >=
+        rows`` provably equals the exact ranking.
         """
         if not 1 <= limit <= 100:
             raise ValueError(f"limit must be in [1, 100], got {limit}")
@@ -1029,7 +1056,7 @@ class Collection:
             raise ValueError(f"column {column!r} is not indexed")
         if strategy not in (
             "auto", "join", "inlist", "local", "lsh", "ivf", "hybrid",
-            "local_hybrid", "pq", "ivf_pq",
+            "local_hybrid", "pq", "ivf_pq", "hamming",
         ):
             raise ValueError(f"unknown strategy {strategy!r}")
         if where is not None and strategy == "auto":
@@ -1052,6 +1079,9 @@ class Collection:
 
         if strategy == "ivf_pq":
             return self._search_ivf_pq(column, qvec, limit)
+
+        if strategy == "hamming":
+            return self._search_hamming(column, qvec, limit)
 
         if strategy == "hybrid":
             return self._search_hybrid(column, query, qvec, limit)
@@ -1748,6 +1778,60 @@ class Collection:
         cb, coded = self._pq_index[column]
         hits = pq_topk(coded, cb, qvec, k=limit, key_col=KEY_COL)
         return self._fetch_back_hits(hits, column, limit)
+
+    def build_hamming_index(self, column: str) -> None:
+        """Cache the sign-bit signature view for strategy='hamming':
+        (key, sig) at 1 bit per dimension (operators/hamming.py) --
+        ~32x smaller than the float serve view, no training step.
+        Called lazily on first use; safe to call eagerly after bulk
+        loads."""
+        from letsearch_spark.operators.hamming import build_signbit_index
+
+        emb = (
+            self._serve_view(column)
+            .where(F.col("content").isNotNull())
+            .select(KEY_COL, "vector")
+        )
+        first = emb.select(F.size("vector").alias("d")).first()
+        if first is None:
+            raise ValueError(f"no embedded rows to index for {column!r}")
+        idx = build_signbit_index(
+            emb, dim=int(first["d"]), vec_col="vector", key_col=KEY_COL
+        ).cache()
+        idx.count()  # materialize: per-query cost is the bit-math scan only
+        self._hamming_index[column] = idx
+
+    def _search_hamming(self, column: str, qvec, limit: int) -> DataFrame:
+        """Hamming scan over the cached signature view (TakeOrdered --
+        only ``hamming_rescore`` rows leave the scan), then the exact
+        cosine rescore + content projection in one broadcast fetch-back
+        over the serve view (scores bit-identical to strategy='join'
+        for the candidates it keeps)."""
+        from letsearch_spark.operators.hamming import (
+            hamming_distance_col,
+            pack_signbits,
+        )
+
+        if column not in self._hamming_index:
+            self.build_hamming_index(column)
+        idx = self._hamming_index[column]
+        qsig = pack_signbits([float(x) for x in qvec])
+        candidates = (
+            idx.select(KEY_COL, hamming_distance_col("_sig", qsig).alias("_ham"))
+            .orderBy(F.asc("_ham"), F.asc(KEY_COL))
+            .limit(max(self.hamming_rescore, limit))
+        )
+        serve = self._serve_view(column).where(F.col("content").isNotNull())
+        return (
+            serve.join(F.broadcast(candidates.select(KEY_COL)), KEY_COL)
+            .select(
+                F.col(KEY_COL).alias("key"),
+                "content",
+                self._serve_score(qvec).alias("score"),
+            )
+            .orderBy(F.desc("score"), F.asc("key"))
+            .limit(limit)
+        )
 
     def ivf_pq_path(self, column: str) -> str:
         return os.path.join(self.home, "ivf_pq", f"column={column}")

@@ -887,6 +887,50 @@ def test_search_strategy_pq(spark, tmp_path, sf_dir):
     assert len(c.search("text", "spark join", limit=3, strategy="pq").collect()) == 3
 
 
+def test_search_strategy_hamming(spark, tmp_path, sf_dir):
+    """strategy='hamming': lazily caches the sign-bit signature view
+    (1 bit/dim), ranks by bit_count Hamming, exact-rescores the top
+    candidates. With hamming_rescore >= corpus rows the results must be
+    BIT-IDENTICAL to strategy='join' (the scan keeps everything and the
+    rescore reuses the serve-view cosine); writes invalidate."""
+    import os
+
+    from letsearch_spark.collection import Collection
+
+    c = Collection.create(
+        spark, str(tmp_path), name="ham", model_name="stub://16"
+    )
+    c.import_parquet(os.path.join(sf_dir, "documents.parquet"))
+    c.embed_column("text")
+
+    row = c.docs().select("_key", "text").first()
+    # full-rescore == exact (scores included: same _vnorm serve score)
+    c.hamming_rescore = c.count()
+    hits = c.search("text", row["text"], limit=5, strategy="hamming").collect()
+    exact = c.search("text", row["text"], limit=5, strategy="join").collect()
+    assert [(h["key"], h["score"]) for h in hits] == [
+        (h["key"], h["score"]) for h in exact
+    ]
+    assert hits[0]["key"] == row["_key"] and hits[0]["score"] > 0.999
+
+    # partial rescore still overlaps the exact top-10 well
+    c.hamming_rescore = 60
+    approx = c.search("text", row["text"], limit=5, strategy="hamming").collect()
+    exact10 = {h["key"] for h in c.search("text", row["text"], limit=10).collect()}
+    assert len({h["key"] for h in approx} & exact10) >= 3
+    assert "text" in c._hamming_index
+
+    # writes invalidate the signature cache
+    one = c.docs().limit(1).drop("_key")
+    c._append_df(one)
+    assert "text" not in c._hamming_index
+    c.embed_column("text", incremental=True)
+    assert (
+        len(c.search("text", "spark join", limit=3, strategy="hamming").collect())
+        == 3
+    )
+
+
 def test_search_strategy_ivf_pq(spark, tmp_path, sf_dir):
     """strategy='ivf_pq': lazily builds the on-disk coded index (no
     float vectors stored, partitioned by coarse list), probes prune
