@@ -194,6 +194,24 @@ def main() -> None:
         .collect(),
     )
 
+    # 4g. unigram-LM counterpart (round 6): distributed-EM training
+    # (untimed, like BPE) then Viterbi-exact counts at distinct-type
+    # cost -- no baseline row; compare against token_count_bpe in-run
+    from letsearch_spark.tokenizer_unigram import (
+        token_count_exact_unigram,
+        train_unigram,
+    )
+
+    uni_model = train_unigram(
+        docs_tbl, "text", vocab_size=300, seed_size=900, em_iters=2
+    )
+    run_stage(
+        "token_count_unigram",
+        lambda: token_count_exact_unigram(docs_tbl, "doc_id", "text", uni_model)
+        .agg(F.sum("n_tokens"))
+        .collect(),
+    )
+
     # 5. batched k-NN join: 100 queries in ONE job, both scoring paths
     # (Catalyst expression vs per-partition numpy matmul)
     from letsearch_spark.operators.topk import knn_join

@@ -2670,10 +2670,40 @@ def _maxsim_oracle_sql() -> str:
     """
 
 
+_UNIGRAM_VOCAB = 300
+_UNIGRAM_SEED = 900
+
+
+def q_token_count_unigram(spark, sf_dir):
+    """Unigram-LM tokenizer (tokenizer_unigram.py, the SentencePiece
+    model): distributed EM over the UNCAPPED word-type table (every
+    E-step one mapInPandas pass emitting fixed-point expected counts,
+    one integer groupBy sum -- order-independent, so the fitted model is
+    bit-identical to the sequential twin), then Viterbi-exact token
+    counts at distinct-word cost. Counts are integers -- hash-stable.
+    Oracle: Counter word counts + train_unigram_twin (the SAME shared
+    E/M/prune kernels) emitted as a VALUES literal."""
+    from letsearch_spark.tokenizer_unigram import (
+        token_count_exact_unigram,
+        train_unigram,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    model = train_unigram(
+        docs, "text", vocab_size=_UNIGRAM_VOCAB, seed_size=_UNIGRAM_SEED,
+        em_iters=2,
+    )
+    return token_count_exact_unigram(docs, "doc_id", "text", model).orderBy(
+        "doc_id"
+    )
+
+
 STAGED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # round 6 (late session: memory-bound ANN + late-interaction serving)
+    # round 6 (late session: memory-bound ANN + late-interaction serving
+    # + the unigram tokenizer completing the trainer family)
     "ann_hamming_topk": q_ann_hamming_topk,
     "search_maxsim": q_search_maxsim,
+    "token_count_unigram": q_token_count_unigram,
     # round 6
     "dedup_survivor_quality": q_dedup_survivor_quality,
     "sample_stratified_exact": q_sample_stratified_exact,
@@ -3291,10 +3321,39 @@ def _kmeans_full_oracle(sf_dir: str) -> str:
     )
 
 
+def _token_count_unigram_oracle(sf_dir: str) -> str:
+    """Computed VALUES-literal twin of q_token_count_unigram: Counter
+    word counts + train_unigram_twin (shared E/M/prune kernels; the
+    fixed-point expectations commute, so equal word-count multisets
+    give the bit-identical model), then the same Viterbi counts."""
+    from collections import Counter as _Counter
+
+    import pyarrow.parquet as _pq
+
+    from letsearch_spark.tokenizer import split_text
+    from letsearch_spark.tokenizer_unigram import train_unigram_twin
+
+    tbl = _pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    ).to_pylist()
+    wc = _Counter(w for r in tbl for w in split_text(r["text"] or ""))
+    twin = train_unigram_twin(
+        sorted(wc.items()),
+        vocab_size=_UNIGRAM_VOCAB,
+        seed_size=_UNIGRAM_SEED,
+        em_iters=2,
+    )
+    rows = sorted(
+        (int(r["doc_id"]), twin.token_count(r["text"] or "")) for r in tbl
+    )
+    return _values_literal(rows, [("doc_id", "BIGINT"), ("n_tokens", "BIGINT")])
+
+
 STAGED_ORACLES: dict[str, object] = {
     # round 6 (late session)
     "ann_hamming_topk": _hamming_oracle_sql(),
     "search_maxsim": _maxsim_oracle_sql(),
+    "token_count_unigram": _token_count_unigram_oracle,
     # round 6
     "dedup_survivor_quality": _survivor_quality_oracle_sql(),
     "ann_kmeans_full": _kmeans_full_oracle,

@@ -1,0 +1,601 @@
+"""Distributed unigram-LM tokenizer (the SentencePiece unigram model,
+Kudo 2018): the second of the two tokenizers real pipelines train, next
+to tokenizer.py's BPE.
+
+Where BPE greedily merges the most frequent pair, the unigram model
+starts from a LARGE seed vocabulary of candidate pieces, fits piece
+probabilities with EM over all segmentations of every word, and prunes
+the least useful pieces until the target vocabulary size -- segmentation
+at inference is the Viterbi-best split under the fitted probabilities.
+
+Spark-first division of labor -- and one structural advance over the
+BPE trainer: nothing here caps the word-type table. Every
+corpus-proportional step is a distributed job and the driver only ever
+holds piece-level state (<= seed_size rows):
+
+* **word counting**: the same single explode + groupBy shuffle as BPE
+  (``tokenizer.word_counts``) -- text leaves the scan only as the
+  (word, count) type table, which stays a DataFrame throughout;
+* **seed extraction**: substrings up to ``max_piece_len`` enumerated
+  per type in an Arrow-batched pass, reduced by ONE (piece, count)
+  groupBy; only the top ``seed_size`` pieces (plus every single
+  character, required for closure) are collected;
+* **EM**: each iteration is one mapInPandas pass over the type table
+  (piece log-probs broadcast in the task closure) emitting per-piece
+  EXPECTED-COUNT integers, reduced by one groupBy sum. Expectations
+  are fixed-point quantized per (word, piece) BEFORE the sum --
+  integer addition is order-independent, so the fitted model is
+  bit-identical across partitionings, retries, and against the
+  single-process twin (the same trick operators/ann.py's
+  kmeans_fit_full uses for its centroids);
+* **pruning + renormalization** are driver-side arithmetic over the
+  <= seed_size piece table -- corpus-size independent by construction.
+
+The E-step kernel and the M-step/prune steps are SHARED between the
+distributed path and :func:`train_unigram_twin` (closure factories, so
+the executor-side code needs no package import), which is what makes
+"twin equality" an exact bit-level statement rather than a tolerance.
+
+Application mirrors tokenizer.py: :func:`token_count_exact_unigram`
+counts at DISTINCT-word cost (each type Viterbi-segmented once, lengths
+broadcast-joined back).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+from dataclasses import dataclass, field
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from letsearch_spark.tokenizer import split_text, word_counts
+
+_NEG_INF = float("-inf")
+
+
+def _make_em_kernel(max_piece_len: int, unk_logp: float, units: float):
+    """Factory for the per-word E-step kernel, shared verbatim by the
+    distributed mapInPandas pass and the sequential twin (the closure is
+    pickled by value, so executors never import this module).
+
+    ``accumulate(word, cnt, logp, acc)`` adds the word's fixed-point
+    expected piece counts (posterior marginals of the segmentation
+    lattice, forward-backward in log space) into ``acc``. Quantization:
+    round-half-away-from-zero of ``posterior * cnt * units`` once per
+    (word, piece)."""
+    # self-contained closure: stdlib module + captured scalars only, so
+    # cloudpickle ships it by value (no package import on executors)
+    import math
+
+    _NEG_INF = float("-inf")
+
+    def accumulate(
+        word: str,
+        cnt: int,
+        logp: dict[str, float],
+        acc: dict[str, int],
+    ) -> None:
+        n = len(word)
+        if n == 0:
+            return
+        # forward pass; arcs recorded in (i asc, l asc) order
+        alpha = [_NEG_INF] * (n + 1)
+        alpha[0] = 0.0
+        arcs: list[tuple[int, int, str, float]] = []
+        for i in range(1, n + 1):
+            acc_a = _NEG_INF
+            for ln in range(1, min(max_piece_len, i) + 1):
+                piece = word[i - ln : i]
+                lp = logp.get(piece)
+                if lp is None:
+                    if ln == 1:
+                        lp = unk_logp
+                    else:
+                        continue
+                a = alpha[i - ln]
+                if a == _NEG_INF:
+                    continue
+                s = a + lp
+                arcs.append((i - ln, i, piece, lp))
+                if acc_a == _NEG_INF:
+                    acc_a = s
+                elif s > acc_a:
+                    acc_a = s + math.log1p(math.exp(acc_a - s))
+                else:
+                    acc_a = acc_a + math.log1p(math.exp(s - acc_a))
+            alpha[i] = acc_a
+        z = alpha[n]
+        if z == _NEG_INF:
+            return  # unsegmentable (cannot happen with 1-char fallback)
+        # backward pass over the recorded arcs (reverse creation order
+        # keeps each arc's beta[i] final before it is consumed)
+        beta = [_NEG_INF] * (n + 1)
+        beta[n] = 0.0
+        for j, i, piece, lp in reversed(arcs):
+            b = beta[i]
+            if b == _NEG_INF:
+                continue
+            s = lp + b
+            if beta[j] == _NEG_INF:
+                beta[j] = s
+            elif s > beta[j]:
+                beta[j] = s + math.log1p(math.exp(beta[j] - s))
+            else:
+                beta[j] = beta[j] + math.log1p(math.exp(s - beta[j]))
+        # posterior per (word, piece): float-accumulate across arcs in
+        # creation order, quantize ONCE per piece
+        post: dict[str, float] = {}
+        for j, i, piece, lp in arcs:
+            if piece not in logp:
+                continue  # unk fallback arcs are not model pieces
+            if alpha[j] == _NEG_INF or beta[i] == _NEG_INF:
+                continue
+            p = math.exp(alpha[j] + lp + beta[i] - z)
+            post[piece] = post.get(piece, 0.0) + p
+        for piece, p in post.items():
+            x = p * cnt * units
+            q = int(math.floor(abs(x) + 0.5))  # half away from zero
+            if q:
+                acc[piece] = acc.get(piece, 0) + q
+
+    return accumulate
+
+
+def _make_viterbi_kernel(max_piece_len: int, unk_logp: float):
+    """Factory for the Viterbi best-segmentation kernel (shared by the
+    distributed encode UDFs and the model's driver-side methods).
+    Tie-break: at equal score the SMALLEST start index wins (longest
+    final piece), resolved deterministically by strict > comparison
+    while scanning lengths ascending."""
+    # self-contained closure (see _make_em_kernel)
+    _NEG_INF = float("-inf")
+
+    def segment(word: str, logp: dict[str, float]) -> list[str]:
+        n = len(word)
+        if n == 0:
+            return []
+        best = [_NEG_INF] * (n + 1)
+        best[0] = 0.0
+        back: list[int] = [0] * (n + 1)
+        for i in range(1, n + 1):
+            for ln in range(1, min(max_piece_len, i) + 1):
+                piece = word[i - ln : i]
+                lp = logp.get(piece)
+                if lp is None:
+                    if ln == 1:
+                        lp = unk_logp
+                    else:
+                        continue
+                if best[i - ln] == _NEG_INF:
+                    continue
+                s = best[i - ln] + lp
+                if s > best[i]:
+                    best[i] = s
+                    back[i] = ln
+        out: list[str] = []
+        i = n
+        while i > 0:
+            ln = back[i]
+            out.append(word[i - ln : i])
+            i -= ln
+        out.reverse()
+        return out
+
+    return segment
+
+
+@dataclass
+class UnigramModel:
+    """Fitted piece log-probabilities. ``pieces`` is a deterministic
+    (piece asc) list of (piece, logp); ``unk_logp`` scores single
+    characters the trainer never saw."""
+
+    pieces: list[tuple[str, float]]
+    unk_logp: float
+    max_piece_len: int
+    word_types: int  # word types the trainer saw (never capped)
+    _logp: dict[str, float] = field(default_factory=dict, repr=False, compare=False)
+    _cache: dict[str, list[str]] = field(default_factory=dict, repr=False, compare=False)
+
+    def __post_init__(self) -> None:
+        self._logp = dict(self.pieces)
+        self._segment = _make_viterbi_kernel(self.max_piece_len, self.unk_logp)
+
+    @property
+    def vocab(self) -> list[str]:
+        return [p for p, _ in self.pieces]
+
+    def encode_word(self, word: str) -> list[str]:
+        if word == "":
+            return []
+        hit = self._cache.get(word)
+        if hit is None:
+            hit = self._segment(word, self._logp)
+            if len(self._cache) < 1_000_000:
+                self._cache[word] = hit
+        return hit
+
+    def encode(self, text: str) -> list[str]:
+        out: list[str] = []
+        for w in split_text(text):
+            out.extend(self.encode_word(w))
+        return out
+
+    def decode(self, tokens: list[str]) -> str:
+        """Debug helper; word boundaries are not recoverable from
+        pieces alone (unlike BPE's ``</w>`` sentinel), so decode joins
+        pieces with nothing -- pair it with per-word encode output."""
+        return "".join(tokens)
+
+    def token_count(self, text: str) -> int:
+        return sum(len(self.encode_word(w)) for w in split_text(text))
+
+    def save(self, path: str) -> None:
+        with open(path, "w", encoding="utf-8") as f:
+            json.dump(
+                {
+                    "pieces": [[p, lp] for p, lp in self.pieces],
+                    "unk_logp": self.unk_logp,
+                    "max_piece_len": self.max_piece_len,
+                    "word_types": self.word_types,
+                },
+                f,
+                ensure_ascii=False,
+            )
+
+    @classmethod
+    def load(cls, path: str) -> "UnigramModel":
+        with open(path, encoding="utf-8") as f:
+            d = json.load(f)
+        return cls(
+            pieces=[(p, float(lp)) for p, lp in d["pieces"]],
+            unk_logp=float(d["unk_logp"]),
+            max_piece_len=int(d["max_piece_len"]),
+            word_types=int(d["word_types"]),
+        )
+
+
+# ---------------- shared trainer core (driver-side arithmetic) --------
+
+
+_UNITS = 1_000_000.0
+_UNK_OFFSET = 10.0  # unk penalty below the worst fitted piece
+
+
+def _normalize(units_by_piece: dict[str, int]) -> dict[str, float]:
+    """M-step: log(expected / total) from the integer unit table.
+    Zero-unit single characters keep a 1-unit floor (segmentation
+    closure); zero-unit multi-char pieces drop out."""
+    kept: dict[str, int] = {}
+    for p, u in units_by_piece.items():
+        if u <= 0:
+            if len(p) != 1:
+                continue
+            u = 1
+        kept[p] = u
+    total = sum(kept.values())
+    log_total = math.log(total)
+    return {p: math.log(u) - log_total for p, u in kept.items()}
+
+
+def _prune(units_by_piece: dict[str, int], keep_multi: int) -> dict[str, int]:
+    """Keep every single character plus the ``keep_multi`` multi-char
+    pieces with the highest expected counts (ties: piece asc)."""
+    singles = {p: u for p, u in units_by_piece.items() if len(p) == 1}
+    multi = sorted(
+        ((u, p) for p, u in units_by_piece.items() if len(p) > 1),
+        key=lambda t: (-t[0], t[1]),
+    )[:keep_multi]
+    out = dict(singles)
+    for u, p in multi:
+        out[p] = u
+    return out
+
+
+def _seed_counts_for_word(
+    word: str, cnt: int, max_piece_len: int, acc: dict[str, int]
+) -> None:
+    """Substring occurrence counting (j asc, l asc) -- the shared seed
+    enumeration for both training paths."""
+    n = len(word)
+    for j in range(n):
+        for ln in range(1, min(max_piece_len, n - j) + 1):
+            p = word[j : j + ln]
+            acc[p] = acc.get(p, 0) + cnt
+
+
+def _seed_vocab(
+    counts: dict[str, int], seed_size: int
+) -> tuple[dict[str, float], float]:
+    """Initial log-probs: all single characters + the top ``seed_size``
+    multi-char substrings by (count desc, piece asc); probability mass
+    proportional to occurrence counts. Returns (logp, unk_logp)."""
+    kept = _prune(counts, seed_size)
+    logp = _normalize(kept)
+    unk = min(logp.values()) - _UNK_OFFSET
+    return logp, unk
+
+
+def _fit_loop(
+    e_step,
+    seed_logp: dict[str, float],
+    unk_logp: float,
+    vocab_size: int,
+    em_iters: int,
+    shrink: float,
+) -> dict[str, float]:
+    """EM-then-prune until the vocabulary fits, then one final EM round.
+    ``e_step(logp) -> dict[piece, units]`` is the only corpus-touching
+    callback -- distributed in train_unigram, sequential in the twin."""
+    logp = seed_logp
+    n_single = sum(1 for p in logp if len(p) == 1)
+    while True:
+        units = None
+        for _ in range(max(em_iters, 1)):
+            units = e_step(logp)
+            logp = _normalize(units)
+        n_multi = sum(1 for p in logp if len(p) > 1)
+        if n_single + n_multi <= vocab_size or n_multi == 0:
+            break
+        keep_multi = max(vocab_size - n_single, int(n_multi * shrink))
+        if keep_multi >= n_multi:
+            keep_multi = n_multi - 1
+        logp = _normalize(_prune(units, max(keep_multi, 0)))
+    final = e_step(logp)
+    return _normalize(final)
+
+
+# ---------------- distributed trainer ---------------------------------
+
+
+def train_unigram(
+    df: DataFrame,
+    text_col: str,
+    vocab_size: int,
+    max_piece_len: int = 8,
+    seed_size: int | None = None,
+    em_iters: int = 2,
+    shrink: float = 0.75,
+) -> UnigramModel:
+    """Fit a unigram-LM tokenizer on a text column with distributed EM.
+
+    Unlike :func:`tokenizer.train_bpe` there is no ``max_word_types``
+    cap: the (word, count) table stays a DataFrame, the seed and every
+    E-step are single mapInPandas passes over it, and only piece-level
+    aggregates (<= ``seed_size`` rows) ever reach the driver. The final
+    vocabulary holds every observed single character plus the fitted
+    multi-character pieces (``vocab_size`` may be exceeded when the
+    alphabet alone is larger -- the same floor BPE has)."""
+    if vocab_size <= 0:
+        raise ValueError(f"vocab_size must be positive, got {vocab_size}")
+    if max_piece_len < 1:
+        raise ValueError(f"max_piece_len must be >= 1, got {max_piece_len}")
+    if seed_size is None:
+        seed_size = max(vocab_size * 4, 64)
+
+    types = word_counts(df, text_col).persist()
+    try:
+        n_types = types.count()
+        if n_types == 0:
+            raise ValueError(f"no words found in column {text_col!r}")
+
+        seed_counts = _distributed_seed_counts(types, max_piece_len, seed_size)
+        logp, unk_logp = _seed_vocab(seed_counts, seed_size)
+
+        def e_step(cur_logp: dict[str, float]) -> dict[str, int]:
+            return _distributed_e_step(types, cur_logp, max_piece_len, unk_logp)
+
+        final_logp = _fit_loop(
+            e_step, logp, unk_logp, vocab_size, em_iters, shrink
+        )
+    finally:
+        types.unpersist()
+    return UnigramModel(
+        pieces=sorted(final_logp.items()),
+        unk_logp=unk_logp,
+        max_piece_len=max_piece_len,
+        word_types=int(n_types),
+    )
+
+
+def _distributed_seed_counts(
+    types: DataFrame, max_piece_len: int, seed_size: int
+) -> dict[str, int]:
+    """One Arrow pass enumerating substrings + one groupBy sum; the
+    driver receives all single characters plus the top ``seed_size``
+    multi-char pieces only."""
+    L = max_piece_len
+
+    def gen(batches):
+        for pdf in batches:
+            acc: dict[str, int] = {}
+            for word, cnt in zip(pdf["word"], pdf["count"]):
+                n = len(word)
+                c = int(cnt)
+                for j in range(n):
+                    for ln in range(1, min(L, n - j) + 1):
+                        p = word[j : j + ln]
+                        acc[p] = acc.get(p, 0) + c
+            yield pd.DataFrame(
+                {"piece": list(acc.keys()), "units": list(acc.values())}
+            )
+
+    counts = (
+        types.mapInPandas(gen, "piece string, units long")
+        .groupBy("piece")
+        .agg(F.sum("units").alias("u"))
+    )
+    singles = counts.where(F.length("piece") == 1).collect()
+    multis = (
+        counts.where(F.length("piece") > 1)
+        .orderBy(F.desc("u"), F.asc("piece"))
+        .limit(seed_size)
+        .collect()
+    )
+    return {r["piece"]: int(r["u"]) for r in [*singles, *multis]}
+
+
+def _distributed_e_step(
+    types: DataFrame,
+    logp: dict[str, float],
+    max_piece_len: int,
+    unk_logp: float,
+) -> dict[str, int]:
+    """One mapInPandas pass emitting per-partition fixed-point expected
+    counts, reduced by one integer groupBy sum (order-independent)."""
+    kernel = _make_em_kernel(max_piece_len, unk_logp, _UNITS)
+    items = sorted(logp.items())
+
+    def gen(batches):
+        cur = dict(items)
+        for pdf in batches:
+            acc: dict[str, int] = {}
+            for word, cnt in zip(pdf["word"], pdf["count"]):
+                kernel(word, int(cnt), cur, acc)
+            yield pd.DataFrame(
+                {"piece": list(acc.keys()), "units": list(acc.values())}
+            )
+
+    rows = (
+        types.mapInPandas(gen, "piece string, units long")
+        .groupBy("piece")
+        .agg(F.sum("units").alias("u"))
+        .collect()
+    )
+    out = {p: 0 for p in logp}  # pieces with no mass still participate
+    for r in rows:
+        out[r["piece"]] = int(r["u"])
+    return out
+
+
+# ---------------- single-process twin ----------------------------------
+
+
+def train_unigram_twin(
+    wc: list[tuple[str, int]],
+    vocab_size: int,
+    max_piece_len: int = 8,
+    seed_size: int | None = None,
+    em_iters: int = 2,
+    shrink: float = 0.75,
+) -> UnigramModel:
+    """Sequential replay of :func:`train_unigram` over an explicit
+    (word, count) table -- bit-identical by construction (same kernels,
+    integer-summed expectations commute)."""
+    if vocab_size <= 0:
+        raise ValueError(f"vocab_size must be positive, got {vocab_size}")
+    if seed_size is None:
+        seed_size = max(vocab_size * 4, 64)
+    wc = [(w, int(c)) for w, c in wc if w]
+    if not wc:
+        raise ValueError("empty word-count table")
+
+    seed_counts: dict[str, int] = {}
+    for w, c in wc:
+        _seed_counts_for_word(w, c, max_piece_len, seed_counts)
+    logp, unk_logp = _seed_vocab(seed_counts, seed_size)
+
+    kernel = _make_em_kernel(max_piece_len, unk_logp, _UNITS)
+
+    def e_step(cur_logp: dict[str, float]) -> dict[str, int]:
+        acc: dict[str, int] = {}
+        for w, c in wc:
+            kernel(w, c, cur_logp, acc)
+        out = {p: 0 for p in cur_logp}
+        out.update(acc)
+        return out
+
+    final_logp = _fit_loop(e_step, logp, unk_logp, vocab_size, em_iters, shrink)
+    return UnigramModel(
+        pieces=sorted(final_logp.items()),
+        unk_logp=unk_logp,
+        max_piece_len=max_piece_len,
+        word_types=len(wc),
+    )
+
+
+# ---------------- distributed application ------------------------------
+
+
+def token_count_exact_unigram(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    model: UnigramModel,
+    out_col: str = "n_tokens",
+) -> DataFrame:
+    """(id, n_tokens) with Viterbi-exact unigram counts at DISTINCT-word
+    cost -- the same plan shape as tokenizer.token_count_exact: (id,
+    word) explode + count, each distinct type segmented ONCE in an
+    Arrow batch, per-type lengths broadcast-joined back. Documents with
+    no words keep a 0 row."""
+    from letsearch_spark.tokenizer import split_words
+
+    segment = _make_viterbi_kernel(model.max_piece_len, model.unk_logp)
+    items = list(model.pieces)
+
+    @F.pandas_udf("long")
+    def _tok_len(w: pd.Series) -> pd.Series:
+        logp = dict(items)
+        return w.map(lambda word: len(segment(word, logp)))
+
+    pairs = (
+        df.select(F.col(id_col), F.explode(split_words(F.col(text_col))).alias("__w"))
+        .groupBy(id_col, "__w")
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    types = pairs.select("__w").distinct().withColumn("__len", _tok_len("__w"))
+    per_doc = (
+        pairs.join(F.broadcast(types), "__w")
+        .groupBy(id_col)
+        .agg(F.sum(F.col("__n") * F.col("__len")).alias(out_col))
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col(out_col), F.lit(0)).cast("long").alias(out_col),
+        )
+    )
+
+
+def tokenize_column_unigram(
+    df: DataFrame,
+    text_col: str,
+    model: UnigramModel,
+    out_col: str = "tokens",
+) -> DataFrame:
+    """Add an ``array<string>`` column of unigram pieces (Arrow-batched,
+    word-memoized Viterbi)."""
+    segment = _make_viterbi_kernel(model.max_piece_len, model.unk_logp)
+    items = list(model.pieces)
+
+    @F.pandas_udf("array<string>")
+    def _tok(s: pd.Series) -> pd.Series:
+        import re as _re
+
+        ws = _re.compile(r"[ \t\n\x0b\f\r]+")  # Java-\s parity
+        logp = dict(items)
+        memo: dict[str, list[str]] = {}
+
+        def enc(text) -> list[str]:
+            if not isinstance(text, str):
+                return []
+            out: list[str] = []
+            for w in ws.split(text):
+                if not w:
+                    continue
+                hit = memo.get(w)
+                if hit is None:
+                    hit = segment(w, logp)
+                    memo[w] = hit
+                out.extend(hit)
+            return out
+
+        return s.map(enc)
+
+    return df.withColumn(out_col, _tok(F.col(text_col)))

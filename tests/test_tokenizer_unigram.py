@@ -1,0 +1,122 @@
+"""Unigram-LM tokenizer (tokenizer_unigram.py): distributed EM == the
+sequential twin bit-for-bit, Viterbi application, scale-shape plans."""
+
+import os
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from letsearch_spark.tokenizer import split_text
+from letsearch_spark.tokenizer_unigram import (
+    UnigramModel,
+    token_count_exact_unigram,
+    tokenize_column_unigram,
+    train_unigram,
+    train_unigram_twin,
+)
+
+
+def _docs(spark, sf_dir, n=80):
+    return (
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        .where(F.col("doc_id") < n)
+        .select("doc_id", "text")
+    )
+
+
+def test_distributed_em_matches_twin_bitwise(spark, sf_dir):
+    """The whole point of the fixed-point E-step: the distributed model
+    and the sequential twin are EQUAL -- every piece, every log-prob,
+    to the last bit -- regardless of how Spark partitioned the types."""
+    docs = _docs(spark, sf_dir)
+    model = train_unigram(docs, "text", vocab_size=120, em_iters=2)
+
+    wc = Counter(
+        w for r in docs.collect() for w in split_text(r["text"] or "")
+    )
+    twin = train_unigram_twin(sorted(wc.items()), vocab_size=120, em_iters=2)
+    assert model.pieces == twin.pieces
+    assert model.unk_logp == twin.unk_logp
+    assert model.word_types == len(wc)
+
+
+def test_training_is_repartition_invariant(spark, sf_dir):
+    docs = _docs(spark, sf_dir, n=50)
+    a = train_unigram(docs, "text", vocab_size=100)
+    b = train_unigram(docs.repartition(7), "text", vocab_size=100)
+    assert a.pieces == b.pieces
+
+
+def test_vocab_contains_alphabet_and_multi_pieces(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    model = train_unigram(docs, "text", vocab_size=150)
+    chars = {
+        ch
+        for r in docs.collect()
+        for w in split_text(r["text"] or "")
+        for ch in w
+    }
+    vocab = set(model.vocab)
+    assert chars <= vocab  # closure: every observed char is a piece
+    multi = [p for p in vocab if len(p) > 1]
+    assert multi  # EM kept useful multi-char pieces
+    # the corpus repeats words heavily: counts must beat per-char
+    text = docs.first()["text"]
+    assert model.token_count(text) < sum(len(w) for w in split_text(text))
+
+
+def test_segmentation_tiles_exactly_and_handles_unknowns(spark, sf_dir):
+    model = train_unigram(_docs(spark, sf_dir, n=30), "text", vocab_size=100)
+    for word in ("customer", "supercalifragilistic", "query42"):
+        seg = model.encode_word(word)
+        assert "".join(seg) == word
+    # characters the trainer never saw fall back to 1-char unk pieces
+    seg = model.encode_word("日本語")
+    assert "".join(seg) == "日本語" and len(seg) == 3
+    assert model.encode_word("") == []
+    assert model.token_count("") == 0
+
+
+def test_token_count_exact_matches_driver_model(spark, sf_dir):
+    docs = _docs(spark, sf_dir, n=40)
+    model = train_unigram(docs, "text", vocab_size=120)
+    got = {
+        r["doc_id"]: r["n_tokens"]
+        for r in token_count_exact_unigram(docs, "doc_id", "text", model).collect()
+    }
+    for r in docs.collect():
+        assert got[r["doc_id"]] == model.token_count(r["text"] or ""), r["doc_id"]
+
+
+def test_tokenize_column_tiles_text(spark, sf_dir):
+    docs = _docs(spark, sf_dir, n=20)
+    model = train_unigram(docs, "text", vocab_size=100)
+    out = tokenize_column_unigram(docs, "text", model).collect()
+    for r in out:
+        assert "".join(r["tokens"]) == "".join(split_text(r["text"] or ""))
+
+
+def test_save_load_roundtrip(spark, sf_dir, tmp_path):
+    model = train_unigram(_docs(spark, sf_dir, n=30), "text", vocab_size=100)
+    path = str(tmp_path / "unigram.json")
+    model.save(path)
+    loaded = UnigramModel.load(path)
+    assert loaded.pieces == model.pieces
+    assert loaded.unk_logp == model.unk_logp
+    assert loaded.token_count("customer query") == model.token_count(
+        "customer query"
+    )
+
+
+def test_validation(spark, sf_dir):
+    docs = _docs(spark, sf_dir, n=5)
+    with pytest.raises(ValueError):
+        train_unigram(docs, "text", vocab_size=0)
+    with pytest.raises(ValueError):
+        train_unigram(docs, "text", vocab_size=10, max_piece_len=0)
+    with pytest.raises(ValueError):
+        train_unigram_twin([], vocab_size=10)
+    empty = spark.createDataFrame([(1, " ")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        train_unigram(empty, "text", vocab_size=10)
