@@ -299,6 +299,9 @@ def main() -> None:
         # partial-aggregated groupBy; no baseline rows yet)
         "ann_hamming_topk",
         "search_maxsim",
+        # round 6 late session: zlib-ratio quality signal (one Arrow
+        # pass over the documents table)
+        "text_compression",
     ):
         run_stage(
             name, lambda name=name: STAGED_QUERIES[name](spark, SF_DIR).count()

@@ -472,3 +472,75 @@ def _unicode_normalize_udf(form: str):
         )
 
     return _norm
+
+
+# ---------------- deflate compressibility (quality signal) ------------
+
+
+def compression_stats(col: Column, level: int = 6) -> dict[str, Column]:
+    """zlib-deflate compressibility of the UTF-8 text -- the classic
+    gibberish/boilerplate detector (used by CCNet-lineage pipelines):
+    highly repetitive machine text compresses far below prose
+    (ratio -> 0), while random/encrypted blobs do not compress at all
+    (ratio -> ~1+). Like unicode normalization this is the documented
+    exception to the module's Catalyst-only rule: one Arrow-batched
+    stdlib-``zlib`` UDF computing (raw_bytes, zlib_bytes); the ratio is
+    derived JVM-side. Deterministic for a fixed zlib (same container
+    serves executors and any oracle twin).
+
+    Returns ``raw_bytes`` / ``zlib_bytes`` (long; 0 for null/empty) and
+    ``compression_ratio`` (double, round-6; 0.0 for empty text).
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    lvl = int(level)
+
+    @pandas_udf("struct<raw_bytes: long, zlib_bytes: long>")
+    def _sizes(s):  # type: ignore[no-untyped-def]
+        import zlib
+
+        import pandas as pd
+
+        def one(v):
+            if not isinstance(v, str) or v == "":
+                return {"raw_bytes": 0, "zlib_bytes": 0}
+            b = v.encode("utf-8")
+            return {
+                "raw_bytes": len(b),
+                "zlib_bytes": len(zlib.compress(b, lvl)),
+            }
+
+        return pd.DataFrame([one(v) for v in s])
+
+    st = _sizes(col)
+    raw = st.getField("raw_bytes")
+    comp = st.getField("zlib_bytes")
+    ratio = F.when(raw == 0, F.lit(0.0)).otherwise(
+        F.round(comp.cast("double") / raw.cast("double"), 6)
+    )
+    return {
+        "raw_bytes": raw,
+        "zlib_bytes": comp,
+        "compression_ratio": ratio,
+    }
+
+
+def compression_flags(
+    col: Column,
+    min_ratio: float = 0.25,
+    max_ratio: float = 1.05,
+    level: int = 6,
+) -> dict[str, Column]:
+    """Boolean filter over :func:`compression_stats`: drop pages that
+    compress too well (templated/repeated boilerplate below
+    ``min_ratio``) or not at all (non-linguistic payloads above
+    ``max_ratio``). Empty text fails. Returns the stats plus
+    ``ratio_ok`` and the conjunction ``passes``."""
+    stats = compression_stats(col, level=level)
+    ratio = stats["compression_ratio"]
+    ok = (
+        (stats["raw_bytes"] > 0)
+        & (ratio >= float(min_ratio))
+        & (ratio <= float(max_ratio))
+    )
+    return {**stats, "ratio_ok": ok, "passes": ok}

@@ -11,6 +11,8 @@ This module is their composition -- ONE declarative recipe:
     1b. perplexity filter (operators/ngram_lm.py, CCNet-style, optional)
     1c. C4 cleaning       (functions/text.py c4_clean_lines + c4_flags,
         optional -- line rewrite then page filter, Raffel et al. 2020)
+    1d. compression filter (functions/text.py compression_flags,
+        optional -- zlib-ratio boilerplate/gibberish drop)
     2. line dedup         (operators/dedup.py remove_duplicate_lines)
     2c. decontamination   (ngram_containment_pairs vs an eval set,
         optional -- benchmark-leakage removal)
@@ -85,6 +87,12 @@ class PrepConfig:
     # kwargs for operators/ngram_lm.py perplexity_filter, minus the
     # key/text columns -- e.g. {"lm": <trained model>, "max_ppl": 500.0}
     ppl_filter: dict | None = None
+    # stage 1d -- deflate-compressibility filter (None disables, the
+    # default): kwargs to functions/text.py compression_flags, e.g.
+    # {"min_ratio": 0.25, "max_ratio": 1.05}. Drops templated
+    # boilerplate (compresses too well) and non-linguistic payloads
+    # (barely compress) by zlib ratio
+    compression: dict | None = None
     # stage 1c -- C4 cleaning (None disables, the default): line-level
     # rewrite (terminal punctuation / min_line_words / no 'javascript')
     # then page-level flags (sentence floor, lorem ipsum, curly brace,
@@ -413,6 +421,20 @@ def prepare_training_data(
         else:
             flags = gopher_flags(F.col(text), **cfg.quality)
             cur = _stage_store("quality_filter", cur.where(flags["passes"]))
+
+    if cfg.compression is not None:
+        _loaded = _stage_load("compression", cfg.compression)
+        if _loaded is not None:
+            cur = _loaded
+        else:
+            from letsearch_spark.functions.text import compression_flags
+
+            cur = _stage_store(
+                "compression",
+                cur.where(
+                    compression_flags(F.col(text), **cfg.compression)["passes"]
+                ),
+            )
 
     if cfg.c4 is not None:
         _loaded = _stage_load("c4", cfg.c4)

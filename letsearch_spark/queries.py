@@ -2698,12 +2698,34 @@ def q_token_count_unigram(spark, sf_dir):
     )
 
 
+def q_text_compression(spark, sf_dir):
+    """Deflate-compressibility quality signal (functions/text.py
+    compression_stats/compression_flags): per-document UTF-8 byte
+    count, zlib-6 deflate size, round-6 ratio, and the
+    boilerplate/gibberish pass verdict (0.25 <= ratio <= 1.05). One
+    Arrow-batched stdlib-zlib pass; the oracle is the identical zlib
+    arithmetic replayed in Python and emitted as a VALUES literal (same
+    zlib build on both sides of the comparison)."""
+    from letsearch_spark.functions.text import compression_flags
+
+    docs = load(spark, sf_dir, "documents")
+    fl = compression_flags(F.col("text"))
+    return docs.select(
+        "doc_id",
+        fl["raw_bytes"].alias("raw_bytes"),
+        fl["zlib_bytes"].alias("zlib_bytes"),
+        fl["compression_ratio"].alias("ratio"),
+        fl["passes"].alias("passes"),
+    ).orderBy("doc_id")
+
+
 STAGED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # round 6 (late session: memory-bound ANN + late-interaction serving
     # + the unigram tokenizer completing the trainer family)
     "ann_hamming_topk": q_ann_hamming_topk,
     "search_maxsim": q_search_maxsim,
     "token_count_unigram": q_token_count_unigram,
+    "text_compression": q_text_compression,
     # round 6
     "dedup_survivor_quality": q_dedup_survivor_quality,
     "sample_stratified_exact": q_sample_stratified_exact,
@@ -3349,11 +3371,49 @@ def _token_count_unigram_oracle(sf_dir: str) -> str:
     return _values_literal(rows, [("doc_id", "BIGINT"), ("n_tokens", "BIGINT")])
 
 
+def _text_compression_oracle(sf_dir: str) -> str:
+    """Computed VALUES-literal twin of q_text_compression: the same
+    stdlib zlib at level 6 over the same UTF-8 bytes, ratio rounded
+    HALF_UP to 6 like F.round, thresholds compared on the rounded
+    value exactly as compression_flags does."""
+    import zlib as _zlib
+
+    import pyarrow.parquet as _pq
+
+    tbl = _pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    ).to_pylist()
+    rows = []
+    for r in tbl:
+        t = r["text"]
+        if not isinstance(t, str) or t == "":
+            rows.append((int(r["doc_id"]), 0, 0, 0.0, False))
+            continue
+        b = t.encode("utf-8")
+        comp = len(_zlib.compress(b, 6))
+        ratio = _py_round6(comp / len(b))
+        rows.append(
+            (int(r["doc_id"]), len(b), comp, ratio, 0.25 <= ratio <= 1.05)
+        )
+    rows.sort()
+    return _values_literal(
+        rows,
+        [
+            ("doc_id", "BIGINT"),
+            ("raw_bytes", "BIGINT"),
+            ("zlib_bytes", "BIGINT"),
+            ("ratio", "DOUBLE"),
+            ("passes", "BOOLEAN"),
+        ],
+    )
+
+
 STAGED_ORACLES: dict[str, object] = {
     # round 6 (late session)
     "ann_hamming_topk": _hamming_oracle_sql(),
     "search_maxsim": _maxsim_oracle_sql(),
     "token_count_unigram": _token_count_unigram_oracle,
+    "text_compression": _text_compression_oracle,
     # round 6
     "dedup_survivor_quality": _survivor_quality_oracle_sql(),
     "ann_kmeans_full": _kmeans_full_oracle,

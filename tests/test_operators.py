@@ -3325,3 +3325,45 @@ def test_quality_classifier_keep_margin(spark, sf_dir):
         .first()[0]
     )
     assert m >= 1e-6, f"keep margin {m} too small for cross-engine hashing"
+
+
+def test_compression_stats_and_flags(spark):
+    """Arrow-batched zlib sizes match driver-side zlib exactly;
+    repetitive boilerplate compresses far below prose and fails the
+    min_ratio gate; empty/null text fails."""
+    import zlib
+
+    from letsearch_spark.functions.text import (
+        compression_flags,
+        compression_stats,
+    )
+
+    prose = (
+        "the quick brown fox jumps over the lazy dog while a careful "
+        "reader notes every unusual word in this otherwise plain text"
+    )
+    rows = [(1, prose), (2, "spam spam spam " * 60), (3, ""), (4, None)]
+    df = spark.createDataFrame(rows, "id long, text string")
+    stats = compression_stats(F.col("text"))
+    out = {
+        r["id"]: r
+        for r in df.select(
+            "id", *[v.alias(k) for k, v in stats.items()]
+        ).collect()
+    }
+    for i, t in rows:
+        raw = len(t.encode("utf-8")) if isinstance(t, str) else 0
+        assert out[i]["raw_bytes"] == raw
+        if raw:
+            assert out[i]["zlib_bytes"] == len(zlib.compress(t.encode(), 6))
+        else:
+            assert out[i]["zlib_bytes"] == 0
+            assert out[i]["compression_ratio"] == 0.0
+    assert out[2]["compression_ratio"] < 0.2 < out[1]["compression_ratio"]
+
+    flags = compression_flags(F.col("text"), min_ratio=0.3)
+    got = {
+        r["id"]: r["p"]
+        for r in df.select("id", flags["passes"].alias("p")).collect()
+    }
+    assert got == {1: True, 2: False, 3: False, 4: False}

@@ -825,3 +825,28 @@ def test_workdir_resume_restores_decon_method(spark, tmp_path):
     assert a2["resumed"] == ["decontaminate"]
     assert a2["decontaminate_method"] == "bloom"
     assert a2["decontaminate"] == a1["decontaminate"]
+
+
+def test_pipeline_compression_stage(spark, sf_dir):
+    """Optional compression stage: the planted boilerplate doc (zlib
+    ratio near zero) drops, the word-salad corpus survives, and the
+    audit records the stage."""
+    from letsearch_spark.pipeline import PrepConfig, prepare_training_data
+
+    base = _docs(spark, sf_dir).select("doc_id", "text").limit(60)
+    junk = spark.createDataFrame(
+        [(100001, "click here buy now " * 150)], "doc_id long, text string"
+    )
+    docs = base.unionByName(junk)
+    cfg = PrepConfig(
+        quality=None,
+        fuzzy_dedup=None,
+        # max_ratio raised past the default: zlib's fixed header makes
+        # very short docs (present in the synthetic corpus) exceed 1.05
+        compression={"min_ratio": 0.2, "max_ratio": 1.2},
+        seq_len=256,
+        num_shards=2,
+    )
+    clean, layout, audit = prepare_training_data(docs, cfg)
+    assert audit["compression"] == audit["input"] - 1
+    assert clean.where(F.col("doc_id") == 100001).count() == 0
