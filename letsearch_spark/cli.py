@@ -93,6 +93,16 @@ def cmd_compact(args) -> int:
     return 0
 
 
+def cmd_delete(args) -> int:
+    from letsearch_spark.collection import Collection
+
+    spark = _spark(args)
+    coll = Collection.load(spark, _home(args), args.collection)
+    n = coll.delete_where(args.where)
+    print(f"deleted: {n}")
+    return 0
+
+
 def cmd_search(args) -> int:
     from letsearch_spark.collection import Collection
 
@@ -332,6 +342,16 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--rows-per-file", type=int, default=1_000_000)
     s.set_defaults(fn=cmd_compact)
 
+    s = sub.add_parser(
+        "delete", help="hard-delete documents (and their vectors) by predicate"
+    )
+    s.add_argument("collection")
+    s.add_argument(
+        "--where", required=True,
+        help="Spark SQL predicate over the docs table, e.g. \"author = 'x'\"",
+    )
+    s.set_defaults(fn=cmd_delete)
+
     s = sub.add_parser("search", help="top-k semantic search")
     s.add_argument("--collection", default="default")
     s.add_argument("--column", default="text")
@@ -342,7 +362,7 @@ def build_parser() -> argparse.ArgumentParser:
         default="join",
         choices=[
             "auto", "join", "inlist", "local", "lsh", "ivf", "hybrid",
-            "local_hybrid", "pq", "ivf_pq",
+            "local_hybrid", "pq", "ivf_pq", "hamming",
         ],
         help="serving strategy (see Collection.search); 'auto' picks "
         "from the indexed size via the measured crossovers",

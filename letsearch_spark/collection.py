@@ -541,6 +541,51 @@ class Collection:
         self._invalidate_cache(drop_index_meta=False)
         return out
 
+    def delete_where(self, predicate: str) -> int:
+        """Hard delete (the GDPR / right-to-be-forgotten shape): remove
+        every document matching the Spark-SQL ``predicate`` plus its
+        embeddings for every indexed column. Returns documents removed.
+
+        Parquet is immutable, so deletion is a staged rewrite of both
+        tables minus the matching rows, published through the same
+        crash-safe rename-aside swap as :meth:`compact`. Survivor keys
+        are NOT reassigned -- the dense-key space keeps its gaps so
+        nothing downstream re-keys. The docs rewrite is scan-only
+        (predicate negation, no join); the embeddings rewrite anti-joins
+        on the deleted key set. On-disk ANN indexes are dropped (a
+        deleted vector must not remain probeable), so the next indexed
+        search rebuilds -- the honest cost of hard deletion on immutable
+        storage; batch deletions into one call.
+        """
+        docs = self.docs()
+        pred = F.expr(predicate)
+        doomed = docs.where(pred).select(KEY_COL)
+        n_del = doomed.count()
+        if n_del == 0:
+            return 0
+        # NULL predicate rows are survivors (match means TRUE only)
+        remaining = docs.where(~F.coalesce(pred, F.lit(False)))
+        staged = self.docs_path + ".delete"
+        remaining.write.mode("overwrite").parquet(staged)
+        if self._has_embeddings():
+            emb = self.spark.read.parquet(self.embeddings_path)
+            kept = emb.join(doomed, KEY_COL, "left_anti")
+            estaged = self.embeddings_path + ".delete"
+            (
+                kept.write.mode("overwrite")
+                .partitionBy("column_name")
+                .parquet(estaged)
+            )
+            # docs first: a crash between the two swaps leaves orphan
+            # embeddings (harmless -- serving joins back to docs), never
+            # documents whose vectors were already purged
+            self._fs_replace(staged, self.docs_path)
+            self._fs_replace(estaged, self.embeddings_path)
+        else:
+            self._fs_replace(staged, self.docs_path)
+        self._invalidate_cache()  # drops serve caches + ANN index meta
+        return n_del
+
     def _fs_replace(self, src: str, dest: str) -> None:
         """Swap ``src`` into ``dest``'s place (staged table swap;
         single-writer, like every other write here).

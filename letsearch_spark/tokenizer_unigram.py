@@ -563,6 +563,51 @@ def token_count_exact_unigram(
     )
 
 
+def encode_ids_column_unigram(
+    df: DataFrame,
+    text_col: str,
+    model: UnigramModel,
+    out_col: str = "token_ids",
+    unk_id: int = -1,
+) -> DataFrame:
+    """Add an ``array<int>`` column of unigram piece IDS (positions in
+    ``model.vocab``, i.e. piece-ascending order) -- the trainer-facing
+    egress, mirroring tokenizer.encode_ids_column. Unknown single-char
+    fallback pieces map to ``unk_id`` (default -1, distinguishable so a
+    caller can remap or assert none exist)."""
+    segment = _make_viterbi_kernel(model.max_piece_len, model.unk_logp)
+    items = list(model.pieces)
+    vocab_ids = {p: i for i, (p, _) in enumerate(model.pieces)}
+
+    @F.pandas_udf("array<int>")
+    def _ids(s: pd.Series) -> pd.Series:
+        import re as _re
+
+        ws = _re.compile(r"[ \t\n\x0b\f\r]+")  # Java-\s parity
+        logp = dict(items)
+        memo: dict[str, list[int]] = {}
+
+        def enc(text) -> list[int]:
+            if not isinstance(text, str):
+                return []
+            out: list[int] = []
+            for w in ws.split(text):
+                if not w:
+                    continue
+                hit = memo.get(w)
+                if hit is None:
+                    hit = [
+                        vocab_ids.get(p, unk_id) for p in segment(w, logp)
+                    ]
+                    memo[w] = hit
+                out.extend(hit)
+            return out
+
+        return s.map(enc)
+
+    return df.withColumn(out_col, _ids(F.col(text_col)))
+
+
 def tokenize_column_unigram(
     df: DataFrame,
     text_col: str,

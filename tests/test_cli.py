@@ -235,3 +235,36 @@ def test_cli_diff(spark, sf_dir, tmp_path, capsys):
     led = spark.read.parquet(ledger)
     assert led.count() == n
     assert set(led.columns) == {"doc_id", "status"}
+
+
+def test_cli_delete(spark, sf_dir, tmp_path, capsys):
+    """delete --where hard-removes matching docs (count printed); the
+    survivors still serve."""
+    from letsearch_spark.cli import cmd_delete, cmd_index, cmd_search
+
+    home = str(tmp_path / "home")
+    p = build_parser()
+    a = p.parse_args(
+        [
+            "--home", home, "--master", "local[4]",
+            "index", "--collection", "cdel",
+            "--files", os.path.join(sf_dir, "documents.parquet"),
+        ]
+    )
+    assert cmd_index(a) == 0
+    capsys.readouterr()
+
+    a = p.parse_args(
+        ["--home", home, "delete", "cdel", "--where", "doc_id < 10"]
+    )
+    assert cmd_delete(a) == 0
+    assert "deleted: 10" in capsys.readouterr().out
+
+    a = p.parse_args(
+        [
+            "--home", home, "search", "--collection", "cdel",
+            "--query", "spark join", "--limit", "3",
+        ]
+    )
+    assert cmd_search(a) == 0
+    assert capsys.readouterr().out.strip()

@@ -1431,3 +1431,42 @@ def test_search_many_pq_matches_per_query(coll):
 
     with pytest.raises(ValueError, match="where"):
         coll.search_many("text", qs, limit=5, strategy="pq", where="_key > 1")
+
+
+def test_delete_where_removes_docs_and_vectors(spark, tmp_path, sf_dir):
+    """delete_where: matching docs AND their embeddings disappear,
+    survivor keys stay stable (no re-keying), deleted docs stop being
+    servable even as exact-match queries, predicate-NULL rows survive,
+    and a no-match delete is a no-op."""
+    import os
+
+    from letsearch_spark.collection import Collection
+
+    c = Collection.create(
+        spark, str(tmp_path), name="del", model_name="stub://16"
+    )
+    c.import_parquet(os.path.join(sf_dir, "documents.parquet"))
+    c.embed_column("text")
+    n0 = c.count()
+    victim = c.docs().orderBy("_key").first()
+    keys_before = {r["_key"] for r in c.docs().select("_key").collect()}
+
+    n = c.delete_where(f"_key = {victim['_key']} OR doc_id >= 495")
+    assert n == 6
+    assert c.count() == n0 - 6
+    keys_after = {r["_key"] for r in c.docs().select("_key").collect()}
+    # survivors keep their ORIGINAL keys (no re-keying), only doomed gone
+    assert keys_after < keys_before
+    assert len(keys_before - keys_after) == 6
+    assert victim["_key"] not in keys_after
+    # embeddings purged with the docs
+    emb_keys = {r["_key"] for r in c.embeddings("text").select("_key").collect()}
+    assert emb_keys == keys_after
+    # the deleted document is no longer findable, even verbatim
+    hits = c.search("text", victim["text"], limit=5).collect()
+    assert all(h["key"] != victim["_key"] for h in hits)
+
+    # NULL-predicate rows survive (lang IS NULL nowhere here, but a
+    # predicate over a nullable comparison must not delete NULL rows)
+    assert c.delete_where("lang = 'no-such-lang'") == 0
+    assert c.count() == n0 - 6

@@ -120,3 +120,22 @@ def test_validation(spark, sf_dir):
     empty = spark.createDataFrame([(1, " ")], "doc_id long, text string")
     with pytest.raises(ValueError):
         train_unigram(empty, "text", vocab_size=10)
+
+
+def test_encode_ids_column_roundtrip(spark, sf_dir):
+    """IDs index model.vocab; mapping ids back to pieces reproduces the
+    string tokenization exactly; unseen chars surface as unk_id."""
+    from letsearch_spark.tokenizer_unigram import encode_ids_column_unigram
+
+    docs = _docs(spark, sf_dir, n=20)
+    model = train_unigram(docs, "text", vocab_size=100)
+    vocab = model.vocab
+    out = encode_ids_column_unigram(docs, "text", model).collect()
+    for r in out:
+        pieces = [vocab[i] for i in r["token_ids"]]
+        assert pieces == model.encode(r["text"] or "")
+        assert all(i >= 0 for i in r["token_ids"])
+
+    weird = spark.createDataFrame([(1, "ab 日x")], "doc_id long, text string")
+    ids = encode_ids_column_unigram(weird, "text", model).first()["token_ids"]
+    assert -1 in ids  # the unseen CJK char falls back to unk_id

@@ -533,6 +533,78 @@ def main() -> None:
                 ),
             )
 
+        # round-6 late ops. hamming: the signature build is one scan;
+        # a query is bit-math TakeOrdered (candidates only leave the
+        # scan) + a 100-row broadcast rescore -- cost must track rows
+        # with a tiny constant, sitting well under the float matmul
+        if only is None or "hamming_topk" in only:
+            from letsearch_spark.operators.hamming import (
+                build_signbit_index,
+                hamming_topk,
+            )
+
+            sig = build_signbit_index(
+                emb, dim=64, vec_col="vector", key_col="_key"
+            ).cache()
+            sig.count()
+            qv = emb.where(F.col("_key") == 0).select("vector").collect()[0][0]
+            timeit(
+                "hamming_topk",
+                lambda: hamming_topk(
+                    sig, emb, qv, k=10, rescore=100, key_col="_key",
+                    vec_col="vector",
+                ).count(),
+            )
+            sig.unpersist()
+
+        # maxsim: one partial-aggregated groupBy of per-qvec maxes over
+        # a fixed 1000-group space -- growth absorbed map-side, cost
+        # tracks vector bytes like mean_pool
+        if only is None or "maxsim" in only:
+            from letsearch_spark.operators.pool import maxsim_topk
+
+            qs = [
+                r["vector"]
+                for r in emb.where(F.col("_key") < 3).orderBy("_key").collect()
+            ]
+            grouped = emb.withColumn("doc", F.col("_key") % 1000)
+            timeit(
+                "maxsim",
+                lambda: maxsim_topk(
+                    grouped, qs, k=10, group_col="doc", vec_col="vector"
+                ).count(),
+            )
+
+        # unigram training: the word-type table grows linearly under
+        # the per-copy salting (the worst case for an uncapped
+        # trainer); each E-step is one mapInPandas pass + one integer
+        # groupBy, so cost must track types, never corpus text volume
+        if only is None or "unigram_train" in only:
+            from letsearch_spark.tokenizer_unigram import train_unigram
+
+            timeit(
+                "unigram_train",
+                lambda: len(
+                    train_unigram(
+                        docs, "text", vocab_size=150, seed_size=450,
+                        em_iters=1,
+                    ).pieces
+                ),
+            )
+
+        # zlib compression signal: one Arrow pass, zero shuffles --
+        # must track bytes
+        if only is None or "compression" in only:
+            from letsearch_spark.functions.text import compression_stats
+
+            st = compression_stats(F.col("text"))
+            timeit(
+                "compression",
+                lambda: docs.select(
+                    st["compression_ratio"].alias("r")
+                ).where(F.col("r") > 0.2).count(),
+            )
+
         # incremental index maintenance: append a FIXED 200-vector
         # batch under frozen centroids vs a full rebuild of base+batch.
         # Append cost must track the BATCH (near-flat as the base
