@@ -42,6 +42,10 @@ class ChunkerConfig:
     # and saved with BpeModel.save -- exact counts with zero external
     # dependencies (mutually exclusive with tokenizer_path)
     bpe_path: str | None = None
+    # a unigram-LM model trained in-repo by
+    # letsearch_spark.tokenizer_unigram.train_unigram and saved with
+    # UnigramModel.save (mutually exclusive with the other two)
+    unigram_path: str | None = None
 
 
 class MarkdownChunker:
@@ -49,8 +53,23 @@ class MarkdownChunker:
         self.config = config or ChunkerConfig()
         self._tokenizer = None
         self._bpe = None
-        if self.config.tokenizer_path is not None and self.config.bpe_path is not None:
-            raise ValueError("set at most one of tokenizer_path / bpe_path")
+        self._unigram = None
+        n_set = sum(
+            p is not None
+            for p in (
+                self.config.tokenizer_path,
+                self.config.bpe_path,
+                self.config.unigram_path,
+            )
+        )
+        if n_set > 1:
+            raise ValueError(
+                "set at most one of tokenizer_path / bpe_path / unigram_path"
+            )
+        if self.config.unigram_path is not None:
+            from letsearch_spark.tokenizer_unigram import UnigramModel
+
+            self._unigram = UnigramModel.load_cached(self.config.unigram_path)
         if self.config.bpe_path is not None:
             from letsearch_spark.tokenizer import BpeModel
 
@@ -96,6 +115,8 @@ class MarkdownChunker:
             return len(self._tokenizer.encode(text).ids)
         if self._bpe is not None:
             return self._bpe.token_count(text)
+        if self._unigram is not None:
+            return self._unigram.token_count(text)
         words = len(text.split())
         return math.ceil(words * 1.3)
 

@@ -140,14 +140,35 @@ def cmd_serve(args) -> int:
 
 
 def cmd_train_tokenizer(args) -> int:
-    """Train a BPE model on a collection column and save it as JSON --
-    the file plugs into ChunkerConfig(bpe_path=...) for exact chunk
-    budgets and into token_count_exact for packing."""
+    """Train a tokenizer on a collection column and save it as JSON.
+    --type bpe (default) plugs into ChunkerConfig(bpe_path=...) /
+    token_count_exact; --type unigram (SentencePiece-style distributed
+    EM) plugs into ChunkerConfig(unigram_path=...) /
+    token_count_exact_unigram."""
     from letsearch_spark.collection import Collection
-    from letsearch_spark.tokenizer import train_bpe
 
     spark = _spark(args)
     coll = Collection.load(spark, _home(args), args.collection)
+    if args.type == "unigram":
+        from letsearch_spark.tokenizer_unigram import train_unigram
+
+        model = train_unigram(
+            coll.docs(), args.column, vocab_size=args.vocab_size
+        )
+        model.save(args.out)
+        print(
+            json.dumps(
+                {
+                    "out": args.out,
+                    "type": "unigram",
+                    "vocab": len(model.vocab),
+                    "word_types": model.word_types,
+                }
+            )
+        )
+        return 0
+    from letsearch_spark.tokenizer import train_bpe
+
     model = train_bpe(
         coll.docs(),
         args.column,
@@ -160,6 +181,7 @@ def cmd_train_tokenizer(args) -> int:
         json.dumps(
             {
                 "out": args.out,
+                "type": "bpe",
                 "merges": len(model.merges),
                 "vocab": len(model.vocab),
                 "word_types": model.word_types,
@@ -386,10 +408,12 @@ def build_parser() -> argparse.ArgumentParser:
     s.set_defaults(fn=cmd_serve)
 
     s = sub.add_parser(
-        "train-tokenizer", help="train a BPE tokenizer on a collection column"
+        "train-tokenizer",
+        help="train a BPE or unigram tokenizer on a collection column",
     )
     s.add_argument("--collection", default="default")
     s.add_argument("--column", default="text")
+    s.add_argument("--type", default="bpe", choices=["bpe", "unigram"])
     s.add_argument("--vocab-size", type=int, default=8000)
     s.add_argument("--max-word-types", type=int, default=1_000_000)
     s.add_argument("--min-count", type=int, default=1)

@@ -257,6 +257,22 @@ class UnigramModel:
             word_types=int(d["word_types"]),
         )
 
+    @classmethod
+    def load_cached(cls, path: str) -> "UnigramModel":
+        """Per-process model cache (same contract as
+        BpeModel.load_cached): Arrow-batched consumers construct helpers
+        per batch, so a bare load() would re-parse the piece table and
+        cold-start the segment cache every few thousand rows. Keyed by
+        path only."""
+        hit = _LOAD_CACHE.get(path)
+        if hit is None:
+            hit = cls.load(path)
+            _LOAD_CACHE[path] = hit
+        return hit
+
+
+_LOAD_CACHE: dict[str, "UnigramModel"] = {}
+
 
 # ---------------- shared trainer core (driver-side arithmetic) --------
 

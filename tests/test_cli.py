@@ -138,6 +138,23 @@ def test_cli_train_tokenizer(spark, sf_dir, tmp_path, capsys):
     assert len(model.merges) == report["merges"]
     assert model.token_count("spark join batch") > 0
 
+    # --type unigram routes to the distributed-EM trainer
+    from letsearch_spark.tokenizer_unigram import UnigramModel
+
+    uni_path = str(tmp_path / "unigram.json")
+    a = p.parse_args(
+        [
+            "--home", home, "--master", "local[4]",
+            "train-tokenizer", "--collection", "tok",
+            "--type", "unigram", "--vocab-size", "150", "--out", uni_path,
+        ]
+    )
+    assert cmd_train_tokenizer(a) == 0
+    ureport = json.loads(capsys.readouterr().out.strip())
+    assert ureport["type"] == "unigram" and ureport["vocab"] > 0
+    umodel = UnigramModel.load(uni_path)
+    assert umodel.token_count("spark join batch") > 0
+
 
 def test_cli_prep(spark, sf_dir, tmp_path, capsys):
     """prep runs the config-driven pipeline end-to-end: DataFrame knobs

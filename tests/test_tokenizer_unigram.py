@@ -139,3 +139,45 @@ def test_encode_ids_column_roundtrip(spark, sf_dir):
     weird = spark.createDataFrame([(1, "ab 日x")], "doc_id long, text string")
     ids = encode_ids_column_unigram(weird, "text", model).first()["token_ids"]
     assert -1 in ids  # the unseen CJK char falls back to unk_id
+
+
+def test_chunker_unigram_mode(spark, sf_dir, tmp_path):
+    """ChunkerConfig.unigram_path drives T4 counting with the trained
+    unigram model: boundaries respect the exact Viterbi budget, and
+    combining tokenizer sources is rejected."""
+    from letsearch_spark.chunker import (
+        ChunkerConfig,
+        MarkdownChunker,
+        chunk_column,
+    )
+
+    docs = _docs(spark, sf_dir, n=30)
+    model = train_unigram(docs, "text", vocab_size=100)
+    p = str(tmp_path / "unigram.json")
+    model.save(p)
+
+    with pytest.raises(ValueError, match="at most one"):
+        MarkdownChunker(ChunkerConfig(bpe_path="x", unigram_path=p))
+    with pytest.raises(ValueError, match="at most one"):
+        MarkdownChunker(ChunkerConfig(tokenizer_path="x", unigram_path=p))
+
+    text = " ".join(
+        w for r in docs.limit(4).collect() for w in split_text(r["text"] or "")
+    )
+    budget = max(4, model.token_count(text) // 6)
+    cfg = ChunkerConfig(max_tokens=budget, overlap_tokens=0, unigram_path=p)
+    ck = MarkdownChunker(cfg)
+    assert ck.count_tokens("customer query") == model.token_count(
+        "customer query"
+    )
+    chunks = ck.chunk(text)
+    assert len(chunks) > 1
+    for c in chunks:
+        assert model.token_count(c) <= budget
+    assert " ".join(chunks).split() == text.split()  # nothing lost
+
+    dd = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    rows = chunk_column(dd, "text", cfg).collect()
+    assert [
+        r["chunk"] for r in sorted(rows, key=lambda r: r["chunk_idx"])
+    ] == chunks
