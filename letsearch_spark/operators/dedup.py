@@ -634,7 +634,9 @@ def connected_components(
     banding are near-cliques (diameter 2-3), so 3-4 shuffle rounds in
     practice, each round one join + one groupBy on the *pair* table only
     (nodes outside any pair never enter the loop). Convergence is
-    detected by the monotonically-decreasing sum of labels;
+    detected exactly -- a join of the new label table against the old
+    finds any node whose label still moved (type-agnostic: ids may be
+    long, string, ...; the old sum-of-labels check required numerics);
     `localCheckpoint` truncates the growing lineage each round
     (essential for iterative Spark plans).
 
@@ -664,23 +666,34 @@ def connected_components(
         .withColumn("label", F.col("id"))
         .localCheckpoint()
     )
-    prev_sum = labels.agg(F.sum("label")).first()[0]
     converged = False
     for _ in range(max_iter):
         neighbor = edges.join(
             labels.withColumnRenamed("id", "src"), "src"
         ).select(F.col("dst").alias("id"), "label")
-        labels = (
+        new_labels = (
             labels.union(neighbor)
             .groupBy("id")
             .agg(F.min("label").alias("label"))
             .localCheckpoint()
         )
-        cur_sum = labels.agg(F.sum("label")).first()[0]
-        if cur_sum == prev_sum:
+        # exact, type-agnostic fixed-point check (the old sum(label)
+        # convergence cast string ids to double and failed analysis):
+        # any node whose label still moved means another round. Same
+        # per-round job count as the sum -- one action over the
+        # pair-member-sized label table.
+        changed = (
+            new_labels.join(
+                labels.withColumnRenamed("label", "_prev"), "id"
+            )
+            .where(~F.col("label").eqNullSafe(F.col("_prev")))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
             converged = True
             break
-        prev_sum = cur_sum
     edges.unpersist()
     if not converged:
         # a silently-unconverged result would hand back WRONG labels;
@@ -835,14 +848,19 @@ def dedup_keep_best(
 
     ``score_col`` is any per-doc quality signal already in ``docs``
     (char count, classifier score, perplexity negated...). Null scores
-    lose to any non-null score (coalesced to -inf).
+    lose to any non-null score (coalesced to -inf). ``id_col`` may be
+    any orderable type (long, string, ...) -- the tie-break is the
+    column's natural MIN, not numeric negation. Pair ids absent from
+    ``docs`` have no score and are dropped (the pairs table is expected
+    to be derived FROM ``docs``; feed the same frame to both).
 
     Scale shape: components run over PAIR MEMBERS only (the dup subset,
     not the corpus); the score join and the per-component argmax touch
-    only that subset, and the argmax is ``max_by`` over a (score, -id)
-    struct -- a real aggregate with map-side partials, so a mega-cluster
-    never single-tasks. The corpus-sized step is one hash-only
-    left-anti join that emits singletons as their own survivors.
+    only that subset, and the argmax is two real aggregates with
+    map-side partials (max score per component, then min id among the
+    max-score members), so a mega-cluster never single-tasks. The
+    corpus-sized step is one hash-only left-anti join that emits
+    singletons as their own survivors.
     """
     comp = connected_components(
         pairs, nodes=None, max_iter=max_iter, algorithm=algorithm
@@ -853,10 +871,18 @@ def dedup_keep_best(
             "_score"
         ),
     )
-    scored = comp.join(scores, "id").withColumn(
-        "_ord", F.struct(F.col("_score"), (-F.col("id")).cast("long").alias("_neg"))
+    scored = comp.join(scores, "id")
+    # argmax as two partial-aggregable steps, type-agnostic in id:
+    # max score per component, then the smallest id at that score
+    best_score = scored.groupBy("component").agg(
+        F.max("_score").alias("_best_score")
     )
-    best = scored.groupBy("component").agg(F.max_by("id", "_ord").alias("_best"))
+    best = (
+        scored.join(best_score, "component")
+        .where(F.col("_score") == F.col("_best_score"))
+        .groupBy("component")
+        .agg(F.min("id").alias("_best"))
+    )
     dup_rows = scored.join(best, "component").select(
         "id", "component", (F.col("id") == F.col("_best")).alias("is_kept")
     )

@@ -175,6 +175,15 @@ def _pool_pandas(
 
     def pool(pdf: pd.DataFrame) -> pd.DataFrame:
         vecs = pdf[vec_col].dropna()
+        if not len(vecs):
+            # all-null group: emit nothing, matching method='explode'
+            # (which drops such groups at the explode); without this
+            # guard mean(axis=0) of an empty array returns a scalar NaN
+            # (schema mismatch) and exact_units divides by zero
+            empty = {c: pd.Series([], dtype=pdf[c].dtype) for c in group_cols}
+            empty[out_col] = pd.Series([], dtype=object)
+            empty["n_vecs"] = pd.Series([], dtype="int64")
+            return pd.DataFrame(empty)
         x = np.array(vecs.tolist(), dtype=np.float64)
         if units is not None:
             # mirror the fixed-point path: away-from-zero half rounding

@@ -306,7 +306,37 @@ def prepare_training_data(
     import hashlib
     import json as _json
 
-    _chain_fp = [hashlib.md5(str(audit["input"]).encode()).hexdigest()]
+    # fp_0 covers row count + key/text column NAMES + (workdir only) a
+    # content signature over the keys and a 128-byte text prefix crc --
+    # so a same-row-count but content-changed corpus, or the same corpus
+    # re-run with renamed key/text columns, cannot silently load stale
+    # stage parquet. The signature is one column-pruned agg (keys +
+    # text prefixes), paid only when checkpoints are in play. Residual
+    # hazard: edits past byte 128 of a document with an unchanged key
+    # set still collide; the workdir is a cache keyed by THIS
+    # fingerprint, wipe it when in doubt.
+    _fp0: dict = {
+        "rows": audit["input"],
+        "key_col": key,
+        "text_col": text,
+    }
+    if cfg.workdir is not None:
+        _sig = docs.agg(
+            F.sum(F.crc32(F.col(key).cast("string"))).alias("ksum"),
+            F.min(F.col(key).cast("string")).alias("kmin"),
+            F.max(F.col(key).cast("string")).alias("kmax"),
+            F.sum(
+                F.crc32(F.substring(F.col(text).cast("string"), 1, 128))
+            ).alias("tsum"),
+        ).first()
+        _fp0["content_sig"] = [
+            _sig["ksum"], _sig["kmin"], _sig["kmax"], _sig["tsum"],
+        ]
+    _chain_fp = [
+        hashlib.md5(
+            _json.dumps(_fp0, default=str, sort_keys=True).encode()
+        ).hexdigest()
+    ]
     resumed: list[str] = []
 
     def _fp_value(o):

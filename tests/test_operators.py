@@ -323,6 +323,41 @@ def test_dedup_keep_best_quality_survivors(spark):
     assert rows[20] == (20, True)
 
 
+def test_dedup_keep_best_string_ids(spark):
+    """ADVICE r6: the tie-break must work for any orderable id type,
+    not just numerics (the old (-id).cast('long') failed analysis on
+    string ids)."""
+    from letsearch_spark.operators.dedup import dedup_keep_best
+
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y")], "id_a string, id_b string"
+    )
+    docs = spark.createDataFrame(
+        [("a", 1.0), ("b", 3.0), ("c", 3.0), ("x", 2.0), ("y", 2.0), ("solo", 9.0)],
+        "doc_id string, score double",
+    )
+    keep = dedup_keep_best(docs, pairs, "doc_id", "score")
+    kept = sorted(r["id"] for r in keep.collect() if r["is_kept"])
+    # a-b-c: max score 3.0 shared by b,c -> min id 'b'; x-y tied -> 'x'
+    assert kept == ["b", "solo", "x"]
+
+
+def test_mean_pool_all_null_group_methods_agree(spark):
+    """ADVICE r6: a group whose vectors are ALL null must be dropped by
+    BOTH methods (the pandas path used to emit a scalar-NaN schema
+    mismatch / divide by zero)."""
+    from letsearch_spark.operators.pool import mean_pool_vectors
+
+    df = spark.createDataFrame(
+        [("a", [1.0, 2.0]), ("dead", None), ("dead", None)],
+        "g string, v array<double>",
+    )
+    for kwargs in ({}, {"exact_units": 10**6}):
+        for method in ("explode", "pandas"):
+            rows = mean_pool_vectors(df, "g", "v", method=method, **kwargs).collect()
+            assert [r["g"] for r in rows] == ["a"], (method, kwargs)
+
+
 def test_asof_join_directions_tolerance(spark):
     import datetime as dt
 

@@ -787,6 +787,52 @@ def test_workdir_resume(spark, sf_dir, tmp_path):
     assert audit4["resumed"] == []
 
 
+def test_workdir_fingerprint_covers_content_and_columns(spark, tmp_path):
+    """ADVICE r6: fp_0 must cover more than the row count -- a
+    same-row-count but content-changed corpus, or renamed key/text
+    columns, must NOT load stale stage parquet."""
+    import dataclasses
+
+    from letsearch_spark.pipeline import PrepConfig, prepare_training_data
+
+    texts = [
+        (i, f"document {i} has plenty of ordinary words " * 6) for i in range(30)
+    ]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    cfg = PrepConfig(
+        quality={"min_words": 10},
+        fuzzy_dedup=None,
+        seq_len=128,
+        num_shards=2,
+        workdir=str(tmp_path / "wd"),
+    )
+    _, _, a1 = prepare_training_data(docs, cfg)
+    assert a1["resumed"] == []
+
+    # the unchanged corpus resumes (the signature is stable)
+    _, _, a1b = prepare_training_data(docs, cfg)
+    assert a1b["resumed"] == ["quality_filter", "line_dedup"]
+
+    # same count, different keys -> full recompute
+    docs_shift = docs.withColumn("doc_id", F.col("doc_id") + 1000)
+    _, _, a2 = prepare_training_data(docs_shift, cfg)
+    assert a2["resumed"] == []
+
+    # same count, same keys, different text (within the first 128
+    # bytes) -> full recompute
+    docs_edit = docs.withColumn(
+        "text", F.concat(F.lit("EDITED "), F.col("text"))
+    )
+    _, _, a3 = prepare_training_data(docs_edit, cfg)
+    assert a3["resumed"] == []
+
+    # renamed key/text columns over identical data -> full recompute
+    renamed = docs.withColumnsRenamed({"doc_id": "k", "text": "body"})
+    cfg_r = dataclasses.replace(cfg, key_col="k", text_col="body")
+    _, _, a4 = prepare_training_data(renamed, cfg_r)
+    assert a4["resumed"] == []
+
+
 def test_workdir_resume_restores_decon_method(spark, tmp_path):
     """The auto-chosen decontamination method is part of the audit; a
     resumed run must restore it from the stage marker instead of
