@@ -98,7 +98,9 @@ def cmd_delete(args) -> int:
 
     spark = _spark(args)
     coll = Collection.load(spark, _home(args), args.collection)
-    n = coll.delete_where(args.where)
+    n = coll.delete_where(
+        args.where, mode="purge" if getattr(args, "purge", False) else "tombstone"
+    )
     print(f"deleted: {n}")
     return 0
 
@@ -365,12 +367,17 @@ def build_parser() -> argparse.ArgumentParser:
     s.set_defaults(fn=cmd_compact)
 
     s = sub.add_parser(
-        "delete", help="hard-delete documents (and their vectors) by predicate"
+        "delete", help="delete documents (and their vectors) by predicate"
     )
     s.add_argument("collection")
     s.add_argument(
         "--where", required=True,
         help="Spark SQL predicate over the docs table, e.g. \"author = 'x'\"",
+    )
+    s.add_argument(
+        "--purge", action="store_true",
+        help="physically rewrite the tables now (default: O(matches) "
+        "deletion-vector write; bytes leave disk at the next compact)",
     )
     s.set_defaults(fn=cmd_delete)
 

@@ -199,6 +199,9 @@ class Collection:
         # per-column serve-view row counts backing the auto policy;
         # cleared on writes
         self._col_rows: dict[str, int] = {}
+        # tri-state tombstone-existence probe cache (None = re-check the
+        # FS on next read); cleared on writes
+        self._tomb_flag: bool | None = None
 
     # ---- paths ----
 
@@ -213,6 +216,14 @@ class Collection:
     @property
     def embeddings_path(self) -> str:
         return os.path.join(self.home, "embeddings")
+
+    @property
+    def tombstones_path(self) -> str:
+        """Deletion-vector sidecar: a (``_key``) parquet of deleted keys.
+        ``delete_where(mode='tombstone')`` appends here in O(matches);
+        every read surface anti-joins it until :meth:`compact` or
+        ``mode='purge'`` physically applies and clears it."""
+        return os.path.join(self.home, "tombstones")
 
     @property
     def config_path(self) -> str:
@@ -256,18 +267,42 @@ class Collection:
     # ---- document table ----
 
     def docs(self) -> DataFrame:
-        """Docs-table DataFrame. The analyzed plan (including the
-        parquet file listing) is cached: serving paths reference it per
-        query, and rebuilding it each time costs ~80 ms of py4j +
-        analysis round-trips (measured in the search_topk_pq A/B).
-        Every write path runs ``_invalidate_cache``, which drops this
-        along with the serve caches, so appended files are never
+        """LIVE docs-table DataFrame: the raw parquet minus any
+        tombstoned keys (deletion vectors -- see :meth:`delete_where`).
+        The analyzed plan (including the parquet file listing) is
+        cached: serving paths reference it per query, and rebuilding it
+        each time costs ~80 ms of py4j + analysis round-trips (measured
+        in the search_topk_pq A/B). Every write path runs
+        ``_invalidate_cache``, which drops this along with the serve
+        caches, so appended files (and new tombstones) are never
         missed."""
         df = getattr(self, "_docs_df", None)
         if df is None:
-            df = self.spark.read.parquet(self.docs_path)
+            df = self._docs_raw()
+            tomb = self._tombstones()
+            if tomb is not None:
+                df = df.join(F.broadcast(tomb), KEY_COL, "left_anti")
             self._docs_df = df
         return df
+
+    def _docs_raw(self) -> DataFrame:
+        """The physical docs table INCLUDING tombstoned rows. Only for
+        machinery that must see dead rows: key continuation (a
+        tombstoned key must never be reassigned while its embeddings
+        are still on disk) and the physical purge rewrites."""
+        return self.spark.read.parquet(self.docs_path)
+
+    def _tombstones(self) -> DataFrame | None:
+        """(``_key``) DataFrame of deleted keys, or None when the
+        collection has no pending deletions. The existence probe is one
+        Hadoop FS call, cached until a write invalidates it."""
+        flag = self._tomb_flag
+        if flag is None:
+            flag = self._fs_nonempty(self.tombstones_path)
+            self._tomb_flag = flag
+        if not flag:
+            return None
+        return self.spark.read.parquet(self.tombstones_path).select(KEY_COL)
 
     def count(self) -> int:
         """Row count (P2). The reference's COUNT('<col>') literal-count quirk
@@ -288,6 +323,11 @@ class Collection:
         keyed.write.mode("overwrite").parquet(self.docs_path)
         self._invalidate_cache()
         self._fs_delete(self.embeddings_path)
+        # stale deletion vectors would hide the NEW corpus's keys, and
+        # old index partitions hold the replaced corpus's vectors
+        self._fs_delete(self.tombstones_path)
+        self._fs_delete(os.path.join(self.home, "ivf"))
+        self._fs_delete(os.path.join(self.home, "ivf_pq"))
         return self.count()
 
     def import_parquet(self, path: str) -> int:
@@ -346,7 +386,10 @@ class Collection:
             return keyed, n, True
         existing = self.docs()
         cols = [c for c in existing.columns if c != KEY_COL]
-        start = next_key_start(existing, KEY_COL)
+        # key continuation scans the RAW table: a tombstoned max key
+        # must stay reserved, or the new row would inherit the dead
+        # key's tombstone (and its still-on-disk embeddings)
+        start = next_key_start(self._docs_raw(), KEY_COL)
         # cast to the EXISTING column types: a bare lit(None) writes a
         # void-typed parquet column that the vectorized reader cannot
         # reconcile with the table's real type on a later scan, and a
@@ -506,9 +549,19 @@ class Collection:
         swap -- same single-writer contract as appends (no concurrent
         readers during the swap). Caches are invalidated. Returns the
         file count per table after compaction.
+
+        Compaction also APPLIES pending deletion vectors (see
+        :meth:`delete_where`): tombstoned rows are dropped from the
+        rewritten docs/embeddings tables, anti-joined out of any
+        on-disk index partitions, and the tombstone sidecar is cleared
+        -- this is the point where a tombstone delete becomes physical.
         """
         out: dict[str, int] = {}
-        docs = self.docs()
+        tomb = self._tombstones()
+        if tomb is not None:
+            # pin the doomed keys: their source file is deleted below
+            tomb = tomb.localCheckpoint()
+        docs = self.docs()  # live view: tombstones already excluded
         n = docs.count()
         p = max(1, -(-n // rows_per_file))
         staged = self.docs_path + ".compact"
@@ -523,6 +576,8 @@ class Collection:
 
         if self._has_embeddings():
             emb = self.spark.read.parquet(self.embeddings_path)
+            if tomb is not None:
+                emb = emb.join(F.broadcast(tomb), KEY_COL, "left_anti")
             m = emb.count()
             ep = max(1, -(-m // rows_per_file))
             staged = self.embeddings_path + ".compact"
@@ -536,40 +591,74 @@ class Collection:
             self._fs_replace(staged, self.embeddings_path)
             out["embeddings_files"] = self._fs_count_files(self.embeddings_path)
 
+        if tomb is not None:
+            # physical purge of the deletion backlog: index partitions
+            # lose the doomed keys (quantizers kept), sidecar cleared
+            self._purge_keys_from_indexes(tomb)
+            self._fs_delete(self.tombstones_path)
         # identical rows in fewer files: indexes stay valid, refresh
         # will report 'current'
         self._invalidate_cache(drop_index_meta=False)
         return out
 
-    def delete_where(self, predicate: str) -> int:
-        """Hard delete (the GDPR / right-to-be-forgotten shape): remove
-        every document matching the Spark-SQL ``predicate`` plus its
-        embeddings for every indexed column. Returns documents removed.
+    def delete_where(self, predicate: str, mode: str = "tombstone") -> int:
+        """Delete every document matching the Spark-SQL ``predicate``
+        plus its embeddings for every indexed column (the GDPR /
+        right-to-be-forgotten surface). Returns documents removed.
+        Survivor keys are NOT reassigned -- the dense-key space keeps
+        its gaps so nothing downstream re-keys -- and a tombstoned key
+        is never reused by a later append.
 
-        Parquet is immutable, so deletion is a staged rewrite of both
-        tables minus the matching rows, published through the same
-        crash-safe rename-aside swap as :meth:`compact`. Survivor keys
-        are NOT reassigned -- the dense-key space keeps its gaps so
-        nothing downstream re-keys. The docs rewrite is scan-only
-        (predicate negation, no join); the embeddings rewrite anti-joins
-        on the deleted key set. On-disk ANN indexes are dropped (a
-        deleted vector must not remain probeable), so the next indexed
-        search rebuilds -- the honest cost of hard deletion on immutable
-        storage; batch deletions into one call.
+        mode='tombstone' (default): write the matching keys to a
+        deletion-vector sidecar (``tombstones_path``) -- an O(matches)
+        write, NOT a rewrite of the corpus. Every read surface
+        (:meth:`docs`, :meth:`embeddings`, the serve views, the on-disk
+        IVF / IVF-PQ probes) anti-joins the tombstones, so deleted rows
+        are immediately unreachable; ANN indexes stay valid and are NOT
+        rebuilt (probes filter instead -- the index refresh machinery
+        treats tombstoned index keys as live-enough). The bytes persist
+        on disk until the next :meth:`compact` (which applies and
+        clears the tombstones) or a ``mode='purge'`` call -- the
+        deletion-vector design (Delta/Iceberg shape): at 100 TB a
+        single delete request must not rewrite the corpus.
+
+        mode='purge': immediate physical removal -- a staged rewrite of
+        the docs and embeddings tables minus the matching rows AND any
+        previously tombstoned rows, published through the same
+        crash-safe rename-aside swap as :meth:`compact`; on-disk
+        IVF/IVF-PQ index partitions are rewritten with the doomed keys
+        anti-joined out (no deleted vector is retained anywhere), while
+        the quantizer sidecars survive so the index stays current --
+        no forced rebuild. Batch purge deletions into one call.
         """
-        docs = self.docs()
+        if mode not in ("tombstone", "purge"):
+            raise ValueError(f"mode must be tombstone|purge, got {mode!r}")
+        docs = self.docs()  # live view: already-tombstoned rows can't re-match
         pred = F.expr(predicate)
         doomed = docs.where(pred).select(KEY_COL)
         n_del = doomed.count()
-        if n_del == 0:
+        prior = self._tombstones()
+        if n_del == 0 and (mode == "tombstone" or prior is None):
             return 0
-        # NULL predicate rows are survivors (match means TRUE only)
-        remaining = docs.where(~F.coalesce(pred, F.lit(False)))
+
+        if mode == "tombstone":
+            doomed.write.mode("append").parquet(self.tombstones_path)
+            # serve caches rebuild against the shrunken live view; the
+            # index quantizers stay (probes tombstone-filter instead)
+            self._invalidate_cache(drop_index_meta=False)
+            return n_del
+
+        # ---- purge: fold the backlog in and rewrite physically ----
+        all_doomed = doomed if prior is None else doomed.unionByName(prior)
+        all_doomed = all_doomed.localCheckpoint()  # pin: sources are swapped below
+        remaining = self._docs_raw().join(
+            F.broadcast(all_doomed), KEY_COL, "left_anti"
+        )
         staged = self.docs_path + ".delete"
         remaining.write.mode("overwrite").parquet(staged)
         if self._has_embeddings():
             emb = self.spark.read.parquet(self.embeddings_path)
-            kept = emb.join(doomed, KEY_COL, "left_anti")
+            kept = emb.join(F.broadcast(all_doomed), KEY_COL, "left_anti")
             estaged = self.embeddings_path + ".delete"
             (
                 kept.write.mode("overwrite")
@@ -583,8 +672,41 @@ class Collection:
             self._fs_replace(estaged, self.embeddings_path)
         else:
             self._fs_replace(staged, self.docs_path)
-        self._invalidate_cache()  # drops serve caches + ANN index meta
+        # deleted vectors must not be retained INSIDE index partitions
+        # either (ADVICE r6) -- rewrite them, keeping the quantizers
+        self._purge_keys_from_indexes(all_doomed)
+        self._fs_delete(self.tombstones_path)
+        self._invalidate_cache(drop_index_meta=False)
         return n_del
+
+    def _purge_keys_from_indexes(self, doomed: DataFrame) -> None:
+        """Rewrite every on-disk IVF / IVF-PQ index with ``doomed`` keys
+        anti-joined out, preserving the quantizer sidecar files -- the
+        index stays current (refresh reports no drift), no rebuild, and
+        no deleted vector/code is retained on disk. Partition layout
+        (``_list=``) is preserved so probes keep pruning."""
+        for column in self.config.index_columns:
+            for path, sidecars in (
+                (self.ivf_path(column), ("_centroids.npy",)),
+                (self.ivf_pq_path(column), ("_centroids.npy", "_codebook.npz")),
+            ):
+                if not self._fs_nonempty(path):
+                    continue
+                kept = self.spark.read.parquet(path).join(
+                    F.broadcast(doomed), KEY_COL, "left_anti"
+                )
+                if kept.limit(1).count() == 0:
+                    # a parquet dir with zero data files cannot be read
+                    # back; an empty index is the same as no index
+                    self._fs_delete(path)
+                    continue
+                staged = path + ".delete"
+                kept.write.mode("overwrite").partitionBy("_list").parquet(staged)
+                for name in sidecars:
+                    raw = self._fs_read_bytes(os.path.join(path, name))
+                    if raw is not None:
+                        self._fs_write_bytes(os.path.join(staged, name), raw)
+                self._fs_replace(staged, path)
 
     def _fs_replace(self, src: str, dest: str) -> None:
         """Swap ``src`` into ``dest``'s place (staged table swap;
@@ -785,10 +907,15 @@ class Collection:
         self._embeddings_ok.add(column)
 
     def embeddings(self, column: str | None = None) -> DataFrame:
+        """LIVE embeddings (tombstoned keys anti-joined out, like
+        :meth:`docs`); the physical purge paths read the path raw."""
         df = self.spark.read.parquet(self.embeddings_path)
         if column is not None:
             # partition pruning: column_name is a parquet partition column
             df = df.filter(F.col("column_name") == column)
+        tomb = self._tombstones()
+        if tomb is not None:
+            df = df.join(F.broadcast(tomb), KEY_COL, "left_anti")
         return df
 
     def embed_column(self, column: str, incremental: bool = True) -> int:
@@ -887,6 +1014,7 @@ class Collection:
         # the cached docs plan pins the parquet file listing; any write
         # (import, append, embed bookkeeping) must refresh it
         self._docs_df = None
+        self._tomb_flag = None
         cols = (
             [
                 column,
@@ -1711,14 +1839,20 @@ class Collection:
         if not self._fs_nonempty(path):
             return "missing", None
         idx_keys = self.spark.read.parquet(path).select(KEY_COL)
-        gone = idx_keys.join(serve, KEY_COL, "left_anti").limit(1).count()
+        # tombstoned index keys are NOT drift: probes filter them out
+        # (deferred physical purge), so a delete never forces a rebuild
+        live_idx = idx_keys
+        tomb = self._tombstones()
+        if tomb is not None:
+            live_idx = idx_keys.join(F.broadcast(tomb), KEY_COL, "left_anti")
+        gone = live_idx.join(serve, KEY_COL, "left_anti").limit(1).count()
         if gone:
             return "rebuild", None
         new = serve.join(idx_keys, KEY_COL, "left_anti")
         n_new = new.count()
         if n_new == 0:
             return "current", None
-        n_idx = idx_keys.count()
+        n_idx = live_idx.count()
         if n_new > self.ivf_rebuild_fraction * (n_idx + n_new):
             return "rebuild", None
         return "append", new
@@ -1824,19 +1958,40 @@ class Collection:
         hits = pq_topk(coded, cb, qvec, k=limit, key_col=KEY_COL)
         return self._fetch_back_hits(hits, column, limit)
 
+    def _raw_serve_frame(self, column: str) -> DataFrame:
+        """UNCACHED (key, vector, content, _vnorm) frame straight off the
+        parquet tables -- the memory-tier strategies (hamming) rescore
+        against THIS, never against the cached float serve view: caching
+        the floats is exactly what those strategies exist to avoid. Same
+        dequantize + norm arithmetic as :meth:`_serve_view`, so scores
+        stay bit-identical."""
+        from letsearch_spark.functions.vector import l2_norm
+
+        emb = self.embeddings(column).select(KEY_COL, "vector")
+        if self.config.model_variant != "f32":
+            from letsearch_spark.functions.quantize import dequantize_column
+
+            emb = dequantize_column(emb, "vector", self.config.model_variant)
+        docs = self.docs().select(F.col(KEY_COL), F.col(column).alias("content"))
+        return emb.withColumn("_vnorm", l2_norm(F.col("vector"))).join(
+            docs, KEY_COL
+        )
+
     def build_hamming_index(self, column: str) -> None:
         """Cache the sign-bit signature view for strategy='hamming':
         (key, sig) at 1 bit per dimension (operators/hamming.py) --
         ~32x smaller than the float serve view, no training step.
         Called lazily on first use; safe to call eagerly after bulk
-        loads."""
+        loads. Built straight off the parquet tables (reusing the float
+        serve view only when some OTHER strategy already cached it):
+        the point of the signature tier is serving a collection whose
+        float view does NOT fit in cluster memory, so building it must
+        not materialize that float cache."""
         from letsearch_spark.operators.hamming import build_signbit_index
 
-        emb = (
-            self._serve_view(column)
-            .where(F.col("content").isNotNull())
-            .select(KEY_COL, "vector")
-        )
+        cached = self._emb_cache.get(f"__serve_{column}")
+        base = cached if cached is not None else self._raw_serve_frame(column)
+        emb = base.where(F.col("content").isNotNull()).select(KEY_COL, "vector")
         first = emb.select(F.size("vector").alias("d")).first()
         if first is None:
             raise ValueError(f"no embedded rows to index for {column!r}")
@@ -1846,12 +2001,22 @@ class Collection:
         idx.count()  # materialize: per-query cost is the bit-math scan only
         self._hamming_index[column] = idx
 
+    # driver-side IN-list ceiling for the hamming rescore fetch: below
+    # it the <=rescore candidate keys collect and push down to the
+    # parquet scans as an IN filter (row-group pruning on the key-sorted
+    # layout); above it the rescore stays a distributed broadcast join
+    # (no driver blowup when rescore is cranked toward exactness)
+    hamming_inlist_max: int = 10_000
+
     def _search_hamming(self, column: str, qvec, limit: int) -> DataFrame:
         """Hamming scan over the cached signature view (TakeOrdered --
         only ``hamming_rescore`` rows leave the scan), then the exact
-        cosine rescore + content projection in one broadcast fetch-back
-        over the serve view (scores bit-identical to strategy='join'
-        for the candidates it keeps)."""
+        cosine rescore + content projection against the PARQUET tables
+        (scores bit-identical to strategy='join' for the candidates it
+        keeps). The float serve view is never cached on this path --
+        that is the memory play: 1 bit/dim in RAM, O(rescore) rows of
+        float IO per query, pushed down to the key-sorted parquet as an
+        IN filter."""
         from letsearch_spark.operators.hamming import (
             hamming_distance_col,
             pack_signbits,
@@ -1861,14 +2026,20 @@ class Collection:
             self.build_hamming_index(column)
         idx = self._hamming_index[column]
         qsig = pack_signbits([float(x) for x in qvec])
+        depth = max(self.hamming_rescore, limit)
         candidates = (
             idx.select(KEY_COL, hamming_distance_col("_sig", qsig).alias("_ham"))
             .orderBy(F.asc("_ham"), F.asc(KEY_COL))
-            .limit(max(self.hamming_rescore, limit))
+            .limit(depth)
         )
-        serve = self._serve_view(column).where(F.col("content").isNotNull())
+        base = self._raw_serve_frame(column)
+        if depth <= self.hamming_inlist_max:
+            keys = [r[KEY_COL] for r in candidates.select(KEY_COL).collect()]
+            cand = base.where(F.col(KEY_COL).isin(keys)) if keys else base.limit(0)
+        else:
+            cand = base.join(F.broadcast(candidates.select(KEY_COL)), KEY_COL)
         return (
-            serve.join(F.broadcast(candidates.select(KEY_COL)), KEY_COL)
+            cand.where(F.col("content").isNotNull())
             .select(
                 F.col(KEY_COL).alias("key"),
                 "content",
@@ -2023,6 +2194,7 @@ class Collection:
             k=limit,
             nprobe=self.ivf_nprobe,
             key_col=KEY_COL,
+            exclude=self._tombstones(),
         )
         return self._fetch_back_hits(hits, column, limit)
 
@@ -2039,6 +2211,7 @@ class Collection:
             k=limit,
             nprobe=self.ivf_nprobe,
             key_col=KEY_COL,
+            exclude=self._tombstones(),
         )
         # <=100 hits: broadcast fetch-back, same shape as strategy='join'
         return self._fetch_back_hits(hits, column, limit)

@@ -276,10 +276,13 @@ def ivf_topk(
     nprobe: int = 2,
     key_col: str = "_key",
     vec_col: str = "vector",
+    exclude: DataFrame | None = None,
 ) -> DataFrame:
     """Probe the nprobe nearest lists; exact cosine top-k inside them.
     The ``_list IN (...)`` filter prunes parquet partitions, so the scan
-    reads ~nprobe/nlist of the index."""
+    reads ~nprobe/nlist of the index. ``exclude``: optional (key_col)
+    frame anti-joined BEFORE the top-k truncation -- the deletion-vector
+    probe filter (tombstoned keys must not consume result slots)."""
     q = np.asarray(list(query_vec), dtype=np.float64)
     qn = np.linalg.norm(q)
     if qn > 0:
@@ -288,4 +291,6 @@ def ivf_topk(
     df = spark.read.parquet(path).filter(
         F.col("_list").isin(*[int(i) for i in order])
     )
+    if exclude is not None:
+        df = df.join(F.broadcast(exclude.select(key_col)), key_col, "left_anti")
     return cosine_topk(df, query_vec, k=k, key_col=key_col, vec_col=vec_col)

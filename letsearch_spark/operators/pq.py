@@ -364,17 +364,22 @@ def ivf_pq_topk(
     k: int = 10,
     nprobe: int = 2,
     key_col: str = "_key",
+    exclude: DataFrame | None = None,
 ) -> DataFrame:
     """Probe the nprobe nearest lists (``_list IN (...)`` prunes parquet
     partitions) and ADC-score only their codes: per query the scan
     reads ~nprobe/nlist of an index that is already ~32x smaller than
     the float vectors. Probing every list reproduces plain
-    :func:`pq_topk` exactly (same codes, same LUT)."""
+    :func:`pq_topk` exactly (same codes, same LUT). ``exclude``:
+    optional (key_col) frame anti-joined BEFORE the top-k truncation
+    (deletion-vector probe filter)."""
     q = _unit_query(query_vec, codebook.dim)
     order = np.argsort(-(centroids @ q))[:nprobe]
     df = spark.read.parquet(path).filter(
         F.col("_list").isin(*[int(i) for i in order])
     )
+    if exclude is not None:
+        df = df.join(F.broadcast(exclude.select(key_col)), key_col, "left_anti")
     return pq_topk(df, codebook, query_vec, k=k, key_col=key_col)
 
 

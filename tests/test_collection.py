@@ -1396,16 +1396,29 @@ def test_ivf_incremental_refresh_and_replace_guard(spark, tmp_path, sf_dir):
     coll2 = Collection.load(spark, str(tmp_path / "root"), "incivf")
     assert coll2.refresh_ivf_index("text") == "current"
 
-    # full replace: old keys vanish -> stale index must rebuild
+    # full replace (r7): import_df now DELETES the stale index trees
+    # outright (the replaced corpus's vectors must not linger on disk),
+    # so refresh sees 'missing' and builds fresh
     import pyspark.sql.types as T
 
     schema = T.StructType([T.StructField("text", T.StringType())])
     coll.import_df(
         spark.createDataFrame([(f"replacement doc {i}",) for i in range(8)], schema)
     )
+    assert not os.path.exists(path)
     coll.embed_column("text")
-    assert coll.refresh_ivf_index("text") == "rebuilt"
+    assert coll.refresh_ivf_index("text") == "built"
     assert spark.read.parquet(path).count() == 8
+
+    # vanished-keys guard still fires when index data drifts from the
+    # serve view by any OTHER route: plant a bogus key in the index
+    spark.createDataFrame(
+        [(999_999,)], "`_key` long"
+    ).withColumn("vector", F.expr("array_repeat(CAST(0.5 AS float), 16)")).withColumn(
+        "_list", F.lit(0)
+    ).write.mode("append").partitionBy("_list").parquet(path)
+    coll._invalidate_cache(drop_index_meta=False)
+    assert coll.refresh_ivf_index("text") == "rebuilt"
 
 
 def test_search_many_pq_matches_per_query(coll):
@@ -1470,3 +1483,97 @@ def test_delete_where_removes_docs_and_vectors(spark, tmp_path, sf_dir):
     # predicate over a nullable comparison must not delete NULL rows)
     assert c.delete_where("lang = 'no-such-lang'") == 0
     assert c.count() == n0 - 6
+
+
+def test_delete_tombstone_defers_physical_purge(spark, tmp_path, sf_dir):
+    """mode='tombstone' (default, r7): deletion is an O(matches)
+    sidecar write -- the doomed rows stay on disk (raw parquet) but are
+    unreachable through every read surface; compact() applies the
+    backlog physically and clears the sidecar; tombstoned keys are
+    never reassigned by a later append."""
+    import os
+
+    from letsearch_spark.collection import Collection
+
+    c = Collection.create(spark, str(tmp_path), name="ts", model_name="stub://16")
+    c.import_parquet(os.path.join(sf_dir, "documents.parquet"))
+    c.embed_column("text")
+    n0 = c.count()
+    raw_max = c._docs_raw().agg(F.max("_key")).first()[0]
+
+    n = c.delete_where(f"_key >= {raw_max - 2}")  # kills the top 3 keys
+    assert n == 3
+    assert c.count() == n0 - 3
+    # the bytes have NOT left the disk yet (deferred purge by design)
+    raw_keys = {r["_key"] for r in c._docs_raw().select("_key").collect()}
+    assert raw_max in raw_keys
+    assert os.path.isdir(c.tombstones_path)
+    # ...but no read surface can reach them
+    assert c.docs().where(F.col("_key") == raw_max).count() == 0
+    assert c.embeddings("text").where(F.col("_key") == raw_max).count() == 0
+
+    # a tombstoned key is never reused: the next append starts PAST it
+    src = str(tmp_path / "fresh.jsonl")
+    with open(src, "w") as f:
+        f.write(json.dumps({"text": "fresh doc", "doc_id": 9}) + "\n")
+    c.append_jsonl(src)
+    new_max = c.docs().agg(F.max("_key")).first()[0]
+    assert new_max == raw_max + 1
+
+    # tombstone rows never re-match (idempotent delete)
+    assert c.delete_where(f"_key >= {raw_max - 2} AND _key <= {raw_max}") == 0
+
+    # compact applies the deletion vectors physically
+    c.compact()
+    raw_after = {r["_key"] for r in c._docs_raw().select("_key").collect()}
+    assert raw_max not in raw_after and len(raw_after) == n0 - 3 + 1
+    assert not os.path.exists(c.tombstones_path)
+    emb_raw = spark.read.parquet(c.embeddings_path)
+    assert emb_raw.where(F.col("_key") == raw_max).count() == 0
+
+
+def test_delete_tombstone_ivf_probe_filter_no_rebuild(spark, tmp_path, sf_dir):
+    """A tombstone delete must NOT invalidate the on-disk IVF/IVF-PQ
+    indexes (VERDICT r6 #2): refresh stays 'current', probes filter the
+    doomed keys instead, and the purge path rewrites the index
+    partitions minus the doomed keys while keeping the quantizer
+    sidecars (ADVICE r6: no deleted vector retained anywhere)."""
+    import os
+
+    from letsearch_spark.collection import Collection
+
+    c = Collection.create(spark, str(tmp_path), name="ti", model_name="stub://16")
+    c.import_parquet(os.path.join(sf_dir, "documents.parquet"))
+    c.embed_column("text")
+    victim = c.docs().orderBy(F.desc("_key")).first()
+    # build both on-disk indexes BEFORE the delete
+    assert c.refresh_ivf_index("text") == "built"
+    assert c.refresh_ivf_pq_index("text") in ("built", "rebuilt")
+
+    n = c.delete_where(f"_key = {victim['_key']}")
+    assert n == 1
+    # the index is NOT dropped or rebuilt -- the delete is deferred
+    assert c.refresh_ivf_index("text") == "current"
+    assert c.refresh_ivf_pq_index("text") == "current"
+    # probes never surface the tombstoned key, even for a verbatim query
+    for strat in ("ivf", "ivf_pq"):
+        hits = c.search("text", victim["text"], limit=10, strategy=strat).collect()
+        assert all(h["key"] != victim["_key"] for h in hits), strat
+    # the doomed vector is still INSIDE the index partitions (deferred)
+    ivf_raw = spark.read.parquet(c.ivf_path("text"))
+    assert ivf_raw.where(F.col("_key") == victim["_key"]).count() == 1
+
+    # purge: physical removal from tables AND index partitions,
+    # quantizer sidecars kept -> still no rebuild
+    assert c.delete_where(f"_key = {victim['_key'] - 1}", mode="purge") == 1
+    for path in (c.ivf_path("text"), c.ivf_pq_path("text")):
+        raw = spark.read.parquet(path)
+        doomed = {victim["_key"], victim["_key"] - 1}
+        assert raw.where(F.col("_key").isin(*doomed)).count() == 0, path
+    assert os.path.exists(os.path.join(c.ivf_path("text"), "_centroids.npy"))
+    assert os.path.exists(os.path.join(c.ivf_pq_path("text"), "_codebook.npz"))
+    assert not os.path.exists(c.tombstones_path)  # backlog folded in
+    assert c.refresh_ivf_index("text") == "current"
+    assert c.refresh_ivf_pq_index("text") == "current"
+    hits = c.search("text", victim["text"], limit=10, strategy="ivf").collect()
+    assert all(h["key"] != victim["_key"] for h in hits)
