@@ -1685,7 +1685,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- sources / collection surface --
     "s1_jsonl_ingest": q_s1_jsonl_ingest,
     "s2_ingest_dense_key": q_s2_ingest_dense_key,
-    "s3_append_key_continuation": q_s3_append_key_continuation,
     # -- vector search --
     "k1_topk_label_filtered": q_k1_topk_label_filtered,
     "search_fetchback_join": q_search_fetchback_join,
@@ -1693,9 +1692,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_assign": q_ann_ivf_assign,
     "pq_adc_topk": q_pq_adc_topk,
-    "quantize_f16_roundtrip": q_quantize_f16_roundtrip,
     # -- dedup / decontamination family --
-    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_minhash_components": q_dedup_minhash_components,
     "decontaminate_containment": q_decontaminate_containment,
@@ -1716,7 +1713,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_sessionize": q_events_sessionize,
     "events_asof_last_order": q_events_asof_last_order,
     "events_range_join": q_events_range_join,
-    "events_time_rollup": q_events_time_rollup,
     # -- sampling / selection / skew tooling --
     "sample_train_test_split": q_sample_train_test_split,
     "sample_mixture": q_sample_mixture,
@@ -1758,9 +1754,24 @@ ROTATED_OUT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p3_key_lookup": q_p3_key_lookup,
     "dedup_exact": q_dedup_exact,
     "dedup_lines": q_dedup_lines,
+    # round 7 (displaced by training_pairs / vocab_coverage /
+    # corpus_data_card / eval_lsh_recall, the COVERAGE.md pre-plan):
+    # s3 shares the dense-key machinery with s2_ingest_dense_key
+    # (append semantics stay pinned by test_collection + the
+    # staged-atomic suite), dedup_ngram_jaccard is the verification
+    # twin of dedup_minhash_lsh's exact-Jaccard check,
+    # quantize_f16_roundtrip is a one-expression cast battery
+    # (property-tested in test_skew_quantize), events_time_rollup's
+    # ROLLUP shape is already pinned by the rotated agg_rollup
+    "s3_append_key_continuation": q_s3_append_key_continuation,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "quantize_f16_roundtrip": q_quantize_f16_roundtrip,
+    "events_time_rollup": q_events_time_rollup,
 }
 
-ROTATED_OUT_ORACLES: dict[str, str] = {
+# values are SQL strings, or callables (sf_dir) -> SQL for the
+# computed-literal oracles (resolved by both rotated-gate consumers)
+ROTATED_OUT_ORACLES: dict[str, object] = {
     "s_csv_roundtrip": """
         SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
         FROM documents ORDER BY doc_id
@@ -2735,16 +2746,12 @@ STAGED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dataset_diff": q_dataset_diff,
     "shuffle_order": q_shuffle_order,
     # round 5
-    "vocab_coverage": q_vocab_coverage,
     "c4_page_filter": q_c4_page_filter,
     "events_attribution_join": q_events_attribution_join,
     "perplexity_buckets": q_perplexity_buckets,
-    "corpus_data_card": q_corpus_data_card,
     "mixture_epochs": q_mixture_epochs,
     "winnow_fingerprints": q_winnow_fingerprints,
-    "eval_lsh_recall": q_eval_lsh_recall,
     "temperature_mixture": q_temperature_mixture,
-    "training_pairs": q_training_pairs,
 }
 
 # -- round-6 window rotation (VERDICT r5 ask #1): the four operators a
@@ -2757,6 +2764,20 @@ QUERIES.update(
         "curriculum_order": q_curriculum_order,
         "mine_hard_negatives": q_mine_hard_negatives,
         "split_leakage_safe": q_split_leakage_safe,
+    }
+)
+
+# -- round-7 window rotation (COVERAGE.md pre-plan): the contrastive
+# training-pair assembly (the tail of the mined-negatives story), the
+# tokenizer-budget sizing curve, the release-gate data card, and the
+# recall evidence behind every ANN knob -- promoted out of STAGED into
+# the driver's 50-slot window.
+QUERIES.update(
+    {
+        "training_pairs": q_training_pairs,
+        "vocab_coverage": q_vocab_coverage,
+        "corpus_data_card": q_corpus_data_card,
+        "eval_lsh_recall": q_eval_lsh_recall,
     }
 )
 
@@ -3422,16 +3443,12 @@ STAGED_ORACLES: dict[str, object] = {
     "html_extract": _html_extract_oracle_sql(),
     "dataset_diff": _DATASET_DIFF_ORACLE_SQL,
     "shuffle_order": _SHUFFLE_ORDER_ORACLE_SQL,
-    "vocab_coverage": _VOCAB_COVERAGE_ORACLE_SQL,
     "c4_page_filter": _C4_ORACLE_SQL,
     "events_attribution_join": _ATTRIBUTION_ORACLE_SQL,
     "perplexity_buckets": _ppl_buckets_oracle,
-    "corpus_data_card": _DATA_CARD_ORACLE_SQL,
     "mixture_epochs": _mixture_epochs_oracle,
     "winnow_fingerprints": _winnow_oracle,
-    "eval_lsh_recall": _eval_lsh_recall_oracle,
     "temperature_mixture": _temperature_mixture_oracle,
-    "training_pairs": _TRAINING_PAIRS_ORACLE_SQL,
 }
 
 
@@ -4088,14 +4105,59 @@ def _oracles() -> dict[str, str]:
     o["mine_hard_negatives"] = _HARD_NEGATIVES_ORACLE_SQL
     # _leak_split_oracle ignores sf_dir (pure view SQL) -- safe to bake
     o["split_leakage_safe"] = _leak_split_oracle("")
+
+    # round-7 window promotions (static-SQL half; eval_lsh_recall's
+    # computed oracle registers in _computed_oracles)
+    o["training_pairs"] = _TRAINING_PAIRS_ORACLE_SQL
+    o["vocab_coverage"] = _VOCAB_COVERAGE_ORACLE_SQL
+    o["corpus_data_card"] = _DATA_CARD_ORACLE_SQL
     return o
 
 
 ORACLES = _oracles()
 
-# round-6 rotation: the displaced four keep their exact oracle SQL, but
+def _quantize_f16_rotated_oracle(sf_dir: str) -> str:
+    """Computed-literal oracle for the rotated-out quantize_f16_roundtrip
+    (round 7): replicate the numpy f16 pack/unpack and the Catalyst
+    double fold (abs diff, running greatest) exactly. Standalone so the
+    rotated gate pays only THIS oracle, not the whole computed set."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    etbl = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    ).to_pylist()
+    etbl.sort(key=lambda r: r["vec_id"])
+    qrows = []
+    for r in etbl:
+        a = np.asarray(r["embedding"], dtype=np.float32)
+        restored = a.astype(np.float16).astype(np.float32)
+        err = 0.0
+        for x, y in zip(a, restored):
+            d = abs(float(x) - float(y))
+            if d > err:
+                err = d
+        qrows.append((r["vec_id"], 2 * len(a), err))
+    return _values_literal(
+        qrows,
+        [("vec_id", "BIGINT"), ("n_bytes", "BIGINT"), ("max_err", "DOUBLE")],
+    )
+
+
+ROTATED_OUT_ORACLES["quantize_f16_roundtrip"] = _quantize_f16_rotated_oracle
+
+# rounds 6+7 rotation: the displaced keep their exact oracle SQL, but
 # under the rotated-contract pytest gate instead of the driver window
-for _displaced in ("p1_projection", "p3_key_lookup", "dedup_exact", "dedup_lines"):
+for _displaced in (
+    "p1_projection",
+    "p3_key_lookup",
+    "dedup_exact",
+    "dedup_lines",
+    # round 7
+    "s3_append_key_continuation",
+    "dedup_ngram_jaccard",
+    "events_time_rollup",
+):
     ROTATED_OUT_ORACLES[_displaced] = ORACLES.pop(_displaced)
 
 
@@ -4178,6 +4240,9 @@ def _seq_dot(a, b) -> float:
 
 def _computed_oracles(sf_dir: str) -> dict[str, str]:
     import math
+
+    import numpy as np
+    import pyarrow.parquet as pq
 
     from letsearch_spark.chunker import ChunkerConfig, MarkdownChunker
     from letsearch_spark.embedders.stub import StubEmbedder
@@ -4286,29 +4351,13 @@ def _computed_oracles(sf_dir: str) -> dict[str, str]:
         _ivf_rows(), [("vec_id", "BIGINT"), ("list_id", "BIGINT")]
     )
 
-    # --- quantize_f16_roundtrip: replicate the numpy f16 pack/unpack and
-    # the Catalyst double fold (abs diff, running greatest) exactly ---
-    import numpy as np
-    import pyarrow.parquet as pq
-
+    # embeddings table, vec_id-sorted -- shared by the PQ / semdedup /
+    # recall oracles below (the rotated-out quantize oracle keeps its
+    # own copy in _quantize_f16_rotated_oracle)
     etbl = pq.read_table(
         os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
     ).to_pylist()
     etbl.sort(key=lambda r: r["vec_id"])
-    qrows = []
-    for r in etbl:
-        a = np.asarray(r["embedding"], dtype=np.float32)
-        restored = a.astype(np.float16).astype(np.float32)
-        err = 0.0
-        for x, y in zip(a, restored):
-            d = abs(float(x) - float(y))
-            if d > err:
-                err = d
-        qrows.append((r["vec_id"], 2 * len(a), err))
-    o["quantize_f16_roundtrip"] = _values_literal(
-        qrows,
-        [("vec_id", "BIGINT"), ("n_bytes", "BIGINT"), ("max_err", "DOUBLE")],
-    )
 
     # --- dsir_sample: independent hashlib/math twin of the full
     # hash-feature / Laplace-ratio / Gumbel-top-k arithmetic
@@ -4694,6 +4743,11 @@ def _computed_oracles(sf_dir: str) -> dict[str, str]:
         _clf_keep_rows(iterations=_CLF_ITERS),
         [("doc_id", "BIGINT"), ("lang", "VARCHAR")],
     )
+
+    # --- eval_lsh_recall (round-7 window promotion): the recall@10 +
+    # MRR replay oracle is sf-dependent SQL, built by the same function
+    # the staged gate used ---
+    o["eval_lsh_recall"] = _eval_lsh_recall_oracle(sf_dir)
     return o
 
 

@@ -48,7 +48,8 @@ def test_rotated_out_entry_matches_oracle(spark, sf_dir, duck, name):
     s_cols, s_rows = _frame_to_rows(
         sdf.columns, [tuple(r) for r in sdf.collect()]
     )
-    ddf = duck.sql(ROTATED_OUT_ORACLES[name])
+    oracle = ROTATED_OUT_ORACLES[name]
+    ddf = duck.sql(oracle(sf_dir) if callable(oracle) else oracle)
     d_cols, d_rows = _frame_to_rows(list(ddf.columns), ddf.fetchall())
     assert s_cols == d_cols
     assert len(s_rows) == len(d_rows)
@@ -115,6 +116,11 @@ def test_rotation_bookkeeping():
         "curriculum_order",
         "mine_hard_negatives",
         "split_leakage_safe",
+        # round-7 rotation
+        "training_pairs",
+        "vocab_coverage",
+        "corpus_data_card",
+        "eval_lsh_recall",
     ):
         assert new in QUERIES and new in oracles
     for displaced in (
@@ -122,5 +128,10 @@ def test_rotation_bookkeeping():
         "p3_key_lookup",
         "dedup_exact",
         "dedup_lines",
+        # round-7 rotation
+        "s3_append_key_continuation",
+        "dedup_ngram_jaccard",
+        "quantize_f16_roundtrip",
+        "events_time_rollup",
     ):
         assert displaced in ROTATED_OUT_QUERIES and displaced not in QUERIES

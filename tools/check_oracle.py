@@ -83,7 +83,12 @@ def main() -> int:
         )
 
         qs.update(ROTATED_OUT_QUERIES)
-        oracles.update(ROTATED_OUT_ORACLES)
+        oracles.update(
+            {
+                k: (v(args.sf_dir) if callable(v) else v)
+                for k, v in ROTATED_OUT_ORACLES.items()
+            }
+        )
     if args.registry in ("staged", "all"):
         from letsearch_spark.queries import STAGED_ORACLES, STAGED_QUERIES
 
