@@ -1103,28 +1103,37 @@ class Collection:
 
     def resolve_strategy(self, column: str) -> str:
         """The ``strategy='auto'`` policy: pick the serving shape from
-        the indexed size against the measured SCALING.md crossovers.
+        the indexed size against the measured SCALING.md crossovers
+        (tools/measure_serving_crossover.py, re-measured round 7 after
+        the hamming rescore went cache-light).
 
         * <= ``auto_exact_max_rows`` (default 200k): ``'join'`` --
           exact single-job top-k; every approximate path is SLOWER here
           (LSH bucket pruning saves nothing on a scan this small, PQ's
           per-query ADC overhead dominates -- the measured footgun this
           policy exists to prevent);
-        * <= ``auto_cached_max_rows`` (default 5M): ``'lsh'`` -- the
-          cache still fits, bucket pruning now wins (measured 3.4x at
-          200k docs);
+        * <= ``auto_cached_max_rows`` (default 5M): ``'hamming'`` --
+          the sign-bit signature cache (1 bit/dim, 32x smaller than the
+          float view) plus an exact cosine rescore of the top
+          ``hamming_rescore`` candidates. Measured at 1M rows / dim 64:
+          1.11 s/query vs 1.61 s exact and 3.76 s LSH (lsh displaced
+          from this tier round 7 -- its bucket pruning lost to the
+          brute bit-scan at every size measured), with a one-pass
+          build (~7 s at 1M) vs PQ's ~50 s codebook train;
         * above: ``'ivf_pq'`` -- codes-on-disk, partition-pruned
-          probes; the shape that still serves when the full-precision
-          cache no longer fits.
+          probes; the hamming scan is O(rows) per query, so past the
+          cache ceiling the sublinear index wins (measured 0.72
+          s/query at 1M, flat in rows probed).
 
-        Approximate tiers trade recall for latency by design; callers
-        needing exact results above the crossover should pass
+        Approximate tiers trade recall for latency by design (the
+        hamming tier's knob is ``hamming_rescore``: >= rows is provably
+        exact); callers needing exact results above the crossover pass
         ``strategy='join'`` explicitly."""
         n = self._column_rows(column)
         if n <= self.auto_exact_max_rows:
             return "join"
         if n <= self.auto_cached_max_rows:
-            return "lsh"
+            return "hamming"
         return "ivf_pq"
 
     def search(

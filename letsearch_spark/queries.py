@@ -2730,7 +2730,60 @@ def q_text_compression(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_export_shards_manifest(spark, sf_dir):
+    """Training-shard egress manifest (operators/export.py): every
+    document ranked by doc_id, greedily filled into 5000-token shards
+    off an EXACT distributed prefix sum (one range shuffle, offsets
+    from a <= numPartitions-row collect -- no single-partition window),
+    then the per-shard release manifest (rows, rank range, token sum)
+    as one partial-aggregable groupBy. The oracle replays the running
+    sum + exclusive-prefix budget rule as SQL windows. The checksum
+    column is excluded here (no DuckDB twin for the 60-bit md5 XOR
+    fold); tests/test_export.py pins its integrity semantics."""
+    from letsearch_spark.functions.text import token_count_approx
+    from letsearch_spark.operators.export import assign_shards, shard_manifest
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        token_count_approx(F.coalesce(F.col("text"), F.lit(""))).alias(
+            "tokens"
+        ),
+    )
+    assigned = assign_shards(
+        docs, ["doc_id"], tokens_per_shard=5000, token_col="tokens"
+    )
+    return (
+        shard_manifest(assigned, token_col="tokens")
+        .select("shard", "n_rows", "first_rank", "last_rank", "n_tokens")
+        .orderBy("shard")
+    )
+
+
+_EXPORT_SHARDS_ORACLE_SQL = f"""
+    WITH t AS (
+        SELECT doc_id,
+               CAST(ceil(len({_WORDS_SQL.format(x="coalesce(text, '')")})
+                         * 1.3) AS BIGINT) AS tok
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, tok,
+               sum(tok) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum,
+               row_number() OVER (ORDER BY doc_id) AS rank
+        FROM t
+    )
+    SELECT CAST(floor((cum - tok) / 5000.0) AS BIGINT) AS shard,
+           count(*) AS n_rows,
+           CAST(min(rank) AS BIGINT) AS first_rank,
+           CAST(max(rank) AS BIGINT) AS last_rank,
+           CAST(sum(tok) AS BIGINT) AS n_tokens
+    FROM c GROUP BY 1 ORDER BY shard
+"""
+
+
 STAGED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # round 7 (training-shard egress: prefix-sum sharding + manifest)
+    "export_shards_manifest": q_export_shards_manifest,
     # round 6 (late session: memory-bound ANN + late-interaction serving
     # + the unigram tokenizer completing the trainer family)
     "ann_hamming_topk": q_ann_hamming_topk,
@@ -3430,6 +3483,8 @@ def _text_compression_oracle(sf_dir: str) -> str:
 
 
 STAGED_ORACLES: dict[str, object] = {
+    # round 7
+    "export_shards_manifest": _EXPORT_SHARDS_ORACLE_SQL,
     # round 6 (late session)
     "ann_hamming_topk": _hamming_oracle_sql(),
     "search_maxsim": _maxsim_oracle_sql(),

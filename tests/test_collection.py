@@ -1256,10 +1256,12 @@ def test_append_staged_tamper_guard(spark, tmp_path):
 
 
 def test_search_strategy_auto(spark, tmp_path, sf_dir):
-    """strategy='auto' picks exact below the LSH crossover, 'lsh' while
-    the cache fits, 'ivf_pq' beyond -- and returns the SAME rows as the
-    explicitly chosen strategy at each tier (thresholds shrunk around
-    the 500-row fixture to exercise all three)."""
+    """strategy='auto' picks exact below the crossover, 'hamming'
+    (r7: measured faster than lsh at every size, 32x smaller cache)
+    while the signature cache fits, 'ivf_pq' beyond -- and returns the
+    SAME rows as the explicitly chosen strategy at each tier
+    (thresholds shrunk around the 500-row fixture to exercise all
+    three)."""
     coll = Collection.create(
         spark, str(tmp_path / "root"), name="auto",
         index_columns=["text"], model_name="stub://16",
@@ -1278,12 +1280,12 @@ def test_search_strategy_auto(spark, tmp_path, sf_dir):
         coll.search("text", q, limit=5, strategy="join")
     )
 
-    # tier 2: shrink the exact ceiling below the table -> lsh
+    # tier 2: shrink the exact ceiling below the table -> hamming
     coll.auto_exact_max_rows = 100
     coll.auto_cached_max_rows = 1_000
-    assert coll.resolve_strategy("text") == "lsh"
+    assert coll.resolve_strategy("text") == "hamming"
     assert rows(coll.search("text", q, limit=5, strategy="auto")) == rows(
-        coll.search("text", q, limit=5, strategy="lsh")
+        coll.search("text", q, limit=5, strategy="hamming")
     )
 
     # tier 3: shrink the cache ceiling too -> ivf_pq (codes on disk)
