@@ -544,3 +544,78 @@ def compression_flags(
         & (ratio <= float(max_ratio))
     )
     return {**stats, "ratio_ok": ok, "passes": ok}
+
+
+# --------------------------------------------------------------- FIM
+
+
+def _h60(col: Column) -> Column:
+    """60-bit integer off md5 -- the repo's standard deterministic hash
+    (same construction as shuffle_order / the oracle _MD5_60_SQL)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def fim_transform(
+    id_col: Column,
+    text_col: Column,
+    seed: int = 42,
+    rate: float = 0.5,
+    mode: str = "psm",
+    prefix_tok: str = "<fim_prefix>",
+    suffix_tok: str = "<fim_suffix>",
+    middle_tok: str = "<fim_middle>",
+) -> dict[str, Column]:
+    """Fill-in-the-middle transform (Bavarian et al. 2022, "Efficient
+    Training of Language Models to Fill in the Middle"): a seeded,
+    deterministic fraction (``rate``) of documents is split at two
+    pseudo-random CHARACTER positions into (prefix, middle, suffix) and
+    re-emitted with sentinel tokens so an autoregressive model learns
+    infilling -- the standard data-level transform for code models.
+
+    Pure Catalyst (md5 split points + substrings -- no UDF, stays in
+    whole-stage codegen; at 100 TB this is a map-only rewrite, zero
+    shuffles). Selection and split points hash ``(id, seed)``, so the
+    transform is reproducible row-locally under any partitioning, and
+    ``seed`` variants give independent FIM epochs.
+
+    mode='psm': ``<fim_prefix>P<fim_suffix>S<fim_middle>M`` (the model
+    generates M after seeing P and S). mode='spm':
+    ``<fim_suffix>S<fim_prefix>P<fim_middle>M`` (the paper's SPM
+    variant -- suffix first; this implementation keeps the explicit
+    prefix sentinel rather than the joined encoding).
+
+    Returns {'applied': bool Column, 'text': string Column} -- 'text'
+    is the original text for unselected/empty/null rows.
+    """
+    if mode not in ("psm", "spm"):
+        raise ValueError(f"mode must be psm|spm, got {mode!r}")
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0, 1], got {rate}")
+    sid = id_col.cast("string")
+    n = F.length(text_col)
+    selected = (
+        _h60(F.concat(sid, F.lit(f"#fimsel#{seed}"))) % F.lit(1_000_000)
+    ) < F.lit(int(rate * 1_000_000))
+    applied = selected & text_col.isNotNull() & (n > 0)
+    u1 = _h60(F.concat(sid, F.lit(f"#fim1#{seed}"))) % (n + 1)
+    u2 = _h60(F.concat(sid, F.lit(f"#fim2#{seed}"))) % (n + 1)
+    lo, hi = F.least(u1, u2), F.greatest(u1, u2)
+    prefix = F.substring(text_col, F.lit(1), lo)
+    middle = F.substring(text_col, lo + 1, hi - lo)
+    suffix = F.substring(text_col, hi + 1, n - hi)
+    if mode == "psm":
+        rewritten = F.concat(
+            F.lit(prefix_tok), prefix,
+            F.lit(suffix_tok), suffix,
+            F.lit(middle_tok), middle,
+        )
+    else:
+        rewritten = F.concat(
+            F.lit(suffix_tok), suffix,
+            F.lit(prefix_tok), prefix,
+            F.lit(middle_tok), middle,
+        )
+    return {
+        "applied": applied,
+        "text": F.when(applied, rewritten).otherwise(text_col),
+    }

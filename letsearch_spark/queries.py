@@ -2730,6 +2730,60 @@ def q_text_compression(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_fim_transform(spark, sf_dir):
+    """Fill-in-the-middle transform (functions/text.py fim_transform,
+    Bavarian et al. 2022): a seeded 50% of documents split at two
+    md5-derived character positions and re-emitted as
+    <fim_prefix>P<fim_suffix>S<fim_middle>M -- pure Catalyst (map-only,
+    zero shuffles at any scale). Emits (applied, n_chars, md5) per doc;
+    the oracle replays the same md5 split-point arithmetic in DuckDB
+    SQL."""
+    from letsearch_spark.functions.text import fim_transform
+
+    docs = load(spark, sf_dir, "documents")
+    out = fim_transform(
+        F.col("doc_id"), F.col("text"), seed=42, rate=0.5, mode="psm"
+    )
+    return docs.select(
+        "doc_id",
+        F.coalesce(out["applied"], F.lit(False)).alias("applied"),
+        F.length(out["text"]).alias("n_chars"),
+        F.md5(out["text"]).alias("text_md5"),
+    ).orderBy("doc_id")
+
+
+def _fim_h60_sql(tag: str) -> str:
+    return _MD5_60_SQL.format(x=f"CAST(doc_id AS VARCHAR) || '#{tag}#42'")
+
+
+_FIM_ORACLE_SQL = f"""
+    WITH t AS (
+        SELECT doc_id, text, length(text) AS n,
+               ({_fim_h60_sql("fimsel")}) % 1000000 < 500000 AS sel,
+               ({_fim_h60_sql("fim1")}) % (length(text) + 1) AS u1,
+               ({_fim_h60_sql("fim2")}) % (length(text) + 1) AS u2
+        FROM documents
+    ), s AS (
+        SELECT doc_id, text, n,
+               coalesce(sel AND n > 0, FALSE) AS applied,
+               least(u1, u2) AS lo, greatest(u1, u2) AS hi
+        FROM t
+    ), r AS (
+        SELECT doc_id, applied,
+               CASE WHEN applied THEN
+                   '<fim_prefix>' || substr(text, 1, lo)
+                   || '<fim_suffix>' || substr(text, hi + 1)
+                   || '<fim_middle>' || substr(text, lo + 1, hi - lo)
+               ELSE text END AS out
+        FROM s
+    )
+    SELECT doc_id, applied,
+           CAST(length(out) AS BIGINT) AS n_chars,
+           md5(out) AS text_md5
+    FROM r ORDER BY doc_id
+"""
+
+
 def q_export_shards_manifest(spark, sf_dir):
     """Training-shard egress manifest (operators/export.py): every
     document ranked by doc_id, greedily filled into 5000-token shards
@@ -2782,8 +2836,9 @@ _EXPORT_SHARDS_ORACLE_SQL = f"""
 
 
 STAGED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # round 7 (training-shard egress: prefix-sum sharding + manifest)
+    # round 7 (training-shard egress + FIM)
     "export_shards_manifest": q_export_shards_manifest,
+    "fim_transform": q_fim_transform,
     # round 6 (late session: memory-bound ANN + late-interaction serving
     # + the unigram tokenizer completing the trainer family)
     "ann_hamming_topk": q_ann_hamming_topk,
@@ -3485,6 +3540,7 @@ def _text_compression_oracle(sf_dir: str) -> str:
 STAGED_ORACLES: dict[str, object] = {
     # round 7
     "export_shards_manifest": _EXPORT_SHARDS_ORACLE_SQL,
+    "fim_transform": _FIM_ORACLE_SQL,
     # round 6 (late session)
     "ann_hamming_topk": _hamming_oracle_sql(),
     "search_maxsim": _maxsim_oracle_sql(),

@@ -3402,3 +3402,81 @@ def test_compression_stats_and_flags(spark):
         for r in df.select("id", flags["passes"].alias("p")).collect()
     }
     assert got == {1: True, 2: False, 3: False, 4: False}
+
+
+def test_fim_transform_matches_python_twin(spark):
+    """FIM (r7): seeded selection + split points replayed with hashlib;
+    PSM/SPM layouts, null/empty passthrough, rate bounds."""
+    import hashlib
+
+    import pytest as _pytest
+
+    from letsearch_spark.functions.text import fim_transform
+
+    rows = [
+        (1, "abcdefghij"),
+        (2, "short"),
+        (3, ""),
+        (4, None),
+        (5, "the quick brown fox jumps over the lazy dog"),
+        (6, "x"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def h60(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    def twin(did, text, seed, rate, mode):
+        sel = h60(f"{did}#fimsel#{seed}") % 1_000_000 < int(rate * 1_000_000)
+        if not sel or not text:
+            return False, text
+        n = len(text)
+        u1 = h60(f"{did}#fim1#{seed}") % (n + 1)
+        u2 = h60(f"{did}#fim2#{seed}") % (n + 1)
+        lo, hi = min(u1, u2), max(u1, u2)
+        p, m, s = text[:lo], text[lo:hi], text[hi:]
+        if mode == "psm":
+            return True, f"<fim_prefix>{p}<fim_suffix>{s}<fim_middle>{m}"
+        return True, f"<fim_suffix>{s}<fim_prefix>{p}<fim_middle>{m}"
+
+    for mode in ("psm", "spm"):
+        for rate in (0.0, 0.5, 1.0):
+            out = fim_transform(
+                F.col("doc_id"), F.col("text"), seed=7, rate=rate, mode=mode
+            )
+            got = {
+                r["doc_id"]: (r["applied"], r["out"])
+                for r in df.select(
+                    "doc_id",
+                    out["applied"].alias("applied"),
+                    out["text"].alias("out"),
+                ).collect()
+            }
+            for did, text in rows:
+                want = twin(did, text, 7, rate, mode)
+                # null text: applied False (null-safe), text passes through
+                w_applied = bool(want[0]) if text is not None else False
+                g_applied = bool(got[did][0]) if got[did][0] is not None else False
+                assert g_applied == w_applied, (mode, rate, did)
+                assert got[did][1] == want[1], (mode, rate, did)
+
+    # rate=1.0 rewrites every non-empty doc; rate=0.0 rewrites none
+    out = fim_transform(F.col("doc_id"), F.col("text"), rate=1.0)
+    applied = {
+        r["doc_id"]: r["a"]
+        for r in df.select("doc_id", out["applied"].alias("a")).collect()
+    }
+    assert applied[1] and applied[5] and applied[6]
+    assert not applied[3]  # empty
+    # different seeds decorrelate the selection/splits
+    a = fim_transform(F.col("doc_id"), F.col("text"), seed=1, rate=1.0)
+    b = fim_transform(F.col("doc_id"), F.col("text"), seed=2, rate=1.0)
+    texts = df.select(
+        a["text"].alias("ta"), b["text"].alias("tb"), "doc_id"
+    ).where(F.col("doc_id") == 5).first()
+    assert texts["ta"] != texts["tb"]
+
+    with _pytest.raises(ValueError):
+        fim_transform(F.col("doc_id"), F.col("text"), mode="pms")
+    with _pytest.raises(ValueError):
+        fim_transform(F.col("doc_id"), F.col("text"), rate=1.5)
