@@ -633,10 +633,10 @@ def connected_components(
     Converges in `diameter` rounds -- near-dup components from LSH
     banding are near-cliques (diameter 2-3), so 3-4 shuffle rounds in
     practice, each round one join + one groupBy on the *pair* table only
-    (nodes outside any pair never enter the loop). Convergence is
-    detected exactly -- a join of the new label table against the old
-    finds any node whose label still moved (type-agnostic: ids may be
-    long, string, ...; the old sum-of-labels check required numerics);
+    (nodes outside any pair never enter the loop). Convergence: numeric
+    ids use the monotonically-decreasing sum of labels (one cheap agg
+    per round); non-numeric ids (string keys...) use an exact label-diff
+    join instead, so any orderable id type works;
     `localCheckpoint` truncates the growing lineage each round
     (essential for iterative Spark plans).
 
@@ -666,6 +666,12 @@ def connected_components(
         .withColumn("label", F.col("id"))
         .localCheckpoint()
     )
+    from pyspark.sql.types import NumericType
+
+    numeric_ids = isinstance(labels.schema["label"].dataType, NumericType)
+    prev_sum = (
+        labels.agg(F.sum("label")).first()[0] if numeric_ids else None
+    )
     converged = False
     for _ in range(max_iter):
         neighbor = edges.join(
@@ -677,21 +683,26 @@ def connected_components(
             .agg(F.min("label").alias("label"))
             .localCheckpoint()
         )
-        # exact, type-agnostic fixed-point check (the old sum(label)
-        # convergence cast string ids to double and failed analysis):
-        # any node whose label still moved means another round. Same
-        # per-round job count as the sum -- one action over the
-        # pair-member-sized label table.
-        changed = (
-            new_labels.join(
-                labels.withColumnRenamed("label", "_prev"), "id"
+        if numeric_ids:
+            # labels only min-decrease, so the sum is a monotone exact
+            # fixed-point signal -- one cheap single-column agg/round
+            cur_sum = new_labels.agg(F.sum("label")).first()[0]
+            changed = cur_sum != prev_sum
+            prev_sum = cur_sum
+        else:
+            # non-numeric ids (string keys...) have no sum; the exact
+            # check is a label-diff join over the pair-member-sized
+            # label table (the old sum cast strings and failed analysis)
+            changed = bool(
+                new_labels.join(
+                    labels.withColumnRenamed("label", "_prev"), "id"
+                )
+                .where(~F.col("label").eqNullSafe(F.col("_prev")))
+                .limit(1)
+                .count()
             )
-            .where(~F.col("label").eqNullSafe(F.col("_prev")))
-            .limit(1)
-            .count()
-        )
         labels = new_labels
-        if changed == 0:
+        if not changed:
             converged = True
             break
     edges.unpersist()

@@ -914,6 +914,43 @@ def main() -> None:
             return spark.table(name).count()
 
         timeit("stream_sessionize", stream_sessions)
+
+        # round-7 ops: training-shard egress (prefix-sum sharding must
+        # track rows -- ONE range shuffle + a <=P-row offset collect, no
+        # single-partition window) and FIM (map-only Catalyst rewrite,
+        # must track bytes with zero shuffles at any scale)
+        def _export_shards():
+            from letsearch_spark.functions.text import token_count_approx
+            from letsearch_spark.operators.export import (
+                assign_shards,
+                shard_manifest,
+            )
+
+            toks = docs.select(
+                "doc_id",
+                token_count_approx(
+                    F.coalesce(F.col("text"), F.lit(""))
+                ).alias("tokens"),
+            )
+            assigned = assign_shards(
+                toks, ["doc_id"], tokens_per_shard=50_000, token_col="tokens"
+            )
+            return shard_manifest(assigned, token_col="tokens").count()
+
+        timeit("export_shards", _export_shards)
+
+        def _fim():
+            from letsearch_spark.functions.text import fim_transform
+
+            out = fim_transform(F.col("doc_id"), F.col("text"), rate=0.5)
+            return (
+                docs.select(out["text"].alias("t"))
+                .agg(F.sum(F.length("t")))
+                .count()
+            )
+
+        timeit("fim_rewrite", _fim)
+
         ev.unpersist()
         docs.unpersist()
         emb.unpersist()
