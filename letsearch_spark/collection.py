@@ -1340,6 +1340,15 @@ class Collection:
         :meth:`search` strategy='pq', reading m bytes per vector
         instead of the float vectors.
 
+        strategy='hamming' (r7) runs one batched signature scan
+        (operators/hamming.py hamming_knn_join -- vectorized XOR +
+        popcount per partition, candidates only in the shuffle) and ONE
+        exact cosine rescore of the <= N x hamming_rescore candidate
+        rows; scores match per-query strategy='hamming' bit-for-bit.
+
+        strategy='auto' (r7) maps :meth:`resolve_strategy`'s tier to
+        the batched forms (join->dense, hamming->hamming, ivf_pq->pq).
+
         Returns (query_idx, rank, key, content, score) ordered by
         (query_idx, rank). Dense scores differ from :meth:`search` only
         in float summation order (pairwise vs sequential); hybrid scores
@@ -1354,13 +1363,14 @@ class Collection:
             raise ValueError(f"limit must be in [1, 100], got {limit}")
         if column not in self.config.index_columns:
             raise ValueError(f"column {column!r} is not indexed")
-        if strategy not in ("dense", "hybrid", "pq"):
+        if strategy not in ("dense", "hybrid", "pq", "hamming", "auto"):
             raise ValueError(f"unknown strategy {strategy!r}")
         if where is not None and strategy != "dense":
             raise ValueError(
                 "where= is supported with strategy='dense' (the hybrid "
                 "lexical leg ranks over unfiltered postings; the pq "
-                "coded view carries no filter columns)"
+                "coded view and hamming signatures carry no filter "
+                "columns)"
             )
         if not queries:
             raise ValueError("queries must be non-empty")
@@ -1375,6 +1385,16 @@ class Collection:
                 f"corpus-scale query sets"
             )
         self._require_embeddings(column)
+        if strategy == "auto":
+            # size tier from resolve_strategy, mapped to the batched
+            # forms: join->dense (same exactness), hamming->hamming,
+            # ivf_pq->pq (the coded-view batch; the on-disk variant has
+            # no batched plan yet)
+            strategy = {
+                "join": "dense",
+                "hamming": "hamming",
+                "ivf_pq": "pq",
+            }[self.resolve_strategy(column)]
         from letsearch_spark.operators.topk import knn_join
 
         vecs = self._embedder().embed(list(queries))
@@ -1385,6 +1405,73 @@ class Collection:
         serve = self._serve_view(column).where(F.col("content").isNotNull())
         if where is not None:
             serve = serve.where(F.expr(where))
+        if strategy == "hamming":
+            # batched two-stage: one hamming_knn_join plan over the
+            # cached 1-bit signature view (only signatures are scanned),
+            # then ONE exact cosine rescore of the <= N x rescore
+            # candidate rows against the serve view -- same scores as
+            # per-query strategy='hamming' (identical dot/norm
+            # arithmetic via dot_product + cached _vnorm)
+            import math
+
+            from letsearch_spark.operators.hamming import hamming_knn_join
+            from letsearch_spark.functions.vector import dot_product
+
+            if column not in self._hamming_index:
+                self.build_hamming_index(column)
+            cand = hamming_knn_join(
+                self._hamming_index[column],
+                qdf,
+                rescore=max(self.hamming_rescore, limit),
+                key_col=KEY_COL,
+                query_key_col="query_idx",
+                query_vec_col="qvec",
+            )
+            qnorms = [
+                (i, math.sqrt(sum(float(x) * float(x) for x in v)))
+                for i, v in enumerate(vecs)
+            ]
+            qn_df = self.spark.createDataFrame(
+                [
+                    (i, [float(x) for x in v], qn)
+                    for (i, qn), v in zip(qnorms, vecs)
+                ],
+                "query_idx long, qvec array<float>, qnorm double",
+            )
+            scored = (
+                serve.join(
+                    F.broadcast(cand.select("query_idx", KEY_COL)), KEY_COL
+                )
+                .join(F.broadcast(qn_df), "query_idx")
+                .withColumn(
+                    "score",
+                    F.when(
+                        F.col("_vnorm") * F.col("qnorm") == 0.0, F.lit(0.0)
+                    ).otherwise(
+                        dot_product(F.col("vector"), F.col("qvec"))
+                        / (F.col("_vnorm") * F.col("qnorm"))
+                    ),
+                )
+            )
+            from pyspark.sql import Window
+
+            w = Window.partitionBy("query_idx").orderBy(
+                F.desc("score"), F.asc(KEY_COL)
+            )
+            return (
+                scored.withColumn(
+                    "rank", F.row_number().over(w).cast("long")
+                )
+                .where(F.col("rank") <= limit)
+                .select(
+                    "query_idx",
+                    "rank",
+                    F.col(KEY_COL).alias("key"),
+                    "content",
+                    "score",
+                )
+                .orderBy("query_idx", "rank")
+            )
         if strategy == "pq":
             # batched ADC: one pq_knn_join plan over the coded view
             # (operators/pq.py) -- N compressed searches for one scan of
@@ -2041,12 +2128,29 @@ class Collection:
             .orderBy(F.asc("_ham"), F.asc(KEY_COL))
             .limit(depth)
         )
-        base = self._raw_serve_frame(column)
-        if depth <= self.hamming_inlist_max:
-            keys = [r[KEY_COL] for r in candidates.select(KEY_COL).collect()]
-            cand = base.where(F.col(KEY_COL).isin(keys)) if keys else base.limit(0)
+        cached = self._emb_cache.get(f"__serve_{column}")
+        if cached is not None:
+            # some OTHER strategy already paid for the float cache --
+            # rescoring against it is one broadcast join, zero IO, and
+            # costs this path nothing extra in memory
+            cand = cached.join(
+                F.broadcast(candidates.select(KEY_COL)), KEY_COL
+            )
         else:
-            cand = base.join(F.broadcast(candidates.select(KEY_COL)), KEY_COL)
+            base = self._raw_serve_frame(column)
+            if depth <= self.hamming_inlist_max:
+                keys = [
+                    r[KEY_COL] for r in candidates.select(KEY_COL).collect()
+                ]
+                cand = (
+                    base.where(F.col(KEY_COL).isin(keys))
+                    if keys
+                    else base.limit(0)
+                )
+            else:
+                cand = base.join(
+                    F.broadcast(candidates.select(KEY_COL)), KEY_COL
+                )
         return (
             cand.where(F.col("content").isNotNull())
             .select(

@@ -167,3 +167,92 @@ def hamming_topk(
         .orderBy(F.desc(score_col), F.asc(key_col))
         .limit(k)
     )
+
+
+def hamming_knn_join(
+    index: DataFrame,
+    queries: DataFrame,
+    rescore: int = 100,
+    key_col: str = "_key",
+    sig_col: str = "_sig",
+    query_key_col: str = "query_id",
+    query_vec_col: str = "qvec",
+    word_bits: int = 32,
+    hamming_col: str = "hamming",
+) -> DataFrame:
+    """Batched stage-1 Hamming scan: the top ``rescore`` candidates for
+    EVERY query row in ONE plan over the signature view -- the bulk form
+    of :func:`hamming_topk`'s candidate stage (feed the result to an
+    exact rescore join, or to operators/evaluate.py for recall curves).
+
+    Same candidate-only geometry as topk.knn_join / pq.pq_knn_join:
+    queries collect driver-side (the small side), the packed query
+    signature matrix ships in the closure, each partition XORs its
+    signature words against every query and popcounts via one uint8
+    table lookup (vectorized numpy -- no per-row Python), emitting only
+    its local top-``rescore`` per query (boundary-tie-complete); a
+    final per-query window ranks the (partitions x rescore) survivors.
+    Only 1-bit signatures are ever read -- float vectors stay on disk
+    for the caller's rescore.
+
+    Output: (query_key_col, key_col, hamming, rank), rank 1..rescore
+    per query, deterministic (hamming ASC, key ASC) order.
+    """
+    import pandas as pd
+
+    from pyspark.sql import Window
+
+    if rescore <= 0:
+        raise ValueError(f"rescore must be positive, got {rescore}")
+    qrows = queries.select(query_key_col, query_vec_col).collect()
+    if not qrows:
+        raise ValueError("queries frame is empty")
+    qids = np.array([r[0] for r in qrows], dtype=np.int64)
+    qsigs = np.array(
+        [pack_signbits([float(x) for x in r[1]], word_bits) for r in qrows],
+        dtype=np.int64,
+    )  # (q, words)
+    pop8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.int64)
+    rr = rescore
+
+    schema = f"{query_key_col} long, {key_col} long, {hamming_col} long"
+
+    def scan_partition(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            sigs = np.array(pdf[sig_col].tolist(), dtype=np.int64)  # (n, words)
+            keys = pdf[key_col].values
+            out_q, out_k, out_d = [], [], []
+            # chunk the query axis: the (rows x queries x words) XOR
+            # tensor is materialized per chunk, bounding peak memory at
+            # rows x 512 x words x 8B regardless of the query count
+            for q0 in range(0, len(qids), 512):
+                qs = qsigs[q0 : q0 + 512]
+                x = (sigs[:, None, :] ^ qs[None, :, :]).view(np.uint8)
+                D = pop8[x].reshape(len(sigs), len(qs), -1).sum(axis=2)
+                top = min(rr, D.shape[0])
+                part = np.argpartition(D, top - 1, axis=0)[:top]
+                for j in range(D.shape[1]):
+                    thresh = D[part[:, j], j].max()
+                    rows = np.nonzero(D[:, j] <= thresh)[0]
+                    out_q.extend([qids[q0 + j]] * len(rows))
+                    out_k.extend(keys[rows])
+                    out_d.extend(D[rows, j])
+            yield pd.DataFrame(
+                {
+                    query_key_col: out_q,
+                    key_col: out_k,
+                    hamming_col: out_d,
+                }
+            )
+
+    candidates = index.select(key_col, sig_col).mapInPandas(
+        scan_partition, schema=schema
+    )
+    w = Window.partitionBy(query_key_col).orderBy(
+        F.asc(hamming_col), F.asc(key_col)
+    )
+    return candidates.withColumn(
+        "rank", F.row_number().over(w).cast("long")
+    ).where(F.col("rank") <= rescore)

@@ -185,3 +185,97 @@ def test_maxsim_validation_and_null_vectors(spark):
     # doc 2 had only a null vector: no row; doc 1's null dropped from count
     assert [(r["doc"], r["n_chunks"]) for r in out] == [(1, 1)]
     assert out[0]["score"] == 1.0
+
+
+def test_hamming_knn_join_full_rescore_equals_exact(spark):
+    """hamming_knn_join (r7): with rescore >= corpus every key appears
+    per query with its exact Hamming distance; the per-partition numpy
+    popcount must equal the Catalyst bit_count twin."""
+    import numpy as np
+
+    from letsearch_spark.operators.hamming import (
+        build_signbit_index,
+        hamming_distance_col,
+        hamming_knn_join,
+        pack_signbits,
+    )
+
+    rng = np.random.default_rng(7)
+    dim = 48
+    vecs = rng.normal(size=(60, dim))
+    df = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vecs)],
+        "`_key` long, vector array<double>",
+    )
+    idx = build_signbit_index(df, dim=dim).repartition(5)
+    queries = spark.createDataFrame(
+        [(int(q), vecs[q].tolist()) for q in (3, 41)],
+        "query_id long, qvec array<double>",
+    )
+    out = hamming_knn_join(idx, queries, rescore=1000)
+    rows = {(r["query_id"], r["_key"]): r["hamming"] for r in out.collect()}
+    assert len(rows) == 120  # every key, both queries
+    # Catalyst twin for one query
+    qsig = pack_signbits(vecs[3].tolist())
+    twin = {
+        r["_key"]: r["h"]
+        for r in idx.select(
+            "_key", hamming_distance_col("_sig", qsig).alias("h")
+        ).collect()
+    }
+    for k, h in twin.items():
+        assert rows[(3, k)] == h
+    # self-query: distance 0 at rank 1
+    r1 = out.where("query_id = 3 AND rank = 1").first()
+    assert r1["_key"] == 3 and r1["hamming"] == 0
+
+
+def test_search_many_hamming_matches_per_query(spark, tmp_path, sf_dir):
+    """search_many(strategy='hamming') reproduces per-query
+    strategy='hamming' rows and scores exactly; strategy='auto' maps
+    through resolve_strategy."""
+    import os
+
+    from letsearch_spark.collection import Collection
+
+    c = Collection.create(
+        spark, str(tmp_path), name="hb", model_name="stub://16"
+    )
+    c.import_parquet(os.path.join(sf_dir, "documents.parquet"))
+    c.embed_column("text")
+    queries = [
+        "spark join query window batch",
+        "vector index build embed",
+        "agg line group hash",
+    ]
+    batched = c.search_many("text", queries, limit=5, strategy="hamming")
+    got = {}
+    for r in batched.collect():
+        got.setdefault(r["query_idx"], []).append(
+            (r["rank"], r["key"], r["score"])
+        )
+    for i, q in enumerate(queries):
+        per = [
+            (j + 1, r["key"], r["score"])
+            for j, r in enumerate(
+                c.search("text", q, limit=5, strategy="hamming").collect()
+            )
+        ]
+        assert got[i] == per, q
+
+    # auto on a small collection -> dense tier; on a shrunken exact
+    # ceiling -> the hamming tier, same rows as explicit
+    assert c.resolve_strategy("text") == "join"
+    old = c.auto_exact_max_rows
+    try:
+        c.auto_exact_max_rows = 1
+        assert c.resolve_strategy("text") == "hamming"
+        auto = c.search_many("text", queries[:1], limit=5, strategy="auto")
+        explicit = c.search_many(
+            "text", queries[:1], limit=5, strategy="hamming"
+        )
+        assert [tuple(r) for r in auto.collect()] == [
+            tuple(r) for r in explicit.collect()
+        ]
+    finally:
+        c.auto_exact_max_rows = old
