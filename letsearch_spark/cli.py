@@ -332,6 +332,45 @@ def cmd_diff(args) -> int:
     return 0
 
 
+def cmd_export_shards(args) -> int:
+    """Training-shard egress (operators/export.py): order the corpus,
+    fill size-bounded shards, write shard=N parquet + a checksummed
+    manifest; --verify re-reads the layout against its manifest."""
+    from letsearch_spark.operators.export import (
+        export_training_shards,
+        verify_training_shards,
+    )
+
+    spark = _spark(args)
+    df = spark.read.parquet(args.input)
+    checksum_cols = (
+        [c.strip() for c in args.checksum_cols.split(",") if c.strip()]
+        if args.checksum_cols
+        else None
+    )
+    manifest = export_training_shards(
+        df,
+        args.out,
+        [c.strip() for c in args.order_by.split(",")],
+        rows_per_shard=args.rows_per_shard,
+        tokens_per_shard=args.tokens_per_shard,
+        token_col=args.token_col,
+        checksum_cols=checksum_cols,
+    )
+    for r in manifest.collect():
+        print(json.dumps(r.asDict()))
+    if args.verify:
+        verify_training_shards(
+            spark,
+            args.out,
+            token_col=args.token_col,
+            checksum_cols=checksum_cols,
+            strict=True,
+        )
+        print(json.dumps({"verified": True}))
+    return 0
+
+
 def cmd_list_models(args) -> int:
     from letsearch_spark.sources.hf import list_models
 
@@ -464,6 +503,29 @@ def build_parser() -> argparse.ArgumentParser:
         help="optional parquet path for the per-key status ledger",
     )
     s.set_defaults(fn=cmd_diff)
+
+    s = sub.add_parser(
+        "export-shards",
+        help="write ordered training shards + checksummed manifest",
+    )
+    s.add_argument("--input", required=True, help="corpus parquet")
+    s.add_argument("--out", required=True, help="shard output directory")
+    s.add_argument(
+        "--order-by", required=True,
+        help="comma list of order columns (must form a total order)",
+    )
+    s.add_argument("--rows-per-shard", type=int, default=None)
+    s.add_argument("--tokens-per-shard", type=int, default=None)
+    s.add_argument("--token-col", default=None)
+    s.add_argument(
+        "--checksum-cols", default=None,
+        help="comma list of content columns for the manifest checksum",
+    )
+    s.add_argument(
+        "--verify", action="store_true",
+        help="re-read the layout and verify it against its manifest",
+    )
+    s.set_defaults(fn=cmd_export_shards)
 
     s = sub.add_parser("list-models", help="list letsearch models on HF hub")
     s.set_defaults(fn=cmd_list_models)

@@ -297,3 +297,59 @@ def export_training_shards(
     )
     manifest.write.mode("overwrite").parquet(path.rstrip("/") + "_manifest")
     return manifest
+
+
+def verify_training_shards(
+    spark,
+    path: str,
+    token_col: str | None = None,
+    checksum_cols: list[str] | None = None,
+    strict: bool = True,
+):
+    """Re-read an :func:`export_training_shards` layout and verify it
+    against its ``_manifest``: per shard, recompute (n_rows, rank
+    range, [n_tokens,] checksum) from the data files and compare --
+    the trainer-side integrity gate before a run (a truncated upload,
+    a lost shard directory, or a post-export edit all flip it).
+
+    Pass the SAME ``token_col``/``checksum_cols`` the export used. One
+    partial-aggregable groupBy over the shard data + a tiny manifest
+    join; returns the per-shard comparison DataFrame (shard, ok,
+    expected vs actual columns). ``strict=True`` raises on any
+    mismatch, missing shard, or extra shard.
+    """
+    data = spark.read.parquet(path)
+    actual = shard_manifest(
+        data, token_col=token_col, checksum_cols=checksum_cols
+    )
+    expected = spark.read.parquet(path.rstrip("/") + "_manifest")
+    cmp_cols = [c for c in actual.columns if c != "shard"]
+    a = actual.select(
+        "shard", *[F.col(c).alias(f"actual_{c}") for c in cmp_cols]
+    )
+    e = expected.select(
+        "shard", *[F.col(c).alias(f"expected_{c}") for c in cmp_cols]
+    )
+    ok = F.lit(True)
+    for c in cmp_cols:
+        ok = ok & F.col(f"actual_{c}").eqNullSafe(F.col(f"expected_{c}"))
+    report = (
+        e.join(a, "shard", "full_outer")
+        .withColumn(
+            "ok",
+            ok
+            & F.col(f"actual_{cmp_cols[0]}").isNotNull()
+            & F.col(f"expected_{cmp_cols[0]}").isNotNull(),
+        )
+        .orderBy("shard")
+    )
+    if strict:
+        bad = report.where(~F.col("ok")).limit(5).collect()
+        if bad:
+            raise RuntimeError(
+                f"shard verification failed for {len(bad)}+ shard(s) "
+                f"under {path}: first mismatches "
+                f"{[(r['shard']) for r in bad]} -- the data does not "
+                f"match its manifest (truncated/edited/missing shards?)"
+            )
+    return report

@@ -170,3 +170,64 @@ def test_export_training_shards_roundtrip(spark, tmp_path):
         .collect()
     )
     assert [r["rank"] for r in s0] == sorted(r["rank"] for r in s0)
+
+
+def test_verify_training_shards_catches_tampering(spark, tmp_path):
+    from letsearch_spark.operators.export import verify_training_shards
+
+    df = _corpus(spark, 120)
+    out = str(tmp_path / "vshards")
+    export_training_shards(
+        df, out, ["doc_id"], rows_per_shard=50,
+        token_col="tokens", checksum_cols=["doc_id", "text"],
+    )
+    report = verify_training_shards(
+        spark, out, token_col="tokens", checksum_cols=["doc_id", "text"]
+    )
+    assert all(r["ok"] for r in report.collect())
+
+    # delete one shard directory -> strict verify raises, report flags it
+    import shutil
+
+    shutil.rmtree(os.path.join(out, "shard=1"))
+    with pytest.raises(RuntimeError, match="shard verification failed"):
+        verify_training_shards(
+            spark, out, token_col="tokens",
+            checksum_cols=["doc_id", "text"],
+        )
+    rep = verify_training_shards(
+        spark, out, token_col="tokens",
+        checksum_cols=["doc_id", "text"], strict=False,
+    )
+    flags = {r["shard"]: r["ok"] for r in rep.collect()}
+    assert flags[1] is False and flags[0] and flags[2]
+
+    # wrong checksum columns -> mismatch is loud, not silent
+    with pytest.raises(RuntimeError):
+        verify_training_shards(
+            spark, out, token_col="tokens", checksum_cols=["doc_id"]
+        )
+
+
+def test_cli_export_shards_roundtrip(spark, tmp_path, capsys):
+    import json as _json
+
+    from letsearch_spark.cli import build_parser
+
+    src = str(tmp_path / "corpus.parquet")
+    _corpus(spark, 90).write.parquet(src)
+    out = str(tmp_path / "cli_shards")
+    args = build_parser().parse_args(
+        [
+            "export-shards", "--input", src, "--out", out,
+            "--order-by", "doc_id", "--rows-per-shard", "40",
+            "--checksum-cols", "doc_id,text", "--verify",
+        ]
+    )
+    assert args.fn(args) == 0
+    lines = [
+        _json.loads(l) for l in capsys.readouterr().out.splitlines() if l
+    ]
+    assert lines[-1] == {"verified": True}
+    manifest_rows = [l for l in lines if "shard" in l]
+    assert [m["n_rows"] for m in manifest_rows] == [40, 40, 10]
