@@ -202,6 +202,13 @@ class Collection:
         # tri-state tombstone-existence probe cache (None = re-check the
         # FS on next read); cleared on writes
         self._tomb_flag: bool | None = None
+        # opt-in auto-compaction: after a tombstone delete, when the
+        # deletion backlog exceeds this fraction of the raw docs table,
+        # run compact() (physical purge + sidecar clear) automatically.
+        # None (default) = never -- compaction timing stays the
+        # operator's call; 0.2 is a reasonable production setting (the
+        # anti-join read overhead and retained bytes stay bounded)
+        self.tombstone_auto_compact_fraction: float | None = None
 
     # ---- paths ----
 
@@ -646,6 +653,17 @@ class Collection:
             # serve caches rebuild against the shrunken live view; the
             # index quantizers stay (probes tombstone-filter instead)
             self._invalidate_cache(drop_index_meta=False)
+            frac = self.tombstone_auto_compact_fraction
+            if frac is not None:
+                n_tomb = self.spark.read.parquet(
+                    self.tombstones_path
+                ).count()
+                n_raw = self._docs_raw().count()
+                if n_raw > 0 and n_tomb / n_raw > frac:
+                    # backlog past the knob: apply the deletion vectors
+                    # physically now (the two counts are key-column
+                    # scans, paid only when the knob is set)
+                    self.compact()
             return n_del
 
         # ---- purge: fold the backlog in and rewrite physically ----
