@@ -302,6 +302,11 @@ def main() -> None:
         # round 6 late session: zlib-ratio quality signal (one Arrow
         # pass over the documents table)
         "text_compression",
+        # round 7: training-shard egress manifest (distributed
+        # prefix-sum + budget fill) and the seeded FIM rewrite
+        # (map-only Catalyst; no baseline rows yet)
+        "export_shards_manifest",
+        "fim_transform",
     ):
         run_stage(
             name, lambda name=name: STAGED_QUERIES[name](spark, SF_DIR).count()
@@ -385,6 +390,20 @@ def main() -> None:
     )
     timings["many_hybrid_queries_per_sec"] = round(
         len(many_qs) / timings["search_many_hybrid"], 3
+    )
+
+    # batched hamming (round 7): one signature scan + one exact rescore
+    # for the whole query batch -- compare against search_many_hybrid /
+    # per-query search_topk_hamming within the run (no baseline row)
+    run_stage(
+        "search_many_hamming",
+        lambda: coll.search_many(
+            "text", many_qs, limit=10, strategy="hamming"
+        ).count(),
+        repeats=2,
+    )
+    timings["many_hamming_queries_per_sec"] = round(
+        len(many_qs) / timings["search_many_hamming"], 3
     )
 
     total = round(

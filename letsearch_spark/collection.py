@@ -1364,8 +1364,17 @@ class Collection:
         exact cosine rescore of the <= N x hamming_rescore candidate
         rows; scores match per-query strategy='hamming' bit-for-bit.
 
+        strategy='ivf_pq' (r7) runs one batched plan over the on-disk
+        coded index (operators/pq.py ivf_pq_knn_join): the scan reads
+        only the UNION of every query's probed ``_list`` partitions,
+        each row is ADC-scored only against the queries that probed its
+        list, and content fetches back through the docs table -- the
+        batched form of the biggest serving tier, with NO cached view
+        at all.
+
         strategy='auto' (r7) maps :meth:`resolve_strategy`'s tier to
-        the batched forms (join->dense, hamming->hamming, ivf_pq->pq).
+        the batched forms (join->dense, hamming->hamming,
+        ivf_pq->ivf_pq).
 
         Returns (query_idx, rank, key, content, score) ordered by
         (query_idx, rank). Dense scores differ from :meth:`search` only
@@ -1381,7 +1390,7 @@ class Collection:
             raise ValueError(f"limit must be in [1, 100], got {limit}")
         if column not in self.config.index_columns:
             raise ValueError(f"column {column!r} is not indexed")
-        if strategy not in ("dense", "hybrid", "pq", "hamming", "auto"):
+        if strategy not in ("dense", "hybrid", "pq", "hamming", "ivf_pq", "auto"):
             raise ValueError(f"unknown strategy {strategy!r}")
         if where is not None and strategy != "dense":
             raise ValueError(
@@ -1411,7 +1420,7 @@ class Collection:
             strategy = {
                 "join": "dense",
                 "hamming": "hamming",
-                "ivf_pq": "pq",
+                "ivf_pq": "ivf_pq",
             }[self.resolve_strategy(column)]
         from letsearch_spark.operators.topk import knn_join
 
@@ -1420,16 +1429,55 @@ class Collection:
             [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
             "query_idx long, qvec array<float>",
         )
-        serve = self._serve_view(column).where(F.col("content").isNotNull())
-        if where is not None:
-            serve = serve.where(F.expr(where))
+        if strategy == "ivf_pq":
+            # batched on-disk compressed search: ONE plan over the union
+            # of every query's probed _list partitions; no cached view
+            # of any kind (the tier for corpora beyond the cache)
+            from letsearch_spark.operators.pq import ivf_pq_knn_join
+
+            if column not in self._ivf_pq_index:
+                self.refresh_ivf_pq_index(column)
+            centroids, cb = self._ivf_pq_index[column]
+            hits = ivf_pq_knn_join(
+                self.spark,
+                self.ivf_pq_path(column),
+                centroids,
+                cb,
+                qdf,
+                k=limit,
+                nprobe=self.ivf_nprobe,
+                key_col=KEY_COL,
+                query_key_col="query_idx",
+                query_vec_col="qvec",
+            )
+            tomb = self._tombstones()
+            if tomb is not None:
+                hits = hits.join(F.broadcast(tomb), KEY_COL, "left_anti")
+            docs = self.docs().select(
+                F.col(KEY_COL), F.col(column).alias("content")
+            )
+            return (
+                F.broadcast(hits)
+                .join(docs, KEY_COL)
+                .where(F.col("content").isNotNull())
+                .select(
+                    "query_idx",
+                    "rank",
+                    F.col(KEY_COL).alias("key"),
+                    "content",
+                    "score",
+                )
+                .orderBy("query_idx", "rank")
+            )
         if strategy == "hamming":
             # batched two-stage: one hamming_knn_join plan over the
             # cached 1-bit signature view (only signatures are scanned),
             # then ONE exact cosine rescore of the <= N x rescore
-            # candidate rows against the serve view -- same scores as
-            # per-query strategy='hamming' (identical dot/norm
-            # arithmetic via dot_product + cached _vnorm)
+            # candidate rows against the UNCACHED raw serve frame (one
+            # parquet scan amortized over the whole batch -- the float
+            # cache is never materialized on this path) -- same scores
+            # as per-query strategy='hamming' (identical dot/norm
+            # arithmetic via dot_product + the same l2_norm)
             import math
 
             from letsearch_spark.operators.hamming import hamming_knn_join
@@ -1456,8 +1504,11 @@ class Collection:
                 ],
                 "query_idx long, qvec array<float>, qnorm double",
             )
+            base = self._raw_serve_frame(column).where(
+                F.col("content").isNotNull()
+            )
             scored = (
-                serve.join(
+                base.join(
                     F.broadcast(cand.select("query_idx", KEY_COL)), KEY_COL
                 )
                 .join(F.broadcast(qn_df), "query_idx")
@@ -1490,6 +1541,12 @@ class Collection:
                 )
                 .orderBy("query_idx", "rank")
             )
+        # the remaining strategies (dense / hybrid / pq) score or fetch
+        # against the cached float serve view -- built only NOW, so the
+        # cache-light tiers above never materialize it
+        serve = self._serve_view(column).where(F.col("content").isNotNull())
+        if where is not None:
+            serve = serve.where(F.expr(where))
         if strategy == "pq":
             # batched ADC: one pq_knn_join plan over the coded view
             # (operators/pq.py) -- N compressed searches for one scan of

@@ -46,6 +46,7 @@ __all__ = [
     "build_ivf_pq",
     "ivf_pq_topk",
     "pq_knn_join",
+    "ivf_pq_knn_join",
 ]
 
 
@@ -457,6 +458,122 @@ def pq_knn_join(
             )
 
     candidates = coded.select(key_col, code_col).mapInPandas(
+        score_partition, schema=schema
+    )
+    w = Window.partitionBy(query_key_col).orderBy(
+        F.desc("score"), F.asc(key_col)
+    )
+    return candidates.withColumn(
+        "rank", F.row_number().over(w).cast("long")
+    ).where(F.col("rank") <= k)
+
+
+def ivf_pq_knn_join(
+    spark,
+    path: str,
+    centroids: np.ndarray,
+    codebook: PQCodebook,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+    key_col: str = "_key",
+    code_col: str = "pq_code",
+    query_key_col: str = "query_id",
+    query_vec_col: str = "qvec",
+) -> DataFrame:
+    """Batched IVF-PQ search: top-k (by ADC score) for every query row
+    in ONE plan over the on-disk coded index -- the bulk form of
+    :func:`ivf_pq_topk`, and the batched shape for the biggest serving
+    tier (codes on disk, no cache at all).
+
+    Geometry: per-query probe lists come from the coarse centroids
+    driver-side; the scan reads only the UNION of probed ``_list``
+    parquet partitions (partition pruning still applies -- at nprobe=2
+    and 100 distinct queries that is at most 200 of nlist partitions,
+    typically far fewer once probes overlap). Each partition scores a
+    row ONLY against the queries that probed its list (a list -> query
+    indices table ships in the closure with the stacked LUT tensor),
+    emits local top-k per query, and a final per-query window ranks
+    the survivors. Scores and candidate sets match per-query
+    :func:`ivf_pq_topk` exactly.
+
+    Output: (query_key_col, key_col, score, rank), rank 1..k per query.
+    """
+    from pyspark.sql import Window
+
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    qrows = queries.select(query_key_col, query_vec_col).collect()
+    if not qrows:
+        raise ValueError("queries frame is empty")
+    qids = np.array([r[0] for r in qrows], dtype=np.int64)
+    # normalize each query EXACTLY like the per-query path (_unit_query
+    # uses the 1-D BLAS norm; an axis-reduction norm differs by ulps and
+    # would break bit-parity with ivf_pq_topk)
+    Qn = np.stack([_unit_query(r[1], codebook.dim) for r in qrows])
+    order = np.argsort(-(Qn @ centroids.T), axis=1)[:, :nprobe]  # (q, nprobe)
+    # list -> positions of the queries that probe it
+    probers: dict[int, list[int]] = {}
+    for qi in range(len(qids)):
+        for lst in order[qi]:
+            probers.setdefault(int(lst), []).append(qi)
+    probers_arr = {lst: np.array(v) for lst, v in probers.items()}
+    m, dsub = codebook.m, codebook.dsub
+    # per-(query, subspace) matmuls, NOT one einsum: this is exactly how
+    # pq_topk builds its LUT, so batched ADC sums are bit-identical to
+    # the per-query path (einsum's accumulation order differs by ulps)
+    luts = np.stack(
+        [
+            np.stack(
+                [
+                    codebook.codebooks[s] @ Qn[qi, s * dsub : (s + 1) * dsub]
+                    for s in range(m)
+                ]
+            )
+            for qi in range(len(Qn))
+        ]
+    )
+    kk = k
+
+    df = spark.read.parquet(path).filter(
+        F.col("_list").isin(*[int(x) for x in probers])
+    )
+    schema = f"{query_key_col} long, {key_col} long, score double"
+
+    def score_partition(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            codes = np.frombuffer(
+                b"".join(pdf[code_col].tolist()), dtype=np.uint8
+            ).reshape(len(pdf), m)
+            keys = pdf[key_col].values
+            lists = pdf["_list"].values
+            out_q, out_k, out_s = [], [], []
+            marange = np.arange(m)[None, :]
+            for lst in np.unique(lists):
+                qpos = probers_arr.get(int(lst))
+                if qpos is None:
+                    continue
+                rows = np.nonzero(lists == lst)[0]
+                sub = codes[rows]
+                for qj in qpos:
+                    # gather + sum(axis=1): the EXACT summation pq_topk's
+                    # _adc uses (numpy pairwise), so batched scores are
+                    # bit-identical to the per-query path
+                    scores = luts[qj][marange, sub].sum(axis=1)
+                    top = min(kk, len(scores))
+                    part = np.argpartition(-scores, top - 1)[:top]
+                    thresh = scores[part].min()
+                    hit = np.nonzero(scores >= thresh)[0]
+                    out_q.extend([qids[qj]] * len(hit))
+                    out_k.extend(keys[rows[hit]])
+                    out_s.extend(scores[hit])
+            yield pd.DataFrame(
+                {query_key_col: out_q, key_col: out_k, "score": out_s}
+            )
+
+    candidates = df.select(key_col, code_col, "_list").mapInPandas(
         score_partition, schema=schema
     )
     w = Window.partitionBy(query_key_col).orderBy(

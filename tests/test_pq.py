@@ -303,3 +303,38 @@ def test_pq_knn_join_matches_per_query_loop(spark, sf_dir):
         pq_knn_join(coded, cb, queries.where(F.lit(False)), k=5)
     with pytest.raises(ValueError, match="k must be"):
         pq_knn_join(coded, cb, queries, k=0)
+
+
+def test_search_many_ivf_pq_matches_per_query(spark, tmp_path, sf_dir):
+    """search_many(strategy='ivf_pq') (r7): one batched plan over the
+    on-disk coded index must reproduce per-query strategy='ivf_pq'
+    rows and scores exactly -- and the union-of-probed-lists scan only
+    scores a row against the queries that probed its list."""
+    import os
+
+    from letsearch_spark.collection import Collection
+
+    c = Collection.create(
+        spark, str(tmp_path), name="bip", model_name="stub://16"
+    )
+    c.import_parquet(os.path.join(sf_dir, "documents.parquet"))
+    c.embed_column("text")
+    queries = [
+        "spark join query window batch",
+        "vector index build embed",
+        "agg line group hash",
+    ]
+    batched = c.search_many("text", queries, limit=5, strategy="ivf_pq")
+    got = {}
+    for r in batched.collect():
+        got.setdefault(r["query_idx"], []).append(
+            (r["rank"], r["key"], r["score"])
+        )
+    for i, q in enumerate(queries):
+        per = [
+            (j + 1, r["key"], r["score"])
+            for j, r in enumerate(
+                c.search("text", q, limit=5, strategy="ivf_pq").collect()
+            )
+        ]
+        assert got[i] == per, q
