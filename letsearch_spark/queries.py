@@ -2126,6 +2126,150 @@ def q_eval_lsh_recall(spark, sf_dir):
     )
 
 
+_HAM_RESCORE = 50
+
+
+def q_eval_hamming_recall(spark, sf_dir):
+    """Retrieval evaluation of the round-7 'auto' middle tier: the
+    sign-bit Hamming candidate scan (operators/hamming.py, rescore=50)
+    + exact cosine rescore, measured against the exact brute-force
+    ranking with the same recall@10 / MRR@10 machinery as
+    eval_lsh_recall -- the recall evidence behind resolve_strategy's
+    hamming tier (SCALING.md round-7 crossover table carries the
+    latency half). Oracle: a computed-literal Python twin (pack_signbits
+    + popcount + the same sequential-double cosine)."""
+    from letsearch_spark.functions.vector import dot_product, l2_norm
+    from letsearch_spark.operators.evaluate import mrr_at_k, recall_at_k
+    from letsearch_spark.operators.hamming import (
+        build_signbit_index,
+        hamming_knn_join,
+    )
+    from letsearch_spark.operators.topk import knn_join
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("_key"), F.col("embedding").alias("vector")
+    )
+    queries = emb.where(F.col("_key") < _EVAL_NQ).select(
+        F.col("_key").alias("query_id"), F.col("vector").alias("qvec")
+    )
+    exact = knn_join(emb, queries, k=_EVAL_K, method="expr")
+
+    idx = build_signbit_index(emb, dim=_EMB_DIM)
+    cand = hamming_knn_join(idx, queries, rescore=_HAM_RESCORE)
+    sim = dot_product(F.col("vector"), F.col("qvec")) / (
+        l2_norm(F.col("vector")) * l2_norm(F.col("qvec"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("_key"))
+    approx = (
+        cand.select("query_id", "_key")
+        .join(emb, "_key")
+        .join(queries, "query_id")
+        .select("query_id", "_key", sim.alias("score"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= _EVAL_K)
+    )
+    rec = recall_at_k(approx, exact, k=_EVAL_K)
+    rr = mrr_at_k(approx, exact, k=_EVAL_K)
+    return (
+        rec.join(rr, "query_id")
+        .select(
+            "query_id",
+            "n_exact",
+            "n_hit",
+            F.round("recall", 6).alias("recall"),
+            "first_hit_rank",
+            F.round("rr", 6).alias("rr"),
+        )
+        .orderBy("query_id")
+    )
+
+
+def _eval_hamming_recall_oracle(sf_dir: str) -> str:
+    """Computed-literal twin of q_eval_hamming_recall: pack_signbits +
+    popcount candidate ranks, sequential-double cosine (the exact
+    arithmetic of the expr knn_join / dot_product fold), recall@k +
+    first-hit MRR, HALF_UP round-6."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import pyarrow.parquet as pq_
+
+    from letsearch_spark.operators.hamming import pack_signbits
+
+    tbl = pq_.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+    ).to_pylist()
+    tbl.sort(key=lambda r: r["vec_id"])
+    vecs = {r["vec_id"]: [float(x) for x in r["embedding"]] for r in tbl}
+    sigs = {k: pack_signbits(v) for k, v in vecs.items()}
+
+    def _dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += x * y
+        return acc
+
+    def _cos(a, b):
+        d = math.sqrt(_dot(a, a)) * math.sqrt(_dot(b, b))
+        return 0.0 if d == 0.0 else _dot(a, b) / d
+
+    def _round6(x: float) -> float:
+        return float(
+            Decimal(repr(x)).quantize(Decimal("0.000001"), ROUND_HALF_UP)
+        )
+
+    rows = []
+    for qid in sorted(k for k in vecs if k < _EVAL_NQ):
+        qv, qs = vecs[qid], sigs[qid]
+        exact = sorted(
+            ((_cos(v, qv), k) for k, v in vecs.items()),
+            key=lambda t: (-t[0], t[1]),
+        )[:_EVAL_K]
+        exact_keys = {k for _, k in exact}
+        ham = sorted(
+            (
+                (
+                    sum(bin(a ^ b).count("1") for a, b in zip(s, qs)),
+                    k,
+                )
+                for k, s in sigs.items()
+            ),
+            key=lambda t: (t[0], t[1]),
+        )[:_HAM_RESCORE]
+        rescored = sorted(
+            ((_cos(vecs[k], qv), k) for _, k in ham),
+            key=lambda t: (-t[0], t[1]),
+        )[:_EVAL_K]
+        n_hit = sum(1 for _, k in rescored if k in exact_keys)
+        first = None
+        for rank, (_, k) in enumerate(rescored, 1):
+            if k in exact_keys:
+                first = rank
+                break
+        rows.append(
+            (
+                qid,
+                _EVAL_K,
+                n_hit,
+                _round6(n_hit / _EVAL_K),
+                first,
+                _round6(1.0 / first) if first else 0.0,
+            )
+        )
+    return _values_literal(
+        rows,
+        [
+            ("query_id", "BIGINT"),
+            ("n_exact", "BIGINT"),
+            ("n_hit", "BIGINT"),
+            ("recall", "DOUBLE"),
+            ("first_hit_rank", "BIGINT"),
+            ("rr", "DOUBLE"),
+        ],
+    )
+
+
 _HN_NQ, _HN_K, _HN_NNEG, _HN_MARGIN = 8, 10, 5, 0.05
 
 
@@ -2836,9 +2980,10 @@ _EXPORT_SHARDS_ORACLE_SQL = f"""
 
 
 STAGED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # round 7 (training-shard egress + FIM)
+    # round 7 (training-shard egress + FIM + hamming-tier recall)
     "export_shards_manifest": q_export_shards_manifest,
     "fim_transform": q_fim_transform,
+    "eval_hamming_recall": q_eval_hamming_recall,
     # round 6 (late session: memory-bound ANN + late-interaction serving
     # + the unigram tokenizer completing the trainer family)
     "ann_hamming_topk": q_ann_hamming_topk,
@@ -3541,6 +3686,7 @@ STAGED_ORACLES: dict[str, object] = {
     # round 7
     "export_shards_manifest": _EXPORT_SHARDS_ORACLE_SQL,
     "fim_transform": _FIM_ORACLE_SQL,
+    "eval_hamming_recall": _eval_hamming_recall_oracle,
     # round 6 (late session)
     "ann_hamming_topk": _hamming_oracle_sql(),
     "search_maxsim": _maxsim_oracle_sql(),
