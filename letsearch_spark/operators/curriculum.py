@@ -202,3 +202,42 @@ def curriculum_shards(
     return ranked.withColumn(
         shard_col, ntile_of_rank(F.col(rank_col), n, num_shards)
     )
+
+
+def interleave_order(
+    df: DataFrame,
+    source_col: str,
+    order_cols: list[str],
+    rank_col: str = "interleave_rank",
+    num_partitions: int | None = None,
+    pin: str = "local",
+) -> DataFrame:
+    """Exact ROUND-ROBIN global order across sources: position 1..n
+    such that a sequential reader alternates ``source_col`` values for
+    as long as every source still has rows (round 1 holds each source's
+    first row, round 2 the seconds, ...; within a round, sources read
+    in their natural order). The deterministic alternative to
+    :func:`shuffle_order` when the goal is specifically "no long
+    single-domain runs" in the training stream -- mixture sampling
+    decides HOW MUCH of each source, this decides the ADJACENCY.
+
+    ``order_cols`` orders rows WITHIN a source (include a unique
+    tiebreak last). Shape: one partitioned window per source (a real
+    partitioned window -- never single-task) for the within-source
+    round number, then ONE :func:`distributed_rank` range shuffle on
+    (round, source) for the exact global position.
+    """
+    if not order_cols:
+        raise ValueError("order_cols must name at least one column")
+    w = Window.partitionBy(source_col).orderBy(
+        *[F.col(c).asc() for c in order_cols]
+    )
+    rounds = df.withColumn("_round", F.row_number().over(w).cast("long"))
+    out = distributed_rank(
+        rounds,
+        ["_round", source_col],
+        rank_col=rank_col,
+        num_partitions=num_partitions,
+        pin=pin,
+    )
+    return out.drop("_round")

@@ -2928,6 +2928,36 @@ _FIM_ORACLE_SQL = f"""
 """
 
 
+def q_interleave_order(spark, sf_dir):
+    """Round-robin source interleaving (operators/curriculum.py
+    interleave_order): every document's exact global position in the
+    order that alternates languages while they last -- one partitioned
+    window for the within-source round, ONE range shuffle for the
+    global rank (no single-partition window). The oracle replays both
+    windows in SQL."""
+    from letsearch_spark.operators.curriculum import interleave_order
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    return (
+        interleave_order(docs, "lang", ["doc_id"])
+        .select("doc_id", "lang", "interleave_rank")
+        .orderBy("interleave_rank")
+    )
+
+
+_INTERLEAVE_ORACLE_SQL = """
+    WITH r AS (
+        SELECT doc_id, lang,
+               row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rnd
+        FROM documents
+    )
+    SELECT doc_id, lang,
+           CAST(row_number() OVER (ORDER BY rnd, lang NULLS FIRST)
+                AS BIGINT) AS interleave_rank
+    FROM r ORDER BY interleave_rank
+"""
+
+
 def q_export_shards_manifest(spark, sf_dir):
     """Training-shard egress manifest (operators/export.py): every
     document ranked by doc_id, greedily filled into 5000-token shards
@@ -2984,6 +3014,7 @@ STAGED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "export_shards_manifest": q_export_shards_manifest,
     "fim_transform": q_fim_transform,
     "eval_hamming_recall": q_eval_hamming_recall,
+    "interleave_order": q_interleave_order,
     # round 6 (late session: memory-bound ANN + late-interaction serving
     # + the unigram tokenizer completing the trainer family)
     "ann_hamming_topk": q_ann_hamming_topk,
@@ -3687,6 +3718,7 @@ STAGED_ORACLES: dict[str, object] = {
     "export_shards_manifest": _EXPORT_SHARDS_ORACLE_SQL,
     "fim_transform": _FIM_ORACLE_SQL,
     "eval_hamming_recall": _eval_hamming_recall_oracle,
+    "interleave_order": _INTERLEAVE_ORACLE_SQL,
     # round 6 (late session)
     "ann_hamming_topk": _hamming_oracle_sql(),
     "search_maxsim": _maxsim_oracle_sql(),

@@ -159,3 +159,45 @@ def test_shuffle_order_is_seeded_permutation(spark, scored):
     # the epoch story: seed=epoch gives decorrelated orders over the
     # same materialized corpus
     assert "__sk" not in shuffle_order(ids, "doc_id").columns
+
+
+def test_interleave_order_round_robin(spark):
+    """interleave_order (r7): sources alternate while they last, within-
+    source order is preserved, the result is an exact 1..n permutation,
+    and the shape matches the SQL twin (row_number per source, then
+    rank over (round, source))."""
+    from pyspark.sql import Window
+
+    from letsearch_spark.operators.curriculum import interleave_order
+
+    rows = [("a", i) for i in range(5)] + [("b", i) for i in range(3)] + [
+        ("c", i) for i in range(1)
+    ]
+    df = spark.createDataFrame(rows, "src string, doc_id long").repartition(4)
+    out = interleave_order(df, "src", ["doc_id"])
+    got = sorted(
+        (r["interleave_rank"], r["src"], r["doc_id"]) for r in out.collect()
+    )
+    # 1..n permutation
+    assert [g[0] for g in got] == list(range(1, 10))
+    # round 1: a0 b0 c0; round 2: a1 b1; ...; tail: a3 a4
+    assert [(g[1], g[2]) for g in got] == [
+        ("a", 0), ("b", 0), ("c", 0),
+        ("a", 1), ("b", 1),
+        ("a", 2), ("b", 2),
+        ("a", 3), ("a", 4),
+    ]
+    # SQL window twin over any partitioning
+    twin = (
+        df.withColumn(
+            "rnd", F.row_number().over(Window.partitionBy("src").orderBy("doc_id"))
+        )
+        .withColumn(
+            "rk", F.row_number().over(Window.orderBy("rnd", "src"))
+        )
+    )
+    t = sorted((r["rk"], r["src"], r["doc_id"]) for r in twin.collect())
+    assert [(g[1], g[2]) for g in got] == [(x[1], x[2]) for x in t]
+
+    with pytest.raises(ValueError):
+        interleave_order(df, "src", [])
