@@ -192,6 +192,7 @@ def test_no_accidental_cartesian_in_contract_queries(spark, sf_dir):
     ALLOWED: set[str] = {
         "knn_join",
         "eval_lsh_recall",
+        "eval_hamming_recall",  # r7: same exact-leg tiny-query broadcast
         "mine_hard_negatives",
         "training_pairs",
     }
