@@ -1167,21 +1167,24 @@ class Collection:
 
         limit validation 1..=100 mirrors serve.rs:155-161.
 
-        ``where`` (strategy='join' only): a Spark SQL predicate over the
-        serve view's columns, applied BEFORE scoring (pre-filter-then-
-        score -- the top-k is exact over the filtered population, never
-        a post-filter that can return fewer than limit hits). Metadata
+        ``where`` (strategies 'join' and 'hamming'): a Spark SQL
+        predicate over the serve view's columns, applied BEFORE
+        scoring/ranking (pre-filter-then-score -- never a post-filter
+        that can return fewer than limit hits; under 'join' the top-k
+        is exact over the filtered population, under 'hamming' the
+        candidate ranking is hamming-approximate over it). Metadata
         columns referenced by the predicate must be listed in
         ``serve_filter_columns`` BEFORE serving (they are copied into
-        the cached view at build; the view auto-rebuilds if the list
+        the cached view at build; both views auto-rebuild if the list
         grew). Evaluates against cached in-memory batches with min/max
         batch pruning -- no per-query join against the docs table.
 
         strategy='auto': size-based selection via
         :meth:`resolve_strategy` -- exact 'join' below the ~200k-row
-        LSH crossover, 'lsh' while the cache fits, 'ivf_pq' beyond
-        (SCALING.md crossovers), so a small collection never silently
-        pays an approximate path's overhead.
+        crossover, 'hamming' while the 1-bit signature cache fits,
+        'ivf_pq' beyond (SCALING.md round-7 crossover + recall tables),
+        so a small collection never silently pays an approximate
+        path's overhead.
 
         strategy='join' (default): fetch-back as a broadcast join of the
         <=100 hits against the docs table -- one declarative plan, the
@@ -1263,11 +1266,13 @@ class Collection:
             # a filter changes the exact top-k population, so 'auto'
             # must land on the one strategy that pre-filters
             strategy = "join"
-        if where is not None and strategy != "join":
+        if where is not None and strategy not in ("join", "hamming"):
             raise ValueError(
-                "where= is supported with strategy='join' (the filtered "
-                "population changes the exact top-k; the approximate / "
-                "driver-local strategies do not pre-filter)"
+                "where= is supported with strategy='join' (exact "
+                "pre-filter-then-score) and strategy='hamming' (r7: the "
+                "signature view carries serve_filter_columns, so the "
+                "predicate pre-filters the candidate scan); the other "
+                "approximate / driver-local strategies do not pre-filter"
             )
         self._require_embeddings(column)
         if strategy == "auto":
@@ -1281,7 +1286,7 @@ class Collection:
             return self._search_ivf_pq(column, qvec, limit)
 
         if strategy == "hamming":
-            return self._search_hamming(column, qvec, limit)
+            return self._search_hamming(column, qvec, limit, where=where)
 
         if strategy == "hybrid":
             return self._search_hybrid(column, query, qvec, limit)
@@ -2150,24 +2155,41 @@ class Collection:
 
     def build_hamming_index(self, column: str) -> None:
         """Cache the sign-bit signature view for strategy='hamming':
-        (key, sig) at 1 bit per dimension (operators/hamming.py) --
-        ~32x smaller than the float serve view, no training step.
-        Called lazily on first use; safe to call eagerly after bulk
-        loads. Built straight off the parquet tables (reusing the float
-        serve view only when some OTHER strategy already cached it):
-        the point of the signature tier is serving a collection whose
-        float view does NOT fit in cluster memory, so building it must
-        not materialize that float cache."""
-        from letsearch_spark.operators.hamming import build_signbit_index
+        (key, sig[, filter columns]) at 1 bit per dimension
+        (operators/hamming.py) -- ~32x smaller than the float serve
+        view, no training step. Called lazily on first use; safe to
+        call eagerly after bulk loads. Built straight off the parquet
+        tables (reusing the float serve view only when some OTHER
+        strategy already cached it): the point of the signature tier is
+        serving a collection whose float view does NOT fit in cluster
+        memory, so building it must not materialize that float cache.
 
+        ``serve_filter_columns`` are copied into the signature view
+        (same contract as the float serve view), so
+        ``search(where=..., strategy='hamming')`` predicates evaluate
+        scan-side BEFORE the candidate ranking -- no per-query join."""
+        from letsearch_spark.operators.hamming import signbits_col
+
+        extra = [
+            c
+            for c in self.serve_filter_columns
+            if c not in (KEY_COL, "content", "vector", "_vnorm", "_sig", column)
+        ]
         cached = self._emb_cache.get(f"__serve_{column}")
         base = cached if cached is not None else self._raw_serve_frame(column)
-        emb = base.where(F.col("content").isNotNull()).select(KEY_COL, "vector")
+        missing = [c for c in extra if c not in base.columns]
+        if missing:
+            # the source predates serve_filter_columns growing: join
+            # the docs columns in (build-time only, never per query)
+            base = base.join(self.docs().select(KEY_COL, *missing), KEY_COL)
+        emb = base.where(F.col("content").isNotNull())
         first = emb.select(F.size("vector").alias("d")).first()
         if first is None:
             raise ValueError(f"no embedded rows to index for {column!r}")
-        idx = build_signbit_index(
-            emb, dim=int(first["d"]), vec_col="vector", key_col=KEY_COL
+        idx = emb.select(
+            KEY_COL,
+            signbits_col("vector", int(first["d"])).alias("_sig"),
+            *extra,
         ).cache()
         idx.count()  # materialize: per-query cost is the bit-math scan only
         self._hamming_index[column] = idx
@@ -2179,7 +2201,9 @@ class Collection:
     # (no driver blowup when rescore is cranked toward exactness)
     hamming_inlist_max: int = 10_000
 
-    def _search_hamming(self, column: str, qvec, limit: int) -> DataFrame:
+    def _search_hamming(
+        self, column: str, qvec, limit: int, where: str | None = None
+    ) -> DataFrame:
         """Hamming scan over the cached signature view (TakeOrdered --
         only ``hamming_rescore`` rows leave the scan), then the exact
         cosine rescore + content projection against the PARQUET tables
@@ -2187,19 +2211,35 @@ class Collection:
         keeps). The float serve view is never cached on this path --
         that is the memory play: 1 bit/dim in RAM, O(rescore) rows of
         float IO per query, pushed down to the key-sorted parquet as an
-        IN filter."""
+        IN filter. ``where`` (r7): predicate over
+        ``serve_filter_columns`` carried IN the signature view,
+        evaluated scan-side BEFORE the candidate ranking
+        (pre-filter-then-rank, same contract as the join path -- but
+        the ranking itself stays hamming-approximate)."""
         from letsearch_spark.operators.hamming import (
             hamming_distance_col,
             pack_signbits,
         )
 
-        if column not in self._hamming_index:
+        extra = [
+            c
+            for c in self.serve_filter_columns
+            if c not in (KEY_COL, "content", "vector", "_vnorm", "_sig", column)
+        ]
+        idx = self._hamming_index.get(column)
+        if idx is not None and any(c not in idx.columns for c in extra):
+            # serve_filter_columns grew since the build (same rebuild
+            # rule as the float serve view)
+            self._hamming_index.pop(column).unpersist()
+            idx = None
+        if idx is None:
             self.build_hamming_index(column)
-        idx = self._hamming_index[column]
+            idx = self._hamming_index[column]
+        scan = idx.where(F.expr(where)) if where is not None else idx
         qsig = pack_signbits([float(x) for x in qvec])
         depth = max(self.hamming_rescore, limit)
         candidates = (
-            idx.select(KEY_COL, hamming_distance_col("_sig", qsig).alias("_ham"))
+            scan.select(KEY_COL, hamming_distance_col("_sig", qsig).alias("_ham"))
             .orderBy(F.asc("_ham"), F.asc(KEY_COL))
             .limit(depth)
         )

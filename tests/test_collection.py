@@ -1065,6 +1065,28 @@ def test_search_where_filter(coll):
 
     with pytest.raises(ValueError, match="strategy='join'"):
         coll.search("text", "x", limit=3, strategy="hybrid", where="lang='es'")
+
+    # r7: the hamming tier pre-filters too -- its signature view
+    # carries serve_filter_columns; with rescore >= corpus the filtered
+    # result must equal the exact filtered ranking
+    old_rescore = coll.hamming_rescore
+    try:
+        coll.hamming_rescore = 10_000
+        got_ham = coll.search(
+            "text", "alpha words", limit=5, strategy="hamming",
+            where="lang = 'es'",
+        ).collect()
+        assert [r["key"] for r in got_ham] == [k for _, k in want]
+        ham_langs = {
+            r["lang"]
+            for r in coll.docs()
+            .where(F.col("_key").isin([g["key"] for g in got_ham]))
+            .select("lang")
+            .collect()
+        }
+        assert ham_langs == {"es"}
+    finally:
+        coll.hamming_rescore = old_rescore
     coll.serve_filter_columns = []  # module-scoped fixture: reset
 
 
