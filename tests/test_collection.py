@@ -273,6 +273,8 @@ def test_search_lsh_strategy(coll):
     """Approximate serving: probed-bucket results are a subset of the
     exact ranking, and an exact-text query still self-hits at rank 1
     (its own vector shares its own bucket by construction)."""
+    # order-independent under pytest -k: ensure the fixture is embedded
+    coll.embed_column("text", incremental=True)
     exact = [
         (r["key"], round(r["score"], 6))
         for r in coll.search("text", "spark q", limit=20).collect()
