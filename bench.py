@@ -303,14 +303,22 @@ def main() -> None:
         # pass over the documents table)
         "text_compression",
         # round 7: training-shard egress manifest (distributed
-        # prefix-sum + budget fill) and the seeded FIM rewrite
-        # (map-only Catalyst; no baseline rows yet)
+        # prefix-sum + budget fill; no baseline row yet)
         "export_shards_manifest",
-        "fim_transform",
     ):
         run_stage(
             name, lambda name=name: STAGED_QUERIES[name](spark, SF_DIR).count()
         )
+
+    # round-7 FIM stage: a pure map-side projection, so .count() would
+    # let Catalyst prune the whole rewrite (review catch) -- force the
+    # md5/substring work by aggregating over the output column
+    run_stage(
+        "fim_transform",
+        lambda: STAGED_QUERIES["fim_transform"](spark, SF_DIR)
+        .agg(F.sum(F.length("text_md5")))
+        .first()[0],
+    )
 
     # 14b. the full prep composition (round 4): quality -> line dedup ->
     # MinHash fuzzy dedup -> split -> pack over the whole documents

@@ -202,6 +202,15 @@ class Collection:
         # tri-state tombstone-existence probe cache (None = re-check the
         # FS on next read); cleared on writes
         self._tomb_flag: bool | None = None
+        # deletion-backlog row count backing the broadcast decision
+        # below; computed lazily, cleared on writes
+        self._tomb_count: int | None = None
+        # anti-join hint ceiling: a tombstone set at or below this many
+        # keys broadcasts (a ~8 B/key table, cheap everywhere); a larger
+        # backlog falls back to a shuffled join -- force-broadcasting an
+        # unbounded key set would hit Spark's broadcast ceiling and make
+        # the collection unreadable until compact()
+        self.tombstone_broadcast_max: int = 5_000_000
         # opt-in auto-compaction: after a tombstone delete, when the
         # deletion backlog exceeds this fraction of the raw docs table,
         # run compact() (physical purge + sidecar clear) automatically.
@@ -286,9 +295,9 @@ class Collection:
         df = getattr(self, "_docs_df", None)
         if df is None:
             df = self._docs_raw()
-            tomb = self._tombstones()
+            tomb = self._tombstones_hinted()
             if tomb is not None:
-                df = df.join(F.broadcast(tomb), KEY_COL, "left_anti")
+                df = df.join(tomb, KEY_COL, "left_anti")
             self._docs_df = df
         return df
 
@@ -310,6 +319,20 @@ class Collection:
         if not flag:
             return None
         return self.spark.read.parquet(self.tombstones_path).select(KEY_COL)
+
+    def _tombstones_hinted(self) -> DataFrame | None:
+        """The tombstone frame with the right join hint for its size:
+        broadcast up to ``tombstone_broadcast_max`` keys, plain (shuffle
+        join) beyond -- so a huge deletion backlog degrades to slower
+        reads instead of a failed broadcast."""
+        tomb = self._tombstones()
+        if tomb is None:
+            return None
+        n = self._tomb_count
+        if n is None:
+            n = tomb.count()
+            self._tomb_count = n
+        return F.broadcast(tomb) if n <= self.tombstone_broadcast_max else tomb
 
     def count(self) -> int:
         """Row count (P2). The reference's COUNT('<col>') literal-count quirk
@@ -931,9 +954,9 @@ class Collection:
         if column is not None:
             # partition pruning: column_name is a parquet partition column
             df = df.filter(F.col("column_name") == column)
-        tomb = self._tombstones()
+        tomb = self._tombstones_hinted()
         if tomb is not None:
-            df = df.join(F.broadcast(tomb), KEY_COL, "left_anti")
+            df = df.join(tomb, KEY_COL, "left_anti")
         return df
 
     def embed_column(self, column: str, incremental: bool = True) -> int:
@@ -1033,6 +1056,7 @@ class Collection:
         # (import, append, embed bookkeeping) must refresh it
         self._docs_df = None
         self._tomb_flag = None
+        self._tomb_count = None
         cols = (
             [
                 column,
@@ -1263,8 +1287,10 @@ class Collection:
         ):
             raise ValueError(f"unknown strategy {strategy!r}")
         if where is not None and strategy == "auto":
-            # a filter changes the exact top-k population, so 'auto'
-            # must land on the one strategy that pre-filters
+            # a filter changes the top-k population; 'auto' promises
+            # the EXACT pre-filtering strategy (hamming also
+            # pre-filters since r7, but its ranking is approximate --
+            # callers opt into that explicitly)
             strategy = "join"
         if where is not None and strategy not in ("join", "hamming"):
             raise ValueError(
@@ -1397,6 +1423,11 @@ class Collection:
             raise ValueError(f"column {column!r} is not indexed")
         if strategy not in ("dense", "hybrid", "pq", "hamming", "ivf_pq", "auto"):
             raise ValueError(f"unknown strategy {strategy!r}")
+        if where is not None and strategy == "auto":
+            # same rule as per-query search: a filter changes the top-k
+            # population, so 'auto' lands on the exact batched strategy
+            # that pre-filters instead of refusing
+            strategy = "dense"
         if where is not None and strategy != "dense":
             raise ValueError(
                 "where= is supported with strategy='dense' (the hybrid "
@@ -1420,8 +1451,7 @@ class Collection:
         if strategy == "auto":
             # size tier from resolve_strategy, mapped to the batched
             # forms: join->dense (same exactness), hamming->hamming,
-            # ivf_pq->pq (the coded-view batch; the on-disk variant has
-            # no batched plan yet)
+            # ivf_pq->ivf_pq (the batched on-disk plan, ivf_pq_knn_join)
             strategy = {
                 "join": "dense",
                 "hamming": "hamming",
@@ -1454,10 +1484,12 @@ class Collection:
                 key_col=KEY_COL,
                 query_key_col="query_idx",
                 query_vec_col="qvec",
+                # BEFORE the top-k truncation, like the per-query path:
+                # a tombstoned key must not consume a rank slot (a
+                # post-ranking filter would leave rank gaps and
+                # under-filled results)
+                exclude=self._tombstones_hinted(),
             )
-            tomb = self._tombstones()
-            if tomb is not None:
-                hits = hits.join(F.broadcast(tomb), KEY_COL, "left_anti")
             docs = self.docs().select(
                 F.col(KEY_COL), F.col(column).alias("content")
             )
@@ -2018,9 +2050,9 @@ class Collection:
         # tombstoned index keys are NOT drift: probes filter them out
         # (deferred physical purge), so a delete never forces a rebuild
         live_idx = idx_keys
-        tomb = self._tombstones()
+        tomb = self._tombstones_hinted()
         if tomb is not None:
-            live_idx = idx_keys.join(F.broadcast(tomb), KEY_COL, "left_anti")
+            live_idx = idx_keys.join(tomb, KEY_COL, "left_anti")
         gone = live_idx.join(serve, KEY_COL, "left_anti").limit(1).count()
         if gone:
             return "rebuild", None
@@ -2422,7 +2454,7 @@ class Collection:
             k=limit,
             nprobe=self.ivf_nprobe,
             key_col=KEY_COL,
-            exclude=self._tombstones(),
+            exclude=self._tombstones_hinted(),
         )
         return self._fetch_back_hits(hits, column, limit)
 
@@ -2439,7 +2471,7 @@ class Collection:
             k=limit,
             nprobe=self.ivf_nprobe,
             key_col=KEY_COL,
-            exclude=self._tombstones(),
+            exclude=self._tombstones_hinted(),
         )
         # <=100 hits: broadcast fetch-back, same shape as strategy='join'
         return self._fetch_back_hits(hits, column, limit)

@@ -282,7 +282,9 @@ def ivf_topk(
     The ``_list IN (...)`` filter prunes parquet partitions, so the scan
     reads ~nprobe/nlist of the index. ``exclude``: optional (key_col)
     frame anti-joined BEFORE the top-k truncation -- the deletion-vector
-    probe filter (tombstoned keys must not consume result slots)."""
+    probe filter (tombstoned keys must not consume result slots); pass
+    a broadcast-hinted frame when the set is known small (the
+    collection sizes the hint via tombstone_broadcast_max)."""
     q = np.asarray(list(query_vec), dtype=np.float64)
     qn = np.linalg.norm(q)
     if qn > 0:
@@ -292,5 +294,5 @@ def ivf_topk(
         F.col("_list").isin(*[int(i) for i in order])
     )
     if exclude is not None:
-        df = df.join(F.broadcast(exclude.select(key_col)), key_col, "left_anti")
+        df = df.join(exclude.select(key_col), key_col, "left_anti")
     return cosine_topk(df, query_vec, k=k, key_col=key_col, vec_col=vec_col)

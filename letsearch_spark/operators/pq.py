@@ -380,7 +380,7 @@ def ivf_pq_topk(
         F.col("_list").isin(*[int(i) for i in order])
     )
     if exclude is not None:
-        df = df.join(F.broadcast(exclude.select(key_col)), key_col, "left_anti")
+        df = df.join(exclude.select(key_col), key_col, "left_anti")
     return pq_topk(df, codebook, query_vec, k=k, key_col=key_col)
 
 
@@ -480,11 +480,15 @@ def ivf_pq_knn_join(
     code_col: str = "pq_code",
     query_key_col: str = "query_id",
     query_vec_col: str = "qvec",
+    exclude: DataFrame | None = None,
 ) -> DataFrame:
     """Batched IVF-PQ search: top-k (by ADC score) for every query row
     in ONE plan over the on-disk coded index -- the bulk form of
     :func:`ivf_pq_topk`, and the batched shape for the biggest serving
-    tier (codes on disk, no cache at all).
+    tier (codes on disk, no cache at all). ``exclude``: optional
+    (key_col) frame anti-joined BEFORE the top-k truncation (the
+    deletion-vector probe filter -- same contract as
+    :func:`ivf_pq_topk`: tombstoned keys must not consume rank slots).
 
     Geometry: per-query probe lists come from the coarse centroids
     driver-side; the scan reads only the UNION of probed ``_list``
@@ -509,9 +513,14 @@ def ivf_pq_knn_join(
     qids = np.array([r[0] for r in qrows], dtype=np.int64)
     # normalize each query EXACTLY like the per-query path (_unit_query
     # uses the 1-D BLAS norm; an axis-reduction norm differs by ulps and
-    # would break bit-parity with ivf_pq_topk)
+    # would break bit-parity with ivf_pq_topk) -- and compute each
+    # query's probe order with the same matrix-VECTOR product (gemv)
+    # the per-query path uses: a gemm over the stacked queries can
+    # accumulate in a different order and flip near-tied probe choices
     Qn = np.stack([_unit_query(r[1], codebook.dim) for r in qrows])
-    order = np.argsort(-(Qn @ centroids.T), axis=1)[:, :nprobe]  # (q, nprobe)
+    order = np.stack(
+        [np.argsort(-(centroids @ Qn[i]))[:nprobe] for i in range(len(Qn))]
+    )  # (q, nprobe)
     # list -> positions of the queries that probe it
     probers: dict[int, list[int]] = {}
     for qi in range(len(qids)):
@@ -538,6 +547,8 @@ def ivf_pq_knn_join(
     df = spark.read.parquet(path).filter(
         F.col("_list").isin(*[int(x) for x in probers])
     )
+    if exclude is not None:
+        df = df.join(exclude.select(key_col), key_col, "left_anti")
     schema = f"{query_key_col} long, {key_col} long, score double"
 
     def score_partition(batches):

@@ -338,3 +338,30 @@ def test_search_many_ivf_pq_matches_per_query(spark, tmp_path, sf_dir):
             )
         ]
         assert got[i] == per, q
+
+
+def test_search_many_ivf_pq_tombstones_fill_ranks(spark, tmp_path, sf_dir):
+    """Review r7: tombstoned keys must be excluded BEFORE the batched
+    top-k truncation -- ranks stay contiguous 1..limit and match the
+    per-query path (which passes exclude= into ivf_pq_topk)."""
+    import os
+
+    from letsearch_spark.collection import Collection
+
+    c = Collection.create(
+        spark, str(tmp_path), name="bipt", model_name="stub://16"
+    )
+    c.import_parquet(os.path.join(sf_dir, "documents.parquet"))
+    c.embed_column("text")
+    q = "spark join query window batch"
+    top = c.search_many("text", [q], limit=5, strategy="ivf_pq").collect()
+    victim = top[0]["key"]
+
+    assert c.delete_where(f"_key = {victim}") == 1
+    after = c.search_many("text", [q], limit=5, strategy="ivf_pq").collect()
+    assert [r["rank"] for r in after] == [1, 2, 3, 4, 5]  # no gaps
+    assert all(r["key"] != victim for r in after)
+    per = c.search("text", q, limit=5, strategy="ivf_pq").collect()
+    assert [(r["rank"], r["key"], r["score"]) for r in after] == [
+        (j + 1, r["key"], r["score"]) for j, r in enumerate(per)
+    ]

@@ -19,11 +19,12 @@ ceiling documented in SCALING.md.
 
 import argparse
 import json
+import os
 import sys
 import tempfile
 import time
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def synth_docs(spark, n: int):

@@ -943,10 +943,14 @@ def main() -> None:
             from letsearch_spark.functions.text import fim_transform
 
             out = fim_transform(F.col("doc_id"), F.col("text"), rate=0.5)
-            return (
+            # .first()[0], NOT .count(): count() lets Catalyst prune the
+            # unreferenced sum -- and with it the whole FIM projection --
+            # so the probe would time a bare row count (caught by
+            # review: the published curve DECREASED with 16x rows)
+            return int(
                 docs.select(out["text"].alias("t"))
                 .agg(F.sum(F.length("t")))
-                .count()
+                .first()[0]
             )
 
         timeit("fim_rewrite", _fim)
