@@ -371,6 +371,32 @@ def cmd_export_shards(args) -> int:
     return 0
 
 
+def cmd_verify_shards(args) -> int:
+    """Trainer-side integrity gate: re-read an exported shard layout
+    and verify it against its _manifest (exit 1 on any mismatch)."""
+    from letsearch_spark.operators.export import verify_training_shards
+
+    spark = _spark(args)
+    checksum_cols = (
+        [c.strip() for c in args.checksum_cols.split(",") if c.strip()]
+        if args.checksum_cols
+        else None
+    )
+    try:
+        report = verify_training_shards(
+            spark,
+            args.path,
+            token_col=args.token_col,
+            checksum_cols=checksum_cols,
+            strict=True,
+        )
+    except RuntimeError as e:
+        print(json.dumps({"verified": False, "error": str(e)}))
+        return 1
+    print(json.dumps({"verified": True, "shards": report.count()}))
+    return 0
+
+
 def cmd_list_models(args) -> int:
     from letsearch_spark.sources.hf import list_models
 
@@ -526,6 +552,15 @@ def build_parser() -> argparse.ArgumentParser:
         help="re-read the layout and verify it against its manifest",
     )
     s.set_defaults(fn=cmd_export_shards)
+
+    s = sub.add_parser(
+        "verify-shards",
+        help="verify an exported shard layout against its manifest",
+    )
+    s.add_argument("--path", required=True, help="shard directory")
+    s.add_argument("--token-col", default=None)
+    s.add_argument("--checksum-cols", default=None)
+    s.set_defaults(fn=cmd_verify_shards)
 
     s = sub.add_parser("list-models", help="list letsearch models on HF hub")
     s.set_defaults(fn=cmd_list_models)

@@ -231,3 +231,30 @@ def test_cli_export_shards_roundtrip(spark, tmp_path, capsys):
     assert lines[-1] == {"verified": True}
     manifest_rows = [l for l in lines if "shard" in l]
     assert [m["n_rows"] for m in manifest_rows] == [40, 40, 10]
+
+
+def test_cli_verify_shards(spark, tmp_path, capsys):
+    import json as _json
+    import shutil
+
+    from letsearch_spark.cli import build_parser
+
+    out = str(tmp_path / "vs")
+    export_training_shards(
+        _corpus(spark, 80), out, ["doc_id"], rows_per_shard=40,
+        token_col="tokens", checksum_cols=["doc_id", "text"],
+    )
+    args = build_parser().parse_args(
+        [
+            "verify-shards", "--path", out,
+            "--token-col", "tokens", "--checksum-cols", "doc_id,text",
+        ]
+    )
+    assert args.fn(args) == 0
+    assert _json.loads(capsys.readouterr().out.splitlines()[-1]) == {
+        "verified": True, "shards": 2,
+    }
+    shutil.rmtree(os.path.join(out, "shard=1"))
+    assert args.fn(args) == 1
+    last = _json.loads(capsys.readouterr().out.splitlines()[-1])
+    assert last["verified"] is False
