@@ -161,6 +161,9 @@ class Collection:
         # strategy='hamming' -- 1 bit/dim, ~32x smaller than the float
         # serve view; cleared on writes
         self._hamming_index: dict = {}
+        # per-column signature CENTER (the per-dim fixed-point mean the
+        # sign bits threshold at); loaded/derived by the refresh paths
+        self._hamming_centers: dict[str, list[float]] = {}
         # candidate depth for the hamming exact-cosine rescore (recall
         # knob: rescore >= corpus rows degenerates to exact search)
         self.hamming_rescore: int = 100
@@ -358,6 +361,7 @@ class Collection:
         self._fs_delete(self.tombstones_path)
         self._fs_delete(os.path.join(self.home, "ivf"))
         self._fs_delete(os.path.join(self.home, "ivf_pq"))
+        self._fs_delete(os.path.join(self.home, "hamming"))
         return self.count()
 
     def import_parquet(self, path: str) -> int:
@@ -721,15 +725,21 @@ class Collection:
         return n_del
 
     def _purge_keys_from_indexes(self, doomed: DataFrame) -> None:
-        """Rewrite every on-disk IVF / IVF-PQ index with ``doomed`` keys
-        anti-joined out, preserving the quantizer sidecar files -- the
-        index stays current (refresh reports no drift), no rebuild, and
-        no deleted vector/code is retained on disk. Partition layout
-        (``_list=``) is preserved so probes keep pruning."""
+        """Rewrite every on-disk index (IVF, IVF-PQ, hamming signatures)
+        with ``doomed`` keys anti-joined out, preserving the quantizer
+        sidecar files -- the index stays current (refresh reports no
+        drift), no rebuild, and no deleted vector/code/signature is
+        retained on disk. Partition layout (``_list=``) is preserved so
+        probes keep pruning."""
         for column in self.config.index_columns:
-            for path, sidecars in (
-                (self.ivf_path(column), ("_centroids.npy",)),
-                (self.ivf_pq_path(column), ("_centroids.npy", "_codebook.npz")),
+            for path, sidecars, part_cols in (
+                (self.ivf_path(column), ("_centroids.npy",), ["_list"]),
+                (
+                    self.ivf_pq_path(column),
+                    ("_centroids.npy", "_codebook.npz"),
+                    ["_list"],
+                ),
+                (self.hamming_path(column), ("_center.npy",), []),
             ):
                 if not self._fs_nonempty(path):
                     continue
@@ -742,7 +752,10 @@ class Collection:
                     self._fs_delete(path)
                     continue
                 staged = path + ".delete"
-                kept.write.mode("overwrite").partitionBy("_list").parquet(staged)
+                writer = kept.write.mode("overwrite")
+                if part_cols:
+                    writer = writer.partitionBy(*part_cols)
+                writer.parquet(staged)
                 for name in sidecars:
                     raw = self._fs_read_bytes(os.path.join(path, name))
                     if raw is not None:
@@ -1095,6 +1108,7 @@ class Collection:
                 except Exception:
                     pass
             self._hamming_index.clear()
+            self._hamming_centers.clear()
             self._lex_dfmap.clear()
             self._lex_vocab.clear()
             if drop_index_meta:
@@ -1122,6 +1136,7 @@ class Collection:
                     sig.unpersist()
                 except Exception:
                     pass
+            self._hamming_centers.pop(column, None)
             if drop_index_meta:
                 self._drop_index_meta(column)
 
@@ -1522,9 +1537,22 @@ class Collection:
 
             if column not in self._hamming_index:
                 self.build_hamming_index(column)
+            center = self._hamming_centers.get(column)
+            if center is None:
+                self.refresh_hamming_index(column)
+                center = self._hamming_centers[column]
+            # stored signatures are centered; center the queries the
+            # same way before the batched packing (operator packs raw)
+            qdf_c = self.spark.createDataFrame(
+                [
+                    (i, [float(x) - c for x, c in zip(v, center)])
+                    for i, v in enumerate(vecs)
+                ],
+                "query_idx long, qvec array<double>",
+            )
             cand = hamming_knn_join(
                 self._hamming_index[column],
-                qdf,
+                qdf_c,
                 rescore=max(self.hamming_rescore, limit),
                 key_col=KEY_COL,
                 query_key_col="query_idx",
@@ -2035,14 +2063,21 @@ class Collection:
             method=method,
         )
 
-    def _plan_index_refresh(self, column: str, path: str):
+    def _plan_index_refresh(
+        self, column: str, path: str, rebuild_fraction: float | None = None
+    ):
         """Compare an on-disk (key-carrying) index at ``path`` with the
         serve view: ``('missing'|'current'|'append'|'rebuild', frame)``
         where frame is the NEW rows for 'append' and None otherwise.
         'rebuild' when indexed keys vanished (full replace / compaction
         of a different corpus) or when the un-indexed fraction exceeds
-        ``ivf_rebuild_fraction`` (frozen quantizers would drift). Three
-        key-column-only jobs, paid once per refresh -- never per query."""
+        ``rebuild_fraction`` (default ``ivf_rebuild_fraction`` -- frozen
+        quantizers would drift; pass 1.0 for quantizer-free indexes
+        like the hamming signatures, whose append is exact at ANY
+        fraction). Three key-column-only jobs, paid once per refresh --
+        never per query."""
+        if rebuild_fraction is None:
+            rebuild_fraction = self.ivf_rebuild_fraction
         serve = self._index_serve_frame(column)
         if not self._fs_nonempty(path):
             return "missing", None
@@ -2061,7 +2096,7 @@ class Collection:
         if n_new == 0:
             return "current", None
         n_idx = live_idx.count()
-        if n_new > self.ivf_rebuild_fraction * (n_idx + n_new):
+        if n_new > rebuild_fraction * (n_idx + n_new):
             return "rebuild", None
         return "append", new
 
@@ -2185,44 +2220,144 @@ class Collection:
             docs, KEY_COL
         )
 
-    def build_hamming_index(self, column: str) -> None:
-        """Cache the sign-bit signature view for strategy='hamming':
-        (key, sig[, filter columns]) at 1 bit per dimension
-        (operators/hamming.py) -- ~32x smaller than the float serve
-        view, no training step. Called lazily on first use; safe to
-        call eagerly after bulk loads. Built straight off the parquet
-        tables (reusing the float serve view only when some OTHER
-        strategy already cached it): the point of the signature tier is
-        serving a collection whose float view does NOT fit in cluster
-        memory, so building it must not materialize that float cache.
+    def hamming_path(self, column: str) -> str:
+        return os.path.join(self.home, "hamming", f"column={column}")
 
-        ``serve_filter_columns`` are copied into the signature view
-        (same contract as the float serve view), so
-        ``search(where=..., strategy='hamming')`` predicates evaluate
-        scan-side BEFORE the candidate ranking -- no per-query join."""
+    def _hamming_center(self, column: str) -> list[float]:
+        """Per-dimension FIXED-POINT mean of the indexed vectors -- the
+        signature threshold. Plain sign-at-zero bits degenerate when an
+        embedding family is not centered (e.g. all-non-negative
+        count/hash embeddings set EVERY bit and Hamming distance
+        collapses to 0 for all pairs); centering at the mean restores
+        the Goemans-Williamson angle relation for the residuals. The
+        fixed-point pooling makes the center order-independent
+        (bit-identical across partitionings/retries), so signatures are
+        reproducible like every other index artifact."""
+        from letsearch_spark.operators.pool import mean_pool_vectors
+
+        cached = self._emb_cache.get(f"__serve_{column}")
+        base = cached if cached is not None else self._raw_serve_frame(column)
+        emb = base.where(F.col("content").isNotNull()).select(
+            F.lit(0).alias("_g"), F.col("vector")
+        )
+        row = mean_pool_vectors(
+            emb, "_g", "vector", out_col="_c", exact_units=10**9
+        ).first()
+        if row is None:
+            raise ValueError(f"no embedded rows to index for {column!r}")
+        return [float(x) for x in row["_c"]]
+
+    def _centered_sig_col(self, center: list[float]):
+        """Catalyst expression: sign bits of (vector - center)."""
         from letsearch_spark.operators.hamming import signbits_col
 
+        centered = F.zip_with(
+            F.col("vector"),
+            F.array(*[F.lit(float(c)) for c in center]),
+            lambda x, c: x.cast("double") - c,
+        )
+        return signbits_col(centered, len(center))
+
+    def _hamming_sig_frame(self, column: str, center: list[float]) -> DataFrame:
+        """(key, _sig) computed straight off the parquet tables (reusing
+        the float serve view only when some OTHER strategy already
+        cached it): the point of the signature tier is serving a
+        collection whose float view does NOT fit in cluster memory, so
+        building signatures must not materialize that float cache."""
+        cached = self._emb_cache.get(f"__serve_{column}")
+        base = cached if cached is not None else self._raw_serve_frame(column)
+        emb = base.where(F.col("content").isNotNull())
+        return emb.select(
+            KEY_COL, self._centered_sig_col(center).alias("_sig")
+        )
+
+    def refresh_hamming_index(self, column: str) -> str:
+        """Bring the on-disk (key, sig) parquet at :meth:`hamming_path`
+        up to date at BATCH cost -- the signature sibling of
+        :meth:`refresh_ivf_index`, but simpler: signatures are pure
+        per-row functions of the vector (no quantizer to freeze or
+        drift), so incremental maintenance is EXACT at any fraction --
+        'append' just computes the new keys' signatures. 'rebuild' only
+        when indexed keys vanished outside the tombstone protocol (a
+        full replace); a full re-embed deletes the directory outright
+        via ``_drop_index_meta`` (same stale-vector guard as IVF).
+        Returns 'built' | 'current' | 'appended' | 'rebuilt'."""
+        import io
+
+        import numpy as np
+
+        path = self.hamming_path(column)
+        cpath = os.path.join(path, "_center.npy")
+        action, new = self._plan_index_refresh(
+            column, path, rebuild_fraction=1.0
+        )
+        center = None
+        if action in ("current", "append"):
+            raw = self._fs_read_bytes(cpath)
+            if raw is not None:
+                center = [float(x) for x in np.load(io.BytesIO(raw))]
+            if center is None:
+                action = "rebuild"  # signature data without its center
+        if action == "current":
+            self._hamming_centers[column] = center
+            return "current"
+        if action == "append":
+            # new contains the fresh serve rows (key, vector); compute
+            # ONLY their signatures under the FROZEN center (like IVF's
+            # frozen centroids -- the threshold must match the stored
+            # signatures; a drifted mean would need a rebuild anyway)
+            (
+                new.select(
+                    KEY_COL, self._centered_sig_col(center).alias("_sig")
+                )
+                .write.mode("append")
+                .parquet(path)
+            )
+            self._hamming_centers[column] = center
+            return "appended"
+        center = self._hamming_center(column)
+        staged = path + ".build"
+        self._hamming_sig_frame(column, center).write.mode("overwrite").parquet(
+            staged
+        )
+        buf = io.BytesIO()
+        np.save(buf, np.asarray(center, dtype=np.float64))
+        self._fs_write_bytes(os.path.join(staged, "_center.npy"), buf.getvalue())
+        self._fs_replace(staged, path)
+        self._hamming_centers[column] = center
+        return "built" if action == "missing" else "rebuilt"
+
+    def build_hamming_index(self, column: str) -> None:
+        """Cache the signature view for strategy='hamming': (key,
+        sig[, filter columns]) at 1 bit per dimension
+        (operators/hamming.py) -- ~32x smaller than the float serve
+        view, no training step. Called lazily on first use; safe to
+        call eagerly after bulk loads.
+
+        The signatures PERSIST as parquet (:meth:`hamming_path`,
+        maintained by :meth:`refresh_hamming_index`): a process restart
+        or an append tops the sidecar up incrementally instead of
+        re-scanning every float vector -- at 100 TB the cold-start scan
+        is the dominant cost of a cache-only design. The in-memory view
+        is that parquet (32x smaller IO than the vectors), minus
+        tombstones, plus ``serve_filter_columns`` joined from the docs
+        table at cache time (same copy-at-build + rebuild-on-growth
+        contract as the float serve view), so
+        ``search(where=..., strategy='hamming')`` predicates evaluate
+        scan-side BEFORE the candidate ranking -- no per-query join."""
         extra = [
             c
             for c in self.serve_filter_columns
             if c not in (KEY_COL, "content", "vector", "_vnorm", "_sig", column)
         ]
-        cached = self._emb_cache.get(f"__serve_{column}")
-        base = cached if cached is not None else self._raw_serve_frame(column)
-        missing = [c for c in extra if c not in base.columns]
-        if missing:
-            # the source predates serve_filter_columns growing: join
-            # the docs columns in (build-time only, never per query)
-            base = base.join(self.docs().select(KEY_COL, *missing), KEY_COL)
-        emb = base.where(F.col("content").isNotNull())
-        first = emb.select(F.size("vector").alias("d")).first()
-        if first is None:
-            raise ValueError(f"no embedded rows to index for {column!r}")
-        idx = emb.select(
-            KEY_COL,
-            signbits_col("vector", int(first["d"])).alias("_sig"),
-            *extra,
-        ).cache()
+        self.refresh_hamming_index(column)
+        idx = self.spark.read.parquet(self.hamming_path(column))
+        tomb = self._tombstones_hinted()
+        if tomb is not None:
+            idx = idx.join(tomb, KEY_COL, "left_anti")
+        if extra:
+            idx = idx.join(self.docs().select(KEY_COL, *extra), KEY_COL)
+        idx = idx.cache()
         idx.count()  # materialize: per-query cost is the bit-math scan only
         self._hamming_index[column] = idx
 
@@ -2267,8 +2402,14 @@ class Collection:
         if idx is None:
             self.build_hamming_index(column)
             idx = self._hamming_index[column]
+        center = self._hamming_centers.get(column)
+        if center is None:
+            self.refresh_hamming_index(column)
+            center = self._hamming_centers[column]
         scan = idx.where(F.expr(where)) if where is not None else idx
-        qsig = pack_signbits([float(x) for x in qvec])
+        # the stored signatures threshold at the per-dim mean, so the
+        # query must subtract the SAME center before packing
+        qsig = pack_signbits([float(x) - c for x, c in zip(qvec, center)])
         depth = max(self.hamming_rescore, limit)
         candidates = (
             scan.select(KEY_COL, hamming_distance_col("_sig", qsig).alias("_ham"))
@@ -2410,6 +2551,14 @@ class Collection:
                     self._fs_delete(os.path.join(path, name))
                 except Exception:
                     pass
+        # the signature parquet has no quantizer file to drop, so the
+        # same stale-vector guard deletes the directory itself (a full
+        # re-embed changes vectors behind EXISTING keys, which the
+        # refresh key-diff cannot see)
+        try:
+            self._fs_delete(self.hamming_path(column))
+        except Exception:
+            pass
 
     def _load_ivf_pq_meta(self, column: str) -> bool:
         """Reload persisted (centroids, codebook) from a prior build --

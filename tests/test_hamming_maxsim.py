@@ -279,3 +279,75 @@ def test_search_many_hamming_matches_per_query(spark, tmp_path, sf_dir):
         ]
     finally:
         c.auto_exact_max_rows = old
+
+
+def test_hamming_index_persists_and_refreshes(spark, tmp_path, sf_dir):
+    """r7: the signature parquet persists and refreshes at batch cost --
+    append computes ONLY the new keys' signatures (exact at any
+    fraction, no quantizer), a restart reuses it, a full re-embed
+    drops it (stale-vector guard), tombstones don't force a rebuild,
+    and a purge removes the doomed signatures from disk."""
+    import os
+
+    from letsearch_spark.collection import Collection
+
+    root = str(tmp_path / "root")
+    c = Collection.create(spark, root, name="hp", model_name="stub://16")
+    c.import_parquet(os.path.join(sf_dir, "documents.parquet"))
+    c.embed_column("text")
+
+    assert c.refresh_hamming_index("text") == "built"
+    assert c.refresh_hamming_index("text") == "current"
+    path = c.hamming_path("text")
+    n0 = spark.read.parquet(path).count()
+
+    # first search builds the cache FROM the parquet (refresh: current)
+    target = "an unmistakably unique sentence about comet tail dust"
+    c.add_chunks([target], column="text")
+    c.embed_column("text", incremental=True)
+    assert c.refresh_hamming_index("text") == "appended"
+    assert spark.read.parquet(path).count() == n0 + 1
+    # rescore >= corpus is the provably-exact regime: the assertion
+    # then proves the appended signature row actually serves (at the
+    # default rescore it ALSO passes thanks to mean-centering -- pinned
+    # separately below -- but exactness keeps this invariant unflaky)
+    c.hamming_rescore = 10_000
+    hit = c.search("text", target, limit=1, strategy="hamming").first()
+    assert hit["content"] == target
+    # mean-centered signatures keep the tier useful on non-centered
+    # embedding families (stub vectors are all-non-negative: zero-
+    # thresholded sign bits would be IDENTICAL for every row and the
+    # candidate stage would degenerate to key order, losing this very
+    # query at the default rescore)
+    c.hamming_rescore = 100
+    hit = c.search("text", target, limit=1, strategy="hamming").first()
+    assert hit["content"] == target
+    c.hamming_rescore = 10_000
+
+    # restart: a fresh Collection reuses the persisted signatures
+    c2 = Collection.load(spark, root, "hp")
+    assert c2.refresh_hamming_index("text") == "current"
+
+    # tombstone delete: the sidecar is NOT drift (probes filter)
+    victim = c.docs().orderBy("_key").first()
+    assert c.delete_where(f"_key = {victim['_key']}") == 1
+    assert c.refresh_hamming_index("text") == "current"
+    hits = c.search("text", victim["text"], limit=5, strategy="hamming").collect()
+    assert all(h["key"] != victim["_key"] for h in hits)
+    # ...but the signature bytes are still on disk until a purge
+    assert (
+        spark.read.parquet(path).where(F.col("_key") == victim["_key"]).count()
+        == 1
+    )
+    assert c.delete_where(f"_key = {victim['_key'] + 1}", mode="purge") == 1
+    gone = {victim["_key"], victim["_key"] + 1}
+    assert (
+        spark.read.parquet(path).where(F.col("_key").isin(*gone)).count() == 0
+    )
+    assert c.refresh_hamming_index("text") == "current"
+
+    # full re-embed may change vectors behind existing keys: the
+    # signature parquet is dropped and rebuilds
+    c.embed_column("text", incremental=False)
+    assert not os.path.exists(path)
+    assert c.refresh_hamming_index("text") == "built"
