@@ -373,7 +373,12 @@ def cmd_export_shards(args) -> int:
 
 def cmd_verify_shards(args) -> int:
     """Trainer-side integrity gate: re-read an exported shard layout
-    and verify it against its _manifest (exit 1 on any mismatch)."""
+    and verify it against its _manifest (exit 1 on any failure, with a
+    JSON {verified: false, error} line -- the scripted-caller contract
+    holds for missing paths / missing manifests / wrong column options
+    too, not just checksum mismatches). Pass the SAME --token-col /
+    --checksum-cols the export used: extra columns fail loudly, but
+    FEWER columns silently weaken the comparison to what you name."""
     from letsearch_spark.operators.export import verify_training_shards
 
     spark = _spark(args)
@@ -383,17 +388,20 @@ def cmd_verify_shards(args) -> int:
         else None
     )
     try:
-        report = verify_training_shards(
+        verify_training_shards(
             spark,
             args.path,
             token_col=args.token_col,
             checksum_cols=checksum_cols,
             strict=True,
         )
-    except RuntimeError as e:
+        # shard count from the tiny manifest -- re-counting the report
+        # would re-run the full checksum scan a second time
+        n = spark.read.parquet(args.path.rstrip("/") + "_manifest").count()
+    except Exception as e:  # AnalysisException, RuntimeError, ...
         print(json.dumps({"verified": False, "error": str(e)}))
         return 1
-    print(json.dumps({"verified": True, "shards": report.count()}))
+    print(json.dumps({"verified": True, "shards": n}))
     return 0
 
 

@@ -1537,12 +1537,10 @@ class Collection:
 
             if column not in self._hamming_index:
                 self.build_hamming_index(column)
-            center = self._hamming_centers.get(column)
-            if center is None:
-                self.refresh_hamming_index(column)
-                center = self._hamming_centers[column]
-            # stored signatures are centered; center the queries the
-            # same way before the batched packing (operator packs raw)
+            # invariant: build_hamming_index populates the center in
+            # lockstep with the cache. Stored signatures are centered;
+            # center the queries the same way (the operator packs raw)
+            center = self._hamming_centers[column]
             qdf_c = self.spark.createDataFrame(
                 [
                     (i, [float(x) - c for x, c in zip(v, center)])
@@ -2021,17 +2019,26 @@ class Collection:
     # past it, retrain (frozen centroids/codebooks lose recall once the
     # new data dominates). 0.0 forces a rebuild on any change.
     ivf_rebuild_fraction = 0.5
+    # the hamming analog: signatures append exactly at any fraction,
+    # but the frozen CENTER is statistical -- past this un-indexed
+    # fraction the refresh recenters (full rebuild)
+    hamming_recenter_fraction = 0.5
 
     def ivf_path(self, column: str) -> str:
         return os.path.join(self.home, "ivf", f"column={column}")
 
     def _index_serve_frame(self, column: str) -> DataFrame:
         # null-content rows never serve (P6 drop) -- exclude them at
-        # BUILD time so they cannot consume top-k slots in a probe
-        return (
-            self._serve_view(column)
-            .where(F.col("content").isNotNull())
-            .select(KEY_COL, "vector")
+        # BUILD time so they cannot consume top-k slots in a probe.
+        # Reuse the cached float serve view only when some OTHER
+        # strategy already paid for it; building/refreshing an index
+        # must not MATERIALIZE that cache (review r7: the hamming tier
+        # exists precisely for corpora whose float view does not fit,
+        # and its refresh routed through here)
+        cached = self._emb_cache.get(f"__serve_{column}")
+        base = cached if cached is not None else self._raw_serve_frame(column)
+        return base.where(F.col("content").isNotNull()).select(
+            KEY_COL, "vector"
         )
 
     def pooled_embeddings(
@@ -2224,28 +2231,33 @@ class Collection:
         return os.path.join(self.home, "hamming", f"column={column}")
 
     def _hamming_center(self, column: str) -> list[float]:
-        """Per-dimension FIXED-POINT mean of the indexed vectors -- the
-        signature threshold. Plain sign-at-zero bits degenerate when an
-        embedding family is not centered (e.g. all-non-negative
-        count/hash embeddings set EVERY bit and Hamming distance
-        collapses to 0 for all pairs); centering at the mean restores
-        the Goemans-Williamson angle relation for the residuals. The
-        fixed-point pooling makes the center order-independent
-        (bit-identical across partitionings/retries), so signatures are
-        reproducible like every other index artifact."""
-        from letsearch_spark.operators.pool import mean_pool_vectors
+        """Per-dimension mean of the indexed vectors -- the signature
+        threshold. Plain sign-at-zero bits degenerate when an embedding
+        family is not centered (e.g. all-non-negative count/hash
+        embeddings set EVERY bit and Hamming distance collapses to 0
+        for all pairs); centering at the mean restores the
+        Goemans-Williamson angle relation for the residuals.
 
+        A plain double ``avg`` per dimension (one partial-aggregable
+        shuffle of dim keys) -- NOT the fixed-point pooling: a long
+        fixed-point sum silently wraps int64 around ~1e10 rows x unit
+        scale (review r7), while the center needs no cross-run
+        bit-reproducibility anyway: it is collected ONCE here, then
+        frozen as the ``_center.npy`` sidecar that both the stored
+        signatures and every query read back -- internal consistency
+        comes from the sidecar, not from the aggregation order."""
         cached = self._emb_cache.get(f"__serve_{column}")
         base = cached if cached is not None else self._raw_serve_frame(column)
-        emb = base.where(F.col("content").isNotNull()).select(
-            F.lit(0).alias("_g"), F.col("vector")
+        rows = (
+            base.where(F.col("content").isNotNull())
+            .select(F.posexplode("vector").alias("pos", "x"))
+            .groupBy("pos")
+            .agg(F.avg(F.col("x").cast("double")).alias("c"))
+            .collect()
         )
-        row = mean_pool_vectors(
-            emb, "_g", "vector", out_col="_c", exact_units=10**9
-        ).first()
-        if row is None:
+        if not rows:
             raise ValueError(f"no embedded rows to index for {column!r}")
-        return [float(x) for x in row["_c"]]
+        return [float(r["c"]) for r in sorted(rows, key=lambda r: r["pos"])]
 
     def _centered_sig_col(self, center: list[float]):
         """Catalyst expression: sign bits of (vector - center)."""
@@ -2289,7 +2301,7 @@ class Collection:
         path = self.hamming_path(column)
         cpath = os.path.join(path, "_center.npy")
         action, new = self._plan_index_refresh(
-            column, path, rebuild_fraction=1.0
+            column, path, rebuild_fraction=self.hamming_recenter_fraction
         )
         center = None
         if action in ("current", "append"):
@@ -2305,7 +2317,14 @@ class Collection:
             # new contains the fresh serve rows (key, vector); compute
             # ONLY their signatures under the FROZEN center (like IVF's
             # frozen centroids -- the threshold must match the stored
-            # signatures; a drifted mean would need a rebuild anyway)
+            # signatures). The signatures themselves are exact at any
+            # fraction, but the CENTER is statistical: once the
+            # un-indexed fraction crosses ``hamming_recenter_fraction``
+            # the planner returns 'rebuild' instead, recomputing the
+            # mean over the grown corpus -- without that bound a corpus
+            # that drifts (e.g. a new all-positive embedding source)
+            # would silently re-degenerate the bits the centering
+            # exists to fix
             (
                 new.select(
                     KEY_COL, self._centered_sig_col(center).alias("_sig")
@@ -2402,10 +2421,10 @@ class Collection:
         if idx is None:
             self.build_hamming_index(column)
             idx = self._hamming_index[column]
-        center = self._hamming_centers.get(column)
-        if center is None:
-            self.refresh_hamming_index(column)
-            center = self._hamming_centers[column]
+        # invariant: build_hamming_index (just ensured above) always
+        # runs refresh, which populates the center; the two caches are
+        # cleared in lockstep by _invalidate_cache
+        center = self._hamming_centers[column]
         scan = idx.where(F.expr(where)) if where is not None else idx
         # the stored signatures threshold at the per-dim mean, so the
         # query must subtract the SAME center before packing

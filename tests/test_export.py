@@ -258,3 +258,18 @@ def test_cli_verify_shards(spark, tmp_path, capsys):
     assert args.fn(args) == 1
     last = _json.loads(capsys.readouterr().out.splitlines()[-1])
     assert last["verified"] is False
+
+
+def test_cli_verify_shards_bad_path_keeps_json_contract(spark, tmp_path, capsys):
+    """Review r7: ANY failure (missing path, wrong options) must emit
+    the JSON {verified: false} line and exit 1, never a raw traceback."""
+    import json as _json
+
+    from letsearch_spark.cli import build_parser
+
+    args = build_parser().parse_args(
+        ["verify-shards", "--path", str(tmp_path / "nope")]
+    )
+    assert args.fn(args) == 1
+    last = _json.loads(capsys.readouterr().out.splitlines()[-1])
+    assert last["verified"] is False and last["error"]

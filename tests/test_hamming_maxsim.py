@@ -351,3 +351,35 @@ def test_hamming_index_persists_and_refreshes(spark, tmp_path, sf_dir):
     c.embed_column("text", incremental=False)
     assert not os.path.exists(path)
     assert c.refresh_hamming_index("text") == "built"
+
+
+def test_hamming_refresh_recenters_past_fraction(spark, tmp_path, sf_dir):
+    """Review r7: the frozen center is statistical -- once appends
+    exceed hamming_recenter_fraction the refresh must REBUILD
+    (recompute the mean) instead of appending forever under a stale
+    center; and building/refreshing must not materialize the float
+    serve cache (the memory-play invariant)."""
+    import os
+
+    from letsearch_spark.collection import Collection
+
+    c = Collection.create(spark, str(tmp_path), name="rc", model_name="stub://16")
+    c.import_parquet(os.path.join(sf_dir, "documents.parquet"))
+    c.embed_column("text")
+    assert c.refresh_hamming_index("text") == "built"
+    # the build must NOT have cached the float serve view
+    assert "__serve_text" not in c._emb_cache
+    c.search("text", "probe", limit=3, strategy="hamming").collect()
+    assert "__serve_text" not in c._emb_cache
+
+    # small append: frozen center, 'appended'
+    c.add_chunks(["one new doc"], column="text")
+    c.embed_column("text", incremental=True)
+    assert c.refresh_hamming_index("text") == "appended"
+
+    # large append (> recenter fraction of the index): 'rebuilt'
+    c.hamming_recenter_fraction = 0.001
+    c.add_chunks(["another new doc entirely"], column="text")
+    c.embed_column("text", incremental=True)
+    assert c.refresh_hamming_index("text") == "rebuilt"
+    assert c.refresh_hamming_index("text") == "current"
