@@ -7,6 +7,16 @@ sorted by all columns, exact string equality per cell after canonical
 formatting). Exact-string equality is intentionally stricter than any
 tolerance the driver might use.
 
+Driver-faithful since round 8 (the r7 post-mortem): the DuckDB side is
+fetched through pandas (``.df()``) and the Spark side through
+``.toPandas()``, because that is the fetch path the driver uses — it is
+where DuckDB HUGEINT (bare ``sum(BIGINT)``) coerces to float64 and where
+nullable integer columns become floats. Both sides also run the
+driver's canonicalization probe (``sort_values`` over every column), so
+a query returning a pandas-unsortable cell (list/struct/map) fails HERE
+before it can fail at the gate. Any contract query whose Spark schema
+contains an Array/Map/Struct column is rejected outright.
+
 Usage: python tools/check_oracle.py [--sf-dir DIR] [--only name1,name2]
        [--registry window|rotated|staged|all]
 
@@ -28,24 +38,58 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def canon(v) -> str:
+    """Exact canonical string for one pandas cell. Raises on complex
+    types (list/dict/ndarray) — those must never reach a contract row."""
+    import numpy as np
+
     if v is None:
         return "<NULL>"
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        return repr(v)
-    if isinstance(v, bool):
+    if isinstance(v, (list, tuple, dict, set, np.ndarray)):
+        raise TypeError(f"complex-typed cell in contract row: {type(v).__name__}")
+    if isinstance(v, (bool, np.bool_)):
         return str(bool(v)).lower()
+    if isinstance(v, (float, np.floating)):
+        f = float(v)
+        if math.isnan(f):
+            return "NaN"
+        return repr(f)
+    if isinstance(v, (int, np.integer)):
+        return str(int(v))
     if isinstance(v, bytes):
         return v.hex()
+    # pandas NaT / Timestamp / str / Decimal all stringify stably
+    try:
+        if v != v:  # NaN-like (e.g. pd.NaT)
+            return "NaN"
+    except Exception:
+        pass
     return str(v)
 
 
-def frame_to_rows(cols, rows):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = [tuple(canon(r[i]) for i in order) for r in rows]
-    out.sort()
-    return [cols[i] for i in order], out
+def complex_spark_columns(schema) -> list[str]:
+    """Names of Array/Map/Struct columns — banned from contract rows
+    (the driver's pandas canonicalizer cannot sort them; r7 red #1)."""
+    from pyspark.sql import types as T
+
+    return [
+        f.name
+        for f in schema.fields
+        if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+    ]
+
+
+def pandas_frame_to_rows(pdf):
+    """Driver-shaped canonicalization: sort columns by name, run the
+    driver's sort_values probe (raises exactly where the gate would),
+    then emit exact canonical string tuples sorted for comparison."""
+    cols = sorted(pdf.columns)
+    pdf = pdf[cols]
+    # the driver's probe — unhashable/unsortable cells die here, as at
+    # the gate (r7: training_pairs' array<string> column)
+    pdf.sort_values(by=cols, inplace=False)
+    rows = [tuple(canon(v) for v in row) for row in pdf.itertuples(index=False)]
+    rows.sort()
+    return cols, rows
 
 
 def main() -> int:
@@ -108,30 +152,43 @@ def main() -> int:
         t0 = time.time()
         try:
             sdf = fn(spark, args.sf_dir)
-            scols = sdf.columns
-            srows = [tuple(r) for r in sdf.collect()]
+            bad_cols = complex_spark_columns(sdf.schema)
+            if bad_cols:
+                raise TypeError(
+                    f"contract schema has complex-typed columns {bad_cols} "
+                    "— the driver's pandas canonicalizer cannot sort these"
+                )
+            s_pdf = sdf.toPandas()
         except Exception as e:
             print(f"FAIL  {name}: spark error: {e}")
             n_fail += 1
             continue
         if name not in oracles:
-            print(f"rows  {name}: {len(srows)} rows (rows-only check) "
+            print(f"rows  {name}: {len(s_pdf)} rows (rows-only check) "
                   f"[{time.time()-t0:.1f}s]")
             n_rows_only += 1
-            if len(srows) == 0:
+            if len(s_pdf) == 0:
                 print(f"      WARNING {name} returned 0 rows")
             continue
         try:
-            ddf = con.sql(oracles[name])
-            dcols = list(ddf.columns)
-            drows = ddf.fetchall()
+            d_pdf = con.sql(oracles[name]).df()
         except Exception as e:
             print(f"FAIL  {name}: duckdb error: {e}")
             n_fail += 1
             continue
 
-        s_cols, s_rows = frame_to_rows(scols, srows)
-        d_cols, d_rows = frame_to_rows(dcols, drows)
+        try:
+            s_cols, s_rows = pandas_frame_to_rows(s_pdf)
+        except Exception as e:
+            print(f"FAIL  {name}: spark-side canonicalization: {e}")
+            n_fail += 1
+            continue
+        try:
+            d_cols, d_rows = pandas_frame_to_rows(d_pdf)
+        except Exception as e:
+            print(f"FAIL  {name}: duckdb-side canonicalization: {e}")
+            n_fail += 1
+            continue
         problems = []
         if s_cols != d_cols:
             problems.append(f"schema: spark={s_cols} duckdb={d_cols}")
