@@ -222,17 +222,22 @@ def interleave_order(
     decides HOW MUCH of each source, this decides the ADJACENCY.
 
     ``order_cols`` orders rows WITHIN a source (include a unique
-    tiebreak last). Shape: one partitioned window per source (a real
-    partitioned window -- never single-task) for the within-source
-    round number, then ONE :func:`distributed_rank` range shuffle on
-    (round, source) for the exact global position.
+    tiebreak last). Shape: the within-source round number is a
+    :func:`distributed_rank` over ``(source, order_cols)`` minus a
+    per-source offset (prefix sums of a ``groupBy(source).count()`` --
+    |sources| rows, broadcast back). A ``Window.partitionBy(source)``
+    would put each source's ENTIRE row set through one task (with the
+    typical 3-20 training sources that is corpus/|sources| rows per
+    task at egress scale -- VERDICT r7 #4); the range-shuffled rank
+    spreads every source across all partitions. A second
+    ``distributed_rank`` on (round, source) then gives the exact global
+    position. Two range shuffles total, no fat window.
     """
     if not order_cols:
         raise ValueError("order_cols must name at least one column")
-    w = Window.partitionBy(source_col).orderBy(
-        *[F.col(c).asc() for c in order_cols]
+    rounds = _interleave_rounds(
+        df, source_col, order_cols, num_partitions=num_partitions, pin=pin
     )
-    rounds = df.withColumn("_round", F.row_number().over(w).cast("long"))
     out = distributed_rank(
         rounds,
         ["_round", source_col],
@@ -241,3 +246,42 @@ def interleave_order(
         pin=pin,
     )
     return out.drop("_round")
+
+
+def _interleave_rounds(
+    df: DataFrame,
+    source_col: str,
+    order_cols: list[str],
+    num_partitions: int | None = None,
+    pin: str = "local",
+) -> DataFrame:
+    """Within-source 1-based round number without a per-source window:
+    global rank over (source, order_cols) minus each source's prefix-sum
+    offset. Exposed separately so the plan gate can assert the shape
+    (tests/test_curriculum.py): a broadcast join + a window over the
+    |sources|-row count aggregate, never a row_number partitioned by
+    source."""
+    ranked = distributed_rank(
+        df,
+        [source_col] + list(order_cols),
+        rank_col="_gpos",
+        num_partitions=num_partitions,
+        pin=pin,
+    )
+    counts = ranked.groupBy(source_col).agg(F.count(F.lit(1)).alias("_n"))
+    # prefix-sum window over |sources| rows (tiny aggregate, never data)
+    # keeps the offset order identical to Spark's own sort of source_col
+    woff = Window.orderBy(F.col(source_col).asc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = counts.select(
+        source_col,
+        F.coalesce(F.sum("_n").over(woff), F.lit(0))
+        .cast("long")
+        .alias("_off"),
+    )
+    return (
+        ranked.join(F.broadcast(offsets), source_col)
+        .withColumn("_round", F.col("_gpos") - F.col("_off"))
+        .drop("_gpos", "_off")
+    )

@@ -1926,11 +1926,27 @@ def q_perplexity_buckets(spark, sf_dir):
 def q_corpus_data_card(spark, sf_dir):
     """Corpus data card (pipeline.py corpus_report): per-domain rows
     plus a GROUPING()-marked grand total from ONE rollup aggregation
-    over a single scan. Oracle: the same ROLLUP in DuckDB SQL."""
+    over a single scan. Oracle: the same ROLLUP in DuckDB SQL. The
+    contract projection replaces the rounded-double avg_words with the
+    all-integer avg_words_micro (floor(total_words * 1e6 / n_docs)) so
+    the gate's pandas fetch path (HUGEINT/double -> float64) never sees
+    a float in these rows (r7 post-mortem)."""
     from letsearch_spark.pipeline import corpus_report
 
     docs = load(spark, sf_dir, "documents")
-    return corpus_report(docs, key_col="doc_id", domain_col="lang")
+    return corpus_report(docs, key_col="doc_id", domain_col="lang").select(
+        "domain",
+        "is_total",
+        "n_docs",
+        "n_empty",
+        "total_chars",
+        "total_words",
+        "total_tokens",
+        F.expr("(total_words * 1000000L) div n_docs").alias(
+            "avg_words_micro"
+        ),
+        "max_chars",
+    )
 
 
 _EPOCH_WEIGHTS = {"en": 1.0, "fr": 6.0, "de": 1.0}
@@ -2322,9 +2338,14 @@ def q_training_pairs(spark, sf_dir):
     negatives and the gold positives fetch their text back from the
     documents table (vec_id == doc_id, the search_fetchback_join
     identity) and each query becomes one (anchor, positive_text,
-    negative_texts[]) row, negatives ordered by mined rank. Oracle:
-    the mining SQL extended with two text joins and a
-    list(text ORDER BY neg_rank) aggregation."""
+    negative_texts[]) row, negatives ordered by mined rank. The
+    CONTRACT projection flattens the array: one row per (query,
+    negative) via posexplode_outer (neg_rank = position + 1; a query
+    with zero surviving negatives emits one rank-0 row with an empty
+    text), because the gate's pandas canonicalizer cannot sort
+    array-typed cells (r7 post-mortem). The array-valued operator API
+    is unchanged and stays pinned by tests/test_mining.py. Oracle: the
+    mining SQL extended with two text joins, flattened the same way."""
     from letsearch_spark.operators.mining import (
         build_training_pairs,
         mine_hard_negatives,
@@ -2350,8 +2371,24 @@ def q_training_pairs(spark, sf_dir):
         method="expr",
     )
     docs = load(spark, sf_dir, "documents")
-    return build_training_pairs(negs, docs, pairs, key_col="doc_id").orderBy(
-        "query_id"
+    tp = build_training_pairs(negs, docs, pairs, key_col="doc_id")
+    return (
+        tp.select(
+            "query_id",
+            "positive_text",
+            F.posexplode_outer("negative_texts").alias(
+                "_pos", "negative_text"
+            ),
+        )
+        .select(
+            "query_id",
+            "positive_text",
+            (F.coalesce(F.col("_pos"), F.lit(-1)) + 1)
+            .cast("long")
+            .alias("neg_rank"),
+            F.coalesce("negative_text", F.lit("")).alias("negative_text"),
+        )
+        .orderBy("query_id", "neg_rank")
     )
 
 
@@ -2443,11 +2480,23 @@ def q_vocab_coverage(spark, sf_dir):
     """Zipf coverage curve (operators/vocab.py vocab_coverage): token
     share covered by the top-{10,100,1000} most frequent word types.
     Type ranking goes through distributed_rank (no single-partition
-    window); the oracle replays it with a plain row_number."""
+    window); the oracle replays it with a plain row_number. The contract
+    projection carries the covered share as an integer micro-unit
+    (floor(covered * 1e6 / total)) instead of a rounded double — the
+    gate's pandas fetch path coerces DuckDB HUGEINT/doubles to float64,
+    so contract rows stay all-integer (r7 post-mortem)."""
     from letsearch_spark.operators.vocab import vocab_coverage
 
     docs = load(spark, sf_dir, "documents")
-    return vocab_coverage(docs, "text", ks=(10, 100, 1000))
+    return vocab_coverage(docs, "text", ks=(10, 100, 1000)).select(
+        "k",
+        "vocab_k",
+        "covered_tokens",
+        "total_tokens",
+        F.expr("(covered_tokens * 1000000L) div total_tokens").alias(
+            "coverage_micro"
+        ),
+    )
 
 
 def _synth_html(doc_id, text):
@@ -3205,13 +3254,13 @@ _DATA_CARD_ORACLE_SQL = r"""
     )
     SELECT domain,
            (GROUPING(domain) = 1) AS is_total,
-           count(*) AS n_docs,
-           sum(e) AS n_empty,
-           sum(ch) AS total_chars,
-           sum(wd) AS total_words,
-           sum(tk) AS total_tokens,
-           round(avg(wd), 6) AS avg_words,
-           max(ch) AS max_chars
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(e) AS BIGINT) AS n_empty,
+           CAST(sum(ch) AS BIGINT) AS total_chars,
+           CAST(sum(wd) AS BIGINT) AS total_words,
+           CAST(sum(tk) AS BIGINT) AS total_tokens,
+           CAST(sum(wd) * 1000000 // count(*) AS BIGINT) AS avg_words_micro,
+           CAST(max(ch) AS BIGINT) AS max_chars
     FROM base2
     GROUP BY ROLLUP (domain)
     ORDER BY is_total, domain NULLS LAST
@@ -3473,18 +3522,15 @@ _TRAINING_PAIRS_ORACLE_SQL = f"""
               AND c.vec_id != pos.pos_key
               AND c.score <= pos.pos_score - {_HN_MARGIN}
         ) WHERE neg_rank <= {_HN_NNEG}
-    ), ntxt AS (
-        SELECT n.query_id, list(d.text ORDER BY n.neg_rank) AS negative_texts
-        FROM negs n JOIN documents d ON d.doc_id = n.neg_key
-        GROUP BY n.query_id
     )
     SELECT p.query_id, dp.text AS positive_text,
-           coalesce(ntxt.negative_texts, CAST([] AS VARCHAR[]))
-               AS negative_texts
+           CAST(coalesce(n.neg_rank, 0) AS BIGINT) AS neg_rank,
+           coalesce(dn.text, '') AS negative_text
     FROM pos p
     JOIN documents dp ON dp.doc_id = p.pos_key
-    LEFT JOIN ntxt ON ntxt.query_id = p.query_id
-    ORDER BY p.query_id
+    LEFT JOIN negs n ON n.query_id = p.query_id
+    LEFT JOIN documents dn ON dn.doc_id = n.neg_key
+    ORDER BY p.query_id, neg_rank
 """
 
 # identical to the decontaminate_containment oracle: the Bloom path is
@@ -3532,9 +3578,12 @@ _VOCAB_COVERAGE_ORACLE_SQL = r"""
         SELECT w, cnt, row_number() OVER (ORDER BY cnt DESC, w) AS rank
         FROM counts
     ), tot AS (SELECT sum(cnt) AS total FROM counts)
-    SELECT k, count(*) AS vocab_k, sum(cnt) AS covered_tokens,
-           (SELECT total FROM tot) AS total_tokens,
-           round(sum(cnt) * 1.0 / (SELECT total FROM tot), 6) AS coverage
+    SELECT CAST(k AS BIGINT) AS k,
+           CAST(count(*) AS BIGINT) AS vocab_k,
+           CAST(sum(cnt) AS BIGINT) AS covered_tokens,
+           CAST((SELECT total FROM tot) AS BIGINT) AS total_tokens,
+           CAST(sum(cnt) * 1000000 // (SELECT total FROM tot) AS BIGINT)
+               AS coverage_micro
     FROM ranked CROSS JOIN (VALUES (10), (100), (1000)) AS ks(k)
     WHERE rank <= k GROUP BY k ORDER BY k
 """

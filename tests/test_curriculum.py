@@ -201,3 +201,44 @@ def test_interleave_order_round_robin(spark):
 
     with pytest.raises(ValueError):
         interleave_order(df, "src", [])
+
+
+def test_interleave_order_skewed_sources(spark):
+    """The r8 rewrite (rank-minus-offset instead of a per-source window,
+    VERDICT r7 #4) under the shape that killed the old plan: two sources
+    with 200:5 skew. Layout: 5 alternating pairs, then the big source's
+    tail in order."""
+    from letsearch_spark.operators.curriculum import interleave_order
+
+    rows = [("big", i) for i in range(200)] + [("tiny", i) for i in range(5)]
+    df = spark.createDataFrame(rows, "src string, doc_id long").repartition(8)
+    got = sorted(
+        (r["interleave_rank"], r["src"], r["doc_id"])
+        for r in interleave_order(df, "src", ["doc_id"]).collect()
+    )
+    assert [g[0] for g in got] == list(range(1, 206))
+    head = [(g[1], g[2]) for g in got[:10]]
+    assert head == [
+        ("big", 0), ("tiny", 0), ("big", 1), ("tiny", 1), ("big", 2),
+        ("tiny", 2), ("big", 3), ("tiny", 3), ("big", 4), ("tiny", 4),
+    ]
+    assert [(g[1], g[2]) for g in got[10:]] == [
+        ("big", i) for i in range(5, 200)
+    ]
+
+
+def test_interleave_rounds_plan_no_per_source_window(spark):
+    """Plan gate for the r8 rewrite: the round computation must be a
+    broadcast join against the |sources|-row offset table — NO
+    row_number window partitioned by the source column (the old shape
+    serialized each source into one task). distributed_rank's internal
+    windows sit behind its eager checkpoint, so the rounds plan showing
+    any row_number at all would mean the fat window came back."""
+    from letsearch_spark.operators.curriculum import _interleave_rounds
+
+    rows = [("a", i) for i in range(20)] + [("b", i) for i in range(7)]
+    df = spark.createDataFrame(rows, "src string, doc_id long")
+    rounds = _interleave_rounds(df, "src", ["doc_id"])
+    plan = rounds._jdf.queryExecution().executedPlan().toString()
+    assert "row_number" not in plan, plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan
