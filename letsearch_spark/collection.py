@@ -335,7 +335,15 @@ class Collection:
         if n is None:
             n = tomb.count()
             self._tomb_count = n
-        return F.broadcast(tomb) if n <= self.tombstone_broadcast_max else tomb
+        return self._size_hinted(tomb, n)
+
+    def _size_hinted(self, keys: DataFrame, n: int) -> DataFrame:
+        """Broadcast a doomed-key frame only when its row count fits the
+        same knob the read-path anti-joins use
+        (``tombstone_broadcast_max``): a purge or auto-compact whose
+        predicate matches a large slice must degrade to a shuffle join,
+        not force an unbounded broadcast (VERDICT r7 #3)."""
+        return F.broadcast(keys) if n <= self.tombstone_broadcast_max else keys
 
     def count(self) -> int:
         """Row count (P2). The reference's COUNT('<col>') literal-count quirk
@@ -593,8 +601,11 @@ class Collection:
         out: dict[str, int] = {}
         tomb = self._tombstones()
         if tomb is not None:
-            # pin the doomed keys: their source file is deleted below
+            # pin the doomed keys: their source file is deleted below.
+            # size the join hint like the read paths do -- auto-compact
+            # fires precisely when the backlog is LARGE
             tomb = tomb.localCheckpoint()
+            tomb = self._size_hinted(tomb, tomb.count())
         docs = self.docs()  # live view: tombstones already excluded
         n = docs.count()
         p = max(1, -(-n // rows_per_file))
@@ -611,7 +622,7 @@ class Collection:
         if self._has_embeddings():
             emb = self.spark.read.parquet(self.embeddings_path)
             if tomb is not None:
-                emb = emb.join(F.broadcast(tomb), KEY_COL, "left_anti")
+                emb = emb.join(tomb, KEY_COL, "left_anti")
             m = emb.count()
             ep = max(1, -(-m // rows_per_file))
             staged = self.embeddings_path + ".compact"
@@ -696,14 +707,15 @@ class Collection:
         # ---- purge: fold the backlog in and rewrite physically ----
         all_doomed = doomed if prior is None else doomed.unionByName(prior)
         all_doomed = all_doomed.localCheckpoint()  # pin: sources are swapped below
-        remaining = self._docs_raw().join(
-            F.broadcast(all_doomed), KEY_COL, "left_anti"
-        )
+        # a predicate like lang='en' can doom a huge slice: size the
+        # hint the way the read paths do instead of force-broadcasting
+        all_doomed = self._size_hinted(all_doomed, all_doomed.count())
+        remaining = self._docs_raw().join(all_doomed, KEY_COL, "left_anti")
         staged = self.docs_path + ".delete"
         remaining.write.mode("overwrite").parquet(staged)
         if self._has_embeddings():
             emb = self.spark.read.parquet(self.embeddings_path)
-            kept = emb.join(F.broadcast(all_doomed), KEY_COL, "left_anti")
+            kept = emb.join(all_doomed, KEY_COL, "left_anti")
             estaged = self.embeddings_path + ".delete"
             (
                 kept.write.mode("overwrite")
@@ -730,7 +742,8 @@ class Collection:
         sidecar files -- the index stays current (refresh reports no
         drift), no rebuild, and no deleted vector/code/signature is
         retained on disk. Partition layout (``_list=``) is preserved so
-        probes keep pruning."""
+        probes keep pruning. Callers pass a frame already size-hinted
+        via :meth:`_size_hinted` (broadcast only when it fits)."""
         for column in self.config.index_columns:
             for path, sidecars, part_cols in (
                 (self.ivf_path(column), ("_centroids.npy",), ["_list"]),
@@ -744,7 +757,7 @@ class Collection:
                 if not self._fs_nonempty(path):
                     continue
                 kept = self.spark.read.parquet(path).join(
-                    F.broadcast(doomed), KEY_COL, "left_anti"
+                    doomed, KEY_COL, "left_anti"
                 )
                 if kept.limit(1).count() == 0:
                     # a parquet dir with zero data files cannot be read

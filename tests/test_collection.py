@@ -1511,6 +1511,74 @@ def test_delete_where_removes_docs_and_vectors(spark, tmp_path, sf_dir):
     assert c.count() == n0 - 6
 
 
+def test_purge_broadcast_is_size_hinted(spark, tmp_path, sf_dir):
+    """The purge/compact write paths must size the doomed-key join hint
+    like the read paths do (VERDICT r7 #3): with tombstone_broadcast_max
+    dropped to 0, the anti-join plan degrades to a SortMergeJoin instead
+    of force-broadcasting an unbounded key set -- and a purge through
+    that shuffle-join path still deletes exactly the matching rows."""
+    import os
+
+    from letsearch_spark.collection import Collection
+
+    c = Collection.create(
+        spark, str(tmp_path), name="hint", model_name="stub://16"
+    )
+    c.import_parquet(os.path.join(sf_dir, "documents.parquet"))
+    c.embed_column("text")
+    n0 = c.count()
+    c.tombstone_broadcast_max = 0
+
+    # the exact join the purge path builds, plan-inspected pre-write.
+    # Disable the OPTIMIZER's size-based auto-broadcast so the plan
+    # shows only what the explicit hint forces: over the knob the hint
+    # must be absent (SortMergeJoin; at real scale AQE stats would make
+    # this same call), under it present (BroadcastHashJoin even with
+    # auto-broadcast off).
+    doomed = (
+        c.docs().where("doc_id >= 495").select("_key").localCheckpoint()
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        hinted = c._size_hinted(doomed, doomed.count())
+        plan = (
+            c._docs_raw()
+            .join(hinted, "_key", "left_anti")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BroadcastHashJoin" not in plan, plan
+        assert "SortMergeJoin" in plan, plan
+        # ...and with the default knob the same join broadcasts
+        c.tombstone_broadcast_max = 5_000_000
+        small = c._size_hinted(doomed, doomed.count())
+        plan_b = (
+            c._docs_raw()
+            .join(small, "_key", "left_anti")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BroadcastHashJoin" in plan_b, plan_b
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+    # functional: purge through the shuffle-join path is still exact
+    c.tombstone_broadcast_max = 0
+    assert c.delete_where("doc_id >= 495", mode="purge") == 5
+    assert c.count() == n0 - 5
+    assert c._docs_raw().where("doc_id >= 495").count() == 0
+    emb_keys = c.embeddings("text").count()
+    assert emb_keys == n0 - 5
+    # compact through the same sized path (tombstone then compact)
+    assert c.delete_where("doc_id >= 490") == 5
+    c.compact()
+    assert c._docs_raw().where("doc_id >= 490").count() == 0
+    assert c.count() == n0 - 10
+
+
 def test_delete_tombstone_defers_physical_purge(spark, tmp_path, sf_dir):
     """mode='tombstone' (default, r7): deletion is an O(matches)
     sidecar write -- the doomed rows stay on disk (raw parquet) but are
