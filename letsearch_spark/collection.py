@@ -172,6 +172,13 @@ class Collection:
         # (pre-filter-then-score; no per-query join). Changing this
         # after a view is built triggers a rebuild on next use.
         self.serve_filter_columns: list[str] = []
+        # chunk-group column for search(strategy='maxsim') (r8): rows
+        # sharing this column's value are scored as ONE document under
+        # the MaxSim rule (must be listed in serve_filter_columns so
+        # the serve view carries it). None = every row is its own group
+        # -- single-vector docs, multi-vector queries still meaningful
+        # via search_multi
+        self.maxsim_group_col: str | None = None
         # per-column BM25 corpus stats (n_docs, avgdl) for the cached
         # lexical view (strategy='hybrid'); cleared on writes
         self._lex_stats: dict[str, tuple[int, float]] = {}
@@ -1297,6 +1304,13 @@ class Collection:
         already ~32x smaller than the vectors. The shape for
         collections too big to cache even as codes.
 
+        strategy='maxsim' (r8): multi-vector late interaction -- rows
+        sharing ``maxsim_group_col`` score as one document under the
+        ColBERT MaxSim rule (with one query string the score is the
+        group's best chunk cosine). Delegates to :meth:`search_multi`;
+        the result carries (group, key, content, score, n_chunks) with
+        key/content = the best-matching chunk.
+
         strategy='hamming': approximate -- a cached sign-bit signature
         view (1 bit/dim, ~32x smaller than the float serve view) ranks
         every row by bit_count(xor) Hamming distance, then the top
@@ -1311,7 +1325,7 @@ class Collection:
             raise ValueError(f"column {column!r} is not indexed")
         if strategy not in (
             "auto", "join", "inlist", "local", "lsh", "ivf", "hybrid",
-            "local_hybrid", "pq", "ivf_pq", "hamming",
+            "local_hybrid", "pq", "ivf_pq", "hamming", "maxsim",
         ):
             raise ValueError(f"unknown strategy {strategy!r}")
         if where is not None and strategy == "auto":
@@ -1320,13 +1334,28 @@ class Collection:
             # pre-filters since r7, but its ranking is approximate --
             # callers opt into that explicitly)
             strategy = "join"
-        if where is not None and strategy not in ("join", "hamming"):
+        if where is not None and strategy not in ("join", "hamming", "maxsim"):
             raise ValueError(
                 "where= is supported with strategy='join' (exact "
-                "pre-filter-then-score) and strategy='hamming' (r7: the "
+                "pre-filter-then-score), strategy='hamming' (r7: the "
                 "signature view carries serve_filter_columns, so the "
-                "predicate pre-filters the candidate scan); the other "
-                "approximate / driver-local strategies do not pre-filter"
+                "predicate pre-filters the candidate scan) and "
+                "strategy='maxsim' (r8: pre-filters the serve view); the "
+                "other approximate / driver-local strategies do not "
+                "pre-filter"
+            )
+        if strategy == "maxsim":
+            # late-interaction serving (r8): group rows by the
+            # maxsim_group_col knob and delegate to search_multi with
+            # this single query string as a one-vector query; result
+            # keeps the (key, content, score) K1 shape plus the group
+            # and chunk-count columns
+            return self.search_multi(
+                column,
+                [query],
+                limit=limit,
+                group_col=self.maxsim_group_col,
+                where=where,
             )
         self._require_embeddings(column)
         if strategy == "auto":
@@ -1668,6 +1697,83 @@ class Collection:
                 "score",
             )
             .orderBy("query_idx", "rank")
+        )
+
+    def search_multi(
+        self,
+        column: str,
+        queries: Sequence[str] | str,
+        limit: int = 10,
+        group_col: str | None = None,
+        where: str | None = None,
+    ) -> DataFrame:
+        """Multi-vector late-interaction search (the ColBERT MaxSim
+        rule, operators/pool.py maxsim_topk) through the Collection's
+        serving contract (K1/K3 semantics, serve.rs:148-183: limit
+        1..=100, same embedder as indexing, content fetch-back).
+
+        Each string in ``queries`` embeds to one query vector (K3);
+        score(doc) = sum over query vectors of the best cosine against
+        any of the doc's rows. ``group_col`` names the chunk-group
+        column -- rows sharing its value score as ONE document (it must
+        be listed in ``serve_filter_columns`` so the cached serve view
+        carries it); with ``group_col=None`` every row is its own group
+        (single-vector documents, multi-vector query).
+
+        Returns (group, key, content, score, n_chunks) ordered by
+        (score DESC, group ASC), where key/content are the group's
+        best-matching row (highest fixed-order cosine sum, ties to the
+        lowest key) -- the snippet to show. Scoring + per-group argmax
+        run in ONE partial-aggregated pass over the serve view
+        (only |groups| x |Q| maxes shuffle); the <= limit hits then
+        broadcast back for content (P3/P4).
+
+        ``where``: Spark SQL predicate over the serve view's columns,
+        applied BEFORE scoring (pre-filter-then-score, the search()
+        contract) -- a filtered-out chunk neither scores nor counts.
+        """
+        from letsearch_spark.operators.pool import maxsim_topk
+
+        if isinstance(queries, str):
+            queries = [queries]
+        if not queries:
+            raise ValueError("queries must be non-empty")
+        if not 1 <= limit <= 100:
+            raise ValueError(f"limit must be in [1, 100], got {limit}")
+        if column not in self.config.index_columns:
+            raise ValueError(f"column {column!r} is not indexed")
+        if group_col is not None and group_col not in self.serve_filter_columns:
+            raise ValueError(
+                f"group_col {group_col!r} must be listed in "
+                "serve_filter_columns so the serve view carries it"
+            )
+        self._require_embeddings(column)
+        qvecs = [
+            [float(x) for x in v] for v in self._embedder().embed(list(queries))
+        ]
+        serve = self._serve_view(column)
+        base = serve.where(F.col("content").isNotNull())
+        if where is not None:
+            base = base.where(F.expr(where))
+        g = group_col if group_col is not None else KEY_COL
+        hits = maxsim_topk(
+            base,
+            qvecs,
+            k=limit,
+            group_col=g,
+            vec_col="vector",
+            best_key_col=KEY_COL,
+        ).select(
+            F.col(g).alias("group"),
+            F.col("best_key").alias("key"),
+            "score",
+            "n_chunks",
+        )
+        content = serve.select(F.col(KEY_COL).alias("key"), "content")
+        return (
+            content.join(F.broadcast(hits), "key")
+            .select("group", "key", "content", "score", "n_chunks")
+            .orderBy(F.desc("score"), F.asc("group"))
         )
 
     def _fuse_many(

@@ -107,6 +107,7 @@ def maxsim_topk(
     group_col: str = "doc_id",
     vec_col: str = "vector",
     score_col: str = "score",
+    best_key_col: str | None = None,
 ) -> DataFrame:
     """Multi-vector late-interaction retrieval (the ColBERT MaxSim rule,
     Khattab & Zaharia 2020): score(doc) = sum over the query's vectors of
@@ -127,6 +128,14 @@ def maxsim_topk(
     ``query_vecs`` is a sequence of query vectors (1..~32 in practice --
     they become plan literals). Null chunk vectors are dropped. Returns
     (group, score, n_chunks) ordered by (score DESC, group ASC), k rows.
+
+    ``best_key_col`` (r8, the Collection serving path): name of a
+    NUMERIC per-chunk key column; when set, the result carries
+    ``best_key`` = the key of the group's best-matching chunk (highest
+    fixed-order cosine sum over the query vectors, ties to the lowest
+    key) via ``max_by`` in the SAME aggregation -- the snippet a
+    late-interaction serving layer fetches back, at zero extra shuffles.
+    The group score arithmetic is unchanged.
     """
     from letsearch_spark.functions.vector import cosine_similarity
 
@@ -135,22 +144,40 @@ def maxsim_topk(
         raise ValueError("query_vecs must be non-empty")
     if not 1 <= k <= 100:
         raise ValueError(f"k must be in [1, 100], got {k}")
+    extra_cols = (
+        [best_key_col]
+        if best_key_col is not None and best_key_col != group_col
+        else []
+    )
     rows = df.where(F.col(vec_col).isNotNull()).select(
         group_col,
+        *extra_cols,
         *[
             cosine_similarity(F.col(vec_col), q).alias(f"_c{i}")
             for i, q in enumerate(qvecs)
         ],
     )
-    agg = rows.groupBy(group_col).agg(
-        *[F.max(f"_c{i}").alias(f"_m{i}") for i in range(len(qvecs))],
-        F.count(F.lit(1)).alias("n_chunks"),
-    )
+    aggs = [F.max(f"_c{i}").alias(f"_m{i}") for i in range(len(qvecs))]
+    aggs.append(F.count(F.lit(1)).alias("n_chunks"))
+    sel_extra = []
+    if best_key_col is not None:
+        csum = F.col("_c0")
+        for i in range(1, len(qvecs)):
+            csum = csum + F.col(f"_c{i}")
+        rows = rows.withColumn("_csum", csum)
+        aggs.append(
+            F.max_by(
+                F.col(best_key_col),
+                F.struct(F.col("_csum"), -F.col(best_key_col)),
+            ).alias("best_key")
+        )
+        sel_extra = ["best_key"]
+    agg = rows.groupBy(group_col).agg(*aggs)
     score = F.col("_m0")
     for i in range(1, len(qvecs)):
         score = score + F.col(f"_m{i}")
     return (
-        agg.select(group_col, score.alias(score_col), "n_chunks")
+        agg.select(group_col, score.alias(score_col), "n_chunks", *sel_extra)
         .orderBy(F.desc(score_col), F.asc(group_col))
         .limit(k)
     )

@@ -2844,6 +2844,50 @@ def q_search_maxsim(spark, sf_dir):
     return out.select("label", F.round("score", 6).alias("score"), "n_chunks")
 
 
+_MAXSIM_COLL_QUERIES = [
+    "spark join query window batch data",
+    "dedup minhash shingle band bucket",
+    "stream watermark session state",
+]
+
+
+def q_search_maxsim_collection(spark, sf_dir):
+    """MaxSim through the COLLECTION serving path (r8, VERDICT r6 #6:
+    'a ColBERT user queries a collection'): stub collection over the
+    documents table, rows grouped by lang via
+    Collection.search_multi(group_col='lang'), three query strings
+    embedded by the same model (K3), where= pre-filter, content
+    fetch-back of each group's best-matching chunk (P3/P4). Oracle:
+    computed-literal Python twin (same stub vectors, same sequential
+    double arithmetic as the Catalyst cosine fold)."""
+    import tempfile
+
+    from letsearch_spark.collection import Collection
+
+    root = tempfile.mkdtemp(prefix="ls_maxsim_")
+    coll = Collection.create(
+        spark, root, name="ms", index_columns=["text"], model_name="stub://16"
+    )
+    coll.import_parquet(os.path.join(sf_dir, "documents.parquet"))
+    coll.embed_column("text")
+    coll.serve_filter_columns = ["lang"]
+    res = coll.search_multi(
+        "text",
+        _MAXSIM_COLL_QUERIES,
+        limit=5,
+        group_col="lang",
+        where="lang IS NOT NULL",
+    )
+    w = Window.orderBy(F.desc("score"), F.asc("group"))
+    return res.select(
+        F.row_number().over(w).cast("long").alias("rank"),
+        F.col("group"),
+        F.round("score", 6).alias("score"),
+        "n_chunks",
+        F.length("content").cast("long").alias("content_len"),
+    )
+
+
 def _maxsim_oracle_sql() -> str:
     cos = (
         "list_dot_product(({a})::DOUBLE[], ({b})::DOUBLE[]) / "
@@ -2872,6 +2916,69 @@ def _maxsim_oracle_sql() -> str:
               FROM embeddings GROUP BY label) c ON c.label = p.label
         ORDER BY (p.m0 + p.m1 + p.m2) DESC, p.label ASC LIMIT 5
     """
+
+
+def _maxsim_collection_oracle(sf_dir: str) -> str:
+    """Computed-literal twin of q_search_maxsim_collection: the same
+    stub vectors, the same sequential-double cosine (num / (norm_a *
+    norm_b), zero-denominator -> 0), per-group per-qvec maxes summed in
+    query order, best chunk = highest fixed-order cosine sum (ties only
+    between identical texts, which share content_len -- the search_e2e
+    argument), HALF_UP round-6 scores, top-5 by (score DESC, lang)."""
+    import math
+
+    from letsearch_spark.embedders.stub import StubEmbedder
+
+    docs = _read_documents_cols(sf_dir, ["doc_id", "text", "lang"])
+    emb = StubEmbedder(16)
+    vecs = emb.embed([r["text"] if r["text"] is not None else "" for r in docs])
+    qs = emb.embed(_MAXSIM_COLL_QUERIES)
+    qnorms = [math.sqrt(_seq_dot(q, q)) for q in qs]
+
+    groups: dict[str, dict] = {}
+    for r, v in zip(docs, vecs):
+        if r["text"] is None or r["lang"] is None:
+            continue  # P6 null-content drop + the where= pre-filter
+        vn = math.sqrt(_seq_dot(v, v))
+        cs = []
+        for q, qn in zip(qs, qnorms):
+            denom = vn * qn
+            cs.append(0.0 if denom == 0.0 else _seq_dot(v, q) / denom)
+        csum = 0.0
+        for c in cs:
+            csum += c
+        g = groups.setdefault(
+            r["lang"],
+            {"m": [-math.inf] * len(qs), "n": 0, "best": (-math.inf, 0)},
+        )
+        g["n"] += 1
+        for i, c in enumerate(cs):
+            if c > g["m"][i]:
+                g["m"][i] = c
+        if csum > g["best"][0]:
+            g["best"] = (csum, len(r["text"]))
+
+    scored = []
+    for lang, g in groups.items():
+        score = 0.0
+        for m in g["m"]:
+            score += m
+        scored.append((-score, lang, g["n"], g["best"][1]))
+    scored.sort()
+    rows = [
+        (rank + 1, lang, _py_round6(-negs), n, clen)
+        for rank, (negs, lang, n, clen) in enumerate(scored[:5])
+    ]
+    return _values_literal(
+        rows,
+        [
+            ("rank", "BIGINT"),
+            ("group", "VARCHAR"),
+            ("score", "DOUBLE"),
+            ("n_chunks", "BIGINT"),
+            ("content_len", "BIGINT"),
+        ],
+    )
 
 
 _UNIGRAM_VOCAB = 300
@@ -3059,6 +3166,8 @@ _EXPORT_SHARDS_ORACLE_SQL = f"""
 
 
 STAGED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # round 8 (MaxSim through the Collection serving contract)
+    "search_maxsim_collection": q_search_maxsim_collection,
     # round 7 (training-shard egress + FIM + hamming-tier recall)
     "export_shards_manifest": q_export_shards_manifest,
     "fim_transform": q_fim_transform,
@@ -3763,6 +3872,8 @@ def _text_compression_oracle(sf_dir: str) -> str:
 
 
 STAGED_ORACLES: dict[str, object] = {
+    # round 8
+    "search_maxsim_collection": _maxsim_collection_oracle,
     # round 7
     "export_shards_manifest": _EXPORT_SHARDS_ORACLE_SQL,
     "fim_transform": _FIM_ORACLE_SQL,

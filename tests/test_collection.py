@@ -889,6 +889,81 @@ def test_search_strategy_pq(spark, tmp_path, sf_dir):
     assert len(c.search("text", "spark join", limit=3, strategy="pq").collect()) == 3
 
 
+def test_search_multi_maxsim_collection(spark, tmp_path, sf_dir):
+    """search_multi (r8, VERDICT r6 #6): MaxSim through the Collection
+    serving contract. Scores/groups/chunk-counts must be BIT-IDENTICAL
+    to operators/pool.maxsim_topk over the same serve view; the fetched
+    content is the best_key row's content; with one query vector and no
+    grouping the scores degenerate to strategy='join' exactly."""
+    import os
+
+    from letsearch_spark.collection import Collection
+    from letsearch_spark.operators.pool import maxsim_topk
+
+    c = Collection.create(
+        spark, str(tmp_path), name="ms", model_name="stub://16"
+    )
+    c.import_parquet(os.path.join(sf_dir, "documents.parquet"))
+    c.embed_column("text")
+    c.serve_filter_columns = ["lang"]
+    queries = ["spark join window", "dedup minhash band", "stream state"]
+
+    out = c.search_multi("text", queries, limit=5, group_col="lang").collect()
+    assert [r["group"] for r in out] == sorted(
+        {r["group"] for r in out},
+        key=lambda g: (-max(x["score"] for x in out if x["group"] == g), g),
+    )
+    # bit-exact twin: the operator over the same serve view
+    qvecs = [[float(x) for x in v] for v in c._embedder().embed(queries)]
+    twin = maxsim_topk(
+        c._serve_view("text").where(F.col("content").isNotNull()),
+        qvecs,
+        k=5,
+        group_col="lang",
+        vec_col="vector",
+        best_key_col="_key",
+    ).collect()
+    assert [(r["group"], r["score"], r["n_chunks"]) for r in out] == [
+        (t["lang"], t["score"], t["n_chunks"]) for t in twin
+    ]
+    assert [r["key"] for r in out] == [t["best_key"] for t in twin]
+    # content is the best chunk's text
+    texts = dict(
+        c.docs().select("_key", "text").rdd.map(tuple).collect()
+    )
+    for r in out:
+        assert r["content"] == texts[r["key"]]
+
+    # single query, no grouping: each row is its own group -> the exact
+    # top-k, scores bit-identical to strategy='join'
+    one = c.search_multi("text", queries[0], limit=10).collect()
+    join = c.search("text", queries[0], limit=10, strategy="join").collect()
+    assert [(r["key"], r["score"]) for r in one] == [
+        (j["key"], j["score"]) for j in join
+    ]
+    assert all(r["n_chunks"] == 1 and r["group"] == r["key"] for r in one)
+
+    # strategy='maxsim' on search() delegates with the knob
+    c.maxsim_group_col = "lang"
+    via = c.search("text", queries[0], limit=5, strategy="maxsim").collect()
+    direct = c.search_multi(
+        "text", [queries[0]], limit=5, group_col="lang"
+    ).collect()
+    assert [tuple(r) for r in via] == [tuple(r) for r in direct]
+
+    # where= pre-filters before scoring
+    en = c.search_multi(
+        "text", queries, limit=5, group_col="lang", where="lang = 'en'"
+    ).collect()
+    assert {r["group"] for r in en} == {"en"}
+
+    # validation: group_col must ride the serve view
+    with pytest.raises(ValueError):
+        c.search_multi("text", queries, group_col="source")
+    with pytest.raises(ValueError):
+        c.search_multi("text", [])
+
+
 def test_search_strategy_hamming(spark, tmp_path, sf_dir):
     """strategy='hamming': lazily caches the sign-bit signature view
     (1 bit/dim), ranks by bit_count Hamming, exact-rescores the top
