@@ -94,7 +94,10 @@ def main() -> None:
         for i in range(N_SEARCHES):
             coll.search("text", f"spark join query window batch {i}", limit=10).collect()
 
-    run_stage("search_topk", searches, repeats=2)
+    # min-of-REPEATS since r8 (VERDICT r7 #5): r7's only regressed stage
+    # was also the only search loop still measured at 2 repeats -- the
+    # flagship latency number gets the full contention filter
+    run_stage("search_topk", searches)
     timings["searches_per_sec"] = round(N_SEARCHES / timings["search_topk"], 3)
 
     # 4a. approximate serving (sign-LSH bucket pruning over the cached
@@ -248,6 +251,22 @@ def main() -> None:
 
     run_stage("mine_negatives100", _mine_stage)
 
+    # benched stages keep their rows across window rotations -- the
+    # registry a query lives in (window / rotated / staged) is a
+    # correctness-gate concern, not a performance one, so resolve the
+    # name against all three
+    from letsearch_spark.queries import ROTATED_OUT_QUERIES, STAGED_QUERIES
+
+    def resolve_query(name):
+        q = (
+            QUERIES.get(name)
+            or STAGED_QUERIES.get(name)
+            or ROTATED_OUT_QUERIES.get(name)
+        )
+        if q is None:
+            raise KeyError(f"bench stage {name!r} found in no query registry")
+        return q
+
     # 6-9. relational volume queries over lineitem/orders/events
     for name in (
         "agg_pricing_summary",
@@ -255,27 +274,27 @@ def main() -> None:
         "window_top_orders_per_customer",
         "events_sessionize",
     ):
-        run_stage(name, lambda name=name: QUERIES[name](spark, SF_DIR).count())
+        run_stage(
+            name, lambda name=name: resolve_query(name)(spark, SF_DIR).count()
+        )
 
     # 10-11. dedup headliners over documents
     for name in ("dedup_minhash_lsh", "dedup_simhash_pairs"):
-        run_stage(name, lambda name=name: QUERIES[name](spark, SF_DIR).count())
+        run_stage(
+            name, lambda name=name: resolve_query(name)(spark, SF_DIR).count()
+        )
 
-    # 12-14. round-3 training-pipeline stages (dedup_lines rotated out
-    # of the driver window in round 6 but keeps its gated bench row --
-    # the registry move does not change the code under test)
-    from letsearch_spark.queries import ROTATED_OUT_QUERIES
-
+    # 12-14. round-3 training-pipeline stages
     for name in ("quality_filter_gopher", "dedup_lines", "pack_sequences"):
-        q = QUERIES.get(name) or ROTATED_OUT_QUERIES[name]
-        run_stage(name, lambda q=q: q(spark, SF_DIR).count())
+        run_stage(
+            name, lambda name=name: resolve_query(name)(spark, SF_DIR).count()
+        )
 
-    # 14a. round-5 staged operators (STAGED_QUERIES, oracle parity in
-    # tests/test_rotated_contract.py): C4 cleaning (map-side array
-    # expressions), the event-time attribution join (100k events), and
-    # CCNet perplexity bucketing (LM train + score + one percentile agg)
-    from letsearch_spark.queries import STAGED_QUERIES
-
+    # 14a. round-5+ operator stages (oracle parity in the driver window,
+    # tests/test_rotated_contract.py, or the staged gate): C4 cleaning
+    # (map-side array expressions), the event-time attribution join
+    # (100k events), CCNet perplexity bucketing (LM train + score + one
+    # percentile agg), and the round-6/7 additions below
     for name in (
         "c4_page_filter",
         "events_attribution_join",
@@ -303,11 +322,12 @@ def main() -> None:
         # pass over the documents table)
         "text_compression",
         # round 7: training-shard egress manifest (distributed
-        # prefix-sum + budget fill; no baseline row yet)
+        # prefix-sum + budget fill)
         "export_shards_manifest",
     ):
         run_stage(
-            name, lambda name=name: STAGED_QUERIES[name](spark, SF_DIR).count()
+            name,
+            lambda name=name: resolve_query(name)(spark, SF_DIR).count(),
         )
 
     # round-7 FIM stage: a pure map-side projection, so .count() would
@@ -315,7 +335,7 @@ def main() -> None:
     # md5/substring work by aggregating over the output column
     run_stage(
         "fim_transform",
-        lambda: STAGED_QUERIES["fim_transform"](spark, SF_DIR)
+        lambda: resolve_query("fim_transform")(spark, SF_DIR)
         .agg(F.sum(F.length("text_md5")))
         .first()[0],
     )

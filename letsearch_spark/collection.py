@@ -838,6 +838,24 @@ class Collection:
             return self.import_df(df)
         return self._append_df(df)
 
+    def import_wet(self, path: str, column: str = "text") -> int:
+        """Common Crawl WARC/WET ingest (sources/warc.py, r8): every
+        conversion record in the segment files under ``path`` becomes a
+        row with (target_uri, warc_date, source_path) provenance; same
+        key/append semantics as the other sources (S1-S4). One segment
+        file = one task -- the crawl's natural distribution grain."""
+        from letsearch_spark.sources.warc import read_wet
+
+        df = read_wet(self.spark, path).select(
+            F.col("text").alias(column),
+            "target_uri",
+            "warc_date",
+            "source_path",
+        )
+        if not self._docs_exist():
+            return self.import_df(df)
+        return self._append_df(df)
+
     def import_pdf(
         self,
         path: str,

@@ -1681,7 +1681,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_windowed_counts": q_stream_windowed_counts,
     "stream_sessionize": q_stream_sessionize,
     "multimodal_decode": q_multimodal_decode,
-    "multimodal_frame_sample": q_multimodal_frame_sample,
     # -- sources / collection surface --
     "s1_jsonl_ingest": q_s1_jsonl_ingest,
     "s2_ingest_dense_key": q_s2_ingest_dense_key,
@@ -1689,14 +1688,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "k1_topk_label_filtered": q_k1_topk_label_filtered,
     "search_fetchback_join": q_search_fetchback_join,
     "knn_join": q_knn_join,
-    "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_assign": q_ann_ivf_assign,
     "pq_adc_topk": q_pq_adc_topk,
     # -- dedup / decontamination family --
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_minhash_components": q_dedup_minhash_components,
     "decontaminate_containment": q_decontaminate_containment,
-    "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "dedup_embedding_cosine_lsh": q_dedup_embedding_cosine_lsh,
     "dedup_substring_spans": q_dedup_substring_spans,
     "semantic_dedup": q_semantic_dedup,
@@ -1708,14 +1705,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- relational / OLAP --
     "agg_pricing_summary": q_agg_pricing_summary,
     "join_top_orders": q_join_top_orders,
-    "join_nation_volume": q_join_nation_volume,
     "window_top_orders_per_customer": q_window_top_orders_per_customer,
-    "events_sessionize": q_events_sessionize,
     "events_asof_last_order": q_events_asof_last_order,
     "events_range_join": q_events_range_join,
     # -- sampling / selection / skew tooling --
     "sample_train_test_split": q_sample_train_test_split,
-    "sample_mixture": q_sample_mixture,
     "dsir_sample": q_dsir_sample,
     "perplexity_filter": q_perplexity_filter,
     "pack_sequences": q_pack_sequences,
@@ -1767,6 +1761,24 @@ ROTATED_OUT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "quantize_f16_roundtrip": q_quantize_f16_roundtrip,
     "events_time_rollup": q_events_time_rollup,
+    # round 8 (displaced by dedup_survivor_quality / ann_hamming_topk /
+    # token_count_unigram / sample_stratified_exact /
+    # export_shards_manifest / fim_transform, the COVERAGE.md pre-plan):
+    # ann_lsh_topk's recall evidence lives in the promoted
+    # eval_lsh_recall and the LSH serving shape stays plan-gated;
+    # dedup_simhash_pairs is one of four banded-pair family rows
+    # sharing the banding SQL; events_sessionize is the batch twin of
+    # the in-window stream_sessionize; sample_mixture's rate arithmetic
+    # is carried richer by the staged mixture_epochs /
+    # temperature_mixture; join_nation_volume overlaps the remaining
+    # relational substrate rows; multimodal_frame_sample shares the
+    # decode pipeline with the in-window multimodal_decode
+    "ann_lsh_topk": q_ann_lsh_topk,
+    "dedup_simhash_pairs": q_dedup_simhash_pairs,
+    "events_sessionize": q_events_sessionize,
+    "sample_mixture": q_sample_mixture,
+    "join_nation_volume": q_join_nation_volume,
+    "multimodal_frame_sample": q_multimodal_frame_sample,
 }
 
 # values are SQL strings, or callables (sf_dir) -> SQL for the
@@ -2646,11 +2658,18 @@ def q_embed_mean_pool(spark, sf_dir):
     pooled = mean_pool_vectors(
         emb, "label", "embedding", out_col="pooled", exact_units=1_000_000
     )
-    return pooled.select(
-        "label",
-        F.transform(F.col("pooled"), lambda x: F.round(x, 6)).alias("pooled"),
-        "n_vecs",
-    ).orderBy("label")
+    # contract rows carry SCALARS only (r8 rule, the r7 post-mortem):
+    # one row per (label, dimension) instead of an array cell
+    return (
+        pooled.select("label", "n_vecs", F.posexplode("pooled").alias("pos", "v"))
+        .select(
+            "label",
+            (F.col("pos") + 1).cast("long").alias("pos"),
+            F.round("v", 6).alias("v"),
+            "n_vecs",
+        )
+        .orderBy("label", "pos")
+    )
 
 
 _MEAN_POOL_ORACLE_SQL = """
@@ -2665,10 +2684,10 @@ _MEAN_POOL_ORACLE_SQL = """
                count(*) AS n
         FROM ex GROUP BY label, pos
     )
-    SELECT label,
-           list(round(s / (1000000.0 * n), 6) ORDER BY pos) AS pooled,
-           max(n) AS n_vecs
-    FROM per GROUP BY label ORDER BY label
+    SELECT label, CAST(pos AS BIGINT) AS pos,
+           round(s / (1000000.0 * n), 6) AS v,
+           CAST(n AS BIGINT) AS n_vecs
+    FROM per ORDER BY label, pos
 """
 
 
@@ -2981,6 +3000,52 @@ def _maxsim_collection_oracle(sf_dir: str) -> str:
     )
 
 
+def q_s_wet_ingest(spark, sf_dir):
+    """WARC/WET ingest (sources/warc.py, the Common Crawl segment
+    format -- the ingest step a web-scale pipeline starts from): the
+    documents table shipped out as 4 WET segments (alternate ones
+    gzipped with per-spec member framing), then read back through the
+    distributed binaryFile -> mapInPandas record parser. Content-Length
+    framing makes the round-trip byte-exact, so the oracle is md5 +
+    length straight off the documents table -- the parser never gets to
+    'approximately' recover a page."""
+    import tempfile
+
+    from letsearch_spark.sources.warc import build_wet_bytes, read_wet
+
+    docs = (
+        load(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    )
+    rows = [
+        (f"http://corpus.test/{r['doc_id']}", r["text"] or "") for r in docs
+    ]
+    root = tempfile.mkdtemp(prefix="ls_wet_")
+    k = max(1, len(rows) // 4)
+    for i in range(0, len(rows), k):
+        gz = (i // k) % 2 == 1
+        name = f"part-{i // k}.warc.wet" + (".gz" if gz else "")
+        with open(os.path.join(root, name), "wb") as f:
+            f.write(build_wet_bytes(rows[i : i + k], gz=gz))
+    return (
+        read_wet(spark, root)
+        .select(
+            F.regexp_extract("target_uri", r"(\d+)$", 1)
+            .cast("long")
+            .alias("doc_id"),
+            F.md5("text").alias("text_md5"),
+            F.length("text").cast("long").alias("n_chars"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_WET_INGEST_ORACLE_SQL = """
+    SELECT doc_id, md5(coalesce(text, '')) AS text_md5,
+           CAST(length(coalesce(text, '')) AS BIGINT) AS n_chars
+    FROM documents ORDER BY doc_id
+"""
+
+
 _UNIGRAM_VOCAB = 300
 _UNIGRAM_SEED = 900
 
@@ -3166,22 +3231,21 @@ _EXPORT_SHARDS_ORACLE_SQL = f"""
 
 
 STAGED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # round 8 (MaxSim through the Collection serving contract)
+    # round 8 (MaxSim through the Collection serving contract + the
+    # Common Crawl WET ingest format)
     "search_maxsim_collection": q_search_maxsim_collection,
-    # round 7 (training-shard egress + FIM + hamming-tier recall)
-    "export_shards_manifest": q_export_shards_manifest,
-    "fim_transform": q_fim_transform,
+    "s_wet_ingest": q_s_wet_ingest,
+    # round 7 (hamming-tier recall + source interleaving; the r7
+    # export_shards_manifest / fim_transform entries were promoted into
+    # the window by the round-8 rotation)
     "eval_hamming_recall": q_eval_hamming_recall,
     "interleave_order": q_interleave_order,
-    # round 6 (late session: memory-bound ANN + late-interaction serving
-    # + the unigram tokenizer completing the trainer family)
-    "ann_hamming_topk": q_ann_hamming_topk,
+    # round 6 (late session; ann_hamming_topk / token_count_unigram
+    # promoted r8)
     "search_maxsim": q_search_maxsim,
-    "token_count_unigram": q_token_count_unigram,
     "text_compression": q_text_compression,
-    # round 6
-    "dedup_survivor_quality": q_dedup_survivor_quality,
-    "sample_stratified_exact": q_sample_stratified_exact,
+    # round 6 (dedup_survivor_quality / sample_stratified_exact
+    # promoted r8)
     "embed_mean_pool": q_embed_mean_pool,
     "ann_kmeans_full": q_ann_kmeans_full,
     "html_extract": q_html_extract,
@@ -3220,6 +3284,22 @@ QUERIES.update(
         "vocab_coverage": q_vocab_coverage,
         "corpus_data_card": q_corpus_data_card,
         "eval_lsh_recall": q_eval_lsh_recall,
+    }
+)
+
+# -- round-8 window rotation (COVERAGE.md pre-plan + the r7 staged
+# additions behind it): the quality-aware dedup keep rule, the
+# memory-bound Hamming serving tier, the unigram tokenizer completing
+# the trainer family, exact per-stratum caps, the training-shard egress
+# every trainer consumes, and the FIM transform.
+QUERIES.update(
+    {
+        "dedup_survivor_quality": q_dedup_survivor_quality,
+        "ann_hamming_topk": q_ann_hamming_topk,
+        "token_count_unigram": q_token_count_unigram,
+        "sample_stratified_exact": q_sample_stratified_exact,
+        "export_shards_manifest": q_export_shards_manifest,
+        "fim_transform": q_fim_transform,
     }
 )
 
@@ -3874,20 +3954,16 @@ def _text_compression_oracle(sf_dir: str) -> str:
 STAGED_ORACLES: dict[str, object] = {
     # round 8
     "search_maxsim_collection": _maxsim_collection_oracle,
-    # round 7
-    "export_shards_manifest": _EXPORT_SHARDS_ORACLE_SQL,
-    "fim_transform": _FIM_ORACLE_SQL,
+    "s_wet_ingest": _WET_INGEST_ORACLE_SQL,
+    # round 7 (export_shards_manifest / fim_transform oracles moved to
+    # the window registry with their queries, r8 rotation)
     "eval_hamming_recall": _eval_hamming_recall_oracle,
     "interleave_order": _INTERLEAVE_ORACLE_SQL,
     # round 6 (late session)
-    "ann_hamming_topk": _hamming_oracle_sql(),
     "search_maxsim": _maxsim_oracle_sql(),
-    "token_count_unigram": _token_count_unigram_oracle,
     "text_compression": _text_compression_oracle,
     # round 6
-    "dedup_survivor_quality": _survivor_quality_oracle_sql(),
     "ann_kmeans_full": _kmeans_full_oracle,
-    "sample_stratified_exact": _STRATIFIED_EXACT_ORACLE_SQL,
     "embed_mean_pool": _MEAN_POOL_ORACLE_SQL,
     "html_extract": _html_extract_oracle_sql(),
     "dataset_diff": _DATASET_DIFF_ORACLE_SQL,
@@ -4560,6 +4636,15 @@ def _oracles() -> dict[str, str]:
     o["training_pairs"] = _TRAINING_PAIRS_ORACLE_SQL
     o["vocab_coverage"] = _VOCAB_COVERAGE_ORACLE_SQL
     o["corpus_data_card"] = _DATA_CARD_ORACLE_SQL
+
+    # round-8 window promotions (static-SQL half; token_count_unigram's
+    # computed oracle registers in _computed_oracles). The SQL bodies
+    # are the former STAGED_ORACLES entries, unchanged.
+    o["dedup_survivor_quality"] = _survivor_quality_oracle_sql()
+    o["ann_hamming_topk"] = _hamming_oracle_sql()
+    o["sample_stratified_exact"] = _STRATIFIED_EXACT_ORACLE_SQL
+    o["export_shards_manifest"] = _EXPORT_SHARDS_ORACLE_SQL
+    o["fim_transform"] = _FIM_ORACLE_SQL
     return o
 
 
@@ -4606,6 +4691,13 @@ for _displaced in (
     "s3_append_key_continuation",
     "dedup_ngram_jaccard",
     "events_time_rollup",
+    # round 8
+    "ann_lsh_topk",
+    "dedup_simhash_pairs",
+    "events_sessionize",
+    "sample_mixture",
+    "join_nation_volume",
+    "multimodal_frame_sample",
 ):
     ROTATED_OUT_ORACLES[_displaced] = ORACLES.pop(_displaced)
 
@@ -5197,6 +5289,11 @@ def _computed_oracles(sf_dir: str) -> dict[str, str]:
     # MRR replay oracle is sf-dependent SQL, built by the same function
     # the staged gate used ---
     o["eval_lsh_recall"] = _eval_lsh_recall_oracle(sf_dir)
+
+    # --- token_count_unigram (round-8 window promotion): Counter word
+    # counts + the shared train_unigram_twin VALUES literal, built by
+    # the same function the staged gate used ---
+    o["token_count_unigram"] = _token_count_unigram_oracle(sf_dir)
     return o
 
 

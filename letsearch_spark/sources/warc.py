@@ -1,0 +1,189 @@
+"""WARC / WET source: the Common Crawl ingest format.
+
+Web-scale training corpora start life as WARC archives (ISO 28500) or
+their text-extraction siblings, WET files ("conversion" records holding
+the page's plain text). A 100 TB crawl snapshot is tens of thousands of
+~150 MB ``.warc.wet.gz`` segment files -- which is exactly the right
+distribution grain: this reader maps one Spark ``binaryFile`` row to one
+segment, parses records STREAMING inside an Arrow-batched
+``mapInPandas`` pass, and emits one row per conversion record. No
+external WARC library: the framing (version line, CRLF header block,
+``Content-Length``-delimited body, CRLF CRLF record separator) is ~40
+lines of stdlib parsing, and gzip members concatenate (the per-record
+gzip framing Common Crawl uses) so ``gzip.decompress`` handles ``.gz``
+segments whole.
+
+Scale shape: parallelism = segment-file count (the crawl's natural
+unit); text leaves the scan already shredded into rows, so the only
+shuffle anything downstream pays is whatever the pipeline does next.
+``binaryFile`` loads a whole segment per task -- at the standard
+WET segment size (~150 MB compressed / ~400 MB raw) that is the same
+memory class Spark's parquet reader uses per task; for adversarial
+multi-GB single files, split upstream (Common Crawl never ships them).
+
+Record-framing reference: the WARC 1.0/1.1 specification (public ISO
+28500 drafts) and Common Crawl's published WET layout; no reference
+repo analog (SURVEY.md §2.7 north-star ingest family).
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+WET_SCHEMA = (
+    "source_path string, record_idx long, warc_type string, "
+    "target_uri string, warc_date string, text string"
+)
+
+
+def parse_warc_bytes(data: bytes, strict: bool = False):
+    """Yield (record_idx, headers: dict, body: bytes) for each record in
+    a raw (uncompressed) WARC byte stream. Bodies are delimited by
+    ``Content-Length`` (mandatory per spec), never by scanning for
+    separators -- page text containing blank lines round-trips exactly.
+
+    Malformed framing: ``strict=True`` raises; the default skips the
+    rest of the stream (a truncated tail segment should not kill a
+    10k-segment job, and the verify story for egress/ingest is
+    checksums, not parser heroics)."""
+    buf = io.BytesIO(data)
+    idx = 0
+    while True:
+        # skip inter-record CRLFs
+        line = buf.readline()
+        while line in (b"\r\n", b"\n"):
+            line = buf.readline()
+        if not line:
+            return
+        if not line.startswith(b"WARC/"):
+            if strict:
+                raise ValueError(
+                    f"record {idx}: expected WARC/ version line, got "
+                    f"{line[:40]!r}"
+                )
+            return
+        headers: dict[str, str] = {}
+        while True:
+            line = buf.readline()
+            if line in (b"\r\n", b"\n", b""):
+                break
+            try:
+                k, _, v = line.decode("utf-8", "replace").partition(":")
+            except Exception:
+                continue
+            headers[k.strip().lower()] = v.strip()
+        try:
+            n = int(headers["content-length"])
+        except (KeyError, ValueError):
+            if strict:
+                raise ValueError(f"record {idx}: missing Content-Length")
+            return
+        body = buf.read(n)
+        if len(body) != n:
+            if strict:
+                raise ValueError(
+                    f"record {idx}: truncated body ({len(body)} < {n})"
+                )
+            return
+        yield idx, headers, body
+        idx += 1
+
+
+def _maybe_gunzip(path: str, data: bytes) -> bytes:
+    if path.endswith(".gz") or data[:2] == b"\x1f\x8b":
+        # WARC gzip = concatenated members (one per record); the stdlib
+        # decompressor consumes multi-member streams whole
+        return gzip.decompress(data)
+    return data
+
+
+def read_wet(
+    spark: SparkSession,
+    path: str,
+    record_types: tuple[str, ...] = ("conversion",),
+    strict: bool = False,
+) -> DataFrame:
+    """Distributed WET/WARC ingest: ``path`` is a file/dir/glob of
+    ``.warc`` / ``.wet`` / ``.gz`` segments; returns one row per record
+    of the requested ``warc_type``s (default: WET ``conversion`` text
+    records) with columns (source_path, record_idx, warc_type,
+    target_uri, warc_date, text).
+
+    One binaryFile row = one segment = one task; record parsing is
+    stdlib-only inside the Arrow pass. ``record_types=None`` keeps
+    every record (responses, metadata, warcinfo...)."""
+    types = None if record_types is None else {t.lower() for t in record_types}
+    strict_ = bool(strict)
+
+    def gen(batches):
+        for pdf in batches:
+            out: dict[str, list] = {
+                "source_path": [],
+                "record_idx": [],
+                "warc_type": [],
+                "target_uri": [],
+                "warc_date": [],
+                "text": [],
+            }
+            for p, raw in zip(pdf["path"], pdf["content"]):
+                data = _maybe_gunzip(str(p), bytes(raw))
+                for idx, headers, body in parse_warc_bytes(
+                    data, strict=strict_
+                ):
+                    wtype = headers.get("warc-type", "")
+                    if types is not None and wtype.lower() not in types:
+                        continue
+                    out["source_path"].append(str(p))
+                    out["record_idx"].append(idx)
+                    out["warc_type"].append(wtype)
+                    out["target_uri"].append(
+                        headers.get("warc-target-uri")
+                    )
+                    out["warc_date"].append(headers.get("warc-date"))
+                    out["text"].append(body.decode("utf-8", "replace"))
+            yield pd.DataFrame(out)
+
+    files = (
+        spark.read.format("binaryFile")
+        .load(path)
+        .select("path", "content")
+    )
+    return files.mapInPandas(gen, WET_SCHEMA)
+
+
+def build_wet_bytes(
+    records: list[tuple[str, str]], gz: bool = False
+) -> bytes:
+    """Deterministic WET segment builder: ``records`` is a list of
+    (target_uri, text). The test/oracle twin of :func:`read_wet` --
+    and the egress shape for shipping a cleaned corpus back out as
+    WET. Bodies are UTF-8; Content-Length is exact, so any text
+    (blank lines included) round-trips byte-for-byte."""
+    out = io.BytesIO()
+    for uri, text in records:
+        body = (text or "").encode("utf-8")
+        head = (
+            "WARC/1.0\r\n"
+            "WARC-Type: conversion\r\n"
+            f"WARC-Target-URI: {uri}\r\n"
+            "WARC-Date: 2026-01-01T00:00:00Z\r\n"
+            f"Content-Length: {len(body)}\r\n"
+            "Content-Type: text/plain\r\n"
+            "\r\n"
+        ).encode("utf-8")
+        out.write(head)
+        out.write(body)
+        out.write(b"\r\n\r\n")
+    data = out.getvalue()
+    if gz:
+        # mtime pinned: deterministic bytes for checksum-based tests
+        z = io.BytesIO()
+        with gzip.GzipFile(fileobj=z, mode="wb", mtime=0) as f:
+            f.write(data)
+        return z.getvalue()
+    return data

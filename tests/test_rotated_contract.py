@@ -121,6 +121,13 @@ def test_rotation_bookkeeping():
         "vocab_coverage",
         "corpus_data_card",
         "eval_lsh_recall",
+        # round-8 rotation
+        "dedup_survivor_quality",
+        "ann_hamming_topk",
+        "token_count_unigram",
+        "sample_stratified_exact",
+        "export_shards_manifest",
+        "fim_transform",
     ):
         assert new in QUERIES and new in oracles
     for displaced in (
@@ -133,5 +140,12 @@ def test_rotation_bookkeeping():
         "dedup_ngram_jaccard",
         "quantize_f16_roundtrip",
         "events_time_rollup",
+        # round-8 rotation
+        "ann_lsh_topk",
+        "dedup_simhash_pairs",
+        "events_sessionize",
+        "sample_mixture",
+        "join_nation_volume",
+        "multimodal_frame_sample",
     ):
         assert displaced in ROTATED_OUT_QUERIES and displaced not in QUERIES

@@ -181,3 +181,106 @@ def test_chunker_unigram_mode(spark, sf_dir, tmp_path):
     assert [
         r["chunk"] for r in sorted(rows, key=lambda r: r["chunk_idx"])
     ] == chunks
+
+
+def test_viterbi_tie_break_contract():
+    """The documented tie-break (r8, VERDICT r6 #6): lengths scan
+    ascending with strict >, so an exact score tie resolves toward the
+    SHORTER final piece (more pieces). Hand-built tie: logp('ab') ==
+    logp('a') + logp('b') exactly (powers of two, no rounding)."""
+    from letsearch_spark.tokenizer_unigram import _make_viterbi_kernel
+
+    seg = _make_viterbi_kernel(max_piece_len=4, unk_logp=-64.0)
+    logp = {"a": -1.0, "b": -2.0, "ab": -3.0}
+    # the two segmentations of 'ab' score exactly -3.0; shorter final
+    # piece ('b') wins
+    assert seg("ab", logp) == ["a", "b"]
+    # still a real optimizer: make the joint piece strictly better
+    assert seg("ab", {**logp, "ab": -2.5}) == ["ab"]
+
+
+def test_viterbi_adversarial_unicode_fuzz():
+    """Seeded fuzz over an adversarial alphabet (combining marks, ZWJ,
+    astral-plane emoji, RTL, CJK): every segmentation must tile the
+    word exactly, be deterministic, and score equal to a brute-force
+    enumeration of ALL segmentations (same left-to-right double sums).
+    Pieces are code-point lattices -- no byte-level surprises."""
+    import random
+    from itertools import combinations
+
+    from letsearch_spark.tokenizer_unigram import _make_viterbi_kernel
+
+    alphabet = [
+        "a", "b",
+        "́",  # combining acute
+        "‍",  # zero-width joiner
+        "\U0001f600",  # astral-plane emoji (surrogate pair in UTF-16)
+        "א",  # Hebrew alef (RTL)
+        "中",  # CJK
+    ]
+    rng = random.Random(8)
+    unk = -32.0
+    seg = _make_viterbi_kernel(max_piece_len=3, unk_logp=unk)
+
+    def all_segmentations(word):
+        n = len(word)
+        for k in range(n):
+            for cuts in combinations(range(1, n), k):
+                bounds = [0, *cuts, n]
+                yield [word[i:j] for i, j in zip(bounds, bounds[1:])]
+
+    def score(parts, logp):
+        s = 0.0
+        for p in parts:
+            lp = logp.get(p)
+            if lp is None:
+                if len(p) != 1:
+                    return None  # unreachable in the kernel's lattice
+                lp = unk
+            s += lp
+        return s
+
+    for trial in range(60):
+        word = "".join(rng.choices(alphabet, k=rng.randint(1, 7)))
+        # random vocabulary: every substring up to len 3 may get a logp
+        logp = {}
+        for i in range(len(word)):
+            for ln in (1, 2, 3):
+                p = word[i : i + ln]
+                if len(p) == ln and rng.random() < 0.6:
+                    logp[p] = -float(rng.randint(1, 12))
+        got = seg(word, logp)
+        assert "".join(got) == word, (word, got)
+        assert got == seg(word, logp)  # deterministic
+        assert all(len(p) <= 3 for p in got)
+        best = max(
+            s
+            for parts in all_segmentations(word)
+            if len(max(parts, key=len)) <= 3
+            and (s := score(parts, logp)) is not None
+        )
+        assert score(got, logp) == best, (word, got, best)
+
+
+def test_seed_alphabet_guard(spark, monkeypatch):
+    """The singles collect in _distributed_seed_counts is bounded by
+    the corpus alphabet; an input with more distinct code points than
+    max(seed_size, _ALPHABET_FLOOR) must raise, not collect (the r8
+    explicit-cap guard, VERDICT r6 #7). The floor is monkeypatched low
+    so the REAL branch fires without synthesizing 65k+ rows."""
+    import letsearch_spark.tokenizer_unigram as tu
+
+    rows = [(chr(0x4E00 + i), 1) for i in range(40)]
+    types = spark.createDataFrame(rows, "word string, count long")
+    # normal path: alphabet under the cap
+    counts = tu._distributed_seed_counts(types, max_piece_len=2, seed_size=10)
+    assert all(len(p) <= 2 for p in counts)
+
+    monkeypatch.setattr(tu, "_ALPHABET_FLOOR", 16)
+    with pytest.raises(ValueError, match="distinct code points"):
+        tu._distributed_seed_counts(types, max_piece_len=2, seed_size=10)
+    # seed_size raises the cap back above the alphabet: accepted again
+    big_seed = tu._distributed_seed_counts(
+        types, max_piece_len=2, seed_size=64
+    )
+    assert all(len(p) <= 2 for p in big_seed)

@@ -66,6 +66,17 @@ def canon(v) -> str:
     return str(v)
 
 
+def frame_to_rows(cols, rows):
+    """Row-tuple canonicalization (collect()/fetchall() shape) -- the
+    form tests/test_rotated_contract.py imports for the rotated/staged
+    pytest gates. The driver-faithful pandas path below is what the
+    window sweep itself uses."""
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(canon(r[i]) for i in order) for r in rows]
+    out.sort()
+    return [cols[i] for i in order], out
+
+
 def complex_spark_columns(schema) -> list[str]:
     """Names of Array/Map/Struct columns — banned from contract rows
     (the driver's pandas canonicalizer cannot sort them; r7 red #1)."""

@@ -955,6 +955,24 @@ def main() -> None:
 
         timeit("fim_rewrite", _fim)
 
+        # round-8 op: interleave_order under 2-source skew (~49:1) --
+        # the shape that serialized the old per-source window into one
+        # task per source (VERDICT r7 #4). The rewrite (rank minus
+        # per-source prefix-sum offsets) must track rows, not
+        # rows/|sources| single-task sorts.
+        def _interleave_skew():
+            from letsearch_spark.operators.curriculum import interleave_order
+
+            src = docs.withColumn(
+                "src",
+                F.when(F.col("doc_id") % 50 == 0, F.lit("tiny")).otherwise(
+                    F.lit("big")
+                ),
+            )
+            return interleave_order(src, "src", ["doc_id"]).count()
+
+        timeit("interleave_skew", _interleave_skew)
+
         ev.unpersist()
         docs.unpersist()
         emb.unpersist()
