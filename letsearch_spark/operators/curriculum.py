@@ -275,13 +275,18 @@ def _interleave_rounds(
         Window.unboundedPreceding, -1
     )
     offsets = counts.select(
-        source_col,
+        F.col(source_col).alias("__osrc"),
         F.coalesce(F.sum("_n").over(woff), F.lit(0))
         .cast("long")
         .alias("_off"),
     )
+    # null-safe: a NULL source is a legitimate group (the old window
+    # kept it; a plain equi-join would silently drop those rows)
     return (
-        ranked.join(F.broadcast(offsets), source_col)
+        ranked.join(
+            F.broadcast(offsets),
+            F.col(source_col).eqNullSafe(F.col("__osrc")),
+        )
         .withColumn("_round", F.col("_gpos") - F.col("_off"))
-        .drop("_gpos", "_off")
+        .drop("_gpos", "_off", "__osrc")
     )

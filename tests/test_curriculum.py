@@ -227,6 +227,26 @@ def test_interleave_order_skewed_sources(spark):
     ]
 
 
+def test_interleave_order_null_source_group(spark):
+    """A NULL source is a legitimate group (dirty provenance columns
+    happen): the r8 offsets join must be null-safe, not silently drop
+    those rows. NULL sorts FIRST (Spark asc), so within each round the
+    null-source row comes before 'a'."""
+    from letsearch_spark.operators.curriculum import interleave_order
+
+    rows = [("a", 0), ("a", 1), (None, 10), (None, 11), ("b", 20)]
+    df = spark.createDataFrame(rows, "src string, doc_id long")
+    got = sorted(
+        (r["interleave_rank"], r["src"], r["doc_id"])
+        for r in interleave_order(df, "src", ["doc_id"]).collect()
+    )
+    assert [g[0] for g in got] == [1, 2, 3, 4, 5]
+    assert [(g[1], g[2]) for g in got] == [
+        (None, 10), ("a", 0), ("b", 20),
+        (None, 11), ("a", 1),
+    ]
+
+
 def test_interleave_rounds_plan_no_per_source_window(spark):
     """Plan gate for the r8 rewrite: the round computation must be a
     broadcast join against the |sources|-row offset table — NO

@@ -973,6 +973,42 @@ def main() -> None:
 
         timeit("interleave_skew", _interleave_skew)
 
+        # round-8 op: WARC/WET ingest -- record-parse throughput must
+        # track bytes; segments parse independently (one file = one
+        # task), so wall time is bytes/segment, not corpus size. The
+        # segment build (driver-side, untimed) mirrors Common Crawl's
+        # ~constant segment sizing by emitting one file per ~5k docs.
+        def _wet_parse():
+            import shutil
+            import tempfile
+
+            from letsearch_spark.sources.warc import (
+                build_wet_bytes,
+                read_wet,
+            )
+
+            rows = [
+                (f"http://t/{r['doc_id']}", r["text"] or "")
+                for r in docs.select("doc_id", "text").collect()
+            ]
+            root = tempfile.mkdtemp(prefix="ls_wetprobe_")
+            k = 5000
+            for i in range(0, len(rows), k):
+                gz = (i // k) % 2 == 1
+                name = f"part-{i // k}.warc.wet" + (".gz" if gz else "")
+                with open(os.path.join(root, name), "wb") as f:
+                    f.write(build_wet_bytes(rows[i : i + k], gz=gz))
+            t0 = time.time()
+            n = read_wet(spark, root).count()
+            row["wet_parse"] = round(time.time() - t0, 2)
+            shutil.rmtree(root, ignore_errors=True)
+            return n
+
+        # _wet_parse times its own parse (the build is setup, not the
+        # operator); route through timeit for the --ops filter only
+        if only is None or "wet_parse" in only:
+            row["wet_parse_rows"] = _wet_parse()
+
         ev.unpersist()
         docs.unpersist()
         emb.unpersist()
