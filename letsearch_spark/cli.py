@@ -52,6 +52,8 @@ def cmd_index(args) -> int:
             n = coll.import_pdf(path)
         elif path.endswith(".csv"):
             n = coll.import_csv(path)
+        elif path.endswith((".warc", ".wet", ".warc.gz", ".wet.gz")):
+            n = coll.import_wet(path)
         else:
             n = coll.import_parquet(path)
         print(f"imported {path}: {n} rows total")
@@ -73,6 +75,8 @@ def cmd_add_docs(args) -> int:
             n = coll.import_pdf(path)
         elif path.endswith(".csv"):
             n = coll.append_csv(path)
+        elif path.endswith((".warc", ".wet", ".warc.gz", ".wet.gz")):
+            n = coll.import_wet(path)  # appends when the table exists
         else:
             n = coll.append_parquet(path)
         print(f"appended {path}: {n} rows")

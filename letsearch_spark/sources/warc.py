@@ -117,6 +117,24 @@ def read_wet(
     One binaryFile row = one segment = one task; record parsing is
     stdlib-only inside the Arrow pass. ``record_types=None`` keeps
     every record (responses, metadata, warcinfo...)."""
+    files = (
+        spark.read.format("binaryFile")
+        .load(path)
+        .select("path", "content")
+    )
+    return files.mapInPandas(
+        _wet_map_gen(record_types=record_types, strict=strict), WET_SCHEMA
+    )
+
+
+def _wet_map_gen(
+    record_types: tuple[str, ...] | None = ("conversion",),
+    strict: bool = False,
+):
+    """The (path, content) -> WET_SCHEMA Arrow-pass generator shared by
+    :func:`read_wet` and the streaming ingest
+    (streaming/incremental.py stream_append_collection
+    source_format='wet') -- one parser, two execution modes."""
     types = None if record_types is None else {t.lower() for t in record_types}
     strict_ = bool(strict)
 
@@ -148,12 +166,7 @@ def read_wet(
                     out["text"].append(body.decode("utf-8", "replace"))
             yield pd.DataFrame(out)
 
-    files = (
-        spark.read.format("binaryFile")
-        .load(path)
-        .select("path", "content")
-    )
-    return files.mapInPandas(gen, WET_SCHEMA)
+    return gen
 
 
 def build_wet_bytes(

@@ -48,18 +48,51 @@ def stream_append_collection(
     max_files_per_trigger: int = 10,
     embed: bool = True,
     refresh_index: str | None = None,
+    source_format: str = "parquet",
 ):
-    """Stream parquet files from ``source_dir`` into ``coll``.
+    """Stream files from ``source_dir`` into ``coll``.
 
     Returns the StreamingQuery; caller awaits/stops it. Each micro-batch
     runs the batch append path (key continuation) and the incremental
     embed (left-anti join), i.e. the reference's add-docs verb (A6)
-    runs continuously."""
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", max_files_per_trigger)
-        .parquet(source_dir)
-    )
+    runs continuously.
+
+    ``source_format='wet'`` (r8): the directory holds Common Crawl
+    WARC/WET segments instead of parquet -- a streaming binaryFile scan
+    feeds the same Arrow-pass record parser batch ingest uses
+    (sources/warc.py), so a crawl drop-box streams straight into a
+    collection with exactly-once file semantics (Structured Streaming's
+    file-source ledger); ``schema`` is ignored (records parse to the
+    fixed WET layout, the text lands in the collection's first index
+    column)."""
+    if source_format == "wet":
+        from letsearch_spark.sources.warc import WET_SCHEMA, _wet_map_gen
+
+        files = (
+            spark.readStream.format("binaryFile")
+            # the binaryFile source's FIXED schema (streaming sources
+            # require it explicitly)
+            .schema(
+                "path string, modificationTime timestamp, "
+                "length long, content binary"
+            )
+            .option("maxFilesPerTrigger", max_files_per_trigger)
+            .load(source_dir)
+            .select("path", "content")
+        )
+        text_col = coll.config.index_columns[0]
+        stream = files.mapInPandas(_wet_map_gen(), WET_SCHEMA).select(
+            F.col("text").alias(text_col),
+            "target_uri",
+            "warc_date",
+            "source_path",
+        )
+    else:
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", max_files_per_trigger)
+            .parquet(source_dir)
+        )
 
     def process_batch(batch_df, batch_id: int):
         # pin the micro-batch: isEmpty + the append's key-offset job +

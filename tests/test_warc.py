@@ -154,3 +154,57 @@ def test_wet_ingest_from_documents_table(spark, tmp_path, sf_dir):
         for r in docs
     }
     assert got == want
+
+
+def test_stream_wet_ingest(spark, tmp_path):
+    """Streaming WET ingest (r8): segments dropped into a directory
+    stream into the collection via stream_append_collection
+    (source_format='wet'); the result equals a bulk import_wet of the
+    same segments (keys dense, provenance kept), and a replay over the
+    same checkpoint appends nothing (file-source exactly-once)."""
+    from letsearch_spark.collection import Collection
+    from letsearch_spark.streaming.incremental import (
+        stream_append_collection,
+    )
+
+    seg = tmp_path / "drop"
+    seg.mkdir()
+    (seg / "s0.warc.wet").write_bytes(
+        build_wet_bytes([("http://t/1", "spark join"), ("http://t/2", "agg")])
+    )
+    (seg / "s1.warc.wet.gz").write_bytes(
+        build_wet_bytes([("http://t/3", "window rank")], gz=True)
+    )
+    c = Collection.create(
+        spark, str(tmp_path / "coll"), name="sw", model_name="stub://16"
+    )
+    ckpt = str(tmp_path / "ckpt")
+    q = stream_append_collection(
+        spark, c, str(seg), schema=None, checkpoint_dir=ckpt,
+        source_format="wet",
+    )
+    q.awaitTermination(120)
+    docs = c.docs().orderBy("_key").collect()
+    assert sorted(r["target_uri"] for r in docs) == [
+        "http://t/1", "http://t/2", "http://t/3",
+    ]
+    assert [r["_key"] for r in docs] == [1, 2, 3]
+    assert c.embeddings("text").count() == 3
+    # replay: nothing new
+    q2 = stream_append_collection(
+        spark, c, str(seg), schema=None, checkpoint_dir=ckpt,
+        source_format="wet",
+    )
+    q2.awaitTermination(120)
+    assert c.count() == 3
+    # a new segment arrives: only it is ingested
+    (seg / "s2.warc.wet").write_bytes(
+        build_wet_bytes([("http://t/4", "late arrival")])
+    )
+    q3 = stream_append_collection(
+        spark, c, str(seg), schema=None, checkpoint_dir=ckpt,
+        source_format="wet",
+    )
+    q3.awaitTermination(120)
+    assert c.count() == 4
+    assert c.docs().agg(F.max("_key")).first()[0] == 4
