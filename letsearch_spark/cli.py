@@ -76,7 +76,7 @@ def cmd_add_docs(args) -> int:
         elif path.endswith(".csv"):
             n = coll.append_csv(path)
         elif path.endswith((".warc", ".wet", ".warc.gz", ".wet.gz")):
-            n = coll.import_wet(path)  # appends when the table exists
+            n = coll.append_wet(path)
         else:
             n = coll.append_parquet(path)
         print(f"appended {path}: {n} rows")

@@ -841,20 +841,30 @@ class Collection:
     def import_wet(self, path: str, column: str = "text") -> int:
         """Common Crawl WARC/WET ingest (sources/warc.py, r8): every
         conversion record in the segment files under ``path`` becomes a
-        row with (target_uri, warc_date, source_path) provenance; same
-        key/append semantics as the other sources (S1-S4). One segment
-        file = one task -- the crawl's natural distribution grain."""
+        row with (target_uri, warc_date, source_path) provenance.
+        REPLACE semantics like every other import_* verb (re-running
+        `index` must not duplicate the corpus); use :meth:`append_wet`
+        to add segments to an existing collection. One segment file =
+        one task -- the crawl's natural distribution grain."""
+        return self.import_df(self._wet_df(path, column))
+
+    def append_wet(self, path: str, column: str = "text") -> int:
+        """Append WARC/WET segments with key continuation (S3/S4
+        semantics); creates the table when none exists."""
+        df = self._wet_df(path, column)
+        if not self._docs_exist():
+            return self.import_df(df)
+        return self._append_df(df)
+
+    def _wet_df(self, path: str, column: str) -> DataFrame:
         from letsearch_spark.sources.warc import read_wet
 
-        df = read_wet(self.spark, path).select(
+        return read_wet(self.spark, path).select(
             F.col("text").alias(column),
             "target_uri",
             "warc_date",
             "source_path",
         )
-        if not self._docs_exist():
-            return self.import_df(df)
-        return self._append_df(df)
 
     def import_pdf(
         self,

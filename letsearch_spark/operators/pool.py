@@ -144,6 +144,15 @@ def maxsim_topk(
         raise ValueError("query_vecs must be non-empty")
     if not 1 <= k <= 100:
         raise ValueError(f"k must be in [1, 100], got {k}")
+    if best_key_col is not None and not isinstance(
+        df.schema[best_key_col].dataType, T.NumericType
+    ):
+        # the tie-break negates the key; a string key would implicit-
+        # cast to NULL and resolve ties nondeterministically
+        raise ValueError(
+            f"best_key_col {best_key_col!r} must be numeric, got "
+            f"{df.schema[best_key_col].dataType.simpleString()}"
+        )
     extra_cols = (
         [best_key_col]
         if best_key_col is not None and best_key_col != group_col

@@ -3011,7 +3011,7 @@ def q_s_wet_ingest(spark, sf_dir):
     'approximately' recover a page."""
     import tempfile
 
-    from letsearch_spark.sources.warc import build_wet_bytes, read_wet
+    from letsearch_spark.sources.warc import read_wet, write_wet_segments
 
     docs = (
         load(spark, sf_dir, "documents").select("doc_id", "text").collect()
@@ -3020,12 +3020,7 @@ def q_s_wet_ingest(spark, sf_dir):
         (f"http://corpus.test/{r['doc_id']}", r["text"] or "") for r in docs
     ]
     root = tempfile.mkdtemp(prefix="ls_wet_")
-    k = max(1, len(rows) // 4)
-    for i in range(0, len(rows), k):
-        gz = (i // k) % 2 == 1
-        name = f"part-{i // k}.warc.wet" + (".gz" if gz else "")
-        with open(os.path.join(root, name), "wb") as f:
-            f.write(build_wet_bytes(rows[i : i + k], gz=gz))
+    write_wet_segments(rows, root, per_file=max(1, len(rows) // 4))
     return (
         read_wet(spark, root)
         .select(

@@ -169,6 +169,32 @@ def _wet_map_gen(
     return gen
 
 
+def write_wet_segments(
+    records: list[tuple[str, str]],
+    root: str,
+    per_file: int,
+    alternate_gz: bool = True,
+) -> list[str]:
+    """Shard (uri, text) records into ``per_file``-record WET segment
+    files under ``root`` (``part-N.warc.wet[.gz]``, alternate files
+    gzipped when ``alternate_gz``) -- the one copy of the sharding loop
+    the contract query, the scale probe, and the tests all share.
+    Returns the written paths."""
+    import os
+
+    per_file = max(1, per_file)
+    paths = []
+    for i in range(0, len(records), per_file):
+        part = i // per_file
+        gz = alternate_gz and part % 2 == 1
+        name = f"part-{part}.warc.wet" + (".gz" if gz else "")
+        p = os.path.join(root, name)
+        with open(p, "wb") as f:
+            f.write(build_wet_bytes(records[i : i + per_file], gz=gz))
+        paths.append(p)
+    return paths
+
+
 def build_wet_bytes(
     records: list[tuple[str, str]], gz: bool = False
 ) -> bytes:

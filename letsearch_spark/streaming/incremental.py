@@ -65,6 +65,11 @@ def stream_append_collection(
     file-source ledger); ``schema`` is ignored (records parse to the
     fixed WET layout, the text lands in the collection's first index
     column)."""
+    if source_format not in ("parquet", "wet"):
+        raise ValueError(
+            f"source_format must be 'parquet' or 'wet', got "
+            f"{source_format!r}"
+        )
     if source_format == "wet":
         from letsearch_spark.sources.warc import WET_SCHEMA, _wet_map_gen
 

@@ -455,28 +455,33 @@ def _distributed_seed_counts(
         types.mapInPandas(gen, "piece string, units long")
         .groupBy("piece")
         .agg(F.sum("units").alias("u"))
-    )
-    singles = counts.where(F.length("piece") == 1).collect()
-    # explicit driver-memory guard (VERDICT r6 #7): the singles collect
-    # is bounded by the corpus ALPHABET, not seed_size -- real corpora
-    # stay well under 65k code points (full CJK ~30k), so a larger
-    # alphabet signals binary-ish input that would bloat every EM
-    # closure broadcast
-    alphabet_cap = max(seed_size, _ALPHABET_FLOOR)
-    if len(singles) > alphabet_cap:
-        raise ValueError(
-            f"corpus alphabet has {len(singles)} distinct code points "
-            f"(> {alphabet_cap}); this does not look like text -- clean "
-            "the input or raise seed_size explicitly"
+    ).persist()
+    try:
+        single = counts.where(F.length("piece") == 1)
+        # explicit driver-memory guard (VERDICT r6 #7), checked BEFORE
+        # anything is collected: the singles pull is bounded by the
+        # corpus ALPHABET, not seed_size -- real corpora stay well under
+        # 65k code points (full CJK ~30k), so a larger alphabet signals
+        # binary-ish input that would bloat every EM closure broadcast
+        alphabet_cap = max(seed_size, _ALPHABET_FLOOR)
+        n_singles = single.count()
+        if n_singles > alphabet_cap:
+            raise ValueError(
+                f"corpus alphabet has {n_singles} distinct code points "
+                f"(> {alphabet_cap}); this does not look like text -- "
+                "clean the input or raise seed_size explicitly"
+            )
+        singles = single.collect()
+        multis = (
+            counts.where(F.length("piece") > 1)
+            .orderBy(F.desc("u"), F.asc("piece"))
+            .limit(seed_size)
+            .collect()
         )
-    multis = (
-        counts.where(F.length("piece") > 1)
-        .orderBy(F.desc("u"), F.asc("piece"))
-        .limit(seed_size)
-        .collect()
-    )
-    assert len(multis) <= seed_size  # LIMIT-bounded by construction
-    return {r["piece"]: int(r["u"]) for r in [*singles, *multis]}
+        assert len(multis) <= seed_size  # LIMIT-bounded by construction
+        return {r["piece"]: int(r["u"]) for r in [*singles, *multis]}
+    finally:
+        counts.unpersist()
 
 
 def _distributed_e_step(

@@ -105,14 +105,18 @@ def test_collection_import_wet(spark, tmp_path, sf_dir):
     docs = c.docs().orderBy("_key").collect()
     assert [r["_key"] for r in docs] == [1, 2]
     assert {r["target_uri"] for r in docs} == {"http://t/1", "http://t/2"}
-    # append continues keys
+    # import_wet REPLACES (re-running `index` must not duplicate the
+    # corpus -- review catch r8); append_wet continues keys
+    assert c.import_wet(str(seg)) == 2
+    assert c.count() == 2
     seg2 = tmp_path / "segs2"
     seg2.mkdir()
     (seg2 / "b.warc.wet.gz").write_bytes(
         build_wet_bytes([("http://t/3", "stream state")], gz=True)
     )
-    assert c.import_wet(str(seg2)) == 1
+    assert c.append_wet(str(seg2)) == 1
     assert c.docs().agg(F.max("_key")).first()[0] == 3
+    assert c.count() == 3
     c.embed_all()
     hit = c.search("text", "spark join window", limit=1).first()
     assert hit["content"] == "spark join window"
@@ -130,11 +134,10 @@ def test_wet_ingest_from_documents_table(spark, tmp_path, sf_dir):
     rows = [
         (f"http://corpus.test/{r['doc_id']}", r["text"] or "") for r in docs
     ]
-    k = max(1, len(rows) // 4)
-    for i in range(0, len(rows), k):
-        gz = (i // k) % 2 == 1
-        name = f"part-{i // k}.warc.wet" + (".gz" if gz else "")
-        (tmp_path / name).write_bytes(build_wet_bytes(rows[i : i + k], gz=gz))
+    from letsearch_spark.sources.warc import write_wet_segments
+
+    paths = write_wet_segments(rows, str(tmp_path), max(1, len(rows) // 4))
+    assert len(paths) >= 4 and any(p.endswith(".gz") for p in paths)
 
     out = (
         read_wet(spark, str(tmp_path))

@@ -983,8 +983,8 @@ def main() -> None:
             import tempfile
 
             from letsearch_spark.sources.warc import (
-                build_wet_bytes,
                 read_wet,
+                write_wet_segments,
             )
 
             rows = [
@@ -992,12 +992,7 @@ def main() -> None:
                 for r in docs.select("doc_id", "text").collect()
             ]
             root = tempfile.mkdtemp(prefix="ls_wetprobe_")
-            k = 5000
-            for i in range(0, len(rows), k):
-                gz = (i // k) % 2 == 1
-                name = f"part-{i // k}.warc.wet" + (".gz" if gz else "")
-                with open(os.path.join(root, name), "wb") as f:
-                    f.write(build_wet_bytes(rows[i : i + k], gz=gz))
+            write_wet_segments(rows, root, per_file=5000)
             t0 = time.time()
             n = read_wet(spark, root).count()
             row["wet_parse"] = round(time.time() - t0, 2)
