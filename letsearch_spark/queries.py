@@ -3040,6 +3040,71 @@ _WET_INGEST_ORACLE_SQL = """
     FROM documents ORDER BY doc_id
 """
 
+_PCA_K = 8
+
+
+def _pca_rows(model) -> list[tuple]:
+    """Flatten a PCAModel into scalar contract rows (kind, i, j, v):
+    shared by the Spark query and the twin oracle so the layout cannot
+    drift. v is HALF_UP round-6 of bit-identical doubles on both
+    sides."""
+    rows: list[tuple] = []
+    for j, v in enumerate(model.mean):
+        rows.append(("mean", 0, j, _py_round6(v)))
+    for i, comp in enumerate(model.components):
+        for j, w in enumerate(comp):
+            rows.append(("comp", i, j, _py_round6(w)))
+    for i, ev in enumerate(model.explained_variance):
+        rows.append(("var", i, 0, _py_round6(ev)))
+    return rows
+
+
+def q_embed_pca_model(spark, sf_dir):
+    """Distributed PCA over the embeddings table (operators/pca.py
+    fit_pca, r8): ONE Arrow moment pass emitting fixed-point integer
+    sums of x and xx^T per partition, reduced by a map-side-combined
+    groupBy -- integer addition commutes, so the fitted model (mean,
+    top-8 sign-fixed components, explained variance) is bit-identical
+    across partitionings AND to the sequential twin the oracle replays.
+    Contract rows are the flattened model (all-scalar)."""
+    from letsearch_spark.operators.pca import fit_pca
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").alias("vector")
+    )
+    model = fit_pca(emb, k=_PCA_K)
+    return spark.createDataFrame(
+        _pca_rows(model), "kind string, i long, j long, v double"
+    ).orderBy("kind", "i", "j")
+
+
+def _pca_model_oracle(sf_dir: str) -> str:
+    """Computed-literal twin: the same integer moments accumulated
+    sequentially over the vec_id-sorted embeddings (fit_pca_twin), the
+    same shared driver half -- bit-identical model, identical rounding."""
+    import pyarrow.parquet as pq
+
+    import numpy as np
+
+    from letsearch_spark.operators.pca import fit_pca_twin
+
+    etbl = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+    ).to_pylist()
+    etbl.sort(key=lambda r: r["vec_id"])
+    x = np.array([r["embedding"] for r in etbl], dtype=np.float64)
+    rows = _pca_rows(fit_pca_twin(x, k=_PCA_K))
+    return _values_literal(
+        rows,
+        [
+            ("kind", "VARCHAR"),
+            ("i", "BIGINT"),
+            ("j", "BIGINT"),
+            ("v", "DOUBLE"),
+        ],
+    )
+
 
 _UNIGRAM_VOCAB = 300
 _UNIGRAM_SEED = 900
@@ -3230,6 +3295,7 @@ STAGED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Common Crawl WET ingest format)
     "search_maxsim_collection": q_search_maxsim_collection,
     "s_wet_ingest": q_s_wet_ingest,
+    "embed_pca_model": q_embed_pca_model,
     # round 7 (hamming-tier recall + source interleaving; the r7
     # export_shards_manifest / fim_transform entries were promoted into
     # the window by the round-8 rotation)
@@ -3950,6 +4016,7 @@ STAGED_ORACLES: dict[str, object] = {
     # round 8
     "search_maxsim_collection": _maxsim_collection_oracle,
     "s_wet_ingest": _WET_INGEST_ORACLE_SQL,
+    "embed_pca_model": _pca_model_oracle,
     # round 7 (export_shards_manifest / fim_transform oracles moved to
     # the window registry with their queries, r8 rotation)
     "eval_hamming_recall": _eval_hamming_recall_oracle,
