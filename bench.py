@@ -324,6 +324,13 @@ def main() -> None:
         # round 7: training-shard egress manifest (distributed
         # prefix-sum + budget fill)
         "export_shards_manifest",
+        # round 8: round-robin source interleave (two range shuffles,
+        # no per-source window), distributed PCA fit (one moment pass),
+        # WET segment parse (build cost included -- driver-side, small
+        # at sf0.1; the parse itself dominates). No baseline rows yet.
+        "interleave_order",
+        "embed_pca_model",
+        "s_wet_ingest",
     ):
         run_stage(
             name,

@@ -1004,6 +1004,19 @@ def main() -> None:
         if only is None or "wet_parse" in only:
             row["wet_parse_rows"] = _wet_parse()
 
+        # round-8 op: distributed PCA fit -- one moment pass whose
+        # shuffle carries d(d+3)/2 integers per partition, so wall time
+        # must track the SCAN (rows), with a constant driver eigh tail
+        def _pca_fit():
+            from letsearch_spark.operators.pca import fit_pca
+
+            m = fit_pca(
+                emb.select(F.col("vector")), vec_col="vector", k=16
+            )
+            return int(m.k)
+
+        timeit("pca_fit", _pca_fit)
+
         ev.unpersist()
         docs.unpersist()
         emb.unpersist()
