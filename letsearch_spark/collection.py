@@ -1804,6 +1804,75 @@ class Collection:
             .orderBy(F.desc("score"), F.asc("group"))
         )
 
+    def search_many_multi(
+        self,
+        column: str,
+        query_sets: Sequence[Sequence[str]],
+        limit: int = 10,
+        group_col: str | None = None,
+        where: str | None = None,
+    ) -> DataFrame:
+        """Batched MaxSim serving: N multi-vector queries in ONE plan
+        (operators/pool.py maxsim_topk_many — one partial-aggregated
+        pass computes every query's per-group maxes, candidates prune
+        per partition, the final window sorts <= partitions x N x k
+        rows). Same contract as :meth:`search_multi` per query, plus
+        ``query_idx``/``rank``; results are bit-identical to the
+        per-query path. Returns (query_idx, rank, group, key, content,
+        score, n_chunks) ordered by (query_idx, rank)."""
+        from letsearch_spark.operators.pool import maxsim_topk_many
+
+        if not query_sets:
+            raise ValueError("query_sets must be non-empty")
+        if not 1 <= limit <= 100:
+            raise ValueError(f"limit must be in [1, 100], got {limit}")
+        if column not in self.config.index_columns:
+            raise ValueError(f"column {column!r} is not indexed")
+        if group_col is not None and group_col not in self.serve_filter_columns:
+            raise ValueError(
+                f"group_col {group_col!r} must be listed in "
+                "serve_filter_columns so the serve view carries it"
+            )
+        self._require_embeddings(column)
+        # ONE embed call for the whole batch (K3), then unflatten
+        sets = [list(qs) for qs in query_sets]
+        if any(not qs for qs in sets):
+            raise ValueError("every query set needs at least one string")
+        texts = [q for qs in sets for q in qs]
+        vecs = iter(
+            [float(x) for x in v] for v in self._embedder().embed(texts)
+        )
+        qvec_sets = [[next(vecs) for _ in qs] for qs in sets]
+        serve = self._serve_view(column)
+        base = serve.where(F.col("content").isNotNull())
+        if where is not None:
+            base = base.where(F.expr(where))
+        g = group_col if group_col is not None else KEY_COL
+        hits = maxsim_topk_many(
+            base,
+            qvec_sets,
+            k=limit,
+            group_col=g,
+            vec_col="vector",
+            best_key_col=KEY_COL,
+        ).select(
+            "query_idx",
+            "rank",
+            F.col("group"),
+            F.col("best_key").alias("key"),
+            "score",
+            "n_chunks",
+        )
+        content = serve.select(F.col(KEY_COL).alias("key"), "content")
+        return (
+            content.join(F.broadcast(hits), "key")
+            .select(
+                "query_idx", "rank", "group", "key", "content", "score",
+                "n_chunks",
+            )
+            .orderBy("query_idx", "rank")
+        )
+
     def _fuse_many(
         self, column: str, queries: Sequence[str], dense_hits, limit: int
     ):

@@ -192,6 +192,141 @@ def maxsim_topk(
     )
 
 
+def maxsim_topk_many(
+    df: DataFrame,
+    query_sets,
+    k: int = 10,
+    group_col: str = "doc_id",
+    vec_col: str = "vector",
+    score_col: str = "score",
+    best_key_col: str | None = None,
+) -> DataFrame:
+    """Batched MaxSim: N multi-vector queries scored in ONE plan — the
+    bulk-eval form of :func:`maxsim_topk` (r8, completing the batched
+    family next to hamming_knn_join / ivf_pq_knn_join / pq_knn_join).
+
+    ``query_sets`` is a sequence of query-vector LISTS (one list per
+    query). Stage 1 is the same single partial-aggregated groupBy as
+    the per-query operator, computing EVERY query's per-group maxes
+    (and per-query best chunks when ``best_key_col`` is set) in one
+    pass — only |groups| x Σ|Q_i| maxes shuffle. Stage 2 prunes
+    candidates per PARTITION per query (an Arrow pass: top-k by
+    (score DESC, group ASC) inside each batch — a superset of the
+    global top-k), so the final per-query rank window sorts at most
+    partitions x N x k rows, never |groups| x N — the knn_join
+    candidates-only shape.
+
+    Returns (query_idx, group, score, n_chunks[, best_key], rank),
+    rank <= k per query, bit-identical to running :func:`maxsim_topk`
+    per query (same cosine expressions, same fixed-order sums, same
+    tie-breaks).
+    """
+    from pyspark.sql.window import Window
+
+    from letsearch_spark.functions.vector import cosine_similarity
+
+    qsets = [[[float(x) for x in q] for q in qs] for qs in query_sets]
+    if not qsets or any(not qs for qs in qsets):
+        raise ValueError("query_sets must be non-empty lists of vectors")
+    if not 1 <= k <= 100:
+        raise ValueError(f"k must be in [1, 100], got {k}")
+    flat = [(i, q) for i, qs in enumerate(qsets) for q in qs]
+    if len(flat) > 256:
+        raise ValueError(
+            f"{len(flat)} query vectors in one batch — each becomes a "
+            "plan literal; chunk the batch (<= 256 vectors per call)"
+        )
+    if best_key_col is not None and not isinstance(
+        df.schema[best_key_col].dataType, T.NumericType
+    ):
+        raise ValueError(
+            f"best_key_col {best_key_col!r} must be numeric, got "
+            f"{df.schema[best_key_col].dataType.simpleString()}"
+        )
+    n_q = len(qsets)
+    extra_cols = (
+        [best_key_col]
+        if best_key_col is not None and best_key_col != group_col
+        else []
+    )
+    rows = df.where(F.col(vec_col).isNotNull()).select(
+        group_col,
+        *extra_cols,
+        *[
+            cosine_similarity(F.col(vec_col), q).alias(f"_c{j}")
+            for j, (_, q) in enumerate(flat)
+        ],
+    )
+    # per-query flattened index ranges (contiguous by construction)
+    spans: list[list[int]] = [[] for _ in range(n_q)]
+    for j, (i, _) in enumerate(flat):
+        spans[i].append(j)
+    aggs = [F.max(f"_c{j}").alias(f"_m{j}") for j in range(len(flat))]
+    aggs.append(F.count(F.lit(1)).alias("n_chunks"))
+    if best_key_col is not None:
+        for i in range(n_q):
+            csum = F.col(f"_c{spans[i][0]}")
+            for j in spans[i][1:]:
+                csum = csum + F.col(f"_c{j}")
+            rows = rows.withColumn(f"_s{i}", csum)
+        for i in range(n_q):
+            aggs.append(
+                F.max_by(
+                    F.col(best_key_col),
+                    F.struct(F.col(f"_s{i}"), -F.col(best_key_col)),
+                ).alias(f"_bk{i}")
+            )
+    agg = rows.groupBy(group_col).agg(*aggs)
+    score_cols = []
+    for i in range(n_q):
+        s = F.col(f"_m{spans[i][0]}")
+        for j in spans[i][1:]:
+            s = s + F.col(f"_m{j}")
+        score_cols.append(s.alias(f"_q{i}"))
+    scored = agg.select(
+        group_col,
+        "n_chunks",
+        *score_cols,
+        *([f"_bk{i}" for i in range(n_q)] if best_key_col else []),
+    )
+
+    gtype = df.schema[group_col].dataType.simpleString()
+    fields = f"query_idx long, group {gtype}, {score_col} double, n_chunks long"
+    if best_key_col is not None:
+        ktype = df.schema[best_key_col].dataType.simpleString()
+        fields += f", best_key {ktype}"
+    with_best = best_key_col is not None
+
+    def prune(batches):
+        for pdf in batches:
+            outs = []
+            for i in range(n_q):
+                cols = {
+                    "group": pdf[group_col],
+                    score_col: pdf[f"_q{i}"],
+                    "n_chunks": pdf["n_chunks"],
+                }
+                if with_best:
+                    cols["best_key"] = pdf[f"_bk{i}"]
+                sub = pd.DataFrame(cols)
+                sub = sub.sort_values(
+                    [score_col, "group"], ascending=[False, True]
+                ).head(k)
+                sub.insert(0, "query_idx", i)
+                outs.append(sub)
+            yield pd.concat(outs, ignore_index=True)
+
+    cand = scored.mapInPandas(prune, fields)
+    w = Window.partitionBy("query_idx").orderBy(
+        F.desc(score_col), F.asc("group")
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .orderBy("query_idx", "rank")
+    )
+
+
 def _pool_pandas(
     df: DataFrame,
     group_cols: list[str],

@@ -383,3 +383,88 @@ def test_hamming_refresh_recenters_past_fraction(spark, tmp_path, sf_dir):
     c.embed_column("text", incremental=True)
     assert c.refresh_hamming_index("text") == "rebuilt"
     assert c.refresh_hamming_index("text") == "current"
+
+
+def test_maxsim_topk_many_matches_per_query(spark, sf_dir):
+    """Batched MaxSim (r8): maxsim_topk_many over 3 multi-vector
+    queries must equal per-query maxsim_topk row-for-row and
+    score-for-score (same cosine literals, same fixed-order sums, same
+    tie-breaks), with the per-partition candidate prune provably
+    lossless at this scale."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from letsearch_spark.operators.pool import maxsim_topk, maxsim_topk_many
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    vecs = [
+        r["embedding"]
+        for r in emb.where(F.col("vec_id") < 6).orderBy("vec_id").collect()
+    ]
+    qsets = [vecs[0:2], vecs[2:5], vecs[5:6]]
+    many = maxsim_topk_many(
+        emb.repartition(7),
+        qsets,
+        k=5,
+        group_col="label",
+        vec_col="embedding",
+        best_key_col="vec_id",
+    ).collect()
+    for i, qs in enumerate(qsets):
+        one = maxsim_topk(
+            emb, qs, k=5, group_col="label", vec_col="embedding",
+            best_key_col="vec_id",
+        ).collect()
+        got = [r for r in many if r["query_idx"] == i]
+        assert [
+            (r["group"], r["score"], r["n_chunks"], r["best_key"])
+            for r in got
+        ] == [
+            (r["label"], r["score"], r["n_chunks"], r["best_key"])
+            for r in one
+        ]
+        assert [r["rank"] for r in got] == list(range(1, len(one) + 1))
+
+    import pytest
+
+    with pytest.raises(ValueError, match="non-empty"):
+        maxsim_topk_many(emb, [vecs[0:1], []], group_col="label",
+                         vec_col="embedding")
+    with pytest.raises(ValueError, match="plan literal"):
+        maxsim_topk_many(
+            emb, [[vecs[0]] * 300], group_col="label", vec_col="embedding"
+        )
+
+
+def test_search_many_multi_matches_search_multi(spark, tmp_path, sf_dir):
+    """Collection.search_many_multi == per-query search_multi, key for
+    key, score for score, through the full serving contract (embed +
+    group column + content fetch-back)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from letsearch_spark.collection import Collection
+
+    c = Collection.create(
+        spark, str(tmp_path), name="mm", model_name="stub://16"
+    )
+    c.import_parquet(os.path.join(sf_dir, "documents.parquet"))
+    c.embed_column("text")
+    c.serve_filter_columns = ["lang"]
+    qsets = [
+        ["spark join window", "dedup minhash"],
+        ["stream state"],
+        ["pack tokens shard", "quality gopher", "bloom filter"],
+    ]
+    many = c.search_many_multi(
+        "text", qsets, limit=4, group_col="lang"
+    ).collect()
+    for i, qs in enumerate(qsets):
+        one = c.search_multi("text", qs, limit=4, group_col="lang").collect()
+        got = [r for r in many if r["query_idx"] == i]
+        assert [
+            (r["group"], r["key"], r["content"], r["score"], r["n_chunks"])
+            for r in got
+        ] == [tuple(r) for r in one]
