@@ -65,39 +65,14 @@ def stream_append_collection(
     file-source ledger); ``schema`` is ignored (records parse to the
     fixed WET layout, the text lands in the collection's first index
     column)."""
-    if source_format not in ("parquet", "wet"):
-        raise ValueError(
-            f"source_format must be 'parquet' or 'wet', got "
-            f"{source_format!r}"
-        )
-    if source_format == "wet":
-        from letsearch_spark.sources.warc import WET_SCHEMA, _wet_map_gen
-
-        files = (
-            spark.readStream.format("binaryFile")
-            # the binaryFile source's FIXED schema (streaming sources
-            # require it explicitly)
-            .schema(
-                "path string, modificationTime timestamp, "
-                "length long, content binary"
-            )
-            .option("maxFilesPerTrigger", max_files_per_trigger)
-            .load(source_dir)
-            .select("path", "content")
-        )
-        text_col = coll.config.index_columns[0]
-        stream = files.mapInPandas(_wet_map_gen(), WET_SCHEMA).select(
-            F.col("text").alias(text_col),
-            "target_uri",
-            "warc_date",
-            "source_path",
-        )
-    else:
-        stream = (
-            spark.readStream.schema(schema)
-            .option("maxFilesPerTrigger", max_files_per_trigger)
-            .parquet(source_dir)
-        )
+    stream = _file_stream(
+        spark,
+        source_dir,
+        schema,
+        max_files_per_trigger,
+        source_format,
+        text_col=coll.config.index_columns[0],
+    )
 
     def process_batch(batch_df, batch_id: int):
         # pin the micro-batch: isEmpty + the append's key-offset job +
@@ -121,6 +96,51 @@ def stream_append_collection(
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
+    )
+
+
+def _file_stream(
+    spark,
+    source_dir: str,
+    schema,
+    max_files_per_trigger: int,
+    source_format: str,
+    text_col: str,
+):
+    """Streaming file source shared by stream_append_collection and
+    stream_prep_collection: 'parquet' (schema required) or 'wet' (r8 --
+    a streaming binaryFile scan through the shared WARC record parser;
+    ``schema`` ignored, the record text lands in ``text_col``)."""
+    if source_format not in ("parquet", "wet"):
+        raise ValueError(
+            f"source_format must be 'parquet' or 'wet', got "
+            f"{source_format!r}"
+        )
+    if source_format == "wet":
+        from letsearch_spark.sources.warc import WET_SCHEMA, _wet_map_gen
+
+        files = (
+            spark.readStream.format("binaryFile")
+            # the binaryFile source's FIXED schema (streaming sources
+            # require it explicitly)
+            .schema(
+                "path string, modificationTime timestamp, "
+                "length long, content binary"
+            )
+            .option("maxFilesPerTrigger", max_files_per_trigger)
+            .load(source_dir)
+            .select("path", "content")
+        )
+        return files.mapInPandas(_wet_map_gen(), WET_SCHEMA).select(
+            F.col("text").alias(text_col),
+            "target_uri",
+            "warc_date",
+            "source_path",
+        )
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_dir)
     )
 
 
@@ -189,6 +209,7 @@ def stream_prep_collection(
     max_files_per_trigger: int = 10,
     embed: bool = True,
     refresh_index: str | None = None,
+    source_format: str = "parquet",
 ):
     """Streaming ingest with the prep pipeline's front stages: each
     micro-batch is quality-filtered (functions/text.py gopher_flags),
@@ -211,6 +232,11 @@ def stream_prep_collection(
     forwards kwargs (html_to_text + optional max_link_density page
     drop / gopher_flags / incremental_minhash_dedup). The html stage
     runs FIRST, mirroring the batch pipeline's stage 0.
+
+    ``source_format='wet'`` (r8): the drop-box holds Common Crawl
+    WARC/WET segments -- the shared streaming parser feeds the same
+    prep stages, so crawl segments clean + dedup + embed continuously
+    (``schema`` ignored; provenance columns ride along).
 
     Crash recovery (checkpoint replays the batch; per-batch markers
     under ``state_dir`` make the replay idempotent): ``archived/<id>``
@@ -252,10 +278,9 @@ def stream_prep_collection(
     tracks the batch, SCALING.md's incr_minhash probe), and the
     append/embed of survivors.
     """
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", max_files_per_trigger)
-        .parquet(source_dir)
+    stream = _file_stream(
+        spark, source_dir, schema, max_files_per_trigger, source_format,
+        text_col=text_col,
     )
     process_batch = _make_prep_batch_processor(
         spark, coll, state_dir, text_col, quality, dedup, embed,

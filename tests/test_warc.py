@@ -211,3 +211,64 @@ def test_stream_wet_ingest(spark, tmp_path):
     q3.awaitTermination(120)
     assert c.count() == 4
     assert c.docs().agg(F.max("_key")).first()[0] == 4
+
+
+def test_stream_prep_wet_source(spark, tmp_path):
+    """The streaming PREP pipeline over WET segments (r8,
+    source_format='wet'): a low-quality record is filtered, a
+    cross-segment near-duplicate is dropped against the persisted
+    signature store, survivors land keyed + embedded with their crawl
+    provenance."""
+    from letsearch_spark.collection import Collection
+    from letsearch_spark.streaming.incremental import stream_prep_collection
+
+    base = (
+        "the alpha signal and the beta channel of gamma systems carry "
+        "delta payloads for epsilon consumers that zeta brokers route "
+        "through eta queues in theta clusters with iota replicas and "
+        "kappa shards holding lambda segments of steady traffic flows"
+    )
+    near = base.replace("kappa", "sigma")
+    uniq = (
+        "completely different prose about streams windows states and "
+        "checkpoints carrying enough words to clear the gopher length "
+        "gate with room to spare for the minimum word count threshold "
+        "plus some extra filler tokens near the end of this document"
+    )
+    seg = tmp_path / "drop"
+    seg.mkdir()
+    (seg / "s0.warc.wet").write_bytes(
+        build_wet_bytes([("http://t/base", base), ("http://t/low", "tiny")])
+    )
+    (seg / "s1.warc.wet.gz").write_bytes(
+        build_wet_bytes([("http://t/near", near), ("http://t/uniq", uniq)],
+                        gz=True)
+    )
+    coll = Collection.create(
+        spark, str(tmp_path / "root"), name="pwet",
+        index_columns=["text"], model_name="stub://8",
+    )
+    q = stream_prep_collection(
+        spark,
+        coll,
+        str(seg),
+        schema=None,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        state_dir=str(tmp_path / "state"),
+        quality={"min_words": 10},
+        dedup={"threshold": 0.5},
+        max_files_per_trigger=1,
+        source_format="wet",
+    )
+    assert q.awaitTermination(300)
+    rows = coll.docs().select("text", "target_uri").collect()
+    texts = [r["text"] for r in rows]
+    # low-quality gone; exactly ONE of the near-dup pair survives
+    # (first-seen-wins -- the streaming file order is not contractual);
+    # uniq survives
+    assert len(texts) == 2 and uniq in texts
+    assert sum(t in (base, near) for t in texts) == 1
+    uris = {r["target_uri"] for r in rows}
+    assert "http://t/uniq" in uris
+    assert uris & {"http://t/base", "http://t/near"}
+    assert coll.embeddings("text").count() == 2
