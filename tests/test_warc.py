@@ -272,3 +272,50 @@ def test_stream_prep_wet_source(spark, tmp_path):
     assert "http://t/uniq" in uris
     assert uris & {"http://t/base", "http://t/near"}
     assert coll.embeddings("text").count() == 2
+
+
+def test_warc_parse_property_fuzz():
+    """Property fuzz (hypothesis): ANY list of (uri, text) records --
+    arbitrary unicode, embedded CRLFs/blank lines, empty bodies --
+    round-trips byte-exactly through build -> parse, in both plain and
+    gzip framing; and appending arbitrary garbage bytes never makes the
+    LENIENT parser raise or corrupt the records before the damage."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    text = st.text(
+        alphabet=st.characters(
+            blacklist_categories=("Cs",),  # no lone surrogates (not UTF-8)
+        ),
+        max_size=200,
+    )
+    uri = st.text(
+        alphabet=st.characters(
+            whitelist_categories=("Ll", "Lu", "Nd"),
+            whitelist_characters="/:.-_",
+        ),
+        min_size=1,
+        max_size=40,
+    )
+    records = st.lists(st.tuples(uri, text), min_size=0, max_size=5)
+
+    @settings(max_examples=60, deadline=None)
+    @given(records=records, gz=st.booleans(), tail=st.binary(max_size=30))
+    def check(records, gz, tail):
+        data = build_wet_bytes(records, gz=gz)
+        got = [
+            (h.get("warc-target-uri"), b.decode("utf-8"))
+            for _, h, b in parse_warc_bytes(
+                gzip.decompress(data) if gz else data, strict=True
+            )
+        ]
+        assert got == records
+        # lenient parse of damaged tail: never raises, prefix intact
+        damaged = (gzip.decompress(data) if gz else data) + tail
+        recs = list(parse_warc_bytes(damaged))
+        assert [
+            (h.get("warc-target-uri"), b.decode("utf-8"))
+            for _, h, b in recs[: len(records)]
+        ] == records
+
+    check()
