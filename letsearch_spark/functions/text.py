@@ -7,6 +7,8 @@ DuckDB-SQL twin in queries.py for the oracle gate.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -404,6 +406,77 @@ def normalize_url(col: Column) -> Column:
     rest = F.regexp_replace(u, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+", "")
     out = F.concat(scheme_host, rest)
     return F.regexp_replace(out, r"/$", "")
+
+
+def url_quality_flags(
+    col: Column,
+    blocked_hosts: Sequence[str] = (),
+    blocked_patterns: Sequence[str] = (),
+    max_path_depth: int = 12,
+    max_host_digit_ratio: float = 0.5,
+) -> Column:
+    """URL-level page filtering (the RefinedWeb/C4 step that runs
+    BEFORE any text is read -- rejecting a page by its URL costs zero
+    bytes of content IO): a struct of per-rule flags plus ``passes``.
+
+    Rules (all pure Catalyst; one projection over the scan):
+
+    * ``host_blocked`` -- host (via :func:`url_host`, so www./port
+      spellings can't dodge the list) is in ``blocked_hosts``
+      (curated lists are small -> an in-plan literal IN; corpus-scale
+      blocklists should broadcast-join on url_host instead);
+    * ``pattern_hit`` -- the lowercased URL matches any of
+      ``blocked_patterns`` (Java-regex fragments, OR-joined);
+    * ``too_deep`` -- more than ``max_path_depth`` path segments
+      (crawler traps / calendar spirals);
+    * ``digit_host`` -- digit share of the host above
+      ``max_host_digit_ratio`` (throwaway/spam hosts);
+    * ``no_host`` -- the URL does not parse to a host at all.
+
+    ``passes`` = none of the above. Null URLs fail with ``no_host``.
+    """
+    # null URLs must FAIL (no_host), not propagate NULL flags
+    host = url_host(F.coalesce(col, F.lit("")))
+    low = F.lower(F.coalesce(col, F.lit("")))
+    rules = {
+        "no_host": F.length(host) == 0,
+        "host_blocked": (
+            host.isin([h.lower() for h in blocked_hosts])
+            if blocked_hosts
+            else F.lit(False)
+        ),
+        "pattern_hit": (
+            low.rlike("|".join(f"(?:{p})" for p in blocked_patterns))
+            if blocked_patterns
+            else F.lit(False)
+        ),
+        "too_deep": F.size(
+            F.split(
+                F.regexp_replace(
+                    F.regexp_extract(low, r"^[a-z][a-z0-9+.-]*://[^/?#]+(/[^?#]*)", 1),
+                    r"/$",
+                    "",
+                ),
+                "/",
+            )
+        )
+        - 1
+        > max_path_depth,
+        "digit_host": F.when(
+            F.length(host) == 0, F.lit(False)
+        ).otherwise(
+            F.length(F.regexp_replace(host, r"[^0-9]", ""))
+            / F.length(host)
+            > max_host_digit_ratio
+        ),
+    }
+    passes = F.lit(True)
+    for c in rules.values():
+        passes = passes & ~c
+    return F.struct(
+        *[c.alias(name) for name, c in rules.items()],
+        passes.alias("passes"),
+    )
 
 
 # control/format characters that break tokenizers and dedup hashing:

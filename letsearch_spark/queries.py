@@ -3040,6 +3040,91 @@ _WET_INGEST_ORACLE_SQL = """
     FROM documents ORDER BY doc_id
 """
 
+def q_url_quality_filter(spark, sf_dir):
+    """URL-level page filtering (functions/text.py url_quality_flags,
+    r8 -- the RefinedWeb step that rejects a page before any content
+    IO): deterministic synthetic URLs built from doc_id (one per rule
+    family: blocked host behind a www. spelling, digit-spam host,
+    crawler-trap depth, unparseable, session-id pattern, clean), flags
+    evaluated scan-side. Oracle: the same URL synthesis and every rule
+    replayed in DuckDB SQL."""
+    from letsearch_spark.functions.text import url_quality_flags
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    m = F.col("doc_id") % 6
+    did = F.col("doc_id").cast("string")
+    url = (
+        F.when(m == 0, F.concat(F.lit("https://WWW.Blocked.example.com/a/"), did))
+        .when(m == 1, F.concat(F.lit("https://012345678901.net/x/"), did))
+        .when(m == 2, F.concat(F.lit("https://ok.example.org"), F.lit("/p" * 14)))
+        .when(m == 3, F.concat(F.lit("not a url at all "), did))
+        .when(m == 4, F.concat(F.lit("https://shop.example.net/item?session="), did))
+        .otherwise(F.concat(F.lit("https://clean.example.org/articles/"), did))
+    )
+    flags = url_quality_flags(
+        F.col("url"),
+        blocked_hosts=["blocked.example.com"],
+        blocked_patterns=[r"[?&]session="],
+    )
+    return (
+        docs.withColumn("url", url)
+        .select("doc_id", flags.alias("f"))
+        .select(
+            "doc_id",
+            F.col("f.no_host").alias("no_host"),
+            F.col("f.host_blocked").alias("host_blocked"),
+            F.col("f.pattern_hit").alias("pattern_hit"),
+            F.col("f.too_deep").alias("too_deep"),
+            F.col("f.digit_host").alias("digit_host"),
+            F.col("f.passes").alias("passes"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_URL_FILTER_ORACLE_SQL = r"""
+    WITH u AS (
+        SELECT doc_id,
+               CASE doc_id % 6
+                   WHEN 0 THEN 'https://WWW.Blocked.example.com/a/' || doc_id
+                   WHEN 1 THEN 'https://012345678901.net/x/' || doc_id
+                   WHEN 2 THEN 'https://ok.example.org' || repeat('/p', 14)
+                   WHEN 3 THEN 'not a url at all ' || doc_id
+                   WHEN 4 THEN 'https://shop.example.net/item?session=' || doc_id
+                   ELSE 'https://clean.example.org/articles/' || doc_id
+               END AS url
+        FROM documents
+    ), h AS (
+        SELECT doc_id, lower(url) AS low,
+               regexp_replace(
+                   lower(regexp_extract(url,
+                       '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#:]+)', 1)),
+                   '^www\.', '') AS host,
+               regexp_replace(
+                   regexp_extract(lower(url),
+                       '^[a-z][a-z0-9+.-]*://[^/?#]+(/[^?#]*)', 1),
+                   '/$', '') AS path
+        FROM u
+    ), f AS (
+        SELECT doc_id,
+               length(host) = 0 AS no_host,
+               host = 'blocked.example.com' AS host_blocked,
+               regexp_matches(low, '(?:[?&]session=)') AS pattern_hit,
+               len(string_split(path, '/')) - 1 > 12 AS too_deep,
+               CASE WHEN length(host) = 0 THEN FALSE
+                    ELSE length(regexp_replace(host, '[^0-9]', '', 'g'))
+                         * 1.0 / length(host) > 0.5
+               END AS digit_host
+        FROM h
+    )
+    SELECT doc_id, no_host, host_blocked, pattern_hit, too_deep,
+           digit_host,
+           (NOT no_host AND NOT host_blocked AND NOT pattern_hit
+            AND NOT too_deep AND NOT digit_host) AS passes
+    FROM f ORDER BY doc_id
+"""
+
+
 _PCA_K = 8
 
 
@@ -3296,6 +3381,7 @@ STAGED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "search_maxsim_collection": q_search_maxsim_collection,
     "s_wet_ingest": q_s_wet_ingest,
     "embed_pca_model": q_embed_pca_model,
+    "url_quality_filter": q_url_quality_filter,
     # round 7 (hamming-tier recall + source interleaving; the r7
     # export_shards_manifest / fim_transform entries were promoted into
     # the window by the round-8 rotation)
@@ -4017,6 +4103,7 @@ STAGED_ORACLES: dict[str, object] = {
     "search_maxsim_collection": _maxsim_collection_oracle,
     "s_wet_ingest": _WET_INGEST_ORACLE_SQL,
     "embed_pca_model": _pca_model_oracle,
+    "url_quality_filter": _URL_FILTER_ORACLE_SQL,
     # round 7 (export_shards_manifest / fim_transform oracles moved to
     # the window registry with their queries, r8 rotation)
     "eval_hamming_recall": _eval_hamming_recall_oracle,

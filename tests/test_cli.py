@@ -285,3 +285,40 @@ def test_cli_delete(spark, sf_dir, tmp_path, capsys):
     )
     assert cmd_search(a) == 0
     assert capsys.readouterr().out.strip()
+
+
+def test_cli_wet_dispatch(spark, tmp_path, capsys):
+    """CLI index/add-docs dispatch .wet/.gz files through
+    import_wet/append_wet (r8): index replaces, add-docs appends with
+    key continuation."""
+    from letsearch_spark.sources.warc import build_wet_bytes
+
+    home = str(tmp_path / "home")
+    seg = tmp_path / "seg.warc.wet"
+    seg.write_bytes(
+        build_wet_bytes(
+            [("http://t/1", "spark join window"), ("http://t/2", "agg rollup")]
+        )
+    )
+    p = build_parser()
+    a = p.parse_args(
+        ["--home", home, "--master", "local[4]",
+         "index", "--collection", "w1", "--files", str(seg)]
+    )
+    assert cmd_index(a) == 0
+    out = capsys.readouterr().out
+    assert "2 rows total" in out and "2 vectors" in out
+    # re-index does not duplicate
+    assert cmd_index(a) == 0
+    assert "2 rows total" in capsys.readouterr().out
+
+    more = tmp_path / "more.warc.wet.gz"
+    more.write_bytes(
+        build_wet_bytes([("http://t/3", "stream state")], gz=True)
+    )
+    a = p.parse_args(
+        ["--home", home, "--master", "local[4]",
+         "add-docs", "--collection", "w1", "--files", str(more)]
+    )
+    assert cmd_add_docs(a) == 0
+    assert "1 rows" in capsys.readouterr().out

@@ -3480,3 +3480,43 @@ def test_fim_transform_matches_python_twin(spark):
         fim_transform(F.col("doc_id"), F.col("text"), mode="pms")
     with _pytest.raises(ValueError):
         fim_transform(F.col("doc_id"), F.col("text"), rate=1.5)
+
+
+def test_url_quality_flags(spark):
+    """URL-level page filter (functions/text.py url_quality_flags, r8):
+    each rule fires on its crafted URL and nothing else; www./port
+    spellings cannot dodge the host blocklist; null/garbage URLs fail
+    with no_host; the clean URL passes."""
+    from letsearch_spark.functions.text import url_quality_flags
+
+    rows = [
+        (0, "https://WWW.Blocked.example.com/a/b"),
+        (1, "https://012345678901.net/x"),
+        (2, "https://ok.example.org" + "/p" * 14),
+        (3, "not a url at all"),
+        (4, "https://shop.example.net/item?session=9"),
+        (5, "https://clean.example.org/articles/5"),
+        (6, None),
+    ]
+    df = spark.createDataFrame(rows, "id long, url string")
+    out = {
+        r["id"]: r["f"]
+        for r in df.select(
+            "id",
+            url_quality_flags(
+                F.col("url"),
+                blocked_hosts=["blocked.example.com"],
+                blocked_patterns=[r"[?&]session="],
+            ).alias("f"),
+        ).collect()
+    }
+    assert out[0]["host_blocked"] and not out[0]["passes"]
+    assert out[1]["digit_host"] and not out[1]["passes"]
+    assert out[2]["too_deep"] and not out[2]["passes"]
+    assert out[3]["no_host"] and not out[3]["passes"]
+    assert out[4]["pattern_hit"] and not out[4]["passes"]
+    assert out[5]["passes"] and not any(
+        out[5][k] for k in
+        ("no_host", "host_blocked", "pattern_hit", "too_deep", "digit_host")
+    )
+    assert out[6]["no_host"] and not out[6]["passes"]
