@@ -327,7 +327,8 @@ def main() -> None:
         # round 8: round-robin source interleave (two range shuffles,
         # no per-source window), distributed PCA fit (one moment pass),
         # WET segment parse (build cost included -- driver-side, small
-        # at sf0.1; the parse itself dominates). No baseline rows yet.
+        # at sf0.1; the parse itself dominates). Gate rows dated
+        # 2026-08-16 in BASELINE.md (end-of-round quiet min-of-5).
         "interleave_order",
         "embed_pca_model",
         "s_wet_ingest",

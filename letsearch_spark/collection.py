@@ -1766,24 +1766,12 @@ class Collection:
             queries = [queries]
         if not queries:
             raise ValueError("queries must be non-empty")
-        if not 1 <= limit <= 100:
-            raise ValueError(f"limit must be in [1, 100], got {limit}")
-        if column not in self.config.index_columns:
-            raise ValueError(f"column {column!r} is not indexed")
-        if group_col is not None and group_col not in self.serve_filter_columns:
-            raise ValueError(
-                f"group_col {group_col!r} must be listed in "
-                "serve_filter_columns so the serve view carries it"
-            )
-        self._require_embeddings(column)
+        serve, base, g = self._maxsim_serve_base(
+            column, limit, group_col, where
+        )
         qvecs = [
             [float(x) for x in v] for v in self._embedder().embed(list(queries))
         ]
-        serve = self._serve_view(column)
-        base = serve.where(F.col("content").isNotNull())
-        if where is not None:
-            base = base.where(F.expr(where))
-        g = group_col if group_col is not None else KEY_COL
         hits = maxsim_topk(
             base,
             qvecs,
@@ -1803,6 +1791,30 @@ class Collection:
             .select("group", "key", "content", "score", "n_chunks")
             .orderBy(F.desc("score"), F.asc("group"))
         )
+
+    def _maxsim_serve_base(
+        self, column: str, limit: int, group_col: str | None, where: str | None
+    ):
+        """Shared serving prologue for search_multi /
+        search_many_multi: validation + the pre-filtered serve view +
+        the effective group column (one copy, so the two paths'
+        contracts cannot drift)."""
+        if not 1 <= limit <= 100:
+            raise ValueError(f"limit must be in [1, 100], got {limit}")
+        if column not in self.config.index_columns:
+            raise ValueError(f"column {column!r} is not indexed")
+        if group_col is not None and group_col not in self.serve_filter_columns:
+            raise ValueError(
+                f"group_col {group_col!r} must be listed in "
+                "serve_filter_columns so the serve view carries it"
+            )
+        self._require_embeddings(column)
+        serve = self._serve_view(column)
+        base = serve.where(F.col("content").isNotNull())
+        if where is not None:
+            base = base.where(F.expr(where))
+        g = group_col if group_col is not None else KEY_COL
+        return serve, base, g
 
     def search_many_multi(
         self,
@@ -1824,30 +1836,24 @@ class Collection:
 
         if not query_sets:
             raise ValueError("query_sets must be non-empty")
-        if not 1 <= limit <= 100:
-            raise ValueError(f"limit must be in [1, 100], got {limit}")
-        if column not in self.config.index_columns:
-            raise ValueError(f"column {column!r} is not indexed")
-        if group_col is not None and group_col not in self.serve_filter_columns:
+        if any(isinstance(qs, str) for qs in query_sets):
             raise ValueError(
-                f"group_col {group_col!r} must be listed in "
-                "serve_filter_columns so the serve view carries it"
+                "query_sets must be a sequence of query-string LISTS "
+                "(one list per query); a bare string would explode into "
+                "per-character queries -- wrap it: [[query]]"
             )
-        self._require_embeddings(column)
-        # ONE embed call for the whole batch (K3), then unflatten
         sets = [list(qs) for qs in query_sets]
         if any(not qs for qs in sets):
             raise ValueError("every query set needs at least one string")
+        serve, base, g = self._maxsim_serve_base(
+            column, limit, group_col, where
+        )
+        # ONE embed call for the whole batch (K3), then unflatten
         texts = [q for qs in sets for q in qs]
         vecs = iter(
             [float(x) for x in v] for v in self._embedder().embed(texts)
         )
         qvec_sets = [[next(vecs) for _ in qs] for qs in sets]
-        serve = self._serve_view(column)
-        base = serve.where(F.col("content").isNotNull())
-        if where is not None:
-            base = base.where(F.expr(where))
-        g = group_col if group_col is not None else KEY_COL
         hits = maxsim_topk_many(
             base,
             qvec_sets,

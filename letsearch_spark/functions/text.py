@@ -375,11 +375,17 @@ _TRACKING_PARAM_RE = r"(?:utm_[a-zA-Z]+|gclid|fbclid|msclkid|ref_src)=[^&#\s]*"
 
 
 def url_host(col: Column) -> Column:
-    """Lowercased host (no port, no leading www.) of a URL column --
-    the grouping key for host-level splits (hash the host, not the
-    URL, to keep whole sites on one side of a train/test split) and
-    per-site aggregation."""
-    host = F.lower(F.regexp_extract(col, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#:]+)", 1))
+    """Lowercased host (no userinfo, no port, no leading www.) of a URL
+    column -- the grouping key for host-level splits (hash the host,
+    not the URL, to keep whole sites on one side of a train/test
+    split), per-site aggregation, and blocklist matching. Userinfo is
+    stripped (r8 review catch: ``https://x@blocked.com/`` must not
+    dodge a blocklist keyed on the real host)."""
+    auth = F.regexp_extract(
+        col, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)", 1
+    )
+    host = F.lower(F.regexp_replace(auth, r"^.*@", ""))
+    host = F.regexp_replace(host, r":\d*$", "")
     return F.regexp_replace(host, r"^www\.", "")
 
 

@@ -7,13 +7,17 @@ Spark-first shape -- the textbook two-phase split:
 
 * **moment pass** (distributed, the only corpus-sized work): one
   Arrow-batched ``mapInPandas`` emits per-partition fixed-point sums of
-  the vectors and their outer products (d + d*(d+1)/2 integers per
-  partition), reduced by ONE integer ``groupBy().sum()``. Integer
-  addition commutes, so the accumulated moments -- and everything
-  derived from them -- are BIT-IDENTICAL across partitionings, retries,
-  and against the sequential twin (the same trick kmeans_fit_full /
-  mean_pool_vectors use). The shuffle carries d(d+3)/2 numbers per
-  partition, never rows.
+  the vectors and the UPPER TRIANGLE of their outer products (exactly
+  d + d*(d+1)/2 integers per partition -- IEEE multiplication commutes,
+  so the symmetric half reconstructs bit-exactly), reduced by ONE
+  integer ``groupBy().sum()``. Integer addition commutes, so the
+  accumulated moments -- and everything derived from them -- are
+  BIT-IDENTICAL across partitionings, retries, and against the
+  sequential twin (the same trick kmeans_fit_full / mean_pool_vectors
+  use). The shuffle carries d(d+3)/2 numbers per partition, never
+  rows; the per-batch outer-product tensor is chunked on the row axis
+  to a bounded working set (wide embeddings would otherwise allocate
+  batch_rows x d x d doubles).
 * **eigen step** (driver, corpus-size independent): covariance from the
   moments, ``numpy.linalg.eigh`` on the d x d symmetric matrix,
   components = top-k eigenvectors (descending eigenvalue), each
@@ -53,6 +57,37 @@ class PCAModel:
     @property
     def k(self) -> int:
         return int(self.components.shape[0])
+
+
+def _moment_sums(x: np.ndarray, u: float) -> tuple[np.ndarray, np.ndarray]:
+    """Fixed-point moment sums of one row block, shared verbatim by the
+    distributed pass and the twin: (s1[d], s2_upper_triangle[d(d+1)/2])
+    int64. Row-chunked so the (rows, tri) working set stays ~32 MB of
+    doubles at any dim."""
+    n, d = x.shape
+    iu, ju = np.triu_indices(d)
+    step = max(1, (1 << 22) // (d * d))
+    s1 = np.zeros(d, dtype=np.int64)
+    s2 = np.zeros(len(iu), dtype=np.int64)
+    for lo in range(0, n, step):
+        xc = x[lo : lo + step]
+        q1 = np.sign(xc * u) * np.floor(np.abs(xc * u) + 0.5)
+        s1 += q1.sum(axis=0).astype(np.int64)
+        # upper triangle only: x_i*x_j == x_j*x_i exactly (IEEE
+        # multiply commutes), so the symmetric half reconstructs
+        # bit-identically on the driver
+        outer = np.einsum("ni,nj->nij", xc, xc)[:, iu, ju]
+        q2 = np.sign(outer * u) * np.floor(np.abs(outer * u) + 0.5)
+        s2 += q2.sum(axis=0).astype(np.int64)
+    return s1, s2
+
+
+def _tri_to_full(tri: np.ndarray, d: int) -> np.ndarray:
+    iu, ju = np.triu_indices(d)
+    full = np.zeros((d, d), dtype=np.float64)
+    full[iu, ju] = tri
+    full[ju, iu] = tri
+    return full
 
 
 def _moments_to_model(
@@ -112,21 +147,15 @@ def fit_pca(
             for d, vs in sorted(by_len.items()):
                 x = np.array(vs, dtype=np.float64)
                 # quantize each row's contribution, THEN sum: integer
-                # totals commute across any grouping of rows
-                q1 = np.sign(x * u) * np.floor(np.abs(x * u) + 0.5)
-                outer = np.einsum("ni,nj->nij", x, x)
-                q2 = np.sign(outer * u) * np.floor(np.abs(outer * u) + 0.5)
+                # totals commute across any grouping of rows (shared
+                # kernel -- the twin accumulates with the same code)
+                s1, s2 = _moment_sums(x, u)
                 yield pd.DataFrame(
                     {
                         "n": [int(len(x))],
                         "d": [d],
-                        "s1": [q1.sum(axis=0).astype("int64").tolist()],
-                        "s2": [
-                            q2.sum(axis=0)
-                            .reshape(-1)
-                            .astype("int64")
-                            .tolist()
-                        ],
+                        "s1": [s1.tolist()],
+                        "s2": [s2.tolist()],
                     }
                 )
 
@@ -145,8 +174,8 @@ def fit_pca(
         n = int(parts.agg(F.sum("n")).first()[0])
         # elementwise integer reduction as a DISTRIBUTED groupBy (map-
         # side combined), never a collect of per-partition arrays: the
-        # driver receives exactly d + d^2 (index, sum) rows -- the same
-        # d x d it must eigendecompose anyway
+        # driver receives exactly d + d(d+1)/2 (index, sum) rows -- no
+        # more than the d x d it must eigendecompose anyway
         s1 = np.zeros(d, dtype=np.int64)
         for r in (
             parts.select(F.posexplode("s1").alias("i", "v"))
@@ -155,33 +184,30 @@ def fit_pca(
             .collect()
         ):
             s1[int(r["i"])] = int(r["s"])
-        s2 = np.zeros(d * d, dtype=np.int64)
+        tri = np.zeros(d * (d + 1) // 2, dtype=np.int64)
         for r in (
             parts.select(F.posexplode("s2").alias("i", "v"))
             .groupBy("i")
             .agg(F.sum("v").alias("s"))
             .collect()
         ):
-            s2[int(r["i"])] = int(r["s"])
+            tri[int(r["i"])] = int(r["s"])
     finally:
         parts.unpersist()
-    return _moments_to_model(n, s1, s2.reshape(d, d), k, units)
+    return _moments_to_model(n, s1, _tri_to_full(tri, d), k, units)
 
 
 def fit_pca_twin(
     x: np.ndarray, k: int = 16, units: int = _UNITS
 ) -> PCAModel:
-    """Single-process twin of :func:`fit_pca`: identical quantization,
-    identical driver half -- bit-identical model; used by the unit test
-    and the DuckDB computed oracle."""
+    """Single-process twin of :func:`fit_pca`: the SAME moment kernel
+    (_moment_sums) and the SAME driver half -- bit-identical model;
+    used by the unit test and the DuckDB computed oracle."""
     x = np.asarray(x, dtype=np.float64)
-    u = float(units)
-    q1 = np.sign(x * u) * np.floor(np.abs(x * u) + 0.5)
-    outer = np.einsum("ni,nj->nij", x, x)
-    q2 = np.sign(outer * u) * np.floor(np.abs(outer * u) + 0.5)
-    s1 = q1.sum(axis=0).astype(np.int64)
-    s2 = q2.sum(axis=0).astype(np.int64)
-    return _moments_to_model(len(x), s1, s2, k, units)
+    s1, s2 = _moment_sums(x, float(units))
+    return _moments_to_model(
+        len(x), s1, _tri_to_full(s2, x.shape[1]), k, units
+    )
 
 
 def transform_pca(

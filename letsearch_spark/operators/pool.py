@@ -100,48 +100,7 @@ def _pool_explode(
     )
 
 
-def maxsim_topk(
-    df: DataFrame,
-    query_vecs,
-    k: int = 10,
-    group_col: str = "doc_id",
-    vec_col: str = "vector",
-    score_col: str = "score",
-    best_key_col: str | None = None,
-) -> DataFrame:
-    """Multi-vector late-interaction retrieval (the ColBERT MaxSim rule,
-    Khattab & Zaharia 2020): score(doc) = sum over the query's vectors of
-    the max cosine against any of the doc's chunk vectors, then top-k
-    docs.
-
-    Mean-pooling (``mean_pool_vectors``) collapses a document to one
-    vector and loses which chunk matched; MaxSim keeps per-chunk
-    granularity at query time without a per-chunk result join: each
-    chunk row computes its |Q| cosines scan-side (Catalyst expressions,
-    no UDF), ONE groupBy reduces them with per-query-vector MAX -- a
-    partial-aggregated hash aggregate, so a mega-document spreads over
-    its scan partitions map-side and only |docs| x |Q| maxes shuffle --
-    and the final score is the fixed-order sum of the maxes (m0 + m1 +
-    ... in query order, deterministic and engine-exact). Top-k is
-    TakeOrderedAndProject over one row per doc.
-
-    ``query_vecs`` is a sequence of query vectors (1..~32 in practice --
-    they become plan literals). Null chunk vectors are dropped. Returns
-    (group, score, n_chunks) ordered by (score DESC, group ASC), k rows.
-
-    ``best_key_col`` (r8, the Collection serving path): name of a
-    NUMERIC per-chunk key column; when set, the result carries
-    ``best_key`` = the key of the group's best-matching chunk (highest
-    fixed-order cosine sum over the query vectors, ties to the lowest
-    key) via ``max_by`` in the SAME aggregation -- the snippet a
-    late-interaction serving layer fetches back, at zero extra shuffles.
-    The group score arithmetic is unchanged.
-    """
-    from letsearch_spark.functions.vector import cosine_similarity
-
-    qvecs = [[float(x) for x in q] for q in query_vecs]
-    if not qvecs:
-        raise ValueError("query_vecs must be non-empty")
+def _maxsim_validate(df, k: int, best_key_col: str | None) -> None:
     if not 1 <= k <= 100:
         raise ValueError(f"k must be in [1, 100], got {k}")
     if best_key_col is not None and not isinstance(
@@ -153,96 +112,26 @@ def maxsim_topk(
             f"best_key_col {best_key_col!r} must be numeric, got "
             f"{df.schema[best_key_col].dataType.simpleString()}"
         )
-    extra_cols = (
-        [best_key_col]
-        if best_key_col is not None and best_key_col != group_col
-        else []
-    )
-    rows = df.where(F.col(vec_col).isNotNull()).select(
-        group_col,
-        *extra_cols,
-        *[
-            cosine_similarity(F.col(vec_col), q).alias(f"_c{i}")
-            for i, q in enumerate(qvecs)
-        ],
-    )
-    aggs = [F.max(f"_c{i}").alias(f"_m{i}") for i in range(len(qvecs))]
-    aggs.append(F.count(F.lit(1)).alias("n_chunks"))
-    sel_extra = []
-    if best_key_col is not None:
-        csum = F.col("_c0")
-        for i in range(1, len(qvecs)):
-            csum = csum + F.col(f"_c{i}")
-        rows = rows.withColumn("_csum", csum)
-        aggs.append(
-            F.max_by(
-                F.col(best_key_col),
-                F.struct(F.col("_csum"), -F.col(best_key_col)),
-            ).alias("best_key")
-        )
-        sel_extra = ["best_key"]
-    agg = rows.groupBy(group_col).agg(*aggs)
-    score = F.col("_m0")
-    for i in range(1, len(qvecs)):
-        score = score + F.col(f"_m{i}")
-    return (
-        agg.select(group_col, score.alias(score_col), "n_chunks", *sel_extra)
-        .orderBy(F.desc(score_col), F.asc(group_col))
-        .limit(k)
-    )
 
 
-def maxsim_topk_many(
+def _maxsim_stage1(
     df: DataFrame,
-    query_sets,
-    k: int = 10,
-    group_col: str = "doc_id",
-    vec_col: str = "vector",
-    score_col: str = "score",
-    best_key_col: str | None = None,
-) -> DataFrame:
-    """Batched MaxSim: N multi-vector queries scored in ONE plan — the
-    bulk-eval form of :func:`maxsim_topk` (r8, completing the batched
-    family next to hamming_knn_join / ivf_pq_knn_join / pq_knn_join).
-
-    ``query_sets`` is a sequence of query-vector LISTS (one list per
-    query). Stage 1 is the same single partial-aggregated groupBy as
-    the per-query operator, computing EVERY query's per-group maxes
-    (and per-query best chunks when ``best_key_col`` is set) in one
-    pass — only |groups| x Σ|Q_i| maxes shuffle. Stage 2 prunes
-    candidates per PARTITION per query (an Arrow pass: top-k by
-    (score DESC, group ASC) inside each batch — a superset of the
-    global top-k), so the final per-query rank window sorts at most
-    partitions x N x k rows, never |groups| x N — the knn_join
-    candidates-only shape.
-
-    Returns (query_idx, group, score, n_chunks[, best_key], rank),
-    rank <= k per query, bit-identical to running :func:`maxsim_topk`
-    per query (same cosine expressions, same fixed-order sums, same
-    tie-breaks).
-    """
-    from pyspark.sql.window import Window
-
+    qsets: list[list[list[float]]],
+    group_col: str,
+    vec_col: str,
+    best_key_col: str | None,
+):
+    """The ONE partial-aggregated MaxSim pass, shared by
+    :func:`maxsim_topk` (N=1) and :func:`maxsim_topk_many` so the
+    cosine/tie-break arithmetic cannot drift between them: per-chunk
+    cosines for every query vector scan-side, per-group per-qvec maxes
+    + chunk count + (per query) the best-chunk key via ``max_by`` on
+    (fixed-order cosine sum, -key). Returns (agg, spans): agg columns
+    are (group, _m<j>..., n_chunks[, _bk<i>...]), spans[i] the
+    flattened qvec indices of query i."""
     from letsearch_spark.functions.vector import cosine_similarity
 
-    qsets = [[[float(x) for x in q] for q in qs] for qs in query_sets]
-    if not qsets or any(not qs for qs in qsets):
-        raise ValueError("query_sets must be non-empty lists of vectors")
-    if not 1 <= k <= 100:
-        raise ValueError(f"k must be in [1, 100], got {k}")
     flat = [(i, q) for i, qs in enumerate(qsets) for q in qs]
-    if len(flat) > 256:
-        raise ValueError(
-            f"{len(flat)} query vectors in one batch — each becomes a "
-            "plan literal; chunk the batch (<= 256 vectors per call)"
-        )
-    if best_key_col is not None and not isinstance(
-        df.schema[best_key_col].dataType, T.NumericType
-    ):
-        raise ValueError(
-            f"best_key_col {best_key_col!r} must be numeric, got "
-            f"{df.schema[best_key_col].dataType.simpleString()}"
-        )
     n_q = len(qsets)
     extra_cols = (
         [best_key_col]
@@ -276,17 +165,120 @@ def maxsim_topk_many(
                     F.struct(F.col(f"_s{i}"), -F.col(best_key_col)),
                 ).alias(f"_bk{i}")
             )
-    agg = rows.groupBy(group_col).agg(*aggs)
-    score_cols = []
-    for i in range(n_q):
-        s = F.col(f"_m{spans[i][0]}")
-        for j in spans[i][1:]:
-            s = s + F.col(f"_m{j}")
-        score_cols.append(s.alias(f"_q{i}"))
+    return rows.groupBy(group_col).agg(*aggs), spans
+
+
+def _span_sum(prefix: str, span: list[int]):
+    s = F.col(f"{prefix}{span[0]}")
+    for j in span[1:]:
+        s = s + F.col(f"{prefix}{j}")
+    return s
+
+
+def maxsim_topk(
+    df: DataFrame,
+    query_vecs,
+    k: int = 10,
+    group_col: str = "doc_id",
+    vec_col: str = "vector",
+    score_col: str = "score",
+    best_key_col: str | None = None,
+) -> DataFrame:
+    """Multi-vector late-interaction retrieval (the ColBERT MaxSim rule,
+    Khattab & Zaharia 2020): score(doc) = sum over the query's vectors of
+    the max cosine against any of the doc's chunk vectors, then top-k
+    docs.
+
+    Mean-pooling (``mean_pool_vectors``) collapses a document to one
+    vector and loses which chunk matched; MaxSim keeps per-chunk
+    granularity at query time without a per-chunk result join: each
+    chunk row computes its |Q| cosines scan-side (Catalyst expressions,
+    no UDF), ONE groupBy reduces them with per-query-vector MAX -- a
+    partial-aggregated hash aggregate, so a mega-document spreads over
+    its scan partitions map-side and only |docs| x |Q| maxes shuffle --
+    and the final score is the fixed-order sum of the maxes (m0 + m1 +
+    ... in query order, deterministic and engine-exact). Top-k is
+    TakeOrderedAndProject over one row per doc. The aggregation itself
+    is the shared :func:`_maxsim_stage1` (maxsim_topk is its N=1 case).
+
+    ``query_vecs`` is a sequence of query vectors (1..~32 in practice --
+    they become plan literals). Null chunk vectors are dropped. Returns
+    (group, score, n_chunks) ordered by (score DESC, group ASC), k rows.
+
+    ``best_key_col`` (r8, the Collection serving path): name of a
+    NUMERIC per-chunk key column; when set, the result carries
+    ``best_key`` = the key of the group's best-matching chunk (highest
+    fixed-order cosine sum over the query vectors, ties to the lowest
+    key) via ``max_by`` in the SAME aggregation -- the snippet a
+    late-interaction serving layer fetches back, at zero extra shuffles.
+    The group score arithmetic is unchanged.
+    """
+    qvecs = [[float(x) for x in q] for q in query_vecs]
+    if not qvecs:
+        raise ValueError("query_vecs must be non-empty")
+    _maxsim_validate(df, k, best_key_col)
+    agg, spans = _maxsim_stage1(df, [qvecs], group_col, vec_col, best_key_col)
+    sel_extra = (
+        [F.col("_bk0").alias("best_key")] if best_key_col is not None else []
+    )
+    return (
+        agg.select(
+            group_col,
+            _span_sum("_m", spans[0]).alias(score_col),
+            "n_chunks",
+            *sel_extra,
+        )
+        .orderBy(F.desc(score_col), F.asc(group_col))
+        .limit(k)
+    )
+
+
+def maxsim_topk_many(
+    df: DataFrame,
+    query_sets,
+    k: int = 10,
+    group_col: str = "doc_id",
+    vec_col: str = "vector",
+    score_col: str = "score",
+    best_key_col: str | None = None,
+) -> DataFrame:
+    """Batched MaxSim: N multi-vector queries scored in ONE plan -- the
+    bulk-eval form of :func:`maxsim_topk` (r8, completing the batched
+    family next to hamming_knn_join / ivf_pq_knn_join / pq_knn_join).
+
+    ``query_sets`` is a sequence of query-vector LISTS (one list per
+    query). Stage 1 is the SHARED :func:`_maxsim_stage1` aggregation,
+    computing EVERY query's per-group maxes (and per-query best chunks
+    when ``best_key_col`` is set) in one pass -- only
+    |groups| x sum(|Q_i|) maxes shuffle. Stage 2 prunes candidates per
+    PARTITION per query (an Arrow pass: top-k by (score DESC, group
+    ASC) inside each batch -- a superset of the global top-k), so the
+    final per-query rank window sorts at most partitions x N x k rows,
+    never |groups| x N -- the knn_join candidates-only shape.
+
+    Returns (query_idx, group, score, n_chunks[, best_key], rank),
+    rank <= k per query, bit-identical to running :func:`maxsim_topk`
+    per query (same cosine expressions, same fixed-order sums, same
+    tie-breaks -- guaranteed structurally by the shared stage 1).
+    """
+    from pyspark.sql.window import Window
+
+    qsets = [[[float(x) for x in q] for q in qs] for qs in query_sets]
+    if not qsets or any(not qs for qs in qsets):
+        raise ValueError("query_sets must be non-empty lists of vectors")
+    n_vecs = sum(len(qs) for qs in qsets)
+    if n_vecs > 256:
+        raise ValueError(
+            f"{n_vecs} query vectors in one batch -- each becomes a "
+            "plan literal; chunk the batch (<= 256 vectors per call)"
+        )
+    _maxsim_validate(df, k, best_key_col)
+    n_q = len(qsets)
+    agg, spans = _maxsim_stage1(df, qsets, group_col, vec_col, best_key_col)
     scored = agg.select(
         group_col,
         "n_chunks",
-        *score_cols,
+        *[_span_sum("_m", spans[i]).alias(f"_q{i}") for i in range(n_q)],
         *([f"_bk{i}" for i in range(n_q)] if best_key_col else []),
     )
 

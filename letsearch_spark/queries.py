@@ -3097,8 +3097,12 @@ _URL_FILTER_ORACLE_SQL = r"""
     ), h AS (
         SELECT doc_id, lower(url) AS low,
                regexp_replace(
-                   lower(regexp_extract(url,
-                       '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#:]+)', 1)),
+                   regexp_replace(
+                       lower(regexp_replace(
+                           regexp_extract(url,
+                               '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1),
+                           '^.*@', '')),
+                       ':[0-9]*$', ''),
                    '^www\.', '') AS host,
                regexp_replace(
                    regexp_extract(lower(url),

@@ -3497,6 +3497,10 @@ def test_url_quality_flags(spark):
         (4, "https://shop.example.net/item?session=9"),
         (5, "https://clean.example.org/articles/5"),
         (6, None),
+        # review catch r8: userinfo/port spellings must not dodge the
+        # host rules (url_host strips them)
+        (7, "https://evil@blocked.example.com:8443/page"),
+        (8, "https://a@012345678901.net/x"),
     ]
     df = spark.createDataFrame(rows, "id long, url string")
     out = {
@@ -3520,3 +3524,5 @@ def test_url_quality_flags(spark):
         ("no_host", "host_blocked", "pattern_hit", "too_deep", "digit_host")
     )
     assert out[6]["no_host"] and not out[6]["passes"]
+    assert out[7]["host_blocked"] and not out[7]["passes"]
+    assert out[8]["digit_host"] and not out[8]["passes"]
