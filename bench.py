@@ -442,6 +442,22 @@ def main() -> None:
         len(many_qs) / timings["search_many_hamming"], 3
     )
 
+    # batched MaxSim (round 8): 10 two-vector queries through ONE
+    # search_many_multi plan (shared stage-1 aggregation + candidate
+    # prune) -- with group_col=None every row is its own group, the
+    # worst case for the aggregate
+    many_sets = [[f"spark join {i}", f"window batch {i}"] for i in range(10)]
+    coll.search_many_multi("text", many_sets[:1], limit=10).count()
+
+    run_stage(
+        "search_many_maxsim",
+        lambda: coll.search_many_multi("text", many_sets, limit=10).count(),
+        repeats=2,
+    )
+    timings["many_maxsim_queries_per_sec"] = round(
+        len(many_sets) / timings["search_many_maxsim"], 3
+    )
+
     total = round(
         sum(
             v
