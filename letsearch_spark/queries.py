@@ -3129,6 +3129,71 @@ _URL_FILTER_ORACLE_SQL = r"""
 """
 
 
+def q_sft_render_chat(spark, sf_dir):
+    """Chat/SFT templating (functions/chat.py render_chat, r8): each
+    document becomes a deterministic 3-turn conversation (fixed system
+    prompt, user = first half of the words, assistant = the rest),
+    rendered under the ChatML template with assistant-content spans for
+    loss masking -- one scan-side Catalyst projection. Oracle: DuckDB
+    rebuilds the identical string and replays the span arithmetic to
+    the character (s_start = 90 + len(user): the three fixed template
+    prefixes total 90 chars before the assistant content)."""
+    from letsearch_spark.functions.chat import render_chat
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    w = F.split(F.trim(F.coalesce(F.col("text"), F.lit(""))), r"\s+")
+    n = F.size(w)
+    h = F.ceil(n / F.lit(2)).cast("int")
+    user = F.array_join(F.slice(w, F.lit(1), h), " ")
+    asst = F.array_join(
+        F.slice(w, h + F.lit(1), F.greatest(n - h, F.lit(0))), " "
+    )
+    msgs = F.array(
+        F.struct(
+            F.lit("system").alias("role"), F.lit("be concise").alias("content")
+        ),
+        F.struct(F.lit("user").alias("role"), user.alias("content")),
+        F.struct(F.lit("assistant").alias("role"), asst.alias("content")),
+    )
+    r = render_chat(msgs, "chatml")
+    return (
+        docs.select("doc_id", r.alias("r"))
+        .select(
+            "doc_id",
+            F.md5(F.col("r.text")).alias("text_md5"),
+            F.size("r.spans").cast("long").alias("n_spans"),
+            F.element_at("r.spans", 1)["start"].alias("s_start"),
+            F.element_at("r.spans", 1)["end"].alias("s_end"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_SFT_CHAT_ORACLE_SQL = r"""
+    WITH w AS (
+        SELECT doc_id,
+               regexp_split_to_array(trim(coalesce(text, '')), '\s+') AS ws
+        FROM documents
+    ), parts AS (
+        SELECT doc_id,
+               array_to_string(
+                   ws[1:CAST(ceil(len(ws) / 2.0) AS INT)], ' ') AS u,
+               array_to_string(
+                   ws[CAST(ceil(len(ws) / 2.0) AS INT) + 1:len(ws)], ' ') AS a
+        FROM w
+    )
+    SELECT doc_id,
+           md5('<|im_start|>system' || chr(10) || 'be concise<|im_end|>'
+               || chr(10) || '<|im_start|>user' || chr(10) || u
+               || '<|im_end|>' || chr(10) || '<|im_start|>assistant'
+               || chr(10) || a || '<|im_end|>' || chr(10)) AS text_md5,
+           CAST(1 AS BIGINT) AS n_spans,
+           CAST(90 + length(u) AS BIGINT) AS s_start,
+           CAST(90 + length(u) + length(a) AS BIGINT) AS s_end
+    FROM parts ORDER BY doc_id
+"""
+
+
 _PCA_K = 8
 
 
@@ -3386,6 +3451,7 @@ STAGED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "s_wet_ingest": q_s_wet_ingest,
     "embed_pca_model": q_embed_pca_model,
     "url_quality_filter": q_url_quality_filter,
+    "sft_render_chat": q_sft_render_chat,
     # round 7 (hamming-tier recall + source interleaving; the r7
     # export_shards_manifest / fim_transform entries were promoted into
     # the window by the round-8 rotation)
@@ -4108,6 +4174,7 @@ STAGED_ORACLES: dict[str, object] = {
     "s_wet_ingest": _WET_INGEST_ORACLE_SQL,
     "embed_pca_model": _pca_model_oracle,
     "url_quality_filter": _URL_FILTER_ORACLE_SQL,
+    "sft_render_chat": _SFT_CHAT_ORACLE_SQL,
     # round 7 (export_shards_manifest / fim_transform oracles moved to
     # the window registry with their queries, r8 rotation)
     "eval_hamming_recall": _eval_hamming_recall_oracle,
