@@ -59,9 +59,12 @@ def render_chat(msgs: Column, template: str = "chatml") -> Column:
     pre, mid, post = _TEMPLATES[template]
 
     def piece(m):
+        # null roles/contents (malformed turns, e.g. from_json misses)
+        # render as '' -- a NULL piece would silently DESYNC text and
+        # spans (array_join drops NULLs, the offset aggregate doesn't)
         return F.concat(
             F.lit(pre),
-            m["role"],
+            F.coalesce(m["role"], F.lit("")),
             F.lit(mid),
             F.coalesce(m["content"], F.lit("")),
             F.lit(post),
@@ -84,14 +87,17 @@ def render_chat(msgs: Column, template: str = "chatml") -> Column:
             msgs,
             F.slice(starts, 1, F.size(msgs)),
             lambda m, s: F.struct(
-                m["role"].alias("_role"),
+                F.coalesce(m["role"], F.lit("")).alias("_role"),
                 (
-                    s + F.length(F.lit(pre)) + F.length(m["role"]) + F.length(F.lit(mid))
+                    s
+                    + F.length(F.lit(pre))
+                    + F.length(F.coalesce(m["role"], F.lit("")))
+                    + F.length(F.lit(mid))
                 ).alias("start"),
                 (
                     s
                     + F.length(F.lit(pre))
-                    + F.length(m["role"])
+                    + F.length(F.coalesce(m["role"], F.lit("")))
                     + F.length(F.lit(mid))
                     + F.length(F.coalesce(m["content"], F.lit("")))
                 ).alias("end"),

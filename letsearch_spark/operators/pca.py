@@ -73,10 +73,11 @@ def _moment_sums(x: np.ndarray, u: float) -> tuple[np.ndarray, np.ndarray]:
         xc = x[lo : lo + step]
         q1 = np.sign(xc * u) * np.floor(np.abs(xc * u) + 0.5)
         s1 += q1.sum(axis=0).astype(np.int64)
-        # upper triangle only: x_i*x_j == x_j*x_i exactly (IEEE
-        # multiply commutes), so the symmetric half reconstructs
+        # upper triangle computed DIRECTLY (x_i*x_j == x_j*x_i exactly,
+        # IEEE multiply commutes): half the flops/memory of a full
+        # outer product, and the symmetric matrix reconstructs
         # bit-identically on the driver
-        outer = np.einsum("ni,nj->nij", xc, xc)[:, iu, ju]
+        outer = xc[:, iu] * xc[:, ju]
         q2 = np.sign(outer * u) * np.floor(np.abs(outer * u) + 0.5)
         s2 += q2.sum(axis=0).astype(np.int64)
     return s1, s2

@@ -153,11 +153,17 @@ def _maxsim_stage1(
     aggs = [F.max(f"_c{j}").alias(f"_m{j}") for j in range(len(flat))]
     aggs.append(F.count(F.lit(1)).alias("n_chunks"))
     if best_key_col is not None:
-        for i in range(n_q):
-            csum = F.col(f"_c{spans[i][0]}")
-            for j in spans[i][1:]:
-                csum = csum + F.col(f"_c{j}")
-            rows = rows.withColumn(f"_s{i}", csum)
+        # ONE projection for all per-query cosine sums (withColumn in a
+        # loop stacks a Project node per query), via the same
+        # _span_sum fold the score columns use -- one copy of the
+        # fixed-order-sum arithmetic
+        rows = rows.select(
+            "*",
+            *[
+                _span_sum("_c", spans[i]).alias(f"_s{i}")
+                for i in range(n_q)
+            ],
+        )
         for i in range(n_q):
             aggs.append(
                 F.max_by(

@@ -23,6 +23,10 @@ def _chats(spark):
         (3, [("user", "lone prompt")]),  # no assistant at all
         (4, [("user", "q"), ("assistant", None)]),  # null content
         (5, [("assistant", "unicode 中文 \U0001f600 ok")]),
+        # review catch r8: a NULL role must not desync text and spans
+        # (a NULL piece would vanish from array_join while the offset
+        # aggregate kept counting it)
+        (6, [(None, "orphan"), ("assistant", "after the orphan")]),
     ]
     return spark.createDataFrame(
         rows,
