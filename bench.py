@@ -332,6 +332,11 @@ def main() -> None:
         "interleave_order",
         "embed_pca_model",
         "s_wet_ingest",
+        # round 8 late: URL-level page filter + chat/SFT templating --
+        # both scan-only Catalyst projections (gate rows dated
+        # 2026-08-16, end-of-round run)
+        "url_quality_filter",
+        "sft_render_chat",
     ):
         run_stage(
             name,
