@@ -5,6 +5,9 @@ The reference stops at search (collection_actor.rs:764-885); the
 north-star scope (BASELINE.json) adds the LLM-data-pipeline operators.
 This module is their composition -- ONE declarative recipe:
 
+    0a. URL filter        (functions/text.py url_quality_flags,
+        optional -- blocklist/trap/spam-host rejects on the URL alone,
+        before any content stage reads a byte)
     0. HTML extraction    (functions/html.py html_to_text, optional --
        crawl pages in, visible text + link-density page drop out)
     1. quality filter     (functions/text.py gopher_flags)
@@ -104,6 +107,13 @@ class PrepConfig:
     # is spent downstream. Rewrites text, so it shares token_count_col's
     # incompatibility (counts of raw HTML would corrupt packing).
     html: dict | None = None
+    # stage 0a -- URL-level page filter (None disables, the default):
+    # {"url_col": <column>, optional blocked_hosts / blocked_patterns /
+    # max_path_depth / max_host_digit_ratio forwarded to
+    # functions/text.py url_quality_flags}. The cheapest reject in the
+    # recipe: a page drops on its URL alone, before any text stage
+    # reads a byte of content (pairs with the WET source's target_uri)
+    url_filter: dict | None = None
     # functions/text.py c4_clean_lines / c4_flags. Rewrites text, so it
     # shares line_dedup's token_count_col incompatibility.
     c4: dict | None = None
@@ -416,6 +426,27 @@ def prepare_training_data(
         )
         _lap(name)
         return out
+
+    if cfg.url_filter is not None:
+        _loaded = _stage_load("url_filter", cfg.url_filter)
+        if _loaded is not None:
+            cur = _loaded
+        else:
+            from letsearch_spark.functions.text import url_quality_flags
+
+            u_cfg = dict(cfg.url_filter)
+            url_col = u_cfg.pop("url_col", None)
+            if url_col is None:
+                raise ValueError(
+                    "url_filter needs 'url_col' naming the URL column "
+                    "(e.g. the WET source's target_uri)"
+                )
+            cur = _stage_store(
+                "url_filter",
+                cur.where(
+                    url_quality_flags(F.col(url_col), **u_cfg)["passes"]
+                ),
+            )
 
     if cfg.html is not None:
         _loaded = _stage_load("html", cfg.html)

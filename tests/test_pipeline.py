@@ -896,3 +896,68 @@ def test_pipeline_compression_stage(spark, sf_dir):
     clean, layout, audit = prepare_training_data(docs, cfg)
     assert audit["compression"] == audit["input"] - 1
     assert clean.where(F.col("doc_id") == 100001).count() == 0
+
+
+def test_pipeline_url_filter_stage(spark, sf_dir):
+    """Optional URL-filter stage (r8, stage 0a): pages drop on their
+    URL alone -- blocked hosts (www-spelled) and session-id patterns
+    gone before any text stage, audit records the stage, missing
+    url_col raises."""
+    import pytest
+
+    from letsearch_spark.pipeline import (
+        PrepConfig,
+        prepare_training_data,
+        release_training_data,
+    )
+
+    docs = (
+        _docs(spark, sf_dir)
+        .limit(60)
+        .withColumn(
+            "url",
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.lit("https://www.blocked.example.com/p/"),
+                    F.col("doc_id").cast("string"),
+                ),
+            )
+            .when(
+                F.col("doc_id") % 3 == 1,
+                F.concat(
+                    F.lit("https://ok.example.org/item?session="),
+                    F.col("doc_id").cast("string"),
+                ),
+            )
+            .otherwise(
+                F.concat(
+                    F.lit("https://clean.example.org/a/"),
+                    F.col("doc_id").cast("string"),
+                )
+            ),
+        )
+    )
+    n_clean = docs.where(F.col("doc_id") % 3 == 2).count()
+    cfg = PrepConfig(
+        quality=None,
+        line_dedup=None,
+        fuzzy_dedup=None,
+        url_filter={
+            "url_col": "url",
+            "blocked_hosts": ["blocked.example.com"],
+            "blocked_patterns": [r"[?&]session="],
+        },
+        seq_len=256,
+        num_shards=2,
+    )
+    clean, layout, audit = prepare_training_data(docs, cfg)
+    assert audit["url_filter"] == n_clean
+    urls = [r["url"] for r in clean.select("url").collect()]
+    assert urls and all("clean.example.org" in u for u in urls)
+    release_training_data(clean)
+
+    with pytest.raises(ValueError, match="url_col"):
+        prepare_training_data(
+            docs, PrepConfig(url_filter={}, fuzzy_dedup=None)
+        )
