@@ -1779,6 +1779,10 @@ class Collection:
             group_col=g,
             vec_col="vector",
             best_key_col=KEY_COL,
+            # group_col=None maps every row to its unique _key: the
+            # degenerate-group fast path skips the corpus-sized
+            # aggregate shuffle (scan-side scores + TakeOrdered)
+            unique_groups=group_col is None,
         ).select(
             F.col(g).alias("group"),
             F.col("best_key").alias("key"),
@@ -1861,6 +1865,7 @@ class Collection:
             group_col=g,
             vec_col="vector",
             best_key_col=KEY_COL,
+            unique_groups=group_col is None,
         ).select(
             "query_idx",
             "rank",

@@ -103,7 +103,10 @@ def render_chat(msgs: Column, template: str = "chatml") -> Column:
                 ).alias("end"),
             ),
         ),
-        lambda sp: sp["_role"] == "assistant",
+        # case-insensitive role match (ADVICE r8): 'Assistant'/
+        # 'ASSISTANT' turns must unmask too -- a case-sensitive compare
+        # would silently mask the whole conversation (zero loss spans)
+        lambda sp: F.lower(sp["_role"]) == "assistant",
     )
     spans = F.transform(
         spans, lambda sp: F.struct(sp["start"].alias("start"), sp["end"].alias("end"))

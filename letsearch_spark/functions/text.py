@@ -385,8 +385,13 @@ def url_host(col: Column) -> Column:
         col, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)", 1
     )
     host = F.lower(F.regexp_replace(auth, r"^.*@", ""))
+    # bracketed IPv6 authority (ADVICE r8): '[::1]:8080' is the inner
+    # literal '::1' -- the generic ':port' strip below would keep the
+    # brackets and eat the last hextet instead
+    ipv6 = F.regexp_extract(host, r"^\[([^\]]+)\]", 1)
     host = F.regexp_replace(host, r":\d*$", "")
-    return F.regexp_replace(host, r"^www\.", "")
+    host = F.regexp_replace(host, r"^www\.", "")
+    return F.when(F.length(ipv6) > 0, ipv6).otherwise(host)
 
 
 def normalize_url(col: Column) -> Column:

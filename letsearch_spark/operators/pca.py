@@ -71,15 +71,23 @@ def _moment_sums(x: np.ndarray, u: float) -> tuple[np.ndarray, np.ndarray]:
     s2 = np.zeros(len(iu), dtype=np.int64)
     for lo in range(0, n, step):
         xc = x[lo : lo + step]
-        q1 = np.sign(xc * u) * np.floor(np.abs(xc * u) + 0.5)
-        s1 += q1.sum(axis=0).astype(np.int64)
+        # cast each quantized ELEMENT to int64 before summing (ADVICE
+        # r8): a float64 chunk sum can pass 2^53 for large-magnitude
+        # vectors, and float accumulation order varies with Arrow batch
+        # boundaries -- integer accumulation is exact at any order
+        q1 = (np.sign(xc * u) * np.floor(np.abs(xc * u) + 0.5)).astype(
+            np.int64
+        )
+        s1 += q1.sum(axis=0)
         # upper triangle computed DIRECTLY (x_i*x_j == x_j*x_i exactly,
         # IEEE multiply commutes): half the flops/memory of a full
         # outer product, and the symmetric matrix reconstructs
         # bit-identically on the driver
         outer = xc[:, iu] * xc[:, ju]
-        q2 = np.sign(outer * u) * np.floor(np.abs(outer * u) + 0.5)
-        s2 += q2.sum(axis=0).astype(np.int64)
+        q2 = (
+            np.sign(outer * u) * np.floor(np.abs(outer * u) + 0.5)
+        ).astype(np.int64)
+        s2 += q2.sum(axis=0)
     return s1, s2
 
 

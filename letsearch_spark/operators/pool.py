@@ -181,6 +181,72 @@ def _span_sum(prefix: str, span: list[int]):
     return s
 
 
+def _maxsim_scored(
+    df: DataFrame,
+    qsets: list[list[list[float]]],
+    group_col: str,
+    vec_col: str,
+    best_key_col: str | None,
+    unique_groups: bool,
+) -> DataFrame:
+    """Build the per-group scored frame (group, n_chunks, _q<i>...,
+    [_bk<i>...]) both public functions consume.
+
+    Grouped path: :func:`_maxsim_stage1` (partial-aggregated per-qvec
+    maxes) + the fixed-order span sums.
+
+    ``unique_groups=True`` (the serving default's degenerate case,
+    collection.py search_multi with group_col=None): every group is a
+    single row, so the per-group MAX of each cosine is the cosine
+    itself and the groupBy would shuffle the full corpus for nothing --
+    map-side combine reduces singletons by zero. Instead the score is
+    computed scan-side as the SAME fixed-order span sum over the raw
+    cosines (m<j> == c<j> when the group is one row, so the float
+    addition order -- and hence every bit of the result -- is identical
+    to the grouped path), n_chunks is literally 1, and the best chunk
+    of a one-chunk group is the row's own key. Zero aggregate
+    exchanges: the plan stays a scan-side projection feeding the
+    caller's TakeOrderedAndProject / per-partition prune.
+    """
+    n_q = len(qsets)
+    if not unique_groups:
+        agg, spans = _maxsim_stage1(df, qsets, group_col, vec_col, best_key_col)
+        return agg.select(
+            group_col,
+            "n_chunks",
+            *[_span_sum("_m", spans[i]).alias(f"_q{i}") for i in range(n_q)],
+            *([f"_bk{i}" for i in range(n_q)] if best_key_col else []),
+        )
+    from letsearch_spark.functions.vector import cosine_similarity
+
+    flat = [(i, q) for i, qs in enumerate(qsets) for q in qs]
+    spans = [[] for _ in range(n_q)]
+    for j, (i, _) in enumerate(flat):
+        spans[i].append(j)
+    rows = df.where(F.col(vec_col).isNotNull()).select(
+        group_col,
+        *(
+            [best_key_col]
+            if best_key_col is not None and best_key_col != group_col
+            else []
+        ),
+        *[
+            cosine_similarity(F.col(vec_col), q).alias(f"_c{j}")
+            for j, (_, q) in enumerate(flat)
+        ],
+    )
+    return rows.select(
+        group_col,
+        F.lit(1).cast("long").alias("n_chunks"),
+        *[_span_sum("_c", spans[i]).alias(f"_q{i}") for i in range(n_q)],
+        *(
+            [F.col(best_key_col).alias(f"_bk{i}") for i in range(n_q)]
+            if best_key_col
+            else []
+        ),
+    )
+
+
 def maxsim_topk(
     df: DataFrame,
     query_vecs,
@@ -189,6 +255,7 @@ def maxsim_topk(
     vec_col: str = "vector",
     score_col: str = "score",
     best_key_col: str | None = None,
+    unique_groups: bool = False,
 ) -> DataFrame:
     """Multi-vector late-interaction retrieval (the ColBERT MaxSim rule,
     Khattab & Zaharia 2020): score(doc) = sum over the query's vectors of
@@ -218,19 +285,34 @@ def maxsim_topk(
     key) via ``max_by`` in the SAME aggregation -- the snippet a
     late-interaction serving layer fetches back, at zero extra shuffles.
     The group score arithmetic is unchanged.
+
+    ``unique_groups=True`` (r9) declares that ``group_col`` values are
+    unique per row (single-vector documents -- the Collection serving
+    default with group_col=None): the groupBy is skipped entirely
+    (see :func:`_maxsim_scored`) and the plan collapses to a scan-side
+    projection + TakeOrderedAndProject, zero aggregate exchanges,
+    bit-identical results. The caller owns the uniqueness contract --
+    with duplicates present each row scores separately.
+
+    Non-finite embedding values (NaN/inf) are unsupported: NaN orders
+    differently in Spark's orderBy (greatest) vs the batched path's
+    Arrow prune (last), so the batched/per-query parity guarantee
+    holds for finite scores only; the batched prune asserts it.
     """
     qvecs = [[float(x) for x in q] for q in query_vecs]
     if not qvecs:
         raise ValueError("query_vecs must be non-empty")
     _maxsim_validate(df, k, best_key_col)
-    agg, spans = _maxsim_stage1(df, [qvecs], group_col, vec_col, best_key_col)
+    scored = _maxsim_scored(
+        df, [qvecs], group_col, vec_col, best_key_col, unique_groups
+    )
     sel_extra = (
         [F.col("_bk0").alias("best_key")] if best_key_col is not None else []
     )
     return (
-        agg.select(
+        scored.select(
             group_col,
-            _span_sum("_m", spans[0]).alias(score_col),
+            F.col("_q0").alias(score_col),
             "n_chunks",
             *sel_extra,
         )
@@ -247,6 +329,7 @@ def maxsim_topk_many(
     vec_col: str = "vector",
     score_col: str = "score",
     best_key_col: str | None = None,
+    unique_groups: bool = False,
 ) -> DataFrame:
     """Batched MaxSim: N multi-vector queries scored in ONE plan -- the
     bulk-eval form of :func:`maxsim_topk` (r8, completing the batched
@@ -266,6 +349,13 @@ def maxsim_topk_many(
     rank <= k per query, bit-identical to running :func:`maxsim_topk`
     per query (same cosine expressions, same fixed-order sums, same
     tie-breaks -- guaranteed structurally by the shared stage 1).
+
+    ``unique_groups=True`` (r9): see :func:`maxsim_topk` -- skips the
+    stage-1 groupBy when each row is its own group, so the only
+    exchange left is the final rank window over the already-pruned
+    <= partitions x N x k candidates. Scores must be finite (the
+    prune raises on NaN/inf -- NaN orders differently in pandas vs
+    Spark and would silently break the parity contract).
     """
     from pyspark.sql.window import Window
 
@@ -280,12 +370,8 @@ def maxsim_topk_many(
         )
     _maxsim_validate(df, k, best_key_col)
     n_q = len(qsets)
-    agg, spans = _maxsim_stage1(df, qsets, group_col, vec_col, best_key_col)
-    scored = agg.select(
-        group_col,
-        "n_chunks",
-        *[_span_sum("_m", spans[i]).alias(f"_q{i}") for i in range(n_q)],
-        *([f"_bk{i}" for i in range(n_q)] if best_key_col else []),
+    scored = _maxsim_scored(
+        df, qsets, group_col, vec_col, best_key_col, unique_groups
     )
 
     gtype = df.schema[group_col].dataType.simpleString()
@@ -307,6 +393,14 @@ def maxsim_topk_many(
                 if with_best:
                     cols["best_key"] = pdf[f"_bk{i}"]
                 sub = pd.DataFrame(cols)
+                if not np.isfinite(sub[score_col].to_numpy(dtype="float64")).all():
+                    # NaN sorts last in pandas but greatest in Spark's
+                    # orderBy -- a non-finite score would break the
+                    # batched==per-query parity contract silently
+                    raise ValueError(
+                        "maxsim_topk_many: non-finite score (NaN/inf "
+                        "embedding values are unsupported)"
+                    )
                 sub = sub.sort_values(
                     [score_col, "group"], ascending=[False, True]
                 ).head(k)
@@ -357,7 +451,9 @@ def _pool_pandas(
         if units is not None:
             # mirror the fixed-point path: away-from-zero half rounding
             # (np.round is half-even, so round via floor(|x|+0.5))
-            q = np.sign(x * units) * np.floor(np.abs(x * units) + 0.5)
+            q = (
+                np.sign(x * units) * np.floor(np.abs(x * units) + 0.5)
+            ).astype(np.int64)
             m = q.sum(axis=0) / (units * len(x))
         else:
             m = x.mean(axis=0)

@@ -3096,14 +3096,28 @@ _URL_FILTER_ORACLE_SQL = r"""
         FROM documents
     ), h AS (
         SELECT doc_id, lower(url) AS low,
-               regexp_replace(
-                   regexp_replace(
-                       lower(regexp_replace(
-                           regexp_extract(url,
-                               '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1),
-                           '^.*@', '')),
-                       ':[0-9]*$', ''),
-                   '^www\.', '') AS host,
+               -- mirrors functions/text.py url_host incl. the r9
+               -- bracketed-IPv6 branch (no IPv6 in this data; kept
+               -- textually faithful to the Spark expression)
+               CASE WHEN regexp_matches(
+                        lower(regexp_replace(
+                            regexp_extract(url,
+                                '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1),
+                            '^.*@', '')), '^\[')
+                    THEN regexp_extract(
+                        lower(regexp_replace(
+                            regexp_extract(url,
+                                '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1),
+                            '^.*@', '')), '^\[([^\]]+)\]', 1)
+                    ELSE regexp_replace(
+                        regexp_replace(
+                            lower(regexp_replace(
+                                regexp_extract(url,
+                                    '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1),
+                                '^.*@', '')),
+                            ':[0-9]*$', ''),
+                        '^www\.', '')
+               END AS host,
                regexp_replace(
                    regexp_extract(lower(url),
                        '^[a-z][a-z0-9+.-]*://[^/?#]+(/[^?#]*)', 1),

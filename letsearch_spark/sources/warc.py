@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import gzip
 import io
+import sys
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -41,18 +42,39 @@ WET_SCHEMA = (
 )
 
 
-def parse_warc_bytes(data: bytes, strict: bool = False):
+def _resync(data: bytes, pos: int) -> int:
+    """Scan forward from ``pos`` for the next line-start ``WARC/``
+    version line; -1 if none. Best-effort lenient-mode recovery -- a
+    body whose text happens to hold a line starting 'WARC/' can false-
+    resync, which is the documented price of re-framing a corrupt
+    stream without Content-Length."""
+    i = data.find(b"WARC/", pos)
+    while i != -1:
+        if i == 0 or data[i - 1 : i] == b"\n":
+            return i
+        i = data.find(b"WARC/", i + 1)
+    return -1
+
+
+def parse_warc_bytes(data: bytes, strict: bool = False, stats: dict | None = None):
     """Yield (record_idx, headers: dict, body: bytes) for each record in
     a raw (uncompressed) WARC byte stream. Bodies are delimited by
     ``Content-Length`` (mandatory per spec), never by scanning for
     separators -- page text containing blank lines round-trips exactly.
 
-    Malformed framing: ``strict=True`` raises; the default skips the
-    rest of the stream (a truncated tail segment should not kill a
-    10k-segment job, and the verify story for egress/ingest is
-    checksums, not parser heroics)."""
+    Malformed framing: ``strict=True`` raises. The default (r9,
+    ADVICE r8) RESYNCS -- scans forward to the next line-start
+    ``WARC/`` version line and keeps parsing, so a mid-segment
+    corruption in a 150 MB file costs the damaged record, not the
+    whole tail -- and counts what it dropped: pass ``stats`` (a dict)
+    to read back ``stats['skipped']`` (resync events) after the
+    generator is exhausted. A truncated final body still ends the
+    stream (there is nothing after it)."""
     buf = io.BytesIO(data)
     idx = 0
+    skipped = 0
+    if stats is not None:
+        stats["skipped"] = 0
     while True:
         # skip inter-record CRLFs
         line = buf.readline()
@@ -66,7 +88,14 @@ def parse_warc_bytes(data: bytes, strict: bool = False):
                     f"record {idx}: expected WARC/ version line, got "
                     f"{line[:40]!r}"
                 )
-            return
+            nxt = _resync(data, buf.tell())
+            skipped += 1
+            if stats is not None:
+                stats["skipped"] = skipped
+            if nxt == -1:
+                return
+            buf.seek(nxt)
+            continue
         headers: dict[str, str] = {}
         while True:
             line = buf.readline()
@@ -82,13 +111,23 @@ def parse_warc_bytes(data: bytes, strict: bool = False):
         except (KeyError, ValueError):
             if strict:
                 raise ValueError(f"record {idx}: missing Content-Length")
-            return
+            nxt = _resync(data, buf.tell())
+            skipped += 1
+            if stats is not None:
+                stats["skipped"] = skipped
+            if nxt == -1:
+                return
+            buf.seek(nxt)
+            continue
         body = buf.read(n)
         if len(body) != n:
             if strict:
                 raise ValueError(
                     f"record {idx}: truncated body ({len(body)} < {n})"
                 )
+            skipped += 1
+            if stats is not None:
+                stats["skipped"] = skipped
             return
         yield idx, headers, body
         idx += 1
@@ -150,8 +189,9 @@ def _wet_map_gen(
             }
             for p, raw in zip(pdf["path"], pdf["content"]):
                 data = _maybe_gunzip(str(p), bytes(raw))
+                stats: dict = {}
                 for idx, headers, body in parse_warc_bytes(
-                    data, strict=strict_
+                    data, strict=strict_, stats=stats
                 ):
                     wtype = headers.get("warc-type", "")
                     if types is not None and wtype.lower() not in types:
@@ -164,6 +204,15 @@ def _wet_map_gen(
                     )
                     out["warc_date"].append(headers.get("warc-date"))
                     out["text"].append(body.decode("utf-8", "replace"))
+                if stats.get("skipped"):
+                    # executor-log observability for lenient-mode
+                    # damage (ADVICE r8): truncation is never silent
+                    print(
+                        f"letsearch_spark.warc: {p}: skipped "
+                        f"{stats['skipped']} malformed record(s) "
+                        "(lenient resync)",
+                        file=sys.stderr,
+                    )
             yield pd.DataFrame(out)
 
     return gen

@@ -81,3 +81,19 @@ def test_render_chat_is_scan_only(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
     assert "EvalPython" not in plan, plan
+
+
+def test_render_chat_role_case_insensitive(spark):
+    """ADVICE r8: 'Assistant'/'ASSISTANT' turns unmask exactly like
+    'assistant' -- the rendered text keeps the original casing, only
+    the span filter compares case-insensitively."""
+    df = spark.createDataFrame(
+        [
+            (1, [("user", "q"), ("Assistant", "Aa"), ("ASSISTANT", "Bb")]),
+        ],
+        "id long, msgs array<struct<role string, content string>>",
+    )
+    r = df.select(render_chat(F.col("msgs")).alias("r")).first()["r"]
+    text, spans = r["text"], r["spans"]
+    assert "<|im_start|>Assistant\n" in text  # casing preserved
+    assert [text[sp["start"] : sp["end"]] for sp in spans] == ["Aa", "Bb"]

@@ -468,3 +468,45 @@ def test_search_many_multi_matches_search_multi(spark, tmp_path, sf_dir):
             (r["group"], r["key"], r["content"], r["score"], r["n_chunks"])
             for r in got
         ] == [tuple(r) for r in one]
+
+
+def test_maxsim_unique_groups_bit_identical(spark, sf_dir):
+    """r9 degenerate-group fast path: unique_groups=True (skips the
+    stage-1 groupBy) must be bit-identical to the grouped path when
+    every group really is one row -- same fixed-order float sums, same
+    tie-breaks, same best_key -- for both the per-query and the
+    batched operator."""
+    from letsearch_spark.operators.pool import maxsim_topk, maxsim_topk_many
+
+    emb = _emb(spark, sf_dir)
+    rows = emb.orderBy("_key").limit(3).collect()
+    qsets = [
+        [rows[0]["vector"], rows[1]["vector"]],
+        [rows[2]["vector"]],
+    ]
+    kw = dict(k=7, group_col="_key", vec_col="vector", best_key_col="_key")
+    slow = maxsim_topk(emb, qsets[0], **kw).collect()
+    fast = maxsim_topk(emb, qsets[0], unique_groups=True, **kw).collect()
+    assert [tuple(r) for r in fast] == [tuple(r) for r in slow]
+    assert all(r["n_chunks"] == 1 and r["best_key"] == r["_key"] for r in fast)
+
+    slow_m = maxsim_topk_many(emb, qsets, **kw).collect()
+    fast_m = maxsim_topk_many(emb, qsets, unique_groups=True, **kw).collect()
+    assert [tuple(r) for r in fast_m] == [tuple(r) for r in slow_m]
+
+
+def test_maxsim_many_nan_scores_raise(spark):
+    """ADVICE r8: NaN sorts last in the pandas prune but greatest in
+    Spark's orderBy -- instead of silently breaking batched==per-query
+    parity, the prune must raise on non-finite scores."""
+    from letsearch_spark.operators.pool import maxsim_topk_many
+
+    df = spark.createDataFrame(
+        [(1, [float("nan"), 1.0]), (2, [1.0, 0.0])],
+        "_key long, vector array<double>",
+    )
+    with pytest.raises(Exception, match="non-finite"):
+        maxsim_topk_many(
+            df, [[[1.0, 0.0]]], k=5, group_col="_key", vec_col="vector",
+            unique_groups=True,
+        ).collect()

@@ -3526,3 +3526,21 @@ def test_url_quality_flags(spark):
     assert out[6]["no_host"] and not out[6]["passes"]
     assert out[7]["host_blocked"] and not out[7]["passes"]
     assert out[8]["digit_host"] and not out[8]["passes"]
+
+
+def test_url_host_ipv6_brackets(spark):
+    """ADVICE r8: bracketed IPv6 authorities -- host is the inner
+    literal (brackets and port stripped), so blocklists and the
+    digit_host ratio see '::1', not '[::1]'."""
+    from letsearch_spark.functions.text import url_host
+
+    cases = [
+        ("https://[::1]:8080/x", "::1"),
+        ("https://[::1]/x", "::1"),
+        ("http://[2001:db8::ff00:42]:80/", "2001:db8::ff00:42"),
+        ("http://user@[::1]:443/a", "::1"),
+        ("https://plain.example.com:8443/a", "plain.example.com"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [r[0] for r in df.select(url_host(F.col("url"))).collect()]
+    assert got == [want for _, want in cases]

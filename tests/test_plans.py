@@ -568,3 +568,38 @@ def test_mean_pool_explode_partial_aggregates(spark, sf_dir):
     first = plan.split("Exchange hashpartitioning", 2)[2]
     assert "partial" in first.lower(), plan  # map-side combine below the shuffle
     assert "Window" not in plan, plan
+
+
+def test_maxsim_unique_groups_no_aggregate_exchange(spark, sf_dir):
+    """r9 (VERDICT r8 #1): the degenerate-group MaxSim path -- the
+    search_multi/group_col=None serving default -- must NOT pay the
+    corpus-sized hash-aggregate shuffle. Per-query form: scan-side
+    projection + TakeOrderedAndProject, ZERO exchanges and ZERO
+    aggregates. Batched form: no aggregate at all; the only exchange
+    is the final rank window over the already-pruned candidates."""
+    from letsearch_spark.operators.pool import maxsim_topk, maxsim_topk_many
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).select(
+        F.col("vec_id").alias("_key"), F.col("embedding").alias("vector")
+    )
+    q1, q2 = [0.1] * 64, [0.0] * 63 + [1.0]
+    one = maxsim_topk(
+        emb, [q1, q2], k=10, group_col="_key", vec_col="vector",
+        best_key_col="_key", unique_groups=True,
+    )
+    p = plan_of(one, "simple")
+    assert "TakeOrderedAndProject" in p, p
+    assert "Exchange" not in p, p
+    assert "HashAggregate" not in p and "SortAggregate" not in p, p
+
+    many = maxsim_topk_many(
+        emb, [[q1, q2], [q2]], k=10, group_col="_key", vec_col="vector",
+        best_key_col="_key", unique_groups=True,
+    )
+    pm = plan_of(many, "simple")
+    assert "HashAggregate" not in pm and "SortAggregate" not in pm, pm
+    # the rank window's hash exchange over the pruned candidates is the
+    # only data shuffle; the trailing rangepartitioning is the
+    # presentation orderBy over <= N x k final rows
+    assert pm.count("Exchange hashpartitioning") == 1, pm
+    assert pm.count("Exchange") == 2, pm

@@ -319,3 +319,31 @@ def test_warc_parse_property_fuzz():
         ] == records
 
     check()
+
+
+def test_warc_lenient_resync_recovers_tail():
+    """ADVICE r8: a mid-segment corruption must cost the damaged
+    record, not the whole tail -- lenient parse resyncs to the next
+    line-start WARC/ version line and reports what it skipped via
+    ``stats``."""
+    a = build_wet_bytes([("http://x/a", "first")])
+    c = build_wet_bytes([("http://x/c", "third")])
+    corrupt = b"GARBAGE-NOT-A-RECORD\r\nmore junk\r\n"
+    stats: dict = {}
+    recs = list(parse_warc_bytes(a + corrupt + c, stats=stats))
+    assert [(h.get("warc-target-uri"), b.decode()) for _, h, b in recs] == [
+        ("http://x/a", "first"),
+        ("http://x/c", "third"),
+    ]
+    assert stats["skipped"] == 1
+
+    # missing Content-Length mid-stream: same recovery
+    no_len = b"WARC/1.0\r\nWARC-Type: conversion\r\n\r\n"
+    stats2: dict = {}
+    recs2 = list(parse_warc_bytes(a + no_len + c, stats=stats2))
+    assert [b.decode() for _, _, b in recs2] == ["first", "third"]
+    assert stats2["skipped"] == 1
+
+    # strict still raises on the same inputs
+    with pytest.raises(ValueError):
+        list(parse_warc_bytes(a + corrupt + c, strict=True))
