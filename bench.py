@@ -37,6 +37,30 @@ N_SEARCHES = int(os.environ.get("BENCH_SEARCHES", "20"))
 REPEATS = int(os.environ.get("BENCH_REPEATS", "5"))
 
 
+def calibrate() -> float:
+    """Fixed driver-side numpy workload (pinned 2000^2 float64 matmul,
+    min-of-3): a run-provenance signal recorded in every BENCH_rN.json
+    so uniform host drift (CPU steal) can be normalized out when
+    comparing rounds -- r8's recorded run drifted 1.3-1.9x on every
+    stage INCLUDING pure-numpy ones no code change touched
+    (BASELINE.md r8 adjudication). The workload is deterministic and
+    Spark-free; its ratio vs the BASELINE.md reference value
+    (calibration_ref) scales with the machine's effective CPU
+    availability, not with any letsearch code path."""
+    import numpy as np
+
+    rng = np.random.RandomState(0)
+    a = rng.rand(2000, 2000)
+    b = rng.rand(2000, 2000)
+    best = None
+    for _ in range(3):
+        t0 = time.time()
+        float((a @ b).sum())
+        dt = time.time() - t0
+        best = dt if best is None else min(best, dt)
+    return round(best, 3)
+
+
 def main() -> None:
     from pyspark.sql import functions as F
 
@@ -56,6 +80,7 @@ def main() -> None:
     )
     timings: dict[str, float] = {}
     root = tempfile.mkdtemp(prefix="ls_bench_")
+    cal_start = calibrate()
 
     def run_stage(name, fn, repeats=REPEATS):
         best = None
@@ -454,10 +479,12 @@ def main() -> None:
     many_sets = [[f"spark join {i}", f"window batch {i}"] for i in range(10)]
     coll.search_many_multi("text", many_sets[:1], limit=10).count()
 
+    # min-of-5 since r9: batch stages are exactly the ones long enough
+    # to deserve it (the r7 search_topk drift false-alarm was min-of-2
+    # sampling noise; VERDICT r8 flagged this row's min-of-2 gate)
     run_stage(
         "search_many_maxsim",
         lambda: coll.search_many_multi("text", many_sets, limit=10).count(),
-        repeats=2,
     )
     timings["many_maxsim_queries_per_sec"] = round(
         len(many_sets) / timings["search_many_maxsim"], 3
@@ -479,6 +506,10 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                # run provenance (r9): pinned numpy matmul before/after
+                # the stage loop; compare to BASELINE.md
+                # calibration_ref to normalize uniform host drift
+                "calibration": {"start": cal_start, "end": calibrate()},
             }
         )
     )
