@@ -52,8 +52,11 @@ def cmd_index(args) -> int:
             n = coll.import_pdf(path)
         elif path.endswith(".csv"):
             n = coll.import_csv(path)
-        elif path.endswith((".warc", ".wet", ".warc.gz", ".wet.gz")):
+        elif path.endswith((".wet", ".wet.gz")):
             n = coll.import_wet(path)
+        elif path.endswith((".warc", ".warc.gz")):
+            # raw crawl: response records -> HTTP strip -> html_to_text
+            n = coll.import_warc(path)
         else:
             n = coll.import_parquet(path)
         print(f"imported {path}: {n} rows total")
@@ -75,8 +78,10 @@ def cmd_add_docs(args) -> int:
             n = coll.import_pdf(path)
         elif path.endswith(".csv"):
             n = coll.append_csv(path)
-        elif path.endswith((".warc", ".wet", ".warc.gz", ".wet.gz")):
+        elif path.endswith((".wet", ".wet.gz")):
             n = coll.append_wet(path)
+        elif path.endswith((".warc", ".warc.gz")):
+            n = coll.append_warc(path)
         else:
             n = coll.append_parquet(path)
         print(f"appended {path}: {n} rows")

@@ -866,6 +866,53 @@ class Collection:
             "source_path",
         )
 
+    def import_warc(
+        self, path: str, column: str = "text", url_filter: dict | None = None
+    ) -> int:
+        """Raw-crawl Common Crawl ingest (r9, VERDICT r8 #4 -- the
+        .warc sibling of :meth:`import_wet`): ``response`` records'
+        HTTP payloads -> ``html_to_text`` extraction -> rows with
+        (target_uri, warc_date, source_path) provenance. The actual
+        crawl path; WET covers only the pre-extracted case.
+
+        ``url_filter`` (optional): kwargs for functions/text.py
+        ``url_quality_flags`` (blocked_hosts / blocked_patterns /
+        max_path_depth / max_host_digit_ratio) evaluated on
+        ``target_uri`` BEFORE the HTML regexp chain runs -- the prep
+        recipe's stage-0a cheapest-first reject, here at the ingest
+        boundary. REPLACE semantics like every import_* verb."""
+        return self.import_df(self._warc_df(path, column, url_filter))
+
+    def append_warc(
+        self, path: str, column: str = "text", url_filter: dict | None = None
+    ) -> int:
+        """Append raw WARC segments with key continuation (S3/S4
+        semantics); creates the table when none exists."""
+        df = self._warc_df(path, column, url_filter)
+        if not self._docs_exist():
+            return self.import_df(df)
+        return self._append_df(df)
+
+    def _warc_df(
+        self, path: str, column: str, url_filter: dict | None
+    ) -> DataFrame:
+        from letsearch_spark.functions.html import html_to_text
+        from letsearch_spark.functions.text import url_quality_flags
+        from letsearch_spark.sources.warc import read_wet
+
+        df = read_wet(self.spark, path, record_types=("response",))
+        if url_filter is not None:
+            # filter on the URL alone, before the extraction chain
+            df = df.where(
+                url_quality_flags(F.col("target_uri"), **url_filter)["passes"]
+            )
+        return df.select(
+            html_to_text(F.col("text")).alias(column),
+            "target_uri",
+            "warc_date",
+            "source_path",
+        )
+
     def import_pdf(
         self,
         path: str,

@@ -921,13 +921,29 @@ def embedding_cosine_pairs(
     lsh_bits: int = 8,
     dim: int | None = None,
     seed: int = 42,
+    pca=None,
 ) -> DataFrame:
     """Embedding near-dup pairs (cosine >= threshold).
 
     method='exact': all-pairs with precomputed norms (one dot per pair).
     method='lsh': sign-LSH bucket the vectors first and compare only
     same-bucket pairs -- approximate (misses cross-bucket pairs, recall
-    rises with multiprobe) but turns O(n^2) into O(sum bucket^2)."""
+    rises with multiprobe) but turns O(n^2) into O(sum bucket^2).
+
+    ``pca`` (r9): optional pre-projection (int k to fit here, or a
+    fitted operators/pca.py PCAModel) -- the bucket join then carries
+    k-dim vectors instead of full-dim (4x fewer shuffle bytes at
+    64->16) and every pair dot costs k muls. Similarities are computed
+    in the REDUCED space, where cosines are INFLATED (projection drops
+    each vector's orthogonal mass): near-dup thresholds (>=0.9) hold
+    recall and precision even at small k, but loose thresholds
+    hallucinate pairs on flat-spectrum data -- keep k large or stay
+    full-dim there (measured table in SCALING.md r9)."""
+    if pca is not None:
+        from letsearch_spark.operators.pca import resolve_projection
+
+        df, _model = resolve_projection(df, vec_col, pca)
+        dim = _model.k
     from letsearch_spark.functions.vector import dot_product, l2_norm
 
     base = df.select(
@@ -1436,6 +1452,7 @@ def semantic_dedup(
     seed: int = 42,
     sample_limit: int = 100_000,
     centroids=None,
+    pca=None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (cluster-then-compare over
     an embedding column, after Abbas et al. 2023): spherical k-means
@@ -1459,12 +1476,28 @@ def semantic_dedup(
     Null/zero vectors: rows with a NULL vector are dropped before
     clustering (they have no semantic identity); zero vectors normalize
     to themselves and land in one cluster, where cos=0 keeps them all.
+
+    ``pca`` (r9): optional pre-projection (int k or a fitted
+    operators/pca.py PCAModel) applied before clustering AND the
+    within-cluster comparison -- the cluster-keyed exchange then
+    carries k-dim vectors (4x fewer bytes at 64->16) and each
+    cluster's numpy similarity block shrinks the same way. The keep
+    decision moves to reduced-space cosine, where angles shrink
+    (projection inflates cosines): at this operator's near-dup
+    thresholds (>=0.9) the keep-list agrees with full-dim even at
+    small k on worst-case isotropic data; at loose thresholds it
+    over-drops -- measured table in SCALING.md r9. Precomputed
+    ``centroids`` must live in the same space as the projection.
     """
     import numpy as np
     import pandas as pd
 
     from letsearch_spark.operators.ann import assign_lists, train_centroids
 
+    if pca is not None:
+        from letsearch_spark.operators.pca import resolve_projection
+
+        df, _ = resolve_projection(df, vec_col, pca)
     clean = df.select(id_col, vec_col).where(F.col(vec_col).isNotNull())
     # carry the caller's id type through (string ids are as legal as
     # longs); hardcoding `long` here would surface as an opaque Arrow

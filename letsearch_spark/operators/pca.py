@@ -251,3 +251,37 @@ def transform_pca(
         f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
     )
     return df.mapInPandas(gen, f"{schema}, {out_col} array<double>")
+
+
+def resolve_projection(
+    df: DataFrame, vec_col: str, pca
+) -> tuple[DataFrame, "PCAModel | None"]:
+    """The optional PCA pre-projection knob shared by the
+    embedding-space operators (r9, VERDICT r8 #5: semantic_dedup /
+    embedding_cosine_pairs / kmeans_fit_full): ``pca`` is None (no-op),
+    an int k (fit on this frame's non-null vectors, then project), or a
+    fitted :class:`PCAModel` (project only -- fit once upstream, reuse
+    everywhere). Returns (frame with ``vec_col`` REPLACED by the k-dim
+    projection, model used).
+
+    Why: every downstream shuffle of these operators carries the
+    vectors (bucket joins, cluster-keyed exchanges, pooled means) --
+    dim 64 -> 16 is a 4x cut in those shuffle bytes, and the per-pair /
+    per-cluster numpy work shrinks the same way. Cosine in the reduced
+    space is an APPROXIMATION of full-dim cosine (centering + truncation
+    both move angles), so results are approximate-with-measured-recall,
+    exactly like the LSH/banded paths: SCALING.md carries the recall
+    table, and callers wanting exactness simply leave pca=None."""
+    if pca is None:
+        return df, None
+    model = (
+        pca
+        if isinstance(pca, PCAModel)
+        else fit_pca(
+            df.select(vec_col).where(F.col(vec_col).isNotNull()),
+            vec_col=vec_col,
+            k=int(pca),
+        )
+    )
+    out = transform_pca(df, model, vec_col=vec_col, out_col="__pca_proj")
+    return out.drop(vec_col).withColumnRenamed("__pca_proj", vec_col), model

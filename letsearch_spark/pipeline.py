@@ -142,6 +142,14 @@ class PrepConfig:
     # (dedup_keep_best) -- e.g. a length or classifier-score column,
     # the FineWeb/RefinedWeb keep rule
     fuzzy_dedup: dict | None = field(default_factory=lambda: {"threshold": 0.8})
+    # stage 3a2 -- semantic dedup over an embedding column (None
+    # disables, the default): {"vec_col": <array column, default
+    # 'embedding'>, optional threshold / nlist / pca / seed forwarded
+    # to operators/dedup.py semantic_dedup}. "pca": k (r9) projects to
+    # k dims first -- 4x fewer bytes on the cluster exchange at 64->16,
+    # keep-list recall vs full-dim measured in SCALING.md r9. Requires
+    # the input frame to carry the embedding column (embed upstream).
+    semantic_dedup: dict | None = None
     # stage 3b -- DSIR target-domain selection (None disables):
     # {"target": <target-corpus DataFrame>, "k": <docs to keep>, ...}
     # extra keys forward to operators/dsir.py dsir_sample
@@ -657,6 +665,31 @@ def prepare_training_data(
                 )
             )
             cur = _stage_store("fuzzy_dedup", cur)
+            _drop_superseded()
+
+    if cfg.semantic_dedup is not None:
+        _loaded = _stage_load("semantic_dedup", cfg.semantic_dedup)
+        if _loaded is not None:
+            cur = _loaded
+        else:
+            from letsearch_spark.operators.dedup import (
+                semantic_dedup as _semantic_dedup,
+            )
+
+            sd_cfg = dict(cfg.semantic_dedup)
+            vcol = sd_cfg.pop("vec_col", "embedding")
+            if vcol not in cur.columns:
+                raise ValueError(
+                    f"semantic_dedup stage needs column {vcol!r} on the "
+                    "input frame (embed upstream or set vec_col)"
+                )
+            verdicts = _semantic_dedup(cur, id_col=key, vec_col=vcol, **sd_cfg)
+            cur = _stage_store(
+                "semantic_dedup",
+                cur.join(
+                    verdicts.where("keep").select(key), key, "left_semi"
+                ),
+            )
             _drop_superseded()
 
     if cfg.dsir is not None:

@@ -1678,7 +1678,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "search_e2e": q_search_e2e,
     "pdf_ingest": q_pdf_ingest,
     "stream_incremental_count": q_stream_incremental_count,
-    "stream_windowed_counts": q_stream_windowed_counts,
     "stream_sessionize": q_stream_sessionize,
     "multimodal_decode": q_multimodal_decode,
     # -- sources / collection surface --
@@ -1692,9 +1691,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pq_adc_topk": q_pq_adc_topk,
     # -- dedup / decontamination family --
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
-    "dedup_minhash_components": q_dedup_minhash_components,
-    "decontaminate_containment": q_decontaminate_containment,
-    "dedup_embedding_cosine_lsh": q_dedup_embedding_cosine_lsh,
     "dedup_substring_spans": q_dedup_substring_spans,
     "semantic_dedup": q_semantic_dedup,
     # -- text analysis / tokenization / model-based filtering --
@@ -1707,9 +1703,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "join_top_orders": q_join_top_orders,
     "window_top_orders_per_customer": q_window_top_orders_per_customer,
     "events_asof_last_order": q_events_asof_last_order,
-    "events_range_join": q_events_range_join,
     # -- sampling / selection / skew tooling --
-    "sample_train_test_split": q_sample_train_test_split,
     "dsir_sample": q_dsir_sample,
     "perplexity_filter": q_perplexity_filter,
     "pack_sequences": q_pack_sequences,
@@ -1779,6 +1773,28 @@ ROTATED_OUT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sample_mixture": q_sample_mixture,
     "join_nation_volume": q_join_nation_volume,
     "multimodal_frame_sample": q_multimodal_frame_sample,
+    # round 9 (displaced by search_maxsim_collection / s_wet_ingest /
+    # embed_pca_model / url_quality_filter / sft_render_chat /
+    # interleave_order, the VERDICT r8 #3 pre-plan):
+    # dedup_minhash_components is a strict stage of the in-window
+    # dedup_survivor_quality (pairs -> CC -> keep-best contains
+    # pairs -> CC -> min-id); dedup_embedding_cosine_lsh shares the
+    # banded-bucket shape with the in-window semantic_dedup +
+    # dedup_minhash_lsh; decontaminate_containment is the verification
+    # twin of the in-window decontaminate_bloom (same SQL truth, the
+    # Bloom is a plan optimization); events_range_join's binned-join
+    # shape overlaps events_asof_last_order and the interval-join
+    # staged row; sample_train_test_split is the simplest member of a
+    # family whose richer rows (split_leakage_safe,
+    # sample_stratified_exact) stay in-window; stream_windowed_counts
+    # is the simplest streaming shape next to the in-window
+    # stream_sessionize + stream_incremental_count
+    "dedup_minhash_components": q_dedup_minhash_components,
+    "dedup_embedding_cosine_lsh": q_dedup_embedding_cosine_lsh,
+    "decontaminate_containment": q_decontaminate_containment,
+    "events_range_join": q_events_range_join,
+    "sample_train_test_split": q_sample_train_test_split,
+    "stream_windowed_counts": q_stream_windowed_counts,
 }
 
 # values are SQL strings, or callables (sf_dir) -> SQL for the
@@ -3040,6 +3056,92 @@ _WET_INGEST_ORACLE_SQL = """
     FROM documents ORDER BY doc_id
 """
 
+
+def _synth_html_py(doc_id: int, text: str) -> str:
+    """Python twin of :func:`_synth_html` (and the oracle's SQL
+    concatenation) -- builds the page OUTSIDE Spark so the raw-WARC
+    contract query can ship real HTML bytes through segment files."""
+    return (
+        f"<html><head><title>Doc {doc_id} &amp; notes</title>"
+        "<script>var x = 1 < 2;</script></head><body><p>"
+        + (text or "").replace(" the ", " <b>the</b> ")
+        + f"</p><!-- id {doc_id} -->"
+        '<div>footer&nbsp;notes</div><a href="http://x">x</a>'
+        "</body></html>"
+    )
+
+
+def q_s_warc_html_ingest(spark, sf_dir):
+    """Raw-crawl WARC ingest (r9, VERDICT r8 #4 -- the .warc sibling of
+    s_wet_ingest): documents wrapped in the deterministic synthetic
+    HTML page (the html_extract fixture), shipped out as 4 raw WARC
+    segments of ``response`` records (HTTP envelope + payload,
+    alternate segments gzipped), then read back through the
+    distributed parser -- record framing, HTTP strip
+    (sources/warc.py strip_http_envelope) and the scan-only
+    html_to_text chain all on the line. The oracle rebuilds the SAME
+    page in SQL and replays the identical extraction regex chain
+    (functions/html.py oracle_sql_chain), so a single corrupted byte
+    anywhere in the segment -> envelope -> extraction path flips the
+    md5."""
+    import tempfile
+
+    from letsearch_spark.functions.html import html_to_text
+    from letsearch_spark.sources.warc import read_wet, write_warc_segments
+
+    docs = (
+        load(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    )
+    rows = [
+        (
+            f"http://corpus.test/{r['doc_id']}",
+            _synth_html_py(r["doc_id"], r["text"]),
+        )
+        for r in docs
+    ]
+    root = tempfile.mkdtemp(prefix="ls_warc_")
+    write_warc_segments(rows, root, per_file=max(1, len(rows) // 4))
+    clean = html_to_text(F.col("text"))
+    return (
+        read_wet(spark, root, record_types=("response",))
+        .select(
+            F.regexp_extract("target_uri", r"(\d+)$", 1)
+            .cast("long")
+            .alias("doc_id"),
+            F.md5(clean).alias("clean_md5"),
+            F.length(clean).cast("long").alias("clean_len"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _warc_html_oracle_sql() -> str:
+    """DuckDB replay of q_s_warc_html_ingest: the synthetic page
+    rebuilt with the html_extract oracle's concatenation, extracted by
+    functions/html.py's own oracle_sql_chain -- the segment round-trip
+    is byte-exact, so the page string IS what the parser hands
+    html_to_text."""
+    from letsearch_spark.functions.html import oracle_sql_chain
+
+    return f"""
+        WITH pages AS (
+            SELECT doc_id,
+                   '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
+                   || ' &amp; notes</title><script>var x = 1 < 2;</script>'
+                   || '</head><body><p>'
+                   || replace(coalesce(text, ''), ' the ', ' <b>the</b> ')
+                   || '</p><!-- id ' || CAST(doc_id AS VARCHAR)
+                   || ' --><div>footer&nbsp;notes</div><a href="http://x">x</a>'
+                   || '</body></html>' AS page
+            FROM documents
+        ), ex AS (
+            SELECT doc_id, {oracle_sql_chain("page")} AS clean FROM pages
+        )
+        SELECT doc_id, md5(clean) AS clean_md5,
+               CAST(length(clean) AS BIGINT) AS clean_len
+        FROM ex ORDER BY doc_id
+    """
+
 def q_url_quality_filter(spark, sf_dir):
     """URL-level page filtering (functions/text.py url_quality_flags,
     r8 -- the RefinedWeb step that rejects a page before any content
@@ -3459,18 +3561,13 @@ _EXPORT_SHARDS_ORACLE_SQL = f"""
 
 
 STAGED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # round 8 (MaxSim through the Collection serving contract + the
-    # Common Crawl WET ingest format)
-    "search_maxsim_collection": q_search_maxsim_collection,
-    "s_wet_ingest": q_s_wet_ingest,
-    "embed_pca_model": q_embed_pca_model,
-    "url_quality_filter": q_url_quality_filter,
-    "sft_render_chat": q_sft_render_chat,
-    # round 7 (hamming-tier recall + source interleaving; the r7
-    # export_shards_manifest / fim_transform entries were promoted into
-    # the window by the round-8 rotation)
+    # (the r8 staged additions -- search_maxsim_collection, s_wet_ingest,
+    # embed_pca_model, url_quality_filter, sft_render_chat -- and the r7
+    # interleave_order were promoted into the window by the r9 rotation)
+    # round 9 (the raw-crawl .warc sibling of the promoted s_wet_ingest)
+    "s_warc_html_ingest": q_s_warc_html_ingest,
+    # round 7
     "eval_hamming_recall": q_eval_hamming_recall,
-    "interleave_order": q_interleave_order,
     # round 6 (late session; ann_hamming_topk / token_count_unigram
     # promoted r8)
     "search_maxsim": q_search_maxsim,
@@ -3531,6 +3628,22 @@ QUERIES.update(
         "sample_stratified_exact": q_sample_stratified_exact,
         "export_shards_manifest": q_export_shards_manifest,
         "fim_transform": q_fim_transform,
+    }
+)
+
+# -- round-9 window rotation (VERDICT r8 #3, the COVERAGE.md pre-plan):
+# the whole Collection MaxSim serving path (now on the degenerate-group
+# fast path), the Common Crawl WET ingest, distributed PCA, the two r8
+# pipeline stages (URL filter, chat/SFT templating), and the
+# scale-clean source interleaving.
+QUERIES.update(
+    {
+        "search_maxsim_collection": q_search_maxsim_collection,
+        "s_wet_ingest": q_s_wet_ingest,
+        "embed_pca_model": q_embed_pca_model,
+        "url_quality_filter": q_url_quality_filter,
+        "sft_render_chat": q_sft_render_chat,
+        "interleave_order": q_interleave_order,
     }
 )
 
@@ -4183,16 +4296,12 @@ def _text_compression_oracle(sf_dir: str) -> str:
 
 
 STAGED_ORACLES: dict[str, object] = {
-    # round 8
-    "search_maxsim_collection": _maxsim_collection_oracle,
-    "s_wet_ingest": _WET_INGEST_ORACLE_SQL,
-    "embed_pca_model": _pca_model_oracle,
-    "url_quality_filter": _URL_FILTER_ORACLE_SQL,
-    "sft_render_chat": _SFT_CHAT_ORACLE_SQL,
-    # round 7 (export_shards_manifest / fim_transform oracles moved to
-    # the window registry with their queries, r8 rotation)
+    # (r9 rotation: the r8 staged oracles + interleave_order moved to
+    # the window registries with their queries)
+    # round 9
+    "s_warc_html_ingest": _warc_html_oracle_sql(),
+    # round 7
     "eval_hamming_recall": _eval_hamming_recall_oracle,
-    "interleave_order": _INTERLEAVE_ORACLE_SQL,
     # round 6 (late session)
     "search_maxsim": _maxsim_oracle_sql(),
     "text_compression": _text_compression_oracle,
@@ -4879,6 +4988,15 @@ def _oracles() -> dict[str, str]:
     o["sample_stratified_exact"] = _STRATIFIED_EXACT_ORACLE_SQL
     o["export_shards_manifest"] = _EXPORT_SHARDS_ORACLE_SQL
     o["fim_transform"] = _FIM_ORACLE_SQL
+
+    # round-9 window promotions (static-SQL half; the
+    # search_maxsim_collection / embed_pca_model computed oracles
+    # register in _computed_oracles). The SQL bodies are the former
+    # STAGED_ORACLES entries, unchanged.
+    o["s_wet_ingest"] = _WET_INGEST_ORACLE_SQL
+    o["url_quality_filter"] = _URL_FILTER_ORACLE_SQL
+    o["sft_render_chat"] = _SFT_CHAT_ORACLE_SQL
+    o["interleave_order"] = _INTERLEAVE_ORACLE_SQL
     return o
 
 
@@ -4932,6 +5050,13 @@ for _displaced in (
     "sample_mixture",
     "join_nation_volume",
     "multimodal_frame_sample",
+    # round 9
+    "dedup_minhash_components",
+    "dedup_embedding_cosine_lsh",
+    "decontaminate_containment",
+    "events_range_join",
+    "sample_train_test_split",
+    "stream_windowed_counts",
 ):
     ROTATED_OUT_ORACLES[_displaced] = ORACLES.pop(_displaced)
 
@@ -5528,6 +5653,12 @@ def _computed_oracles(sf_dir: str) -> dict[str, str]:
     # counts + the shared train_unigram_twin VALUES literal, built by
     # the same function the staged gate used ---
     o["token_count_unigram"] = _token_count_unigram_oracle(sf_dir)
+
+    # --- round-9 window promotions (computed half): the Collection
+    # MaxSim serving replay and the PCA sequential-twin model literal,
+    # built by the same functions the staged gate used ---
+    o["search_maxsim_collection"] = _maxsim_collection_oracle(sf_dir)
+    o["embed_pca_model"] = _pca_model_oracle(sf_dir)
     return o
 
 

@@ -196,6 +196,12 @@ def _wet_map_gen(
                     wtype = headers.get("warc-type", "")
                     if types is not None and wtype.lower() not in types:
                         continue
+                    # raw-crawl response records hold a full HTTP
+                    # message (ISO 28500: Content-Type
+                    # application/http) -- the payload the pipeline
+                    # wants starts after the HTTP header block
+                    if "application/http" in headers.get("content-type", ""):
+                        body = strip_http_envelope(body)
                     out["source_path"].append(str(p))
                     out["record_idx"].append(idx)
                     out["warc_type"].append(wtype)
@@ -218,6 +224,46 @@ def _wet_map_gen(
     return gen
 
 
+def strip_http_envelope(body: bytes) -> bytes:
+    """Payload of an HTTP message body (a WARC ``response`` record's
+    content per ISO 28500): everything after the first CRLFCRLF header
+    terminator. Bodies that do not start with an HTTP status line pass
+    through untouched (defensive -- a record mislabeled
+    application/http loses nothing)."""
+    if not body.startswith(b"HTTP/"):
+        return body
+    sep = body.find(b"\r\n\r\n")
+    if sep == -1:
+        sep = body.find(b"\n\n")
+        return body if sep == -1 else body[sep + 2 :]
+    return body[sep + 4 :]
+
+
+def _write_segments(
+    records: list,
+    root: str,
+    per_file: int,
+    alternate_gz: bool,
+    build,
+    suffix: str,
+) -> list[str]:
+    """The one sharding loop behind :func:`write_wet_segments` and
+    :func:`write_warc_segments`."""
+    import os
+
+    per_file = max(1, per_file)
+    paths = []
+    for i in range(0, len(records), per_file):
+        part = i // per_file
+        gz = alternate_gz and part % 2 == 1
+        name = f"part-{part}.{suffix}" + (".gz" if gz else "")
+        p = os.path.join(root, name)
+        with open(p, "wb") as f:
+            f.write(build(records[i : i + per_file], gz=gz))
+        paths.append(p)
+    return paths
+
+
 def write_wet_segments(
     records: list[tuple[str, str]],
     root: str,
@@ -229,19 +275,29 @@ def write_wet_segments(
     gzipped when ``alternate_gz``) -- the one copy of the sharding loop
     the contract query, the scale probe, and the tests all share.
     Returns the written paths."""
-    import os
+    return _write_segments(
+        records, root, per_file, alternate_gz, build_wet_bytes, "warc.wet"
+    )
 
-    per_file = max(1, per_file)
-    paths = []
-    for i in range(0, len(records), per_file):
-        part = i // per_file
-        gz = alternate_gz and part % 2 == 1
-        name = f"part-{part}.warc.wet" + (".gz" if gz else "")
-        p = os.path.join(root, name)
-        with open(p, "wb") as f:
-            f.write(build_wet_bytes(records[i : i + per_file], gz=gz))
-        paths.append(p)
-    return paths
+
+def write_warc_segments(
+    records: list[tuple[str, str]],
+    root: str,
+    per_file: int,
+    alternate_gz: bool = True,
+) -> list[str]:
+    """Shard (uri, html) records into raw-crawl WARC segment files
+    (``part-N.warc[.gz]``) of ``response`` records -- the test/oracle
+    twin of the :func:`read_wet` ``record_types=('response',)`` raw
+    path, as :func:`write_wet_segments` is of the WET path."""
+    return _write_segments(
+        records,
+        root,
+        per_file,
+        alternate_gz,
+        build_warc_response_bytes,
+        "warc",
+    )
 
 
 def build_wet_bytes(
@@ -270,6 +326,47 @@ def build_wet_bytes(
     data = out.getvalue()
     if gz:
         # mtime pinned: deterministic bytes for checksum-based tests
+        z = io.BytesIO()
+        with gzip.GzipFile(fileobj=z, mode="wb", mtime=0) as f:
+            f.write(data)
+        return z.getvalue()
+    return data
+
+
+def build_warc_response_bytes(
+    records: list[tuple[str, str]], gz: bool = False
+) -> bytes:
+    """Deterministic raw-crawl WARC segment builder: ``records`` is a
+    list of (target_uri, html). Each record is a WARC ``response``
+    whose body is a full HTTP message (status line + headers + CRLFCRLF
+    + the HTML payload, Content-Type ``application/http;
+    msgtype=response`` -- the actual Common Crawl .warc shape, of which
+    WET conversion records are the pre-extracted sibling). The parse
+    side strips the HTTP envelope (:func:`strip_http_envelope`), so the
+    HTML round-trips byte-for-byte."""
+    out = io.BytesIO()
+    for uri, html in records:
+        payload = (html or "").encode("utf-8")
+        http = (
+            "HTTP/1.1 200 OK\r\n"
+            "Content-Type: text/html; charset=utf-8\r\n"
+            f"Content-Length: {len(payload)}\r\n"
+            "\r\n"
+        ).encode("utf-8") + payload
+        head = (
+            "WARC/1.0\r\n"
+            "WARC-Type: response\r\n"
+            f"WARC-Target-URI: {uri}\r\n"
+            "WARC-Date: 2026-01-01T00:00:00Z\r\n"
+            f"Content-Length: {len(http)}\r\n"
+            "Content-Type: application/http; msgtype=response\r\n"
+            "\r\n"
+        ).encode("utf-8")
+        out.write(head)
+        out.write(http)
+        out.write(b"\r\n\r\n")
+    data = out.getvalue()
+    if gz:
         z = io.BytesIO()
         with gzip.GzipFile(fileobj=z, mode="wb", mtime=0) as f:
             f.write(data)

@@ -100,3 +100,110 @@ def test_fit_pca_validation(spark, sf_dir):
     )
     with pytest.raises(ValueError, match="mixed vector dimensions"):
         fit_pca(mixed, k=2)
+
+
+def _subspace_df(spark, n=120, d=64, k=8, seed=3):
+    """Vectors lying EXACTLY in a k-dim linear subspace with zero
+    empirical mean (each base vector paired with its negation): PCA
+    with k components is then an isometry of the data, so reduced-space
+    cosines equal full-dim cosines up to quantization -- the fixture
+    that lets approximate-by-design pca= paths be tested for exact
+    agreement."""
+    rng = np.random.RandomState(seed)
+    basis, _ = np.linalg.qr(rng.normal(size=(d, k)))
+    half = rng.normal(size=(n // 2, k)) @ basis.T
+    x = np.vstack([half, -half])
+    return spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(x)],
+        "id long, vector array<double>",
+    )
+
+
+def test_embedding_cosine_pairs_pca_knob(spark):
+    """r9 (VERDICT r8 #5): pca= pre-projection on
+    embedding_cosine_pairs. On the zero-mean exact-subspace fixture the
+    k-dim projection preserves every cosine, so the pair set matches
+    full-dim exactly; passing the fitted model and passing the int k
+    must agree bit-for-bit (fit_pca is deterministic)."""
+    from letsearch_spark.operators.dedup import embedding_cosine_pairs
+    from letsearch_spark.operators.pca import fit_pca
+
+    df = _subspace_df(spark)
+    full = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_cosine_pairs(df, "id", "vector", 0.9).collect()
+    }
+    red = embedding_cosine_pairs(df, "id", "vector", 0.9, pca=8).collect()
+    assert {(r["id_a"], r["id_b"]) for r in red} == full
+    model = fit_pca(df, vec_col="vector", k=8)
+    red2 = embedding_cosine_pairs(
+        df, "id", "vector", 0.9, pca=model
+    ).collect()
+    assert sorted(map(tuple, red)) == sorted(map(tuple, red2))
+    # the lsh path accepts it too (dim is taken from the model)
+    lsh = embedding_cosine_pairs(
+        df, "id", "vector", 0.9, method="lsh", lsh_bits=4, pca=8
+    ).collect()
+    assert {(r["id_a"], r["id_b"]) for r in lsh} <= full
+
+
+def test_semantic_dedup_pca_knob(spark):
+    """semantic_dedup(pca=k) on the exact-subspace fixture keeps the
+    same survivors as full-dim (projection is an isometry there), and
+    kmeans_fit_full(pca=k) returns k-dim centroids."""
+    from letsearch_spark.operators.ann import kmeans_fit_full
+    from letsearch_spark.operators.dedup import semantic_dedup
+
+    df = _subspace_df(spark)
+    # plant exact duplicates so the keep rule has work to do
+    dup = df.where(F.col("id") < 10).withColumn("id", F.col("id") + 1000)
+    both = df.unionByName(dup)
+    full = {
+        r["id"]: r["keep"]
+        for r in semantic_dedup(
+            both, "id", "vector", threshold=0.999, nlist=4
+        ).collect()
+    }
+    red = {
+        r["id"]: r["keep"]
+        for r in semantic_dedup(
+            both, "id", "vector", threshold=0.999, nlist=4, pca=8
+        ).collect()
+    }
+    assert red == full
+    assert sum(1 for v in full.values() if not v) >= 10  # dups dropped
+
+    cent = kmeans_fit_full(
+        df, nlist=4, vec_col="vector", key_col="id", pca=8
+    )
+    assert cent.shape == (4, 8)
+
+
+def test_prep_semantic_dedup_stage(spark):
+    """PrepConfig(semantic_dedup=...) (r9 pipeline hook): the stage
+    drops reduced-space near-dups and shows up in the audit."""
+    from letsearch_spark.pipeline import PrepConfig, prepare_training_data
+
+    df = _subspace_df(spark, n=60)
+    docs = df.select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("document body text number "), F.col("id")).alias(
+            "text"
+        ),
+        F.col("vector").alias("embedding"),
+    )
+    dup = docs.where(F.col("doc_id") < 5).withColumn(
+        "doc_id", F.col("doc_id") + 500
+    )
+    out, _layout, audit = prepare_training_data(
+        docs.unionByName(dup),
+        PrepConfig(
+            quality=None,
+            fuzzy_dedup=None,
+            line_dedup=None,
+            semantic_dedup={"threshold": 0.999, "nlist": 2, "pca": 8},
+            split_weights=None,
+        ),
+    )
+    assert audit["semantic_dedup"] == 60  # the 5 planted dups dropped
+    assert out.count() == 60

@@ -128,6 +128,13 @@ def test_rotation_bookkeeping():
         "sample_stratified_exact",
         "export_shards_manifest",
         "fim_transform",
+        # round-9 rotation
+        "search_maxsim_collection",
+        "s_wet_ingest",
+        "embed_pca_model",
+        "url_quality_filter",
+        "sft_render_chat",
+        "interleave_order",
     ):
         assert new in QUERIES and new in oracles
     for displaced in (
@@ -147,5 +154,12 @@ def test_rotation_bookkeeping():
         "sample_mixture",
         "join_nation_volume",
         "multimodal_frame_sample",
+        # round-9 rotation
+        "dedup_minhash_components",
+        "dedup_embedding_cosine_lsh",
+        "decontaminate_containment",
+        "events_range_join",
+        "sample_train_test_split",
+        "stream_windowed_counts",
     ):
         assert displaced in ROTATED_OUT_QUERIES and displaced not in QUERIES

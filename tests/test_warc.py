@@ -347,3 +347,108 @@ def test_warc_lenient_resync_recovers_tail():
     # strict still raises on the same inputs
     with pytest.raises(ValueError):
         list(parse_warc_bytes(a + corrupt + c, strict=True))
+
+
+def test_warc_response_roundtrip_and_http_strip():
+    """r9 raw-crawl path: build_warc_response_bytes emits response
+    records whose body is a full HTTP message; parse + HTTP envelope
+    strip recover the HTML payload byte-for-byte (plain and gz),
+    incl. payloads containing blank lines and CRLFs that a separator
+    scan would misframe."""
+    import gzip as _gzip
+
+    from letsearch_spark.sources.warc import (
+        build_warc_response_bytes,
+        strip_http_envelope,
+    )
+
+    pages = [
+        ("http://x/1", "<html><body><p>hello</p></body></html>"),
+        ("http://x/2", "<p>blank\r\n\r\nlines &amp; unicode 中文</p>"),
+        ("http://x/3", ""),
+    ]
+    for gz in (False, True):
+        data = build_warc_response_bytes(pages, gz=gz)
+        raw = _gzip.decompress(data) if gz else data
+        recs = list(parse_warc_bytes(raw, strict=True))
+        assert len(recs) == 3
+        for (uri, html), (_, h, body) in zip(pages, recs):
+            assert h["warc-target-uri"] == uri
+            assert h["warc-type"] == "response"
+            assert "application/http" in h["content-type"]
+            assert body.startswith(b"HTTP/1.1 200 OK")
+            assert strip_http_envelope(body).decode("utf-8") == html
+    # non-HTTP bodies pass through the stripper untouched
+    assert strip_http_envelope(b"plain text") == b"plain text"
+
+
+def test_collection_import_warc(spark, tmp_path):
+    """Collection.import_warc (r9): the full raw-crawl chain --
+    response records -> HTTP strip -> html_to_text -> rows; the
+    url_filter kwarg drops blocked hosts BEFORE extraction (stage 0a
+    at the ingest boundary); append_warc continues keys."""
+    from letsearch_spark.collection import Collection
+    from letsearch_spark.sources.warc import build_warc_response_bytes
+
+    seg = tmp_path / "segs"
+    seg.mkdir()
+    (seg / "a.warc").write_bytes(
+        build_warc_response_bytes(
+            [
+                ("http://good.test/1",
+                 "<html><script>x</script><body><p>spark join "
+                 "window</p></body></html>"),
+                ("http://spam.test/2",
+                 "<html><body><p>casino pills</p></body></html>"),
+            ]
+        )
+    )
+    c = Collection.create(
+        spark, str(tmp_path / "coll"), name="warc", model_name="stub://16"
+    )
+    n = c.import_warc(
+        str(seg), url_filter={"blocked_hosts": ["spam.test"]}
+    )
+    assert n == 1
+    row = c.docs().first()
+    assert row["text"] == "spark join window"  # tags + script gone
+    assert row["target_uri"] == "http://good.test/1"
+    # append with key continuation, gz segment, no filter
+    seg2 = tmp_path / "segs2"
+    seg2.mkdir()
+    (seg2 / "b.warc.gz").write_bytes(
+        build_warc_response_bytes(
+            [("http://good.test/3", "<p>dedup &amp; bands</p>")], gz=True
+        )
+    )
+    assert c.append_warc(str(seg2)) == 1
+    docs = c.docs().orderBy("_key").collect()
+    assert [r["_key"] for r in docs] == [1, 2]
+    assert docs[1]["text"] == "dedup & bands"
+
+
+def test_cli_warc_dispatch(spark, tmp_path, capsys):
+    """CLI index dispatches bare .warc/.warc.gz through import_warc
+    (raw crawl), while .wet keeps routing to import_wet."""
+    from letsearch_spark.cli import build_parser, cmd_index
+    from letsearch_spark.sources.warc import build_warc_response_bytes
+
+    home = str(tmp_path / "home")
+    seg = tmp_path / "seg.warc"
+    seg.write_bytes(
+        build_warc_response_bytes(
+            [("http://t/1", "<p>spark join window</p>")]
+        )
+    )
+    p = build_parser()
+    a = p.parse_args(
+        ["--home", home, "--master", "local[4]",
+         "index", "--collection", "rw", "--files", str(seg)]
+    )
+    assert cmd_index(a) == 0
+    out = capsys.readouterr().out
+    assert "1 rows total" in out and "1 vectors" in out
+
+    from letsearch_spark.collection import Collection
+    c = Collection.load(spark, home, "rw")
+    assert c.docs().first()["text"] == "spark join window"

@@ -1004,6 +1004,43 @@ def main() -> None:
         if only is None or "wet_parse" in only:
             row["wet_parse_rows"] = _wet_parse()
 
+        # round-9 op: raw-crawl WARC ingest -- response-record parse +
+        # HTTP envelope strip + the scan-only html_to_text chain, the
+        # full import_warc shape. Same segment grain as _wet_parse, so
+        # the delta vs wet_parse is the envelope+extraction cost.
+        def _warc_html_parse():
+            import shutil
+            import tempfile
+
+            from letsearch_spark.functions.html import html_to_text
+            from letsearch_spark.sources.warc import (
+                read_wet,
+                write_warc_segments,
+            )
+
+            rows = [
+                (
+                    f"http://t/{r['doc_id']}",
+                    "<html><body><p>" + (r["text"] or "") + "</p></body></html>",
+                )
+                for r in docs.select("doc_id", "text").collect()
+            ]
+            root = tempfile.mkdtemp(prefix="ls_warcprobe_")
+            write_warc_segments(rows, root, per_file=5000)
+            t0 = time.time()
+            n = (
+                read_wet(spark, root, record_types=("response",))
+                .select(html_to_text(F.col("text")).alias("t"))
+                .where(F.length("t") >= 0)
+                .count()
+            )
+            row["warc_html_parse"] = round(time.time() - t0, 2)
+            shutil.rmtree(root, ignore_errors=True)
+            return n
+
+        if only is None or "warc_html_parse" in only:
+            row["warc_html_parse_rows"] = _warc_html_parse()
+
         # round-8 op: distributed PCA fit -- one moment pass whose
         # shuffle carries d(d+3)/2 integers per partition, so wall time
         # must track the SCAN (rows), with a constant driver eigh tail
