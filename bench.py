@@ -240,6 +240,22 @@ def main() -> None:
         .collect(),
     )
 
+    # 4h. byte-level BPE counterpart (round 9): distributed pretoken
+    # counting + shared merge kernel (untimed, like BPE), then exact
+    # counts at distinct-pretoken cost
+    from letsearch_spark.tokenizer_bytebpe import (
+        token_count_exact_bytebpe,
+        train_byte_bpe,
+    )
+
+    bb_model = train_byte_bpe(docs_tbl, "text", vocab_size=2000)
+    run_stage(
+        "token_count_byte_bpe",
+        lambda: token_count_exact_bytebpe(docs_tbl, "doc_id", "text", bb_model)
+        .agg(F.sum("n_tokens"))
+        .collect(),
+    )
+
     # 5. batched k-NN join: 100 queries in ONE job, both scoring paths
     # (Catalyst expression vs per-partition numpy matmul)
     from letsearch_spark.operators.topk import knn_join

@@ -46,6 +46,11 @@ class ChunkerConfig:
     # letsearch_spark.tokenizer_unigram.train_unigram and saved with
     # UnigramModel.save (mutually exclusive with the other two)
     unigram_path: str | None = None
+    # a byte-level BPE model trained in-repo by
+    # letsearch_spark.tokenizer_bytebpe.train_byte_bpe and saved with
+    # ByteBpeModel.save (mutually exclusive with the other three) --
+    # the GPT-2-family counting mode: no OOV ever, exact round-trip
+    byte_bpe_path: str | None = None
 
 
 class MarkdownChunker:
@@ -54,17 +59,26 @@ class MarkdownChunker:
         self._tokenizer = None
         self._bpe = None
         self._unigram = None
+        self._byte_bpe = None
         n_set = sum(
             p is not None
             for p in (
                 self.config.tokenizer_path,
                 self.config.bpe_path,
                 self.config.unigram_path,
+                self.config.byte_bpe_path,
             )
         )
         if n_set > 1:
             raise ValueError(
-                "set at most one of tokenizer_path / bpe_path / unigram_path"
+                "set at most one of tokenizer_path / bpe_path / "
+                "unigram_path / byte_bpe_path"
+            )
+        if self.config.byte_bpe_path is not None:
+            from letsearch_spark.tokenizer_bytebpe import ByteBpeModel
+
+            self._byte_bpe = ByteBpeModel.load_cached(
+                self.config.byte_bpe_path
             )
         if self.config.unigram_path is not None:
             from letsearch_spark.tokenizer_unigram import UnigramModel
@@ -117,6 +131,8 @@ class MarkdownChunker:
             return self._bpe.token_count(text)
         if self._unigram is not None:
             return self._unigram.token_count(text)
+        if self._byte_bpe is not None:
+            return self._byte_bpe.token_count(text)
         words = len(text.split())
         return math.ceil(words * 1.3)
 

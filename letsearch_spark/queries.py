@@ -3404,6 +3404,52 @@ def q_token_count_unigram(spark, sf_dir):
     )
 
 
+_BYTE_BPE_VOCAB = 384  # 256-byte alphabet + 128 merges
+
+
+def q_token_count_byte_bpe(spark, sf_dir):
+    """Byte-level BPE tokenizer (tokenizer_bytebpe.py, the GPT-2
+    family's public standard, r9): distributed pretoken-count table
+    (one Arrow pass + one groupBy shuffle carrying pretoken TYPES),
+    driver-side merges via the SAME kernel as word-level BPE, then
+    byte-exact token counts at distinct-pretoken cost. Lossless by
+    construction (256-byte alphabet -- no OOV, exact decode). Oracle:
+    train_byte_bpe_twin (same pretokenizer/byte map/cap/merge kernel)
+    emitted as a VALUES literal."""
+    from letsearch_spark.tokenizer_bytebpe import (
+        token_count_exact_bytebpe,
+        train_byte_bpe,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    model = train_byte_bpe(docs, "text", vocab_size=_BYTE_BPE_VOCAB)
+    return token_count_exact_bytebpe(docs, "doc_id", "text", model).orderBy(
+        "doc_id"
+    )
+
+
+def _token_count_bytebpe_oracle(sf_dir: str) -> str:
+    """Computed VALUES-literal twin of q_token_count_byte_bpe:
+    train_byte_bpe_twin over the same documents (identical
+    pretokenizer, byte mapping, count-desc/token-asc cap, and merge
+    kernel -- exact integer counts commute, so the model is
+    bit-identical), then the same greedy counts."""
+    import pyarrow.parquet as _pq
+
+    from letsearch_spark.tokenizer_bytebpe import train_byte_bpe_twin
+
+    tbl = _pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    ).to_pylist()
+    twin = train_byte_bpe_twin(
+        [r["text"] or "" for r in tbl], vocab_size=_BYTE_BPE_VOCAB
+    )
+    rows = sorted(
+        (int(r["doc_id"]), twin.token_count(r["text"] or "")) for r in tbl
+    )
+    return _values_literal(rows, [("doc_id", "BIGINT"), ("n_tokens", "BIGINT")])
+
+
 def q_text_compression(spark, sf_dir):
     """Deflate-compressibility quality signal (functions/text.py
     compression_stats/compression_flags): per-document UTF-8 byte
@@ -3566,6 +3612,8 @@ STAGED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # interleave_order were promoted into the window by the r9 rotation)
     # round 9 (the raw-crawl .warc sibling of the promoted s_wet_ingest)
     "s_warc_html_ingest": q_s_warc_html_ingest,
+    # round 9 (byte-level BPE completing the tokenizer trainer family)
+    "token_count_byte_bpe": q_token_count_byte_bpe,
     # round 7
     "eval_hamming_recall": q_eval_hamming_recall,
     # round 6 (late session; ann_hamming_topk / token_count_unigram
@@ -4300,6 +4348,7 @@ STAGED_ORACLES: dict[str, object] = {
     # the window registries with their queries)
     # round 9
     "s_warc_html_ingest": _warc_html_oracle_sql(),
+    "token_count_byte_bpe": _token_count_bytebpe_oracle,
     # round 7
     "eval_hamming_recall": _eval_hamming_recall_oracle,
     # round 6 (late session)

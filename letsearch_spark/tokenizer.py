@@ -189,15 +189,26 @@ _LOAD_CACHE: dict[str, "BpeModel"] = {}
 def _train_merges(
     wc: list[tuple[str, int]], num_merges: int
 ) -> tuple[list[tuple[str, str]], list[str]]:
-    """Driver-side merge training over a (word, count) table with
-    incremental pair-count maintenance: a pair -> {word_idx} index means
-    each merge touches only the words that contain the merged pair, so
-    total cost is O(sum_len + merges · affected), not
-    O(word_types · merges)."""
+    """Driver-side merge training over a (word, count) table: the
+    word-level wrapper (``</w>`` sentinel symbols) around
+    :func:`_train_merges_from_symbols`."""
     words = [list(w[:-1]) + [w[-1] + END_OF_WORD] for w, _ in wc if w]
     counts = [c for w, c in wc if w]
     alphabet = sorted({s for w in words for s in w})
+    return _train_merges_from_symbols(words, counts, num_merges), alphabet
 
+
+def _train_merges_from_symbols(
+    words: list[list[str]], counts: list[int], num_merges: int
+) -> list[tuple[str, str]]:
+    """Greedy BPE merge training over pre-symbolized words with
+    incremental pair-count maintenance: a pair -> {word_idx} index means
+    each merge touches only the words that contain the merged pair, so
+    total cost is O(sum_len + merges · affected), not
+    O(word_types · merges). Symbol choice is the caller's (word-level
+    ``</w>`` sentinel here; byte-unicode chars in
+    tokenizer_bytebpe.py) -- the merge rule is shared verbatim.
+    MUTATES ``words`` in place."""
     pair_counts: dict[tuple[str, str], int] = {}
     pair_words: dict[tuple[str, str], set[int]] = {}
     for idx, (syms, cnt) in enumerate(zip(words, counts)):
@@ -244,7 +255,7 @@ def _train_merges(
                 pair_counts[(a, b)] = pair_counts.get((a, b), 0) + cnt
                 pair_words.setdefault((a, b), set()).add(idx)
         pair_counts[best] = 0
-    return merges, alphabet
+    return merges
 
 
 def train_bpe(

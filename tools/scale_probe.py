@@ -674,7 +674,9 @@ def main() -> None:
         # only the word-count / explode shuffles (pure JVM) may grow
         # with bytes. Salted copies would grow the vocabulary linearly
         # and muddy exactly that distinction.
-        if only is None or {"bpe_train", "bpe_count", "token_shards"} & only:
+        if only is None or {
+            "bpe_train", "bpe_count", "token_shards", "byte_bpe_count"
+        } & only:
             from letsearch_spark.tokenizer import token_count_exact, train_bpe
 
             base = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
@@ -710,6 +712,25 @@ def main() -> None:
                     "bpe_count",
                     lambda: token_count_exact(
                         plain, "doc_id", "text", model
+                    ).agg(F.sum("n_tokens")).collect()[0][0],
+                )
+            # round-9 sibling: byte-level BPE -- same unsalted-copies
+            # rationale (constant pretoken-type table, so only the
+            # explode/groupBy shuffles may grow with bytes). The
+            # pretokenizer is a Python Arrow pass, so its per-byte cost
+            # shows here where word-BPE's JVM split does not.
+            if only is None or "byte_bpe_count" in only:
+                from letsearch_spark.tokenizer_bytebpe import (
+                    token_count_exact_bytebpe,
+                    train_byte_bpe,
+                )
+
+                bb = train_byte_bpe(plain, "text", vocab_size=2000)
+                row["byte_bpe_pretoken_types"] = bb.pretoken_types
+                timeit(
+                    "byte_bpe_count",
+                    lambda: token_count_exact_bytebpe(
+                        plain, "doc_id", "text", bb
                     ).agg(F.sum("n_tokens")).collect()[0][0],
                 )
             # token-id shard egress: re-tokenize + one co-keyed span
