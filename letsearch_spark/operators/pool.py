@@ -450,7 +450,16 @@ def _pool_pandas(
         x = np.array(vecs.tolist(), dtype=np.float64)
         if units is not None:
             # mirror the fixed-point path: away-from-zero half rounding
-            # (np.round is half-even, so round via floor(|x|+0.5))
+            # (np.round is half-even, so round via floor(|x|+0.5)).
+            # Guard BEFORE the int64 cast (r9 review catch): casting a
+            # NaN would wrap to INT64_MIN and poison the mean with a
+            # silently-finite garbage value instead of a visible NaN
+            if not np.isfinite(x).all():
+                raise ValueError(
+                    "mean_pool_vectors exact_units: non-finite vector "
+                    "element (NaN/inf inputs are unsupported in the "
+                    "fixed-point path)"
+                )
             q = (
                 np.sign(x * units) * np.floor(np.abs(x * units) + 0.5)
             ).astype(np.int64)

@@ -684,12 +684,17 @@ def prepare_training_data(
                     "input frame (embed upstream or set vec_col)"
                 )
             verdicts = _semantic_dedup(cur, id_col=key, vec_col=vcol, **sd_cfg)
-            cur = _stage_store(
-                "semantic_dedup",
+            # anti-join on the DROPPED ids (r9 review catch): a doc
+            # with a NULL embedding gets no verdict row -- like every
+            # other dedup stage, no verdict means keep, never delete
+            cur = _persist_stage(
                 cur.join(
-                    verdicts.where("keep").select(key), key, "left_semi"
-                ),
+                    verdicts.where(~F.col("keep")).select(key),
+                    key,
+                    "left_anti",
+                )
             )
+            cur = _stage_store("semantic_dedup", cur)
             _drop_superseded()
 
     if cfg.dsir is not None:

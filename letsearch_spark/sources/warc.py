@@ -232,11 +232,16 @@ def strip_http_envelope(body: bytes) -> bytes:
     application/http loses nothing)."""
     if not body.startswith(b"HTTP/"):
         return body
-    sep = body.find(b"\r\n\r\n")
-    if sep == -1:
-        sep = body.find(b"\n\n")
-        return body if sep == -1 else body[sep + 2 :]
-    return body[sep + 4 :]
+    # cut at the EARLIEST header terminator (r9 review catch): LF-only
+    # headers whose PAYLOAD contains a later CRLFCRLF must split at the
+    # LF pair, or the page leaks into the discarded header block
+    i_crlf = body.find(b"\r\n\r\n")
+    i_lf = body.find(b"\n\n")
+    if i_crlf == -1 and i_lf == -1:
+        return body
+    if i_lf == -1 or (i_crlf != -1 and i_crlf < i_lf):
+        return body[i_crlf + 4 :]
+    return body[i_lf + 2 :]
 
 
 def _write_segments(

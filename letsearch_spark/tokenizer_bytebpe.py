@@ -110,6 +110,49 @@ def to_byte_symbols(pretoken: str) -> str:
     return "".join(_BYTE_TO_UNI[b] for b in pretoken.encode("utf-8"))
 
 
+def _make_pretokens_fn():
+    """Factory for the text -> byte-symbol-pretokens function -- the
+    ONE copy shared by the model, the trainers, and both Arrow UDFs
+    (r9 review catch: a drift between two copies would silently break
+    the trained-model/distributed-count bit-identity the oracle pins).
+    Returned as a closure over plain data so cloudpickle ships it by
+    VALUE -- no letsearch_spark import needed on executor workers."""
+    find = _PRETOKEN_RE.findall
+    bmap = _BYTE_TO_UNI
+
+    def run(text) -> list[str]:
+        if text is None:
+            return []
+        return [
+            "".join(bmap[b] for b in p.encode("utf-8")) for p in find(text)
+        ]
+
+    return run
+
+
+def _make_greedy_merge(ranks: dict[tuple[str, str], int]):
+    """Factory for the greedy lowest-rank merge loop (the standard BPE
+    apply rule) over a symbol list -- the ONE copy shared by
+    ByteBpeModel.encode_pretoken and the distributed count UDF.
+    Mutates and returns its argument. Closure-by-value, like
+    :func:`_make_pretokens_fn`."""
+
+    def merge(syms: list[str]) -> list[str]:
+        while len(syms) > 1:
+            best_rank = None
+            best_i = -1
+            for i in range(len(syms) - 1):
+                r = ranks.get((syms[i], syms[i + 1]))
+                if r is not None and (best_rank is None or r < best_rank):
+                    best_rank, best_i = r, i
+            if best_rank is None:
+                break
+            syms[best_i : best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+        return syms
+
+    return merge
+
+
 @dataclass
 class ByteBpeModel:
     """Trained byte-level merge list. The alphabet is implicitly all
@@ -125,9 +168,11 @@ class ByteBpeModel:
     _cache: dict[str, list[str]] = field(
         default_factory=dict, repr=False, compare=False
     )
+    _merge: object = field(default=None, repr=False, compare=False)
 
     def __post_init__(self) -> None:
         self._ranks = {pair: i for i, pair in enumerate(self.merges)}
+        self._merge = _make_greedy_merge(self._ranks)
 
     @property
     def vocab(self) -> list[str]:
@@ -150,17 +195,7 @@ class ByteBpeModel:
         hit = self._cache.get(pretoken)
         if hit is not None:
             return hit
-        syms = [_BYTE_TO_UNI[b] for b in pretoken.encode("utf-8")]
-        while len(syms) > 1:
-            best_rank = None
-            best_i = -1
-            for i in range(len(syms) - 1):
-                r = self._ranks.get((syms[i], syms[i + 1]))
-                if r is not None and (best_rank is None or r < best_rank):
-                    best_rank, best_i = r, i
-            if best_rank is None:
-                break
-            syms[best_i : best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+        syms = self._merge([_BYTE_TO_UNI[b] for b in pretoken.encode("utf-8")])
         if len(self._cache) < 1_000_000:  # bound driver/executor memory
             self._cache[pretoken] = syms
         return syms
@@ -224,22 +259,10 @@ def pretoken_counts(df: DataFrame, text_col: str) -> DataFrame:
     The pretokenizer + byte mapping run in one Arrow-batched pandas UDF
     (the same Python function the twin uses -- cross-engine regex
     parity is a non-goal by construction)."""
+    run = _make_pretokens_fn()
 
     @F.pandas_udf("array<string>")
     def _pre(s: pd.Series) -> pd.Series:
-        # self-contained closure: ships the regex + byte map as plain
-        # data, no letsearch_spark import needed on executor workers
-        find = _PRETOKEN_RE.findall
-        bmap = _BYTE_TO_UNI
-
-        def run(text) -> list[str]:
-            if text is None:
-                return []
-            return [
-                "".join(bmap[b] for b in p.encode("utf-8"))
-                for p in find(text)
-            ]
-
         return s.map(run)
 
     return (
@@ -342,40 +365,17 @@ def token_count_exact_bytebpe(
     each type encoded ONCE in an Arrow-batched UDF, per-type lengths
     broadcast-joined back. Documents with no pretokens (null/empty)
     keep a 0 row."""
-    ranks = {pair: i for i, pair in enumerate(model.merges)}
-    bmap = _BYTE_TO_UNI
-    find = _PRETOKEN_RE.findall
+    run = _make_pretokens_fn()
+    merge = _make_greedy_merge({pair: i for i, pair in enumerate(model.merges)})
 
     @F.pandas_udf("array<string>")
     def _pre(s: pd.Series) -> pd.Series:
-        def run(text) -> list[str]:
-            if text is None:
-                return []
-            return [
-                "".join(bmap[b] for b in p.encode("utf-8"))
-                for p in find(text)
-            ]
-
         return s.map(run)
 
     @F.pandas_udf("long")
     def _tok_len(w: pd.Series) -> pd.Series:
         # input is already in byte-symbol space; greedy merge only
-        def enc_len(sym_str: str) -> int:
-            syms = list(sym_str)
-            while len(syms) > 1:
-                best_rank = None
-                best_i = -1
-                for i in range(len(syms) - 1):
-                    r = ranks.get((syms[i], syms[i + 1]))
-                    if r is not None and (best_rank is None or r < best_rank):
-                        best_rank, best_i = r, i
-                if best_rank is None:
-                    break
-                syms[best_i : best_i + 2] = [syms[best_i] + syms[best_i + 1]]
-            return len(syms)
-
-        return w.map(enc_len)
+        return w.map(lambda sym_str: len(merge(list(sym_str))))
 
     pairs = (
         df.select(F.col(id_col), F.explode(_pre(F.col(text_col))).alias("__t"))

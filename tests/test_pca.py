@@ -207,3 +207,33 @@ def test_prep_semantic_dedup_stage(spark):
     )
     assert audit["semantic_dedup"] == 60  # the 5 planted dups dropped
     assert out.count() == 60
+
+
+def test_prep_semantic_dedup_keeps_null_embeddings(spark):
+    """r9 review catch: a doc with a NULL embedding gets no verdict
+    from semantic_dedup -- the stage must KEEP it (no verdict is never
+    a delete), like every other dedup stage."""
+    from letsearch_spark.pipeline import PrepConfig, prepare_training_data
+
+    df = _subspace_df(spark, n=40)
+    docs = df.select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("body text of document "), F.col("id")).alias("text"),
+        F.col("vector").alias("embedding"),
+    )
+    nulls = spark.createDataFrame(
+        [(700, "null-embedding doc body", None),
+         (701, "another null-embedding doc", None)],
+        "doc_id long, text string, embedding array<double>",
+    )
+    out, _layout, audit = prepare_training_data(
+        docs.unionByName(nulls),
+        PrepConfig(
+            quality=None, fuzzy_dedup=None, line_dedup=None,
+            semantic_dedup={"threshold": 0.999, "nlist": 2, "pca": 8},
+            split_weights=None,
+        ),
+    )
+    kept = {r["doc_id"] for r in out.select("doc_id").collect()}
+    assert 700 in kept and 701 in kept
+    assert audit["semantic_dedup"] == 42

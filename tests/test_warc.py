@@ -452,3 +452,18 @@ def test_cli_warc_dispatch(spark, tmp_path, capsys):
     from letsearch_spark.collection import Collection
     c = Collection.load(spark, home, "rw")
     assert c.docs().first()["text"] == "spark join window"
+
+
+def test_strip_http_envelope_lf_headers_with_crlf_payload():
+    """r9 review catch: LF-only HTTP headers whose PAYLOAD contains a
+    later CRLFCRLF must split at the earliest terminator -- the LF
+    pair -- not the in-payload CRLFCRLF."""
+    from letsearch_spark.sources.warc import strip_http_envelope
+
+    payload = b"<html>a\r\n\r\nb</html>"
+    lf_headers = b"HTTP/1.1 200 OK\nContent-Type: text/html\n\n" + payload
+    assert strip_http_envelope(lf_headers) == payload
+    crlf = b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + payload
+    assert strip_http_envelope(crlf) == payload
+    # no terminator at all: nothing to split, body unchanged
+    assert strip_http_envelope(b"HTTP/1.1 200 OK") == b"HTTP/1.1 200 OK"
