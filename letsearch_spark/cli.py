@@ -155,11 +155,36 @@ def cmd_train_tokenizer(args) -> int:
     --type bpe (default) plugs into ChunkerConfig(bpe_path=...) /
     token_count_exact; --type unigram (SentencePiece-style distributed
     EM) plugs into ChunkerConfig(unigram_path=...) /
-    token_count_exact_unigram."""
+    token_count_exact_unigram; --type byte_bpe (GPT-2-style, r9) plugs
+    into ChunkerConfig(byte_bpe_path=...) /
+    token_count_exact_bytebpe."""
     from letsearch_spark.collection import Collection
 
     spark = _spark(args)
     coll = Collection.load(spark, _home(args), args.collection)
+    if args.type == "byte_bpe":
+        from letsearch_spark.tokenizer_bytebpe import train_byte_bpe
+
+        model = train_byte_bpe(
+            coll.docs(),
+            args.column,
+            vocab_size=args.vocab_size,
+            max_word_types=args.max_word_types,
+            min_count=args.min_count,
+        )
+        model.save(args.out)
+        print(
+            json.dumps(
+                {
+                    "out": args.out,
+                    "type": "byte_bpe",
+                    "merges": len(model.merges),
+                    "pretoken_types": model.pretoken_types,
+                    "coverage": round(model.coverage, 6),
+                }
+            )
+        )
+        return 0
     if args.type == "unigram":
         from letsearch_spark.tokenizer_unigram import train_unigram
 
@@ -502,7 +527,9 @@ def build_parser() -> argparse.ArgumentParser:
     )
     s.add_argument("--collection", default="default")
     s.add_argument("--column", default="text")
-    s.add_argument("--type", default="bpe", choices=["bpe", "unigram"])
+    s.add_argument(
+        "--type", default="bpe", choices=["bpe", "unigram", "byte_bpe"]
+    )
     s.add_argument("--vocab-size", type=int, default=8000)
     s.add_argument("--max-word-types", type=int, default=1_000_000)
     s.add_argument("--min-count", type=int, default=1)

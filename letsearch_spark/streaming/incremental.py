@@ -108,15 +108,18 @@ def _file_stream(
     text_col: str,
 ):
     """Streaming file source shared by stream_append_collection and
-    stream_prep_collection: 'parquet' (schema required) or 'wet' (r8 --
+    stream_prep_collection: 'parquet' (schema required), 'wet' (r8 --
     a streaming binaryFile scan through the shared WARC record parser;
-    ``schema`` ignored, the record text lands in ``text_col``)."""
-    if source_format not in ("parquet", "wet"):
+    ``schema`` ignored, the record text lands in ``text_col``), or
+    'warc' (r9 -- the raw-crawl sibling: ``response`` records' HTTP
+    payloads through the scan-only html_to_text chain, the
+    import_warc composition on a stream)."""
+    if source_format not in ("parquet", "wet", "warc"):
         raise ValueError(
-            f"source_format must be 'parquet' or 'wet', got "
+            f"source_format must be 'parquet', 'wet' or 'warc', got "
             f"{source_format!r}"
         )
-    if source_format == "wet":
+    if source_format in ("wet", "warc"):
         from letsearch_spark.sources.warc import WET_SCHEMA, _wet_map_gen
 
         files = (
@@ -131,6 +134,18 @@ def _file_stream(
             .load(source_dir)
             .select("path", "content")
         )
+        if source_format == "warc":
+            from letsearch_spark.functions.html import html_to_text
+
+            recs = files.mapInPandas(
+                _wet_map_gen(record_types=("response",)), WET_SCHEMA
+            )
+            return recs.select(
+                html_to_text(F.col("text")).alias(text_col),
+                "target_uri",
+                "warc_date",
+                "source_path",
+            )
         return files.mapInPandas(_wet_map_gen(), WET_SCHEMA).select(
             F.col("text").alias(text_col),
             "target_uri",

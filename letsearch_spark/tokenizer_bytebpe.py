@@ -396,3 +396,41 @@ def token_count_exact_bytebpe(
             F.coalesce(F.col(out_col), F.lit(0)).cast("long").alias(out_col),
         )
     )
+
+
+def encode_ids_column(
+    df: DataFrame,
+    text_col: str,
+    model: ByteBpeModel,
+    out_col: str = "token_ids",
+) -> DataFrame:
+    """Add an ``array<int>`` column of byte-BPE token IDS (positions in
+    ``model.vocab``: the 256 byte symbols in byte order, then one id
+    per merge) -- the trainer-facing egress form, sibling of
+    tokenizer.py encode_ids_column. No ``unk_id``: every symbol a merge
+    can produce is in the vocab by construction (the byte alphabet is
+    total), so unknown ids are structurally impossible. Arrow-batched,
+    pretoken-memoized."""
+    run = _make_pretokens_fn()
+    merge = _make_greedy_merge({p: i for i, p in enumerate(model.merges)})
+    id_of = {tok: i for i, tok in enumerate(model.vocab)}
+
+    @F.pandas_udf("array<int>")
+    def _ids(s: pd.Series) -> pd.Series:
+        memo: dict[str, list[int]] = {}
+
+        def enc(text) -> list[int]:
+            if not isinstance(text, str):
+                return []
+            out: list[int] = []
+            for sym_str in run(text):
+                hit = memo.get(sym_str)
+                if hit is None:
+                    hit = [id_of[t] for t in merge(list(sym_str))]
+                    memo[sym_str] = hit
+                out.extend(hit)
+            return out
+
+        return s.map(enc)
+
+    return df.withColumn(out_col, _ids(F.col(text_col)))

@@ -168,3 +168,51 @@ def test_chunker_byte_bpe_mode(tmp_path):
     assert len(chunks) > 1
     with pytest.raises(ValueError, match="at most one"):
         MarkdownChunker(ChunkerConfig(byte_bpe_path=p, bpe_path=p))
+
+
+def test_encode_ids_column_roundtrip(spark):
+    """encode_ids_column: ids index model.vocab; mapping ids back
+    through the vocab and the byte map reproduces the text exactly --
+    no unk is possible (total byte alphabet)."""
+    from letsearch_spark.tokenizer_bytebpe import encode_ids_column
+
+    twin = train_byte_bpe_twin(_SAMPLES, vocab_size=300)
+    vocab = twin.vocab
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(_SAMPLES)] + [(99, None)],
+        "id long, text string",
+    )
+    got = {
+        r["id"]: r["token_ids"]
+        for r in encode_ids_column(df, "text", twin).collect()
+    }
+    assert got[99] == []
+    for i, t in enumerate(_SAMPLES):
+        toks = [vocab[j] for j in got[i]]
+        assert toks == twin.encode(t)
+        assert twin.decode(toks) == t
+
+
+def test_cli_train_tokenizer_byte_bpe(spark, tmp_path, capsys):
+    """CLI train-tokenizer --type byte_bpe saves a loadable model."""
+    import json as _json
+
+    from letsearch_spark.cli import build_parser, cmd_add_docs, cmd_train_tokenizer
+    from letsearch_spark.collection import Collection
+
+    home = str(tmp_path / "home")
+    Collection.create(
+        spark, home, name="bb", model_name="stub://16"
+    ).add_chunks([s for s in _SAMPLES if s.strip()])
+    out = str(tmp_path / "bb.json")
+    p = build_parser()
+    a = p.parse_args(
+        ["--home", home, "--master", "local[4]", "train-tokenizer",
+         "--collection", "bb", "--out", out, "--type", "byte_bpe",
+         "--vocab-size", "300"]
+    )
+    assert cmd_train_tokenizer(a) == 0
+    info = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert info["type"] == "byte_bpe" and info["merges"] > 0
+    back = ByteBpeModel.load(out)
+    assert back.decode(back.encode(_SAMPLES[0])) == _SAMPLES[0]

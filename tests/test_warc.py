@@ -467,3 +467,56 @@ def test_strip_http_envelope_lf_headers_with_crlf_payload():
     assert strip_http_envelope(crlf) == payload
     # no terminator at all: nothing to split, body unchanged
     assert strip_http_envelope(b"HTTP/1.1 200 OK") == b"HTTP/1.1 200 OK"
+
+
+def test_stream_warc_ingest(spark, tmp_path):
+    """Streaming raw-crawl ingest (r9): .warc response segments stream
+    into the collection via source_format='warc' -- the import_warc
+    composition (HTTP strip + html_to_text) on a stream, with the
+    file-source exactly-once ledger."""
+    from letsearch_spark.collection import Collection
+    from letsearch_spark.sources.warc import build_warc_response_bytes
+    from letsearch_spark.streaming.incremental import (
+        stream_append_collection,
+    )
+
+    seg = tmp_path / "drop"
+    seg.mkdir()
+    (seg / "s0.warc").write_bytes(
+        build_warc_response_bytes(
+            [("http://t/1", "<html><script>x</script><p>spark join</p></html>")]
+        )
+    )
+    (seg / "s1.warc.gz").write_bytes(
+        build_warc_response_bytes(
+            [("http://t/2", "<p>window &amp; rank</p>")], gz=True
+        )
+    )
+    c = Collection.create(
+        spark, str(tmp_path / "coll"), name="rwst", model_name="stub://16"
+    )
+    ckpt = str(tmp_path / "ckpt")
+    q = stream_append_collection(
+        spark, c, str(seg), schema=None, checkpoint_dir=ckpt,
+        source_format="warc",
+    )
+    q.awaitTermination(120)
+    docs = {r["target_uri"]: r["text"] for r in c.docs().collect()}
+    assert docs == {
+        "http://t/1": "spark join",
+        "http://t/2": "window & rank",
+    }
+    # replay over the same checkpoint: exactly-once
+    q2 = stream_append_collection(
+        spark, c, str(seg), schema=None, checkpoint_dir=ckpt,
+        source_format="warc",
+    )
+    q2.awaitTermination(120)
+    assert c.count() == 2
+    # unknown format still rejected
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="source_format"):
+        stream_append_collection(
+            spark, c, str(seg), schema=None,
+            checkpoint_dir=str(tmp_path / "ck2"), source_format="bogus",
+        )
