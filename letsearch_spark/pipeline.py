@@ -993,15 +993,30 @@ def write_token_shards(
     """
     from pyspark.sql import Window
 
-    from letsearch_spark.tokenizer import encode_ids_column
+    from letsearch_spark.tokenizer_bytebpe import ByteBpeModel
 
-    ids = encode_ids_column(
-        clean_docs.select(F.col(key_col), F.col(text_col)),
-        text_col,
-        model,
-        out_col="__ids",
-        unk_id=unk_id,
-    )
+    if isinstance(model, ByteBpeModel):
+        # r9: the byte-level family -- same contract, no unk possible
+        # (total byte alphabet), layout counts must come from
+        # token_count_exact_bytebpe under the same model
+        from letsearch_spark.tokenizer_bytebpe import encode_ids_column
+
+        ids = encode_ids_column(
+            clean_docs.select(F.col(key_col), F.col(text_col)),
+            text_col,
+            model,
+            out_col="__ids",
+        )
+    else:
+        from letsearch_spark.tokenizer import encode_ids_column
+
+        ids = encode_ids_column(
+            clean_docs.select(F.col(key_col), F.col(text_col)),
+            text_col,
+            model,
+            out_col="__ids",
+            unk_id=unk_id,
+        )
     spans = layout.join(ids.select(key_col, "__ids"), key_col)
     # the layout's spans tile [0, count) exactly (pack_sequences
     # invariant), so the document's layout count is the max span end --

@@ -961,3 +961,48 @@ def test_pipeline_url_filter_stage(spark, sf_dir):
         prepare_training_data(
             docs, PrepConfig(url_filter={}, fuzzy_dedup=None)
         )
+
+
+def test_write_token_shards_byte_bpe(spark, tmp_path):
+    """r9: write_token_shards dispatches on the model type -- a
+    ByteBpeModel's id streams reconstruct exactly (layout counts from
+    token_count_exact_bytebpe under the same model)."""
+    from pyspark.sql import functions as F
+
+    from letsearch_spark.operators.pack import pack_sequences
+    from letsearch_spark.pipeline import write_token_shards
+    from letsearch_spark.tokenizer_bytebpe import (
+        token_count_exact_bytebpe,
+        train_byte_bpe,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (i, f"doc {i} unicode 中文 mix_{i % 3} newer newest "
+                + "pad " * (i % 4))
+            for i in range(25)
+        ],
+        "doc_id long, text string",
+    )
+    model = train_byte_bpe(docs, "text", vocab_size=300)
+    counted = docs.join(
+        token_count_exact_bytebpe(docs, "doc_id", "text", model), "doc_id"
+    )
+    layout = pack_sequences(
+        counted, "doc_id", "n_tokens", seq_len=24, num_shards=2
+    )
+    out = str(tmp_path / "bb_shards")
+    n = write_token_shards(counted, layout, out, model)
+    assert n == layout.count()
+
+    back = spark.read.parquet(out)
+    id_of = {t: i for i, t in enumerate(model.vocab)}
+    by_doc = {}
+    for r in back.collect():
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for r in docs.collect():
+        want = [id_of[t] for t in model.encode(r["text"])]
+        got = []
+        for s in sorted(by_doc[r["doc_id"]], key=lambda x: x["tok_begin"]):
+            got.extend(s["token_ids"])
+        assert got == want, r["doc_id"]
