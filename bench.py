@@ -378,6 +378,10 @@ def main() -> None:
         # 2026-08-16, end-of-round run)
         "url_quality_filter",
         "sft_render_chat",
+        # round 9: raw-crawl WARC ingest (response segments -> HTTP
+        # strip -> html_to_text; segment build driver-side like
+        # s_wet_ingest)
+        "s_warc_html_ingest",
     ):
         run_stage(
             name,

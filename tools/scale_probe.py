@@ -575,6 +575,32 @@ def main() -> None:
                 ).count(),
             )
 
+        # r9: the degenerate-group serving default, both plans over the
+        # SAME data -- unique_groups=True (scan + TakeOrdered, zero
+        # aggregate exchanges) vs the old groupBy path (every group a
+        # singleton: map-side combine reduces nothing, the whole corpus
+        # crosses the exchange). The gap must WIDEN with scale.
+        if only is None or {"maxsim_ungrouped_fast", "maxsim_ungrouped_agg"} & only:
+            from letsearch_spark.operators.pool import maxsim_topk
+
+            qs = [
+                r["vector"]
+                for r in emb.where(F.col("_key") < 3).orderBy("_key").collect()
+            ]
+            timeit(
+                "maxsim_ungrouped_fast",
+                lambda: maxsim_topk(
+                    emb, qs, k=10, group_col="_key", vec_col="vector",
+                    unique_groups=True,
+                ).count(),
+            )
+            timeit(
+                "maxsim_ungrouped_agg",
+                lambda: maxsim_topk(
+                    emb, qs, k=10, group_col="_key", vec_col="vector",
+                ).count(),
+            )
+
         # unigram training: the word-type table grows linearly under
         # the per-copy salting (the worst case for an uncapped
         # trainer); each E-step is one mapInPandas pass + one integer
