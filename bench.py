@@ -398,6 +398,15 @@ def main() -> None:
         .first()[0],
     )
 
+    # round-9 T5 span corruption: same map-side-pruning hazard -- force
+    # the rewrite via the output md5 lengths
+    run_stage(
+        "span_corruption",
+        lambda: resolve_query("span_corruption")(spark, SF_DIR)
+        .agg(F.sum(F.length("input_md5")) + F.sum(F.length("target_md5")))
+        .first()[0],
+    )
+
     # 14b. the full prep composition (round 4): quality -> line dedup ->
     # MinHash fuzzy dedup -> split -> pack over the whole documents
     # table in one recipe -- the end-to-end number a training-data user

@@ -703,3 +703,214 @@ def fim_transform(
         "applied": applied,
         "text": F.when(applied, rewritten).otherwise(text_col),
     }
+
+
+def _exact_div(a: Column, b: Column) -> Column:
+    """Exact integer floor-division of non-negative long columns:
+    (a - a % b) / b -- the double division is exact because the
+    numerator is an exact multiple (and < 2^53 for every caller), so
+    the result matches Python's // bit-for-bit."""
+    return ((a - (a % b)) / b).cast("long")
+
+
+def span_corruption(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: int = 42,
+    density: float = 0.15,
+    mean_span: int = 3,
+):
+    """T5-style span corruption (Raffel et al. 2020 §3.1.4): drop
+    ~``density`` of each document's words in spans of mean length
+    ``mean_span``, replacing each span with a ``<extra_id_i>`` sentinel
+    in the INPUT and emitting the dropped spans (each prefixed by its
+    sentinel, closed by a final sentinel) as the TARGET -- the
+    denoising objective the T5 family pretrains on, as
+    :func:`fim_transform` is for the FIM family.
+
+    Deterministic segment-stratified selection (documented
+    simplification of the paper's random sampling, same md5 discipline
+    as fim_transform): the word sequence [0, n) splits into
+    ``n_spans = max(1, n*density // mean_span)`` equal segments of
+    ``seg = n // n_spans`` words; span i lives inside segment i with
+    length ``1 + h(id,seed,i) % min(2*mean_span-1, seg)`` (mean ~=
+    mean_span, never crossing a segment, so spans can NEVER overlap by
+    construction) and an h-chosen start. Everything hashes (id, seed),
+    so the rewrite is row-local, reproducible under any partitioning,
+    and distinct seeds give independent corruption epochs.
+
+    DataFrame-in/DataFrame-out (unlike the cheap Column-style
+    fim_transform) ON PURPOSE: the word array, the per-row scalars and
+    the span table materialize as real columns between projections, so
+    lambdas reference ATTRIBUTES -- a Column-style expression tree
+    would re-evaluate the split() and the md5 span math once PER WORD
+    ELEMENT inside the higher-order functions (the O(words^2) trap
+    repetition_stats documents; the first cut measured 325 s at sf0.1
+    vs ~3 s for this shape). Still pure Catalyst: split / sequence /
+    transform / filter / array_join, no UDF, map-only, zero shuffles.
+
+    Words are single-space splits (split('a  b') keeps the empty
+    token, so join(split(x)) == x losslessly and non-span text is
+    preserved byte-for-byte). :func:`span_corruption_twin` is the
+    sequential reference implementation (computed-oracle/test twin).
+
+    Returns ``df`` plus (applied bool, input string, target string);
+    null/empty rows pass through with input = original text and a null
+    target. Internal __sc_* columns are dropped.
+    """
+    if not 0.0 < density <= 1.0:
+        raise ValueError(f"density must be in (0, 1], got {density}")
+    if mean_span < 1:
+        raise ValueError(f"mean_span must be >= 1, got {mean_span}")
+    rmic = int(density * 1_000_000)
+    den = mean_span * 1_000_000
+    sid = F.col(id_col).cast("string")
+    text = F.col(text_col)
+
+    out = df.withColumn("__sc_words", F.split(text, " "))
+    n = F.size("__sc_words").cast("long")
+    out = out.withColumn("__sc_n", n)
+    out = out.withColumn(
+        "__sc_nspans",
+        F.greatest(
+            F.lit(1).cast("long"),
+            _exact_div(F.col("__sc_n") * F.lit(rmic), F.lit(den)),
+        ),
+    )
+    out = out.withColumn(
+        "__sc_seg", _exact_div(F.col("__sc_n"), F.col("__sc_nspans"))
+    )
+    maxlen = F.least(
+        F.lit(2 * mean_span - 1).cast("long"), F.col("__sc_seg")
+    )
+    seg = F.col("__sc_seg")
+
+    def _len_i(i):
+        return 1 + _h60(
+            F.concat(sid, F.lit(f"#scL#{seed}#"), i.cast("string"))
+        ) % maxlen
+
+    def _start_i(i, ln):
+        return i * seg + _h60(
+            F.concat(sid, F.lit(f"#scP#{seed}#"), i.cast("string"))
+        ) % (seg - ln + 1)
+
+    # one md5 pass over the SPANS (n_spans ~= n*density/mean_span), not
+    # the words: (start, end) per span, materialized once per row
+    out = out.withColumn(
+        "__sc_spans",
+        F.transform(
+            F.sequence(F.lit(0).cast("long"), F.col("__sc_nspans") - 1),
+            lambda i: F.struct(
+                _start_i(i, _len_i(i)).alias("st"),
+                (_start_i(i, _len_i(i)) + _len_i(i)).alias("en"),
+            ),
+        ),
+    )
+
+    def _sentinel(i):
+        return F.concat(F.lit("<extra_id_"), i.cast("string"), F.lit(">"))
+
+    spans = F.col("__sc_spans")
+    words = F.col("__sc_words")
+    # token per word index: attribute references only inside the
+    # lambda (the zip carries (word, j); spans/seg/n_spans are row
+    # fields) -- linear work per row
+    zipped = F.arrays_zip(
+        words.alias("w"),
+        F.sequence(F.lit(0).cast("long"), F.col("__sc_n") - 1).alias("j"),
+    )
+
+    def _token(s):
+        w = s.getField("w")
+        j = s.getField("j")
+        i = _exact_div(j, seg)
+        sp = F.element_at(spans, (i + 1).cast("int"))
+        outside = (i >= F.col("__sc_nspans")) | (j < sp.getField("st")) | (
+            j >= sp.getField("en")
+        )
+        return F.when(outside, w).when(j == sp.getField("st"), _sentinel(i))
+
+    input_col = F.array_join(
+        F.filter(F.transform(zipped, _token), lambda t: t.isNotNull()), " "
+    )
+    pieces = F.transform(
+        F.sequence(F.lit(0).cast("long"), F.size(spans).cast("long") - 1),
+        lambda i: F.concat(
+            _sentinel(i),
+            F.lit(" "),
+            F.array_join(
+                F.slice(
+                    words,
+                    (
+                        F.element_at(spans, (i + 1).cast("int")).getField("st")
+                        + 1
+                    ).cast("int"),
+                    (
+                        F.element_at(spans, (i + 1).cast("int")).getField("en")
+                        - F.element_at(spans, (i + 1).cast("int")).getField(
+                            "st"
+                        )
+                    ).cast("int"),
+                ),
+                " ",
+            ),
+        ),
+    )
+    target_col = F.concat(
+        F.array_join(pieces, " "),
+        F.lit(" "),
+        _sentinel(F.col("__sc_nspans")),
+    )
+    applied = text.isNotNull() & (F.length(text) > 0)
+    out = out.withColumn("applied", applied)
+    out = out.withColumn(
+        "input", F.when(applied, input_col).otherwise(text)
+    )
+    out = out.withColumn("target", F.when(applied, target_col))
+    return out.drop(
+        "__sc_words", "__sc_n", "__sc_nspans", "__sc_seg", "__sc_spans"
+    )
+
+
+def span_corruption_twin(
+    doc_id, text, seed: int = 42, density: float = 0.15, mean_span: int = 3
+):
+    """Sequential reference twin of :func:`span_corruption` -- the
+    computed-oracle/test implementation (hashlib md5, same arithmetic
+    to the bit). Returns (applied, input, target)."""
+    import hashlib
+
+    def h60(s: str) -> int:
+        return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
+
+    if text is None or len(text) == 0:
+        return (False, text, None)
+    sid = str(doc_id)
+    words = text.split(" ")
+    n = len(words)
+    n_spans = max(1, (n * int(density * 1_000_000)) // (mean_span * 1_000_000))
+    seg = n // n_spans
+    max_len = min(2 * mean_span - 1, seg)
+    spans = []
+    for i in range(n_spans):
+        ln = 1 + h60(f"{sid}#scL#{seed}#{i}") % max_len
+        st = i * seg + h60(f"{sid}#scP#{seed}#{i}") % (seg - ln + 1)
+        spans.append((st, ln))
+    toks = []
+    for j, w in enumerate(words):
+        i = j // seg
+        if i >= n_spans or not (spans[i][0] <= j < spans[i][0] + spans[i][1]):
+            toks.append(w)
+        elif j == spans[i][0]:
+            toks.append(f"<extra_id_{i}>")
+    pieces = [
+        f"<extra_id_{i}> " + " ".join(words[st : st + ln])
+        for i, (st, ln) in enumerate(spans)
+    ]
+    return (
+        True,
+        " ".join(toks),
+        " ".join(pieces) + f" <extra_id_{n_spans}>",
+    )

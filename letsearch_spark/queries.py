@@ -3404,6 +3404,70 @@ def q_token_count_unigram(spark, sf_dir):
     )
 
 
+def q_span_corruption(spark, sf_dir):
+    """T5-style span corruption (functions/text.py span_corruption,
+    r9 -- the denoising objective sibling of fim_transform): every
+    document's words drop in segment-stratified md5-chosen spans,
+    sentinels in the input, spans in the target. Pure Catalyst,
+    map-only. Oracle: span_corruption_twin (hashlib, same arithmetic)
+    emitted as a VALUES literal of md5s + lengths."""
+    from letsearch_spark.functions.text import span_corruption
+
+    docs = load(spark, sf_dir, "documents")
+    return span_corruption(docs).select(
+        "doc_id",
+        "applied",
+        F.md5(F.coalesce(F.col("input"), F.lit(""))).alias("input_md5"),
+        F.length(F.coalesce(F.col("input"), F.lit(""))).cast("long").alias(
+            "input_len"
+        ),
+        F.md5(F.coalesce(F.col("target"), F.lit(""))).alias("target_md5"),
+        F.length(F.coalesce(F.col("target"), F.lit(""))).cast("long").alias(
+            "target_len"
+        ),
+    ).orderBy("doc_id")
+
+
+def _span_corruption_oracle(sf_dir: str) -> str:
+    """Computed VALUES-literal twin of q_span_corruption."""
+    import hashlib as _hashlib
+
+    import pyarrow.parquet as _pq
+
+    from letsearch_spark.functions.text import span_corruption_twin
+
+    tbl = _pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    ).to_pylist()
+    rows = []
+    for r in tbl:
+        applied, inp, tgt = span_corruption_twin(r["doc_id"], r["text"])
+        inp = inp or ""
+        tgt = tgt or ""
+        rows.append(
+            (
+                int(r["doc_id"]),
+                bool(applied),
+                _hashlib.md5(inp.encode("utf-8")).hexdigest(),
+                len(inp),
+                _hashlib.md5(tgt.encode("utf-8")).hexdigest(),
+                len(tgt),
+            )
+        )
+    rows.sort()
+    return _values_literal(
+        rows,
+        [
+            ("doc_id", "BIGINT"),
+            ("applied", "BOOLEAN"),
+            ("input_md5", "VARCHAR"),
+            ("input_len", "BIGINT"),
+            ("target_md5", "VARCHAR"),
+            ("target_len", "BIGINT"),
+        ],
+    )
+
+
 _BYTE_BPE_VOCAB = 384  # 256-byte alphabet + 128 merges
 
 
@@ -3614,6 +3678,8 @@ STAGED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "s_warc_html_ingest": q_s_warc_html_ingest,
     # round 9 (byte-level BPE completing the tokenizer trainer family)
     "token_count_byte_bpe": q_token_count_byte_bpe,
+    # round 9 (T5 denoising objective, sibling of fim_transform)
+    "span_corruption": q_span_corruption,
     # round 7
     "eval_hamming_recall": q_eval_hamming_recall,
     # round 6 (late session; ann_hamming_topk / token_count_unigram
@@ -4349,6 +4415,7 @@ STAGED_ORACLES: dict[str, object] = {
     # round 9
     "s_warc_html_ingest": _warc_html_oracle_sql(),
     "token_count_byte_bpe": _token_count_bytebpe_oracle,
+    "span_corruption": _span_corruption_oracle,
     # round 7
     "eval_hamming_recall": _eval_hamming_recall_oracle,
     # round 6 (late session)

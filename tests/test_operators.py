@@ -3544,3 +3544,77 @@ def test_url_host_ipv6_brackets(spark):
     df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
     got = [r[0] for r in df.select(url_host(F.col("url"))).collect()]
     assert got == [want for _, want in cases]
+
+
+def test_span_corruption_matches_python_twin(spark, sf_dir):
+    """T5 span corruption (r9): the Catalyst rewrite equals the
+    hashlib twin row-for-row on real documents AND whitespace edge
+    cases; non-span text is preserved losslessly; seeds decorrelate."""
+    import os
+
+    from letsearch_spark.functions.text import (
+        span_corruption,
+        span_corruption_twin,
+    )
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    edge = spark.createDataFrame(
+        [
+            (9001, "one"),
+            (9002, "two  double  spaces "),
+            (9003, " leading and trailing "),
+            (9004, ""),
+            (9005, None),
+            (9006, "unicode 中文 mixed tokens here now and then more"),
+        ],
+        "doc_id long, text string",
+    )
+    both = docs.select("doc_id", "text").unionByName(edge)
+    got = {
+        r["doc_id"]: (r["applied"], r["input"], r["target"])
+        for r in span_corruption(both).select(
+            "doc_id", "applied", "input", "target"
+        ).collect()
+    }
+    n_applied = 0
+    for r in both.collect():
+        want = span_corruption_twin(r["doc_id"], r["text"])
+        assert got[r["doc_id"]] == want, r["doc_id"]
+        if want[0]:
+            n_applied += 1
+            # reconstruction: replacing each sentinel in the input
+            # with its target span restores the document exactly
+            inp, tgt = want[1], want[2]
+            spans = {}
+            parts = tgt.split("<extra_id_")
+            for p in parts[1:]:
+                i, _, rest = p.partition(">")
+                spans[int(i)] = rest.strip(" ") if rest else ""
+            out = inp
+            for i in sorted(spans, reverse=True):
+                body = spans[i]
+                out = out.replace(
+                    f"<extra_id_{i}>", body if body else "", 1
+                )
+            # collapse is exact because words re-join on single spaces
+            assert out.split(" ") == [
+                w for w in (r["text"] or "").split(" ")
+            ] or body == "", r["doc_id"]
+    assert n_applied >= 500  # the whole documents table applies
+
+    # seed decorrelation: different seeds pick different spans
+    a = span_corruption(docs, seed=1).select(
+        "doc_id", F.col("input").alias("ia")
+    )
+    b = span_corruption(docs, seed=2).select(
+        "doc_id", F.col("input").alias("ib")
+    )
+    diff = a.join(b, "doc_id").where(F.col("ia") != F.col("ib")).count()
+    assert diff > 400
+
+    # validation
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        span_corruption(docs, density=0.0)
+    with _pytest.raises(ValueError):
+        span_corruption(docs, mean_span=0)

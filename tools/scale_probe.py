@@ -1002,6 +1002,21 @@ def main() -> None:
 
         timeit("fim_rewrite", _fim)
 
+        # round-9 op: T5 span corruption -- map-only Catalyst rewrite;
+        # cost per row is linear in words (one split + O(n_spans) md5s
+        # + one zip-transform pass) after the r9 restructure away from
+        # the per-element-split trap. Same count-pruning hazard as FIM.
+        def _span_corrupt():
+            from letsearch_spark.functions.text import span_corruption
+
+            return int(
+                span_corruption(docs)
+                .agg(F.sum(F.length("input") + F.length("target")))
+                .first()[0]
+            )
+
+        timeit("span_corruption", _span_corrupt)
+
         # round-8 op: interleave_order under 2-source skew (~49:1) --
         # the shape that serialized the old per-source window into one
         # task per source (VERDICT r7 #4). The rewrite (rank minus
