@@ -88,3 +88,75 @@ def vocab_coverage(
         .select("k", "vocab_k", "covered_tokens", "total_tokens", "coverage")
         .orderBy("k")
     )
+
+
+def tokenizer_fertility(
+    docs: DataFrame,
+    counts: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    count_col: str = "n_tokens",
+) -> DataFrame:
+    """Corpus-level tokenizer quality numbers (r9) from ANY per-doc
+    token-count table -- the sibling diagnostic to
+    :func:`vocab_coverage` for comparing trained tokenizers
+    (word-BPE / unigram / byte-BPE) at a vocab budget:
+
+    * **fertility** = tokens per whitespace word (lower is better; the
+      SentencePiece/GPT-2 papers' headline number);
+    * **bytes per token** = UTF-8 corpus bytes / tokens (the context-
+      window budget a trainer actually pays);
+    * **chars per token** -- the unicode-friendly variant.
+
+    One broadcast-sized join (the counts table is (id, n) -- tiny next
+    to the docs scan) + one corpus aggregate; ratios are integer
+    micro-units (the repo's oracle convention), so the result is
+    hash-stable. Returns ONE row: (n_docs, n_words, n_bytes, n_chars,
+    n_tokens, fertility_micro, bytes_per_token_micro,
+    chars_per_token_micro). Null texts count 0 words/bytes/chars.
+    Composes oracle-checked count tables (token_count_exact /
+    _unigram / _bytebpe), so it carries no oracle entry of its own.
+    """
+    from letsearch_spark.tokenizer import split_words
+
+    per_doc = docs.select(
+        F.col(id_col),
+        F.size(split_words(F.coalesce(F.col(text_col), F.lit("")))).cast(
+            "long"
+        ).alias("__w"),
+        F.octet_length(F.coalesce(F.col(text_col), F.lit(""))).cast(
+            "long"
+        ).alias("__b"),
+        F.length(F.coalesce(F.col(text_col), F.lit(""))).cast("long").alias(
+            "__c"
+        ),
+    ).join(counts.select(id_col, count_col), id_col)
+    micro = F.lit(1_000_000).cast("long")
+    return per_doc.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("__w").alias("n_words"),
+        F.sum("__b").alias("n_bytes"),
+        F.sum("__c").alias("n_chars"),
+        F.sum(count_col).alias("n_tokens"),
+    ).select(
+        "n_docs",
+        "n_words",
+        "n_bytes",
+        "n_chars",
+        "n_tokens",
+        F.when(
+            F.col("n_words") > 0,
+            (F.col("n_tokens") * micro - (F.col("n_tokens") * micro) % F.col("n_words"))
+            / F.col("n_words"),
+        ).otherwise(F.lit(0)).cast("long").alias("fertility_micro"),
+        F.when(
+            F.col("n_tokens") > 0,
+            (F.col("n_bytes") * micro - (F.col("n_bytes") * micro) % F.col("n_tokens"))
+            / F.col("n_tokens"),
+        ).otherwise(F.lit(0)).cast("long").alias("bytes_per_token_micro"),
+        F.when(
+            F.col("n_tokens") > 0,
+            (F.col("n_chars") * micro - (F.col("n_chars") * micro) % F.col("n_tokens"))
+            / F.col("n_tokens"),
+        ).otherwise(F.lit(0)).cast("long").alias("chars_per_token_micro"),
+    )

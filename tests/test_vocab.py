@@ -55,3 +55,43 @@ def test_vocab_coverage_empty_corpus(spark, sf_dir):
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where(F.lit(False))
     assert vocab_coverage(docs, "text").count() == 0
+
+
+def test_tokenizer_fertility_matches_hand_computation(spark):
+    """tokenizer_fertility (r9): one-row corpus diagnostic from any
+    (id, n_tokens) table -- exact integer micro-unit ratios, null texts
+    count zero, and the three trainer families plug in unchanged."""
+    from letsearch_spark.operators.vocab import tokenizer_fertility
+    from letsearch_spark.tokenizer_bytebpe import (
+        token_count_exact_bytebpe,
+        train_byte_bpe_twin,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox"),
+            (2, "unicode 中文 here"),
+            (3, None),
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    twin = train_byte_bpe_twin(
+        ["the quick brown fox", "unicode 中文 here"], vocab_size=300
+    )
+    counts = token_count_exact_bytebpe(docs, "doc_id", "text", twin)
+    row = tokenizer_fertility(docs, counts).first()
+
+    texts = {1: "the quick brown fox", 2: "unicode 中文 here", 3: "", 4: ""}
+    n_words = sum(len(t.split()) for t in texts.values())
+    n_bytes = sum(len(t.encode("utf-8")) for t in texts.values())
+    n_chars = sum(len(t) for t in texts.values())
+    n_tokens = sum(twin.token_count(t) for t in texts.values())
+    assert row["n_docs"] == 4
+    assert row["n_words"] == n_words
+    assert row["n_bytes"] == n_bytes
+    assert row["n_chars"] == n_chars
+    assert row["n_tokens"] == n_tokens
+    assert row["fertility_micro"] == n_tokens * 1_000_000 // n_words
+    assert row["bytes_per_token_micro"] == n_bytes * 1_000_000 // n_tokens
+    assert row["chars_per_token_micro"] == n_chars * 1_000_000 // n_tokens
