@@ -378,10 +378,6 @@ def main() -> None:
         # 2026-08-16, end-of-round run)
         "url_quality_filter",
         "sft_render_chat",
-        # round 9: raw-crawl WARC ingest (response segments -> HTTP
-        # strip -> html_to_text; segment build driver-side like
-        # s_wet_ingest)
-        "s_warc_html_ingest",
     ):
         run_stage(
             name,
@@ -404,6 +400,17 @@ def main() -> None:
         "span_corruption",
         lambda: resolve_query("span_corruption")(spark, SF_DIR)
         .agg(F.sum(F.length("input_md5")) + F.sum(F.length("target_md5")))
+        .first()[0],
+    )
+
+    # round-9 raw-crawl WARC ingest: .count() would prune the
+    # md5(html_to_text) projection above the parser (r9 review catch --
+    # the same hazard as fim/span_corruption) and time the parse alone;
+    # force the extraction chain through the md5 aggregate
+    run_stage(
+        "s_warc_html_ingest",
+        lambda: resolve_query("s_warc_html_ingest")(spark, SF_DIR)
+        .agg(F.sum(F.length("clean_md5")))
         .first()[0],
     )
 

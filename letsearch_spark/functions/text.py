@@ -720,6 +720,7 @@ def span_corruption(
     seed: int = 42,
     density: float = 0.15,
     mean_span: int = 3,
+    min_words: int = 1,
 ):
     """T5-style span corruption (Raffel et al. 2020 §3.1.4): drop
     ~``density`` of each document's words in spans of mean length
@@ -755,14 +756,24 @@ def span_corruption(
     preserved byte-for-byte). :func:`span_corruption_twin` is the
     sequential reference implementation (computed-oracle/test twin).
 
+    Short-document floor (r9 review catch, stated honestly): n_spans
+    floors at 1, so a document shorter than ``mean_span / density``
+    words (~20 at the defaults) gets exactly one span and a REALIZED
+    corruption rate above ``density`` -- a 1-word doc always loses its
+    only word. Corpora of short texts (titles, chat turns) should set
+    ``min_words`` (documents below it pass through, applied=false) or
+    tune density/mean_span to their length distribution.
+
     Returns ``df`` plus (applied bool, input string, target string);
-    null/empty rows pass through with input = original text and a null
-    target. Internal __sc_* columns are dropped.
+    null/empty/short rows pass through with input = original text and
+    a null target. Internal __sc_* columns are dropped.
     """
     if not 0.0 < density <= 1.0:
         raise ValueError(f"density must be in (0, 1], got {density}")
     if mean_span < 1:
         raise ValueError(f"mean_span must be >= 1, got {mean_span}")
+    if min_words < 1:
+        raise ValueError(f"min_words must be >= 1, got {min_words}")
     rmic = int(density * 1_000_000)
     den = mean_span * 1_000_000
     sid = F.col(id_col).cast("string")
@@ -863,7 +874,11 @@ def span_corruption(
         F.lit(" "),
         _sentinel(F.col("__sc_nspans")),
     )
-    applied = text.isNotNull() & (F.length(text) > 0)
+    applied = (
+        text.isNotNull()
+        & (F.length(text) > 0)
+        & (F.col("__sc_n") >= min_words)
+    )
     out = out.withColumn("applied", applied)
     out = out.withColumn(
         "input", F.when(applied, input_col).otherwise(text)
@@ -875,7 +890,12 @@ def span_corruption(
 
 
 def span_corruption_twin(
-    doc_id, text, seed: int = 42, density: float = 0.15, mean_span: int = 3
+    doc_id,
+    text,
+    seed: int = 42,
+    density: float = 0.15,
+    mean_span: int = 3,
+    min_words: int = 1,
 ):
     """Sequential reference twin of :func:`span_corruption` -- the
     computed-oracle/test implementation (hashlib md5, same arithmetic
@@ -890,6 +910,8 @@ def span_corruption_twin(
     sid = str(doc_id)
     words = text.split(" ")
     n = len(words)
+    if n < min_words:
+        return (False, text, None)
     n_spans = max(1, (n * int(density * 1_000_000)) // (mean_span * 1_000_000))
     seg = n // n_spans
     max_len = min(2 * mean_span - 1, seg)

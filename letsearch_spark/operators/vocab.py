@@ -108,55 +108,63 @@ def tokenizer_fertility(
       window budget a trainer actually pays);
     * **chars per token** -- the unicode-friendly variant.
 
-    One broadcast-sized join (the counts table is (id, n) -- tiny next
-    to the docs scan) + one corpus aggregate; ratios are integer
-    micro-units (the repo's oracle convention), so the result is
-    hash-stable. Returns ONE row: (n_docs, n_words, n_bytes, n_chars,
-    n_tokens, fertility_micro, bytes_per_token_micro,
-    chars_per_token_micro). Null texts count 0 words/bytes/chars.
-    Composes oracle-checked count tables (token_count_exact /
-    _unigram / _bytebpe), so it carries no oracle entry of its own.
+    No join at all (r9 review catch: the first cut inner-joined two
+    corpus-sized tables just to sum them, and silently dropped docs
+    missing from ``counts``): the docs scan and the counts table
+    aggregate INDEPENDENTLY to one row each, crossJoined at size 1x1.
+    The caller owns the contract that ``counts`` covers the same
+    corpus (token_count_exact / _unigram / _bytebpe over ``docs`` --
+    all oracle-checked, which is why this diagnostic carries no oracle
+    entry of its own).
+
+    Ratios are exact integer micro-units computed in decimal(38)
+    (n * 1e6 stays exact far past the int64 wrap a 100 TB corpus would
+    hit at ~9.2e12 bytes, and decimal division is exact where a
+    double path drifts past 2^53). Returns ONE row: (n_docs, n_words,
+    n_bytes, n_chars, n_tokens, fertility_micro,
+    bytes_per_token_micro, chars_per_token_micro). Null texts count 0
+    words/bytes/chars.
     """
     from letsearch_spark.tokenizer import split_words
 
-    per_doc = docs.select(
-        F.col(id_col),
-        F.size(split_words(F.coalesce(F.col(text_col), F.lit("")))).cast(
-            "long"
-        ).alias("__w"),
-        F.octet_length(F.coalesce(F.col(text_col), F.lit(""))).cast(
-            "long"
-        ).alias("__b"),
-        F.length(F.coalesce(F.col(text_col), F.lit(""))).cast("long").alias(
-            "__c"
-        ),
-    ).join(counts.select(id_col, count_col), id_col)
-    micro = F.lit(1_000_000).cast("long")
-    return per_doc.agg(
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    doc_agg = docs.agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.sum("__w").alias("n_words"),
-        F.sum("__b").alias("n_bytes"),
-        F.sum("__c").alias("n_chars"),
-        F.sum(count_col).alias("n_tokens"),
-    ).select(
+        F.sum(F.size(split_words(text)).cast("long")).alias("n_words"),
+        F.sum(F.octet_length(text).cast("long")).alias("n_bytes"),
+        F.sum(F.length(text).cast("long")).alias("n_chars"),
+    )
+    tok_agg = counts.agg(
+        F.sum(F.col(count_col).cast("long")).alias("n_tokens")
+    )
+
+    def _micro(num, den):
+        # exact integer micro-ratio in decimal(38,0): numerator * 1e6
+        # never wraps (decimal range ~1e38) and floor-division of
+        # decimals is exact at any corpus size
+        d38 = "decimal(38,0)"
+        return (
+            F.when(
+                den > 0,
+                F.floor(
+                    num.cast(d38) * F.lit(1_000_000).cast(d38) / den.cast(d38)
+                ),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+        )
+
+    return doc_agg.crossJoin(tok_agg).select(
         "n_docs",
         "n_words",
         "n_bytes",
         "n_chars",
         "n_tokens",
-        F.when(
-            F.col("n_words") > 0,
-            (F.col("n_tokens") * micro - (F.col("n_tokens") * micro) % F.col("n_words"))
-            / F.col("n_words"),
-        ).otherwise(F.lit(0)).cast("long").alias("fertility_micro"),
-        F.when(
-            F.col("n_tokens") > 0,
-            (F.col("n_bytes") * micro - (F.col("n_bytes") * micro) % F.col("n_tokens"))
-            / F.col("n_tokens"),
-        ).otherwise(F.lit(0)).cast("long").alias("bytes_per_token_micro"),
-        F.when(
-            F.col("n_tokens") > 0,
-            (F.col("n_chars") * micro - (F.col("n_chars") * micro) % F.col("n_tokens"))
-            / F.col("n_tokens"),
-        ).otherwise(F.lit(0)).cast("long").alias("chars_per_token_micro"),
+        _micro(F.col("n_tokens"), F.col("n_words")).alias("fertility_micro"),
+        _micro(F.col("n_bytes"), F.col("n_tokens")).alias(
+            "bytes_per_token_micro"
+        ),
+        _micro(F.col("n_chars"), F.col("n_tokens")).alias(
+            "chars_per_token_micro"
+        ),
     )

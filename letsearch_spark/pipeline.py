@@ -993,29 +993,39 @@ def write_token_shards(
     """
     from pyspark.sql import Window
 
+    from letsearch_spark.tokenizer import BpeModel
     from letsearch_spark.tokenizer_bytebpe import ByteBpeModel
+    from letsearch_spark.tokenizer_unigram import UnigramModel
 
+    sel = clean_docs.select(F.col(key_col), F.col(text_col))
     if isinstance(model, ByteBpeModel):
         # r9: the byte-level family -- same contract, no unk possible
         # (total byte alphabet), layout counts must come from
         # token_count_exact_bytebpe under the same model
         from letsearch_spark.tokenizer_bytebpe import encode_ids_column
 
-        ids = encode_ids_column(
-            clean_docs.select(F.col(key_col), F.col(text_col)),
-            text_col,
-            model,
-            out_col="__ids",
+        ids = encode_ids_column(sel, text_col, model, out_col="__ids")
+    elif isinstance(model, UnigramModel):
+        # r9 review catch: a UnigramModel fell into the word-BPE branch
+        # and crashed on .merges -- route to its own id encoder (layout
+        # counts must come from token_count_exact_unigram)
+        from letsearch_spark.tokenizer_unigram import (
+            encode_ids_column_unigram,
         )
-    else:
+
+        ids = encode_ids_column_unigram(
+            sel, text_col, model, out_col="__ids", unk_id=unk_id
+        )
+    elif isinstance(model, BpeModel):
         from letsearch_spark.tokenizer import encode_ids_column
 
         ids = encode_ids_column(
-            clean_docs.select(F.col(key_col), F.col(text_col)),
-            text_col,
-            model,
-            out_col="__ids",
-            unk_id=unk_id,
+            sel, text_col, model, out_col="__ids", unk_id=unk_id
+        )
+    else:
+        raise TypeError(
+            "write_token_shards needs a BpeModel, UnigramModel or "
+            f"ByteBpeModel, got {type(model).__name__}"
         )
     spans = layout.join(ids.select(key_col, "__ids"), key_col)
     # the layout's spans tile [0, count) exactly (pack_sequences

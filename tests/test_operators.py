@@ -3582,24 +3582,29 @@ def test_span_corruption_matches_python_twin(spark, sf_dir):
         assert got[r["doc_id"]] == want, r["doc_id"]
         if want[0]:
             n_applied += 1
-            # reconstruction: replacing each sentinel in the input
-            # with its target span restores the document exactly
+            # reconstruction: target = ' '.join(sentinel_i + ' ' + body_i)
+            # + ' ' + final sentinel, so between sentinel i and i+1 lies
+            # EXACTLY ' ' + body_i + ' '; replacing each input sentinel
+            # with its body must restore the document VERBATIM (r9
+            # review catch: the first version had a vacuous escape
+            # clause on a loop-leaked variable)
+            import re as _re
+
             inp, tgt = want[1], want[2]
-            spans = {}
-            parts = tgt.split("<extra_id_")
-            for p in parts[1:]:
-                i, _, rest = p.partition(">")
-                spans[int(i)] = rest.strip(" ") if rest else ""
+            parts = _re.split(r"<extra_id_(\d+)>", tgt)
+            assert parts[0] == "" and parts[-1] == ""
+            bodies = {}
+            for k in range(1, len(parts) - 2, 2):
+                seg = parts[k + 1]
+                assert seg.startswith(" ") and seg.endswith(" "), r["doc_id"]
+                bodies[int(parts[k])] = seg[1:-1]
+            assert int(parts[-2]) == len(bodies)  # the closing sentinel
             out = inp
-            for i in sorted(spans, reverse=True):
-                body = spans[i]
-                out = out.replace(
-                    f"<extra_id_{i}>", body if body else "", 1
-                )
-            # collapse is exact because words re-join on single spaces
-            assert out.split(" ") == [
-                w for w in (r["text"] or "").split(" ")
-            ] or body == "", r["doc_id"]
+            for i, body in bodies.items():
+                marker = f"<extra_id_{i}>"
+                assert marker in out, r["doc_id"]
+                out = out.replace(marker, body, 1)
+            assert out == (r["text"] or ""), r["doc_id"]
     assert n_applied >= 500  # the whole documents table applies
 
     # seed decorrelation: different seeds pick different spans

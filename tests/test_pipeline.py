@@ -1006,3 +1006,50 @@ def test_write_token_shards_byte_bpe(spark, tmp_path):
         for s in sorted(by_doc[r["doc_id"]], key=lambda x: x["tok_begin"]):
             got.extend(s["token_ids"])
         assert got == want, r["doc_id"]
+
+
+def test_write_token_shards_unigram_and_type_guard(spark, tmp_path):
+    """r9 review catch: a UnigramModel must route to its own id
+    encoder (it used to crash on .merges in the word-BPE branch), and
+    an unsupported model type raises clearly."""
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from letsearch_spark.operators.pack import pack_sequences
+    from letsearch_spark.pipeline import write_token_shards
+    from letsearch_spark.tokenizer_unigram import (
+        token_count_exact_unigram,
+        train_unigram,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i} low lower lowest wide widest " + "pad " * (i % 3))
+         for i in range(20)],
+        "doc_id long, text string",
+    )
+    model = train_unigram(docs, "text", vocab_size=60, seed_size=200,
+                          em_iters=1)
+    counted = docs.join(
+        token_count_exact_unigram(docs, "doc_id", "text", model), "doc_id"
+    )
+    layout = pack_sequences(counted, "doc_id", "n_tokens", seq_len=16,
+                            num_shards=2)
+    out = str(tmp_path / "uni_shards")
+    n = write_token_shards(counted, layout, out, model)
+    assert n == layout.count()
+    back = spark.read.parquet(out)
+    vocab = model.vocab
+    by_doc = {}
+    for r in back.collect():
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for r in docs.collect():
+        want = [vocab.index(t) if t in vocab else -1
+                for t in model.encode(r["text"])]
+        got = []
+        for s in sorted(by_doc[r["doc_id"]], key=lambda x: x["tok_begin"]):
+            got.extend(s["token_ids"])
+        assert got == want, r["doc_id"]
+
+    with pytest.raises(TypeError, match="BpeModel"):
+        write_token_shards(counted, layout, str(tmp_path / "x"), object())
