@@ -3623,3 +3623,38 @@ def test_span_corruption_matches_python_twin(spark, sf_dir):
         span_corruption(docs, density=0.0)
     with _pytest.raises(ValueError):
         span_corruption(docs, mean_span=0)
+
+
+def test_span_corruption_randomized_unicode_equivalence(spark):
+    """One-job randomized sweep: 60 seeded adversarial texts (multi
+    space, tabs/newlines inside 'words', emoji, RTL, CJK, combining
+    marks, empty tokens from doubled spaces) -- Catalyst == twin
+    exactly. Guards the engine-divergence classes that bit the regex
+    modules (trailing-empty split semantics, unicode lengths)."""
+    import random
+
+    from letsearch_spark.functions.text import (
+        span_corruption,
+        span_corruption_twin,
+    )
+
+    rng = random.Random(99)
+    atoms = [
+        "word", "x", "中文", "🙂", "é", "שלום",
+        "tab\tinside", "new\nline", "", "  ", "mixed123", "a'b",
+    ]
+    rows = []
+    for i in range(60):
+        k = rng.randint(1, 30)
+        rows.append((i, " ".join(rng.choice(atoms) for _ in range(k))))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["applied"], r["input"], r["target"])
+        for r in span_corruption(df, seed=7, density=0.3, mean_span=2)
+        .select("doc_id", "applied", "input", "target")
+        .collect()
+    }
+    for i, t in rows:
+        assert got[i] == span_corruption_twin(
+            i, t, seed=7, density=0.3, mean_span=2
+        ), (i, t)
