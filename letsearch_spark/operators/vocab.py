@@ -128,28 +128,40 @@ def tokenizer_fertility(
     from letsearch_spark.tokenizer import split_words
 
     text = F.coalesce(F.col(text_col), F.lit(""))
+    zero = F.lit(0).cast("long")
     doc_agg = docs.agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.sum(F.size(split_words(text)).cast("long")).alias("n_words"),
-        F.sum(F.octet_length(text).cast("long")).alias("n_bytes"),
-        F.sum(F.length(text).cast("long")).alias("n_chars"),
+        F.coalesce(
+            F.sum(F.size(split_words(text)).cast("long")), zero
+        ).alias("n_words"),
+        F.coalesce(
+            F.sum(F.octet_length(text).cast("long")), zero
+        ).alias("n_bytes"),
+        F.coalesce(F.sum(F.length(text).cast("long")), zero).alias(
+            "n_chars"
+        ),
     )
+    # coalesce (r9 third-review catch): sum over zero rows is NULL,
+    # which leaked a mixed NULL/0 result row for empty counts tables
     tok_agg = counts.agg(
-        F.sum(F.col(count_col).cast("long")).alias("n_tokens")
+        F.coalesce(F.sum(F.col(count_col).cast("long")), zero).alias(
+            "n_tokens"
+        )
     )
 
     def _micro(num, den):
         # exact integer micro-ratio in decimal(38,0): numerator * 1e6
-        # never wraps (decimal range ~1e38) and floor-division of
-        # decimals is exact at any corpus size
+        # never wraps (decimal range ~1e38). Spark decimal DIVISION
+        # rounds HALF_UP at scale 6, so floor(a/b) can land one
+        # micro-unit high (r9 third-review catch, empirically
+        # confirmed at fraction >= 0.9999995); subtracting the modulo
+        # first makes the quotient an exact integer, immune to the
+        # rounding
         d38 = "decimal(38,0)"
+        a = num.cast(d38) * F.lit(1_000_000).cast(d38)
+        b = den.cast(d38)
         return (
-            F.when(
-                den > 0,
-                F.floor(
-                    num.cast(d38) * F.lit(1_000_000).cast(d38) / den.cast(d38)
-                ),
-            )
+            F.when(den > 0, (a - (a % b)) / b)
             .otherwise(F.lit(0))
             .cast("long")
         )

@@ -3658,3 +3658,37 @@ def test_span_corruption_randomized_unicode_equivalence(spark):
         assert got[i] == span_corruption_twin(
             i, t, seed=7, density=0.3, mean_span=2
         ), (i, t)
+
+
+def test_span_corruption_min_words_floor(spark):
+    """r9 third-review catch: the min_words knob had no coverage. Docs
+    below the floor pass through (applied=false, input=text, null
+    target) in BOTH engines -- including the split(' ') subtlety that
+    '  ' counts 3 (empty) words; validation asserts min_words >= 1."""
+    import pytest as _pytest
+
+    from letsearch_spark.functions.text import (
+        span_corruption,
+        span_corruption_twin,
+    )
+
+    rows = [
+        (1, "one two three"),          # 3 words: below floor of 5
+        (2, "a b c d e f g h"),        # 8 words: above
+        (3, "  "),                     # split(' ') -> 3 empty words
+        (4, "x y"),                    # 2 words
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["applied"], r["input"], r["target"])
+        for r in span_corruption(df, min_words=5)
+        .select("doc_id", "applied", "input", "target")
+        .collect()
+    }
+    for i, t in rows:
+        assert got[i] == span_corruption_twin(i, t, min_words=5), (i, t)
+    assert got[1] == (False, "one two three", None)
+    assert got[2][0] is True
+    assert got[3] == (False, "  ", None)  # 3 words < 5: pass-through
+    with _pytest.raises(ValueError, match="min_words"):
+        span_corruption(df, min_words=0)

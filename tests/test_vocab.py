@@ -95,3 +95,38 @@ def test_tokenizer_fertility_matches_hand_computation(spark):
     assert row["fertility_micro"] == n_tokens * 1_000_000 // n_words
     assert row["bytes_per_token_micro"] == n_bytes * 1_000_000 // n_tokens
     assert row["chars_per_token_micro"] == n_chars * 1_000_000 // n_tokens
+
+
+def test_tokenizer_fertility_edge_semantics(spark):
+    """r9 third-review catches: (1) the micro floor is EXACT even when
+    the quotient's fraction rounds up at decimal scale 6 (Spark decimal
+    division is HALF_UP -- 1998996/2000999 must floor to 998998, not
+    999); (2) an empty counts table yields uniform zeros, never a
+    mixed NULL/0 row."""
+    from letsearch_spark.operators.vocab import tokenizer_fertility
+
+    # (1) adversarial ratio: n_tokens*1e6/n_words fraction ~0.9999995,
+    # built from many small docs whose word counts sum to the
+    # adversarial denominator
+    n_docs = 2001
+    words_per_doc = 1000  # 2001 * 1000 = 2_001_000... need 2_000_999
+    rows = [(i, " ".join("w" for _ in range(words_per_doc)))
+            for i in range(n_docs - 1)]
+    rows.append((n_docs - 1, " ".join("w" for _ in range(words_per_doc - 1))))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    counts = spark.createDataFrame(
+        [(i, 999 if i else 999 + (1998996 - 999 * n_docs)) for i in range(n_docs)],
+        "doc_id long, n_tokens long",
+    )
+    row = tokenizer_fertility(docs, counts).first()
+    assert row["n_words"] == 2000999
+    assert row["n_tokens"] == 1998996
+    assert row["fertility_micro"] == 1998996 * 1_000_000 // 2000999  # 998998
+
+    # (2) empty counts: uniform zeros
+    empty = spark.createDataFrame([], "doc_id long, n_tokens long")
+    row2 = tokenizer_fertility(docs, empty).first()
+    assert row2["n_tokens"] == 0
+    assert row2["fertility_micro"] == 0
+    assert row2["bytes_per_token_micro"] == 0
+    assert row2["chars_per_token_micro"] == 0
