@@ -167,6 +167,15 @@ class PrepConfig:
     # stage 4 -- mixture (None disables; needs domain_col)
     mixture_weights: dict[str, float] | None = None
     mixture_target_rows: int = 0
+    # stage 4b -- fill-in-the-middle objective transform (r9; None
+    # disables, the default): kwargs for functions/text.py
+    # fim_transform (seed / rate / mode / sentinels). Applied AFTER
+    # selection+mixture and BEFORE split/count/pack, so the packed
+    # layout counts the rewritten text. Rewrites documents, so it
+    # shares the token_count_col incompatibility. (T5 span corruption
+    # stays an egress-side operator -- its (input, target) PAIR output
+    # doesn't fit the single-text packing stream.)
+    fim: dict | None = None
     # stage 5 -- split
     split_weights: dict[str, float] | None = None
     # stage 6 -- packing
@@ -269,13 +278,13 @@ def prepare_training_data(
         or cfg.ngram_dedup is not None
         or cfg.c4 is not None
         or cfg.html is not None
+        or cfg.fim is not None
     ):
         raise ValueError(
             "token_count_col carries counts of the ORIGINAL text; the "
-            "html/c4/line-dedup/ngram-dedup stages rewrite documents, "
-            "which would silently corrupt the packed layout. Disable "
-            "one: html=None, c4=None, line_dedup=None and "
-            "ngram_dedup=None to trust the counts, or "
+            "html/c4/line-dedup/ngram-dedup/fim stages rewrite "
+            "documents, which would silently corrupt the packed "
+            "layout. Disable them to trust the counts, or "
             "token_count_col=None to recount the cleaned text."
         )
     if cfg.pack_layout not in ("split", "bins"):
@@ -783,6 +792,21 @@ def prepare_training_data(
                     cfg.domain_col,
                     cfg.mixture_weights,
                     cfg.mixture_target_rows,
+                ),
+            )
+
+    if cfg.fim is not None:
+        _loaded = _stage_load("fim", cfg.fim)
+        if _loaded is not None:
+            cur = _loaded
+        else:
+            from letsearch_spark.functions.text import fim_transform
+
+            fimmed = fim_transform(F.col(key), F.col(text), **cfg.fim)
+            cur = _stage_store(
+                "fim",
+                cur.withColumn(text, fimmed["text"]).withColumn(
+                    "fim_applied", fimmed["applied"]
                 ),
             )
 

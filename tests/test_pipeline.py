@@ -1053,3 +1053,63 @@ def test_write_token_shards_unigram_and_type_guard(spark, tmp_path):
 
     with pytest.raises(TypeError, match="BpeModel"):
         write_token_shards(counted, layout, str(tmp_path / "x"), object())
+
+
+def test_prep_fim_stage(spark):
+    """PrepConfig(fim=...) (r9): the objective transform rewrites text
+    before split/count/pack (so the layout counts the REWRITTEN text),
+    marks rows with fim_applied, and stays incompatible with
+    token_count_col like every other rewriting stage."""
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from letsearch_spark.functions.text import fim_transform
+    from letsearch_spark.pipeline import PrepConfig, prepare_training_data
+
+    docs = spark.createDataFrame(
+        [(i, f"document number {i} with some filler words here " * 2)
+         for i in range(30)],
+        "doc_id long, text string",
+    )
+    out, _layout, audit = prepare_training_data(
+        docs,
+        PrepConfig(
+            quality=None, fuzzy_dedup=None, line_dedup=None,
+            fim={"rate": 1.0, "seed": 5},
+            split_weights=None,
+        ),
+    )
+    assert audit["fim"] == 30
+    rows = out.collect()
+    assert all(r["fim_applied"] for r in rows)
+    # text equals the operator applied directly (same seed/rate)
+    want = {
+        r["doc_id"]: r["t"]
+        for r in docs.select(
+            "doc_id",
+            fim_transform(F.col("doc_id"), F.col("text"), seed=5, rate=1.0)[
+                "text"
+            ].alias("t"),
+        ).collect()
+    }
+    for r in rows:
+        assert r["text"] == want[r["doc_id"]]
+        assert "<fim_middle>" in r["text"]
+    # tokens counted on the REWRITTEN text
+    got_tok = {r["doc_id"]: r["tokens"] for r in rows}
+    import math
+    for r in rows:
+        assert got_tok[r["doc_id"]] == math.ceil(
+            len(r["text"].split()) * 1.3
+        )
+
+    with pytest.raises(ValueError, match="token_count_col"):
+        prepare_training_data(
+            docs.withColumn("n_tok", F.lit(5)),
+            PrepConfig(
+                quality=None, fuzzy_dedup=None, line_dedup=None,
+                fim={"rate": 1.0}, token_count_col="n_tok",
+                split_weights=None,
+            ),
+        )
