@@ -1890,7 +1890,7 @@ def test_pipeline_token_count_col_guard(spark):
     docs = spark.createDataFrame(
         [(1, "some text", 10)], "doc_id long, text string, n_tok long"
     )
-    with pytest.raises(ValueError, match="line_dedup"):
+    with pytest.raises(ValueError, match="line-dedup"):
         prepare_training_data(
             docs, PrepConfig(token_count_col="n_tok")
         )
