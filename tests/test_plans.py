@@ -603,3 +603,29 @@ def test_maxsim_unique_groups_no_aggregate_exchange(spark, sf_dir):
     # presentation orderBy over <= N x k final rows
     assert pm.count("Exchange hashpartitioning") == 1, pm
     assert pm.count("Exchange") == 2, pm
+
+
+def test_token_count_bytebpe_broadcasts_types(spark, sf_dir):
+    """Byte-BPE exact counting (r9): the distinct-pretoken table must
+    BROADCAST back to the per-doc pairs (types are tiny next to the
+    corpus) -- a sort-merge join here would shuffle the corpus-sized
+    pair table a second time."""
+    from letsearch_spark.tokenizer_bytebpe import (
+        token_count_exact_bytebpe,
+        train_byte_bpe_twin,
+    )
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    model = train_byte_bpe_twin(
+        [r["text"] or "" for r in docs.select("text").limit(50).collect()],
+        vocab_size=300,
+    )
+    plan = plan_of(
+        token_count_exact_bytebpe(docs, "doc_id", "text", model), "simple"
+    )
+    # the __t types join must be the broadcast; the one permitted
+    # SortMergeJoin is the final doc_id LeftOuter (zero-count rows),
+    # which reuses the per-doc aggregate's existing exchange
+    assert "BroadcastHashJoin [__t" in plan, plan
+    assert plan.count("SortMergeJoin") <= 1, plan
+    assert "SortMergeJoin [__t" not in plan, plan
