@@ -1781,6 +1781,7 @@ class Collection:
         limit: int = 10,
         group_col: str | None = None,
         where: str | None = None,
+        prefilter_k: int | None = None,
     ) -> DataFrame:
         """Multi-vector late-interaction search (the ColBERT MaxSim
         rule, operators/pool.py maxsim_topk) through the Collection's
@@ -1806,6 +1807,16 @@ class Collection:
         ``where``: Spark SQL predicate over the serve view's columns,
         applied BEFORE scoring (pre-filter-then-score, the search()
         contract) -- a filtered-out chunk neither scores nor counts.
+
+        ``prefilter_k`` (r9, the PLAID-style scale path): when set,
+        only the union of each query vector's top-``prefilter_k``
+        groups by single-vector cosine (rows' own vectors when
+        ungrouped, normalized pooled group vectors when grouped) is
+        MaxSim-rescored -- the full corpus never feeds the
+        late-interaction stage. Approximate in WHICH groups make the
+        cut only: candidate scores are exact, and
+        prefilter_k >= |groups| reproduces the exact result
+        bit-for-bit (pinned by tests).
         """
         from letsearch_spark.operators.pool import maxsim_topk
 
@@ -1819,6 +1830,10 @@ class Collection:
         qvecs = [
             [float(x) for x in v] for v in self._embedder().embed(list(queries))
         ]
+        if prefilter_k is not None:
+            base = self._maxsim_prefilter(
+                base, g, qvecs, prefilter_k, group_col
+            )
         hits = maxsim_topk(
             base,
             qvecs,
@@ -1842,6 +1857,67 @@ class Collection:
             .select("group", "key", "content", "score", "n_chunks")
             .orderBy(F.desc("score"), F.asc("group"))
         )
+
+    def _maxsim_prefilter(
+        self,
+        base: DataFrame,
+        g: str,
+        qvecs: list[list[float]],
+        prefilter_k: int,
+        group_col: str | None,
+    ) -> DataFrame:
+        """PLAID-style candidate generation for MaxSim serving (r9,
+        after Santhanam et al. 2022's two-stage shape): per QUERY
+        VECTOR, take the top ``prefilter_k`` groups by single-vector
+        cosine -- against each row's own vector when ungrouped, against
+        the group's normalized POOLED vector when grouped (the
+        chunk-to-doc centroid) -- union the candidate sets, and MaxSim
+        rescores ONLY rows of candidate groups.
+
+        Plan shape: each per-qvec leg is a TakeOrderedAndProject over
+        the same scan (|Q| legs union in ONE plan, <= |Q| * k rows
+        total), the candidate set broadcasts back as a semi-join --
+        the full corpus never feeds the rescore. Approximate with an
+        exactness floor: rescored scores are EXACT for every candidate
+        (the approximation is only which groups make the cut), and
+        prefilter_k >= |groups| degenerates to the exact result."""
+        from letsearch_spark.functions.vector import cosine_similarity
+
+        if prefilter_k < 1:
+            raise ValueError(
+                f"prefilter_k must be >= 1, got {prefilter_k}"
+            )
+        if group_col is None:
+            scored_src = base.select(
+                F.col(g),
+                *[
+                    cosine_similarity(F.col("vector"), q).alias(f"_pc{j}")
+                    for j, q in enumerate(qvecs)
+                ],
+            )
+        else:
+            from letsearch_spark.operators.pool import mean_pool_vectors
+
+            pooled = mean_pool_vectors(
+                base, [g], "vector", out_col="_pv", normalize=True
+            )
+            scored_src = pooled.select(
+                F.col(g),
+                *[
+                    cosine_similarity(F.col("_pv"), q).alias(f"_pc{j}")
+                    for j, q in enumerate(qvecs)
+                ],
+            )
+        legs = [
+            scored_src.select(g).orderBy(
+                F.desc(f"_pc{j}"), F.asc(g)
+            ).limit(prefilter_k)
+            for j in range(len(qvecs))
+        ]
+        cand = legs[0]
+        for leg in legs[1:]:
+            cand = cand.unionByName(leg)
+        return base.join(F.broadcast(cand.distinct()), g, "left_semi")
 
     def _maxsim_serve_base(
         self, column: str, limit: int, group_col: str | None, where: str | None
@@ -1874,6 +1950,7 @@ class Collection:
         limit: int = 10,
         group_col: str | None = None,
         where: str | None = None,
+        prefilter_k: int | None = None,
     ) -> DataFrame:
         """Batched MaxSim serving: N multi-vector queries in ONE plan
         (operators/pool.py maxsim_topk_many — one partial-aggregated
@@ -1881,8 +1958,13 @@ class Collection:
         per partition, the final window sorts <= partitions x N x k
         rows). Same contract as :meth:`search_multi` per query, plus
         ``query_idx``/``rank``; results are bit-identical to the
-        per-query path. Returns (query_idx, rank, group, key, content,
-        score, n_chunks) ordered by (query_idx, rank)."""
+        per-query path. ``prefilter_k`` (r9): PLAID-style candidate
+        generation over the union of every query's vectors -- see
+        :meth:`search_multi`; batched results equal per-query
+        prefiltered results only when the candidate sets coincide, so
+        parity tests pass the SAME queries. Returns (query_idx, rank,
+        group, key, content, score, n_chunks) ordered by
+        (query_idx, rank)."""
         from letsearch_spark.operators.pool import maxsim_topk_many
 
         if not query_sets:
@@ -1905,6 +1987,18 @@ class Collection:
             [float(x) for x in v] for v in self._embedder().embed(texts)
         )
         qvec_sets = [[next(vecs) for _ in qs] for qs in sets]
+        if prefilter_k is not None:
+            # candidate generation over the UNION of every query's
+            # vectors: the rescore stays ONE plan, each query ranks
+            # only over its own scores (extra candidates cost compute,
+            # never correctness -- scores are exact per candidate)
+            base = self._maxsim_prefilter(
+                base,
+                g,
+                [q for qs in qvec_sets for q in qs],
+                prefilter_k,
+                group_col,
+            )
         hits = maxsim_topk_many(
             base,
             qvec_sets,

@@ -1770,3 +1770,68 @@ def test_delete_tombstone_ivf_probe_filter_no_rebuild(spark, tmp_path, sf_dir):
     assert c.refresh_ivf_pq_index("text") == "current"
     hits = c.search("text", victim["text"], limit=10, strategy="ivf").collect()
     assert all(h["key"] != victim["_key"] for h in hits)
+
+
+def test_search_multi_prefilter(spark, tmp_path, sf_dir):
+    """PLAID-style MaxSim prefilter (r9): prefilter_k >= corpus is
+    bit-identical to the exact path (ungrouped AND grouped); a small
+    prefilter_k returns candidates whose scores EQUAL the exact run's
+    scores for the same groups (the approximation is only which groups
+    make the cut); validation raises on k < 1."""
+    import os
+
+    import pytest
+
+    from letsearch_spark.collection import Collection
+
+    c = Collection.create(
+        spark, str(tmp_path / "pf"), name="pf", model_name="stub://16"
+    )
+    c.import_parquet(os.path.join(sf_dir, "documents.parquet"))
+    c.embed_all()
+    c.serve_filter_columns = ["lang"]
+    queries = ["spark join window batch", "dedup minhash band"]
+
+    # ungrouped: huge k degenerates to exact, bit-for-bit
+    exact = c.search_multi("text", queries, limit=5).collect()
+    same = c.search_multi(
+        "text", queries, limit=5, prefilter_k=10_000
+    ).collect()
+    assert [tuple(r) for r in same] == [tuple(r) for r in exact]
+
+    # small k: exact-rescore invariant
+    small = c.search_multi(
+        "text", queries, limit=5, prefilter_k=8
+    ).collect()
+    exact_scores = {r["group"]: r["score"] for r in exact}
+    exact_full = {
+        r["group"]: r["score"]
+        for r in c.search_multi("text", queries, limit=100).collect()
+    }
+    assert 1 <= len(small) <= 5
+    for r in small:
+        assert exact_full.get(r["group"]) == r["score"], r["group"]
+
+    # grouped (pooled-vector candidates): huge k == exact
+    g_exact = c.search_multi(
+        "text", queries, limit=5, group_col="lang"
+    ).collect()
+    g_same = c.search_multi(
+        "text", queries, limit=5, group_col="lang", prefilter_k=10_000
+    ).collect()
+    assert [tuple(r) for r in g_same] == [tuple(r) for r in g_exact]
+    # with 5 langs, k=5 covers every group -> also exact
+    g_k5 = c.search_multi(
+        "text", queries, limit=5, group_col="lang", prefilter_k=5
+    ).collect()
+    assert [tuple(r) for r in g_k5] == [tuple(r) for r in g_exact]
+
+    # batched path: huge k == exact batched
+    b_exact = c.search_many_multi("text", [queries], limit=5).collect()
+    b_same = c.search_many_multi(
+        "text", [queries], limit=5, prefilter_k=10_000
+    ).collect()
+    assert [tuple(r) for r in b_same] == [tuple(r) for r in b_exact]
+
+    with pytest.raises(ValueError, match="prefilter_k"):
+        c.search_multi("text", queries, limit=5, prefilter_k=0)
