@@ -1825,7 +1825,7 @@ class Collection:
         if not queries:
             raise ValueError("queries must be non-empty")
         serve, base, g = self._maxsim_serve_base(
-            column, limit, group_col, where
+            column, limit, group_col, where, prefilter_k
         )
         qvecs = [
             [float(x) for x in v] for v in self._embedder().embed(list(queries))
@@ -1874,60 +1874,96 @@ class Collection:
         chunk-to-doc centroid) -- union the candidate sets, and MaxSim
         rescores ONLY rows of candidate groups.
 
-        Plan shape: each per-qvec leg is a TakeOrderedAndProject over
-        the same scan (|Q| legs union in ONE plan, <= |Q| * k rows
-        total), the candidate set broadcasts back as a semi-join --
-        the full corpus never feeds the rescore. Approximate with an
-        exactness floor: rescored scores are EXACT for every candidate
-        (the approximation is only which groups make the cut), and
-        prefilter_k >= |groups| degenerates to the exact result."""
-        from letsearch_spark.functions.vector import cosine_similarity
-
-        if prefilter_k < 1:
-            raise ValueError(
-                f"prefilter_k must be >= 1, got {prefilter_k}"
-            )
+        Plan shape (r9 review-hardened): ungrouped, each per-qvec leg
+        is a TakeOrderedAndProject over the CACHED serve view scored
+        via its precomputed ``_vnorm`` (one fold per row -- the
+        _serve_score idiom), map-side top-k, no exchange. Grouped, the
+        pooling aggregation runs ONCE: the |groups|-row pooled frame
+        explodes its |Q| scores and one rank window (partitioned by
+        qvec index, |groups| x |Q| slim rows) takes every leg's top-k
+        -- per-leg branches would re-execute the posexplode pooling
+        subtree |Q| times. The candidate set broadcasts back as a
+        NULL-SAFE semi-join (a NULL group is a real group to the exact
+        path's groupBy and must survive the cut the same way).
+        Approximate with an exactness floor: rescored scores are EXACT
+        for every candidate (the approximation is only which groups
+        make the cut), and prefilter_k >= |groups| degenerates to the
+        exact result."""
         if group_col is None:
-            scored_src = base.select(
-                F.col(g),
-                *[
-                    cosine_similarity(F.col("vector"), q).alias(f"_pc{j}")
-                    for j, q in enumerate(qvecs)
-                ],
-            )
+            legs = [
+                base.select(
+                    F.col(g).alias("__cg"),
+                    self._serve_score(q).alias("__ps"),
+                )
+                .orderBy(F.desc("__ps"), F.asc("__cg"))
+                .limit(prefilter_k)
+                .select("__cg")
+                for q in qvecs
+            ]
+            cand = legs[0]
+            for leg in legs[1:]:
+                cand = cand.unionByName(leg)
+            cand = cand.distinct()
         else:
+            from pyspark.sql.window import Window
+
+            from letsearch_spark.functions.vector import cosine_similarity
             from letsearch_spark.operators.pool import mean_pool_vectors
 
             pooled = mean_pool_vectors(
                 base, [g], "vector", out_col="_pv", normalize=True
             )
-            scored_src = pooled.select(
-                F.col(g),
-                *[
-                    cosine_similarity(F.col("_pv"), q).alias(f"_pc{j}")
-                    for j, q in enumerate(qvecs)
-                ],
+            scored = pooled.select(
+                F.col(g).alias("__cg"),
+                F.posexplode(
+                    F.array(
+                        *[
+                            cosine_similarity(F.col("_pv"), q)
+                            for q in qvecs
+                        ]
+                    )
+                ).alias("__qi", "__ps"),
             )
-        legs = [
-            scored_src.select(g).orderBy(
-                F.desc(f"_pc{j}"), F.asc(g)
-            ).limit(prefilter_k)
-            for j in range(len(qvecs))
-        ]
-        cand = legs[0]
-        for leg in legs[1:]:
-            cand = cand.unionByName(leg)
-        return base.join(F.broadcast(cand.distinct()), g, "left_semi")
+            w = Window.partitionBy("__qi").orderBy(
+                F.desc("__ps"), F.asc("__cg")
+            )
+            cand = (
+                scored.withColumn("__r", F.row_number().over(w))
+                .where(F.col("__r") <= prefilter_k)
+                .select("__cg")
+                .distinct()
+            )
+        return base.join(
+            F.broadcast(cand),
+            F.col(g).eqNullSafe(F.col("__cg")),
+            "left_semi",
+        )
 
     def _maxsim_serve_base(
-        self, column: str, limit: int, group_col: str | None, where: str | None
+        self,
+        column: str,
+        limit: int,
+        group_col: str | None,
+        where: str | None,
+        prefilter_k: int | None = None,
     ):
         """Shared serving prologue for search_multi /
         search_many_multi: validation + the pre-filtered serve view +
         the effective group column (one copy, so the two paths'
-        contracts cannot drift)."""
+        contracts cannot drift). ``prefilter_k`` validates HERE --
+        before any query embedding runs (r9 review catch: a bad knob
+        used to surface only after real model inference, and a float
+        leaked into .limit() as an opaque Py4J error)."""
         if not 1 <= limit <= 100:
             raise ValueError(f"limit must be in [1, 100], got {limit}")
+        if prefilter_k is not None and (
+            not isinstance(prefilter_k, int)
+            or isinstance(prefilter_k, bool)
+            or prefilter_k < 1
+        ):
+            raise ValueError(
+                f"prefilter_k must be a positive int, got {prefilter_k!r}"
+            )
         if column not in self.config.index_columns:
             raise ValueError(f"column {column!r} is not indexed")
         if group_col is not None and group_col not in self.serve_filter_columns:
@@ -1979,7 +2015,7 @@ class Collection:
         if any(not qs for qs in sets):
             raise ValueError("every query set needs at least one string")
         serve, base, g = self._maxsim_serve_base(
-            column, limit, group_col, where
+            column, limit, group_col, where, prefilter_k
         )
         # ONE embed call for the whole batch (K3), then unflatten
         texts = [q for qs in sets for q in qs]

@@ -1809,8 +1809,16 @@ def test_search_multi_prefilter(spark, tmp_path, sf_dir):
         for r in c.search_multi("text", queries, limit=100).collect()
     }
     assert 1 <= len(small) <= 5
+    # limit caps at 100, so exact_full covers the exact top-100 only:
+    # a candidate outside it proves nothing either way (r9 review
+    # catch -- asserting on it would flake on corpora with >100
+    # strong groups); the ones inside must match to the bit
+    checked = 0
     for r in small:
-        assert exact_full.get(r["group"]) == r["score"], r["group"]
+        if r["group"] in exact_full:
+            assert exact_full[r["group"]] == r["score"], r["group"]
+            checked += 1
+    assert checked >= 1
 
     # grouped (pooled-vector candidates): huge k == exact
     g_exact = c.search_multi(
@@ -1833,5 +1841,44 @@ def test_search_multi_prefilter(spark, tmp_path, sf_dir):
     ).collect()
     assert [tuple(r) for r in b_same] == [tuple(r) for r in b_exact]
 
-    with pytest.raises(ValueError, match="prefilter_k"):
-        c.search_multi("text", queries, limit=5, prefilter_k=0)
+    for bad in (0, -3, 2.5, True):
+        with pytest.raises(ValueError, match="prefilter_k"):
+            c.search_multi("text", queries, limit=5, prefilter_k=bad)
+
+
+def test_search_multi_prefilter_null_groups(spark, tmp_path):
+    """r9 review catch: a NULL group is a real group to the exact
+    path's groupBy -- the prefilter's null-safe semi-join must let it
+    survive, so prefilter_k >= |groups| stays bit-identical even with
+    NULL group values."""
+    from letsearch_spark.collection import Collection
+
+    c = Collection.create(
+        spark, str(tmp_path / "ng"), name="ng", model_name="stub://16"
+    )
+    rows = spark.createDataFrame(
+        [
+            ("spark join window", "a"),
+            ("dedup minhash band", "a"),
+            ("stream state store", None),
+            ("pack tokens shard", None),
+            ("bloom filter probe", "b"),
+        ],
+        "text string, grp string",
+    )
+    c.import_df(rows)
+    c.embed_all()
+    c.serve_filter_columns = ["grp"]
+    q = ["stream state store"]
+    exact = c.search_multi("text", q, limit=3, group_col="grp").collect()
+    assert any(r["group"] is None for r in exact)  # NULL group ranks
+    pf = c.search_multi(
+        "text", q, limit=3, group_col="grp", prefilter_k=100
+    ).collect()
+    assert [tuple(r) for r in pf] == [tuple(r) for r in exact]
+    # and at k=1 the NULL group can be THE candidate (its chunk is the
+    # verbatim match)
+    pf1 = c.search_multi(
+        "text", q, limit=3, group_col="grp", prefilter_k=1
+    ).collect()
+    assert pf1 and pf1[0]["group"] is None
