@@ -1882,3 +1882,58 @@ def test_search_multi_prefilter_null_groups(spark, tmp_path):
         "text", q, limit=3, group_col="grp", prefilter_k=1
     ).collect()
     assert pf1 and pf1[0]["group"] is None
+
+
+def test_maxsim_prefilter_sidecar_plan_and_where_twin(spark, tmp_path, sf_dir):
+    """r10 plan gate (VERDICT r9 #1): the grouped prefiltered SERVING
+    plan must not re-run the corpus pooling aggregation per call (no
+    posexplode generate anywhere in the executed plan) and must not
+    rank candidates through the |Q|-partition window (no Window, no
+    __qi) -- candidate legs are TakeOrderedAndProject over the
+    in-memory pooled-centroid sidecar (InMemoryTableScan). The
+    where='1=1' twin forces the documented inline-pooling fallback over
+    the SAME population: results are bit-identical (both paths pool
+    with the same fixed-point units)."""
+    import os
+
+    from letsearch_spark.collection import Collection
+
+    c = Collection.create(
+        spark, str(tmp_path / "pg"), name="pg", model_name="stub://16"
+    )
+    c.import_parquet(os.path.join(sf_dir, "documents.parquet"))
+    c.embed_all()
+    c.serve_filter_columns = ["lang"]
+    queries = ["spark join window batch", "dedup minhash band"]
+
+    out = c.search_multi(
+        "text", queries, limit=5, group_col="lang", prefilter_k=2
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "posexplode" not in plan.lower(), plan
+    assert "Window" not in plan, plan
+    assert "__qi" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "InMemoryTableScan" in plan, plan
+
+    # the inline fallback (where=) pools the filtered base per call --
+    # over the trivially-true predicate that is the same population, so
+    # the sidecar path must reproduce it bit-for-bit
+    twin = c.search_multi(
+        "text", queries, limit=5, group_col="lang", prefilter_k=2,
+        where="1=1",
+    )
+    assert [tuple(r) for r in out.collect()] == [
+        tuple(r) for r in twin.collect()
+    ]
+    # and the fallback really is the inline shape (its plan pools)
+    tplan = twin._jdf.queryExecution().executedPlan().toString()
+    assert "posexplode" in tplan.lower(), tplan
+
+    # batched serving rides the same sidecar
+    many = c.search_many_multi(
+        "text", [queries], limit=5, group_col="lang", prefilter_k=2
+    )
+    mplan = many._jdf.queryExecution().executedPlan().toString()
+    assert "posexplode" not in mplan.lower(), mplan
+    assert "__qi" not in mplan, mplan

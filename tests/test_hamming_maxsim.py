@@ -510,3 +510,94 @@ def test_maxsim_many_nan_scores_raise(spark):
             df, [[[1.0, 0.0]]], k=5, group_col="_key", vec_col="vector",
             unique_groups=True,
         ).collect()
+
+
+def test_maxsim_pool_index_persists_and_refreshes(spark, tmp_path):
+    """r10 (VERDICT r9 #1): the grouped-MaxSim pooled-centroid sidecar
+    persists, refreshes at batch cost on ANY live-count change (new
+    group, new chunk behind an EXISTING group, tombstone, last-chunk
+    delete), survives a restart, and is dropped by a full re-embed
+    (the stale-vector guard). A refresh that re-pools only the touched
+    groups is bit-identical to a from-scratch rebuild (fixed-point
+    pooling is order-independent), and a NULL group is a first-class
+    sidecar row throughout."""
+    from letsearch_spark.collection import Collection
+
+    root = str(tmp_path / "root")
+    c = Collection.create(spark, root, name="mp", model_name="stub://16")
+    rows = spark.createDataFrame(
+        [
+            ("spark join window", "a"),
+            ("dedup minhash band", "a"),
+            ("stream state store", None),
+            ("bloom filter probe", "b"),
+        ],
+        "text string, grp string",
+    )
+    c.import_df(rows)
+    c.embed_all()
+    c.serve_filter_columns = ["grp"]
+
+    assert c.refresh_maxsim_pool_index("text", "grp") == "built"
+    assert c.refresh_maxsim_pool_index("text", "grp") == "current"
+    path = c.maxsim_pool_path("text", "grp")
+    before = {
+        r["grp"]: (tuple(r["_pv"]), r["n_vecs"])
+        for r in spark.read.parquet(path).collect()
+    }
+    assert set(before) == {"a", "b", None}
+    assert before["a"][1] == 2  # pooled over BOTH of a's chunks
+
+    # append a chunk to an EXISTING group + a brand-new group: the
+    # count diff re-pools only the touched groups
+    c._append_df(
+        spark.createDataFrame(
+            [("pack tokens shard", "a"), ("sessionize events", "c")],
+            "text string, grp string",
+        )
+    )
+    c.embed_column("text", incremental=True)
+    assert c.refresh_maxsim_pool_index("text", "grp") == "refreshed"
+    after = {
+        r["grp"]: (tuple(r["_pv"]), r["n_vecs"])
+        for r in spark.read.parquet(path).collect()
+    }
+    assert after["a"][1] == 3 and after["c"][1] == 1
+    assert after["b"] == before["b"]  # untouched groups copied verbatim
+    assert after[None] == before[None]
+    assert after["a"][0] != before["a"][0]  # the mean actually moved
+
+    # bit-identity with a from-scratch rebuild
+    c._fs_delete(path)
+    assert c.refresh_maxsim_pool_index("text", "grp") == "built"
+    rebuilt = {
+        r["grp"]: (tuple(r["_pv"]), r["n_vecs"])
+        for r in spark.read.parquet(path).collect()
+    }
+    assert rebuilt == after
+
+    # a restart reuses the persisted sidecar
+    c2 = Collection.load(spark, root, "mp")
+    assert c2.refresh_maxsim_pool_index("text", "grp") == "current"
+
+    # tombstone delete moves a group's live count -> re-pool
+    victim = c.docs().where(F.col("grp") == "a").orderBy("_key").first()
+    assert c.delete_where(f"_key = {victim['_key']}") == 1
+    assert c.refresh_maxsim_pool_index("text", "grp") == "refreshed"
+    counts = {
+        r["grp"]: r["n_vecs"] for r in spark.read.parquet(path).collect()
+    }
+    assert counts["a"] == 2
+
+    # deleting a group's LAST chunk drops its sidecar row (the NULL
+    # group must survive the drop logic untouched)
+    assert c.delete_where("grp = 'c'") == 1
+    assert c.refresh_maxsim_pool_index("text", "grp") == "refreshed"
+    grps = {r["grp"] for r in spark.read.parquet(path).collect()}
+    assert "c" not in grps and None in grps
+
+    # full re-embed may change vectors behind existing keys: the
+    # sidecar is dropped and rebuilds
+    c.embed_column("text", incremental=False)
+    assert not os.path.exists(path)
+    assert c.refresh_maxsim_pool_index("text", "grp") == "built"
