@@ -106,8 +106,8 @@ def test_rotation_bookkeeping():
         "perplexity_filter",
         "semantic_dedup",
         "stream_sessionize",
-        # round-5 rotation
-        "token_count_bpe",
+        # round-5 rotation (token_count_bpe was displaced again by the
+        # r10 rotation -- asserted in the displaced list below)
         "pq_adc_topk",
         "dedup_substring_spans",
         "quality_classifier_keep",
@@ -127,7 +127,8 @@ def test_rotation_bookkeeping():
         "token_count_unigram",
         "sample_stratified_exact",
         "export_shards_manifest",
-        "fim_transform",
+        # (fim_transform was displaced again by the r10 rotation --
+        # asserted in the displaced list below)
         # round-9 rotation
         "search_maxsim_collection",
         "s_wet_ingest",
@@ -135,6 +136,12 @@ def test_rotation_bookkeeping():
         "url_quality_filter",
         "sft_render_chat",
         "interleave_order",
+        # round-10 rotation
+        "token_count_byte_bpe",
+        "s_warc_html_ingest",
+        "c4_page_filter",
+        "eval_hamming_recall",
+        "span_corruption",
     ):
         assert new in QUERIES and new in oracles
     for displaced in (
@@ -161,5 +168,11 @@ def test_rotation_bookkeeping():
         "events_range_join",
         "sample_train_test_split",
         "stream_windowed_counts",
+        # round-10 rotation
+        "s1_jsonl_ingest",
+        "token_count_bpe",
+        "window_top_orders_per_customer",
+        "skew_salted_two_stage",
+        "fim_transform",
     ):
         assert displaced in ROTATED_OUT_QUERIES and displaced not in QUERIES
