@@ -504,6 +504,76 @@ def q_multimodal_decode(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_multimodal_headers(spark, sf_dir):
+    """REAL media metadata decode, stdlib-only (r10, VERDICT r9 next
+    #3): deterministic PNG/GIF/JPEG/WebP payloads are synthesized from
+    doc_id (sources/multimodal.py build_image_bytes -- header + pad
+    filler; every 5th doc is a truncated-PNG malformed payload), then
+    decode_media(decoder='headers') parses (format, width, height) back
+    out of the actual file headers inside the Arrow-batched mapInPandas
+    kernel. The oracle replays the doc_id arithmetic in pure SQL, so a
+    parser that mis-reads any header field mismatches immediately;
+    malformed payloads must degrade to null format/dims, never error."""
+    from letsearch_spark.sources.multimodal import (
+        _PNG_SIG,
+        build_image_bytes,
+        decode_media,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+
+    def build(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                m, pad = d % 5, d % 50
+                if m == 4:
+                    data = _PNG_SIG + bytes(
+                        (i * 31) % 251 for i in range(pad)
+                    )
+                else:
+                    data = build_image_bytes(
+                        ("png", "gif", "jpeg", "webp")[m],
+                        1 + d % 640,
+                        1 + d % 480,
+                        pad=pad,
+                    )
+                rows.append((str(d), data))
+            yield pd.DataFrame(rows, columns=["path", "content"])
+
+    media = docs.mapInPandas(build, schema="path string, content binary")
+    dec = decode_media(media, decoder="headers")
+    return dec.select(
+        F.col("path").cast("long").alias("doc_id"),
+        F.col("format"),
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.col("n_bytes"),
+    ).orderBy("doc_id")
+
+
+_MULTIMODAL_HEADERS_ORACLE_SQL = """
+    SELECT doc_id,
+           CASE CAST(doc_id % 5 AS INT)
+                WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
+                WHEN 2 THEN 'jpeg' WHEN 3 THEN 'webp' END AS format,
+           CASE WHEN doc_id % 5 = 4 THEN NULL
+                ELSE CAST(1 + doc_id % 640 AS BIGINT) END AS width,
+           CASE WHEN doc_id % 5 = 4 THEN NULL
+                ELSE CAST(1 + doc_id % 480 AS BIGINT) END AS height,
+           -- header-length constants pin the fixture builder too:
+           -- png 29, gif 10, jpeg 30, webp 30, truncated-PNG 8
+           CAST(CASE CAST(doc_id % 5 AS INT)
+                WHEN 0 THEN 29 WHEN 1 THEN 10 WHEN 2 THEN 30
+                WHEN 3 THEN 30 ELSE 8 END + doc_id % 50
+                AS BIGINT) AS n_bytes
+    FROM documents ORDER BY doc_id
+"""
+
+
 def q_events_time_rollup(spark, sf_dir):
     """Hypertable-style rollup (operators/rollup.py time_rollup): hour and
     day tiers of the events stream computed in ONE scan + ONE shuffle via
@@ -3689,6 +3759,9 @@ STAGED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # token_count_byte_bpe, span_corruption -- plus the r7
     # eval_hamming_recall and the r5 c4_page_filter were promoted into
     # the window by the r10 rotation)
+    # round 10 (stdlib header decode: the real half of the multimodal
+    # story next to the in-window fake-kernel multimodal_decode)
+    "multimodal_headers": q_multimodal_headers,
     # round 6 (late session; ann_hamming_topk / token_count_unigram
     # promoted r8)
     "search_maxsim": q_search_maxsim,
@@ -4438,6 +4511,8 @@ def _text_compression_oracle(sf_dir: str) -> str:
 STAGED_ORACLES: dict[str, object] = {
     # (r10 rotation: the r9 staged oracles + eval_hamming_recall +
     # c4_page_filter moved to the window registries with their queries)
+    # round 10
+    "multimodal_headers": _MULTIMODAL_HEADERS_ORACLE_SQL,
     # round 6 (late session)
     "search_maxsim": _maxsim_oracle_sql(),
     "text_compression": _text_compression_oracle,

@@ -243,3 +243,135 @@ def test_decode_media_fake_and_none(spark, tmp_path):
 
     with pytest.raises((NotImplementedError, Py4JJavaError, Exception)):
         decode_media(df, decoder="none").collect()
+
+
+def test_parse_image_header_golden_roundtrip():
+    """r10 (VERDICT r9 next #3): the stdlib header parser reads back
+    exactly what the fixture builder wrote for every format, across
+    dimension edge cases, with and without trailing payload bytes."""
+    from letsearch_spark.sources.multimodal import (
+        build_image_bytes,
+        parse_image_header,
+    )
+
+    for fmt, w, h in [
+        ("png", 1, 1),
+        ("png", 65536, 3),  # >u16: PNG dims are u32
+        ("gif", 640, 480),
+        ("gif", 65535, 1),
+        ("jpeg", 1920, 1080),
+        ("jpeg", 65535, 65535),
+        ("webp", 2, 2),
+        ("webp", 16384, 16384),  # VP8X canvas is 24-bit
+    ]:
+        for pad in (0, 37):
+            data = build_image_bytes(fmt, w, h, pad=pad)
+            assert parse_image_header(data) == (fmt, w, h), (fmt, w, h, pad)
+
+    # hand-built WebP lossy (VP8) and lossless (VP8L) variants the
+    # builder doesn't emit
+    import struct
+
+    vp8_payload = b"\x00\x00\x00" + b"\x9d\x01\x2a" + struct.pack("<HH", 320, 240)
+    vp8 = (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(vp8_payload)) + b"WEBP"
+        b"VP8 " + struct.pack("<I", len(vp8_payload)) + vp8_payload
+    )
+    assert parse_image_header(vp8) == ("webp", 320, 240)
+
+    bits = (100 - 1) | ((200 - 1) << 14)
+    vp8l_payload = b"\x2f" + struct.pack("<I", bits)
+    vp8l = (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(vp8l_payload)) + b"WEBP"
+        b"VP8L" + struct.pack("<I", len(vp8l_payload)) + vp8l_payload
+    )
+    assert parse_image_header(vp8l) == ("webp", 100, 200)
+
+
+def test_parse_image_header_malformed_degrades_to_null():
+    """Corrupt/truncated/foreign bytes yield (None, None, None), never
+    an exception -- including every prefix of each valid fixture (the
+    truncation sweep) and dimension-zero headers."""
+    import struct
+
+    from letsearch_spark.sources.multimodal import (
+        _PNG_SIG,
+        build_image_bytes,
+        parse_image_header,
+    )
+
+    null = (None, None, None)
+    assert parse_image_header(b"") == null
+    assert parse_image_header(b"plain text, not an image") == null
+    assert parse_image_header(_PNG_SIG) == null  # sig only
+    # PNG whose first chunk is not IHDR
+    bad_png = _PNG_SIG + struct.pack(">I", 13) + b"gAMA" + b"\x00" * 13
+    assert parse_image_header(bad_png) == null
+    # zero-dimension PNG/GIF
+    zp = bytearray(build_image_bytes("png", 1, 1))
+    zp[16:20] = b"\x00\x00\x00\x00"
+    assert parse_image_header(bytes(zp)) == null
+    zg = bytearray(build_image_bytes("gif", 1, 1))
+    zg[6:8] = b"\x00\x00"
+    assert parse_image_header(bytes(zg)) == null
+    # JPEG that hits SOS/EOI before any SOF, and a bare SOI
+    assert parse_image_header(b"\xff\xd8\xff\xd9") == null
+    assert parse_image_header(b"\xff\xd8") == null
+    # JPEG with a non-marker byte where a marker must be
+    assert parse_image_header(b"\xff\xd8\x00\x00\x00\x00") == null
+    # WebP with an unknown first chunk / bad VP8 start code
+    unk = b"RIFF" + struct.pack("<I", 12) + b"WEBP" + b"ZZZZ" + b"\x00" * 8
+    assert parse_image_header(unk) == null
+    vp8_bad = (
+        b"RIFF" + struct.pack("<I", 20) + b"WEBP"
+        b"VP8 " + struct.pack("<I", 10)
+        + b"\x00\x00\x00" + b"\xff\xff\xff" + b"\x00\x00\x00\x00"
+    )
+    assert parse_image_header(vp8_bad) == null
+    # truncation sweep: every strict prefix parses to a clean null or
+    # the full answer (short JPEGs can legitimately resolve early once
+    # the SOF segment is in), never raises
+    for fmt in ("png", "gif", "jpeg", "webp"):
+        data = build_image_bytes(fmt, 33, 44)
+        want = (fmt, 33, 44)
+        for cut in range(len(data)):
+            got = parse_image_header(data[:cut])
+            assert got == null or got == want, (fmt, cut, got)
+
+
+def test_decode_media_headers_spark_end_to_end(spark):
+    """decoder='headers' through the mapInPandas kernel: real parsed
+    dims for valid payloads, null format/dims for the malformed row,
+    n_bytes/sha always real; decode_media dispatches the mode."""
+    import hashlib
+
+    from letsearch_spark.sources.multimodal import (
+        build_image_bytes,
+        decode_media,
+    )
+
+    payloads = {
+        "a.png": build_image_bytes("png", 12, 34, pad=5),
+        "b.gif": build_image_bytes("gif", 56, 78),
+        "c.jpg": build_image_bytes("jpeg", 90, 11, pad=3),
+        "d.webp": build_image_bytes("webp", 22, 33),
+        "e.bin": b"not an image at all",
+    }
+    df = spark.createDataFrame(
+        [(k, bytearray(v)) for k, v in sorted(payloads.items())],
+        "path string, content binary",
+    ).repartition(3)
+    rows = {
+        r["path"]: r
+        for r in decode_media(df, decoder="headers").collect()
+    }
+    assert rows["a.png"]["format"] == "png"
+    assert (rows["a.png"]["width"], rows["a.png"]["height"]) == (12, 34)
+    assert rows["b.gif"]["format"] == "gif"
+    assert (rows["c.jpg"]["width"], rows["c.jpg"]["height"]) == (90, 11)
+    assert rows["d.webp"]["format"] == "webp"
+    assert rows["e.bin"]["format"] is None
+    assert rows["e.bin"]["width"] is None and rows["e.bin"]["height"] is None
+    for k, v in payloads.items():
+        assert rows[k]["n_bytes"] == len(v)
+        assert rows[k]["media_sha"] == hashlib.sha256(v).hexdigest()
