@@ -114,6 +114,15 @@ class PrepConfig:
     # recipe: a page drops on its URL alone, before any text stage
     # reads a byte of content (pairs with the WET source's target_uri)
     url_filter: dict | None = None
+    # stage 0b -- char-n-gram language ID (r10; None disables, the
+    # default): {"model": <LangIdModel from fit_langid>, optional
+    # "allowed": [langs to KEEP] (absent = annotate-only), "out_col":
+    # prediction column (default 'pred_lang')}. Runs right after HTML
+    # extraction, before any quality stage spends compute on
+    # out-of-scope languages (the CCNet ordering). The model object
+    # fingerprints by type, not content (the quality_classifier
+    # caveat).
+    langid: dict | None = None
     # functions/text.py c4_clean_lines / c4_flags. Rewrites text, so it
     # shares line_dedup's token_count_col incompatibility.
     c4: dict | None = None
@@ -491,6 +500,37 @@ def prepare_training_data(
             cur = _persist_stage(cur.where(F.length(F.col(text)) > 0))
             cur = _stage_store("html", cur)
             _drop_superseded()
+
+    if cfg.langid is not None:
+        _loaded = _stage_load("langid", cfg.langid)
+        if _loaded is not None:
+            cur = _loaded
+        else:
+            from letsearch_spark.operators.langid import predict_lang
+
+            l_cfg = dict(cfg.langid)
+            model = l_cfg.pop("model", None)
+            allowed = l_cfg.pop("allowed", None)
+            out_col = l_cfg.pop("out_col", "pred_lang")
+            if l_cfg:
+                raise ValueError(
+                    f"unknown langid options: {sorted(l_cfg)} "
+                    "(supported: model, allowed, out_col)"
+                )
+            if model is None:
+                raise ValueError(
+                    "langid needs 'model' (a LangIdModel from fit_langid)"
+                )
+            preds = predict_lang(
+                cur, model, id_col=key, text_col=text, out_col=out_col
+            ).select(key, out_col)
+            # annotate every surviving row; filter only when 'allowed'
+            # is given (the predict join is 1:1 on the key, so this
+            # stage never multiplies or silently drops rows)
+            cur = cur.join(preds, key)
+            if allowed is not None:
+                cur = cur.where(F.col(out_col).isin(list(allowed)))
+            cur = _stage_store("langid", cur)
 
     if cfg.quality is not None:
         _loaded = _stage_load("quality_filter", cfg.quality)

@@ -574,6 +574,51 @@ _MULTIMODAL_HEADERS_ORACLE_SQL = """
 """
 
 
+def q_lang_id_ngram(spark, sf_dir):
+    """Char-n-gram language ID (operators/langid.py, r10): NB model
+    trained on the documents table's own lang labels (one explode +
+    one bounded (lang, bucket) count), then every doc -- labeled or
+    not -- classified via the broadcast-join integer-score path.
+    score_micro is exact integer arithmetic, so the pure-Python twin
+    oracle replays it bit-for-bit. The 4-language stopword lang_id
+    (functions/text.py) stays the oracle-parity mode inside
+    text_profile; this is the >= 20-language trainable operator."""
+    from letsearch_spark.operators.langid import fit_langid, predict_lang
+
+    docs = load(spark, sf_dir, "documents")
+    model = fit_langid(
+        docs.where(F.col("lang").isNotNull()).select("lang", "text")
+    )
+    pred = predict_lang(docs, model, id_col="doc_id", text_col="text")
+    return pred.select(
+        F.col("doc_id"), F.col("pred_lang"), F.col("score_micro")
+    ).orderBy("doc_id")
+
+
+def _lang_id_ngram_oracle(sf_dir: str) -> str:
+    """Computed VALUES-literal twin of q_lang_id_ngram: same count
+    maps, same _model_from_counts, same integer score replay."""
+    from letsearch_spark.operators.langid import (
+        fit_langid_twin,
+        predict_lang_twin,
+    )
+
+    docs = _read_documents_cols(sf_dir, ["doc_id", "text", "lang"])
+    model = fit_langid_twin(
+        [(r["lang"], r["text"]) for r in docs if r["lang"] is not None]
+    )
+    rows = predict_lang_twin([(r["doc_id"], r["text"]) for r in docs], model)
+    rows.sort()
+    return _values_literal(
+        rows,
+        [
+            ("doc_id", "BIGINT"),
+            ("pred_lang", "VARCHAR"),
+            ("score_micro", "BIGINT"),
+        ],
+    )
+
+
 def q_events_time_rollup(spark, sf_dir):
     """Hypertable-style rollup (operators/rollup.py time_rollup): hour and
     day tiers of the events stream computed in ONE scan + ONE shuffle via
@@ -3762,6 +3807,9 @@ STAGED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # round 10 (stdlib header decode: the real half of the multimodal
     # story next to the in-window fake-kernel multimodal_decode)
     "multimodal_headers": q_multimodal_headers,
+    # round 10 (char-n-gram NB language ID, trained on the table's own
+    # labels; the >= 20-language operator behind PrepConfig.langid)
+    "lang_id_ngram": q_lang_id_ngram,
     # round 6 (late session; ann_hamming_topk / token_count_unigram
     # promoted r8)
     "search_maxsim": q_search_maxsim,
@@ -4513,6 +4561,7 @@ STAGED_ORACLES: dict[str, object] = {
     # c4_page_filter moved to the window registries with their queries)
     # round 10
     "multimodal_headers": _MULTIMODAL_HEADERS_ORACLE_SQL,
+    "lang_id_ngram": _lang_id_ngram_oracle,
     # round 6 (late session)
     "search_maxsim": _maxsim_oracle_sql(),
     "text_compression": _text_compression_oracle,
