@@ -169,6 +169,9 @@ class Collection:
         # one slim row per group, backed by the maxsim_pool parquet
         # sidecar; cleared on writes
         self._maxsim_pool: dict = {}
+        # per-group_col distinct-group counts behind
+        # resolve_maxsim_prefilter's auto tier; cleared on writes
+        self._maxsim_group_counts: dict[str, int] = {}
         # candidate depth for the hamming exact-cosine rescore (recall
         # knob: rescore >= corpus rows degenerates to exact search)
         self.hamming_rescore: int = 100
@@ -1215,6 +1218,7 @@ class Collection:
                 except Exception:
                     pass
             self._maxsim_pool.clear()
+            self._maxsim_group_counts.clear()
             self._lex_dfmap.clear()
             self._lex_vocab.clear()
             if drop_index_meta:
@@ -1304,6 +1308,39 @@ class Collection:
         if n <= self.auto_cached_max_rows:
             return "hamming"
         return "ivf_pq"
+
+    # measured grouped-prefilter crossover (SCALING.md r10,
+    # tools/measure_maxsim_prefilter.py): below ~10k groups the exact
+    # one-pass aggregate beats the per-leg candidate scans on wall
+    # clock (the candidate legs are cheap but fixed-cost; the aggregate
+    # they displace is small)
+    maxsim_auto_prefilter_min_groups: int = 10_000
+    # candidate depth the auto tier serves at (the recall knob;
+    # prefilter_k >= |groups| is provably exact)
+    maxsim_auto_prefilter_k: int = 128
+
+    def resolve_maxsim_prefilter(
+        self, column: str, group_col: str | None
+    ) -> int | None:
+        """The ``prefilter_k='auto'`` policy for MaxSim serving (the
+        resolve_strategy precedent): ``None`` (exact) when ungrouped --
+        the candidate legs would compute the same |Q| per-row cosines
+        the degenerate-group fast path already scans, a measured no-win
+        (SCALING.md r9) -- and ``None`` below
+        ``maxsim_auto_prefilter_min_groups`` distinct groups, where the
+        exact aggregate wins on wall clock (SCALING.md r10 crossover
+        table); ``maxsim_auto_prefilter_k`` above it. The distinct-group
+        count is one map-side-combined aggregate over the docs table,
+        cached until the next write."""
+        if group_col is None:
+            return None
+        n = self._maxsim_group_counts.get(group_col)
+        if n is None:
+            n = self.docs().select(group_col).distinct().count()
+            self._maxsim_group_counts[group_col] = n
+        if n < self.maxsim_auto_prefilter_min_groups:
+            return None
+        return self.maxsim_auto_prefilter_k
 
     def search(
         self,
@@ -1837,7 +1874,10 @@ class Collection:
         per-call corpus pooling. Approximate in WHICH groups make the
         cut only: candidate scores are exact, and
         prefilter_k >= |groups| reproduces the exact result
-        bit-for-bit (pinned by tests).
+        bit-for-bit (pinned by tests). ``prefilter_k='auto'`` (r10)
+        applies :meth:`resolve_maxsim_prefilter`: exact below the
+        measured ~10k-group crossover (and always when ungrouped),
+        ``maxsim_auto_prefilter_k`` candidates above it.
         """
         from letsearch_spark.operators.pool import maxsim_topk
 
@@ -1848,6 +1888,8 @@ class Collection:
         serve, base, g = self._maxsim_serve_base(
             column, limit, group_col, where, prefilter_k
         )
+        if prefilter_k == "auto":
+            prefilter_k = self.resolve_maxsim_prefilter(column, group_col)
         qvecs = [
             [float(x) for x in v] for v in self._embedder().embed(list(queries))
         ]
@@ -2012,13 +2054,18 @@ class Collection:
         leaked into .limit() as an opaque Py4J error)."""
         if not 1 <= limit <= 100:
             raise ValueError(f"limit must be in [1, 100], got {limit}")
-        if prefilter_k is not None and (
-            not isinstance(prefilter_k, int)
-            or isinstance(prefilter_k, bool)
-            or prefilter_k < 1
+        if (
+            prefilter_k is not None
+            and prefilter_k != "auto"
+            and (
+                not isinstance(prefilter_k, int)
+                or isinstance(prefilter_k, bool)
+                or prefilter_k < 1
+            )
         ):
             raise ValueError(
-                f"prefilter_k must be a positive int, got {prefilter_k!r}"
+                "prefilter_k must be a positive int or 'auto', "
+                f"got {prefilter_k!r}"
             )
         if column not in self.config.index_columns:
             raise ValueError(f"column {column!r} is not indexed")
@@ -2073,6 +2120,8 @@ class Collection:
         serve, base, g = self._maxsim_serve_base(
             column, limit, group_col, where, prefilter_k
         )
+        if prefilter_k == "auto":
+            prefilter_k = self.resolve_maxsim_prefilter(column, group_col)
         # ONE embed call for the whole batch (K3), then unflatten
         texts = [q for qs in sets for q in qs]
         vecs = iter(

@@ -1937,3 +1937,64 @@ def test_maxsim_prefilter_sidecar_plan_and_where_twin(spark, tmp_path, sf_dir):
     mplan = many._jdf.queryExecution().executedPlan().toString()
     assert "posexplode" not in mplan.lower(), mplan
     assert "__qi" not in mplan, mplan
+
+
+def test_maxsim_prefilter_auto_tier(spark, tmp_path, sf_dir):
+    """prefilter_k='auto' (r10, VERDICT r9 #6): below the measured
+    group-count crossover it IS the exact path bit-for-bit; above it,
+    it IS prefilter_k=maxsim_auto_prefilter_k bit-for-bit; ungrouped
+    it stays exact regardless; garbage knobs still raise before any
+    embedding runs."""
+    import os
+
+    import pytest
+
+    from letsearch_spark.collection import Collection
+
+    c = Collection.create(
+        spark, str(tmp_path / "pa"), name="pa", model_name="stub://16"
+    )
+    c.import_parquet(os.path.join(sf_dir, "documents.parquet"))
+    c.embed_all()
+    c.serve_filter_columns = ["lang"]
+    queries = ["spark join window", "dedup minhash band"]
+
+    def rows(**kw):
+        return [
+            tuple(r)
+            for r in c.search_multi(
+                "text", queries, limit=5, group_col="lang", **kw
+            ).collect()
+        ]
+
+    # below the crossover: auto == exact (the real default at this
+    # corpus: a handful of lang groups)
+    assert c.resolve_maxsim_prefilter("text", "lang") is None
+    assert rows(prefilter_k="auto") == rows()
+
+    # force the boundary the other way: auto == explicit k
+    c.maxsim_auto_prefilter_min_groups = 1
+    c._maxsim_group_counts.clear()
+    k = c.maxsim_auto_prefilter_k
+    assert c.resolve_maxsim_prefilter("text", "lang") == k
+    assert rows(prefilter_k="auto") == rows(prefilter_k=k)
+
+    # ungrouped auto is always exact
+    assert c.resolve_maxsim_prefilter("text", None) is None
+    a = c.search_multi("text", queries, limit=5, prefilter_k="auto")
+    b = c.search_multi("text", queries, limit=5)
+    assert [tuple(r) for r in a.collect()] == [tuple(r) for r in b.collect()]
+
+    # batched path resolves the same way
+    ma = c.search_many_multi(
+        "text", [queries], limit=5, group_col="lang", prefilter_k="auto"
+    )
+    mb = c.search_many_multi(
+        "text", [queries], limit=5, group_col="lang", prefilter_k=k
+    )
+    assert [tuple(r) for r in ma.collect()] == [tuple(r) for r in mb.collect()]
+
+    with pytest.raises(ValueError, match="positive int or 'auto'"):
+        c.search_multi(
+            "text", queries, limit=5, group_col="lang", prefilter_k="fast"
+        )
