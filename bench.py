@@ -414,6 +414,33 @@ def main() -> None:
         .first()[0],
     )
 
+    # round-10 stdlib header decode: the aggregate reads the PARSED
+    # columns (dims + bytes), so the mapInPandas kernel's output is
+    # consumed, not count-pruned
+    run_stage(
+        "multimodal_headers",
+        lambda: resolve_query("multimodal_headers")(spark, SF_DIR)
+        .agg(F.sum("n_bytes") + F.sum("width") + F.sum("height"))
+        .first()[0],
+    )
+
+    # round-10 char-n-gram language ID: train once on the table's own
+    # labels (untimed, the tokenizer-stage convention), then time the
+    # serving path -- broadcast join + integer sums; the score aggregate
+    # consumes the argmax struct so nothing prunes
+    from letsearch_spark.operators.langid import fit_langid, predict_lang
+
+    docs_lang = load(spark, SF_DIR, "documents")
+    langid_model = fit_langid(
+        docs_lang.where(F.col("lang").isNotNull()).select("lang", "text")
+    )
+    run_stage(
+        "lang_id_predict",
+        lambda: predict_lang(docs_lang, langid_model, "doc_id", "text")
+        .agg(F.sum("score_micro"), F.count("pred_lang"))
+        .first()[0],
+    )
+
     # 14b. the full prep composition (round 4): quality -> line dedup ->
     # MinHash fuzzy dedup -> split -> pack over the whole documents
     # table in one recipe -- the end-to-end number a training-data user
@@ -524,6 +551,32 @@ def main() -> None:
     )
     timings["many_maxsim_queries_per_sec"] = round(
         len(many_sets) / timings["search_many_maxsim"], 3
+    )
+
+    # grouped MaxSim serving over the persisted pooled-centroid sidecar
+    # (round 10): ~8 chunks per synthetic group, sidecar built+warmed
+    # untimed (index cost, the hamming-stage convention), then the same
+    # 10 two-vector queries through the prefilter_k=8 candidate path --
+    # the serving plan carries ZERO pooling aggregates (plan-gated in
+    # tests); compare against search_many_maxsim in-run
+    grp_root = tempfile.mkdtemp(prefix="ls_bench_grp_")
+    gcoll = Collection.create(
+        spark, grp_root, name="benchg", index_columns=["text"],
+        model_name="stub://16",
+    )
+    gcoll.import_df(
+        load(spark, SF_DIR, "documents").select(
+            "text", (F.col("doc_id") % 625).cast("string").alias("grp")
+        )
+    )
+    gcoll.embed_column("text")
+    gcoll.serve_filter_columns = ["grp"]
+    gcoll._maxsim_pool_view("text", "grp")  # build + cache the sidecar
+    run_stage(
+        "search_many_maxsim_pf",
+        lambda: gcoll.search_many_multi(
+            "text", many_sets, limit=10, group_col="grp", prefilter_k=8
+        ).count(),
     )
 
     total = round(

@@ -215,6 +215,35 @@ def _model_from_counts(
     )
 
 
+def _kernel_doc_buckets(
+    text: str | None,
+    n_max: int,
+    num_buckets: int,
+    seed: int,
+    memo: dict[str, int] | None = None,
+) -> dict[int, int]:
+    """Per-doc hashed-bucket counts, Arrow-kernel side: counts distinct
+    GRAMS first so md5 runs once per (doc, gram type), not per
+    occurrence -- identical result to hashing every occurrence because
+    bucket(g) is a pure function of g. ``memo`` (task-lifetime
+    gram -> bucket cache) cuts the md5 cost further: natural-language
+    char grams repeat massively across documents, and the cache is a
+    pure-function table, so sharing it across docs/tasks cannot change
+    any result."""
+    grams: dict[str, int] = {}
+    for g in _twin_grams(text, n_max):
+        grams[g] = grams.get(g, 0) + 1
+    out: dict[int, int] = {}
+    if memo is None:
+        memo = {}
+    for g, c in grams.items():
+        b = memo.get(g)
+        if b is None:
+            b = memo[g] = _twin_bucket(g, seed, num_buckets)
+        out[b] = out.get(b, 0) + c
+    return out
+
+
 def fit_langid(
     df: DataFrame,
     lang_col: str = "lang",
@@ -223,21 +252,61 @@ def fit_langid(
     num_buckets: int = 4096,
     alpha: float = 1.0,
     seed: int = 42,
+    method: str = "kernel",
 ) -> LangIdModel:
-    """Train from (lang, text) rows; null labels are skipped. Cluster
-    cost: one explode + one (lang, bucket) count; the collect is
-    <= |langs| x num_buckets rows regardless of corpus size."""
-    grams = char_ngram_features(
-        df.where(F.col(lang_col).isNotNull()).select(
-            F.col(lang_col).alias("id"), text_col
-        ),
-        "id",
-        text_col,
-        n_max=n_max,
-        num_buckets=num_buckets,
-        seed=seed,
+    """Train from (lang, text) rows; null labels are skipped. The
+    collect is <= |langs| x num_buckets rows regardless of corpus size.
+
+    method='kernel' (default -- the 100-TB shape): an Arrow-batched
+    mapInPandas pass emits each PARTITION-BATCH's (lang, bucket, cnt)
+    partial count map (map-side combine in Python), and one bounded
+    groupBy reduces them -- the corpus-sized char-gram explode never
+    exists as rows. method='catalyst' is the pure-Catalyst twin
+    (zip_with n-grams + explode + count), pinned bit-identical in
+    pytest; measured 2.1x slower at sf0.1 because the per-row array
+    churn + 3L-row explode dominate (SCALING.md r10) -- it exists so
+    the kernel has an in-engine cross-check, the knn_join
+    expr-vs-numpy precedent."""
+    labeled = df.where(F.col(lang_col).isNotNull()).select(
+        F.col(lang_col).alias("__lang"), F.col(text_col).alias("__text")
     )
-    rows = grams.collect()
+    if method == "catalyst":
+        grams = char_ngram_features(
+            labeled,
+            "__lang",
+            "__text",
+            n_max=n_max,
+            num_buckets=num_buckets,
+            seed=seed,
+        )
+        rows = grams.collect()
+    elif method == "kernel":
+        import pandas as pd
+
+        def run(batches):
+            memo: dict[str, int] = {}
+            for pdf in batches:
+                agg: dict[tuple[str, int], int] = {}
+                for lang, text in zip(pdf["__lang"], pdf["__text"]):
+                    for b, c in _kernel_doc_buckets(
+                        text, n_max, num_buckets, seed, memo
+                    ).items():
+                        agg[(lang, b)] = agg.get((lang, b), 0) + c
+                yield pd.DataFrame(
+                    [(l, b, c) for (l, b), c in agg.items()],
+                    columns=["id", "bucket", "cnt"],
+                )
+
+        rows = (
+            labeled.mapInPandas(
+                run, schema="id string, bucket long, cnt long"
+            )
+            .groupBy("id", "bucket")
+            .agg(F.sum("cnt").alias("cnt"))
+            .collect()
+        )
+    else:
+        raise ValueError(f"unknown method {method!r}")
     counts: dict[str, dict[int, int]] = {}
     for r in rows:
         counts.setdefault(r["id"], {})[int(r["bucket"])] = int(r["cnt"])
@@ -253,14 +322,33 @@ def predict_lang(
     id_col: str = "doc_id",
     text_col: str = "text",
     out_col: str = "pred_lang",
+    method: str = "kernel",
 ) -> DataFrame:
     """(id_col, pred_lang, score_micro): NB argmax per doc.
 
-    Plan shape: featurize (explode + groupBy id,bucket), ONE broadcast
-    join onto the sparse weight table, integer sums, and a
-    max-of-struct argmax -- no window, no floats. score_micro magnitude
-    is bounded by total_grams x |logp0| ~ 3-len(text) x ~2e7, far
-    inside int64 even for gigabyte documents."""
+    method='kernel' (default -- the 100-TB shape): MAP-ONLY. An
+    Arrow-batched mapInPandas kernel scores each doc locally against a
+    dense int64 (num_buckets x |langs|) delta matrix rebuilt once per
+    executor from the frozen model (<1 MB at 26 langs x 4096 buckets)
+    -- zero shuffles, zero joins, cost tracks the scan. np.argmax's
+    first-max rule IS the smallest-index tie-break. Measured 7x faster
+    than the Catalyst path at sf0.1 (SCALING.md r10): the 3L-per-doc
+    char-gram explode never materializes as rows.
+
+    method='catalyst' -- the pure-Catalyst twin (kept as the in-engine
+    cross-check, knn_join's expr-vs-numpy precedent): featurize
+    (explode + groupBy id,bucket), ONE broadcast join onto the sparse
+    weight table, integer sums, and a max-of-struct argmax -- no
+    window, no floats. Both methods produce identical integers
+    (pytest-pinned; the only divergence surface is the documented
+    Java-vs-Python unicode edge set).
+
+    score_micro magnitude is bounded by total_grams x |logp0| ~
+    3-len(text) x ~2e7, far inside int64 even for gigabyte documents."""
+    if method == "kernel":
+        return _predict_lang_kernel(df, model, id_col, text_col, out_col)
+    if method != "catalyst":
+        raise ValueError(f"unknown method {method!r}")
     spark = df.sparkSession
     feats = char_ngram_features(
         df,
@@ -303,6 +391,58 @@ def predict_lang(
         F.col("id").alias(id_col),
         F.col("__m.__lang").alias(out_col),
         F.col("__m.__score").alias("score_micro"),
+    )
+
+
+def _predict_lang_kernel(
+    df: DataFrame,
+    model: LangIdModel,
+    id_col: str,
+    text_col: str,
+    out_col: str,
+) -> DataFrame:
+    """Map-only Arrow kernel behind predict_lang(method='kernel')."""
+    import pandas as pd
+
+    id_type = dict(df.dtypes)[id_col]
+    n_max, num_buckets, seed = model.n_max, model.num_buckets, model.seed
+    langs = list(model.langs)
+    logp0 = list(model.logp0_micro)
+    delta_items = list(model.delta_micro.items())
+
+    def run(batches):
+        import numpy as np
+
+        # dense (buckets x langs) int64 delta matrix, built once per
+        # task from the sparse frozen model
+        dense = np.zeros((num_buckets, len(langs)), dtype=np.int64)
+        for (b, li), dm in delta_items:
+            dense[b, li] = dm
+        lp0 = np.asarray(logp0, dtype=np.int64)
+        memo: dict[str, int] = {}
+        for pdf in batches:
+            ids, preds, scores = [], [], []
+            for rid, text in zip(pdf[id_col], pdf[text_col]):
+                by = _kernel_doc_buckets(text, n_max, num_buckets, seed, memo)
+                if by:
+                    bs = np.fromiter(by.keys(), dtype=np.int64, count=len(by))
+                    cs = np.fromiter(
+                        by.values(), dtype=np.int64, count=len(by)
+                    )
+                    s = cs @ dense[bs] + int(cs.sum()) * lp0
+                else:
+                    s = 0 * lp0
+                li = int(np.argmax(s))  # first max == smallest index
+                ids.append(rid)
+                preds.append(langs[li])
+                scores.append(int(s[li]))
+            yield pd.DataFrame(
+                {id_col: ids, out_col: preds, "score_micro": scores}
+            )
+
+    return df.select(id_col, text_col).mapInPandas(
+        run,
+        schema=f"{id_col} {id_type}, {out_col} string, score_micro long",
     )
 
 

@@ -33,11 +33,22 @@ def model(spark, corpus):
 
 
 def test_fit_matches_twin_bitwise(spark, corpus, model):
+    """Both fit methods (the default Arrow kernel and the Catalyst
+    explode twin) freeze the identical model as the pure-Python twin
+    -- the kernel shares the twin's gram code, so the Catalyst leg is
+    the independent cross-check."""
     train, _ = corpus
     twin = fit_langid_twin([(r[1], r[2]) for r in train])
-    assert model.langs == twin.langs
-    assert model.logp0_micro == twin.logp0_micro
-    assert model.delta_micro == twin.delta_micro
+    cat = fit_langid(
+        spark.createDataFrame(
+            train, "doc_id long, lang string, text string"
+        ),
+        method="catalyst",
+    )
+    for m in (model, cat):
+        assert m.langs == twin.langs
+        assert m.logp0_micro == twin.logp0_micro
+        assert m.delta_micro == twin.delta_micro
 
 
 def test_fit_is_partitioning_invariant(spark, corpus, model):
@@ -75,19 +86,27 @@ def test_accuracy_26_languages_heldout(spark, corpus, model):
 
 
 def test_predict_matches_twin_and_partitioning(spark, corpus, model):
-    """Micro-unit integer scores: Spark == pure-Python twin exactly,
-    at any partitioning."""
+    """Micro-unit integer scores: BOTH predict methods == pure-Python
+    twin exactly, at any partitioning (the Catalyst leg is the
+    independent cross-check of the kernel's hashing/normalization)."""
     _, test = corpus
     want = sorted(predict_lang_twin([(r[0], r[2]) for r in test], model))
     for nparts in (1, 7):
         df = spark.createDataFrame(
             test, "doc_id long, lang string, text string"
         ).repartition(nparts)
-        got = sorted(
-            (r["doc_id"], r["pred_lang"], r["score_micro"])
-            for r in predict_lang(df, model).collect()
+        for method in ("kernel", "catalyst"):
+            got = sorted(
+                (r["doc_id"], r["pred_lang"], r["score_micro"])
+                for r in predict_lang(df, model, method=method).collect()
+            )
+            assert got == want, method
+    with pytest.raises(ValueError, match="unknown method"):
+        predict_lang(
+            spark.createDataFrame(test[:1], "doc_id long, lang string, text string"),
+            model,
+            method="fast",
         )
-        assert got == want
 
 
 def test_empty_null_and_unseen_script(spark, model):
@@ -110,16 +129,31 @@ def test_empty_null_and_unseen_script(spark, model):
 
 
 def test_predict_plan_shape(spark, corpus, model):
-    """Serving-scale plan gate: no Python evaluation anywhere (pure
-    Catalyst), the weight join is a broadcast, and the argmax is an
-    aggregate -- no window."""
+    """Serving-scale plan gates: the default kernel path is MAP-ONLY
+    (one MapInPandas, zero exchanges/joins); the Catalyst twin has no
+    Python evaluation, a broadcast weight join, and no window."""
     _, test = corpus
     df = spark.createDataFrame(
         test, "doc_id long, lang string, text string"
     )
-    out = predict_lang(df, model)
-    plan = out._jdf.queryExecution().executedPlan().toString()
+    kplan = (
+        predict_lang(df, model)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "MapInPandas" in kplan, kplan
+    assert "Exchange" not in kplan, kplan
+    assert "Join" not in kplan, kplan
+
+    plan = (
+        predict_lang(df, model, method="catalyst")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "MapInPandas" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
     assert "Window" not in plan, plan
 

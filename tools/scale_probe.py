@@ -1116,6 +1116,74 @@ def main() -> None:
 
         timeit("pca_fit", _pca_fit)
 
+        # round-10 op: char-n-gram language ID serving. Fit is bounded
+        # (|langs| x buckets collect) and untimed, the tokenizer-probe
+        # convention; predict must track the SCAN (one explode + one
+        # broadcast join + integer sums), never the model
+        if only is None or "lang_id_predict" in only:
+            from letsearch_spark.operators.langid import (
+                fit_langid,
+                predict_lang,
+            )
+
+            lang_labeled = docs.withColumn(
+                "lang",
+                F.element_at(
+                    F.array(*[F.lit(x) for x in ("en", "de", "es", "zh")]),
+                    (F.col("doc_id") % 4 + 1).cast("int"),
+                ),
+            )
+            lm_langid = fit_langid(lang_labeled, "lang", "text")
+            timeit(
+                "lang_id_predict",
+                lambda: predict_lang(docs, lm_langid, "doc_id", "text")
+                .agg(F.sum("score_micro"))
+                .collect()[0][0],
+            )
+
+        # round-10 op: stdlib media header decode -- mapInPandas over
+        # synthesized header bytes; cost must track rows (the kernel
+        # reads ~30 bytes per payload, so this is the Arrow round-trip
+        # floor, the honest denominator for any real decode kernel)
+        if only is None or "multimodal_headers" in only:
+            from letsearch_spark.sources.multimodal import (
+                build_image_bytes,
+                decode_media,
+            )
+
+            def _headers():
+                import pandas as pd
+
+                def build(batches):
+                    for pdf in batches:
+                        yield pd.DataFrame(
+                            {
+                                "path": pdf["doc_id"].astype(str),
+                                "content": [
+                                    build_image_bytes(
+                                        ("png", "gif", "jpeg", "webp")[
+                                            int(d) % 4
+                                        ],
+                                        1 + int(d) % 640,
+                                        1 + int(d) % 480,
+                                        pad=int(d) % 50,
+                                    )
+                                    for d in pdf["doc_id"]
+                                ],
+                            }
+                        )
+
+                media = docs.select("doc_id").mapInPandas(
+                    build, schema="path string, content binary"
+                )
+                return (
+                    decode_media(media, decoder="headers")
+                    .agg(F.sum("n_bytes") + F.sum("width"))
+                    .collect()[0][0]
+                )
+
+            timeit("multimodal_headers", _headers)
+
         ev.unpersist()
         docs.unpersist()
         emb.unpersist()
