@@ -256,6 +256,22 @@ def main() -> None:
         .collect(),
     )
 
+    # 4i. WordPiece counterpart (round 10): likelihood-scored merges
+    # (untimed, like the other trainers), greedy longest-match counts
+    # at distinct-word cost
+    from letsearch_spark.tokenizer_wordpiece import (
+        token_count_exact_wordpiece,
+        train_wordpiece,
+    )
+
+    wp_model = train_wordpiece(docs_tbl, "text", vocab_size=2000)
+    run_stage(
+        "token_count_wordpiece",
+        lambda: token_count_exact_wordpiece(docs_tbl, "doc_id", "text", wp_model)
+        .agg(F.sum("n_tokens"))
+        .collect(),
+    )
+
     # 5. batched k-NN join: 100 queries in ONE job, both scoring paths
     # (Catalyst expression vs per-partition numpy matmul)
     from letsearch_spark.operators.topk import knn_join

@@ -157,11 +157,35 @@ def cmd_train_tokenizer(args) -> int:
     EM) plugs into ChunkerConfig(unigram_path=...) /
     token_count_exact_unigram; --type byte_bpe (GPT-2-style, r9) plugs
     into ChunkerConfig(byte_bpe_path=...) /
-    token_count_exact_bytebpe."""
+    token_count_exact_bytebpe; --type wordpiece (BERT-style, r10)
+    plugs into token_count_exact_wordpiece."""
     from letsearch_spark.collection import Collection
 
     spark = _spark(args)
     coll = Collection.load(spark, _home(args), args.collection)
+    if args.type == "wordpiece":
+        from letsearch_spark.tokenizer_wordpiece import train_wordpiece
+
+        model = train_wordpiece(
+            coll.docs(),
+            args.column,
+            vocab_size=args.vocab_size,
+            max_word_types=args.max_word_types,
+            min_count=args.min_count,
+        )
+        model.save(args.out)
+        print(
+            json.dumps(
+                {
+                    "out": args.out,
+                    "type": "wordpiece",
+                    "vocab": len(model.vocab),
+                    "word_types": model.word_types,
+                    "coverage": round(model.coverage, 6),
+                }
+            )
+        )
+        return 0
     if args.type == "byte_bpe":
         from letsearch_spark.tokenizer_bytebpe import train_byte_bpe
 
@@ -528,7 +552,9 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--collection", default="default")
     s.add_argument("--column", default="text")
     s.add_argument(
-        "--type", default="bpe", choices=["bpe", "unigram", "byte_bpe"]
+        "--type",
+        default="bpe",
+        choices=["bpe", "unigram", "byte_bpe", "wordpiece"],
     )
     s.add_argument("--vocab-size", type=int, default=8000)
     s.add_argument("--max-word-types", type=int, default=1_000_000)

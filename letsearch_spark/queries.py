@@ -3643,6 +3643,48 @@ def _token_count_bytebpe_oracle(sf_dir: str) -> str:
     return _values_literal(rows, [("doc_id", "BIGINT"), ("n_tokens", "BIGINT")])
 
 
+_WORDPIECE_VOCAB = 400
+
+
+def q_token_count_wordpiece(spark, sf_dir):
+    """WordPiece tokenizer (tokenizer_wordpiece.py, the BERT family's
+    public standard, r10): ONE distributed word-count shuffle (word
+    TYPES, never text), driver-side likelihood-scored merges --
+    count(pair)/(count(a)*count(b)) compared by exact integer
+    cross-multiplication, so training is deterministic and
+    partition-invariant -- then greedy longest-match token counts at
+    distinct-word cost. Oracle: train_wordpiece_twin (same split, cap,
+    and integer-scored kernel) emitted as a VALUES literal."""
+    from letsearch_spark.tokenizer_wordpiece import (
+        token_count_exact_wordpiece,
+        train_wordpiece,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    model = train_wordpiece(docs, "text", vocab_size=_WORDPIECE_VOCAB)
+    return token_count_exact_wordpiece(docs, "doc_id", "text", model).orderBy(
+        "doc_id"
+    )
+
+
+def _token_count_wordpiece_oracle(sf_dir: str) -> str:
+    """Computed VALUES-literal twin of q_token_count_wordpiece."""
+    import pyarrow.parquet as _pq
+
+    from letsearch_spark.tokenizer_wordpiece import train_wordpiece_twin
+
+    tbl = _pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    ).to_pylist()
+    twin = train_wordpiece_twin(
+        [r["text"] or "" for r in tbl], vocab_size=_WORDPIECE_VOCAB
+    )
+    rows = sorted(
+        (int(r["doc_id"]), twin.token_count(r["text"] or "")) for r in tbl
+    )
+    return _values_literal(rows, [("doc_id", "BIGINT"), ("n_tokens", "BIGINT")])
+
+
 def q_text_compression(spark, sf_dir):
     """Deflate-compressibility quality signal (functions/text.py
     compression_stats/compression_flags): per-document UTF-8 byte
@@ -3810,6 +3852,9 @@ STAGED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # round 10 (char-n-gram NB language ID, trained on the table's own
     # labels; the >= 20-language operator behind PrepConfig.langid)
     "lang_id_ngram": q_lang_id_ngram,
+    # round 10 (WordPiece completing the trainer family: BPE / unigram
+    # / byte-BPE / wordpiece)
+    "token_count_wordpiece": q_token_count_wordpiece,
     # round 6 (late session; ann_hamming_topk / token_count_unigram
     # promoted r8)
     "search_maxsim": q_search_maxsim,
@@ -4562,6 +4607,7 @@ STAGED_ORACLES: dict[str, object] = {
     # round 10
     "multimodal_headers": _MULTIMODAL_HEADERS_ORACLE_SQL,
     "lang_id_ngram": _lang_id_ngram_oracle,
+    "token_count_wordpiece": _token_count_wordpiece_oracle,
     # round 6 (late session)
     "search_maxsim": _maxsim_oracle_sql(),
     "text_compression": _text_compression_oracle,

@@ -155,6 +155,23 @@ def test_cli_train_tokenizer(spark, sf_dir, tmp_path, capsys):
     umodel = UnigramModel.load(uni_path)
     assert umodel.token_count("spark join batch") > 0
 
+    # --type wordpiece routes to the likelihood-scored trainer (r10)
+    from letsearch_spark.tokenizer_wordpiece import WordPieceModel
+
+    wp_path = str(tmp_path / "wordpiece.json")
+    a = p.parse_args(
+        [
+            "--home", home, "--master", "local[4]",
+            "train-tokenizer", "--collection", "tok",
+            "--type", "wordpiece", "--vocab-size", "400", "--out", wp_path,
+        ]
+    )
+    assert cmd_train_tokenizer(a) == 0
+    wreport = json.loads(capsys.readouterr().out.strip())
+    assert wreport["type"] == "wordpiece" and wreport["vocab"] > 0
+    wmodel = WordPieceModel.load(wp_path)
+    assert wmodel.token_count("spark join batch") > 0
+
 
 def test_cli_prep(spark, sf_dir, tmp_path, capsys):
     """prep runs the config-driven pipeline end-to-end: DataFrame knobs
