@@ -1836,6 +1836,7 @@ class Collection:
         group_col: str | None = None,
         where: str | None = None,
         prefilter_k: int | None = None,
+        prefilter_signal: str = "cosine",
     ) -> DataFrame:
         """Multi-vector late-interaction search (the ColBERT MaxSim
         rule, operators/pool.py maxsim_topk) through the Collection's
@@ -1878,6 +1879,11 @@ class Collection:
         applies :meth:`resolve_maxsim_prefilter`: exact below the
         measured ~10k-group crossover (and always when ungrouped),
         ``maxsim_auto_prefilter_k`` candidates above it.
+
+        ``prefilter_signal='hamming'`` (r10, ungrouped only): candidate
+        generation reads the persisted 1-bit signature index instead of
+        the float vectors -- 32x less candidate-scan IO, one batched
+        bit-math pass for all query vectors; same exactness floor.
         """
         from letsearch_spark.operators.pool import maxsim_topk
 
@@ -1886,7 +1892,7 @@ class Collection:
         if not queries:
             raise ValueError("queries must be non-empty")
         serve, base, g = self._maxsim_serve_base(
-            column, limit, group_col, where, prefilter_k
+            column, limit, group_col, where, prefilter_k, prefilter_signal
         )
         if prefilter_k == "auto":
             prefilter_k = self.resolve_maxsim_prefilter(column, group_col)
@@ -1895,7 +1901,14 @@ class Collection:
         ]
         if prefilter_k is not None:
             base = self._maxsim_prefilter(
-                column, base, g, qvecs, prefilter_k, group_col, where
+                column,
+                base,
+                g,
+                qvecs,
+                prefilter_k,
+                group_col,
+                where,
+                prefilter_signal,
             )
         hits = maxsim_topk(
             base,
@@ -1930,6 +1943,7 @@ class Collection:
         prefilter_k: int,
         group_col: str | None,
         where: str | None,
+        signal: str = "cosine",
     ) -> DataFrame:
         """PLAID-style candidate generation for MaxSim serving (r9,
         after Santhanam et al. 2022's two-stage shape): per QUERY
@@ -1959,9 +1973,54 @@ class Collection:
         survive the cut the same way). Approximate with an exactness
         floor: rescored scores are EXACT for every candidate (the
         approximation is only which groups make the cut), and
-        prefilter_k >= |groups| degenerates to the exact result."""
+        prefilter_k >= |groups| degenerates to the exact result.
+
+        ``signal='hamming'`` (r10, the SCALING.md r9 'natural next
+        tier', ungrouped only): candidates come from the persisted
+        sign-bit signature index (:meth:`build_hamming_index`, 1
+        bit/dim -- 32x less data than the float scan the cosine legs
+        read) via ONE batched bit-math pass for ALL |Q| legs; the
+        per-query rank window ranks at most partitions x prefilter_k
+        surviving candidates, never a corpus-sized partition. Doubly
+        approximate (hamming distance proxies the angle AND only
+        candidate groups rescore) with the same exactness floor:
+        prefilter_k >= corpus rows admits every key, reproducing the
+        exact result bit-for-bit. Under ``where=`` the signature scan
+        is corpus-wide (predicates apply at rescore), so candidate
+        slots are spent on rows the predicate may later drop -- size
+        prefilter_k for the UNfiltered corpus there."""
         from letsearch_spark.functions.vector import cosine_similarity
 
+        if group_col is None and signal == "hamming":
+            from letsearch_spark.operators.hamming import hamming_knn_join
+
+            if column not in self._hamming_index:
+                self.build_hamming_index(column)
+            center = self._hamming_centers[column]
+            qdf_c = self.spark.createDataFrame(
+                [
+                    (i, [float(x) - c for x, c in zip(v, center)])
+                    for i, v in enumerate(qvecs)
+                ],
+                "query_idx long, qvec array<double>",
+            )
+            cand = (
+                hamming_knn_join(
+                    self._hamming_index[column],
+                    qdf_c,
+                    rescore=prefilter_k,
+                    key_col=KEY_COL,
+                    query_key_col="query_idx",
+                    query_vec_col="qvec",
+                )
+                .select(F.col(KEY_COL).alias("__cg"))
+                .distinct()
+            )
+            return base.join(
+                F.broadcast(cand),
+                F.col(g).eqNullSafe(F.col("__cg")),
+                "left_semi",
+            )
         if group_col is None:
             legs = [
                 base.select(
@@ -2044,6 +2103,7 @@ class Collection:
         group_col: str | None,
         where: str | None,
         prefilter_k: int | None = None,
+        prefilter_signal: str = "cosine",
     ):
         """Shared serving prologue for search_multi /
         search_many_multi: validation + the pre-filtered serve view +
@@ -2066,6 +2126,23 @@ class Collection:
             raise ValueError(
                 "prefilter_k must be a positive int or 'auto', "
                 f"got {prefilter_k!r}"
+            )
+        if prefilter_signal not in ("cosine", "hamming"):
+            raise ValueError(
+                "prefilter_signal must be 'cosine' or 'hamming', "
+                f"got {prefilter_signal!r}"
+            )
+        if prefilter_signal == "hamming" and group_col is not None:
+            raise ValueError(
+                "prefilter_signal='hamming' applies to UNGROUPED serving "
+                "(per-row signatures); grouped candidates come from the "
+                "|groups|-slim pooled-centroid sidecar, which 1-bit "
+                "signatures cannot beat"
+            )
+        if prefilter_signal == "hamming" and prefilter_k is None:
+            raise ValueError(
+                "prefilter_signal='hamming' needs prefilter_k (it is a "
+                "candidate-generation knob)"
             )
         if column not in self.config.index_columns:
             raise ValueError(f"column {column!r} is not indexed")
@@ -2090,6 +2167,7 @@ class Collection:
         group_col: str | None = None,
         where: str | None = None,
         prefilter_k: int | None = None,
+        prefilter_signal: str = "cosine",
     ) -> DataFrame:
         """Batched MaxSim serving: N multi-vector queries in ONE plan
         (operators/pool.py maxsim_topk_many — one partial-aggregated
@@ -2118,7 +2196,7 @@ class Collection:
         if any(not qs for qs in sets):
             raise ValueError("every query set needs at least one string")
         serve, base, g = self._maxsim_serve_base(
-            column, limit, group_col, where, prefilter_k
+            column, limit, group_col, where, prefilter_k, prefilter_signal
         )
         if prefilter_k == "auto":
             prefilter_k = self.resolve_maxsim_prefilter(column, group_col)
@@ -2141,6 +2219,7 @@ class Collection:
                 prefilter_k,
                 group_col,
                 where,
+                prefilter_signal,
             )
         hits = maxsim_topk_many(
             base,

@@ -1998,3 +1998,88 @@ def test_maxsim_prefilter_auto_tier(spark, tmp_path, sf_dir):
         c.search_multi(
             "text", queries, limit=5, group_col="lang", prefilter_k="fast"
         )
+
+
+def test_maxsim_prefilter_hamming_signal(spark, tmp_path, sf_dir):
+    """prefilter_signal='hamming' (r10, the SCALING r9 'natural next
+    tier'): ungrouped candidates come from the persisted sign-bit
+    index in ONE batched bit scan. Floor: prefilter_k >= corpus rows
+    admits every key -> bit-identical to exact; small k returns rows
+    whose scores are EXACT (pinned against a where-restricted exact
+    replay); grouped or k-less hamming requests raise before any
+    embedding runs."""
+    import os
+
+    import pytest
+
+    from letsearch_spark.collection import Collection
+
+    c = Collection.create(
+        spark, str(tmp_path / "ph"), name="ph", model_name="stub://16"
+    )
+    c.import_parquet(os.path.join(sf_dir, "documents.parquet"))
+    c.embed_all()
+    c.serve_filter_columns = ["lang"]
+    queries = ["spark join window", "dedup minhash band"]
+
+    exact = [
+        tuple(r) for r in c.search_multi("text", queries, limit=5).collect()
+    ]
+    floor = [
+        tuple(r)
+        for r in c.search_multi(
+            "text",
+            queries,
+            limit=5,
+            prefilter_k=10**6,
+            prefilter_signal="hamming",
+        ).collect()
+    ]
+    assert floor == exact
+
+    # small k: every returned row's score is the exact MaxSim score
+    # (ungrouped: per-key scores are independent, so a where-restricted
+    # exact search replays them verbatim)
+    approx = c.search_multi(
+        "text", queries, limit=5, prefilter_k=8, prefilter_signal="hamming"
+    ).collect()
+    assert approx
+    keys = [r["key"] for r in approx]
+    replay = {
+        r["key"]: r["score"]
+        for r in c.search_multi(
+            "text",
+            queries,
+            limit=min(len(keys), 100),
+            where=f"_key IN ({','.join(str(k) for k in keys)})",
+        ).collect()
+    }
+    for r in approx:
+        assert replay[r["key"]] == r["score"]
+
+    # batched path accepts the signal and honors the floor
+    many_floor = c.search_many_multi(
+        "text",
+        [queries],
+        limit=5,
+        prefilter_k=10**6,
+        prefilter_signal="hamming",
+    )
+    many_exact = c.search_many_multi("text", [queries], limit=5)
+    assert [tuple(r) for r in many_floor.collect()] == [
+        tuple(r) for r in many_exact.collect()
+    ]
+
+    with pytest.raises(ValueError, match="UNGROUPED"):
+        c.search_multi(
+            "text", queries, limit=5, group_col="lang",
+            prefilter_k=8, prefilter_signal="hamming",
+        )
+    with pytest.raises(ValueError, match="needs prefilter_k"):
+        c.search_multi(
+            "text", queries, limit=5, prefilter_signal="hamming"
+        )
+    with pytest.raises(ValueError, match="'cosine' or 'hamming'"):
+        c.search_multi(
+            "text", queries, limit=5, prefilter_k=8, prefilter_signal="lsh"
+        )
