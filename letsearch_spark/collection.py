@@ -1706,19 +1706,7 @@ class Collection:
             from letsearch_spark.operators.hamming import hamming_knn_join
             from letsearch_spark.functions.vector import dot_product
 
-            if column not in self._hamming_index:
-                self.build_hamming_index(column)
-            # invariant: build_hamming_index populates the center in
-            # lockstep with the cache. Stored signatures are centered;
-            # center the queries the same way (the operator packs raw)
-            center = self._hamming_centers[column]
-            qdf_c = self.spark.createDataFrame(
-                [
-                    (i, [float(x) - c for x, c in zip(v, center)])
-                    for i, v in enumerate(vecs)
-                ],
-                "query_idx long, qvec array<double>",
-            )
+            qdf_c = self._centered_query_df(column, vecs)
             cand = hamming_knn_join(
                 self._hamming_index[column],
                 qdf_c,
@@ -1994,16 +1982,7 @@ class Collection:
         if group_col is None and signal == "hamming":
             from letsearch_spark.operators.hamming import hamming_knn_join
 
-            if column not in self._hamming_index:
-                self.build_hamming_index(column)
-            center = self._hamming_centers[column]
-            qdf_c = self.spark.createDataFrame(
-                [
-                    (i, [float(x) - c for x, c in zip(v, center)])
-                    for i, v in enumerate(qvecs)
-                ],
-                "query_idx long, qvec array<double>",
-            )
+            qdf_c = self._centered_query_df(column, qvecs)
             cand = (
                 hamming_knn_join(
                     self._hamming_index[column],
@@ -2139,10 +2118,15 @@ class Collection:
                 "|groups|-slim pooled-centroid sidecar, which 1-bit "
                 "signatures cannot beat"
             )
-        if prefilter_signal == "hamming" and prefilter_k is None:
+        if prefilter_signal == "hamming" and not isinstance(prefilter_k, int):
+            # r10 review catch: 'auto' resolves to None for ungrouped
+            # serving (hamming's only legal mode), so accepting it here
+            # would silently run the exact float scan the caller asked
+            # to avoid
             raise ValueError(
-                "prefilter_signal='hamming' needs prefilter_k (it is a "
-                "candidate-generation knob)"
+                "prefilter_signal='hamming' needs an explicit integer "
+                "prefilter_k ('auto' stays exact when ungrouped, which "
+                "would silently ignore the hamming signal)"
             )
         if column not in self.config.index_columns:
             raise ValueError(f"column {column!r} is not indexed")
@@ -2873,6 +2857,26 @@ class Collection:
             KEY_COL, self._centered_sig_col(center).alias("_sig")
         )
 
+    def _centered_query_df(self, column: str, vecs) -> DataFrame:
+        """(query_idx, qvec) frame with the hamming-index CENTER
+        subtracted -- the one copy of the centering rule for batched
+        signature scans (r10 review catch: search_many and the MaxSim
+        hamming prefilter previously duplicated it). Stored signatures
+        threshold at the per-dim mean, so queries must subtract the
+        SAME center before the operator packs them; builds the index
+        (and with it the center, which build populates in lockstep) if
+        missing."""
+        if column not in self._hamming_index:
+            self.build_hamming_index(column)
+        center = self._hamming_centers[column]
+        return self.spark.createDataFrame(
+            [
+                (i, [float(x) - c for x, c in zip(v, center)])
+                for i, v in enumerate(vecs)
+            ],
+            "query_idx long, qvec array<double>",
+        )
+
     def refresh_hamming_index(self, column: str) -> str:
         """Bring the on-disk (key, sig) parquet at :meth:`hamming_path`
         up to date at BATCH cost -- the signature sibling of
@@ -3059,40 +3063,51 @@ class Collection:
         # COUNT columns, never the group value -- _cur/_idx are >= 1
         # whenever their side matched, so NULL there means "absent on
         # that side" unambiguously even when the group value IS NULL.
+        # PERSISTED (r10 review catch): changed/keep/stale all derive
+        # from this frame, and without the persist each consumer would
+        # re-run the corpus-sized live count aggregation -- 3-4 full
+        # scans per refresh at the very scale this index exists for.
         diff = cur.join(
             old, F.col(group_col).eqNullSafe(F.col("_ig")), "full_outer"
-        )
-        changed = diff.where(
-            F.col("_idx").isNull()  # new group
-            | F.col("_cur").isNull()  # group fully gone
-            | (F.col("_cur") != F.col("_idx"))  # chunk count moved
-        )
-        if changed.limit(1).count() == 0:
-            return "current"
-        stale = changed.where(F.col("_cur").isNotNull()).select(
-            F.col(group_col).alias("_sg")
-        )
-        keep = idx.join(
-            diff.where(F.col("_cur") == F.col("_idx")).select(
-                F.col(group_col).alias("_kg")
-            ),
-            F.col(group_col).eqNullSafe(F.col("_kg")),
-            "left_semi",
-        )
-        repooled = mean_pool_vectors(
-            live.join(
-                stale, F.col(group_col).eqNullSafe(F.col("_sg")), "left_semi"
-            ),
-            [group_col],
-            "vector",
-            out_col="_pv",
-            normalize=True,
-            exact_units=self.maxsim_pool_units,
-        )
-        # the staged write fully materializes (reading the OLD sidecar
-        # for the kept rows) before the rename swaps it in
-        keep.unionByName(repooled).write.mode("overwrite").parquet(staged)
-        self._fs_replace(staged, path)
+        ).persist()
+        try:
+            changed = diff.where(
+                F.col("_idx").isNull()  # new group
+                | F.col("_cur").isNull()  # group fully gone
+                | (F.col("_cur") != F.col("_idx"))  # chunk count moved
+            )
+            if changed.limit(1).count() == 0:
+                return "current"
+            stale = changed.where(F.col("_cur").isNotNull()).select(
+                F.col(group_col).alias("_sg")
+            )
+            keep = idx.join(
+                diff.where(F.col("_cur") == F.col("_idx")).select(
+                    F.col(group_col).alias("_kg")
+                ),
+                F.col(group_col).eqNullSafe(F.col("_kg")),
+                "left_semi",
+            )
+            repooled = mean_pool_vectors(
+                live.join(
+                    stale,
+                    F.col(group_col).eqNullSafe(F.col("_sg")),
+                    "left_semi",
+                ),
+                [group_col],
+                "vector",
+                out_col="_pv",
+                normalize=True,
+                exact_units=self.maxsim_pool_units,
+            )
+            # the staged write fully materializes (reading the OLD
+            # sidecar for the kept rows) before the rename swaps it in
+            keep.unionByName(repooled).write.mode("overwrite").parquet(
+                staged
+            )
+            self._fs_replace(staged, path)
+        finally:
+            diff.unpersist()
         return "refreshed"
 
     def _maxsim_pool_view(self, column: str, group_col: str) -> DataFrame:

@@ -191,6 +191,12 @@ def decode_media_headers(df, content_col: str = "content"):
         for pdf in batches:
             rows = []
             for path, content in zip(pdf["path"], pdf[content_col]):
+                if content is None:
+                    # a NULL payload (outer join, sparse ingest) is the
+                    # all-null row, not a task crash -- the module
+                    # contract (r10 review catch)
+                    rows.append((path, None, None, None, None, None))
+                    continue
                 data = bytes(content)
                 fmt, w, h = parse_image_header(data)
                 rows.append(
@@ -238,12 +244,17 @@ def decode_media(df, decoder: str = "fake", content_col: str = "content"):
         for pdf in batches:
             rows = []
             for path, content in zip(pdf["path"], pdf[content_col]):
-                data = bytes(content)
                 if decoder == "none":
                     raise NotImplementedError(
                         "media decode requires an image/audio backend "
                         "(PIL/ffmpeg) not present in this environment"
                     )
+                if content is None:
+                    # NULL payload -> all-null row (same contract as
+                    # decoder='headers')
+                    rows.append((path, None, None, None, None, None, None))
+                    continue
+                data = bytes(content)
                 w, h, c, feat = _fake_decode(data)
                 rows.append(
                     (

@@ -58,33 +58,45 @@ def _merge_sym(a: str, b: str) -> str:
     return a + (b[2:] if b.startswith("##") else b)
 
 
+def _make_greedy_encoder(vocab: set[str], max_chars: int):
+    """ONE greedy longest-match-first implementation shared by the
+    model API and the distributed counting UDF. The returned closure
+    captures only plain data (set / int / str), so cloudpickle ships
+    it by VALUE -- no letsearch_spark import needed on executor
+    workers (the token_count_exact convention)."""
+    unk = UNK
+
+    def enc(word: str) -> list[str]:
+        if not word:
+            return []
+        if len(word) > max_chars:
+            return [unk]
+        out: list[str] = []
+        i = 0
+        while i < len(word):
+            end = len(word)
+            piece = None
+            while end > i:
+                sub = word[i:end]
+                if i > 0:
+                    sub = "##" + sub
+                if sub in vocab:
+                    piece = sub
+                    break
+                end -= 1
+            if piece is None:
+                return [unk]
+            out.append(piece)
+            i = end
+        return out
+
+    return enc
+
+
 def _encode_word_greedy(
     word: str, vocab: set[str], max_chars: int
 ) -> list[str]:
-    """Greedy longest-match-first WordPiece tiling; [UNK] when stuck or
-    the word exceeds the length guard."""
-    if not word:
-        return []
-    if len(word) > max_chars:
-        return [UNK]
-    out: list[str] = []
-    i = 0
-    while i < len(word):
-        end = len(word)
-        piece = None
-        while end > i:
-            sub = word[i:end]
-            if i > 0:
-                sub = "##" + sub
-            if sub in vocab:
-                piece = sub
-                break
-            end -= 1
-        if piece is None:
-            return [UNK]
-        out.append(piece)
-        i = end
-    return out
+    return _make_greedy_encoder(vocab, max_chars)(word)
 
 
 @dataclass
@@ -312,38 +324,15 @@ def token_count_exact_wordpiece(
     broadcast-joined back. Documents with no words keep a 0 row."""
     from letsearch_spark.tokenizer import split_words
 
-    vocab = set(model.vocab)
-    max_chars = model.word_max_chars
+    # the SAME greedy implementation the model API uses (r10 review
+    # catch: a hand-copied counting loop could drift from encode_word);
+    # the factory closure carries only plain data, so it pickles by
+    # value
+    enc = _make_greedy_encoder(set(model.vocab), model.word_max_chars)
 
     @F.pandas_udf("long")
     def _tok_len(w: pd.Series) -> pd.Series:
-        # self-contained closure (plain set + ints): greedy
-        # longest-match, [UNK] counts 1
-        def enc_len(word: str) -> int:
-            if not word:
-                return 0
-            if len(word) > max_chars:
-                return 1
-            n = 0
-            i = 0
-            while i < len(word):
-                end = len(word)
-                hit = None
-                while end > i:
-                    sub = word[i:end]
-                    if i > 0:
-                        sub = "##" + sub
-                    if sub in vocab:
-                        hit = end
-                        break
-                    end -= 1
-                if hit is None:
-                    return 1
-                n += 1
-                i = hit
-            return n
-
-        return w.map(enc_len)
+        return w.map(lambda word: len(enc(word)))
 
     pairs = (
         df.select(

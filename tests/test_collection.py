@@ -2075,9 +2075,16 @@ def test_maxsim_prefilter_hamming_signal(spark, tmp_path, sf_dir):
             "text", queries, limit=5, group_col="lang",
             prefilter_k=8, prefilter_signal="hamming",
         )
-    with pytest.raises(ValueError, match="needs prefilter_k"):
+    with pytest.raises(ValueError, match="explicit integer prefilter_k"):
         c.search_multi(
             "text", queries, limit=5, prefilter_signal="hamming"
+        )
+    # 'auto' resolves to exact for ungrouped serving, which would
+    # silently ignore the hamming signal -- rejected (r10 review catch)
+    with pytest.raises(ValueError, match="explicit integer prefilter_k"):
+        c.search_multi(
+            "text", queries, limit=5,
+            prefilter_k="auto", prefilter_signal="hamming",
         )
     with pytest.raises(ValueError, match="'cosine' or 'hamming'"):
         c.search_multi(

@@ -375,3 +375,22 @@ def test_decode_media_headers_spark_end_to_end(spark):
     for k, v in payloads.items():
         assert rows[k]["n_bytes"] == len(v)
         assert rows[k]["media_sha"] == hashlib.sha256(v).hexdigest()
+
+    # a NULL payload is an all-null row, never a task crash (the 100 TB
+    # contract; r10 review catch) -- in both decode modes
+    ndf = spark.createDataFrame(
+        [("f.null", None), ("a.png", bytearray(payloads["a.png"]))],
+        "path string, content binary",
+    )
+    nrows = {
+        r["path"]: r for r in decode_media(ndf, decoder="headers").collect()
+    }
+    assert nrows["f.null"]["n_bytes"] is None
+    assert nrows["f.null"]["media_sha"] is None
+    assert nrows["f.null"]["format"] is None
+    assert nrows["a.png"]["format"] == "png"
+    frows = {
+        r["path"]: r for r in decode_media(ndf, decoder="fake").collect()
+    }
+    assert frows["f.null"]["width"] is None and frows["f.null"]["feature"] is None
+    assert frows["a.png"]["width"] is not None
