@@ -1060,6 +1060,7 @@ def write_token_shards(
     from letsearch_spark.tokenizer import BpeModel
     from letsearch_spark.tokenizer_bytebpe import ByteBpeModel
     from letsearch_spark.tokenizer_unigram import UnigramModel
+    from letsearch_spark.tokenizer_wordpiece import WordPieceModel
 
     sel = clean_docs.select(F.col(key_col), F.col(text_col))
     if isinstance(model, ByteBpeModel):
@@ -1080,6 +1081,15 @@ def write_token_shards(
         ids = encode_ids_column_unigram(
             sel, text_col, model, out_col="__ids", unk_id=unk_id
         )
+    elif isinstance(model, WordPieceModel):
+        # r10: greedy longest-match family -- [UNK] is a real vocab id,
+        # so unk_id does not apply; layout counts must come from
+        # token_count_exact_wordpiece under the same model
+        from letsearch_spark.tokenizer_wordpiece import (
+            encode_ids_column_wordpiece,
+        )
+
+        ids = encode_ids_column_wordpiece(sel, text_col, model, out_col="__ids")
     elif isinstance(model, BpeModel):
         from letsearch_spark.tokenizer import encode_ids_column
 
@@ -1088,8 +1098,8 @@ def write_token_shards(
         )
     else:
         raise TypeError(
-            "write_token_shards needs a BpeModel, UnigramModel or "
-            f"ByteBpeModel, got {type(model).__name__}"
+            "write_token_shards needs a BpeModel, UnigramModel, "
+            f"ByteBpeModel or WordPieceModel, got {type(model).__name__}"
         )
     spans = layout.join(ids.select(key_col, "__ids"), key_col)
     # the layout's spans tile [0, count) exactly (pack_sequences

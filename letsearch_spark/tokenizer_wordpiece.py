@@ -310,6 +310,49 @@ def train_wordpiece_twin(
     )
 
 
+def encode_ids_column_wordpiece(
+    df: DataFrame,
+    text_col: str,
+    model: WordPieceModel,
+    out_col: str = "token_ids",
+) -> DataFrame:
+    """Add an ``array<int>`` column of WordPiece token IDs (positions
+    in ``model.vocab``). ``[UNK]`` is a REAL vocab entry, so
+    untileable words map to its id -- no ``unk_id`` knob needed (the
+    byte-BPE no-OOV convention, reached here by vocabulary design
+    instead of alphabet totality). Same Arrow-batched, word-memoized
+    kernel shape as tokenizer.encode_ids_column; the greedy closure
+    and id map are plain data, pickled by value."""
+    id_of = {tok: i for i, tok in enumerate(model.vocab)}
+    enc = _make_greedy_encoder(set(model.vocab), model.word_max_chars)
+
+    @F.pandas_udf("array<int>")
+    def _ids(s: pd.Series) -> pd.Series:
+        import re as _re
+
+        ws = _re.compile(r"[ \t\n\x0b\f\r]+")  # Java-\s parity
+        memo: dict[str, list[int]] = {}
+
+        def enc_word(word: str) -> list[int]:
+            hit = memo.get(word)
+            if hit is None:
+                hit = memo[word] = [id_of[t] for t in enc(word)]
+            return hit
+
+        def run(text) -> list[int]:
+            if not isinstance(text, str):
+                return []
+            out: list[int] = []
+            for w in ws.split(text):
+                if w:
+                    out.extend(enc_word(w))
+            return out
+
+        return s.map(run)
+
+    return df.withColumn(out_col, _ids(F.col(text_col)))
+
+
 def token_count_exact_wordpiece(
     df: DataFrame,
     id_col: str,

@@ -1113,3 +1113,54 @@ def test_prep_fim_stage(spark):
                 split_weights=None,
             ),
         )
+
+
+def test_write_token_shards_wordpiece(spark, tmp_path):
+    """r10: write_token_shards routes a WordPieceModel to the greedy id
+    encoder -- id streams reconstruct exactly (layout counts from
+    token_count_exact_wordpiece under the same model), and [UNK] ids
+    appear as REAL vocab positions for untileable words."""
+    from letsearch_spark.operators.pack import pack_sequences
+    from letsearch_spark.pipeline import write_token_shards
+    from letsearch_spark.tokenizer_wordpiece import (
+        UNK,
+        token_count_exact_wordpiece,
+        train_wordpiece,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            # every 5th doc carries a word past the word_max_chars
+            # guard -> [UNK] on BOTH the counting and encoding passes
+            (i, f"doc {i} the theme there mix other mother "
+                + ("x" * 120 + " " if i % 5 == 0 else "")
+                + "pad " * (i % 4))
+            for i in range(25)
+        ],
+        "doc_id long, text string",
+    )
+    model = train_wordpiece(docs, "text", vocab_size=120)
+    counted = docs.join(
+        token_count_exact_wordpiece(docs, "doc_id", "text", model), "doc_id"
+    )
+    layout = pack_sequences(
+        counted, "doc_id", "n_tokens", seq_len=24, num_shards=2
+    )
+    out = str(tmp_path / "wp_shards")
+    n = write_token_shards(counted, layout, out, model)
+    assert n == layout.count()
+
+    back = spark.read.parquet(out)
+    id_of = {t: i for i, t in enumerate(model.vocab)}
+    by_doc = {}
+    for r in back.collect():
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    unk_seen = False
+    for r in docs.collect():
+        want = [id_of[t] for t in model.encode(r["text"])]
+        got = []
+        for s in sorted(by_doc[r["doc_id"]], key=lambda x: x["tok_begin"]):
+            got.extend(s["token_ids"])
+        assert got == want, r["doc_id"]
+        unk_seen = unk_seen or id_of[UNK] in got
+    assert unk_seen  # the untrained-script word really exercised [UNK]
