@@ -440,6 +440,16 @@ def main() -> None:
         .first()[0],
     )
 
+    # round-10 URL-level dedup: scan-side canonicalization + one
+    # groupBy; the aggregate consumes keep/n_copies AND the canonical
+    # strings so the regex chain cannot prune
+    run_stage(
+        "dedup_url_canonical",
+        lambda: resolve_query("dedup_url_canonical")(spark, SF_DIR)
+        .agg(F.sum("n_copies") + F.sum(F.length("url_canon")))
+        .first()[0],
+    )
+
     # round-10 char-n-gram language ID: train once on the table's own
     # labels (untimed, the tokenizer-stage convention), then time the
     # serving path -- broadcast join + integer sums; the score aggregate

@@ -74,6 +74,32 @@ def exact_dedup(
     )
 
 
+def url_dedup(df: DataFrame, id_col: str, url_col: str) -> DataFrame:
+    """URL-level exact dedup (the CCNet/C4 first pass -- the same page
+    crawled twice usually differs only in tracking params, host case,
+    fragments, default ports, a www. prefix or a trailing slash):
+    one row per canonical URL (functions/text.py normalize_url) with
+    ``(url_canon, keep_id, n_copies)``, keep = min id.
+
+    Rows whose URL is null or has no host are EXCLUDED from the keep
+    list (they have no canonical identity to collide on -- callers
+    keep them unconditionally; the pipeline stage does exactly that).
+    One shuffle, map-side partial aggregation free; the canonical
+    string itself travels (distinct-URL level, already narrow) so the
+    keep list can join back by value without re-canonicalizing."""
+    from letsearch_spark.functions.text import normalize_url, url_host
+
+    u = F.coalesce(F.col(url_col), F.lit(""))
+    return (
+        df.where(F.length(url_host(u)) > 0)
+        .groupBy(normalize_url(u).alias("url_canon"))
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
 # ---------------------------------------------------------------- shingles
 
 

@@ -114,6 +114,14 @@ class PrepConfig:
     # recipe: a page drops on its URL alone, before any text stage
     # reads a byte of content (pairs with the WET source's target_uri)
     url_filter: dict | None = None
+    # stage 0a2 -- URL-level exact dedup (r10; None disables, the
+    # default): {"url_col": <column>}. The CCNet/C4 first pass: keep
+    # ONE row (min key) per canonical URL (normalize_url -- tracking
+    # params / host case / fragments / default ports / www. / trailing
+    # slash all collapse); rows with null or hostless URLs are kept
+    # unconditionally. Runs right after the URL filter, before any
+    # content stage spends compute on recrawls of the same page.
+    url_dedup: dict | None = None
     # stage 0b -- char-n-gram language ID (r10; None disables, the
     # default): {"model": <LangIdModel from fit_langid>, optional
     # "allowed": [langs to KEEP] (absent = annotate-only), "out_col":
@@ -500,6 +508,38 @@ def prepare_training_data(
             cur = _persist_stage(cur.where(F.length(F.col(text)) > 0))
             cur = _stage_store("html", cur)
             _drop_superseded()
+
+    if cfg.url_dedup is not None:
+        _loaded = _stage_load("url_dedup", cfg.url_dedup)
+        if _loaded is not None:
+            cur = _loaded
+        else:
+            from letsearch_spark.functions.text import url_host
+            from letsearch_spark.operators.dedup import url_dedup
+
+            ud_cfg = dict(cfg.url_dedup)
+            ud_url = ud_cfg.pop("url_col", None)
+            if ud_cfg:
+                raise ValueError(
+                    f"unknown url_dedup options: {sorted(ud_cfg)} "
+                    "(supported: url_col)"
+                )
+            if ud_url is None:
+                raise ValueError(
+                    "url_dedup needs 'url_col' naming the URL column"
+                )
+            # the keep list is distinct-URL-sized (can be corpus-scale)
+            # -- a plain key semi-join, never a broadcast; hostless
+            # rows union back in unconditionally
+            keeps = url_dedup(cur, key, ud_url).select(
+                F.col("keep_id").alias(key)
+            )
+            u = F.coalesce(F.col(ud_url), F.lit(""))
+            hostless = cur.where(F.length(url_host(u)) == 0)
+            cur = _stage_store(
+                "url_dedup",
+                cur.join(keeps, key, "left_semi").unionByName(hostless),
+            )
 
     if cfg.langid is not None:
         _loaded = _stage_load("langid", cfg.langid)

@@ -3643,6 +3643,94 @@ def _token_count_bytebpe_oracle(sf_dir: str) -> str:
     return _values_literal(rows, [("doc_id", "BIGINT"), ("n_tokens", "BIGINT")])
 
 
+def q_dedup_url_canonical(spark, sf_dir):
+    """URL-level exact dedup (operators/dedup.py url_dedup over
+    functions/text.py normalize_url, r10 -- the CCNet/C4 first pass):
+    five crawl-variant spellings of each target page are synthesized
+    from doc_id arithmetic (tracking params / upper-case host +
+    default :443 / fragment / www. prefix), plus a hostless row class;
+    the canonicalizer must collapse every variant group to ONE keeper
+    (min doc_id) and leave hostless rows untouched. The oracle
+    CONSTRUCTS the canonical form arithmetically (the
+    multimodal_headers trick), so any mis-firing normalization rule
+    mismatches immediately."""
+    from letsearch_spark.functions.text import normalize_url, url_host
+    from letsearch_spark.operators.dedup import url_dedup
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    g = F.expr("doc_id DIV 5").cast("string")
+    m = F.col("doc_id") % 5
+    base = F.concat(
+        F.lit("https://site"), g, F.lit(".example.com/p/"), g,
+        F.lit("?id="), g,
+    )
+    raw = (
+        F.when(m == 1, F.concat(base, F.lit("&utm_source=x&utm_campaign=y")))
+        .when(
+            m == 2,
+            F.concat(
+                F.lit("HTTPS://SITE"), g, F.lit(".EXAMPLE.COM:443/p/"), g,
+                F.lit("?id="), g,
+            ),
+        )
+        .when(m == 3, F.concat(base, F.lit("#section-2")))
+        .when(
+            m == 4,
+            F.concat(
+                F.lit("https://www.site"), g, F.lit(".example.com/p/"), g,
+                F.lit("?id="), g,
+            ),
+        )
+        .otherwise(base)
+    )
+    raw = F.when(F.col("doc_id") % 97 == 13, F.lit("not a url")).otherwise(
+        raw
+    )
+    urls = docs.select("doc_id", raw.alias("url"))
+    keeps = url_dedup(urls, "doc_id", "url")
+    canon = normalize_url(F.col("url"))
+    return (
+        urls.withColumn(
+            "url_canon",
+            F.when(F.length(url_host(F.col("url"))) > 0, canon),
+        )
+        .join(keeps, "url_canon", "left")
+        .select(
+            "doc_id",
+            "url_canon",
+            F.coalesce(F.col("doc_id") == F.col("keep_id"), F.lit(True))
+            .alias("keep"),
+            F.coalesce(F.col("n_copies"), F.lit(0)).alias("n_copies"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_DEDUP_URL_ORACLE_SQL = """
+    WITH u AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 97 = 13 THEN NULL
+                    ELSE 'https://site' || CAST(doc_id // 5 AS VARCHAR)
+                         || '.example.com/p/'
+                         || CAST(doc_id // 5 AS VARCHAR)
+                         || '?id=' || CAST(doc_id // 5 AS VARCHAR)
+               END AS url_canon
+        FROM documents
+    ), w AS (
+        SELECT doc_id, url_canon,
+               min(doc_id) OVER (PARTITION BY url_canon) AS keep_id,
+               count(*) OVER (PARTITION BY url_canon) AS n
+        FROM u
+    )
+    SELECT doc_id, url_canon,
+           CASE WHEN url_canon IS NULL THEN TRUE
+                ELSE doc_id = keep_id END AS keep,
+           CAST(CASE WHEN url_canon IS NULL THEN 0 ELSE n END
+                AS BIGINT) AS n_copies
+    FROM w ORDER BY doc_id
+"""
+
+
 _WORDPIECE_VOCAB = 400
 
 
@@ -3855,6 +3943,8 @@ STAGED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # round 10 (WordPiece completing the trainer family: BPE / unigram
     # / byte-BPE / wordpiece)
     "token_count_wordpiece": q_token_count_wordpiece,
+    # round 10 (URL-level exact dedup -- the CCNet/C4 first pass)
+    "dedup_url_canonical": q_dedup_url_canonical,
     # round 6 (late session; ann_hamming_topk / token_count_unigram
     # promoted r8)
     "search_maxsim": q_search_maxsim,
@@ -4608,6 +4698,7 @@ STAGED_ORACLES: dict[str, object] = {
     "multimodal_headers": _MULTIMODAL_HEADERS_ORACLE_SQL,
     "lang_id_ngram": _lang_id_ngram_oracle,
     "token_count_wordpiece": _token_count_wordpiece_oracle,
+    "dedup_url_canonical": _DEDUP_URL_ORACLE_SQL,
     # round 6 (late session)
     "search_maxsim": _maxsim_oracle_sql(),
     "text_compression": _text_compression_oracle,

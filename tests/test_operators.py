@@ -3692,3 +3692,74 @@ def test_span_corruption_min_words_floor(spark):
     assert got[3] == (False, "  ", None)  # 3 words < 5: pass-through
     with _pytest.raises(ValueError, match="min_words"):
         span_corruption(df, min_words=0)
+
+
+def test_url_dedup_keep_list_and_hostless(spark):
+    """url_dedup (r10): every crawl-variant spelling collapses to one
+    canonical row with keep = min id; null/hostless URLs are excluded
+    from the keep list (callers keep them unconditionally); the plan is
+    one scan-side canonicalization + one groupBy -- no UDF."""
+    from letsearch_spark.operators.dedup import url_dedup
+
+    rows = [
+        (1, "https://site.example.com/p/9?id=9"),
+        (2, "https://site.example.com/p/9?id=9&utm_source=x"),
+        (3, "HTTPS://SITE.EXAMPLE.COM:443/p/9?id=9"),
+        (4, "https://site.example.com/p/9?id=9#frag"),
+        (5, "https://www.site.example.com/p/9?id=9"),
+        (6, "https://other.example.com/q"),
+        (7, None),
+        (8, "not a url"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    out = {r["url_canon"]: r for r in url_dedup(df, "doc_id", "url").collect()}
+    assert set(out) == {
+        "https://site.example.com/p/9?id=9",
+        "https://other.example.com/q",
+    }
+    assert out["https://site.example.com/p/9?id=9"]["keep_id"] == 1
+    assert out["https://site.example.com/p/9?id=9"]["n_copies"] == 5
+    assert out["https://other.example.com/q"]["n_copies"] == 1
+
+    plan = (
+        url_dedup(df, "doc_id", "url")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_prep_url_dedup_stage(spark):
+    """PrepConfig(url_dedup=...) (r10): recrawl variants drop to one
+    keeper per canonical URL BEFORE content stages; hostless rows
+    survive unconditionally; bad knobs raise."""
+    import pytest
+
+    from letsearch_spark.pipeline import PrepConfig, prepare_training_data
+
+    rows = [
+        (1, "https://a.com/x", "text one " * 5),
+        (2, "https://a.com/x?utm_source=t", "text two " * 5),
+        (3, "https://www.a.com/x", "text three " * 5),
+        (4, "https://b.com/y", "text four " * 5),
+        (5, None, "hostless five " * 5),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string, text string")
+    base = dict(
+        quality=None, line_dedup=None, fuzzy_dedup=None, split_weights=None
+    )
+    out, _l, audit = prepare_training_data(
+        df, PrepConfig(url_dedup={"url_col": "url"}, **base)
+    )
+    kept = sorted(r["doc_id"] for r in out.collect())
+    assert kept == [1, 4, 5]
+    assert audit["url_dedup"] == 3
+
+    with pytest.raises(ValueError, match="unknown url_dedup"):
+        prepare_training_data(
+            df, PrepConfig(url_dedup={"url_col": "url", "x": 1}, **base)
+        )
+    with pytest.raises(ValueError, match="needs 'url_col'"):
+        prepare_training_data(df, PrepConfig(url_dedup={}, **base))
