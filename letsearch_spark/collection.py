@@ -3041,6 +3041,19 @@ class Collection:
         path = self.maxsim_pool_path(column, group_col)
         live = self._maxsim_pool_live_frame(column, group_col)
         staged = path + ".build"
+
+        def _drop_cached_view() -> None:
+            # a successful swap must invalidate the in-memory view, or
+            # a caller who refreshes explicitly (the streaming
+            # refresh_index path) would keep serving the pre-refresh
+            # snapshot out of the cache
+            view = self._maxsim_pool.pop((column, group_col), None)
+            if view is not None:
+                try:
+                    view.unpersist()
+                except Exception:
+                    pass
+
         if not self._fs_nonempty(path):
             pooled = mean_pool_vectors(
                 live,
@@ -3052,6 +3065,7 @@ class Collection:
             )
             pooled.write.mode("overwrite").parquet(staged)
             self._fs_replace(staged, path)
+            _drop_cached_view()
             return "built"
         idx = self.spark.read.parquet(path)
         cur = live.groupBy(group_col).agg(F.count("*").alias("_cur"))
@@ -3106,6 +3120,7 @@ class Collection:
                 staged
             )
             self._fs_replace(staged, path)
+            _drop_cached_view()
         finally:
             diff.unpersist()
         return "refreshed"

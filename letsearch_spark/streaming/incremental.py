@@ -160,22 +160,38 @@ def _file_stream(
 
 
 def _maybe_refresh_index(coll, col: str, refresh_index: str | None) -> None:
-    """Keep the ANN index fresh at BATCH cost after an incremental
+    """Keep a serving index fresh at BATCH cost after an incremental
     embed: the refresh paths (collection.py refresh_ivf_index /
-    refresh_ivf_pq_index) append new keys under frozen quantizers and
-    retrain only past ``ivf_rebuild_fraction`` -- a per-batch full
-    rebuild would be quadratic in total ingested data (SCALING.md's
-    ivf_append-vs-rebuild probe)."""
+    refresh_ivf_pq_index / refresh_hamming_index /
+    refresh_maxsim_pool_index) append new keys under frozen
+    quantizers/centers (the pooled sidecar re-pools only touched
+    groups) and rebuild only past their drift thresholds -- a
+    per-batch full rebuild would be quadratic in total ingested data
+    (SCALING.md's ivf_append-vs-rebuild probe)."""
     if refresh_index is None:
         return
     if refresh_index == "ivf":
         coll.refresh_ivf_index(col)
     elif refresh_index == "ivf_pq":
         coll.refresh_ivf_pq_index(col)
+    elif refresh_index == "hamming":
+        # r10: signature sidecar freshness at batch cost (append
+        # computes only the new keys' sign bits under the frozen
+        # center)
+        coll.refresh_hamming_index(col)
+    elif isinstance(refresh_index, str) and refresh_index.startswith(
+        "maxsim_pool:"
+    ):
+        # r10: 'maxsim_pool:<group_col>' tops the grouped-MaxSim
+        # pooled-centroid sidecar up per micro-batch (count-diff
+        # refresh re-pools only the groups the batch touched)
+        coll.refresh_maxsim_pool_index(
+            col, refresh_index.split(":", 1)[1]
+        )
     else:
         raise ValueError(
-            f"refresh_index must be None, 'ivf' or 'ivf_pq', got "
-            f"{refresh_index!r}"
+            "refresh_index must be None, 'ivf', 'ivf_pq', 'hamming' or "
+            f"'maxsim_pool:<group_col>', got {refresh_index!r}"
         )
 
 
@@ -537,10 +553,14 @@ def _make_prep_batch_processor(
     bands_path = os.path.join(state_dir, "bands")
     corpus_path = os.path.join(state_dir, "corpus")
 
-    if refresh_index not in (None, "ivf", "ivf_pq"):
+    if refresh_index not in (None, "ivf", "ivf_pq", "hamming") and not (
+        isinstance(refresh_index, str)
+        and refresh_index.startswith("maxsim_pool:")
+        and refresh_index.split(":", 1)[1]
+    ):
         raise ValueError(
-            f"refresh_index must be None, 'ivf' or 'ivf_pq', got "
-            f"{refresh_index!r}"
+            "refresh_index must be None, 'ivf', 'ivf_pq', 'hamming' or "
+            f"'maxsim_pool:<group_col>', got {refresh_index!r}"
         )
 
     def process_batch(batch_df, batch_id: int):

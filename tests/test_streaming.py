@@ -635,3 +635,86 @@ def test_stream_refresh_index(spark, tmp_path):
             spark, coll, str(tmp_path / "state2"), "text",
             quality=None, dedup=None, embed=True, refresh_index="nope",
         )
+
+
+def test_stream_refresh_hamming_and_maxsim_pool(spark, tmp_path):
+    """refresh_index='hamming' / 'maxsim_pool:<grp>' (r10): every
+    embedded micro-batch tops the signature sidecar and the grouped-
+    MaxSim pooled-centroid sidecar up at batch cost, so
+    strategy='hamming' and the grouped prefilter serve fresh data
+    between batches; an explicit refresh also invalidates the
+    in-memory pool view (no stale serving from the cache)."""
+    import os
+
+    import pyspark.sql.types as T
+    from pyspark.sql import functions as F
+
+    from letsearch_spark.collection import Collection
+    from letsearch_spark.streaming.incremental import (
+        _make_prep_batch_processor,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("text", T.StringType()),
+            T.StructField("grp", T.StringType()),
+        ]
+    )
+    coll = Collection.create(
+        spark, str(tmp_path / "root"), name="hprep",
+        index_columns=["text"], model_name="stub://8",
+    )
+    coll.serve_filter_columns = ["grp"]
+    process = _make_prep_batch_processor(
+        spark, coll, str(tmp_path / "state"), "text",
+        quality=None, dedup=None, embed=True, refresh_index="hamming",
+    )
+    b0 = [(f"first batch doc {i} spark joins windows", "a") for i in range(6)]
+    b1 = [(f"second batch doc {i} packing dedup tokens", "b") for i in range(6)]
+    process(spark.createDataFrame(b0, schema), 0)
+    assert os.path.isdir(coll.hamming_path("text"))
+    process(spark.createDataFrame(b1, schema), 1)
+    probe = coll.docs().where("_key = 10").select("text").first()[0]
+    top = coll.search("text", probe, limit=1, strategy="hamming").first()
+    assert top["key"] == 10 and top["score"] > 0.999
+
+    # maxsim_pool freshness: build the sidecar, serve once (caches the
+    # view), append a batch through the pool-refreshing processor, and
+    # the NEXT grouped prefiltered search must see the new group
+    # without any manual invalidation
+    process2 = _make_prep_batch_processor(
+        spark, coll, str(tmp_path / "state2"), "text",
+        quality=None, dedup=None, embed=True,
+        refresh_index="maxsim_pool:grp",
+    )
+    assert coll.refresh_maxsim_pool_index("text", "grp") == "built"
+    coll.search_multi(
+        "text", ["spark joins"], limit=3, group_col="grp", prefilter_k=2
+    ).collect()
+    assert ("text", "grp") in coll._maxsim_pool  # view cached
+    b2 = [(f"third batch doc {i} fresh group content", "c") for i in range(4)]
+    process2(spark.createDataFrame(b2, schema), 2)
+    groups = {
+        r["grp"]
+        for r in spark.read.parquet(
+            coll.maxsim_pool_path("text", "grp")
+        ).collect()
+    }
+    assert groups == {"a", "b", "c"}
+    hits = coll.search_multi(
+        "text",
+        ["fresh group content"],
+        limit=3,
+        group_col="grp",
+        prefilter_k=1,
+    ).collect()
+    assert hits and hits[0]["group"] == "c"
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="maxsim_pool"):
+        from letsearch_spark.streaming.incremental import (
+            _maybe_refresh_index,
+        )
+
+        _maybe_refresh_index(coll, "text", "nope")
