@@ -446,7 +446,14 @@ def main() -> None:
     run_stage(
         "dedup_url_canonical",
         lambda: resolve_query("dedup_url_canonical")(spark, SF_DIR)
-        .agg(F.sum("n_copies") + F.sum(F.length("url_canon")))
+        # keep rides in the aggregate too, or Catalyst prunes the
+        # min(doc_id) keep computation out of the timed plan (the
+        # count-pruning lesson, second-review catch)
+        .agg(
+            F.sum("n_copies")
+            + F.sum(F.length("url_canon"))
+            + F.sum(F.col("keep").cast("long"))
+        )
         .first()[0],
     )
 

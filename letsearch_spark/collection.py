@@ -2904,6 +2904,21 @@ class Collection:
                 center = [float(x) for x in np.load(io.BytesIO(raw))]
             if center is None:
                 action = "rebuild"  # signature data without its center
+        def _drop_cached_sig_view() -> None:
+            # any change to the on-disk signatures must invalidate the
+            # in-memory view, or an explicit refresh (the streaming
+            # refresh_index='hamming' path, or a second Collection over
+            # the same storage) would keep serving the pre-refresh
+            # snapshot out of the cache (r10 second-review catch -- the
+            # same hole _drop_cached_view closes for the pooled-centroid
+            # sidecar)
+            view = self._hamming_index.pop(column, None)
+            if view is not None:
+                try:
+                    view.unpersist()
+                except Exception:
+                    pass
+
         if action == "current":
             self._hamming_centers[column] = center
             return "current"
@@ -2927,6 +2942,7 @@ class Collection:
                 .parquet(path)
             )
             self._hamming_centers[column] = center
+            _drop_cached_sig_view()
             return "appended"
         center = self._hamming_center(column)
         staged = path + ".build"
@@ -2938,6 +2954,7 @@ class Collection:
         self._fs_write_bytes(os.path.join(staged, "_center.npy"), buf.getvalue())
         self._fs_replace(staged, path)
         self._hamming_centers[column] = center
+        _drop_cached_sig_view()
         return "built" if action == "missing" else "rebuilt"
 
     def build_hamming_index(self, column: str) -> None:

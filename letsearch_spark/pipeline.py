@@ -8,8 +8,12 @@ This module is their composition -- ONE declarative recipe:
     0a. URL filter        (functions/text.py url_quality_flags,
         optional -- blocklist/trap/spam-host rejects on the URL alone,
         before any content stage reads a byte)
+    0a2. URL dedup        (operators/dedup.py url_dedup, optional, r10
+        -- one keeper per canonical URL, still before any content cost)
     0. HTML extraction    (functions/html.py html_to_text, optional --
        crawl pages in, visible text + link-density page drop out)
+    0b. language ID       (operators/langid.py predict_lang, optional,
+        r10 -- annotate or filter at the CCNet position)
     1. quality filter     (functions/text.py gopher_flags)
     1b. perplexity filter (operators/ngram_lm.py, CCNet-style, optional)
     1c. C4 cleaning       (functions/text.py c4_clean_lines + c4_flags,
@@ -482,33 +486,6 @@ def prepare_training_data(
                 ),
             )
 
-    if cfg.html is not None:
-        _loaded = _stage_load("html", cfg.html)
-        if _loaded is not None:
-            cur = _loaded
-        else:
-            from letsearch_spark.functions.html import (
-                html_link_density,
-                html_to_text,
-            )
-
-            html_cfg = dict(cfg.html)
-            max_ld = html_cfg.pop("max_link_density", None)
-            if html_cfg:
-                raise ValueError(
-                    f"unknown html options: {sorted(html_cfg)} "
-                    "(supported: max_link_density)"
-                )
-            if max_ld is not None:
-                ld = html_link_density(F.col(text))
-                # empty pages have NULL density; they drop on the length
-                # guard below, not here
-                cur = cur.where(ld.isNull() | (ld <= float(max_ld)))
-            cur = cur.withColumn(text, html_to_text(F.col(text)))
-            cur = _persist_stage(cur.where(F.length(F.col(text)) > 0))
-            cur = _stage_store("html", cur)
-            _drop_superseded()
-
     if cfg.url_dedup is not None:
         _loaded = _stage_load("url_dedup", cfg.url_dedup)
         if _loaded is not None:
@@ -540,6 +517,33 @@ def prepare_training_data(
                 "url_dedup",
                 cur.join(keeps, key, "left_semi").unionByName(hostless),
             )
+
+    if cfg.html is not None:
+        _loaded = _stage_load("html", cfg.html)
+        if _loaded is not None:
+            cur = _loaded
+        else:
+            from letsearch_spark.functions.html import (
+                html_link_density,
+                html_to_text,
+            )
+
+            html_cfg = dict(cfg.html)
+            max_ld = html_cfg.pop("max_link_density", None)
+            if html_cfg:
+                raise ValueError(
+                    f"unknown html options: {sorted(html_cfg)} "
+                    "(supported: max_link_density)"
+                )
+            if max_ld is not None:
+                ld = html_link_density(F.col(text))
+                # empty pages have NULL density; they drop on the length
+                # guard below, not here
+                cur = cur.where(ld.isNull() | (ld <= float(max_ld)))
+            cur = cur.withColumn(text, html_to_text(F.col(text)))
+            cur = _persist_stage(cur.where(F.length(F.col(text)) > 0))
+            cur = _stage_store("html", cur)
+            _drop_superseded()
 
     if cfg.langid is not None:
         _loaded = _stage_load("langid", cfg.langid)

@@ -57,6 +57,9 @@ def stream_append_collection(
     embed (left-anti join), i.e. the reference's add-docs verb (A6)
     runs continuously.
 
+    ``refresh_index`` validates UP FRONT (the prep path's grammar),
+    not on the first non-empty micro-batch.
+
     ``source_format='wet'`` (r8): the directory holds Common Crawl
     WARC/WET segments instead of parquet -- a streaming binaryFile scan
     feeds the same Arrow-pass record parser batch ingest uses
@@ -65,6 +68,7 @@ def stream_append_collection(
     file-source ledger); ``schema`` is ignored (records parse to the
     fixed WET layout, the text lands in the collection's first index
     column)."""
+    _validate_refresh_index(refresh_index)
     stream = _file_stream(
         spark,
         source_dir,
@@ -159,6 +163,27 @@ def _file_stream(
     )
 
 
+def _validate_refresh_index(refresh_index: str | None) -> None:
+    """ONE copy of the refresh_index grammar (r10 second-review catch:
+    the prep processor and the append path each validated -- or failed
+    to -- separately, and 'maxsim_pool:' with an EMPTY group col
+    slipped past one of them into an opaque mid-stream
+    AnalysisException). Raises ValueError up front; called by both
+    streaming entry points AND the dispatcher."""
+    if refresh_index in (None, "ivf", "ivf_pq", "hamming"):
+        return
+    if (
+        isinstance(refresh_index, str)
+        and refresh_index.startswith("maxsim_pool:")
+        and refresh_index.split(":", 1)[1]
+    ):
+        return
+    raise ValueError(
+        "refresh_index must be None, 'ivf', 'ivf_pq', 'hamming' or "
+        f"'maxsim_pool:<group_col>', got {refresh_index!r}"
+    )
+
+
 def _maybe_refresh_index(coll, col: str, refresh_index: str | None) -> None:
     """Keep a serving index fresh at BATCH cost after an incremental
     embed: the refresh paths (collection.py refresh_ivf_index /
@@ -179,8 +204,10 @@ def _maybe_refresh_index(coll, col: str, refresh_index: str | None) -> None:
         # computes only the new keys' sign bits under the frozen
         # center)
         coll.refresh_hamming_index(col)
-    elif isinstance(refresh_index, str) and refresh_index.startswith(
-        "maxsim_pool:"
+    elif (
+        isinstance(refresh_index, str)
+        and refresh_index.startswith("maxsim_pool:")
+        and refresh_index.split(":", 1)[1]
     ):
         # r10: 'maxsim_pool:<group_col>' tops the grouped-MaxSim
         # pooled-centroid sidecar up per micro-batch (count-diff
@@ -189,10 +216,8 @@ def _maybe_refresh_index(coll, col: str, refresh_index: str | None) -> None:
             col, refresh_index.split(":", 1)[1]
         )
     else:
-        raise ValueError(
-            "refresh_index must be None, 'ivf', 'ivf_pq', 'hamming' or "
-            f"'maxsim_pool:<group_col>', got {refresh_index!r}"
-        )
+        _validate_refresh_index(refresh_index)  # raises with the grammar
+        raise AssertionError("unreachable")
 
 
 def windowed_event_counts(
@@ -553,15 +578,7 @@ def _make_prep_batch_processor(
     bands_path = os.path.join(state_dir, "bands")
     corpus_path = os.path.join(state_dir, "corpus")
 
-    if refresh_index not in (None, "ivf", "ivf_pq", "hamming") and not (
-        isinstance(refresh_index, str)
-        and refresh_index.startswith("maxsim_pool:")
-        and refresh_index.split(":", 1)[1]
-    ):
-        raise ValueError(
-            "refresh_index must be None, 'ivf', 'ivf_pq', 'hamming' or "
-            f"'maxsim_pool:<group_col>', got {refresh_index!r}"
-        )
+    _validate_refresh_index(refresh_index)
 
     def process_batch(batch_df, batch_id: int):
         if checkpoint_tag is not None:

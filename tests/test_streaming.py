@@ -710,11 +710,47 @@ def test_stream_refresh_hamming_and_maxsim_pool(spark, tmp_path):
     ).collect()
     assert hits and hits[0]["group"] == "c"
 
+    # the invalidation pin proper (second-review catch: the in-stream
+    # path above already clears caches via its own appends, so it
+    # cannot distinguish the fix from no-fix): mutate storage OUT OF
+    # BAND through a second Collection over the same root, then an
+    # explicit refresh on THIS instance must drop its cached views --
+    # the re-read pool view sees the new group, and the hamming view
+    # cache is gone until the next lazy build
+    coll.search("text", "spark joins", limit=1, strategy="hamming").collect()
+    assert "text" in coll._hamming_index  # signature view cached
+    other = Collection.load(spark, str(tmp_path / "root"), "hprep")
+    other._append_df(
+        spark.createDataFrame(
+            [("out of band doc fresh rows", "d")], schema
+        )
+    )
+    other.embed_column("text", incremental=True)
+    assert ("text", "grp") in coll._maxsim_pool
+    assert coll.refresh_maxsim_pool_index("text", "grp") == "refreshed"
+    view_groups = {
+        r["grp"] for r in coll._maxsim_pool_view("text", "grp").collect()
+    }
+    assert "d" in view_groups
+    assert coll.refresh_hamming_index("text") in ("appended", "rebuilt")
+    assert "text" not in coll._hamming_index  # stale view dropped
+
     import pytest as _pytest
 
-    with _pytest.raises(ValueError, match="maxsim_pool"):
-        from letsearch_spark.streaming.incremental import (
-            _maybe_refresh_index,
-        )
+    from letsearch_spark.streaming.incremental import (
+        _maybe_refresh_index,
+        stream_append_collection,
+    )
 
+    with _pytest.raises(ValueError, match="maxsim_pool"):
         _maybe_refresh_index(coll, "text", "nope")
+    # empty group col is rejected by the SAME grammar everywhere --
+    # including up front on the plain append entry point (it used to
+    # surface mid-stream as an opaque AnalysisException)
+    with _pytest.raises(ValueError, match="maxsim_pool"):
+        _maybe_refresh_index(coll, "text", "maxsim_pool:")
+    with _pytest.raises(ValueError, match="maxsim_pool"):
+        stream_append_collection(
+            spark, coll, str(tmp_path / "nosrc"), schema,
+            str(tmp_path / "nockpt"), refresh_index="maxsim_pool:",
+        )
