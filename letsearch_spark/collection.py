@@ -1323,15 +1323,22 @@ class Collection:
         self, column: str, group_col: str | None
     ) -> int | None:
         """The ``prefilter_k='auto'`` policy for MaxSim serving (the
-        resolve_strategy precedent): ``None`` (exact) when ungrouped --
-        the candidate legs would compute the same |Q| per-row cosines
-        the degenerate-group fast path already scans, a measured no-win
-        (SCALING.md r9) -- and ``None`` below
-        ``maxsim_auto_prefilter_min_groups`` distinct groups, where the
-        exact aggregate wins on wall clock (SCALING.md r10 crossover
-        table); ``maxsim_auto_prefilter_k`` above it. The distinct-group
-        count is one map-side-combined aggregate over the docs table,
-        cached until the next write."""
+        resolve_strategy precedent): ``None`` (exact) when ungrouped,
+        and ``None`` below ``maxsim_auto_prefilter_min_groups``
+        distinct groups, where the exact aggregate wins on wall clock
+        (SCALING.md r10 crossover table); ``maxsim_auto_prefilter_k``
+        above it.
+
+        Ungrouped stays exact BY POLICY, not by measurement: at 5k
+        rows the candidate legs were a measured no-win (SCALING.md
+        r9), but at 80k rows an explicit prefilter beats the exact
+        scan (0.82x with the cosine signal, 0.67x with
+        ``prefilter_signal='hamming'`` -- SCALING.md r10). Auto keeps
+        the exact default there because switching SIGNALS is a recall
+        decision the caller should make explicitly; the grouped tier
+        it does switch is candidate-set-only over exact scores. The
+        distinct-group count is one map-side-combined aggregate over
+        the docs table, cached until the next write."""
         if group_col is None:
             return None
         n = self._maxsim_group_counts.get(group_col)
