@@ -414,6 +414,7 @@ def cmd_export_shards(args) -> int:
         tokens_per_shard=args.tokens_per_shard,
         token_col=args.token_col,
         checksum_cols=checksum_cols,
+        data_format=args.format,
     )
     for r in manifest.collect():
         print(json.dumps(r.asDict()))
@@ -424,6 +425,7 @@ def cmd_export_shards(args) -> int:
             token_col=args.token_col,
             checksum_cols=checksum_cols,
             strict=True,
+            data_format=args.format,
         )
         print(json.dumps({"verified": True}))
     return 0
@@ -452,6 +454,7 @@ def cmd_verify_shards(args) -> int:
             token_col=args.token_col,
             checksum_cols=checksum_cols,
             strict=True,
+            data_format=getattr(args, "format", "parquet"),
         )
         # shard count from the tiny manifest -- re-counting the report
         # would re-run the full checksum scan a second time
@@ -621,6 +624,10 @@ def build_parser() -> argparse.ArgumentParser:
         "--verify", action="store_true",
         help="re-read the layout and verify it against its manifest",
     )
+    s.add_argument(
+        "--format", default="parquet", choices=["parquet", "jsonl"],
+        help="shard data format (manifest stays parquet)",
+    )
     s.set_defaults(fn=cmd_export_shards)
 
     s = sub.add_parser(
@@ -630,6 +637,9 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--path", required=True, help="shard directory")
     s.add_argument("--token-col", default=None)
     s.add_argument("--checksum-cols", default=None)
+    s.add_argument(
+        "--format", default="parquet", choices=["parquet", "jsonl"],
+    )
     s.set_defaults(fn=cmd_verify_shards)
 
     s = sub.add_parser("list-models", help="list letsearch models on HF hub")

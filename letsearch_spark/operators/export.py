@@ -259,11 +259,21 @@ def export_training_shards(
     checksum_cols: list[str] | None = None,
     ascending: bool = True,
     pin: str = "local",
+    data_format: str = "parquet",
 ) -> DataFrame:
-    """Write the corpus as ``shard=N/`` parquet partitions under
-    ``path`` (each shard's rows rank-sorted, so a sequential reader
-    streams the declared order) and a ``_manifest`` parquet beside
-    them; returns the manifest DataFrame.
+    """Write the corpus as ``shard=N/`` partitions under ``path``
+    (each shard's rows rank-sorted, so a sequential reader streams the
+    declared order) and a ``_manifest`` parquet beside them; returns
+    the manifest DataFrame.
+
+    ``data_format`` (r10): 'parquet' (default) or 'jsonl' -- the
+    de-facto trainer interchange format (one JSON object per line,
+    same shard=N/ layout, same manifest/verify contract; the manifest
+    itself stays parquet, it is metadata). JSONL round-trips integer
+    and string columns exactly; schema inference on re-read is the
+    caller's caveat for exotic types -- verify_training_shards uses
+    the same checksum string-cast on both sides, so a type that
+    round-trips its string form verifies.
 
     Scale shape: the shard assignment is the one range shuffle of the
     rank machinery; the write range-partitions on (shard, rank), so a
@@ -272,6 +282,10 @@ def export_training_shards(
     partial-aggregable groupBy over (shard) -- P rows to the driver,
     never data.
     """
+    if data_format not in ("parquet", "jsonl"):
+        raise ValueError(
+            f"data_format must be 'parquet' or 'jsonl', got {data_format!r}"
+        )
     assigned = assign_shards(
         df,
         order_cols,
@@ -283,13 +297,16 @@ def export_training_shards(
     )
     n_shards = assigned.agg(F.max("shard")).first()[0]
     n_shards = int(n_shards or 0) + 1
-    (
+    writer = (
         assigned.repartitionByRange(n_shards, F.col("shard"), F.col("rank"))
         .sortWithinPartitions("shard", "rank")
         .write.mode("overwrite")
         .partitionBy("shard")
-        .parquet(path)
     )
+    if data_format == "jsonl":
+        writer.json(path)
+    else:
+        writer.parquet(path)
     manifest = shard_manifest(
         assigned,
         token_col=token_col,
@@ -305,6 +322,7 @@ def verify_training_shards(
     token_col: str | None = None,
     checksum_cols: list[str] | None = None,
     strict: bool = True,
+    data_format: str = "parquet",
 ):
     """Re-read an :func:`export_training_shards` layout and verify it
     against its ``_manifest``: per shard, recompute (n_rows, rank
@@ -318,7 +336,15 @@ def verify_training_shards(
     expected vs actual columns). ``strict=True`` raises on any
     mismatch, missing shard, or extra shard.
     """
-    data = spark.read.parquet(path)
+    if data_format not in ("parquet", "jsonl"):
+        raise ValueError(
+            f"data_format must be 'parquet' or 'jsonl', got {data_format!r}"
+        )
+    data = (
+        spark.read.json(path)
+        if data_format == "jsonl"
+        else spark.read.parquet(path)
+    )
     actual = shard_manifest(
         data, token_col=token_col, checksum_cols=checksum_cols
     )

@@ -273,3 +273,71 @@ def test_cli_verify_shards_bad_path_keeps_json_contract(spark, tmp_path, capsys)
     assert args.fn(args) == 1
     last = _json.loads(capsys.readouterr().out.splitlines()[-1])
     assert last["verified"] is False and last["error"]
+
+
+def test_export_verify_jsonl_format(spark, tmp_path):
+    """data_format='jsonl' (r10): the trainer interchange format rides
+    the same shard=N layout, manifest and verify contract -- strict
+    verify passes on the intact layout, a deleted shard raises, and a
+    bad format name raises up front."""
+    import shutil
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from letsearch_spark.operators.export import (
+        export_training_shards,
+        verify_training_shards,
+    )
+
+    df = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("doc "), F.col("id")).alias("text"),
+        (F.col("id") % 7 + 1).alias("tokens"),
+    )
+    out = str(tmp_path / "jl_shards")
+    manifest = export_training_shards(
+        df,
+        out,
+        ["doc_id"],
+        rows_per_shard=50,
+        token_col="tokens",
+        checksum_cols=["doc_id", "text"],
+        data_format="jsonl",
+    )
+    shards = [r["shard"] for r in manifest.collect()]
+    assert len(shards) == 4
+    # the data really is line-delimited JSON
+    import glob
+    import json as _json
+
+    files = glob.glob(f"{out}/shard=0/*.json")
+    assert files
+    with open(files[0]) as f:
+        first = _json.loads(f.readline())
+    assert "doc_id" in first and "text" in first
+
+    report = verify_training_shards(
+        spark,
+        out,
+        token_col="tokens",
+        checksum_cols=["doc_id", "text"],
+        data_format="jsonl",
+    )
+    assert all(r["ok"] for r in report.collect())
+
+    shutil.rmtree(f"{out}/shard=2")
+    with pytest.raises(RuntimeError, match="verification failed"):
+        verify_training_shards(
+            spark,
+            out,
+            token_col="tokens",
+            checksum_cols=["doc_id", "text"],
+            data_format="jsonl",
+        )
+
+    with pytest.raises(ValueError, match="parquet' or 'jsonl"):
+        export_training_shards(
+            df, str(tmp_path / "x"), ["doc_id"], rows_per_shard=50,
+            data_format="csv",
+        )
