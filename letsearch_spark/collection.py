@@ -1916,6 +1916,9 @@ class Collection:
             # degenerate-group fast path skips the corpus-sized
             # aggregate shuffle (scan-side scores + TakeOrdered)
             unique_groups=group_col is None,
+            # the serve view's precomputed norm: one fold per cosine
+            # instead of three, bit-identical (r10)
+            norm_col="_vnorm",
         ).select(
             F.col(g).alias("group"),
             F.col("best_key").alias("key"),
@@ -2019,11 +2022,15 @@ class Collection:
                 for q in qvecs
             ]
         elif where is None:
+            from letsearch_spark.functions.vector import cosine_with_norm
+
             pooled = self._maxsim_pool_view(column, group_col)
             legs = [
                 pooled.select(
                     F.col(g).alias("__cg"),
-                    cosine_similarity(F.col("_pv"), q).alias("__ps"),
+                    # cached centroid norm (_pvn): one fold per row,
+                    # bit-identical to cosine_similarity (r10)
+                    cosine_with_norm("_pv", "_pvn", q).alias("__ps"),
                 )
                 .orderBy(F.desc("__ps"), F.asc("__cg"))
                 .limit(prefilter_k)
@@ -2061,7 +2068,7 @@ class Collection:
                 F.posexplode(
                     F.array(
                         *[
-                            cosine_similarity(F.col("_pv"), q)
+                            cosine_similarity("_pv", q)
                             for q in qvecs
                         ]
                     )
@@ -2220,6 +2227,7 @@ class Collection:
             vec_col="vector",
             best_key_col=KEY_COL,
             unique_groups=group_col is None,
+            norm_col="_vnorm",
         ).select(
             "query_idx",
             "rank",
@@ -2305,18 +2313,12 @@ class Collection:
         one fold per row instead of two, and the query literal appears
         once (its norm is a driver-side scalar computed with the same
         sequential double arithmetic, so scores are bit-identical to the
-        full expression form)."""
-        import math
+        full expression form). Since r10 built as ONE ``F.expr`` --
+        the whole scoring expression is a single py4j call instead of
+        ~100 (functions/vector.py cosine_with_norm)."""
+        from letsearch_spark.functions.vector import cosine_with_norm
 
-        from letsearch_spark.functions.vector import dot_product
-
-        qn = 0.0
-        for x in qvec:
-            qn += float(x) * float(x)
-        qn = math.sqrt(qn)
-        denom = F.col("_vnorm") * F.lit(qn)
-        num = dot_product(F.col("vector"), [float(x) for x in qvec])
-        return F.when(denom == 0.0, F.lit(0.0)).otherwise(num / denom)
+        return cosine_with_norm("vector", "_vnorm", qvec)
 
     # candidate depth per leg for strategy='hybrid' (standard RRF runs
     # fusion over deeper-than-k leg rankings; 100 = the serve limit cap)
@@ -3161,9 +3163,14 @@ class Collection:
         if view is not None:
             return view
         self.refresh_maxsim_pool_index(column, group_col)
+        from letsearch_spark.functions.vector import l2_norm
+
+        # _pvn: the centroid's norm precomputed INTO the cache (r10) --
+        # a prefilter leg's cosine is then one fold per row instead of
+        # three, bit-identical (the _vnorm/_serve_score precedent)
         view = (
             self.spark.read.parquet(self.maxsim_pool_path(column, group_col))
-            .select(group_col, "_pv")
+            .select(group_col, "_pv", l2_norm("_pv").alias("_pvn"))
             .cache()
         )
         view.count()

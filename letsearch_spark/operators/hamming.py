@@ -159,7 +159,7 @@ def hamming_topk(
         .orderBy(F.asc(hamming_col), F.asc(key_col))
         .limit(rescore)
     )
-    sim = cosine_similarity(F.col(vec_col), q)
+    sim = cosine_similarity(vec_col, q)
     return (
         vectors.where(F.col(vec_col).isNotNull())
         .join(F.broadcast(candidates), key_col)

@@ -114,12 +114,47 @@ def _maxsim_validate(df, k: int, best_key_col: str | None) -> None:
         )
 
 
+def _cosine_cols(
+    df: DataFrame,
+    flat_qvecs: list[list[float]],
+    keep_cols: list[str],
+    vec_col: str,
+    norm_col: str | None,
+):
+    """Shared cosine projection for the MaxSim paths: compute the row's
+    L2 norm ONCE (or reuse a precomputed ``norm_col`` -- the serve
+    view's ``_vnorm``) and score every query vector against it via
+    :func:`cosine_with_norm` -- one aggregate fold per (row, qvec)
+    instead of three, bit-identical scores (r10; the _serve_score
+    precedent). Two stacked selects so the shared norm is a real
+    column; CollapseProject keeps multiply-referenced non-cheap
+    aliases, so the norm is not re-inlined per cosine."""
+    from letsearch_spark.functions.vector import cosine_with_norm, l2_norm
+
+    shared = (
+        F.col(norm_col).alias("_an")
+        if norm_col is not None
+        else l2_norm(vec_col).alias("_an")
+    )
+    pre = df.where(F.col(vec_col).isNotNull()).select(
+        *keep_cols, vec_col, shared
+    )
+    return pre.select(
+        *keep_cols,
+        *[
+            cosine_with_norm(vec_col, "_an", q).alias(f"_c{j}")
+            for j, q in enumerate(flat_qvecs)
+        ],
+    )
+
+
 def _maxsim_stage1(
     df: DataFrame,
     qsets: list[list[list[float]]],
     group_col: str,
     vec_col: str,
     best_key_col: str | None,
+    norm_col: str | None = None,
 ):
     """The ONE partial-aggregated MaxSim pass, shared by
     :func:`maxsim_topk` (N=1) and :func:`maxsim_topk_many` so the
@@ -129,8 +164,6 @@ def _maxsim_stage1(
     (fixed-order cosine sum, -key). Returns (agg, spans): agg columns
     are (group, _m<j>..., n_chunks[, _bk<i>...]), spans[i] the
     flattened qvec indices of query i."""
-    from letsearch_spark.functions.vector import cosine_similarity
-
     flat = [(i, q) for i, qs in enumerate(qsets) for q in qs]
     n_q = len(qsets)
     extra_cols = (
@@ -138,13 +171,12 @@ def _maxsim_stage1(
         if best_key_col is not None and best_key_col != group_col
         else []
     )
-    rows = df.where(F.col(vec_col).isNotNull()).select(
-        group_col,
-        *extra_cols,
-        *[
-            cosine_similarity(F.col(vec_col), q).alias(f"_c{j}")
-            for j, (_, q) in enumerate(flat)
-        ],
+    rows = _cosine_cols(
+        df,
+        [q for _, q in flat],
+        [group_col, *extra_cols],
+        vec_col,
+        norm_col,
     )
     # per-query flattened index ranges (contiguous by construction)
     spans: list[list[int]] = [[] for _ in range(n_q)]
@@ -188,6 +220,7 @@ def _maxsim_scored(
     vec_col: str,
     best_key_col: str | None,
     unique_groups: bool,
+    norm_col: str | None = None,
 ) -> DataFrame:
     """Build the per-group scored frame (group, n_chunks, _q<i>...,
     [_bk<i>...]) both public functions consume.
@@ -210,30 +243,32 @@ def _maxsim_scored(
     """
     n_q = len(qsets)
     if not unique_groups:
-        agg, spans = _maxsim_stage1(df, qsets, group_col, vec_col, best_key_col)
+        agg, spans = _maxsim_stage1(
+            df, qsets, group_col, vec_col, best_key_col, norm_col
+        )
         return agg.select(
             group_col,
             "n_chunks",
             *[_span_sum("_m", spans[i]).alias(f"_q{i}") for i in range(n_q)],
             *([f"_bk{i}" for i in range(n_q)] if best_key_col else []),
         )
-    from letsearch_spark.functions.vector import cosine_similarity
-
     flat = [(i, q) for i, qs in enumerate(qsets) for q in qs]
     spans = [[] for _ in range(n_q)]
     for j, (i, _) in enumerate(flat):
         spans[i].append(j)
-    rows = df.where(F.col(vec_col).isNotNull()).select(
-        group_col,
-        *(
-            [best_key_col]
-            if best_key_col is not None and best_key_col != group_col
-            else []
-        ),
-        *[
-            cosine_similarity(F.col(vec_col), q).alias(f"_c{j}")
-            for j, (_, q) in enumerate(flat)
+    rows = _cosine_cols(
+        df,
+        [q for _, q in flat],
+        [
+            group_col,
+            *(
+                [best_key_col]
+                if best_key_col is not None and best_key_col != group_col
+                else []
+            ),
         ],
+        vec_col,
+        norm_col,
     )
     return rows.select(
         group_col,
@@ -256,6 +291,7 @@ def maxsim_topk(
     score_col: str = "score",
     best_key_col: str | None = None,
     unique_groups: bool = False,
+    norm_col: str | None = None,
 ) -> DataFrame:
     """Multi-vector late-interaction retrieval (the ColBERT MaxSim rule,
     Khattab & Zaharia 2020): score(doc) = sum over the query's vectors of
@@ -298,13 +334,20 @@ def maxsim_topk(
     differently in Spark's orderBy (greatest) vs the batched path's
     Arrow prune (last), so the batched/per-query parity guarantee
     holds for finite scores only; the batched prune asserts it.
+
+    ``norm_col`` (r10): name of a column holding the PRECOMPUTED
+    ``l2_norm(vec_col)`` (the Collection serve view's ``_vnorm``);
+    when given, the per-row norm is read instead of recomputed, and
+    each cosine is one aggregate fold instead of three -- scores stay
+    bit-identical (see :func:`~letsearch_spark.functions.vector.cosine_with_norm`).
     """
     qvecs = [[float(x) for x in q] for q in query_vecs]
     if not qvecs:
         raise ValueError("query_vecs must be non-empty")
     _maxsim_validate(df, k, best_key_col)
     scored = _maxsim_scored(
-        df, [qvecs], group_col, vec_col, best_key_col, unique_groups
+        df, [qvecs], group_col, vec_col, best_key_col, unique_groups,
+        norm_col,
     )
     sel_extra = (
         [F.col("_bk0").alias("best_key")] if best_key_col is not None else []
@@ -330,6 +373,7 @@ def maxsim_topk_many(
     score_col: str = "score",
     best_key_col: str | None = None,
     unique_groups: bool = False,
+    norm_col: str | None = None,
 ) -> DataFrame:
     """Batched MaxSim: N multi-vector queries scored in ONE plan -- the
     bulk-eval form of :func:`maxsim_topk` (r8, completing the batched
@@ -371,7 +415,8 @@ def maxsim_topk_many(
     _maxsim_validate(df, k, best_key_col)
     n_q = len(qsets)
     scored = _maxsim_scored(
-        df, qsets, group_col, vec_col, best_key_col, unique_groups
+        df, qsets, group_col, vec_col, best_key_col, unique_groups,
+        norm_col,
     )
 
     gtype = df.schema[group_col].dataType.simpleString()

@@ -47,7 +47,7 @@ def cosine_topk(
     if not 1 <= k <= 100:
         raise ValueError(f"k must be in [1, 100], got {k}")
     q = [float(x) for x in query_vec]
-    sim = cosine_similarity(F.col(vec_col), q)
+    sim = cosine_similarity(vec_col, q)
     return (
         embeddings.select(F.col(key_col), sim.alias(score_col))
         .orderBy(F.desc(score_col), F.asc(key_col))
