@@ -104,10 +104,20 @@ _UNI_TO_BYTE = {c: b for b, c in _BYTE_TO_UNI.items()}
 _ALPHABET = [_BYTE_TO_UNI[b] for b in range(256)]
 
 
+# byte -> symbol as a C-speed str.translate table (r10, guide §4.2):
+# encode('utf-8').decode('latin-1') maps byte b to chr(b) one-to-one,
+# then translate maps chr(b) -> _BYTE_TO_UNI[b] -- identical output to
+# the per-byte Python join at ~1.5x the speed (the residual cost is
+# the pretoken regex itself)
+_BYTE_TRANSLATE = str.maketrans({b: c for b, c in _BYTE_TO_UNI.items()})
+
+
 def to_byte_symbols(pretoken: str) -> str:
     """UTF-8 bytes of a pretoken as the byte-unicode symbol string --
     the space every merge operates in."""
-    return "".join(_BYTE_TO_UNI[b] for b in pretoken.encode("utf-8"))
+    return pretoken.encode("utf-8").decode("latin-1").translate(
+        _BYTE_TRANSLATE
+    )
 
 
 def _make_pretokens_fn():
@@ -118,13 +128,14 @@ def _make_pretokens_fn():
     Returned as a closure over plain data so cloudpickle ships it by
     VALUE -- no letsearch_spark import needed on executor workers."""
     find = _PRETOKEN_RE.findall
-    bmap = _BYTE_TO_UNI
+    table = str.maketrans({b: c for b, c in _BYTE_TO_UNI.items()})
 
     def run(text) -> list[str]:
         if text is None:
             return []
         return [
-            "".join(bmap[b] for b in p.encode("utf-8")) for p in find(text)
+            p.encode("utf-8").decode("latin-1").translate(table)
+            for p in find(text)
         ]
 
     return run
