@@ -89,16 +89,29 @@ def main() -> None:
 
         row = {"copies": n, "chunks": n_docs, "groups": n_groups}
 
-        # warm the serve cache out of the comparison, then exact
-        coll.search_many_multi(
-            "text", many_sets[:1], limit=10, group_col="grp"
-        ).count()
-        t0 = time.time()
-        exact_df = coll.search_many_multi(
-            "text", many_sets, limit=10, group_col="grp"
+        # warm the serve cache out of the comparison, then exact.
+        # r10-optimization methodology fix: each cell is WARMED (one
+        # untimed same-shape call compiles the plan) and reported as
+        # min-of-2 -- the original single-shot cells mixed multi-second
+        # first-call plan/codegen work into the serving numbers and
+        # briefly faked an inverted crossover at x16 (13.6 s single-shot
+        # vs 2.9 s warmed min; OPTIMIZATION_r10.md).
+        def timed_min2(mk):
+            mk().count()  # warm: compile this plan shape
+            best = None
+            for _ in range(2):
+                t0 = time.time()
+                out = topk_ids(mk())
+                dt = time.time() - t0
+                if best is None or dt < best[0]:
+                    best = (dt, out)
+            return round(best[0], 2), best[1]
+
+        row["exact_s"], exact = timed_min2(
+            lambda: coll.search_many_multi(
+                "text", many_sets, limit=10, group_col="grp"
+            )
         )
-        exact = topk_ids(exact_df)
-        row["exact_s"] = round(time.time() - t0, 2)
 
         # one-time sidecar build, reported separately (index cost, not
         # serving cost -- the hamming-refresh precedent)
@@ -108,12 +121,12 @@ def main() -> None:
         row["sidecar_build_s"] = round(time.time() - t0, 2)
 
         for k in [int(s) for s in args.ks.split(",")]:
-            t0 = time.time()
-            adf = coll.search_many_multi(
-                "text", many_sets, limit=10, group_col="grp", prefilter_k=k
+            row[f"pf{k}_s"], approx = timed_min2(
+                lambda k=k: coll.search_many_multi(
+                    "text", many_sets, limit=10, group_col="grp",
+                    prefilter_k=k,
+                )
             )
-            approx = topk_ids(adf)
-            row[f"pf{k}_s"] = round(time.time() - t0, 2)
             row[f"pf{k}_recall"] = round(recall(approx, exact), 3)
 
         print(json.dumps(row))
