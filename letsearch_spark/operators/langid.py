@@ -462,7 +462,11 @@ def _predict_lang_kernel(
                 {id_col: ids, out_col: preds, "score_micro": scores}
             )
 
-    return df.select(id_col, text_col).mapInPandas(
+    from letsearch_spark.session import ensure_min_parallelism
+
+    # the gram kernel is the cost; a 1-row-group local scan must not
+    # serialize it onto one task (no-op on well-split inputs)
+    return ensure_min_parallelism(df.select(id_col, text_col)).mapInPandas(
         run,
         schema=f"{id_col} {id_type}, {out_col} string, score_micro long",
     )

@@ -3541,8 +3541,11 @@ def q_span_corruption(spark, sf_dir):
     map-only. Oracle: span_corruption_twin (hashlib, same arithmetic)
     emitted as a VALUES literal of md5s + lengths."""
     from letsearch_spark.functions.text import span_corruption
+    from letsearch_spark.session import ensure_min_parallelism
 
-    docs = load(spark, sf_dir, "documents")
+    # row-deterministic rewrite (md5-seeded per doc): parallelize the
+    # 1-row-group local scan; no-op on well-split inputs
+    docs = ensure_min_parallelism(load(spark, sf_dir, "documents"))
     return span_corruption(docs).select(
         "doc_id",
         "applied",

@@ -49,3 +49,28 @@ def get_spark(
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+def ensure_min_parallelism(df, min_partitions: int | None = None):
+    """Round-robin repartition a frame UP to the session's default
+    parallelism when its plan currently yields fewer partitions.
+
+    The local/small-file case: a single small parquet file (often one
+    row group) scans as ONE partition, so every per-row kernel pass
+    downstream (mapInPandas / pandas_udf) runs as a single task and
+    serializes a 32-core local session on its Python hot loop. At
+    cluster scale real inputs carry >= parallelism splits and this is
+    a NO-OP -- no shuffle is ever added on top of a well-split scan,
+    so the 100 TB plan shape is unchanged (guide section 2:
+    scale-adaptive partitioning derived from the input, not a tuned
+    constant).
+
+    Only safe above row-wise deterministic consumers: the repartition
+    moves rows between tasks, never changes row values -- callers that
+    depend on partition identity (dense key assignment, per-partition
+    counters, monotonically_increasing_id) must not use it."""
+    sc = df.sparkSession.sparkContext
+    target = int(min_partitions or sc.defaultParallelism)
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df

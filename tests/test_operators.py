@@ -3763,3 +3763,36 @@ def test_prep_url_dedup_stage(spark):
         )
     with pytest.raises(ValueError, match="needs 'url_col'"):
         prepare_training_data(df, PrepConfig(url_dedup={}, **base))
+
+
+def test_ensure_min_parallelism_scales_up_only(spark, tmp_path):
+    """The r10-optimization kernel-scan guard: an under-parallel frame
+    (a 1-row-group local parquet scans as ONE partition) is round-robin
+    repartitioned UP to the session's default parallelism with row
+    values untouched; a frame already at or above the target passes
+    through UNCHANGED (the no-op branch is the 100 TB shape: no shuffle
+    is ever added on a well-split input)."""
+    from letsearch_spark.session import ensure_min_parallelism
+
+    p = str(tmp_path / "narrow.parquet")
+    spark.range(0, 1000, 1, 1).withColumn(
+        "v", F.col("id") * 3
+    ).write.parquet(p)
+    df = spark.read.parquet(p)
+    assert df.rdd.getNumPartitions() == 1
+
+    target = spark.sparkContext.defaultParallelism
+    up = ensure_min_parallelism(df)
+    assert up.rdd.getNumPartitions() == target
+    assert "Exchange RoundRobinPartitioning" in up._jdf.queryExecution().executedPlan().toString()
+    # row values (and the full row SET) are untouched
+    assert sorted(r["v"] for r in up.collect()) == [3 * i for i in range(1000)]
+
+    wide = df.repartition(target + 4)
+    assert ensure_min_parallelism(wide) is wide  # literal no-op
+
+    # explicit floor above the session default also honored
+    assert (
+        ensure_min_parallelism(df, min_partitions=2).rdd.getNumPartitions()
+        == 2
+    )
