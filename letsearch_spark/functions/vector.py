@@ -48,8 +48,15 @@ def _sql_fragment(v: Column | Sequence[float] | str) -> str | None:
     for Column objects / empty / non-finite input (callers fall back to
     the Column composition)."""
     if isinstance(v, str):
-        name = v.replace("`", "``")
-        return f"transform(`{name}`, x -> CAST(x AS DOUBLE))"
+        # quote per dot-separated segment, matching F.col()'s
+        # resolution of dotted names as nested-field access -- the
+        # behavior str arguments had before the SQL fast path
+        # (ADVICE r10: a blanket-quoted 'meta.vec' failed analysis as
+        # a literal column named "meta.vec")
+        name = ".".join(
+            "`" + seg.replace("`", "``") + "`" for seg in v.split(".")
+        )
+        return f"transform({name}, x -> CAST(x AS DOUBLE))"
     if isinstance(v, Column):
         return None
     vals = [float(x) for x in v]
@@ -130,7 +137,13 @@ def cosine_with_norm(
     same sequential double arithmetic as the in-plan fold -- so scores
     are bit-identical to :func:`cosine_similarity` (the long-standing
     ``_serve_score`` precedent in collection.py). Built as one
-    ``F.expr`` (one py4j call)."""
+    ``F.expr`` (one py4j call).
+
+    Behavior change vs the pre-r10 composition (ADVICE r10, accepted
+    fail-fast): a non-finite (NaN/inf) or empty query vector raises
+    ``ValueError`` at plan-build time, where the old expression would
+    have produced unrankable NaN scores row-by-row -- an embedder that
+    emits NaN now aborts serving with a diagnosable error instead."""
     qn = 0.0
     for x in q:
         qn += float(x) * float(x)
@@ -138,8 +151,10 @@ def cosine_with_norm(
     sa, sb = _sql_fragment(vec), _sql_fragment([float(x) for x in q])
     if sb is None:
         raise ValueError("cosine_with_norm needs a finite non-empty q")
-    nname = norm.replace("`", "``")
-    denom = f"(`{nname}` * CAST('{qn!r}' AS DOUBLE))"
+    nname = ".".join(
+        "`" + seg.replace("`", "``") + "`" for seg in norm.split(".")
+    )
+    denom = f"({nname} * CAST('{qn!r}' AS DOUBLE))"
     return F.expr(
         f"CASE WHEN {denom} = CAST(0.0 AS DOUBLE) "
         f"THEN CAST(0.0 AS DOUBLE) ELSE {_dot_sql(sa, sb)} / {denom} END"

@@ -220,7 +220,7 @@ def _kernel_doc_buckets(
     n_max: int,
     num_buckets: int,
     seed: int,
-    memo: dict[str, int] | None = None,
+    memo: dict[str | tuple[str, ...], int] | None = None,
 ) -> dict[int, int]:
     """Per-doc hashed-bucket counts, Arrow-kernel side: counts distinct
     GRAMS first so md5 runs once per (doc, gram type), not per
@@ -306,7 +306,7 @@ def fit_langid(
         import pandas as pd
 
         def run(batches):
-            memo: dict[str, int] = {}
+            memo: dict[str | tuple[str, ...], int] = {}
             for pdf in batches:
                 agg: dict[tuple[str, int], int] = {}
                 for lang, text in zip(pdf["__lang"], pdf["__text"]):
@@ -441,7 +441,7 @@ def _predict_lang_kernel(
         for (b, li), dm in delta_items:
             dense[b, li] = dm
         lp0 = np.asarray(logp0, dtype=np.int64)
-        memo: dict[str, int] = {}
+        memo: dict[str | tuple[str, ...], int] = {}
         for pdf in batches:
             ids, preds, scores = [], [], []
             for rid, text in zip(pdf[id_col], pdf[text_col]):

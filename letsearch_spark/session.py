@@ -68,9 +68,32 @@ def ensure_min_parallelism(df, min_partitions: int | None = None):
     Only safe above row-wise deterministic consumers: the repartition
     moves rows between tasks, never changes row values -- callers that
     depend on partition identity (dense key assignment, per-partition
-    counters, monotonically_increasing_id) must not use it."""
+    counters, monotonically_increasing_id) must not use it.
+
+    Applies ONLY to map-only scan chains: probing the partition count
+    goes through ``df.rdd``, and under AQE that materializes any
+    upstream query stages eagerly at plan-build time -- their shuffles
+    would run once here and AGAIN when the real query runs (ADVICE r10).
+    A frame whose analyzed plan carries a shuffle-producing operator
+    (aggregate, join, window, distinct, sort, repartition) is returned
+    unchanged: such plans already have shuffle-partition parallelism,
+    so the under-parallel-scan problem this guard exists for cannot
+    occur there."""
     sc = df.sparkSession.sparkContext
     target = int(min_partitions or sc.defaultParallelism)
+    plan = df._jdf.queryExecution().analyzed().toString()
+    shuffling = (
+        "Aggregate",
+        "Join",
+        "Window",
+        "Deduplicate",
+        "Distinct",
+        "Sort",
+        "Repartition",
+        "GlobalLimit",
+    )
+    if any(k in plan for k in shuffling):
+        return df
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
