@@ -126,17 +126,37 @@ def _make_pretokens_fn():
     (r9 review catch: a drift between two copies would silently break
     the trained-model/distributed-count bit-identity the oracle pins).
     Returned as a closure over plain data so cloudpickle ships it by
-    VALUE -- no letsearch_spark import needed on executor workers."""
+    VALUE -- no letsearch_spark import needed on executor workers.
+
+    The pretoken -> symbol-string conversion is memoized per closure
+    instance (r11, guide §4.2 -- the langid gram-memo precedent):
+    natural-language pretoken types repeat massively, and the
+    per-occurrence encode/decode/translate of ~5-char strings was 65%
+    of the pass (measured 0.229 -> 0.096 s on the sf0.1 corpus,
+    outputs identical -- the conversion is a pure function of the
+    pretoken). The memo resets past ``_MEMO_CAP`` distinct types so an
+    adversarial corpus cannot grow it without bound."""
     find = _PRETOKEN_RE.findall
     table = str.maketrans({b: c for b, c in _BYTE_TO_UNI.items()})
+    memo: dict[str, str] = {}
+    _MEMO_CAP = 1 << 20
 
     def run(text) -> list[str]:
         if text is None:
             return []
-        return [
-            p.encode("utf-8").decode("latin-1").translate(table)
-            for p in find(text)
-        ]
+        if len(memo) > _MEMO_CAP:
+            memo.clear()
+        get = memo.get
+        out = []
+        append = out.append
+        for p in find(text):
+            s = get(p)
+            if s is None:
+                s = memo[p] = (
+                    p.encode("utf-8").decode("latin-1").translate(table)
+                )
+            append(s)
+        return out
 
     return run
 

