@@ -165,9 +165,14 @@ def bloom_hit_shingles(
     from letsearch_spark.operators.dedup import words_of
 
     words = words_of(F.col(corpus_text))
+    # md5_60 inside the transform mirrors dedup.shingles (r11): the
+    # verify equi-join keys on the hashed shingle, so both sides must
+    # hash identically
     mk = (
         f"transform(sequence(0, size(words)-{n}),"
-        f" i -> concat_ws(' ', slice(words, i + 1, {n})))"
+        f" i -> CAST(conv(substring(md5("
+        f"concat_ws(' ', slice(words, i + 1, {n}))"
+        f"), 1, 15), 16, 10) AS BIGINT))"
     )
     exploded = (
         corpus.select(F.col(corpus_id).alias("corpus_id"), words.alias("words"))

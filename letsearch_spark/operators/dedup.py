@@ -106,13 +106,27 @@ def url_dedup(df: DataFrame, id_col: str, url_col: str) -> DataFrame:
 def shingles(
     df: DataFrame, id_col: str, text_col: str, n: int = 3
 ) -> DataFrame:
-    """Distinct word n-gram shingles per document: (id, s).
+    """Distinct word n-gram shingles per document: (id, s) where ``s``
+    is the 60-bit md5 integer of the shingle string (``md5_60``), not
+    the raw string.
 
-    explode + distinct = one shuffle on (id, shingle)."""
+    explode + distinct = one shuffle on (id, shingle). Hashing BEFORE
+    the distinct (r11, guide §2.3 narrower types) shuffles 8-byte longs
+    instead of ~25-byte strings through every downstream distinct /
+    self-join / aggregate -- ~4x fewer shuffle bytes at 100 TB -- and
+    the md5 cost moves to the embarrassingly-parallel scan side. The
+    md5_60 value is EXACTLY the base hash minhash_signatures already
+    computed, so minhash signatures are unchanged; Jaccard /
+    containment intersections now compare 60-bit hashes instead of
+    strings, which differs only when two distinct shingles collide in
+    60 bits (~1e-18 per pair -- the declared-query oracles replay the
+    identical hash, queries.py _SHINGLES_SQL)."""
     words = words_of(F.col(text_col))
     mk = (
         f"transform(sequence(0, size(words)-{n}),"
-        f" i -> concat_ws(' ', slice(words, i + 1, {n})))"
+        f" i -> CAST(conv(substring(md5("
+        f"concat_ws(' ', slice(words, i + 1, {n}))"
+        f"), 1, 15), 16, 10) AS BIGINT))"
     )
     return (
         df.select(F.col(id_col).alias("id"), words.alias("words"))
@@ -246,11 +260,14 @@ def minhash_perm_params(num_perms: int, seed: int = 42) -> list[tuple[int, int]]
 def minhash_signatures(
     sh: DataFrame, num_perms: int = 16, seed: int = 42
 ) -> DataFrame:
-    """(id, mh0..mh{P-1}) from a shingle set -- ONE md5 per shingle plus
-    16 integer affine maps, all map-side columns, min-aggregated in a
-    single shuffle on id."""
+    """(id, mh0..mh{P-1}) from a shingle set -- the base hash rides the
+    already-hashed ``s`` column (:func:`shingles` emits md5_60 longs
+    since r11; the ``% MINHASH_BASE_P`` fold is unchanged, so signature
+    values are identical to the string-shingle era) plus 16 integer
+    affine maps, all map-side columns, min-aggregated in a single
+    shuffle on id."""
     params = minhash_perm_params(num_perms, seed)
-    h = (md5_60(F.col("s")) % MINHASH_BASE_P).alias("h")
+    h = (F.col("s") % MINHASH_BASE_P).alias("h")
     base = sh.select("id", h)
     h_cols = [
         F.min((F.lit(a) * F.col("h") + F.lit(b)) % MINHASH_PERM_P).alias(f"mh{p}")

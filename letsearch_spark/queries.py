@@ -993,12 +993,19 @@ def q_dedup_exact(spark, sf_dir):
     return exact_dedup(docs, "doc_id", "text").orderBy("keep_id")
 
 
+# s is the 60-bit md5 integer of the shingle string (r11, mirroring
+# operators/dedup.py shingles: longs instead of raw strings through
+# every downstream distinct/join -- the Spark side's shuffle-byte
+# optimization, replayed here so the declared semantics stay identical)
 _SHINGLES_SQL = f"""
-    SELECT DISTINCT doc_id,
-           unnest(list_transform(range(1, len(words)-1),
-                  i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS s
-    FROM (SELECT doc_id, {_WORDS_SQL.format(x='text')} AS words FROM documents)
-    WHERE len(words) >= 3
+    SELECT DISTINCT doc_id, {_MD5_60_SQL.format(x='s_str')} AS s
+    FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(words)-1),
+                      i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS s_str
+        FROM (SELECT doc_id, {_WORDS_SQL.format(x='text')} AS words FROM documents)
+        WHERE len(words) >= 3
+    )
 """
 
 # the contract queries run with the hot-shingle skew guard ON (a shingle
@@ -1050,7 +1057,6 @@ def _mh_pairs_oracle_sql() -> str:
         minhash_perm_params,
     )
 
-    md5_60 = _MD5_60_SQL
     perm = minhash_perm_params(_N_PERMS)
     mh_cols = ", ".join(
         f"min(({a} * h + {b}) % {MINHASH_PERM_P}) AS mh{p}"
@@ -1069,7 +1075,7 @@ def _mh_pairs_oracle_sql() -> str:
     return f"""
         WITH sh AS ({_SHINGLES_SQL}),
         base AS (
-            SELECT doc_id, {md5_60.format(x='s')} % {MINHASH_BASE_P} AS h FROM sh
+            SELECT doc_id, s % {MINHASH_BASE_P} AS h FROM sh
         ),
         mh AS (SELECT doc_id, {mh_cols} FROM base GROUP BY doc_id),
         bands AS ({band_selects}),

@@ -38,6 +38,32 @@ def test_ngram_jaccard_finds_near_dups(docs):
     assert not any({a, b} == {4, 5} for a, b in pairs)
 
 
+def test_shingles_are_md5_60_of_the_ngram_string(spark):
+    """r11 shuffle-byte optimization: shingles() emits the 60-bit md5
+    integer of each word 3-gram instead of the raw string. Pin the hash
+    to a pure-Python hashlib twin so the Spark expression, the DuckDB
+    oracle (_MD5_60_SQL), and this reference can never drift."""
+    import hashlib
+
+    from letsearch_spark.operators.dedup import shingles
+
+    df = spark.createDataFrame(
+        [(7, "Alpha beta  GAMMA delta"), (8, None), (9, "one two")],
+        ["doc_id", "text"],
+    )
+    got = {(r["id"], r["s"]) for r in shingles(df, "doc_id", "text").collect()}
+
+    def h(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    # words_of lower-cases and splits on \s+; 3-grams of 4 words = 2
+    expect = {
+        (7, h("alpha beta gamma")),
+        (7, h("beta gamma delta")),
+    }
+    assert got == expect  # doc 8 (null) and doc 9 (2 words) emit nothing
+
+
 def test_ngram_jaccard_shingle_freq_guard(spark):
     from letsearch_spark.operators.dedup import ngram_jaccard_pairs, shingles
 
@@ -3796,3 +3822,35 @@ def test_ensure_min_parallelism_scales_up_only(spark, tmp_path):
         ensure_min_parallelism(df, min_partitions=2).rdd.getNumPartitions()
         == 2
     )
+
+    # ADVICE r10: a frame with an upstream shuffle-producing operator
+    # must pass through UNTOUCHED -- probing its partition count via
+    # df.rdd would eagerly materialize the shuffle stages under AQE and
+    # they would re-execute when the real query runs
+    agg = df.groupBy((F.col("id") % 7).alias("k")).count()
+    assert ensure_min_parallelism(agg) is agg
+    joined = df.join(df.select(F.col("id")), "id")
+    assert ensure_min_parallelism(joined) is joined
+
+
+def test_vector_sql_fast_path_resolves_dotted_names(spark):
+    """ADVICE r10: the str fast path must resolve 'meta.vec' as a
+    nested-field reference (F.col semantics), not as a literal column
+    named "meta.vec" -- per-segment backtick quoting."""
+    from letsearch_spark.functions.vector import (
+        cosine_similarity,
+        dot_product,
+        l2_norm,
+    )
+
+    df = spark.createDataFrame(
+        [(1, ([3.0, 4.0],))], "id long, meta struct<vec: array<double>>"
+    )
+    row = df.select(
+        dot_product("meta.vec", [1.0, 1.0]).alias("d"),
+        l2_norm("meta.vec").alias("n"),
+        cosine_similarity("meta.vec", [3.0, 4.0]).alias("c"),
+    ).collect()[0]
+    assert row["d"] == 7.0
+    assert row["n"] == 5.0
+    assert abs(row["c"] - 1.0) < 1e-12
