@@ -1178,6 +1178,7 @@ class Collection:
                 column,
                 f"__docs_{column}",
                 f"__serve_{column}",
+                f"__rawserve_{column}",
                 f"__lsh_{column}",
                 f"__lex_{column}",
                 f"__lexdf_{column}",
@@ -1713,10 +1714,12 @@ class Collection:
             from letsearch_spark.operators.hamming import hamming_knn_join
             from letsearch_spark.functions.vector import dot_product
 
-            qdf_c = self._centered_query_df(column, vecs)
+            # rows FIRST: _centered_query_rows lazily builds the index
+            # the next line reads
+            q_rows = self._centered_query_rows(column, vecs)
             cand = hamming_knn_join(
                 self._hamming_index[column],
-                qdf_c,
+                q_rows,
                 rescore=max(self.hamming_rescore, limit),
                 key_col=KEY_COL,
                 query_key_col="query_idx",
@@ -1743,10 +1746,14 @@ class Collection:
                 .join(F.broadcast(qn_df), "query_idx")
                 .withColumn(
                     "score",
+                    # column NAMES, not Columns: the one-F.expr SQL
+                    # fast path (r11, guide §4 -- same tree as the
+                    # Column composition, bit-identical, ~2 py4j calls
+                    # instead of hundreds per search_many call)
                     F.when(
                         F.col("_vnorm") * F.col("qnorm") == 0.0, F.lit(0.0)
                     ).otherwise(
-                        dot_product(F.col("vector"), F.col("qvec"))
+                        dot_product("vector", "qvec")
                         / (F.col("_vnorm") * F.col("qnorm"))
                     ),
                 )
@@ -1992,11 +1999,13 @@ class Collection:
         if group_col is None and signal == "hamming":
             from letsearch_spark.operators.hamming import hamming_knn_join
 
-            qdf_c = self._centered_query_df(column, qvecs)
+            # rows FIRST: _centered_query_rows lazily builds the index
+            # the next line reads
+            q_rows = self._centered_query_rows(column, qvecs)
             cand = (
                 hamming_knn_join(
                     self._hamming_index[column],
-                    qdf_c,
+                    q_rows,
                     rescore=prefilter_k,
                     key_col=KEY_COL,
                     query_key_col="query_idx",
@@ -2797,7 +2806,19 @@ class Collection:
         against THIS, never against the cached float serve view: caching
         the floats is exactly what those strategies exist to avoid. Same
         dequantize + norm arithmetic as :meth:`_serve_view`, so scores
-        stay bit-identical."""
+        stay bit-identical.
+
+        The PLAN (not the data) is memoized per column, the
+        :meth:`docs` precedent (r11, guide §4 -- the driver boundary):
+        rebuilding it costs a parquet-listing analysis plus the l2_norm
+        expression composition in py4j round-trips on EVERY hamming
+        search / rescore call (profiled at ~0.3-1.7 s of pure driver
+        time under cProfile). ``_invalidate_cache`` drops the memo on
+        every write, so new files and tombstones are never missed."""
+        key = f"__rawserve_{column}"
+        memo = self._emb_cache.get(key)
+        if memo is not None:
+            return memo
         from letsearch_spark.functions.vector import l2_norm
 
         emb = self.embeddings(column).select(KEY_COL, "vector")
@@ -2806,9 +2827,11 @@ class Collection:
 
             emb = dequantize_column(emb, "vector", self.config.model_variant)
         docs = self.docs().select(F.col(KEY_COL), F.col(column).alias("content"))
-        return emb.withColumn("_vnorm", l2_norm(F.col("vector"))).join(
+        frame = emb.withColumn("_vnorm", l2_norm("vector")).join(
             docs, KEY_COL
         )
+        self._emb_cache[key] = frame
+        return frame
 
     def hamming_path(self, column: str) -> str:
         return os.path.join(self.home, "hamming", f"column={column}")
@@ -2866,25 +2889,24 @@ class Collection:
             KEY_COL, self._centered_sig_col(center).alias("_sig")
         )
 
-    def _centered_query_df(self, column: str, vecs) -> DataFrame:
-        """(query_idx, qvec) frame with the hamming-index CENTER
+    def _centered_query_rows(self, column: str, vecs) -> list[tuple]:
+        """(query_idx, qvec) rows with the hamming-index CENTER
         subtracted -- the one copy of the centering rule for batched
         signature scans (r10 review catch: search_many and the MaxSim
         hamming prefilter previously duplicated it). Stored signatures
         threshold at the per-dim mean, so queries must subtract the
         SAME center before the operator packs them; builds the index
         (and with it the center, which build populates in lockstep) if
-        missing."""
+        missing. Plain driver-side rows (r11): hamming_knn_join packs
+        them locally, so round-tripping through createDataFrame +
+        collect was one pointless Spark job per serving call."""
         if column not in self._hamming_index:
             self.build_hamming_index(column)
         center = self._hamming_centers[column]
-        return self.spark.createDataFrame(
-            [
-                (i, [float(x) - c for x, c in zip(v, center)])
-                for i, v in enumerate(vecs)
-            ],
-            "query_idx long, qvec array<double>",
-        )
+        return [
+            (i, [float(x) - c for x, c in zip(v, center)])
+            for i, v in enumerate(vecs)
+        ]
 
     def refresh_hamming_index(self, column: str) -> str:
         """Bring the on-disk (key, sig) parquet at :meth:`hamming_path`

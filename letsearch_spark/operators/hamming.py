@@ -171,7 +171,7 @@ def hamming_topk(
 
 def hamming_knn_join(
     index: DataFrame,
-    queries: DataFrame,
+    queries: DataFrame | Sequence[tuple],
     rescore: int = 100,
     key_col: str = "_key",
     sig_col: str = "_sig",
@@ -186,8 +186,9 @@ def hamming_knn_join(
     exact rescore join, or to operators/evaluate.py for recall curves).
 
     Same candidate-only geometry as topk.knn_join / pq.pq_knn_join:
-    queries collect driver-side (the small side), the packed query
-    signature matrix ships in the closure, each partition XORs its
+    queries collect driver-side (the small side; ``queries`` may also
+    be a pre-collected sequence of (id, vec) rows, skipping that job),
+    the packed query signature matrix ships in the closure, each partition XORs its
     signature words against every query and popcounts via one uint8
     table lookup (vectorized numpy -- no per-row Python), emitting only
     its local top-``rescore`` per query (boundary-tie-complete); a
@@ -204,7 +205,14 @@ def hamming_knn_join(
 
     if rescore <= 0:
         raise ValueError(f"rescore must be positive, got {rescore}")
-    qrows = queries.select(query_key_col, query_vec_col).collect()
+    if isinstance(queries, DataFrame):
+        qrows = queries.select(query_key_col, query_vec_col).collect()
+    else:
+        # pre-collected (id, vec) rows: serving call sites already hold
+        # the query vectors driver-side, so shipping them through a
+        # createDataFrame + collect round-trip was one pointless Spark
+        # job per call (r11, guide §4)
+        qrows = list(queries)
     if not qrows:
         raise ValueError("queries frame is empty")
     qids = np.array([r[0] for r in qrows], dtype=np.int64)

@@ -230,6 +230,71 @@ def test_hamming_knn_join_full_rescore_equals_exact(spark):
     assert r1["_key"] == 3 and r1["hamming"] == 0
 
 
+def test_hamming_knn_join_local_rows_match_dataframe(spark):
+    """r11 driver-boundary optimization: hamming_knn_join accepts the
+    query set as pre-collected (id, vec) rows -- serving call sites
+    already hold the vectors driver-side, so the createDataFrame +
+    collect round-trip was a pointless Spark job per call. The two
+    forms must produce identical candidates."""
+    import numpy as np
+
+    from letsearch_spark.operators.hamming import (
+        build_signbit_index,
+        hamming_knn_join,
+    )
+
+    rng = np.random.default_rng(11)
+    dim = 32
+    vecs = rng.normal(size=(50, dim))
+    df = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vecs)],
+        "`_key` long, vector array<double>",
+    )
+    idx = build_signbit_index(df, dim=dim).repartition(3)
+    local = [(int(q), vecs[q].tolist()) for q in (7, 22, 48)]
+    qdf = spark.createDataFrame(local, "query_id long, qvec array<double>")
+    a = {
+        (r["query_id"], r["_key"], r["hamming"], r["rank"])
+        for r in hamming_knn_join(idx, qdf, rescore=12).collect()
+    }
+    b = {
+        (r["query_id"], r["_key"], r["hamming"], r["rank"])
+        for r in hamming_knn_join(idx, local, rescore=12).collect()
+    }
+    assert a == b and len(a) >= 36  # >= rescore x queries (tie-complete)
+
+
+def test_raw_serve_frame_memo_invalidated_on_write(spark, tmp_path):
+    """r11: _raw_serve_frame memoizes its PLAN (the docs() precedent --
+    ~0.3 s of py4j/analysis per hamming call otherwise). The memo must
+    be the same object across calls, never a cached dataset (fresh rows
+    visible after a write), and must drop on _invalidate_cache so new
+    parquet files are picked up."""
+    from letsearch_spark.collection import Collection
+
+    root = str(tmp_path / "c")
+    c = Collection.create(
+        spark, root, name="m", index_columns=["text"], model_name="stub://8"
+    )
+    df = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma delta")], ["doc_id", "text"]
+    )
+    c.import_df(df)
+    c.embed_all()
+    f1 = c._raw_serve_frame("text")
+    assert c._raw_serve_frame("text") is f1  # memoized plan object
+    assert f1.count() == 2
+    # a write invalidates: new rows must appear in a REBUILT frame
+    extra = spark.createDataFrame([(3, "epsilon zeta")], ["doc_id", "text"])
+    pq = str(tmp_path / "extra.parquet")
+    extra.write.parquet(pq)
+    c.append_parquet(pq)
+    c.embed_all()
+    f2 = c._raw_serve_frame("text")
+    assert f2 is not f1
+    assert f2.count() == 3
+
+
 def test_search_many_hamming_matches_per_query(spark, tmp_path, sf_dir):
     """search_many(strategy='hamming') reproduces per-query
     strategy='hamming' rows and scores exactly; strategy='auto' maps

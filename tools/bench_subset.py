@@ -134,6 +134,26 @@ def main() -> None:
             .first()[0]
         )
 
+    def make_search_topk_hamming():
+        from letsearch_spark.collection import Collection
+
+        root = tempfile.mkdtemp(prefix="ls_sub_")
+        coll = Collection.create(
+            spark, root, name="subq", index_columns=["text"], model_name="stub://16"
+        )
+        coll.import_parquet(os.path.join(SF_DIR, "documents.parquet"))
+        coll.embed_column("text")
+        coll.search("text", "warmup", limit=10, strategy="hamming").collect()
+
+        def run():
+            for i in range(20):
+                coll.search(
+                    "text", f"spark join query window batch {i}", limit=10,
+                    strategy="hamming",
+                ).collect()
+
+        return run
+
     def make_search_many_hamming():
         from letsearch_spark.collection import Collection
 
@@ -152,6 +172,7 @@ def main() -> None:
     lazies = {
         "lang_id_predict": make_lang_id,
         "search_many_hamming": make_search_many_hamming,
+        "search_topk_hamming": make_search_topk_hamming,
     }
 
     for name in stages:
