@@ -61,10 +61,22 @@ from letsearch_spark.tokenizer import _train_merges_from_symbols
 # " ?"-prefixed unicode-letter runs ([^\W\d_] == \w minus digits and
 # underscore), digit runs, punctuation runs (non-word non-space, plus
 # the underscore \w steals), whitespace-before-nonspace, whitespace.
+#
+# Branch order (r11, guide §4.2 micro): the letter/digit runs lead
+# because they dominate natural text and Python's re tries alternation
+# branches in order at every position. The reorder is provably
+# output-identical to the documented GPT-2 order (contraction branch
+# first): the contraction branch matches only at a literal "'", where
+# the letter and digit branches can never match (" ?" cannot consume a
+# quote and both runs need a letter/digit next), so the only ordering
+# that carries semantics -- contraction BEFORE the punctuation run,
+# else "'t" in "don't" splits as "'"+"t" -- is preserved. Pinned by
+# test_pretoken_branch_reorder_matches_documented_order; measured ~8%
+# off the regex pass (min-of-7, sf0.1 corpus: 0.0634 -> 0.0580 s).
 _PRETOKEN_RE = re.compile(
-    r"'(?:s|t|re|ve|m|ll|d)"
-    r"| ?[^\W\d_]+"
+    r" ?[^\W\d_]+"
     r"| ?\d+"
+    r"|'(?:s|t|re|ve|m|ll|d)"
     r"| ?(?:[^\w\s]|_)+"
     r"|\s+(?!\S)"
     r"|\s+",

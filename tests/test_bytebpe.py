@@ -48,6 +48,44 @@ def test_pretokenize_lossless():
     check()
 
 
+def test_pretoken_branch_reorder_matches_documented_order():
+    """The r11 alternation reorder (letter/digit runs first) is
+    output-identical to the documented GPT-2 branch order (contraction
+    first): the contraction branch only fires at a literal quote, where
+    the letter/digit branches can never match. Property-pinned so a
+    future edit that breaks the ordering argument fails here."""
+    import re as _re
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    documented = _re.compile(
+        r"'(?:s|t|re|ve|m|ll|d)"
+        r"| ?[^\W\d_]+"
+        r"| ?\d+"
+        r"| ?(?:[^\w\s]|_)+"
+        r"|\s+(?!\S)"
+        r"|\s+",
+        _re.UNICODE,
+    )
+
+    tricky = _SAMPLES + [
+        "don't we'll I'm you're they've he'd it's",
+        " 'quoted' and '' and ' t",
+        "a'b 1't _'s '",
+        "'re'll'd",
+    ]
+    for t in tricky:
+        assert pretokenize(t) == documented.findall(t)
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.text(max_size=80))
+    def check(t):
+        assert pretokenize(t) == documented.findall(t)
+
+    check()
+
+
 def test_byte_unicode_bijection():
     assert len(_BYTE_TO_UNI) == 256
     assert len(set(_BYTE_TO_UNI.values())) == 256
