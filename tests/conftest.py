@@ -12,7 +12,20 @@ SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 def spark():
     from letsearch_spark.session import get_spark
 
-    s = get_spark("letsearch-spark-tests", master="local[4]", shuffle_partitions=8)
+    # Env knobs (default = the long-standing values) so suite-latency
+    # experiments can A/B the session shape without editing this file.
+    cores = os.environ.get("SPARK_GRAFT_TEST_CORES", "4")
+    shuffle = int(os.environ.get("SPARK_GRAFT_TEST_SHUFFLE", "8"))
+    extra = {}
+    aqe = os.environ.get("SPARK_GRAFT_TEST_AQE")
+    if aqe is not None:
+        extra["spark.sql.adaptive.enabled"] = aqe
+    s = get_spark(
+        "letsearch-spark-tests",
+        master=f"local[{cores}]",
+        shuffle_partitions=shuffle,
+        extra_conf=extra,
+    )
     yield s
     s.stop()
 

@@ -2827,17 +2827,27 @@ def _clf_corpora(spark):
     return pos_rows, neg_rows, pos, neg
 
 
-def test_quality_classifier_separates(spark):
+import pytest as _pt
+
+
+@_pt.fixture(scope="module")
+def clf_model256(spark):
+    """One shared 256-bucket fit (suite-latency: each full-batch GD
+    iteration is ~2 Spark actions; separates + filter_modes used to fit
+    nearly identical models back to back)."""
+    from letsearch_spark.operators.classifier import fit_quality_classifier
+
+    _, _, pos, neg = _clf_corpora(spark)
+    return fit_quality_classifier(pos, neg, num_buckets=256, iterations=40)
+
+
+def test_quality_classifier_separates(spark, clf_model256):
     """Training separates curated-like from spam-like text: held-out
     variants score on the right side of 0.5 and the training loss
     decreases."""
-    from letsearch_spark.operators.classifier import (
-        fit_quality_classifier,
-        score_quality,
-    )
+    from letsearch_spark.operators.classifier import score_quality
 
-    _, _, pos, neg = _clf_corpora(spark)
-    model = fit_quality_classifier(pos, neg, num_buckets=256, iterations=40)
+    model = clf_model256
     assert model.train_loss[0] > model.train_loss[-1]
     assert model.train_loss[-1] < 0.3
 
@@ -2928,7 +2938,7 @@ def test_quality_classifier_matches_numpy_twin(spark):
     assert abs(got - 1.0 / (1.0 + math.exp(-z))) < 1e-9
 
 
-def test_quality_classifier_filter_modes(spark):
+def test_quality_classifier_filter_modes(spark, clf_model256):
     """threshold mode keeps exactly score>t; pareto mode reproduces the
     md5-uniform Pareto rule and is repartition-stable."""
     import hashlib
@@ -2941,8 +2951,7 @@ def test_quality_classifier_filter_modes(spark):
         score_quality,
     )
 
-    _, _, pos, neg = _clf_corpora(spark)
-    model = fit_quality_classifier(pos, neg, num_buckets=256, iterations=30)
+    model = clf_model256
     mixed = spark.createDataFrame(
         [
             (i, "careful measured analysis of results" if i % 2 else "casino bonus click free winner now")

@@ -27,6 +27,13 @@ def _sennrich_df(spark):
     return spark.createDataFrame(rows, "doc_id long, text string")
 
 
+# One shared vocab-30 Sennrich model (suite-latency: six tests trained
+# the identical (corpus, config) pair back to back).
+@pytest.fixture(scope="module")
+def bpe30(spark):
+    return train_bpe(_sennrich_df(spark), "text", vocab_size=30)
+
+
 def test_word_counts_distributed(spark):
     df = spark.createDataFrame(
         [(1, "a b  a"), (2, "  b\tc "), (3, ""), (4, None)],
@@ -73,8 +80,8 @@ def test_vocab_size_budget_respected(spark):
     assert small.merges == []  # alphabet alone exceeds the budget
 
 
-def test_encode_round_trip_and_counts(spark):
-    model = train_bpe(_sennrich_df(spark), "text", vocab_size=30)
+def test_encode_round_trip_and_counts(spark, bpe30):
+    model = bpe30
     for w in list(SENNRICH) + ["unseen", "lowestest", "x"]:
         toks = model.encode_word(w)
         assert "".join(toks) == w + "</w>"
@@ -87,8 +94,8 @@ def test_encode_round_trip_and_counts(spark):
     assert model.token_count("   ") == 0
 
 
-def test_save_load_round_trip(spark, tmp_path):
-    model = train_bpe(_sennrich_df(spark), "text", vocab_size=30)
+def test_save_load_round_trip(spark, tmp_path, bpe30):
+    model = bpe30
     p = str(tmp_path / "bpe.json")
     model.save(p)
     loaded = BpeModel.load(p)
@@ -111,7 +118,7 @@ def test_min_count_filters_rare_types(spark):
     assert model2.word_types == 4
 
 
-def test_token_count_exact_matches_driver_twin(spark):
+def test_token_count_exact_matches_driver_twin(spark, bpe30):
     docs = spark.createDataFrame(
         [
             (1, "the newest lower bound is the lowest"),
@@ -122,7 +129,7 @@ def test_token_count_exact_matches_driver_twin(spark):
         ],
         "doc_id long, text string",
     )
-    model = train_bpe(_sennrich_df(spark), "text", vocab_size=30)
+    model = bpe30
     got = {
         r["doc_id"]: r["n_tokens"]
         for r in token_count_exact(docs, "doc_id", "text", model).collect()
@@ -145,8 +152,8 @@ def test_token_count_exact_stable_under_repartition(spark, sf_dir):
     )
 
 
-def test_tokenize_column_matches_encode(spark):
-    model = train_bpe(_sennrich_df(spark), "text", vocab_size=30)
+def test_tokenize_column_matches_encode(spark, bpe30):
+    model = bpe30
     docs = spark.createDataFrame(
         [(1, "newest low"), (2, None), (3, "")], "doc_id long, text string"
     )
@@ -193,13 +200,13 @@ def test_pipeline_token_count_col_integration(spark, sf_dir):
     assert total_spans == total_tokens
 
 
-def test_chunker_bpe_mode(spark, tmp_path):
+def test_chunker_bpe_mode(spark, tmp_path, bpe30):
     """ChunkerConfig.bpe_path drives T4 counting with the trained model:
     boundaries respect the exact BPE budget, and setting both tokenizer
     sources is rejected."""
     from letsearch_spark.chunker import ChunkerConfig, MarkdownChunker, chunk_column
 
-    model = train_bpe(_sennrich_df(spark), "text", vocab_size=30)
+    model = bpe30
     p = str(tmp_path / "bpe.json")
     model.save(p)
 
@@ -223,11 +230,11 @@ def test_chunker_bpe_mode(spark, tmp_path):
     assert [r["chunk"] for r in sorted(rows, key=lambda r: r["chunk_idx"])] == chunks
 
 
-def test_unicode_whitespace_parity(spark):
+def test_unicode_whitespace_parity(spark, bpe30):
     """Java \\s is ASCII-only; the Python-side splits must match it, so
     NBSP-joined words stay ONE word on BOTH engines (the scraped-HTML
     case where str.split() would disagree with the distributed count)."""
-    model = train_bpe(_sennrich_df(spark), "text", vocab_size=30)
+    model = bpe30
     text = "tel\u00a0aviv low"  # NBSP joint
     docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
     got = token_count_exact(docs, "doc_id", "text", model).first()["n_tokens"]
@@ -297,13 +304,13 @@ def test_decode_sentinel_caveat_documented():
     assert m.decode(toks) != w  # decode cannot distinguish data from marker
 
 
-def test_encode_ids_column_matches_encode_and_unks(spark):
+def test_encode_ids_column_matches_encode_and_unks(spark, bpe30):
     """Token ids are the positions of model.encode's tokens in
     model.vocab; symbols the trainer never saw (an emoji word) map to
     the unk id; null/empty text encodes to an empty array."""
     from letsearch_spark.tokenizer import encode_ids_column
 
-    model = train_bpe(_sennrich_df(spark), "text", vocab_size=30)
+    model = bpe30
     id_of = {t: i for i, t in enumerate(model.vocab)}
     docs = spark.createDataFrame(
         [(1, "newest low"), (2, None), (3, ""), (4, "low ☃")],

@@ -25,6 +25,19 @@ def _docs(spark, sf_dir, n=80):
     )
 
 
+# Shared trained models (suite-latency: each distributed EM training is
+# ~8-14 s of Spark jobs; five tests used identical (corpus, config)
+# pairs, so train each distinct pair once per module).
+@pytest.fixture(scope="module")
+def model30(spark, sf_dir):
+    return train_unigram(_docs(spark, sf_dir, n=30), "text", vocab_size=100)
+
+
+@pytest.fixture(scope="module")
+def model20(spark, sf_dir):
+    return train_unigram(_docs(spark, sf_dir, n=20), "text", vocab_size=100)
+
+
 def test_distributed_em_matches_twin_bitwise(spark, sf_dir):
     """The whole point of the fixed-point E-step: the distributed model
     and the sequential twin are EQUAL -- every piece, every log-prob,
@@ -66,8 +79,8 @@ def test_vocab_contains_alphabet_and_multi_pieces(spark, sf_dir):
     assert model.token_count(text) < sum(len(w) for w in split_text(text))
 
 
-def test_segmentation_tiles_exactly_and_handles_unknowns(spark, sf_dir):
-    model = train_unigram(_docs(spark, sf_dir, n=30), "text", vocab_size=100)
+def test_segmentation_tiles_exactly_and_handles_unknowns(model30):
+    model = model30
     for word in ("customer", "supercalifragilistic", "query42"):
         seg = model.encode_word(word)
         assert "".join(seg) == word
@@ -89,16 +102,16 @@ def test_token_count_exact_matches_driver_model(spark, sf_dir):
         assert got[r["doc_id"]] == model.token_count(r["text"] or ""), r["doc_id"]
 
 
-def test_tokenize_column_tiles_text(spark, sf_dir):
+def test_tokenize_column_tiles_text(spark, sf_dir, model20):
     docs = _docs(spark, sf_dir, n=20)
-    model = train_unigram(docs, "text", vocab_size=100)
+    model = model20
     out = tokenize_column_unigram(docs, "text", model).collect()
     for r in out:
         assert "".join(r["tokens"]) == "".join(split_text(r["text"] or ""))
 
 
-def test_save_load_roundtrip(spark, sf_dir, tmp_path):
-    model = train_unigram(_docs(spark, sf_dir, n=30), "text", vocab_size=100)
+def test_save_load_roundtrip(tmp_path, model30):
+    model = model30
     path = str(tmp_path / "unigram.json")
     model.save(path)
     loaded = UnigramModel.load(path)
@@ -122,13 +135,13 @@ def test_validation(spark, sf_dir):
         train_unigram(empty, "text", vocab_size=10)
 
 
-def test_encode_ids_column_roundtrip(spark, sf_dir):
+def test_encode_ids_column_roundtrip(spark, sf_dir, model20):
     """IDs index model.vocab; mapping ids back to pieces reproduces the
     string tokenization exactly; unseen chars surface as unk_id."""
     from letsearch_spark.tokenizer_unigram import encode_ids_column_unigram
 
     docs = _docs(spark, sf_dir, n=20)
-    model = train_unigram(docs, "text", vocab_size=100)
+    model = model20
     vocab = model.vocab
     out = encode_ids_column_unigram(docs, "text", model).collect()
     for r in out:
@@ -141,7 +154,7 @@ def test_encode_ids_column_roundtrip(spark, sf_dir):
     assert -1 in ids  # the unseen CJK char falls back to unk_id
 
 
-def test_chunker_unigram_mode(spark, sf_dir, tmp_path):
+def test_chunker_unigram_mode(spark, sf_dir, tmp_path, model30):
     """ChunkerConfig.unigram_path drives T4 counting with the trained
     unigram model: boundaries respect the exact Viterbi budget, and
     combining tokenizer sources is rejected."""
@@ -152,7 +165,7 @@ def test_chunker_unigram_mode(spark, sf_dir, tmp_path):
     )
 
     docs = _docs(spark, sf_dir, n=30)
-    model = train_unigram(docs, "text", vocab_size=100)
+    model = model30
     p = str(tmp_path / "unigram.json")
     model.save(p)
 
