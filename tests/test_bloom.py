@@ -15,6 +15,7 @@ def _split(spark, sf_dir):
 
 
 @pytest.mark.parametrize("fpp,cap", [(0.01, 100), (0.9, 100), (0.01, None)])
+@pytest.mark.deep  # auditor tier (pytest.ini): bloom-vs-join equivalence sweep; decontaminate_bloom is oracle-hash-checked each round
 def test_bloom_equals_join_path(spark, sf_dir, fpp, cap):
     """fpp=0.9 forces a tiny, collision-heavy bitmap -- the exact verify
     join must still strip every false positive; cap=None checks the

@@ -99,6 +99,7 @@ def test_prepare_training_data_bins_layout(spark, sf_dir, tmp_path):
         prepare_training_data(docs, PrepConfig(pack_layout="nope"))
 
 
+@pytest.mark.deep  # auditor tier (pytest.ini): double-run determinism storm; workdir_resume (default) compares resumed vs fresh bit-for-bit
 def test_prepare_training_data_is_deterministic(spark, sf_dir):
     from letsearch_spark.pipeline import PrepConfig, prepare_training_data
 

@@ -171,6 +171,7 @@ def test_search_is_single_takeordered_over_cache(spark, sf_dir, tmp_path):
     assert "Exchange" not in query_time
 
 
+@pytest.mark.deep  # auditor tier (pytest.ini): all-queries plan audit; every query is oracle-hash-checked by the driver each round
 def test_no_accidental_cartesian_in_contract_queries(spark, sf_dir):
     """Every contract query's physical plan is scanned for all-pairs
     join shapes -- NO contract entry may plan one (the exact all-pairs

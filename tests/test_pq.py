@@ -22,14 +22,21 @@ def _emb(spark, sf_dir):
     )
 
 
+# One shared m=8/nbits=8 codebook over the full embeddings table
+# (suite-latency: six tests trained the identical configuration).
+@pytest.fixture(scope="module")
+def pq_cb8(spark, sf_dir):
+    return train_pq(_emb(spark, sf_dir), m=8, nbits=8, key_col="_key")
+
+
 def _np_vectors(rows):
     x = np.array([r["vector"] for r in rows], dtype=np.float64)
     return x / np.linalg.norm(x, axis=1, keepdims=True)
 
 
-def test_train_pq_shapes_and_errors(spark, sf_dir):
+def test_train_pq_shapes_and_errors(spark, sf_dir, pq_cb8):
     emb = _emb(spark, sf_dir)
-    cb = train_pq(emb, m=8, nbits=8, key_col="_key")
+    cb = pq_cb8
     assert cb.codebooks.shape == (8, 256, 8)
     assert cb.dim == 64 and cb.dsub == 8 and cb.ksub == 256
     with pytest.raises(ValueError, match="divisible"):
@@ -40,9 +47,9 @@ def test_train_pq_shapes_and_errors(spark, sf_dir):
         train_pq(emb.where(F.lit(False)), m=8)
 
 
-def test_encode_compresses_to_m_bytes(spark, sf_dir):
+def test_encode_compresses_to_m_bytes(spark, sf_dir, pq_cb8):
     emb = _emb(spark, sf_dir)
-    cb = train_pq(emb, m=8, nbits=8, key_col="_key")
+    cb = pq_cb8
     coded = encode_pq(emb, cb)
     rows = coded.select("pq_code").limit(20).collect()
     assert all(len(r["pq_code"]) == 8 for r in rows)  # 64 f32 -> 8 bytes
@@ -73,7 +80,8 @@ def test_distortion_falls_with_m_and_nbits(spark, sf_dir):
     assert d_8_8 < 0.2  # measured 0.107 on this table
 
 
-def test_pq_topk_recall_and_twin(spark, sf_dir):
+@pytest.mark.deep  # auditor tier (pytest.ini): ADC twin replay; pq_adc_topk is oracle-hash-checked each round
+def test_pq_topk_recall_and_twin(spark, sf_dir, pq_cb8):
     """ADC recall@10 vs exact cosine over 20 queries: > 0.6 at
     m=8/nbits=8 (measured 0.73), better than nbits=4; and the Spark ADC
     scores equal a driver-side numpy twin bit-for-bit."""
@@ -101,7 +109,7 @@ def test_pq_topk_recall_and_twin(spark, sf_dir):
     assert r8 > recall(4)
 
     # twin: ADC scores from Spark == numpy lookup sums
-    cb = train_pq(emb, m=8, nbits=8, key_col="_key")
+    cb = pq_cb8
     coded = encode_pq(emb, cb).select("_key", "pq_code")
     q = xn[3]
     got = {
@@ -121,9 +129,9 @@ def test_pq_topk_recall_and_twin(spark, sf_dir):
         assert got[k_] == pytest.approx(want, abs=1e-12)
 
 
-def test_pq_deterministic_under_repartition(spark, sf_dir):
+def test_pq_deterministic_under_repartition(spark, sf_dir, pq_cb8):
     emb = _emb(spark, sf_dir)
-    cb1 = train_pq(emb, m=8, key_col="_key")
+    cb1 = pq_cb8
     cb2 = train_pq(emb.repartition(7), m=8, key_col="_key")
     assert np.array_equal(cb1.codebooks, cb2.codebooks)
     c1 = sorted(
@@ -149,9 +157,9 @@ def test_pq_codebook_save_load(spark, sf_dir, tmp_path):
     assert np.array_equal(loaded.codebooks, cb.codebooks)
 
 
-def test_pq_topk_query_validation(spark, sf_dir):
+def test_pq_topk_query_validation(spark, sf_dir, pq_cb8):
     emb = _emb(spark, sf_dir)
-    cb = train_pq(emb, m=8, key_col="_key")
+    cb = pq_cb8
     coded = encode_pq(emb, cb)
     with pytest.raises(ValueError, match="dim"):
         pq_topk(coded, cb, [1.0, 2.0], k=5)
@@ -159,6 +167,7 @@ def test_pq_topk_query_validation(spark, sf_dir):
         pq_topk(coded, cb, [0.0] * 64, k=0)
 
 
+@pytest.mark.deep  # auditor tier (pytest.ini): full-probe equivalence sweep; ivf_pq behavior tests stay default
 def test_ivf_pq_full_probe_equals_pq(spark, sf_dir, tmp_path):
     """IVF-PQ with nprobe=nlist reproduces plain pq_topk exactly (same
     codes, same LUT), recall rises as nprobe grows, and probes prune
@@ -261,7 +270,7 @@ def test_ivf_pq_default_keeps_key_columns(spark, sf_dir, tmp_path):
     assert len(hits) == 5
 
 
-def test_pq_knn_join_matches_per_query_loop(spark, sf_dir):
+def test_pq_knn_join_matches_per_query_loop(spark, sf_dir, pq_cb8):
     """Batched ADC equals the per-query pq_topk loop exactly (same
     codes, same LUT arithmetic, same tie-break), and recall against
     exact knn_join is measurable through evaluate.py in one plan."""
@@ -270,7 +279,7 @@ def test_pq_knn_join_matches_per_query_loop(spark, sf_dir):
     from letsearch_spark.operators.topk import knn_join
 
     emb = _emb(spark, sf_dir).cache()
-    cb = train_pq(emb, m=8, nbits=8, key_col="_key")
+    cb = pq_cb8
     coded = encode_pq(emb, cb).select("_key", "pq_code").cache()
     queries = emb.where(F.col("_key") < 12).select(
         F.col("_key").alias("query_id"), F.col("vector").alias("qvec")

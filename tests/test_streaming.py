@@ -201,6 +201,7 @@ def test_stream_prep_zero_survivor_first_batch(spark, tmp_path):
     assert coll.embeddings("text").count() == 1
 
 
+@pytest.mark.deep  # auditor tier (pytest.ini): replay storm; the crash-recovery test stays default
 def test_stream_prep_replay_is_idempotent(spark, tmp_path):
     """Checkpoint replays of a prep batch must not duplicate rows,
     bands, or keys -- both the fully-applied replay (applied marker
@@ -256,6 +257,7 @@ def test_stream_prep_replay_is_idempotent(spark, tmp_path):
     assert spark.read.parquet(state + "/corpus").count() == 3  # archived
 
 
+@pytest.mark.deep  # auditor tier (pytest.ini): failure-injection permutation storm
 def test_stream_prep_truncated_marker_and_ownership(spark, tmp_path):
     """A marker truncated by a crash mid-write must not wedge the
     stream (the replay re-keys; partial-attempt rows are inert), and
@@ -359,6 +361,7 @@ def test_stream_prep_crash_between_append_and_marker(spark, tmp_path, monkeypatc
     assert not _os.path.exists(staged)
 
 
+@pytest.mark.deep  # auditor tier (pytest.ini): path-spelling permutation storm
 def test_stream_prep_owner_tag_path_spellings(spark, tmp_path):
     """Equivalent checkpoint-path spellings (trailing slash, file: URI,
     relative vs absolute) must all resume against the same state_dir;

@@ -38,6 +38,7 @@ def model20(spark, sf_dir):
     return train_unigram(_docs(spark, sf_dir, n=20), "text", vocab_size=100)
 
 
+@pytest.mark.deep  # auditor tier (pytest.ini): EM twin replay; token_count_unigram's oracle is computed FROM the model each round
 def test_distributed_em_matches_twin_bitwise(spark, sf_dir):
     """The whole point of the fixed-point E-step: the distributed model
     and the sequential twin are EQUAL -- every piece, every log-prob,
@@ -54,11 +55,12 @@ def test_distributed_em_matches_twin_bitwise(spark, sf_dir):
     assert model.word_types == len(wc)
 
 
-def test_training_is_repartition_invariant(spark, sf_dir):
-    docs = _docs(spark, sf_dir, n=50)
-    a = train_unigram(docs, "text", vocab_size=100)
+def test_training_is_repartition_invariant(spark, sf_dir, model30):
+    # one arm reuses the shared n=30 model; the repartitioned arm must
+    # train to the identical pieces (same corpus, same config)
+    docs = _docs(spark, sf_dir, n=30)
     b = train_unigram(docs.repartition(7), "text", vocab_size=100)
-    assert a.pieces == b.pieces
+    assert model30.pieces == b.pieces
 
 
 def test_vocab_contains_alphabet_and_multi_pieces(spark, sf_dir):
