@@ -190,12 +190,48 @@ def bm25_scores_with_idf(
     if n_docs == 0 or avgdl <= 0.0:
         raise ValueError("empty corpus: no document has any token")
 
-    idf_entries = []
-    for t, d in terms.items():
-        idf_entries.append(F.lit(t))
-        idf_entries.append(
-            F.lit(math.log(1.0 + (float(n_docs) - d + 0.5) / (d + 0.5)))
+    idfs = {
+        t: math.log(1.0 + (float(n_docs) - d + 0.5) / (d + 0.5))
+        for t, d in terms.items()
+    }
+
+    # r11 (guide §4, plan-build time -- the vector.py _sql_fragment
+    # precedent): the per-query serving path pays this function's
+    # Column-by-Column composition (a create_map of 2x|terms| literals
+    # plus the tf arithmetic is ~100 py4j round-trips) on EVERY hybrid
+    # query. When every term is single-quote/backslash-free (the
+    # analyzer lowercases and strips punctuation, so always in
+    # practice), build the identical expressions as TWO SQL strings --
+    # map lookup and arithmetic grouping match the Column tree
+    # operator-for-operator, double literals round-trip exactly via
+    # CAST('<repr>' AS DOUBLE), and multiplication commutes bitwise in
+    # IEEE754 -- so scores are bit-identical (pinned by
+    # test_bm25_with_idf_sql_fast_path_matches_column_twin).
+    if all("'" not in t and "\\" not in t for t in terms):
+        q = lambda t: "'" + t + "'"  # noqa: E731 -- charset checked above
+        d = lambda x: f"CAST('{x!r}' AS DOUBLE)"  # noqa: E731
+        map_sql = "map(" + ", ".join(
+            f"{q(t)}, {d(v)}" for t, v in idfs.items()
+        ) + ")[__term]"
+        tf_sql = (
+            f"`__tf` * {d(k1 + 1.0)} / (`__tf` + {d(k1)} * "
+            f"({d(1.0 - b)} + {d(b)} * `__dl` / {d(avgdl)}))"
         )
+        in_sql = "__term IN (" + ", ".join(q(t) for t in terms) + ")"
+        return (
+            postings.where(in_sql)
+            .selectExpr("__id", f"{map_sql} * ({tf_sql}) AS __s")
+            .groupBy("__id")
+            .agg(F.expr("sum(__s)").alias("bm25"))
+            .selectExpr(
+                "__id AS `" + id_col.replace("`", "``") + "`", "bm25"
+            )
+        )
+
+    idf_entries = []
+    for t, v in idfs.items():
+        idf_entries.append(F.lit(t))
+        idf_entries.append(F.lit(v))
     idf = F.create_map(*idf_entries)[F.col("__term")]
     tf_norm = (
         F.col("__tf")

@@ -113,7 +113,27 @@ def pytest_cmdline_main(config):
             )
         )
         log_f.close()
+    totals = {"passed": 0, "failed": 0, "error": 0, "skipped": 0,
+              "deselected": 0}
+
+    def _drain(i: int) -> None:
+        # print a finished worker's full output IMMEDIATELY, so a
+        # harness that times the suite out mid-run still sees every
+        # completed worker's dots and summary in the partial output
+        try:
+            out = open(logs[i]).read()
+        except OSError:
+            out = ""
+        print(f"----- worker {i} ({len(shards[i])} files) -----", flush=True)
+        sys.stdout.write(out)
+        sys.stdout.flush()
+        for n, kind in re.findall(
+            r"(\d+) (passed|failed|error|skipped|deselected)", out
+        ):
+            totals[kind] += int(n)
+
     failed_fast = False
+    drained: set[int] = set()
     try:
         pending = set(range(len(procs)))
         while pending:
@@ -122,6 +142,8 @@ def pytest_cmdline_main(config):
                 if rc is None:
                     continue
                 pending.discard(i)
+                _drain(i)
+                drained.add(i)
                 if rc != 0 and getattr(opt, "exitfirst", False):
                     failed_fast = True
                     for j in pending:
@@ -135,18 +157,10 @@ def pytest_cmdline_main(config):
         for p in procs:
             if p.poll() is None:
                 p.wait()
-
-    totals = {"passed": 0, "failed": 0, "error": 0, "skipped": 0,
-              "deselected": 0}
-    for i in range(len(procs)):
-        try:
-            out = open(logs[i]).read()
-        except OSError:
-            out = ""
-        print(f"----- worker {i} ({len(shards[i])} files) -----", flush=True)
-        sys.stdout.write(out)
-        for n, kind in re.findall(r"(\d+) (passed|failed|error|skipped|deselected)", out):
-            totals[kind] += int(n)
+        for i in range(len(procs)):
+            if i not in drained:
+                _drain(i)
+                drained.add(i)
     rc = max((p.returncode or 0) for p in procs)
     print(
         f"===== suite-shard combined: {totals['passed']} passed, "

@@ -2151,6 +2151,72 @@ def test_bm25_df_modes_and_idf_literals_agree(spark, sf_dir):
         assert abs(base[k] - lit[k]) < 1e-12
 
 
+def test_bm25_with_idf_sql_fast_path_matches_column_twin(spark, sf_dir):
+    """The r11 SQL-string fast path of bm25_scores_with_idf is
+    BIT-identical to the original Column composition (rebuilt here as
+    the twin), and a term containing a quote routes to the Column
+    fallback and still scores identically."""
+    import math
+    import os as _os
+
+    from letsearch_spark.operators.bm25 import (
+        bm25_scores_with_idf,
+        build_postings,
+        corpus_stats,
+    )
+
+    docs = spark.read.parquet(
+        _os.path.join(sf_dir, "documents.parquet")
+    ).select("doc_id", "text")
+    n_docs, avgdl = corpus_stats(docs)
+    postings = build_postings(docs).cache()
+    k1, b = 1.2, 0.75
+    term_df = {"spark": 40, "join": 35, "window": 25, "agg": 17}
+    try:
+        got = {
+            r["doc_id"]: r["bm25"]
+            for r in bm25_scores_with_idf(
+                postings, term_df, n_docs, avgdl
+            ).collect()
+        }
+        # the pre-r11 Column composition, verbatim
+        idf_entries = []
+        for t, d in term_df.items():
+            idf_entries.append(F.lit(t))
+            idf_entries.append(
+                F.lit(math.log(1.0 + (float(n_docs) - d + 0.5) / (d + 0.5)))
+            )
+        idf = F.create_map(*idf_entries)[F.col("__term")]
+        tf_norm = (
+            F.col("__tf")
+            * (k1 + 1.0)
+            / (F.col("__tf") + k1 * (1.0 - b + b * F.col("__dl") / F.lit(avgdl)))
+        )
+        want = {
+            r["doc_id"]: r["bm25"]
+            for r in postings.where(F.col("__term").isin(list(term_df)))
+            .withColumn("__s", idf * tf_norm)
+            .groupBy("__id")
+            .agg(F.sum("__s").alias("bm25"))
+            .select(F.col("__id").alias("doc_id"), "bm25")
+            .collect()
+        }
+        assert got == want  # bit-exact, not approx
+
+        # a quoted term forces the Column fallback branch; scores for
+        # the shared terms are unchanged (the quoted term matches no
+        # posting)
+        fb = {
+            r["doc_id"]: r["bm25"]
+            for r in bm25_scores_with_idf(
+                postings, {**term_df, "o'brien": 1}, n_docs, avgdl
+            ).collect()
+        }
+        assert fb == want
+    finally:
+        postings.unpersist()
+
+
 # ------------------------------------------------------------ dsir
 
 
